@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session config for the engine's entry points (Verify/Bench/tests).
+  *
+  * - shuffle.partitions sized to local cores (the 100 TB deployment overrides
+  *   via spark-submit; AQE coalesces either way).
+  * - UTC session timezone for oracle parity.
+  * - `nanosAsLong`: the driver's `events` table stores TIMESTAMP(NANOS),
+  *   which vanilla Spark refuses to read; we read nanos as long and convert
+  *   in [[Tables]].
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

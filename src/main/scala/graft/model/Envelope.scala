@@ -1,0 +1,88 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Canonical record envelope of the engine (SURVEY §1.3).
+  *
+  * The reference models data as batches ("messages") of parts, each part
+  * carrying raw bytes + a lazily parsed JSON document + string metadata +
+  * an error flag (`lib/message/part.go:26-30`, `lib/types/interface.go:89-104`
+  * in the reference). The idiomatic Spark shape is one row per part:
+  *
+  * {{{
+  *   content  BINARY                 -- raw bytes (nullable, lazily derived)
+  *   doc      STRUCT<...>            -- parsed document (schema-first design)
+  *   meta     MAP<STRING,STRING>     -- per-part metadata
+  *   _error   STRING                 -- null = ok (error-flag semantics)
+  *   batch_id LONG                   -- batch membership
+  *   seq      LONG                   -- order within batch
+  * }}}
+  *
+  * Operators are schema-preserving on the envelope and free-form on `doc`.
+  * Keeping `doc` a typed struct (not a JSON string) is what lets Catalyst
+  * prune/push down into sources — the central payoff vs. the reference's
+  * row-at-a-time interpreter.
+  */
+object Envelope {
+  val Content = "content"
+  val Doc = "doc"
+  val Meta = "meta"
+  val Error = "_error"
+  val BatchId = "batch_id"
+  val Seq = "seq"
+
+  val envelopeCols: scala.Seq[String] =
+    scala.Seq(Content, Doc, Meta, Error, BatchId, Seq)
+
+  /** Wrap a plain DataFrame (one row per record) into the envelope.
+    *
+    * `orderBy` supplies a deterministic within-batch order (the reference's
+    * parts are ordered); `batchSize` re-batches by count like the `split`
+    * processor (`lib/processor/split.go:41-49`). At scale the sort is a
+    * range-partitioned shuffle — only wrap when batch semantics are actually
+    * needed; pure per-row pipelines should stay unwrapped.
+    */
+  def wrap(df: DataFrame, orderBy: scala.Seq[Column], batchSize: Long = Long.MaxValue): DataFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    val seqCol = row_number().over(w).cast(LongType) - lit(1L)
+    df.select(
+      lit(null).cast(BinaryType).as(Content),
+      struct(df.columns.map(col).toIndexedSeq: _*).as(Doc),
+      map().cast(MapType(StringType, StringType)).as(Meta),
+      lit(null).cast(StringType).as(Error),
+      (seqCol / lit(batchSize)).cast(LongType).as(BatchId),
+      seqCol.as(Seq))
+  }
+
+  /** Cheap wrap for pipelines that don't need batch semantics: no shuffle,
+    * batch_id = spark partition id, seq = monotonic id. This is the 100 TB
+    * path — batch identity maps to Spark's own partition/micro-batch. */
+  def wrapUnordered(df: DataFrame): DataFrame =
+    df.select(
+      lit(null).cast(BinaryType).as(Content),
+      struct(df.columns.map(col).toIndexedSeq: _*).as(Doc),
+      map().cast(MapType(StringType, StringType)).as(Meta),
+      lit(null).cast(StringType).as(Error),
+      spark_partition_id().cast(LongType).as(BatchId),
+      monotonically_increasing_id().as(Seq))
+
+  /** Unwrap: project the doc struct back to top-level columns. */
+  def unwrap(df: DataFrame): DataFrame = df.select(col(Doc + ".*"))
+
+  /** Raw content bytes: the explicit content if set, else the JSON
+    * serialization of the doc (the reference's dual representation,
+    * `lib/message/part.go:82-96`). */
+  def contentOrDoc(df: DataFrame): Column =
+    coalesce(col(Content), to_json(col(Doc)).cast(BinaryType))
+
+  def failed: Column = col(Error).isNotNull
+  def ok: Column = col(Error).isNull
+
+  /** Mark rows matching `cond` as errored with message `msg` (does not drop
+    * them — "failed messages keep flowing"). */
+  def flagError(df: DataFrame, cond: Column, msg: Column): DataFrame =
+    df.withColumn(Error, when(col(Error).isNotNull, col(Error)).otherwise(when(cond, msg)))
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational capability queries (joins/aggregations/windows/set-ops).
+  *
+  * The reference reaches these semantics through batch + Bloblang
+  * (`from_all().sum()`, `sequence.sharded_join`, enrichment lookups — see
+  * SURVEY §2.12); here they are first-class Catalyst plans. Every query has a
+  * DuckDB oracle twin in [[Relational.oracleSql]] with identical column names
+  * and deterministic ORDER BY.
+  *
+  * Scale notes (100 TB): aggregations are partial (map-side combine) by
+  * construction; small dimension tables (`part`, `nation`, `customer` at dim
+  * scale) are broadcast explicitly so the big fact table never shuffles for
+  * the join; window queries partition by a high-cardinality key.
+  */
+object Relational {
+  import graft.Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 flavor: the canonical partial-agg scan. Filter is pushed to the
+    * parquet scan; the groupBy key is tiny (6 groups) so AQE coalesces
+    * post-shuffle partitions. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Broadcast join: fact `lineitem` never shuffles; `part` is the broadcast
+    * side (dim-scale even at 100 TB fact scale). */
+  def q2JoinBrand(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Two-hop enrichment join (orders → customer → nation), both dims
+    * broadcast. Revenue per nation. */
+  def q3JoinNation(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Global top-k: Spark's `orderBy.limit` compiles to TakeOrderedAndProject
+    * — per-partition heap + driver merge, no full sort shuffle. */
+  def q4TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Analytic window: top-3 orders per customer. Partitioned by a
+    * high-cardinality key so the window shuffles evenly. */
+  def q5WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Set ops (reference only has fan-in union — SURVEY §2.12): nations with
+    * a very-high-balance customer but no very-high-balance supplier. */
+  def q6SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val su = t(s, dir, "supplier").filter(col("s_acctbal") > 9900)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    c.except(su).orderBy(col("nationkey"))
+  }
+
+  /** Semi-join (EXISTS): customers that placed orders, per market segment. */
+  def q7SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Anti-join (NOT EXISTS): customers who never placed an order above 300k,
+    * per segment. */
+  def q8AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Event-stream aggregation by type (min/max are exact; sums rounded for
+    * cross-engine float stability). */
+  def q9EventsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 2).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join_brand" -> (q2JoinBrand _),
+    "q3_join_nation" -> (q3JoinNation _),
+    "q4_topk" -> (q4TopK _),
+    "q5_window_rank" -> (q5WindowRank _),
+    "q6_setops" -> (q6SetOps _),
+    "q7_semi_join" -> (q7SemiJoin _),
+    "q8_anti_join" -> (q8AntiJoin _),
+    "q9_events_agg" -> (q9EventsAgg _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_brand" ->
+      """SELECT p_brand,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q3_join_nation" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q6_setops" ->
+      """SELECT * FROM (
+        | SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+        | EXCEPT
+        | SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9900)
+        |ORDER BY nationkey""".stripMargin,
+    "q7_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q8_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q9_events_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value),2) AS sum_value, round(avg(value),2) AS avg_value,
+        | min(value) AS min_value, max(value) AS max_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
