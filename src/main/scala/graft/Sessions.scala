@@ -18,6 +18,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Benthos semantics are permissive: failed parses/casts yield null /
+      // an _error flag, never a query-killing exception (reference
+      // `lib/types/interface.go:89-104` error-flag contract).
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

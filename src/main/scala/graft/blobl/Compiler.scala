@@ -1,0 +1,570 @@
+package graft.blobl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import Ast._
+
+final case class CompileError(msg: String) extends RuntimeException(msg)
+
+/** A compiled value: Catalyst Column + statically inferred Bloblang-ish type
+  * (None = unknown). Types drive overloading decisions (`+` concat vs add,
+  * `length` vs `size`, map vs struct access) — the schema-first design that
+  * lets everything stay inside whole-stage codegen.
+  */
+final case class TC(col: Column, tpe: Option[DataType]) {
+  def isString: Boolean = tpe.contains(StringType)
+  def isArray: Boolean = tpe.exists(_.isInstanceOf[ArrayType])
+  def isMap: Boolean = tpe.exists(_.isInstanceOf[MapType])
+  def isStruct: Boolean = tpe.exists(_.isInstanceOf[StructType])
+  def isVariant: Boolean = tpe.exists(_.isInstanceOf[VariantType])
+  def elemType: Option[DataType] = tpe.collect { case ArrayType(e, _) => e }
+}
+
+/** Compilation context: what `this` is, metadata/error columns, `let` vars,
+  * named `map` definitions, optional batch columns for batch_index/from_all.
+  */
+final case class Ctx(
+    thisTC: TC,
+    meta: Option[Column],
+    err: Option[Column],
+    content: Option[Column],
+    vars: Map[String, TC],
+    maps: Map[String, List[Stmt]],
+    batch: Option[(Column, Column)]) {
+  def withThis(t: TC): Ctx = copy(thisTC = t)
+  def withVar(n: String, v: TC): Ctx = copy(vars = vars + (n -> v))
+}
+
+/** Bloblang expression → Catalyst Column compiler (SURVEY §2.4 strategy).
+  * Every method/function that has a builtin Spark equivalent uses it
+  * (codegen'd, vectorized); nothing here drops out of the DataFrame API.
+  */
+object Compiler {
+
+  // ---------- type helpers ----------
+  private def numeric(t: Option[DataType]): Boolean = t.exists {
+    case _: NumericType => true; case _ => false
+  }
+  private def unify(a: Option[DataType], b: Option[DataType]): Option[DataType] =
+    (a, b) match {
+      case (Some(x), Some(y)) if x == y => Some(x)
+      case (Some(x: NumericType), Some(y: NumericType)) =>
+        if (x == DoubleType || y == DoubleType) Some(DoubleType) else Some(LongType)
+      case _ => None
+    }
+
+  private def fieldType(t: Option[DataType], name: String): Option[DataType] = t match {
+    case Some(s: StructType) => s.fields.find(_.name == name).map(_.dataType)
+    case Some(MapType(_, v, _)) => Some(v)
+    case Some(_: VariantType) => Some(VariantType)
+    case _ => None
+  }
+
+  // ---------- entry ----------
+  def compile(e: Expr, ctx: Ctx): TC = e match {
+    case LitNull => TC(lit(null), Some(NullType))
+    case LitBool(v) => TC(lit(v), Some(BooleanType))
+    case LitLong(v) => TC(lit(v), Some(LongType))
+    case LitDouble(v) => TC(lit(v), Some(DoubleType))
+    case LitString(v) => TC(lit(v), Some(StringType))
+    case LitArray(items) =>
+      val cs = items.map(compile(_, ctx))
+      val et = cs.map(_.tpe).reduceOption(unify).flatten
+      TC(array(cs.map(_.col): _*), Some(ArrayType(et.getOrElse(StringType))))
+    case LitObject(fields) =>
+      val named = fields.map {
+        case (LitString(k), v) => (k, compile(v, ctx))
+        case (k, _) => throw CompileError(s"object literal keys must be static strings, got $k")
+      }
+      TC(struct(named.map { case (k, v) => v.col.as(k) }: _*),
+        Some(StructType(named.map { case (k, v) =>
+          StructField(k, v.tpe.getOrElse(StringType))
+        })))
+    case This => ctx.thisTC
+    case VarRef(n) =>
+      ctx.vars.getOrElse(n, throw CompileError(s"unknown variable $$$n"))
+    case Field(base, name) =>
+      val b = compile(base, ctx)
+      accessField(b, name)
+    case IndexOp(base, idx) =>
+      val b = compile(base, ctx)
+      val i = compile(idx, ctx)
+      if (b.isMap) TC(element_at(b.col, i.col), fieldType(b.tpe, ""))
+      else {
+        // Bloblang index: 0-based, negative = from end (element_at is
+        // 1-based with negative-from-end support).
+        val adj = when(i.col >= 0, i.col + 1).otherwise(i.col)
+        TC(element_at(b.col, adj.cast(IntegerType)), b.elemType)
+      }
+    case Neg(x) => val c = compile(x, ctx); TC(-c.col, c.tpe)
+    case Not(x) => val c = compile(x, ctx); TC(!c.col, Some(BooleanType))
+    case BinOp(op, l, r) => binop(op, l, r, ctx)
+    case IfExpr(branches, orElse) =>
+      val compiled = branches.map { case (c, v) => (compile(c, ctx).col, compile(v, ctx)) }
+      val elseTC = orElse.map(compile(_, ctx))
+      val chain = compiled.tail.foldLeft(when(compiled.head._1, compiled.head._2.col)) {
+        case (acc, (c, v)) => acc.when(c, v.col)
+      }
+      val tpe = (compiled.map(_._2.tpe) ++ elseTC.map(_.tpe)).reduceOption(unify).flatten
+      TC(elseTC.map(e => chain.otherwise(e.col)).getOrElse(chain), tpe)
+    case MatchExpr(target, cases) =>
+      val t = compile(target, ctx)
+      val inner = ctx.withThis(t)
+      val conds = cases.map {
+        case (None, v) => (lit(true), compile(v, inner))
+        case (Some(pat), v) =>
+          val pc = compile(pat, inner)
+          val cond = if (pc.tpe.contains(BooleanType)) pc.col else (t.col === pc.col)
+          (cond, compile(v, inner))
+      }
+      val chain = conds.tail.foldLeft(when(conds.head._1, conds.head._2.col)) {
+        case (acc, (c, v)) => acc.when(c, v.col)
+      }
+      TC(chain, conds.map(_._2.tpe).reduceOption(unify).flatten)
+    case FnCall(name, args) => function(name, args, ctx)
+    case MethodCall(LitString(fmt), "format", args) =>
+      TC(format_string(fmt, args.map(a => compile(a, ctx).col): _*), Some(StringType))
+    case MethodCall(target, name, args) => method(compile(target, ctx), name, args, ctx)
+    case Lambda(_, _) => throw CompileError("lambda only valid as a method argument")
+  }
+
+  def accessField(b: TC, name: String): TC = b.tpe match {
+    case Some(MapType(_, v, _)) => TC(element_at(b.col, lit(name)), Some(v))
+    case Some(_: VariantType) =>
+      TC(try_variant_get(b.col, s"$$.$name", "variant"), Some(VariantType))
+    case _ => TC(b.col.getField(name), fieldType(b.tpe, name))
+  }
+
+  def accessPath(b: TC, path: scala.Seq[String]): TC =
+    path.foldLeft(b)(accessField)
+
+  // ---------- operators ----------
+  private def binop(op: String, le: Expr, re: Expr, ctx: Ctx): TC = {
+    val l = compile(le, ctx)
+    val r = compile(re, ctx)
+    op match {
+      case "+" =>
+        if (l.isString || r.isString) TC(concat(l.col, r.col), Some(StringType))
+        else if (l.isArray && r.isArray) TC(concat(l.col, r.col), l.tpe)
+        else TC(l.col + r.col, unify(l.tpe, r.tpe))
+      case "-" => TC(l.col - r.col, unify(l.tpe, r.tpe))
+      case "*" => TC(l.col * r.col, unify(l.tpe, r.tpe))
+      case "/" => TC(l.col / r.col, Some(DoubleType))
+      case "%" => TC(l.col % r.col, unify(l.tpe, r.tpe))
+      case "==" => TC(l.col === r.col, Some(BooleanType))
+      case "!=" => TC(l.col =!= r.col, Some(BooleanType))
+      case ">" => TC(l.col > r.col, Some(BooleanType))
+      case "<" => TC(l.col < r.col, Some(BooleanType))
+      case ">=" => TC(l.col >= r.col, Some(BooleanType))
+      case "<=" => TC(l.col <= r.col, Some(BooleanType))
+      case "&&" => TC(l.col && r.col, Some(BooleanType))
+      case "||" => TC(l.col || r.col, Some(BooleanType))
+      // `|` = catch/coalesce: fallback when LHS is null (errors compile to
+      // null under permissive eval — reference arithmetic.go:15-53).
+      case "|" => TC(coalesce(l.col, r.col), unify(l.tpe, r.tpe).orElse(l.tpe))
+      case other => throw CompileError(s"unknown operator $other")
+    }
+  }
+
+  // ---------- functions (reference functions.go §2.2) ----------
+  private def function(name: String, args: List[Expr], ctx: Ctx): TC = {
+    // bare identifier = lambda-parameter / let-var reference
+    if (args.isEmpty && ctx.vars.contains(name)) return ctx.vars(name)
+    def arg(i: Int): Expr = args.lift(i).getOrElse(
+      throw CompileError(s"$name: missing argument $i"))
+    def litStr(i: Int): String = arg(i) match {
+      case LitString(s) => s
+      case other => throw CompileError(s"$name: argument $i must be a string literal, got $other")
+    }
+    name match {
+      case "json" =>
+        if (args.isEmpty) ctx.thisTC
+        else accessPath(ctx.thisTC, litStr(0).split('.').toSeq.filter(_.nonEmpty))
+      case "meta" =>
+        val m = ctx.meta.getOrElse(throw CompileError("no metadata in this context"))
+        if (args.isEmpty) TC(m, Some(MapType(StringType, StringType)))
+        else TC(element_at(m, lit(litStr(0))), Some(StringType))
+      case "root_meta" => function("meta", args, ctx)
+      case "content" =>
+        TC(ctx.content.getOrElse(to_json(ctx.thisTC.col).cast(BinaryType)), Some(BinaryType))
+      case "error" =>
+        TC(ctx.err.getOrElse(lit(null).cast(StringType)), Some(StringType))
+      case "errored" =>
+        TC(ctx.err.map(_.isNotNull).getOrElse(lit(false)), Some(BooleanType))
+      case "deleted" | "nothing" =>
+        throw CompileError(s"$name() only valid as a whole assignment value or if/match branch")
+      case "now" =>
+        TC(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), Some(StringType))
+      case "timestamp_unix" => TC(unix_timestamp(), Some(LongType))
+      case "timestamp_unix_nano" =>
+        TC(unix_micros(current_timestamp()) * 1000L, Some(LongType))
+      case "uuid_v4" => TC(expr("uuid()"), Some(StringType))
+      case "ksuid" | "nanoid" => TC(expr("uuid()"), Some(StringType))
+      case "random_int" =>
+        val r = args.headOption.map(a => rand(compile(a, ctx).col.toString.toLong))
+          .getOrElse(rand())
+        TC((r * lit(Int.MaxValue.toLong)).cast(LongType), Some(LongType))
+      case "range" =>
+        val start = compile(arg(0), ctx).col
+        val stop = compile(arg(1), ctx).col
+        val step = args.lift(2).map(compile(_, ctx).col).getOrElse(lit(1L))
+        // Bloblang range excludes stop; sequence() is inclusive.
+        val last = stop - when(step > 0, 1).otherwise(-1)
+        TC(sequence(start.cast(LongType), last.cast(LongType), step.cast(LongType)),
+          Some(ArrayType(LongType)))
+      case "env" =>
+        TC(lit(sys.env.get(litStr(0)).orNull), Some(StringType))
+      case "hostname" =>
+        TC(lit(java.net.InetAddress.getLocalHost.getHostName), Some(StringType))
+      case "file" =>
+        TC(lit(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(litStr(0))), "UTF-8")), Some(StringType))
+      case "batch_index" =>
+        val (b, s) = ctx.batch.getOrElse(throw CompileError("batch_index() needs envelope batch columns"))
+        TC(row_number().over(Window.partitionBy(b).orderBy(s)).cast(LongType) - 1L, Some(LongType))
+      case "batch_size" =>
+        val (b, _) = ctx.batch.getOrElse(throw CompileError("batch_size() needs envelope batch columns"))
+        TC(count(lit(1)).over(Window.partitionBy(b)), Some(LongType))
+      case "var" => ctx.vars.getOrElse(litStr(0), throw CompileError(s"unknown var ${litStr(0)}"))
+      case other => throw CompileError(s"unknown function $other()")
+    }
+  }
+
+  // ---------- methods (reference methods*.go §2.3) ----------
+  private def lambda1(e: Expr, ctx: Ctx, elemType: Option[DataType]): Column => Column = {
+    e match {
+      case Lambda(p, body) =>
+        (x: Column) => compile(body, ctx.withVar(p, TC(x, elemType)).withThis(TC(x, elemType))).col
+      case other =>
+        // bare expression: treated as lambda over `this`
+        (x: Column) => compile(other, ctx.withThis(TC(x, elemType))).col
+    }
+  }
+
+  private def method(t: TC, name: String, args: List[Expr], ctx: Ctx): TC = {
+    def arg(i: Int): Expr = args.lift(i).getOrElse(
+      throw CompileError(s"$name: missing argument $i"))
+    def c(i: Int): TC = compile(arg(i), ctx)
+    def litStr(i: Int): String = arg(i) match {
+      case LitString(s) => s
+      case other => throw CompileError(s"$name: argument $i must be a string literal, got $other")
+    }
+    def str: TC = TC(t.col, t.tpe) // alias for readability
+
+    name match {
+      // ----- general (methods.go) -----
+      case "apply" =>
+        val stmts = ctx.maps.getOrElse(litStr(0),
+          throw CompileError(s"unknown map ${litStr(0)}"))
+        Mapping.compileMapValue(stmts, ctx.withThis(t))
+      case "catch" | "or" => val f = c(0); TC(coalesce(t.col, f.col), unify(t.tpe, f.tpe).orElse(t.tpe))
+      case "from" | "from_all" =>
+        val (b, s) = ctx.batch.getOrElse(throw CompileError(s"$name needs envelope batch columns"))
+        val all = collect_list(t.col).over(
+          Window.partitionBy(b).orderBy(s)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        if (name == "from_all") TC(all, t.tpe.map(ArrayType(_)))
+        else TC(element_at(all, compile(arg(0), ctx).col.cast(IntegerType) + 1), t.tpe)
+      case "get" => accessPath(t, litStr(0).split('.').toSeq.filter(_.nonEmpty))
+      case "exists" =>
+        TC(accessPath(t, litStr(0).split('.').toSeq.filter(_.nonEmpty)).col.isNotNull,
+          Some(BooleanType))
+      case "not_null" | "not_empty" => t
+      case "number" =>
+        if (t.isVariant) TC(t.col.cast(DoubleType), Some(DoubleType))
+        else TC(t.col.cast(DoubleType), Some(DoubleType))
+      case "string" => t.tpe match {
+        case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) =>
+          TC(to_json(t.col), Some(StringType))
+        case Some(_: VariantType) => TC(t.col.cast(StringType), Some(StringType))
+        case _ => TC(t.col.cast(StringType), Some(StringType))
+      }
+      case "bool" => TC(t.col.cast(BooleanType), Some(BooleanType))
+      case "bytes" => TC(t.col.cast(BinaryType), Some(BinaryType))
+      case "type" =>
+        val tn = typeof(t.col)
+        TC(when(tn.isin("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"), "number")
+          .when(tn === "string", "string")
+          .when(tn === "boolean", "bool")
+          .when(tn.startsWith("array"), "array")
+          .when(tn.startsWith("struct") || tn.startsWith("map"), "object")
+          .when(tn === "binary", "bytes")
+          .otherwise("null"), Some(StringType))
+
+      // ----- numbers (methods_numbers.go) -----
+      case "abs" => TC(abs(t.col), t.tpe)
+      case "ceil" => TC(ceil(t.col), Some(LongType))
+      case "floor" => TC(floor(t.col), Some(LongType))
+      case "log" => TC(log(t.col), Some(DoubleType))
+      case "log10" => TC(log10(t.col), Some(DoubleType))
+      case "round" =>
+        if (args.isEmpty) TC(round(t.col).cast(LongType), Some(LongType))
+        else TC(round(t.col, arg(0).asInstanceOf[LitLong].v.toInt), Some(DoubleType))
+      case "max" => TC(array_max(t.col), t.elemType)
+      case "min" => TC(array_min(t.col), t.elemType)
+
+      // ----- strings (methods_strings.go) -----
+      case "uppercase" => TC(upper(t.col), Some(StringType))
+      case "lowercase" => TC(lower(t.col), Some(StringType))
+      case "capitalize" =>
+        TC(concat(upper(substring(t.col, 1, 1)), t.col.substr(lit(2), length(t.col))), Some(StringType))
+      case "trim" =>
+        if (args.isEmpty) TC(trim(t.col), Some(StringType))
+        else TC(trim(t.col, litStr(0)), Some(StringType))
+      case "trim_prefix" => TC(when(t.col.startsWith(litStr(0)),
+        t.col.substr(lit(litStr(0).length + 1), length(t.col))).otherwise(t.col), Some(StringType))
+      case "trim_suffix" => TC(when(t.col.endsWith(litStr(0)),
+        t.col.substr(lit(1), length(t.col) - litStr(0).length)).otherwise(t.col), Some(StringType))
+      case "has_prefix" => TC(t.col.startsWith(c(0).col), Some(BooleanType))
+      case "has_suffix" => TC(t.col.endsWith(c(0).col), Some(BooleanType))
+      case "contains" =>
+        if (t.isArray) TC(array_contains(t.col, c(0).col), Some(BooleanType))
+        else if (t.isMap) TC(array_contains(map_values(t.col), c(0).col), Some(BooleanType))
+        else TC(t.col.contains(c(0).col), Some(BooleanType))
+      case "index_of" => TC(instr(t.col, litStr(0)).cast(LongType) - 1L, Some(LongType))
+      case "length" => t.tpe match {
+        case Some(_: ArrayType) | Some(_: MapType) => TC(size(t.col).cast(LongType), Some(LongType))
+        case Some(s: StructType) => TC(lit(s.fields.length.toLong), Some(LongType))
+        case Some(BinaryType) => TC(octet_length(t.col).cast(LongType), Some(LongType))
+        case _ => TC(length(t.col).cast(LongType), Some(LongType))
+      }
+      case "format" =>
+        throw CompileError("format: target must be a literal format string")
+      case "split" =>
+        TC(split(t.col, java.util.regex.Pattern.quote(litStr(0))), Some(ArrayType(StringType)))
+      case "join" =>
+        val d = args.headOption.map {
+          case LitString(s) => s
+          case o => throw CompileError(s"join: delimiter must be a string literal, got $o")
+        }.getOrElse("")
+        val strArr = t.elemType match {
+          case Some(StringType) => t.col
+          case _ => transform(t.col, x => x.cast(StringType))
+        }
+        TC(array_join(strArr, d), Some(StringType))
+      case "replace" => TC(regexp_replace(t.col,
+        java.util.regex.Pattern.quote(litStr(0)),
+        java.util.regex.Matcher.quoteReplacement(litStr(1))), Some(StringType))
+      case "replace_many" =>
+        val pairs = arg(0) match {
+          case LitArray(items) => items.map {
+            case LitString(s) => s
+            case o => throw CompileError(s"replace_many: literal strings required, got $o")
+          }
+          case o => throw CompileError(s"replace_many: array literal required, got $o")
+        }
+        val out = pairs.grouped(2).foldLeft(t.col) {
+          case (acc, scala.Seq(from, to)) => regexp_replace(acc,
+            java.util.regex.Pattern.quote(from), java.util.regex.Matcher.quoteReplacement(to))
+          case (acc, _) => acc
+        }
+        TC(out, Some(StringType))
+      case "re_match" => TC(regexp_like(t.col, c(0).col), Some(BooleanType))
+      case "re_replace" => TC(regexp_replace(t.col, litStr(0), litStr(1)), Some(StringType))
+      case "re_find_all" => TC(regexp_extract_all(t.col, lit(litStr(0)), lit(0)), Some(ArrayType(StringType)))
+      case "re_find_object" =>
+        // named groups → struct of group matches
+        val pat = litStr(0)
+        val names = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pat).map(_.group(1)).toList
+        val gnames = if (names.nonEmpty) names else List("0")
+        val fields = gnames.zipWithIndex.map { case (n, i) =>
+          regexp_extract(t.col, pat, i + (if (names.nonEmpty) 1 else 0)).as(n)
+        }
+        TC(struct(fields: _*), Some(StructType(gnames.map(StructField(_, StringType)))))
+      case "reverse" => TC(reverse(t.col), t.tpe)
+      case "slice" => sliceMethod(t, args, ctx)
+      case "hash" => hashMethod(t, litStr(0))
+      case "encode" => litStr(0) match {
+        case "base64" => TC(base64(t.col.cast(BinaryType)), Some(StringType))
+        case "hex" => TC(lower(hex(t.col)), Some(StringType))
+        case o => throw CompileError(s"encode: unsupported scheme $o")
+      }
+      case "decode" => litStr(0) match {
+        case "base64" => TC(unbase64(t.col), Some(BinaryType))
+        case "hex" => TC(unhex(t.col), Some(BinaryType))
+        case o => throw CompileError(s"decode: unsupported scheme $o")
+      }
+      case "escape_url_query" => TC(url_encode(t.col), Some(StringType))
+      case "unescape_url_query" => TC(url_decode(t.col), Some(StringType))
+      case "strip_html" => TC(regexp_replace(t.col, "<[^>]*>", ""), Some(StringType))
+      case "quote" => TC(to_json(struct(t.col.as("q"))).substr(lit(6),
+        length(to_json(struct(t.col.as("q")))) - 6), Some(StringType))
+      case "filepath_join" => TC(array_join(t.col, "/"), Some(StringType))
+      case "filepath_split" => TC(split(t.col, "/"), Some(ArrayType(StringType)))
+      case "parse_json" => TC(parse_json(t.col.cast(StringType)), Some(VariantType))
+      case "format_json" => TC(to_json(t.col), Some(StringType))
+      case "parse_duration" => parseDuration(t)
+      case "parse_timestamp" =>
+        TC(to_timestamp(t.col, TimeFormats.goToJava(litStr(0))), Some(TimestampType))
+      case "parse_timestamp_strptime" =>
+        TC(to_timestamp(t.col, TimeFormats.strftimeToJava(litStr(0))), Some(TimestampType))
+      case "parse_timestamp_unix" =>
+        val f = args.headOption.map(a => TimeFormats.goToJava(litStr(0)))
+        TC(f.map(fmt => unix_timestamp(t.col, fmt)).getOrElse(unix_timestamp(t.col)), Some(LongType))
+      case "format_timestamp" =>
+        val fmt = args.headOption.map(_ => TimeFormats.goToJava(litStr(0)))
+          .getOrElse("yyyy-MM-dd'T'HH:mm:ssXXX")
+        TC(date_format(tsOf(t), fmt), Some(StringType))
+      case "format_timestamp_strftime" =>
+        TC(date_format(tsOf(t), TimeFormats.strftimeToJava(litStr(0))), Some(StringType))
+      case "format_timestamp_unix" => TC(unix_timestamp(tsOf(t)), Some(LongType))
+      case "format_timestamp_unix_nano" =>
+        TC(unix_micros(tsOf(t)) * 1000L, Some(LongType))
+
+      // ----- structured (methods_structured.go) -----
+      case "all" => TC(forall(t.col, lambda1(arg(0), ctx, t.elemType)), Some(BooleanType))
+      case "any" => TC(exists(t.col, lambda1(arg(0), ctx, t.elemType)), Some(BooleanType))
+      case "append" =>
+        val items = args.map(a => compile(a, ctx).col)
+        TC(concat(t.col, array(items: _*)), t.tpe)
+      case "enumerated" =>
+        val et = t.elemType.getOrElse(StringType)
+        TC(transform(t.col, (x, i) => struct(i.cast(LongType).as("index"), x.as("value"))),
+          Some(ArrayType(StructType(scala.Seq(
+            StructField("index", LongType), StructField("value", et))))))
+      case "filter" =>
+        if (t.isMap)
+          TC(map_filter(t.col, (k, v) =>
+            lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), t.tpe)
+        else TC(filter(t.col, lambda1(arg(0), ctx, t.elemType)), t.tpe)
+      case "flatten" =>
+        TC(flatten(t.col), t.elemType)
+      case "fold" =>
+        val init = c(0)
+        val fn = arg(1)
+        val body: (Column, Column) => Column = (acc, x) => fn match {
+          case Lambda(p, b) =>
+            val bound = struct(acc.as("tally"), x.as("value"))
+            compile(b, ctx.withVar(p, TC(bound, None)).withThis(TC(bound, None))).col
+          case o => throw CompileError(s"fold: lambda required, got $o")
+        }
+        TC(aggregate(t.col, init.col, body), init.tpe)
+      case "index" =>
+        val i = c(0)
+        val adj = when(i.col >= 0, i.col + 1).otherwise(i.col)
+        TC(element_at(t.col, adj.cast(IntegerType)), t.elemType)
+      case "keys" => t.tpe match {
+        case Some(s: StructType) =>
+          TC(array(s.fieldNames.map(lit(_)).toIndexedSeq: _*), Some(ArrayType(StringType)))
+        case _ => TC(map_keys(t.col), Some(ArrayType(StringType)))
+      }
+      case "key_values" =>
+        TC(map_entries(t.col), None)
+      case "values" => t.tpe match {
+        case Some(s: StructType) =>
+          TC(array(s.fieldNames.map(t.col.getField).toIndexedSeq: _*), None)
+        case Some(MapType(_, v, _)) => TC(map_values(t.col), Some(ArrayType(v)))
+        case _ => TC(map_values(t.col), None)
+      }
+      case "map_each" =>
+        if (t.isMap) TC(transform_values(t.col, (k, v) =>
+          lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), None)
+        else TC(transform(t.col, lambda1(arg(0), ctx, t.elemType)), None)
+      case "map_each_key" =>
+        TC(transform_keys(t.col, (k, _) => lambda1(arg(0), ctx, Some(StringType))(k)), t.tpe)
+      case "merge" =>
+        val o = c(0)
+        (t.tpe, o.tpe) match {
+          case (Some(_: MapType), Some(_: MapType)) => TC(map_concat(t.col, o.col), t.tpe)
+          case (Some(a: StructType), Some(b: StructType)) =>
+            val rightNames = b.fieldNames.toSet
+            val keepLeft = a.fieldNames.filterNot(rightNames.contains)
+            val fields = keepLeft.map(n => t.col.getField(n).as(n)) ++
+              b.fieldNames.map(n => o.col.getField(n).as(n))
+            TC(struct(fields.toIndexedSeq: _*), Some(StructType(
+              keepLeft.map(n => a(n)) ++ b.fields)))
+          case _ => throw CompileError("merge: both sides must be objects")
+        }
+      case "sort" =>
+        if (args.isEmpty) TC(array_sort(t.col), t.tpe)
+        else {
+          val fn = arg(0)
+          val cmp: (Column, Column) => Column = (a, b) => fn match {
+            case Lambda(p, body) =>
+              def app(l: Column, r: Column) = {
+                val bound = struct(l.as("left"), r.as("right"))
+                compile(body, ctx.withVar(p, TC(bound, None)).withThis(TC(bound, None))).col
+              }
+              when(app(a, b), -1).when(app(b, a), 1).otherwise(0)
+            case o => throw CompileError(s"sort: lambda required, got $o")
+          }
+          TC(array_sort(t.col, cmp), t.tpe)
+        }
+      case "sort_by" =>
+        val key = lambda1(arg(0), ctx, t.elemType)
+        TC(array_sort(t.col, (a, b) =>
+          when(key(a) < key(b), -1).when(key(a) > key(b), 1).otherwise(0)), t.tpe)
+      case "sum" =>
+        val zero = t.elemType match {
+          case Some(LongType) | Some(IntegerType) => lit(0L)
+          case _ => lit(0.0)
+        }
+        TC(aggregate(t.col, zero, (acc, x) => acc + x),
+          t.elemType.flatMap(e => unify(Some(LongType), Some(e))))
+      case "unique" => TC(array_distinct(t.col), t.tpe)
+      case "without" =>
+        val names = args.map {
+          case LitString(s) => s
+          case o => throw CompileError(s"without: literal string paths required, got $o")
+        }
+        t.tpe match {
+          case Some(s: StructType) =>
+            val keep = s.fieldNames.filterNot(names.contains)
+            TC(struct(keep.map(n => t.col.getField(n).as(n)).toIndexedSeq: _*),
+              Some(StructType(keep.map(n => s(n)))))
+          case Some(_: MapType) =>
+            TC(map_filter(t.col, (k, _) => !k.isin(names.map(lit(_)): _*)), t.tpe)
+          case _ => throw CompileError("without: object required")
+        }
+      case "explode" | "explode_array" =>
+        throw CompileError("explode is row-producing; use ops.Unarchive / Ops.explodeField")
+      case other => throw CompileError(s"unknown method .$other()")
+    }
+  }
+
+  private def tsOf(t: TC): Column = t.tpe match {
+    case Some(TimestampType) => t.col
+    case Some(LongType) | Some(IntegerType) | Some(DoubleType) =>
+      timestamp_seconds(t.col)
+    case _ => to_timestamp(t.col)
+  }
+
+  private def hashMethod(t: TC, alg: String): TC = alg match {
+    case "md5" => TC(md5(t.col.cast(BinaryType)), Some(StringType))
+    case "sha1" => TC(sha1(t.col.cast(BinaryType)), Some(StringType))
+    case "sha256" => TC(sha2(t.col.cast(BinaryType), 256), Some(StringType))
+    case "sha512" => TC(sha2(t.col.cast(BinaryType), 512), Some(StringType))
+    case "xxhash64" => TC(xxhash64(t.col).cast(StringType), Some(StringType))
+    case "crc32" => TC(crc32(t.col.cast(BinaryType)).cast(StringType), Some(StringType))
+    case o => throw CompileError(s"hash: unsupported algorithm $o")
+  }
+
+  private def sliceMethod(t: TC, args: List[Expr], ctx: Ctx): TC = {
+    val low = compile(args.head, ctx).col.cast(IntegerType)
+    val len: Column = if (t.isArray) size(t.col) else length(t.col)
+    val hi = args.lift(1).map(a => compile(a, ctx).col.cast(IntegerType))
+    val lowIdx = when(low >= 0, low).otherwise(greatest(len + low, lit(0)))
+    val hiIdx = hi.map(h => when(h >= 0, least(h, len)).otherwise(len + h)).getOrElse(len)
+    val sliceLen = greatest(hiIdx - lowIdx, lit(0))
+    if (t.isArray) TC(slice(t.col, lowIdx + 1, sliceLen), t.tpe)
+    else TC(t.col.substr(lowIdx + 1, sliceLen), Some(StringType))
+  }
+
+  /** parse_duration: "300ms" / "1.5s" / "2m" / "1h" → nanoseconds (single
+    * component; the reference supports compound "1h2m" via Go's
+    * time.ParseDuration — compound strings are a TODO). */
+  private def parseDuration(t: TC): TC = {
+    val num = regexp_extract(t.col, "^(-?[0-9]*\\.?[0-9]+)", 1).cast(DoubleType)
+    val unit = regexp_extract(t.col, "(ns|us|µs|ms|s|m|h)$", 1)
+    val mult = when(unit === "ns", 1L)
+      .when(unit === "us" || unit === "µs", 1000L)
+      .when(unit === "ms", 1000000L)
+      .when(unit === "s", 1000000000L)
+      .when(unit === "m", 60000000000L)
+      .when(unit === "h", 3600000000000L)
+    TC((num * mult).cast(LongType), Some(LongType))
+  }
+}

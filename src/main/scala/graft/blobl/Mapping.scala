@@ -1,0 +1,310 @@
+package graft.blobl
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+
+/** Statement-level Bloblang mapping compiler.
+  *
+  * Reproduces the reference executor's semantics
+  * (`internal/bloblang/mapping/executor.go:116-215`): `root` starts EMPTY
+  * (map semantics — untouched mapping = passthrough), assignments write into
+  * root/meta/vars in order, `deleted()` drops the row (or field), an `if`
+  * with no else yields Nothing (no assignment). The whole mapping compiles to
+  * ONE `select` — never a withColumn chain — so Catalyst sees a single
+  * projection (SURVEY §3.2).
+  */
+object Mapping {
+
+  def compile(src: String): CompiledMapping = new CompiledMapping(Parser.parseMapping(src))
+
+  /** Compile a bare Bloblang expression to a Column against a plain
+    * DataFrame (`this` = struct of all columns). */
+  def columnExpr(src: String, df: DataFrame): Column = {
+    val ctx = plainCtx(df)
+    Compiler.compile(Parser.parseQueryString(src), ctx).col
+  }
+
+  private[blobl] def plainCtx(df: DataFrame): Ctx = {
+    val docType = StructType(df.schema.fields)
+    Ctx(
+      thisTC = TC(struct(df.columns.map(col).toIndexedSeq: _*), Some(docType)),
+      meta = None, err = None, content = None,
+      vars = Map.empty, maps = Map.empty, batch = None)
+  }
+
+  /** Value of a named map applied to `ctx.this` (the `.apply(name)` method
+    * and nested `map` definitions). */
+  private[blobl] def compileMapValue(stmts: List[Stmt], ctx: Ctx): TC = {
+    val state = new RootState(ctx)
+    var c = ctx
+    stmts.foreach {
+      case Assign(RootPath(segs), v) => state.assignStmt(segs, v, c)
+      case Assign(LetVar(n), v) => c = c.withVar(n, Compiler.compile(v, c))
+      case Assign(MetaKey(_), _) => () // meta writes inside maps: no-op here
+      case MapDef(_, _) => ()
+    }
+    state.materialize().getOrElse(TC(lit(null), None))
+  }
+
+  // ---------------- output-document state ----------------
+
+  /** Mutable assignment tree overlaying an optional base value.
+    * `root = x` sets base; `root.a.b = y` inserts into the tree;
+    * materialization = base.withField overlays or a fresh nested struct. */
+  private[blobl] final class Node {
+    var base: Option[TC] = None
+    val children: mutable.LinkedHashMap[String, Node] = mutable.LinkedHashMap()
+    val deletedFields: mutable.LinkedHashSet[String] = mutable.LinkedHashSet()
+
+    def assign(path: List[String], v: TC): Unit = path match {
+      case Nil =>
+        base = Some(v); children.clear(); deletedFields.clear()
+      case h :: rest =>
+        deletedFields -= h
+        children.getOrElseUpdate(h, new Node).assign(rest, v)
+    }
+
+    def delete(path: List[String]): Unit = path match {
+      case Nil => base = None; children.clear(); deletedFields.clear()
+      case h :: Nil =>
+        children.remove(h)
+        if (base.isDefined) deletedFields += h
+      case h :: rest =>
+        children.get(h) match {
+          case Some(n) => n.delete(rest)
+          case None if base.isDefined => deletedFields += path.mkString(".")
+          case None => ()
+        }
+    }
+
+    def resolve(path: List[String]): TC = path match {
+      case Nil => materialize().getOrElse(TC(lit(null), None))
+      case h :: rest =>
+        children.get(h) match {
+          case Some(n) => n.resolve(rest)
+          case None => base match {
+            case Some(b) => Compiler.accessPath(b, path)
+            case None => TC(lit(null), None)
+          }
+        }
+    }
+
+    def isEmpty: Boolean = base.isEmpty && children.isEmpty
+
+    def materialize(): Option[TC] = {
+      if (isEmpty) return None
+      base match {
+        case Some(b) =>
+          var c = b.col
+          var tpe: Option[StructType] = b.tpe.collect { case s: StructType => s }
+          deletedFields.foreach { f =>
+            c = c.dropFields(f)
+            tpe = tpe.map(s => StructType(s.fields.filterNot(_.name == f.split('.').head)))
+          }
+          children.foreach { case (name, n) =>
+            n.materialize() match {
+              case Some(v) =>
+                c = c.withField(name, v.col)
+                tpe = tpe.map { s =>
+                  val f = StructField(name, v.tpe.getOrElse(NullType))
+                  if (s.fieldNames.contains(name))
+                    StructType(s.fields.map(x => if (x.name == name) f else x))
+                  else StructType(s.fields :+ f)
+                }
+              case None =>
+                c = c.dropFields(name)
+                tpe = tpe.map(s => StructType(s.fields.filterNot(_.name == name)))
+            }
+          }
+          Some(TC(c, tpe))
+        case None =>
+          val fields = children.toList.flatMap { case (name, n) =>
+            n.materialize().map(v => (name, v))
+          }
+          if (fields.isEmpty) None
+          else Some(TC(
+            struct(fields.map { case (n, v) => v.col.as(n) }: _*),
+            Some(StructType(fields.map { case (n, v) =>
+              StructField(n, v.tpe.getOrElse(NullType))
+            }))))
+      }
+    }
+  }
+
+  /** Root document state + row-delete conditions for one mapping run. */
+  private[blobl] final class RootState(ctx0: Ctx) {
+    val root = new Node
+    val rowDeletes: mutable.ListBuffer[Column] = mutable.ListBuffer()
+
+    def assignStmt(segs: List[String], value: Expr, ctx: Ctx): Unit = {
+      val rowLevel = segs.isEmpty
+      val (v, del) = compileAssign(value, ctx, () => root.resolve(segs), rowLevel)
+      del.foreach { d => if (rowLevel) rowDeletes += d }
+      (v, del) match {
+        case (Some(tc), _) => root.assign(segs, tc)
+        case (None, Some(_)) if !rowLevel => root.delete(segs)
+        case _ => ()
+      }
+    }
+
+    def materialize(): Option[TC] = root.materialize()
+    def deleteCond: Option[Column] = rowDeletes.reduceOption(_ || _)
+  }
+
+  private def isDeleted(e: Expr): Boolean = e match {
+    case FnCall("deleted", _) => true; case _ => false
+  }
+  private def isNothing(e: Expr): Boolean = e match {
+    case FnCall("nothing", _) => true; case _ => false
+  }
+
+  /** Compile an assignment RHS handling deleted()/nothing() in if/match
+    * branches. Returns (value to assign if any, row/field delete condition).
+    * `prev` = current value at the target path (used for Nothing branches).
+    */
+  private[blobl] def compileAssign(
+      e: Expr, ctx: Ctx, prev: () => TC, rowLevel: Boolean): (Option[TC], Option[Column]) = {
+    if (isDeleted(e)) return (None, Some(lit(true)))
+    if (isNothing(e)) return (None, None)
+
+    def branches(cases: List[(Column, Expr)], orElse: Option[Expr], inner: Ctx): (Option[TC], Option[Column]) = {
+      val anyValue = cases.exists(c => !isDeleted(c._2) && !isNothing(c._2)) ||
+        orElse.exists(o => !isDeleted(o) && !isNothing(o))
+      // delete condition: OR of (cond_i && none-of-earlier) for deleted bodies
+      var notEarlier: Column = lit(true)
+      val delConds = mutable.ListBuffer[Column]()
+      cases.foreach { case (cond, body) =>
+        if (isDeleted(body)) delConds += (notEarlier && cond)
+        notEarlier = notEarlier && !cond
+      }
+      orElse.foreach { o => if (isDeleted(o)) delConds += notEarlier }
+      val del = delConds.reduceOption(_ || _)
+
+      val value: Option[TC] = if (!anyValue) None else {
+        lazy val prevTC = prev()
+        def bodyCol(body: Expr): (Column, Option[DataType]) =
+          if (isDeleted(body)) (lit(null), None)
+          else if (isNothing(body)) (prevTC.col, prevTC.tpe)
+          else { val t = Compiler.compile(body, inner); (t.col, t.tpe) }
+        val compiled = cases.map { case (cond, body) => (cond, bodyCol(body)) }
+        val chain = compiled.tail.foldLeft(
+          when(compiled.head._1, compiled.head._2._1)) {
+          case (acc, (cond, (col0, _))) => acc.when(cond, col0)
+        }
+        val elseCol = orElse match {
+          case Some(o) if !isDeleted(o) => bodyCol(o)._1
+          case Some(_) => lit(null)
+          case None => prevTC.col
+        }
+        val tps = compiled.map(_._2._2) ++ orElse.toList.map(o => bodyCol(o)._2)
+        val unified = tps.flatten.distinct match {
+          case t :: Nil => Some(t)
+          case _ => None
+        }
+        Some(TC(chain.otherwise(elseCol), unified))
+      }
+      (value, del)
+    }
+
+    e match {
+      case IfExpr(bs, orElse) =>
+        val cases = bs.map { case (c, b) => (Compiler.compile(c, ctx).col, b) }
+        branches(cases, orElse, ctx)
+      case MatchExpr(target, cs) =>
+        val t = Compiler.compile(target, ctx)
+        val inner = ctx.withThis(t)
+        var sawDefault = false
+        val cases = cs.flatMap {
+          case (None, body) => sawDefault = true; Some((lit(true), body))
+          case (Some(pat), body) =>
+            val pc = Compiler.compile(pat, inner)
+            val cond = if (pc.tpe.contains(BooleanType)) pc.col else (t.col === pc.col)
+            Some((cond, body))
+        }
+        branches(cases, if (sawDefault) None else Some(FnCall("nothing", Nil)), inner)
+      case other => (Some(Compiler.compile(other, ctx)), None)
+    }
+  }
+}
+
+/** A parsed+type-directed Bloblang mapping, applicable to envelope or plain
+  * DataFrames. Compilation is per-DataFrame (schema-directed); the result is
+  * a single Catalyst projection + optional filter.
+  */
+final class CompiledMapping(val program: Program) extends Serializable {
+
+  private def mapDefs: Map[String, List[Stmt]] =
+    program.stmts.collect { case MapDef(n, s) => n -> s }.toMap
+
+  /** Run on a plain DataFrame (e.g. a TPC-H table): `this` = the row struct;
+    * output = root struct expanded back to columns. */
+  def applyPlain(df: DataFrame): DataFrame = {
+    val ctx = Mapping.plainCtx(df).copy(maps = mapDefs)
+    val (docTC, deleteCond, _) = run(df, ctx)
+    val filtered = deleteCond.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
+    filtered.select(docTC.col.as("doc")).select(col("doc.*"))
+  }
+
+  /** Run on an envelope DataFrame (content/doc/meta/_error/batch_id/seq). */
+  def applyEnvelope(df: DataFrame): DataFrame = {
+    import graft.model.Envelope._
+    val docType = df.schema(Doc).dataType
+    val hasBatch = df.columns.contains(BatchId)
+    val ctx = Ctx(
+      thisTC = TC(col(Doc), Some(docType)),
+      meta = Some(col(Meta)), err = Some(col(Error)),
+      content = Some(col(Content)),
+      vars = Map.empty, maps = mapDefs,
+      batch = if (hasBatch) Some((col(BatchId), col(Seq))) else None)
+    val (docTC, deleteCond, metaCol) = run(df, ctx)
+    val filtered = deleteCond.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
+    filtered.select(
+      lit(null).cast(BinaryType).as(Content),
+      docTC.col.as(Doc),
+      metaCol.as(Meta),
+      col(Error).as(Error),
+      col(BatchId).as(BatchId),
+      col(Seq).as(Seq))
+  }
+
+  /** Shared statement walk. Returns (root doc, row-delete cond, meta col). */
+  private def run(df: DataFrame, ctx0: Ctx): (TC, Option[Column], Column) = {
+    val state = new Mapping.RootState(ctx0)
+    var ctx = ctx0
+    var meta: Column = ctx0.meta.getOrElse(
+      map().cast(MapType(StringType, StringType)))
+
+    program.stmts.foreach {
+      case MapDef(_, _) => ()
+      case Assign(RootPath(segs), v) => state.assignStmt(segs, v, ctx)
+      case Assign(LetVar(n), v) => ctx = ctx.withVar(n, Compiler.compile(v, ctx))
+      case Assign(MetaKey(Some(k)), v) =>
+        val (value, del) = Mapping.compileAssign(
+          v, ctx.copy(meta = Some(meta)), () => TC(element_at(meta, lit(k)), Some(StringType)),
+          rowLevel = false)
+        (value, del) match {
+          case (Some(tc), _) =>
+            meta = map_concat(
+              map_filter(meta, (mk, _) => mk =!= lit(k)),
+              map(lit(k), tc.col.cast(StringType)))
+          case (None, Some(_)) => meta = map_filter(meta, (mk, _) => mk =!= lit(k))
+          case _ => ()
+        }
+      case Assign(MetaKey(None), v) =>
+        val (value, del) = Mapping.compileAssign(
+          v, ctx.copy(meta = Some(meta)),
+          () => TC(meta, Some(MapType(StringType, StringType))), rowLevel = false)
+        (value, del) match {
+          case (Some(tc), _) => meta = tc.col.cast(MapType(StringType, StringType))
+          case (None, Some(_)) => meta = map().cast(MapType(StringType, StringType))
+          case _ => ()
+        }
+    }
+    val doc = state.materialize().getOrElse(ctx0.thisTC) // untouched root = passthrough
+    (doc, state.deleteCond, meta)
+  }
+}

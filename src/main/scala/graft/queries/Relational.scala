@@ -19,8 +19,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
   import graft.Tables.t
+  import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Exact aggregate for cross-engine bit-parity: doubles in the driver
+    * tables carry <=4 decimals, so summing as DECIMAL(18,4) is exact; the
+    * final cast to double is then identical in Spark and DuckDB. Plain
+    * float sums differ in the last ulp (summation order) and round(x,2)
+    * ties at .xx5 flip between engines. */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
   /** TPC-H Q1 flavor: the canonical partial-agg scan. Filter is pushed to the
     * parquet scan; the groupBy key is tiny (6 groups) so AQE coalesces
@@ -30,10 +39,10 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -46,7 +55,7 @@ object Relational {
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
   }
@@ -60,7 +69,7 @@ object Relational {
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      .agg(dsum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("n_name"))
   }
@@ -116,15 +125,15 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** Event-stream aggregation by type (min/max are exact; sums rounded for
-    * cross-engine float stability). */
+  /** Event-stream aggregation by type (min/max are exact; sums via the
+    * exact-decimal pattern for cross-engine bit parity). */
   def q9EventsAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 2).as("avg_value"),
+        dsum(col("value")).as("sum_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
         count_distinct(col("user_id")).as("n_users"))
@@ -144,21 +153,21 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),2) AS avg_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_brand" ->
       """SELECT p_brand,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q3_join_nation" ->
-      """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+      """SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -187,7 +196,8 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q9_events_agg" ->
       """SELECT event_type, count(*) AS n,
-        | round(sum(value),2) AS sum_value, round(avg(value),2) AS avg_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
         | min(value) AS min_value, max(value) AS max_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
