@@ -282,6 +282,7 @@ object Compiler {
         case Some(_: VariantType) => TC(t.col.cast(StringType), Some(StringType))
         case _ => TC(t.col.cast(StringType), Some(StringType))
       }
+      case "int" | "integer" => TC(t.col.cast(LongType), Some(LongType))
       case "bool" => TC(t.col.cast(BooleanType), Some(BooleanType))
       case "bytes" => TC(t.col.cast(BinaryType), Some(BinaryType))
       case "type" =>

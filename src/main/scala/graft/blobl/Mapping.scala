@@ -28,6 +28,21 @@ object Mapping {
     Compiler.compile(Parser.parseQueryString(src), ctx).col
   }
 
+  /** Compile a bare Bloblang expression against an envelope DataFrame
+    * (`this` = doc, meta/_error/content/batch available). */
+  def envelopeExpr(df: DataFrame, src: String): Column = {
+    Compiler.compile(Parser.parseQueryString(src), envelopeCtx(df)).col
+  }
+
+  def envelopeCtx(df: DataFrame): Ctx = {
+    import graft.model.Envelope._
+    Ctx(
+      thisTC = TC(col(Doc), Some(df.schema(Doc).dataType)),
+      meta = Some(col(Meta)), err = Some(col(Error)), content = Some(col(Content)),
+      vars = Map.empty, maps = Map.empty,
+      batch = if (df.columns.contains(BatchId)) Some((col(BatchId), col(Seq))) else None)
+  }
+
   private[blobl] def plainCtx(df: DataFrame): Ctx = {
     val docType = StructType(df.schema.fields)
     Ctx(

@@ -72,11 +72,17 @@ object Envelope {
   /** Unwrap: project the doc struct back to top-level columns. */
   def unwrap(df: DataFrame): DataFrame = df.select(col(Doc + ".*"))
 
-  /** Raw content bytes: the explicit content if set, else the JSON
-    * serialization of the doc (the reference's dual representation,
-    * `lib/message/part.go:82-96`). */
-  def contentOrDoc(df: DataFrame): Column =
-    coalesce(col(Content), to_json(col(Doc)).cast(BinaryType))
+  /** Raw content bytes: the explicit content if set, else the serialized
+    * doc (the reference's dual representation, `lib/message/part.go:82-96`).
+    * Struct/array/map docs serialize as JSON; scalar docs cast directly. */
+  def contentOrDoc(df: DataFrame): Column = {
+    val ser = df.schema(Doc).dataType match {
+      case _: StructType | _: ArrayType | _: MapType => to_json(col(Doc)).cast(BinaryType)
+      case BinaryType => col(Doc)
+      case _ => col(Doc).cast(StringType).cast(BinaryType)
+    }
+    coalesce(col(Content), ser)
+  }
 
   def failed: Column = col(Error).isNotNull
   def ok: Column = col(Error).isNull

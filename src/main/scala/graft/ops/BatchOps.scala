@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.blobl.{Mapping => Blobl}
+import graft.model.Envelope._
+
+/** Batch-shaping operators: a Benthos "batch" ≈ a small keyed relation
+  * (SURVEY §2.1 batch table). batch_id/seq columns carry batch identity;
+  * all ops here are window/group computations — no driver-side loops.
+  *
+  * Scale note: ops needing a GLOBAL deterministic order (split/select_parts
+  * with explicit ordering) use a single-partition window only when the
+  * caller supplies no partition key; the envelope wrap normally assigns
+  * batch ids per source partition/micro-batch so windows shuffle by
+  * batch_id — bounded state per batch, parallel across batches.
+  */
+object BatchOps {
+
+  /** `split` (`lib/processor/split.go:41-49`): re-batch by count. */
+  final case class Split(size: Long) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val w = Window.orderBy(col(Seq))
+      val rn = row_number().over(w).cast(LongType) - 1L
+      df.withColumn(BatchId, (rn / size).cast(LongType))
+        .withColumn(Seq, rn)
+    }
+  }
+
+  /** `select_parts` (`lib/processor/select_parts.go`): keep parts at the
+    * given within-batch indices; negatives count from the end. */
+  final case class SelectParts(indices: scala.Seq[Long]) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(BatchId)).orderBy(col(Seq))
+      val idx = row_number().over(w).cast(LongType) - 1L
+      val n = count(lit(1)).over(Window.partitionBy(col(BatchId)))
+      val resolved = indices.map(i => if (i >= 0) lit(i) else (n + i).cast(LongType))
+      df.withColumn("_idx", idx).withColumn("_keep",
+          resolved.map(col("_idx") === _).reduce(_ || _))
+        .filter(col("_keep")).drop("_idx", "_keep")
+    }
+  }
+
+  /** `group_by_value` (`lib/processor/group_by_value.go`): re-batch by an
+    * interpolated value — THE shuffle-by-key primitive. batch identity
+    * becomes the group key's hash. */
+  final case class GroupByValue(value: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val v = Blobl.envelopeExpr(df, value).cast(StringType)
+      df.withColumn(BatchId, xxhash64(v))
+        .withColumn(Meta, map_concat(
+          map_filter(col(Meta), (k, _) => k =!= "group_value"),
+          map(lit("group_value"), v)))
+        .repartition(col(BatchId))
+    }
+  }
+
+  /** `group_by` (`lib/processor/group_by.go:34-36`): split the stream into
+    * predicate groups, run per-group processors, re-merge. */
+  final case class GroupBy(groups: scala.Seq[(String, scala.Seq[Processor])]) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val conds = groups.map { case (check, _) => Blobl.envelopeExpr(df, check) }
+      // first matching predicate wins (reference semantics); unmatched drop
+      val outputs = groups.zipWithIndex.map { case ((_, procs), i) =>
+        val notEarlier = conds.take(i).foldLeft(lit(true))((a, c) => a && !coalesce(c, lit(false)))
+        Pipeline(procs)(df.filter(notEarlier && coalesce(conds(i), lit(false))))
+      }
+      outputs.reduce(_.unionByName(_))
+    }
+  }
+
+  /** `archive` (`lib/processor/archive.go:241-251`): batch → single part.
+    * Supported formats: json_array, lines, concatenate. Deterministic order
+    * within batch via seq. */
+  final case class Archive(format: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val docType = df.schema(Doc).dataType
+      val gathered = df.groupBy(col(BatchId)).agg(
+        array_sort(collect_list(struct(col(Seq).as("s"),
+          col(Doc).as("d"), contentOrDoc(df).as("c")))).as("parts"),
+        min(col(Seq)).as("first_seq"))
+      val docs = transform(col("parts"), p => p.getField("d"))
+      val contents = transform(col("parts"), p => p.getField("c").cast(StringType))
+      val contentCol = format match {
+        case "json_array" => to_json(docs).cast(BinaryType)
+        case "lines" => array_join(contents, "\n").cast(BinaryType)
+        case "concatenate" | "binary" => array_join(contents, "").cast(BinaryType)
+        case o => throw new IllegalArgumentException(s"archive: unsupported format $o")
+      }
+      gathered.select(
+        contentCol.as(Content),
+        lit(null).cast(docType).as(Doc),
+        map().cast(MapType(StringType, StringType)).as(Meta),
+        lit(null).cast(StringType).as(Error),
+        col(BatchId),
+        col("first_seq").as(Seq))
+    }
+  }
+
+  /** `unarchive` (`lib/processor/unarchive.go:331-345`): single part →
+    * parts. Supported: lines, json_array (into a provided element schema),
+    * csv-ish via lines+split. Row-generating → explode (vectorized). */
+  final case class UnarchiveLines() extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val lines = split(contentOrDoc(df).cast(StringType), "\n")
+      val docType = df.schema(Doc).dataType
+      df.select(posexplode(lines).as(scala.Seq("_pos", "_line")),
+          col(Meta), col(Error), col(BatchId), col(Seq))
+        .select(
+          col("_line").cast(BinaryType).as(Content),
+          lit(null).cast(docType).as(Doc),
+          col(Meta), col(Error), col(BatchId),
+          (col(Seq) * 1000000 + col("_pos")).as(Seq))
+    }
+  }
+
+  /** `insert_part` (`lib/processor/insert_part.go`): synthesize a part at a
+    * batch index (0 = front, -1 = back). */
+  final case class InsertPart(index: Long, mapping: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val batches = df.groupBy(col(BatchId)).agg(
+        min(col(Seq)).as("lo"), max(col(Seq)).as("hi"))
+      val docType = df.schema(Doc).dataType
+      val newSeq = if (index >= 0) col("lo") - 1 + lit(index) else col("hi") + 1
+      val inserted = batches.select(
+        lit(null).cast(BinaryType).as(Content),
+        lit(null).cast(docType).as(Doc),
+        map().cast(MapType(StringType, StringType)).as(Meta),
+        lit(null).cast(StringType).as(Error),
+        col(BatchId), newSeq.cast(LongType).as(Seq))
+      val mapped = BloblangProc(mapping)(inserted)
+      df.unionByName(mapped)
+    }
+  }
+
+  /** `merge_json` (`lib/processor/merge_json.go`): merge all parts of a
+    * batch into one doc. Static-schema variant: later fields win, arrays
+    * concat is NOT applied (deep-merge aggregate is a TODO). */
+  final case class MergeJsonLast() extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val docType = df.schema(Doc).dataType
+      df.groupBy(col(BatchId)).agg(
+          max_by(col(Doc), col(Seq)).as(Doc), min(col(Seq)).as(Seq))
+        .select(
+          lit(null).cast(BinaryType).as(Content), col(Doc),
+          map().cast(MapType(StringType, StringType)).as(Meta),
+          lit(null).cast(StringType).as(Error),
+          col(BatchId), col(Seq))
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.blobl.{CompiledMapping, Mapping => Blobl}
+import graft.model.Envelope
+
+/** A pipeline operator: `DataFrame => DataFrame` over the envelope schema
+  * (SURVEY §1.3). This is the Spark shape of the reference's `Processor`
+  * interface (`lib/types/interface.go:89-104`, N msgs in → M msgs out):
+  * row-wise ops are projections, filtering ops are filters, batch-shaping
+  * ops are window/group operations — all staying in the DataFrame API so
+  * Catalyst fuses adjacent operators into single stages.
+  */
+trait Processor extends Serializable {
+  def apply(df: DataFrame): DataFrame
+}
+
+/** Sequential composition; the config `pipeline.processors` list.
+  * (`lib/processor/util.go:16` ExecuteAll — a left fold.) */
+final case class Pipeline(procs: scala.Seq[Processor]) extends Processor {
+  def apply(df: DataFrame): DataFrame = procs.foldLeft(df)((d, p) => p(d))
+}
+
+/** `noop` (`lib/processor/noop.go`). */
+case object Noop extends Processor { def apply(df: DataFrame): DataFrame = df }
+
+/** `for_each` / `parallel` (`lib/processor/for_each.go`, `parallel.go`):
+  * Spark is already per-row parallel — compiler no-op wrappers. */
+final case class ForEach(children: scala.Seq[Processor]) extends Processor {
+  def apply(df: DataFrame): DataFrame = Pipeline(children)(df)
+}
+
+/** `bloblang` processor (`lib/processor/bloblang.go`): the centerpiece. */
+final case class BloblangProc(mapping: String) extends Processor {
+  @transient private lazy val compiled: CompiledMapping = Blobl.compile(mapping)
+  def apply(df: DataFrame): DataFrame = compiled.applyEnvelope(df)
+}
+
+/** `filter`/`filter_parts` (`lib/processor/filter.go`): keep rows where the
+  * Bloblang predicate holds. */
+final case class FilterProc(check: String) extends Processor {
+  def apply(df: DataFrame): DataFrame =
+    df.filter(coalesce(Blobl.envelopeExpr(df, check), lit(false)))
+}
+
+/** `sample` (`lib/processor/sample.go`): random percentage. */
+final case class SampleProc(retain: Double, seed: Long = 42L) extends Processor {
+  def apply(df: DataFrame): DataFrame = df.sample(retain, seed)
+}
+
+/** `hash_sample` (`lib/processor/hash_sample.go`): deterministic sample —
+  * keep rows whose content-hash ∈ [min%, max%). The bucket test compares
+  * the md5 hex prefix lexicographically against percentile thresholds, so
+  * it is portable across engines (the reference uses xxhash64; md5 keeps
+  * the same "deterministic, uniform" contract). */
+final case class HashSampleProc(minPct: Double, maxPct: Double, key: String = "content().string()")
+    extends Processor {
+  private def prefix(pct: Double): String =
+    f"${math.min(65536L, math.round(pct / 100.0 * 65536.0))}%04x"
+  def apply(df: DataFrame): DataFrame = {
+    val h = substring(md5(Blobl.envelopeExpr(df, key).cast("string")), 1, 4)
+    df.filter(h >= prefix(minPct) && h < prefix(maxPct))
+  }
+}
+
+/** `dedupe` (`lib/processor/dedupe.go:32-58`): drop rows with an
+  * already-seen key. Batch mode = dropDuplicates (state = shuffle hash);
+  * streaming uses dropDuplicatesWithinWatermark (see graft.streaming). */
+final case class DedupeProc(key: String) extends Processor {
+  def apply(df: DataFrame): DataFrame = {
+    val keyed = df.withColumn("_dedupe_key", Blobl.envelopeExpr(df, key))
+    keyed.dropDuplicates("_dedupe_key").drop("_dedupe_key")
+  }
+}

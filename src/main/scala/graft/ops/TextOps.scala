@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Envelope._
+
+/** Grok + structured-log parsing (`lib/processor/grok.go`,
+  * `lib/processor/parse_log.go`). Grok patterns are sugar over regex: the
+  * translator expands %{NAME:field} against a base pattern library into one
+  * regex whose capture groups map to fields — each field then extracts with
+  * a codegen'd `regexp_extract`, no UDF.
+  */
+object Grok {
+
+  /** Base patterns (subset of the standard grok library, all with
+    * non-capturing inner groups so user captures keep stable indices). */
+  val base: Map[String, String] = Map(
+    "WORD" -> "\\b\\w+\\b",
+    "NOTSPACE" -> "\\S+",
+    "SPACE" -> "\\s*",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?\\d+",
+    "POSINT" -> "\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "BASE16NUM" -> "(?:0[xX])?[0-9a-fA-F]+",
+    "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "UUID" -> "[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4" -> "(?:\\d{1,3}\\.){3}\\d{1,3}",
+    "IP" -> "(?:\\d{1,3}\\.){3}\\d{1,3}",
+    "HOSTNAME" -> "\\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\\.?\\b",
+    "LOGLEVEL" -> "(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Ff]atal|FATAL)",
+    "TIMESTAMP_ISO8601" -> "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?",
+    "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}")
+
+  /** Expand a grok pattern → (regex, captured field names in group order). */
+  def compile(pattern: String): (String, List[String]) = {
+    val rx = "%\\{(\\w+)(?::(\\w+))?\\}".r
+    val fields = scala.collection.mutable.ListBuffer[String]()
+    val out = new StringBuilder
+    var last = 0
+    for (m <- rx.findAllMatchIn(pattern)) {
+      out.append(java.util.regex.Pattern.quote(pattern.substring(last, m.start)))
+      val pat = base.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"grok: unknown pattern %{${m.group(1)}}"))
+      Option(m.group(2)) match {
+        case Some(f) => fields += f; out.append("(").append(pat).append(")")
+        case None => out.append("(?:").append(pat).append(")")
+      }
+      last = m.end
+    }
+    out.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+    (out.toString, fields.toList)
+  }
+
+  /** Column-level: parse `src` with a grok pattern into a struct. */
+  def extract(src: Column, pattern: String): Column = {
+    val (regex, fields) = compile(pattern)
+    struct(fields.zipWithIndex.map { case (f, i) =>
+      regexp_extract(src, regex, i + 1).as(f)
+    }: _*)
+  }
+
+  /** `grok` processor: doc := grok-extract(content). */
+  final case class GrokProc(pattern: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val parsed = extract(contentOrDoc(df).cast(StringType), pattern)
+      df.select(col(Content), parsed.as(Doc), col(Meta), col(Error), col(BatchId), col(Seq))
+    }
+  }
+
+  /** `parse_log` syslog_rfc3164 flavor (`lib/processor/parse_log.go`):
+    * fixed grok bundle. */
+  val Rfc3164 = "<%{INT:priority}>%{SYSLOGTIMESTAMP:timestamp} %{HOSTNAME:hostname} %{DATA:appname}: %{GREEDYDATA:message}"
+  /** syslog_rfc5424 header (no structured-data parsing). */
+  val Rfc5424 = "<%{INT:priority}>%{INT:version} %{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:hostname} %{NOTSPACE:appname} %{NOTSPACE:procid} %{NOTSPACE:msgid} %{GREEDYDATA:message}"
+}

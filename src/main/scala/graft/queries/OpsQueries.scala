@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+import graft.model.Envelope
+import graft.ops._
+import graft.ops.{BatchOps => B, FlowOps => F, ErrorOps => E, EnrichOps => En}
+
+/** Oracle-checked queries exercising the processor library end to end —
+  * one per structural operator family of SURVEY §2.1. All run on envelope
+  * DataFrames built from the driver tables.
+  */
+object OpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** dedupe → DISTINCT semantics on a composite key. */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "events"))
+    val out = DedupeProc("""this.user_id.string() + ":" + this.event_type""")(env)
+    Envelope.unwrap(out).select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** hash_sample → deterministic md5-prefix bucket. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "events"))
+    val out = HashSampleProc(0, 25, key = "this.event_id.string()")(env)
+    Envelope.unwrap(out).agg(
+      count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+  }
+
+  /** split(100) + bloblang root-replace + archive(lines). */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrap(
+      t(s, dir, "events").select(col("event_id"), col("event_type")),
+      scala.Seq(col("event_id")), batchSize = 100)
+    val out = Pipeline(scala.Seq(
+      BloblangProc("root = this.event_type"),
+      B.Archive("lines")))(env)
+    out.select(col(Envelope.BatchId).as("batch_id"),
+        col(Envelope.Content).cast(StringType).as("payload"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** unarchive(lines) → explode: word frequencies over documents. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "documents").select(col("text")))
+    val out = Pipeline(scala.Seq(
+      BloblangProc("""root = this.text.replace(" ", "\n")"""),
+      B.UnarchiveLines()))(env)
+    out.select(col(Envelope.Content).cast(StringType).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+  }
+
+  /** switch: predicate-routed sub-pipelines, unioned. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "events"))
+    val mk = (branch: String, vexpr: String) => scala.Seq[Processor](BloblangProc(
+      s"""root.event_id = this.event_id
+         |root.branch = "$branch"
+         |root.v = $vexpr""".stripMargin))
+    val out = F.Switch(scala.Seq(
+      Some("""this.event_type == "error"""") -> mk("err", "this.value * 2"),
+      Some("""this.event_type == "purchase"""") -> mk("buy", "this.value * 10"),
+      None -> mk("other", "this.value * 1")))(env)
+    Envelope.unwrap(out).orderBy(col("event_id"))
+  }
+
+  /** error-flag discipline: flag → try/catch arms → union. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "documents"))
+    val out = Pipeline(scala.Seq(
+      E.FlagError("this.n_chars > 300", "doc too long"),
+      E.TryCatch(
+        tryProcs = scala.Seq(BloblangProc(
+          """root.doc_id = this.doc_id
+            |root.quality = "ok"""".stripMargin)),
+        catchProcs = scala.Seq(BloblangProc(
+          """root.doc_id = this.doc_id
+            |root.quality = "too_long"""".stripMargin)))))(env)
+    Envelope.unwrap(out).orderBy(col("doc_id"))
+  }
+
+  /** group_by: predicate groups with distinct per-group processing. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "events"))
+    val out = B.GroupBy(scala.Seq(
+      "this.value < 5" -> scala.Seq[Processor](BloblangProc(
+        """root.event_id = this.event_id
+          |root.tier = "low"
+          |root.v = this.value * 2""".stripMargin)),
+      "true" -> scala.Seq[Processor](BloblangProc(
+        """root.event_id = this.event_id
+          |root.tier = "high"
+          |root.v = this.value / 2""".stripMargin))))(env)
+    Envelope.unwrap(out).orderBy(col("event_id"))
+  }
+
+  /** branch + lookup-join enrichment (broadcast dim). */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "events"))
+    val out = F.Branch(
+      requestMap = "root.user_id = this.user_id",
+      children = scala.Seq(En.LookupJoin(
+        dim = t(s, dir, "customer"), keyExpr = "this.user_id",
+        dimKey = "c_custkey", fields = scala.Seq("c_mktsegment" -> "segment"))),
+      resultPaths = scala.Seq("segment" -> "segment"))(env)
+    Envelope.unwrap(out).select(col("event_id"), col("segment"))
+      .orderBy(col("event_id"))
+  }
+
+  /** sequence sharded_join (merge_strategy: array) → groupBy-merge. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val merged = En.shardedJoin(scala.Seq(
+      ("orders", t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")), "o_custkey"),
+      ("cust", t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")), "c_custkey")))
+    merged.select(
+        col("id"),
+        coalesce(size(col("orders")), lit(0)).cast(LongType).as("n_orders"),
+        aggregate(
+          transform(col("orders"), x => x.getField("o_totalprice").cast(DecimalType(18, 4))),
+          lit(0).cast(DecimalType(30, 4)),
+          (acc, x) => (acc + x).cast(DecimalType(30, 4))).cast(DoubleType).as("total"))
+      .orderBy(col("id"))
+  }
+
+  /** select_parts: first + last part of each 50-row batch. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrap(
+      t(s, dir, "events").select(col("event_id")),
+      scala.Seq(col("event_id")), batchSize = 50)
+    val out = B.SelectParts(scala.Seq(0L, -1L))(env)
+    Envelope.unwrap(out).orderBy(col("event_id"))
+  }
+
+  /** bounds_check on content byte size. */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "documents"))
+      .withColumn(Envelope.Content, col("doc.text").cast(BinaryType))
+    val out = E.BoundsCheck(minBytes = 200, maxBytes = 400)(env)
+    Envelope.unwrap(out).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** grok extraction over synthesized log lines. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "orders"))
+      .withColumn(Envelope.Content,
+        format_string("ORDER %d %s %.2f",
+          col("doc.o_orderkey"), col("doc.o_orderstatus"), col("doc.o_totalprice"))
+          .cast(BinaryType))
+    val out = Pipeline(scala.Seq(
+      Grok.GrokProc("ORDER %{INT:okey} %{WORD:status} %{NUMBER:price}"),
+      BloblangProc(
+        """root.okey = this.okey.int()
+          |root.status = this.status
+          |root.price = this.price""".stripMargin)))(env)
+    Envelope.unwrap(out).orderBy(col("okey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q13_dedupe" -> (q13 _),
+    "q14_hash_sample" -> (q14 _),
+    "q15_split_archive" -> (q15 _),
+    "q16_unarchive_words" -> (q16 _),
+    "q17_switch" -> (q17 _),
+    "q18_try_catch" -> (q18 _),
+    "q19_group_by" -> (q19 _),
+    "q20_branch_enrich" -> (q20 _),
+    "q21_sharded_join" -> (q21 _),
+    "q22_select_parts" -> (q22 _),
+    "q23_bounds_check" -> (q23 _),
+    "q24_grok" -> (q24 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_dedupe" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q14_hash_sample" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)),1,4) >= '0000'
+        |  AND substr(md5(CAST(event_id AS VARCHAR)),1,4) < '4000'""".stripMargin,
+    "q15_split_archive" ->
+      """WITH t AS (
+        | SELECT event_type, row_number() OVER (ORDER BY event_id) - 1 AS rn
+        | FROM events)
+        |SELECT CAST(floor(rn/100.0) AS BIGINT) AS batch_id,
+        | string_agg(event_type, chr(10) ORDER BY rn) AS payload
+        |FROM t GROUP BY 1 ORDER BY batch_id""".stripMargin,
+    "q16_unarchive_words" ->
+      """SELECT word, count(*) AS n FROM (
+        | SELECT unnest(string_split(replace(text, ' ', chr(10)), chr(10))) AS word
+        | FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q17_switch" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'error' THEN 'err'
+        |      WHEN event_type = 'purchase' THEN 'buy'
+        |      ELSE 'other' END AS branch,
+        | CASE WHEN event_type = 'error' THEN value * 2
+        |      WHEN event_type = 'purchase' THEN value * 10
+        |      ELSE value * 1 END AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_try_catch" ->
+      """SELECT doc_id,
+        | CASE WHEN n_chars > 300 THEN 'too_long' ELSE 'ok' END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_group_by" ->
+      """SELECT event_id,
+        | CASE WHEN value < 5 THEN 'low' ELSE 'high' END AS tier,
+        | CASE WHEN value < 5 THEN value * 2 ELSE value / 2 END AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q20_branch_enrich" ->
+      """SELECT event_id, c_mktsegment AS segment
+        |FROM events LEFT JOIN customer ON c_custkey = user_id
+        |ORDER BY event_id""".stripMargin,
+    "q21_sharded_join" ->
+      """SELECT c_custkey AS id, count(o_orderkey) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY id""".stripMargin,
+    "q22_select_parts" ->
+      """WITH t AS (
+        | SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rn
+        | FROM events),
+        |b AS (
+        | SELECT event_id,
+        |  row_number() OVER (PARTITION BY CAST(floor(rn/50.0) AS BIGINT) ORDER BY rn) - 1 AS i,
+        |  count(*) OVER (PARTITION BY CAST(floor(rn/50.0) AS BIGINT)) AS n
+        | FROM t)
+        |SELECT event_id FROM b WHERE i = 0 OR i = n - 1 ORDER BY event_id""".stripMargin,
+    "q23_bounds_check" ->
+      """SELECT doc_id FROM documents
+        |WHERE strlen(text) BETWEEN 200 AND 400 ORDER BY doc_id""".stripMargin,
+    "q24_grok" ->
+      """SELECT o_orderkey AS okey, o_orderstatus AS status,
+        | printf('%.2f', o_totalprice) AS price
+        |FROM orders ORDER BY okey""".stripMargin)
+}

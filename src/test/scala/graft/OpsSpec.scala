@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Envelope
+import graft.ops._
+import graft.ops.{BatchOps => B, FlowOps => F, ErrorOps => E}
+
+/** Unit tests for processors without a DuckDB-oracle query
+  * (the oracle-gated ones are covered by Verify + OpsQueries). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  def env(rows: String*) = {
+    import spark.implicits._
+    Envelope.wrap(spark.read.json(spark.createDataset(rows)), scala.Seq(col("id")))
+  }
+
+  test("try/catch keep errored rows flowing, catch clears flag") {
+    val df = E.FlagError("this.v < 0", "negative")(env(
+      """{"id":1,"v":5}""", """{"id":2,"v":-3}"""))
+    // same-schema children: doc surgery only
+    val out = Pipeline(scala.Seq(
+      E.TryProc(scala.Seq(BloblangProc("root = this\nroot.v = this.v * 10"))),
+      E.CatchProc(scala.Seq(BloblangProc("root = this\nroot.v = 0")))))(df)
+    val got = Envelope.unwrap(out).orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 50L), (2L, 0L)))
+    assert(out.filter(col(Envelope.Error).isNotNull).count() == 0)
+  }
+
+  test("while loops until condition fails") {
+    val out = F.WhileProc("this.v < 100", scala.Seq(
+      BloblangProc("root = this\nroot.v = this.v * 2")), maxLoops = 10)(
+      env("""{"id":1,"v":3}""", """{"id":2,"v":120}"""))
+    val got = Envelope.unwrap(out).orderBy("id").collect().map(_.getLong(1)).toList
+    assert(got == List(192L, 120L)) // 3→6→...→192; 120 untouched
+  }
+
+  test("insert_part synthesizes a part per batch") {
+    val out = B.InsertPart(-1, """root.id = 999
+                                 |root.v = 0""".stripMargin)(
+      env("""{"id":1,"v":1}""", """{"id":2,"v":2}"""))
+    assert(out.count() == 3)
+    assert(Envelope.unwrap(out).filter(col("id") === 999).count() == 1)
+  }
+
+  test("merge_json (last-wins) collapses a batch to one doc") {
+    val out = B.MergeJsonLast()(env(
+      """{"id":1,"v":1}""", """{"id":2,"v":2}""", """{"id":3,"v":3}"""))
+    assert(out.count() == 1)
+    assert(Envelope.unwrap(out).select("v").head().getLong(0) == 3L)
+  }
+
+  test("resource registry round trip") {
+    F.Resources.register("up", BloblangProc("root = this\nroot.v = this.v + 1"))
+    val out = F.Resource("up")(env("""{"id":1,"v":1}"""))
+    assert(Envelope.unwrap(out).select("v").head().getLong(0) == 2L)
+  }
+
+  test("conditional two-armed switch") {
+    val out = F.conditional("this.v > 5",
+      scala.Seq(BloblangProc("root.id = this.id\nroot.big = true")),
+      scala.Seq(BloblangProc("root.id = this.id\nroot.big = false")))(
+      env("""{"id":1,"v":10}""", """{"id":2,"v":1}"""))
+    val got = Envelope.unwrap(out).orderBy("id").collect().map(_.getBoolean(1)).toList
+    assert(got == List(true, false))
+  }
+
+  test("grok pattern compiler") {
+    val (regex, fields) = Grok.compile("%{IP:ip} - %{WORD:verb} %{NUMBER:code}")
+    assert(fields == List("ip", "verb", "code"))
+    val m = java.util.regex.Pattern.compile(regex).matcher("10.0.0.1 - GET 200")
+    assert(m.matches() && m.group(1) == "10.0.0.1" && m.group(3) == "200")
+  }
+
+  test("sample retains roughly the fraction") {
+    val rows = (1 to 200).map(i => s"""{"id":$i,"v":$i}""")
+    val n = SampleProc(0.5)(env(rows: _*)).count()
+    assert(n > 60 && n < 140)
+  }
+
+  test("group_by_value re-batches by key and sets meta") {
+    val out = B.GroupByValue("this.v.string()")(env(
+      """{"id":1,"v":7}""", """{"id":2,"v":7}""", """{"id":3,"v":9}"""))
+    assert(out.select(Envelope.BatchId).distinct().count() == 2)
+    val metas = out.select(element_at(col(Envelope.Meta), "group_value")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(metas == Set("7", "9"))
+  }
+}
