@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.BloblQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.BloblQueries.oracleSql ++
-      graft.queries.OpsQueries.oracleSql
+      graft.queries.OpsQueries.oracleSql ++
+      graft.queries.LlmQueries.oracleSql
 }

@@ -1,0 +1,72 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data curation: language-ID (stopword n-gram
+  * heuristic), quality scoring (length / punctuation / stopword ratios),
+  * token counting (whitespace + BPE-ish regex), fingerprinting.
+  * All pure Column expressions (whole-stage codegen; no UDF).
+  */
+object TextStats {
+
+  val stopwords: Map[String, scala.Seq[String]] = Map(
+    "en" -> scala.Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> scala.Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> scala.Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es" -> scala.Seq("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"))
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Count of tokens belonging to a word list. */
+  def listHits(text: Column, words: scala.Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast(LongType)
+
+  /** Language ID: argmax of per-language stopword hits, fixed priority
+    * en > de > fr > es on ties (deterministic). */
+  def langId(text: Column): Column = {
+    val en = listHits(text, stopwords("en"))
+    val de = listHits(text, stopwords("de"))
+    val fr = listHits(text, stopwords("fr"))
+    val es = listHits(text, stopwords("es"))
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column = size(split(text, " ")).cast(LongType)
+
+  /** BPE-ish token estimate: letter runs, single digits, and punctuation
+    * each count as one piece (the GPT-2 pre-tokenizer shape). */
+  def nBpePieces(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast(DoubleType) /
+      length(text).cast(DoubleType)
+
+  /** Stopword-token ratio (English list) — a standard quality signal. */
+  def stopwordRatio(text: Column): Column =
+    listHits(text, stopwords("en")).cast(DoubleType) / nTokens(text).cast(DoubleType)
+
+  /** Mean token length (chars excluding separators / token count). */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (nTokens(text) - 1)).cast(DoubleType) / nTokens(text).cast(DoubleType)
+
+  /** Composite quality score in [0,1]: favors mid-length docs with some
+    * stopwords and low punctuation noise. Deterministic, documented
+    * weights — a curation heuristic, not a trained model. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
+    lenScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3
+  }
+
+  /** Rolling-hash document fingerprint = Dedup.fingerprint (token-set md5). */
+  def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+}

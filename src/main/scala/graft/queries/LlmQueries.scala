@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+import graft.llmops._
+
+/** Oracle-checked queries for the LLM-training-data operators
+  * (dedup / similarity / text analysis / multimodal plumbing) over the
+  * `documents` and `embeddings` tables.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup via token-set fingerprint (collapses word-reordered
+    * near-dups; the sf0.01 corpus has 21 such groups). */
+  def q25(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupKeep(t(s, dir, "documents"), "doc_id",
+        Dedup.fingerprint(col("text")))
+      .orderBy(col("dedupe_key"))
+
+  /** MinHash signatures (4 seeds over 5-gram shingles), scalar columns. */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignature(Dedup.charShingles(col("text"), 5), 4)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        sig.getItem(0).as("m0"), sig.getItem(1).as("m1"),
+        sig.getItem(2).as("m2"), sig.getItem(3).as("m3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified at 0.9. The
+    * oracle computes full pairwise Jaccard; LSH (12 hashes, 6 bands)
+    * has false-negative probability < 5e-5 at the 0.9 threshold. */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 5, numHashes = 12, bands = 6, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** 16-bit SimHash per document. */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10). */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Text quality / language-ID / token-count metrics. */
+  def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.nTokens(col("text")).as("n_tokens"),
+        TextStats.nBpePieces(col("text")).as("n_bpe"),
+        TextStats.listHits(col("text"), TextStats.stopwords("en")).as("sw_hits"),
+        TextStats.punctRatio(col("text")).as("punct_ratio"),
+        TextStats.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextStats.langId(col("text")).as("lang_guess"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: binary payload + typed metadata (decode STUB). */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast(BinaryType)
+    val meta = Multimodal.fakeDecode(payload)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("n_bytes").as("n_bytes"),
+        meta.getField("format").as("format"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q25_dedup_fingerprint" -> (q25 _),
+    "q26_minhash_sig" -> (q26 _),
+    "q27_minhash_lsh_pairs" -> (q27 _),
+    "q28_simhash" -> (q28 _),
+    "q29_cosine_topk" -> (q29 _),
+    "q30_text_quality" -> (q30 _),
+    "q31_multimodal_meta" -> (q31 _))
+
+  private val simhashSums = (0 until 16).map { b =>
+    s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
+  }.mkString(",\n  ")
+  private val simhashCombine = (0 until 16).map { b =>
+    s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS dedupe_key,
+        | min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY dedupe_key""".stripMargin,
+    "q26_minhash_sig" ->
+      """WITH sh AS (
+        | SELECT doc_id, substr(text, i, 5) AS s
+        | FROM documents, unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i))
+        |SELECT doc_id,
+        | min(md5('0:'||s)) AS m0, min(md5('1:'||s)) AS m1,
+        | min(md5('2:'||s)) AS m2, min(md5('3:'||s)) AS m3
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q27_minhash_lsh_pairs" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        | FROM documents, unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(c AS DOUBLE)/(x.n + y.n - c) AS jac
+        |FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q28_simhash" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bits AS (
+         | SELECT doc_id,
+         |  $simhashSums
+         | FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $simhashCombine AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+    "q29_cosine_topk" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        | FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        | WHERE q.vec_id < 10)
+        |SELECT qid, vid, rnk FROM (
+        | SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+        | FROM sims)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q30_text_quality" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+        | len(list_filter(string_split(lower(text), ' '),
+        |     t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS sw_hits,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        | CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) AS mean_tok_len,
+        | CASE
+        |  WHEN sw_en >= sw_de AND sw_en >= sw_fr AND sw_en >= sw_es THEN 'en'
+        |  WHEN sw_de >= sw_fr AND sw_de >= sw_es THEN 'de'
+        |  WHEN sw_fr >= sw_es THEN 'fr'
+        |  ELSE 'es' END AS lang_guess,
+        | least(CAST(length(text) AS DOUBLE)/500.0, 1.0) * 0.4
+        |  + least((CAST(sw_en AS DOUBLE)/CAST(len(string_split(text,' ')) AS DOUBLE)) * 5.0, 1.0) * 0.3
+        |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)/CAST(length(text) AS DOUBLE)) * 10.0) * 0.3 AS quality
+        |FROM (
+        | SELECT *,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS sw_en,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS sw_de,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['le','la','les','et','est','un','une','pour','dans','que'], t))) AS sw_fr,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','los','y','es','un','una','para','en','que'], t))) AS sw_es
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q31_multimodal_meta" ->
+      """SELECT doc_id,
+        | strlen(text) AS n_bytes,
+        | CASE WHEN ascii(substr(md5(text),1,1)) % 3 = 0 THEN 'png'
+        |      WHEN ascii(substr(md5(text),1,1)) % 3 = 1 THEN 'jpeg'
+        |      ELSE 'webp' END AS format,
+        | 320 + (ascii(substr(md5(text),2,1)) % 16) * 64 AS width,
+        | 240 + (ascii(substr(md5(text),3,1)) % 16) * 48 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
