@@ -59,15 +59,21 @@ object Envelope {
 
   /** Cheap wrap for pipelines that don't need batch semantics: no shuffle,
     * batch_id = spark partition id, seq = monotonic id. This is the 100 TB
-    * path — batch identity maps to Spark's own partition/micro-batch. */
-  def wrapUnordered(df: DataFrame): DataFrame =
+    * path — batch identity maps to Spark's own partition/micro-batch.
+    * Streaming plans forbid monotonically_increasing_id, so there seq is a
+    * content hash (stable pseudo-id; true order arrives per micro-batch). */
+  def wrapUnordered(df: DataFrame): DataFrame = {
+    val seqCol =
+      if (df.isStreaming) xxhash64(df.columns.map(col).toIndexedSeq: _*)
+      else monotonically_increasing_id()
     df.select(
       lit(null).cast(BinaryType).as(Content),
       struct(df.columns.map(col).toIndexedSeq: _*).as(Doc),
       map().cast(MapType(StringType, StringType)).as(Meta),
       lit(null).cast(StringType).as(Error),
       spark_partition_id().cast(LongType).as(BatchId),
-      monotonically_increasing_id().as(Seq))
+      seqCol.as(Seq))
+  }
 
   /** Unwrap: project the doc struct back to top-level columns. */
   def unwrap(df: DataFrame): DataFrame = df.select(col(Doc + ".*"))

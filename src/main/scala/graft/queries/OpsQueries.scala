@@ -163,7 +163,20 @@ object OpsQueries {
     Envelope.unwrap(out).orderBy(col("okey"))
   }
 
+  /** generate input (Bloblang-driven synthetic source) → aggregation. */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val gen = graft.sources.Sources.generate(s,
+      """root.i = this.i
+        |root.sq = this.i * this.i
+        |root.bucket = this.i % 7""".stripMargin, 1000)
+    Envelope.unwrap(gen)
+      .groupBy(col("bucket"))
+      .agg(sum(col("sq")).as("sum_sq"), count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q32_generate_agg" -> (q32 _),
     "q13_dedupe" -> (q13 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -178,6 +191,9 @@ object OpsQueries {
     "q24_grok" -> (q24 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q32_generate_agg" ->
+      """SELECT i % 7 AS bucket, CAST(sum(i*i) AS BIGINT) AS sum_sq, count(*) AS n
+        |FROM range(1000) t(i) GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q13_dedupe" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -1,0 +1,178 @@
+package graft.runtime
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.yaml.snakeyaml.Yaml
+import graft.ops._
+import graft.ops.{BatchOps => B, FlowOps => F, ErrorOps => E}
+import graft.sinks.{Sink, Sinks}
+import graft.sources.Sources
+
+/** YAML pipeline loader: the declarative surface of the engine, shaped
+  * after the reference's config model (`input → pipeline.processors →
+  * output`, env-var interpolation `${VAR}` at the text layer —
+  * `lib/service/run.go:108-223`). A config compiles to a DataFrame chain;
+  * the config is NOT the physical plan here — Catalyst optimizes it.
+  */
+object Config {
+
+  final case class StreamSpec(
+      input: SparkSession => DataFrame,
+      pipeline: scala.Seq[Processor],
+      output: Sink) {
+    def run(spark: SparkSession): Unit =
+      output.write(Pipeline(pipeline)(input(spark)))
+  }
+
+  def load(yaml: String): StreamSpec = {
+    val interpolated = "\\$\\{(\\w+)(?::([^}]*))?\\}".r.replaceAllIn(yaml, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        sys.env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
+    val root = asMap(new Yaml().load[Any](interpolated))
+    val input = compileInput(asMap(root.getOrElse("input",
+      throw new IllegalArgumentException("config: missing input"))))
+    val procs = root.get("pipeline").map(asMap).flatMap(_.get("processors"))
+      .map(asList(_).map(p => compileProcessor(asMap(p)))).getOrElse(Nil)
+    val output = root.get("output").map(asMap).map(compileOutput)
+      .getOrElse(Sinks.ConsoleSink())
+    StreamSpec(input, procs, output)
+  }
+
+  // ---------- components ----------
+
+  private def compileInput(m: Map[String, Any]): SparkSession => DataFrame = {
+    val (kind, conf) = one(m, "input")
+    kind match {
+      case "file" | "files" =>
+        val paths = conf.get("paths").map(asList(_).map(_.toString))
+          .getOrElse(scala.Seq(str(conf, "path")))
+        val codec = conf.get("codec").map(_.toString).getOrElse("lines")
+        s => paths.map(p => Sources.file(s, p, codec)).reduce(_.unionByName(_))
+      case "generate" =>
+        val mapping = str(conf, "mapping")
+        val count = conf.get("count").map(_.toString.toLong).getOrElse(100L)
+        s => Sources.generate(s, mapping, count)
+      case "broker" =>
+        val inputs = asList(conf("inputs")).map(i => compileInput(asMap(i)))
+        s => Sources.broker(inputs.map(_(s)))
+      case "sequence" =>
+        val inputs = asList(conf("inputs")).map(i => compileInput(asMap(i)))
+        s => Sources.sequence(inputs.map(_(s)))
+      case "read_until" =>
+        val inner = compileInput(asMap(conf("input")))
+        val check = condString(conf("check"))
+        s => Sources.readUntil(inner(s), check)
+      case o => throw new IllegalArgumentException(s"config: unknown input kind $o")
+    }
+  }
+
+  def compileProcessor(m: Map[String, Any]): Processor = {
+    val (kind, conf) = one(m, "processor")
+    kind match {
+      case "bloblang" | "mapping" => BloblangProc(m(kind).toString)
+      case "filter" => FilterProc(condString(m(kind)))
+      case "noop" => Noop
+      case "for_each" | "process_batch" =>
+        ForEach(asList(m(kind)).map(p => compileProcessor(asMap(p))))
+      case "dedupe" => DedupeProc(str(conf, "key"))
+      case "sample" => SampleProc(dbl(conf, "retain") / 100.0)
+      case "hash_sample" =>
+        HashSampleProc(dbl(conf, "retain_min"), dbl(conf, "retain_max"),
+          conf.get("key").map(_.toString).getOrElse("content().string()"))
+      case "split" => B.Split(conf.get("size").map(_.toString.toLong).getOrElse(1L))
+      case "archive" => B.Archive(str(conf, "format"))
+      case "unarchive" => str(conf, "format") match {
+        case "lines" => B.UnarchiveLines()
+        case o => throw new IllegalArgumentException(s"unarchive: unsupported format $o")
+      }
+      case "select_parts" =>
+        B.SelectParts(asList(conf("parts")).map(_.toString.toLong))
+      case "group_by_value" => B.GroupByValue(str(conf, "value"))
+      case "group_by" =>
+        B.GroupBy(asList(m(kind)).map { g =>
+          val gm = asMap(g)
+          (condString(gm("check")),
+            asList(gm("processors")).map(p => compileProcessor(asMap(p))))
+        })
+      case "switch" =>
+        F.Switch(asList(m(kind)).map { c =>
+          val cm = asMap(c)
+          (cm.get("check").map(condString).filter(_.nonEmpty),
+            asList(cm("processors")).map(p => compileProcessor(asMap(p))))
+        })
+      case "while" =>
+        F.WhileProc(condString(conf("check")),
+          asList(conf("processors")).map(p => compileProcessor(asMap(p))),
+          conf.get("max_loops").map(_.toString.toInt).getOrElse(10))
+      case "try" =>
+        E.TryProc(asList(m(kind)).map(p => compileProcessor(asMap(p))))
+      case "catch" =>
+        E.CatchProc(asList(m(kind)).map(p => compileProcessor(asMap(p))))
+      case "bounds_check" =>
+        E.BoundsCheck(
+          conf.get("min_part_size").map(_.toString.toLong).getOrElse(0L),
+          conf.get("max_part_size").map(_.toString.toLong).getOrElse(Long.MaxValue))
+      case "grok" =>
+        Grok.GrokProc(asList(conf("expressions")).head.toString)
+      case "parse_log" => str(conf, "format") match {
+        case "syslog_rfc3164" => Grok.GrokProc(Grok.Rfc3164)
+        case "syslog_rfc5424" => Grok.GrokProc(Grok.Rfc5424)
+        case o => throw new IllegalArgumentException(s"parse_log: unknown format $o")
+      }
+      case "resource" => F.Resource(m(kind).toString)
+      case "log" | "metric" | "sleep" | "rate_limit" => Noop // observability stubs
+      case o => throw new IllegalArgumentException(s"config: unknown processor $o")
+    }
+  }
+
+  private def compileOutput(m: Map[String, Any]): Sink = {
+    val (kind, conf) = one(m, "output")
+    kind match {
+      case "file" | "files" =>
+        Sinks.FileSink(str(conf, "path"),
+          conf.get("codec").orElse(conf.get("format")).map(_.toString).getOrElse("lines"))
+      case "parquet" => Sinks.FileSink(str(conf, "path"), "parquet")
+      case "stdout" => Sinks.ConsoleSink()
+      case "drop" => Sinks.DropSink
+      case "switch" =>
+        Sinks.SwitchSink(asList(conf("cases")).map { c =>
+          val cm = asMap(c)
+          (cm.get("check").map(condString).filter(_.nonEmpty),
+            compileOutput(asMap(cm("output"))))
+        })
+      case "broker" =>
+        val outs = asList(conf("outputs")).map(o => compileOutput(asMap(o)))
+        conf.get("pattern").map(_.toString).getOrElse("fan_out") match {
+          case "fan_out" => Sinks.FanOutSink(outs)
+          case o => throw new IllegalArgumentException(s"broker output: unsupported pattern $o")
+        }
+      case "fallback" | "try" =>
+        Sinks.FallbackSink(asList(m(kind)).map(o => compileOutput(asMap(o))))
+      case "reject" | "drop_on_error" =>
+        Sinks.DropOnError(Sinks.DropSink)
+      case o => throw new IllegalArgumentException(s"config: unknown output $o")
+    }
+  }
+
+  // ---------- yaml helpers ----------
+  private def asMap(a: Any): Map[String, Any] = a match {
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap
+    case null => Map.empty
+    case o => throw new IllegalArgumentException(s"config: expected mapping, got $o")
+  }
+  private def asList(a: Any): List[Any] = a match {
+    case l: java.util.List[_] => l.asScala.toList
+    case null => Nil
+    case o => throw new IllegalArgumentException(s"config: expected list, got $o")
+  }
+  private def one(m: Map[String, Any], what: String): (String, Map[String, Any]) = {
+    val known = m.filterNot { case (k, _) => k == "label" || k == "processors" }
+    require(known.size == 1, s"config: $what must have exactly one component, got ${known.keys}")
+    val (k, v) = known.head
+    (k, v match { case mm: java.util.Map[_, _] => asMap(mm); case _ => Map.empty })
+  }
+  private def str(m: Map[String, Any], k: String): String = m.get(k).map(_.toString)
+    .getOrElse(throw new IllegalArgumentException(s"config: missing field $k"))
+  private def dbl(m: Map[String, Any], k: String): Double = str(m, k).toDouble
+  private def condString(a: Any): String = a.toString
+}

@@ -1,0 +1,95 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+import graft.blobl.{Mapping => Blobl}
+
+/** Output components (reference registry `lib/output/constructor.go:158-221`).
+  * A sink consumes an envelope DataFrame. Composition sinks (`switch`,
+  * `fan_out`, `fallback`, `drop_on_error`) are predicate-routed writes —
+  * in streaming these run inside one `foreachBatch` so the source is read
+  * once per micro-batch (see graft.streaming.StreamRunner).
+  */
+trait Sink extends Serializable {
+  def write(df: DataFrame): Unit
+}
+
+object Sinks {
+
+  /** `file`/`files`/object-store writers. format ∈ parquet | json | csv |
+    * lines. `partitionByMeta` = interpolated-path semantics → directory
+    * partitioning (the scalable form of per-message dynamic paths). */
+  final case class FileSink(path: String, format: String = "parquet",
+      partitionBy: scala.Seq[String] = Nil, mode: String = "overwrite") extends Sink {
+    def write(df: DataFrame): Unit = {
+      val out = format match {
+        case "lines" =>
+          df.select(Envelope.contentOrDoc(df).cast("string").as("value"))
+        case _ => Envelope.unwrap(df)
+      }
+      val w0 = out.write.mode(mode)
+      val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+      format match {
+        case "parquet" => w.parquet(path)
+        case "json" => w.json(path)
+        case "csv" => w.option("header", true).csv(path)
+        case "lines" => w.text(path)
+        case o => throw new IllegalArgumentException(s"unknown sink format $o")
+      }
+    }
+  }
+
+  /** `stdout` (`lib/output/writer/stdout.go`-ish): console. */
+  final case class ConsoleSink(n: Int = 20) extends Sink {
+    def write(df: DataFrame): Unit = Envelope.unwrap(df).show(n, truncate = false)
+  }
+
+  /** `drop` — discard (still evaluates, for side-effect pipelines). */
+  case object DropSink extends Sink { def write(df: DataFrame): Unit = () }
+
+  /** `switch` output (`lib/output/switch.go:50-76`): route rows by
+    * predicate to different sinks. Cases are exclusive-first-match. */
+  final case class SwitchSink(cases: scala.Seq[(Option[String], Sink)]) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val conds: scala.Seq[Column] = cases.map {
+        case (Some(check), _) => coalesce(Blobl.envelopeExpr(df, check), lit(false))
+        case (None, _) => lit(true)
+      }
+      cases.zipWithIndex.foreach { case ((_, sink), i) =>
+        val notEarlier = conds.take(i).foldLeft(lit(true))((a, c) => a && !c)
+        sink.write(df.filter(notEarlier && conds(i)))
+      }
+    }
+  }
+
+  /** `broker: fan_out` (`lib/broker/fan_out.go`): every sink gets every
+    * row. Caller should cache/persist the DF (StreamRunner does). */
+  final case class FanOutSink(sinks: scala.Seq[Sink]) extends Sink {
+    def write(df: DataFrame): Unit = sinks.foreach(_.write(df))
+  }
+
+  /** `fallback`/`try` output (`lib/output/try.go`): dead-letter chain —
+    * try each sink in order until one succeeds. */
+  final case class FallbackSink(sinks: scala.Seq[Sink]) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val it = sinks.iterator
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && it.hasNext) {
+        try { it.next().write(df); done = true }
+        catch { case e: Throwable => lastErr = e }
+      }
+      if (!done) throw lastErr
+    }
+  }
+
+  /** `drop_on_error` / `reject`: route errored rows away; clean rows to
+    * the inner sink, errored rows to the DLQ sink (or dropped). */
+  final case class DropOnError(inner: Sink, dlq: Sink = DropSink) extends Sink {
+    def write(df: DataFrame): Unit = {
+      inner.write(df.filter(col(Envelope.Error).isNull))
+      dlq.write(df.filter(col(Envelope.Error).isNotNull))
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.Envelope
+import graft.sinks.Sink
+
+/** Structured-Streaming face of the engine (SURVEY §2.6, §3.3).
+  *
+  * The same `Processor` pipeline runs on `readStream` DataFrames — batch/
+  * stream duality is native. The reference's delivery machinery (acks,
+  * checkpoint tracker `internal/checkpoint/type.go:13-31`) maps to Spark's
+  * offset/commit logs: exactly-once to idempotent sinks, strictly stronger
+  * than the reference's at-least-once.
+  *
+  * v3 has NO event-time windowing (batch `period` is its only windowing —
+  * `lib/message/batch/policy.go:53-59`); we expose real event-time
+  * tumbling/sliding/session windows + watermarks as a documented superset.
+  */
+object Streaming {
+
+  /** Streaming file source → envelope (needs explicit schema, as all
+    * streaming file sources do). */
+  def fileStream(spark: SparkSession, path: String, format: String,
+      schema: StructType): DataFrame = {
+    val df = format match {
+      case "parquet" => spark.readStream.schema(schema).parquet(path)
+      case "json" => spark.readStream.schema(schema).json(path)
+      case "csv" => spark.readStream.schema(schema).option("header", true).csv(path)
+      case o => throw new IllegalArgumentException(s"unknown stream format $o")
+    }
+    Envelope.wrapUnordered(df)
+  }
+
+  /** `generate` input, streaming flavor: rate source + Bloblang mapping
+    * (`this` = {i: Long}). */
+  def rateGenerate(spark: SparkSession, mapping: String, rowsPerSecond: Int): DataFrame = {
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(col("value").as("i"))
+    graft.blobl.Mapping.compile(mapping).applyEnvelope(Envelope.wrapUnordered(base))
+  }
+
+  /** `dedupe` with TTL (cache-backend TTL parity): drop duplicate keys
+    * within the watermark window. `tsField` is an event-time field inside
+    * doc. */
+  def dedupeWithinWatermark(df: DataFrame, keyExpr: String, tsField: String,
+      delay: String): DataFrame = {
+    val keyed = df
+      .withColumn("_ts", col(s"${Envelope.Doc}.$tsField"))
+      .withColumn("_key", graft.blobl.Mapping.envelopeExpr(df, keyExpr))
+      .withWatermark("_ts", delay)
+    keyed.dropDuplicatesWithinWatermark("_key").drop("_key", "_ts")
+  }
+
+  /** Event-time windowed aggregation over doc fields (tumbling when
+    * slide == window). Returns (window_start, window_end, key?, aggs). */
+  def windowedAgg(df: DataFrame, tsField: String, windowDur: String,
+      slide: Option[String], delay: String,
+      keyFields: scala.Seq[String], aggs: scala.Seq[Column]): DataFrame = {
+    val ts = col(s"${Envelope.Doc}.$tsField")
+    val withTs = df.withColumn("_ts", ts).withWatermark("_ts", delay)
+    val win = slide.map(s => window(col("_ts"), windowDur, s))
+      .getOrElse(window(col("_ts"), windowDur))
+    val keys = win +: keyFields.map(f => col(s"${Envelope.Doc}.$f").as(f))
+    withTs.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /** Batch policy → processing-time micro-batching: the reference's
+    * count/period flush (`lib/message/batch/policy.go`) becomes trigger
+    * interval + per-micro-batch batch_id (foreachBatch assigns it). */
+  def run(df: DataFrame, sink: Sink, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.write(batch.withColumn(Envelope.BatchId, lit(id)))
+      }
+      .start()
+
+  /** Stateful named counters (the `cache` incrby / `count()` function
+    * semantics) via mapGroupsWithState: running count per key across
+    * micro-batches. */
+  def statefulCounter(df: DataFrame, keyExpr: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(graft.blobl.Mapping.envelopeExpr(df, keyExpr)
+      .cast(StringType).as("key")).as[String]
+    keyed.groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }.toDF("key", "count")
+  }
+}
+
+/** Streams mode (`lib/stream/manager/api.go:34-58`): a registry of named
+  * running queries with lifecycle + stats — the REST layer of the
+  * reference maps to these calls 1:1 (GET /streams → list, POST → start,
+  * DELETE → stop, /streams/{id}/stats → stats). */
+final class StreamRegistry {
+  private val queries = scala.collection.concurrent.TrieMap[String, StreamingQuery]()
+
+  def start(name: String, q: StreamingQuery): Unit = queries.put(name, q)
+  def list: scala.Seq[String] = queries.keys.toSeq.sorted
+  def stop(name: String): Boolean =
+    queries.remove(name).map { q => q.stop(); true }.getOrElse(false)
+  def stats(name: String): Option[String] =
+    queries.get(name).flatMap(q => Option(q.lastProgress).map(_.json))
+  def stopAll(): Unit = { queries.keys.toSeq.foreach(stop); () }
+}

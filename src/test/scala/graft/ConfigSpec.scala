@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.runtime.Config
+
+/** YAML config loader: a Benthos-shaped config compiles and runs end to
+  * end (FIXTURES.md §4 anchors the shape). */
+class ConfigSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  test("generate → bloblang → file(lines) round trip") {
+    val out = Files.createTempDirectory("graft-cfg").toString + "/out"
+    val spec = Config.load(
+      s"""input:
+         |  generate:
+         |    count: 50
+         |    mapping: |
+         |      root.i = this.i
+         |      root.sq = this.i * this.i
+         |pipeline:
+         |  processors:
+         |    - bloblang: |
+         |        root = this
+         |        root.tag = "n" + this.i.string()
+         |    - filter: this.i % 2 == 0
+         |output:
+         |  file:
+         |    path: $out
+         |    codec: lines
+         |""".stripMargin)
+    spec.run(spark)
+    val lines = spark.read.text(out).count()
+    assert(lines == 25)
+  }
+
+  test("switch processors + broker fan_out output") {
+    val o1 = Files.createTempDirectory("graft-cfg").toString + "/a"
+    val o2 = Files.createTempDirectory("graft-cfg").toString + "/b"
+    val spec = Config.load(
+      s"""input:
+         |  generate:
+         |    count: 20
+         |    mapping: "root.i = this.i"
+         |pipeline:
+         |  processors:
+         |    - switch:
+         |        - check: this.i < 10
+         |          processors:
+         |            - bloblang: |
+         |                root.i = this.i
+         |                root.half = "low"
+         |        - processors:
+         |            - bloblang: |
+         |                root.i = this.i
+         |                root.half = "high"
+         |output:
+         |  broker:
+         |    outputs:
+         |      - file: { path: $o1, codec: lines }
+         |      - file: { path: $o2, codec: lines }
+         |""".stripMargin)
+    spec.run(spark)
+    assert(spark.read.text(o1).count() == 20)
+    assert(spark.read.text(o2).count() == 20)
+  }
+
+  test("env var interpolation") {
+    val spec = Config.load(
+      """input:
+        |  generate:
+        |    count: ${GRAFT_TEST_COUNT:7}
+        |    mapping: "root.i = this.i"
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    // count default applies since env var unset
+    val df = spec.input(spark)
+    assert(df.count() == 7)
+  }
+
+  test("read_until input wrapper") {
+    val spec = Config.load(
+      """input:
+        |  read_until:
+        |    check: this.i >= 5
+        |    input:
+        |      generate:
+        |        count: 100
+        |        mapping: "root.i = this.i"
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(spec.input(spark).count() == 5)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Envelope
+import graft.ops.BloblangProc
+import graft.streaming.{StreamRegistry, Streaming}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  // events.ts is TIMESTAMP(NANOS) → read as long under nanosAsLong
+  val eventsSchema = StructType(scala.Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  // streaming file sources need a directory; stage the single parquet file
+  lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  def eventsStream = Streaming.fileStream(spark, eventsDir, "parquet", eventsSchema)
+
+  test("same Processor pipeline runs on a stream; memory sink collects") {
+    val out = BloblangProc(
+      """root.event_id = this.event_id
+        |root.etype = this.event_type.uppercase()""".stripMargin)(eventsStream)
+    val q = Envelope.unwrap(out).writeStream
+      .format("memory").queryName("s1").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.sql("SELECT count(*) FROM s1").head().getLong(0)
+    val batch = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(n == batch)
+    assert(spark.sql("SELECT count(*) FROM s1 WHERE etype = 'CLICK'").head().getLong(0) > 0)
+  }
+
+  test("event-time windowed aggregation with watermark") {
+    val env = eventsStream
+    // convert nano-long ts into an event-time timestamp doc field
+    val withTs = BloblangProc(
+      """root = this
+        |root.ets = (this.ts / 1000000000).floor()""".stripMargin)(env)
+    val out = Streaming.windowedAgg(
+      withTs.withColumn("doc",
+        col("doc").withField("ets", timestamp_seconds(col("doc.ets")))),
+      tsField = "ets", windowDur = "1 hour", slide = None, delay = "1 hour",
+      keyFields = scala.Seq("event_type"),
+      aggs = scala.Seq(count(lit(1)).as("n")))
+    val q = out.writeStream.format("memory").queryName("s2").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // windows close only once the watermark passes; with a single batch the
+    // final windows stay open, so compare the CLOSED prefix against batch
+    val streamed = spark.sql("SELECT sum(n) FROM s2").head()
+    assert(!streamed.isNullAt(0) && streamed.getLong(0) > 0)
+  }
+
+  test("watermarked dedupe drops in-window duplicates") {
+    val env = eventsStream
+    val withTs = env.withColumn("doc",
+      col("doc").withField("ets", timestamp_seconds((col("doc.ts") / 1000000000L).cast(LongType))))
+    val dd = Streaming.dedupeWithinWatermark(withTs,
+      keyExpr = """this.user_id.string() + ":" + this.event_type""",
+      tsField = "ets", delay = "10 days")
+    val q = Envelope.unwrap(dd).writeStream
+      .format("memory").queryName("s3").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.sql("SELECT count(*) FROM s3").head().getLong(0)
+    val distinct = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct().count()
+    assert(n == distinct)
+  }
+
+  test("stateful counter accumulates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val env = Envelope.wrapUnordered(ms.toDF().select(col("value").as("k")))
+    val counted = Streaming.statefulCounter(env, "this.k")
+    val q = counted.writeStream.format("memory").queryName("s4")
+      .outputMode("update").start()
+    ms.addData("a", "a", "b"); q.processAllAvailable()
+    ms.addData("a", "b"); q.processAllAvailable()
+    q.stop()
+    val last = spark.sql(
+      "SELECT key, max(count) FROM s4 GROUP BY key ORDER BY key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(last == List(("a", 3L), ("b", 2L)))
+  }
+
+  test("stream registry lifecycle") {
+    val reg = new StreamRegistry
+    val out = BloblangProc("root.event_id = this.event_id")(eventsStream)
+    val q = Envelope.unwrap(out).writeStream
+      .format("memory").queryName("s5").outputMode("append").start()
+    reg.start("pipe1", q)
+    assert(reg.list == scala.Seq("pipe1"))
+    q.processAllAvailable()
+    assert(reg.stats("pipe1").exists(_.contains("numInputRows")))
+    assert(reg.stop("pipe1"))
+    assert(reg.list.isEmpty)
+  }
+}
