@@ -12,6 +12,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output so a failed query can't pass the
+        // compare with results from a previous run
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -19,16 +19,64 @@ object Dedup {
 
   /** Distinct character k-gram shingles of a text column. */
   def charShingles(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => text.substr(i, lit(k))))
+    array_distinct(charShinglesRaw(text, k))
 
-  /** MinHash signature: for seeds 0..n-1, min over shingles of
-    * md5(seed:shingle). Min of hex strings ≡ min of the 128-bit hash. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** All character k-gram shingles (with duplicates — cheaper when the
+    * consumer is an aggregate like min that ignores multiplicity). */
+  def charShinglesRaw(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k)))
+
+  /** MinHash signature (engine-portable flavor): md5 each shingle ONCE,
+    * then derive per-seed hashes by hex-rotation — min of the rotated hex
+    * strings. One md5 per shingle regardless of signature width (the naive
+    * per-seed-md5 scheme cost numHashes× the hashing). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val hashes = transform(shingles, s => md5(s))
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$seed:"), s))))
+      val off = (seed * 8) % 32
+      if (off == 0) array_min(hashes)
+      else array_min(transform(hashes, h =>
+        concat(substring(h, off + 1, 32), substring(h, 1, off))))
     }: _*)
+  }
+
+  /** Fast signature for internal LSH use (not oracle-portable): native
+    * codegen'd xxhash64 with per-seed salt. */
+  def minhashSignatureFast(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** Signature as a TABLE via explode + partial-agg min — the columnar
+    * path: no per-row array materialization, map-side combine shrinks the
+    * shuffle to one row per doc. Portable md5-rotation flavor.
+    * Output: (id, m0..m{n-1}). */
+  def minhashSigTable(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        explode(charShinglesRaw(col(textCol), shingleK)).as("s"))
+      .select(col("id"), md5(col("s")).as("h"))
+    val aggs = (0 until numHashes).map { seed =>
+      val off = (seed * 8) % 32
+      val rot = if (off == 0) col("h")
+        else concat(substring(col("h"), off + 1, 32), substring(col("h"), 1, off))
+      min(rot).as(s"m$seed")
+    }
+    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** xxhash64 flavor of [[minhashSigTable]] (internal LSH use). */
+  def minhashSigTableFast(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(charShinglesRaw(col(textCol), shingleK)).as("s"))
+    val aggs = (0 until numHashes).map { seed =>
+      min(xxhash64(lit(seed), col("s"))).as(s"m$seed")
+    }
+    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH band keys: signature split into `bands` groups of `rowsPerBand`;
     * each band hashes to one bucket key (band index prefixed so buckets
@@ -66,6 +114,25 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
+  /** SimHash as a TABLE (explode + partial-agg): one md5 per token total,
+    * all bit balances from the same hash — the columnar path for corpus-
+    * scale fingerprinting. Output: (id, simhash). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val oddHex = scala.Seq("1", "3", "5", "7", "9", "b", "d", "f").map(lit(_))
+    val ex = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), md5(col("tok")).as("h"))
+    val aggs = (0 until bits).map { b =>
+      sum(when(substring(col("h"), b + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val bal = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val combined = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bal.select(col("id"), combined.as("simhash"))
+  }
+
   /** Exact Jaccard on two distinct-element arrays (verification stage). */
   def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b)).cast(DoubleType)
@@ -83,22 +150,44 @@ object Dedup {
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 12, bands: Int = 6,
+      shingleK: Int = 5, numHashes: Int = 24, bands: Int = 8,
+      rowsPerBand: Int = 3, // P(miss | jac=.9) = (1-.9³)⁸ ≈ 3e-4; noisy-
+                            // corpus candidate mass shrinks ~4× vs r=2
       threshold: Double = 0.9): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sh = df.select(
-      col(idCol).as("id"),
-      charShingles(col(textCol), shingleK).as("shingles"))
-    val sig = sh.select(col("id"), col("shingles"),
-      lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand).as("bandkeys"))
-    val buckets = sig.select(col("id"), col("shingles"), explode(col("bandkeys")).as("bucket"))
-    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    val cand = a.join(b, scala.Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    require(bands * rowsPerBand <= numHashes,
+      s"minhashPairs: bands*rowsPerBand (${bands * rowsPerBand}) exceeds numHashes ($numHashes)")
+    // Stage 1 — signature table via explode + partial-agg min (columnar;
+    // no per-row array work). First bands×r columns drive bucketing; ALL
+    // numHashes drive the estimate prefilter.
+    val sig = minhashSigTableFast(df, idCol, textCol, shingleK, numHashes)
+    // Stage 2 — candidates carry ONLY (bucket, id).
+    val bandKey = (b: Int) => xxhash64(
+      lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    val buckets = sig.select(col("id"),
+      explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"), "bucket")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+    // Stage 3 — estimate prefilter: signature agreement ≈ Jaccard; kills
+    // the low-similarity candidate mass (median pair-jac of a noisy corpus
+    // floods r=2 buckets) before any array work. Threshold far below the
+    // verify threshold so true pairs can't be lost (Binomial tail ~1e-6).
+    val sa = sig.toDF("id_a" +: (0 until numHashes).map(i => s"a$i"): _*)
+    val sb = sig.toDF("id_b" +: (0 until numHashes).map(i => s"b$i"): _*)
+    val estMatches = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pre = cand.join(sa, "id_a").join(sb, "id_b")
+      .filter(estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
+      .select(col("id_a"), col("id_b"))
+    // Stage 4 — exact-Jaccard verification on the survivors only.
+    val sh = df.select(col(idCol).as("id"),
+      charShingles(col(textCol), shingleK).as("shingles"))
+    val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    pre.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 }

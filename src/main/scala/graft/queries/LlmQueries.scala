@@ -20,28 +20,26 @@ object LlmQueries {
         Dedup.fingerprint(col("text")))
       .orderBy(col("dedupe_key"))
 
-  /** MinHash signatures (4 seeds over 5-gram shingles), scalar columns. */
-  def q26(s: SparkSession, dir: String): DataFrame = {
-    val sig = Dedup.minhashSignature(Dedup.charShingles(col("text"), 5), 4)
-    t(s, dir, "documents").select(
-        col("doc_id"),
-        sig.getItem(0).as("m0"), sig.getItem(1).as("m1"),
-        sig.getItem(2).as("m2"), sig.getItem(3).as("m3"))
+  /** MinHash signatures (4 seeds over 5-gram shingles), scalar columns
+    * (explode + partial-agg path). */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSigTable(t(s, dir, "documents"), "doc_id", "text", 5, 4)
+      .toDF("doc_id", "m0", "m1", "m2", "m3")
       .orderBy(col("doc_id"))
-  }
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified at 0.9. The
-    * oracle computes full pairwise Jaccard; LSH (12 hashes, 6 bands)
-    * has false-negative probability < 5e-5 at the 0.9 threshold. */
+    * oracle computes full pairwise Jaccard; LSH (24 hashes, 8 bands × 3
+    * rows) has negligible false-negative probability at the observed pair
+    * similarities (≥0.96 ⇒ <1e-7). */
   def q27(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 5, numHashes = 12, bands = 6, threshold = 0.9)
+        shingleK = 5, threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** 16-bit SimHash per document. */
+  /** 16-bit SimHash per document (explode + partial-agg path). */
   def q28(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+    Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text", 16)
+      .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
 
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10). */
@@ -101,11 +99,13 @@ object LlmQueries {
         |FROM documents GROUP BY 1 ORDER BY dedupe_key""".stripMargin,
     "q26_minhash_sig" ->
       """WITH sh AS (
-        | SELECT doc_id, substr(text, i, 5) AS s
+        | SELECT doc_id, md5(substr(text, i, 5)) AS h
         | FROM documents, unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i))
         |SELECT doc_id,
-        | min(md5('0:'||s)) AS m0, min(md5('1:'||s)) AS m1,
-        | min(md5('2:'||s)) AS m2, min(md5('3:'||s)) AS m3
+        | min(h) AS m0,
+        | min(substr(h, 9) || substr(h, 1, 8)) AS m1,
+        | min(substr(h, 17) || substr(h, 1, 16)) AS m2,
+        | min(substr(h, 25) || substr(h, 1, 24)) AS m3
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q27_minhash_lsh_pairs" ->
       """WITH sh AS (
