@@ -377,7 +377,31 @@ object Compiler {
         TC(struct(fields: _*), Some(StructType(gnames.map(StructField(_, StringType)))))
       case "reverse" => TC(reverse(t.col), t.tpe)
       case "slice" => sliceMethod(t, args, ctx)
-      case "hash" => hashMethod(t, litStr(0))
+      case "hash" =>
+        if (litStr(0).startsWith("hmac_"))
+          TC(graft.exprs.Codecs.hmacHex(t.col.cast(BinaryType), litStr(0), litStr(1)),
+            Some(StringType))
+        else hashMethod(t, litStr(0))
+      case "compress" =>
+        TC(graft.exprs.Codecs.compress(t.col.cast(BinaryType), litStr(0)), Some(BinaryType))
+      case "decompress" =>
+        TC(graft.exprs.Codecs.decompress(t.col.cast(BinaryType), litStr(0)), Some(BinaryType))
+      case "encrypt_aes" =>
+        // reference modes cbc/ofb/ctr (methods_strings.go:263); Spark
+        // builtin covers CBC (+GCM/ECB); ofb/ctr unsupported
+        TC(aes_encrypt(t.col.cast(BinaryType), c(0).col.cast(BinaryType),
+          lit(litStr(1).toUpperCase)), Some(BinaryType))
+      case "decrypt_aes" =>
+        TC(aes_decrypt(t.col.cast(BinaryType), c(0).col.cast(BinaryType),
+          lit(litStr(1).toUpperCase)), Some(BinaryType))
+      case "parse_csv" =>
+        // header row → array of row-objects (map header -> value); pure
+        // Column implementation, no UDF
+        val lines = filter(split(t.col.cast(StringType), "\r?\n"), l => length(l) > 0)
+        val header = split(element_at(lines, 1), ",")
+        val rows = slice(lines, lit(2), greatest(size(lines) - 1, lit(0)))
+        TC(transform(rows, r => map_from_arrays(header, split(r, ","))),
+          Some(ArrayType(MapType(StringType, StringType))))
       case "encode" => litStr(0) match {
         case "base64" => TC(base64(t.col.cast(BinaryType)), Some(StringType))
         case "hex" => TC(lower(hex(t.col)), Some(StringType))

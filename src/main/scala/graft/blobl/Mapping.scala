@@ -154,12 +154,14 @@ object Mapping {
   private[blobl] final class RootState(ctx0: Ctx) {
     val root = new Node
     val rowDeletes: mutable.ListBuffer[Column] = mutable.ListBuffer()
+    val errorWrites: mutable.ListBuffer[(Column, Column)] = mutable.ListBuffer()
 
     def assignStmt(segs: List[String], value: Expr, ctx: Ctx): Unit = {
       val rowLevel = segs.isEmpty
-      val (v, del) = compileAssign(value, ctx, () => root.resolve(segs), rowLevel)
-      del.foreach { d => if (rowLevel) rowDeletes += d }
-      (v, del) match {
+      val r = compileAssign(value, ctx, () => root.resolve(segs), rowLevel)
+      r.delete.foreach { d => if (rowLevel) rowDeletes += d }
+      errorWrites ++= r.errors
+      (r.value, r.delete) match {
         case (Some(tc), _) => root.assign(segs, tc)
         case (None, Some(_)) if !rowLevel => root.delete(segs)
         case _ => ()
@@ -168,6 +170,11 @@ object Mapping {
 
     def materialize(): Option[TC] = root.materialize()
     def deleteCond: Option[Column] = rowDeletes.reduceOption(_ || _)
+    /** _error value from throw() writes (first matching message wins). */
+    def errorCol(orig: Column): Column =
+      errorWrites.foldLeft(orig) { case (acc, (cond, msg)) =>
+        coalesce(acc, when(cond, msg))
+      }
   }
 
   private def isDeleted(e: Expr): Boolean = e match {
@@ -176,33 +183,54 @@ object Mapping {
   private def isNothing(e: Expr): Boolean = e match {
     case FnCall("nothing", _) => true; case _ => false
   }
+  private def throwMsg(e: Expr): Option[Expr] = e match {
+    case FnCall("throw", List(m)) => Some(m); case _ => None
+  }
 
-  /** Compile an assignment RHS handling deleted()/nothing() in if/match
-    * branches. Returns (value to assign if any, row/field delete condition).
-    * `prev` = current value at the target path (used for Nothing branches).
-    */
+  /** Result of compiling an assignment RHS: the value to assign (if any),
+    * a row/field delete condition, and error-flag writes from `throw()`
+    * (reference semantics: throw flags `_error`, the message keeps flowing
+    * — `functions.go:700` + `lib/types/interface.go:89-104`). */
+  private[blobl] final case class AssignResult(
+      value: Option[TC], delete: Option[Column],
+      errors: List[(Column, Column)] = Nil)
+
+  /** Compile an assignment RHS handling deleted()/nothing()/throw() in
+    * if/match branches. `prev` = current value at the target path (used
+    * for Nothing branches). */
   private[blobl] def compileAssign(
-      e: Expr, ctx: Ctx, prev: () => TC, rowLevel: Boolean): (Option[TC], Option[Column]) = {
-    if (isDeleted(e)) return (None, Some(lit(true)))
-    if (isNothing(e)) return (None, None)
+      e: Expr, ctx: Ctx, prev: () => TC, rowLevel: Boolean): AssignResult = {
+    if (isDeleted(e)) return AssignResult(None, Some(lit(true)))
+    if (isNothing(e)) return AssignResult(None, None)
+    throwMsg(e).foreach { m =>
+      return AssignResult(None, None,
+        List((lit(true), Compiler.compile(m, ctx).col.cast("string"))))
+    }
 
-    def branches(cases: List[(Column, Expr)], orElse: Option[Expr], inner: Ctx): (Option[TC], Option[Column]) = {
-      val anyValue = cases.exists(c => !isDeleted(c._2) && !isNothing(c._2)) ||
-        orElse.exists(o => !isDeleted(o) && !isNothing(o))
-      // delete condition: OR of (cond_i && none-of-earlier) for deleted bodies
+    def branches(cases: List[(Column, Expr)], orElse: Option[Expr], inner: Ctx): AssignResult = {
+      def inert(b: Expr) = isDeleted(b) || isNothing(b) || throwMsg(b).isDefined
+      val anyValue = cases.exists(c => !inert(c._2)) || orElse.exists(o => !inert(o))
+      // delete/throw conditions: (cond_i && none-of-earlier) per body kind
       var notEarlier: Column = lit(true)
       val delConds = mutable.ListBuffer[Column]()
+      val errWrites = mutable.ListBuffer[(Column, Column)]()
       cases.foreach { case (cond, body) =>
         if (isDeleted(body)) delConds += (notEarlier && cond)
+        throwMsg(body).foreach(m => errWrites +=
+          ((notEarlier && cond, Compiler.compile(m, inner).col.cast("string"))))
         notEarlier = notEarlier && !cond
       }
-      orElse.foreach { o => if (isDeleted(o)) delConds += notEarlier }
+      orElse.foreach { o =>
+        if (isDeleted(o)) delConds += notEarlier
+        throwMsg(o).foreach(m => errWrites +=
+          ((notEarlier, Compiler.compile(m, inner).col.cast("string"))))
+      }
       val del = delConds.reduceOption(_ || _)
 
       val value: Option[TC] = if (!anyValue) None else {
         lazy val prevTC = prev()
         def bodyCol(body: Expr): (Column, Option[DataType]) =
-          if (isDeleted(body)) (lit(null), None)
+          if (isDeleted(body) || throwMsg(body).isDefined) (lit(null), None)
           else if (isNothing(body)) (prevTC.col, prevTC.tpe)
           else { val t = Compiler.compile(body, inner); (t.col, t.tpe) }
         val compiled = cases.map { case (cond, body) => (cond, bodyCol(body)) }
@@ -211,7 +239,7 @@ object Mapping {
           case (acc, (cond, (col0, _))) => acc.when(cond, col0)
         }
         val elseCol = orElse match {
-          case Some(o) if !isDeleted(o) => bodyCol(o)._1
+          case Some(o) if !isDeleted(o) && throwMsg(o).isEmpty => bodyCol(o)._1
           case Some(_) => lit(null)
           case None => prevTC.col
         }
@@ -222,7 +250,7 @@ object Mapping {
         }
         Some(TC(chain.otherwise(elseCol), unified))
       }
-      (value, del)
+      AssignResult(value, del, errWrites.toList)
     }
 
     e match {
@@ -241,7 +269,7 @@ object Mapping {
             Some((cond, body))
         }
         branches(cases, if (sawDefault) None else Some(FnCall("nothing", Nil)), inner)
-      case other => (Some(Compiler.compile(other, ctx)), None)
+      case other => AssignResult(Some(Compiler.compile(other, ctx)), None)
     }
   }
 }
@@ -259,7 +287,7 @@ final class CompiledMapping(val program: Program) extends Serializable {
     * output = root struct expanded back to columns. */
   def applyPlain(df: DataFrame): DataFrame = {
     val ctx = Mapping.plainCtx(df).copy(maps = mapDefs)
-    val (docTC, deleteCond, _) = run(df, ctx)
+    val (docTC, deleteCond, _, _) = run(df, ctx)
     val filtered = deleteCond.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     filtered.select(docTC.col.as("doc")).select(col("doc.*"))
   }
@@ -275,19 +303,20 @@ final class CompiledMapping(val program: Program) extends Serializable {
       content = Some(col(Content)),
       vars = Map.empty, maps = mapDefs,
       batch = if (hasBatch) Some((col(BatchId), col(Seq))) else None)
-    val (docTC, deleteCond, metaCol) = run(df, ctx)
+    val (docTC, deleteCond, metaCol, errCol) = run(df, ctx)
     val filtered = deleteCond.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     filtered.select(
       lit(null).cast(BinaryType).as(Content),
       docTC.col.as(Doc),
       metaCol.as(Meta),
-      col(Error).as(Error),
+      errCol.as(Error),
       col(BatchId).as(BatchId),
       col(Seq).as(Seq))
   }
 
-  /** Shared statement walk. Returns (root doc, row-delete cond, meta col). */
-  private def run(df: DataFrame, ctx0: Ctx): (TC, Option[Column], Column) = {
+  /** Shared statement walk. Returns (root doc, row-delete cond, meta col,
+    * error col). */
+  private def run(df: DataFrame, ctx0: Ctx): (TC, Option[Column], Column, Column) = {
     val state = new Mapping.RootState(ctx0)
     var ctx = ctx0
     var meta: Column = ctx0.meta.getOrElse(
@@ -298,10 +327,10 @@ final class CompiledMapping(val program: Program) extends Serializable {
       case Assign(RootPath(segs), v) => state.assignStmt(segs, v, ctx)
       case Assign(LetVar(n), v) => ctx = ctx.withVar(n, Compiler.compile(v, ctx))
       case Assign(MetaKey(Some(k)), v) =>
-        val (value, del) = Mapping.compileAssign(
+        val r = Mapping.compileAssign(
           v, ctx.copy(meta = Some(meta)), () => TC(element_at(meta, lit(k)), Some(StringType)),
           rowLevel = false)
-        (value, del) match {
+        (r.value, r.delete) match {
           case (Some(tc), _) =>
             meta = map_concat(
               map_filter(meta, (mk, _) => mk =!= lit(k)),
@@ -310,16 +339,17 @@ final class CompiledMapping(val program: Program) extends Serializable {
           case _ => ()
         }
       case Assign(MetaKey(None), v) =>
-        val (value, del) = Mapping.compileAssign(
+        val r = Mapping.compileAssign(
           v, ctx.copy(meta = Some(meta)),
           () => TC(meta, Some(MapType(StringType, StringType))), rowLevel = false)
-        (value, del) match {
+        (r.value, r.delete) match {
           case (Some(tc), _) => meta = tc.col.cast(MapType(StringType, StringType))
           case (None, Some(_)) => meta = map().cast(MapType(StringType, StringType))
           case _ => ()
         }
     }
     val doc = state.materialize().getOrElse(ctx0.thisTC) // untouched root = passthrough
-    (doc, state.deleteCond, meta)
+    val origErr = ctx0.err.getOrElse(lit(null).cast("string"))
+    (doc, state.deleteCond, meta, state.errorCol(origErr))
   }
 }

@@ -1,0 +1,119 @@
+package graft.exprs
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Binary codecs for the `compress`/`decompress` processors and Bloblang
+  * methods (`lib/processor/compress.go:138-146`, `decompress.go`) and the
+  * `hash(hmac_*)` method family (`methods_strings.go:683`).
+  *
+  * These are UDFs by design: compression is CPU-bound library work with no
+  * Catalyst builtin; a codegen'd Expression would still call the same
+  * library. Everything else in the engine stays UDF-free.
+  */
+object Codecs {
+
+  private def gzipC(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.close(); out.toByteArray
+  }
+  private def gzipD(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(b))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+  private def zlibC(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+  private def zlibD(b: Array[Byte]): Array[Byte] = {
+    val i = new java.util.zip.Inflater()
+    i.setInput(b)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!i.finished()) out.write(buf, 0, i.inflate(buf))
+    i.end(); out.toByteArray
+  }
+  private def flateC(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+  private def flateD(b: Array[Byte]): Array[Byte] = {
+    val i = new java.util.zip.Inflater(true)
+    i.setInput(b)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!i.finished()) out.write(buf, 0, i.inflate(buf))
+    i.end(); out.toByteArray
+  }
+  private def snappyC(b: Array[Byte]): Array[Byte] = org.xerial.snappy.Snappy.compress(b)
+  private def snappyD(b: Array[Byte]): Array[Byte] = org.xerial.snappy.Snappy.uncompress(b)
+  private def lz4C(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val s = new net.jpountz.lz4.LZ4FrameOutputStream(out)
+    s.write(b); s.close(); out.toByteArray
+  }
+  private def lz4D(b: Array[Byte]): Array[Byte] = {
+    val in = new net.jpountz.lz4.LZ4FrameInputStream(new ByteArrayInputStream(b))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def codec(alg: String, compressing: Boolean): Array[Byte] => Array[Byte] =
+    (alg, compressing) match {
+      case ("gzip", true) => gzipC
+      case ("gzip", false) => gzipD
+      case ("zlib", true) => zlibC
+      case ("zlib", false) => zlibD
+      case ("flate", true) => flateC
+      case ("flate", false) => flateD
+      case ("snappy", true) => snappyC
+      case ("snappy", false) => snappyD
+      case ("lz4", true) => lz4C
+      case ("lz4", false) => lz4D
+      case (o, _) => throw new IllegalArgumentException(s"unknown compression algorithm $o")
+    }
+
+  def compress(c: Column, alg: String): Column = {
+    val f = codec(alg, compressing = true)
+    udf((b: Array[Byte]) => if (b == null) null else f(b)).apply(c)
+  }
+
+  def decompress(c: Column, alg: String): Column = {
+    val f = codec(alg, compressing = false)
+    udf((b: Array[Byte]) => if (b == null) null
+      else try f(b) catch { case _: Exception => null }).apply(c)
+  }
+
+  /** HMAC (hex output) — hmac_sha1/hmac_sha256/hmac_sha512. */
+  def hmacHex(c: Column, alg: String, key: String): Column = {
+    val jAlg = alg match {
+      case "hmac_sha1" => "HmacSHA1"
+      case "hmac_sha256" => "HmacSHA256"
+      case "hmac_sha512" => "HmacSHA512"
+      case o => throw new IllegalArgumentException(s"unknown hmac algorithm $o")
+    }
+    val keyBytes = key.getBytes("UTF-8")
+    udf((b: Array[Byte]) => if (b == null) null else {
+      val mac = javax.crypto.Mac.getInstance(jAlg)
+      mac.init(new javax.crypto.spec.SecretKeySpec(keyBytes, jAlg))
+      mac.doFinal(b).map("%02x".format(_)).mkString
+    }).apply(c)
+  }
+}

@@ -79,12 +79,39 @@ object FlowOps {
   }
 
   /** `workflow` (`lib/processor/workflow.go`): DAG of branches executed in
-    * dependency order. The reference auto-orders via Bloblang target
-    * analysis; here layers are compiled sequentially and Catalyst fuses the
+    * dependency order. Layers compile sequentially and Catalyst fuses the
     * resulting projections — no runtime DAG engine (SURVEY §4.1). */
   final case class Workflow(layers: scala.Seq[scala.Seq[Branch]]) extends Processor {
     def apply(df: DataFrame): DataFrame =
       layers.foldLeft(df)((d, layer) => layer.foldLeft(d)((dd, b) => b(dd)))
+  }
+
+  object Workflow {
+    import graft.blobl.{Parser, Targets}
+
+    /** Auto-order branches into layers from their Bloblang read/write
+      * targets, exactly the reference's dependency analysis
+      * (`workflow_branch_map.go` + `QueryTargets`/`AssignmentTargets`):
+      * branch A precedes B when A writes a doc path B's request_map reads. */
+    def auto(branches: scala.Seq[Branch]): Workflow = {
+      val reads = branches.map(b => Targets.queryPaths(Parser.parseMapping(b.requestMap)))
+      val writes = branches.map(_.resultPaths.map(_._2.split('.').toList).toSet)
+      val n = branches.length
+      val dependsOn = Array.fill(n)(scala.collection.mutable.Set[Int]())
+      for (a <- 0 until n; b <- 0 until n if a != b)
+        if (writes(a).exists(w => reads(b).exists(r => Targets.overlaps(w, r))))
+          dependsOn(b) += a
+      // Kahn layering
+      val placed = scala.collection.mutable.Set[Int]()
+      val layers = scala.collection.mutable.ListBuffer[scala.Seq[Branch]]()
+      while (placed.size < n) {
+        val ready = (0 until n).filter(i => !placed(i) && dependsOn(i).forall(placed))
+        require(ready.nonEmpty, "workflow: dependency cycle between branches")
+        layers += ready.map(branches)
+        placed ++= ready
+      }
+      Workflow(layers.toSeq)
+    }
   }
 
   /** Named processor registry (`resource` processor,

@@ -64,6 +64,15 @@ final case class HashSampleProc(minPct: Double, maxPct: Double, key: String = "c
   }
 }
 
+/** `metric` processor (`lib/processor/metric.go:280-308`): emit
+  * counters/gauges from the flowing data without a separate pass —
+  * `df.observe` accumulates during the action; read via
+  * `Observation.get` (batch) or QueryProgress events (streaming). */
+final case class MetricProc(obs: org.apache.spark.sql.Observation,
+    aggs: scala.Seq[Column]) extends Processor {
+  def apply(df: DataFrame): DataFrame = df.observe(obs, aggs.head, aggs.tail: _*)
+}
+
 /** `dedupe` (`lib/processor/dedupe.go:32-58`): drop rows with an
   * already-seen key. Batch mode = dropDuplicates (state = shuffle hash);
   * streaming uses dropDuplicatesWithinWatermark (see graft.streaming). */
