@@ -421,6 +421,16 @@ object Compiler {
       case "filepath_split" => TC(split(t.col, "/"), Some(ArrayType(StringType)))
       case "parse_json" => TC(parse_json(t.col.cast(StringType)), Some(VariantType))
       case "format_json" => TC(to_json(t.col), Some(StringType))
+      case "parse_yaml" =>
+        TC(parse_json(graft.exprs.Formats.yamlToJson(t.col.cast(StringType))), Some(VariantType))
+      case "format_yaml" =>
+        val json = t.tpe match {
+          case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) => to_json(t.col)
+          case _ => t.col.cast(StringType)
+        }
+        TC(graft.exprs.Formats.jsonToYaml(json), Some(StringType))
+      case "parse_xml" =>
+        TC(parse_json(graft.exprs.Formats.xmlToJson(t.col.cast(StringType))), Some(VariantType))
       case "parse_duration" => parseDuration(t)
       case "parse_timestamp" =>
         TC(to_timestamp(t.col, TimeFormats.goToJava(litStr(0))), Some(TimestampType))

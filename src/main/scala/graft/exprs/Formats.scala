@@ -1,0 +1,197 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Format bridge UDFs: YAML and XML → JSON text (then `parse_json` turns
+  * the JSON into a queryable variant). UDF-hosted by necessity — no
+  * Catalyst builtin parses YAML/arbitrary XML — mirroring the reference's
+  * `parse_yaml`/`parse_xml` (`methods_strings.go:992-1065`,
+  * `internal/xml/`). */
+object Formats {
+
+  private lazy val jsonMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  /** YAML document → canonical JSON string. */
+  val yamlToJson: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else {
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val parsed = yaml.load[Any](s)
+      jsonMapper.writeValueAsString(parsed)
+    })
+    c => f(c)
+  }
+
+  /** Any JSON-ish value (rendered from doc) → YAML string. */
+  val jsonToYaml: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else {
+      val tree = jsonMapper.readValue(s, classOf[Object])
+      new org.yaml.snakeyaml.Yaml().dump(tree)
+    })
+    c => f(c)
+  }
+
+  /** XML document → JSON string (elements → objects, repeated elements →
+    * arrays, attributes prefixed "-", text content under "#text" — the
+    * reference's conversion shape, `internal/xml/to_json.go`). */
+  val xmlToJson: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val doc = dbf.newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+      jsonMapper.writeValueAsString(
+        java.util.Map.of(doc.getDocumentElement.getNodeName, elemToMap(doc.getDocumentElement)))
+    })
+    c => f(c)
+  }
+
+  private def elemToMap(e: org.w3c.dom.Element): Object = {
+    val out = new java.util.LinkedHashMap[String, Object]()
+    val attrs = e.getAttributes
+    for (i <- 0 until attrs.getLength) {
+      val a = attrs.item(i)
+      out.put("-" + a.getNodeName, a.getNodeValue)
+    }
+    val children = e.getChildNodes
+    val text = new StringBuilder
+    for (i <- 0 until children.getLength) children.item(i) match {
+      case c: org.w3c.dom.Element =>
+        val v = elemToMap(c)
+        out.get(c.getNodeName) match {
+          case null => out.put(c.getNodeName, v)
+          case l: java.util.List[_] =>
+            l.asInstanceOf[java.util.List[Object]].add(v)
+          case prev =>
+            val l = new java.util.ArrayList[Object]()
+            l.add(prev); l.add(v)
+            out.put(c.getNodeName, l)
+        }
+      case t: org.w3c.dom.Text => text.append(t.getTextContent)
+      case _ => ()
+    }
+    val trimmed = text.toString.trim
+    if (out.isEmpty) trimmed
+    else {
+      if (trimmed.nonEmpty) out.put("#text", trimmed)
+      out
+    }
+  }
+
+  /** Minimal JSON-Schema check (`lib/processor/jsonschema.go` semantics:
+    * invalid docs get flagged, not dropped): supports `required` and
+    * `properties.<k>.type`. Returns null when valid, else the message. */
+  def jsonSchemaError(jsonCol: Column, schemaJson: String): Column = {
+    val schema = jsonMapper.readTree(schemaJson)
+    val required: scala.Seq[String] =
+      if (schema.has("required"))
+        (0 until schema.get("required").size()).map(schema.get("required").get(_).asText())
+      else scala.Seq.empty
+    val types: scala.Seq[(String, String)] =
+      if (schema.has("properties")) {
+        val it = schema.get("properties").fields()
+        val buf = scala.collection.mutable.ListBuffer[(String, String)]()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.has("type")) buf += ((e.getKey, e.getValue.get("type").asText()))
+        }
+        buf.toSeq
+      } else scala.Seq.empty
+    val f = udf((s: String) => if (s == null) "document is null" else {
+      try {
+        val node = jsonMapper.readTree(s)
+        val missing = required.filterNot(node.has)
+        if (missing.nonEmpty) s"missing required field(s): ${missing.mkString(",")}"
+        else {
+          val bad = types.collectFirst {
+            case (k, t) if node.has(k) && !typeOk(node.get(k), t) =>
+              s"field $k: expected $t"
+          }
+          bad.orNull
+        }
+      } catch { case e: Exception => s"invalid JSON: ${e.getMessage}" }
+    })
+    f(jsonCol)
+  }
+
+  private def typeOk(n: com.fasterxml.jackson.databind.JsonNode, t: String): Boolean = t match {
+    case "string" => n.isTextual
+    case "number" => n.isNumber
+    case "integer" => n.isIntegralNumber
+    case "boolean" => n.isBoolean
+    case "array" => n.isArray
+    case "object" => n.isObject
+    case "null" => n.isNull
+    case _ => true
+  }
+
+  /** tar archive of (name, content) entries — the `archive: tar` format
+    * (`lib/processor/archive.go`). */
+  val tarOf: Column => Column = {
+    val f = udf((entries: scala.Seq[org.apache.spark.sql.Row]) => {
+      val out = new java.io.ByteArrayOutputStream()
+      val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(out)
+      entries.foreach { r =>
+        val name = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
+        e.setSize(bytes.length)
+        tar.putArchiveEntry(e)
+        tar.write(bytes)
+        tar.closeArchiveEntry()
+      }
+      tar.close()
+      out.toByteArray
+    })
+    c => f(c)
+  }
+
+  /** Expand a tar archive to (name, content) entries — `unarchive: tar`. */
+  val untar: Column => Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else {
+      val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val buf = scala.collection.mutable.ListBuffer[(String, Array[Byte])]()
+      var e = in.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) buf += ((e.getName, in.readAllBytes()))
+        e = in.getNextEntry
+      }
+      buf.toSeq
+    })
+    c => f(c)
+  }
+
+  /** zip flavors of the same. */
+  val zipOf: Column => Column = {
+    val f = udf((entries: scala.Seq[org.apache.spark.sql.Row]) => {
+      val out = new java.io.ByteArrayOutputStream()
+      val zip = new java.util.zip.ZipOutputStream(out)
+      entries.foreach { r =>
+        zip.putNextEntry(new java.util.zip.ZipEntry(r.getString(0)))
+        zip.write(r.getAs[Array[Byte]](1))
+        zip.closeEntry()
+      }
+      zip.close()
+      out.toByteArray
+    })
+    c => f(c)
+  }
+
+  val unzip: Column => Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else {
+      val in = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(b))
+      val buf = scala.collection.mutable.ListBuffer[(String, Array[Byte])]()
+      var e = in.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) buf += ((e.getName, in.readAllBytes()))
+        e = in.getNextEntry
+      }
+      buf.toSeq
+    })
+    c => f(c)
+  }
+}

@@ -87,6 +87,12 @@ object BatchOps {
         case "json_array" => to_json(docs).cast(BinaryType)
         case "lines" => array_join(contents, "\n").cast(BinaryType)
         case "concatenate" | "binary" => array_join(contents, "").cast(BinaryType)
+        case "tar" | "zip" =>
+          val entries = transform(col("parts"), p => struct(
+            p.getField("s").cast(StringType).as("name"),
+            p.getField("c").as("content")))
+          if (format == "tar") graft.exprs.Formats.tarOf(entries)
+          else graft.exprs.Formats.zipOf(entries)
         case o => throw new IllegalArgumentException(s"archive: unsupported format $o")
       }
       gathered.select(
@@ -112,6 +118,29 @@ object BatchOps {
           col("_line").cast(BinaryType).as(Content),
           lit(null).cast(docType).as(Doc),
           col(Meta), col(Error), col(BatchId),
+          (col(Seq) * 1000000 + col("_pos")).as(Seq))
+    }
+  }
+
+  /** `unarchive: tar|zip` — one archive part → one part per entry, entry
+    * name in meta ("archive_name"). */
+  final case class UnarchiveArchive(format: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val entries = format match {
+        case "tar" => graft.exprs.Formats.untar(contentOrDoc(df))
+        case "zip" => graft.exprs.Formats.unzip(contentOrDoc(df))
+        case o => throw new IllegalArgumentException(s"unarchive: unsupported format $o")
+      }
+      val docType = df.schema(Doc).dataType
+      df.select(posexplode(entries).as(scala.Seq("_pos", "_e")),
+          col(Meta), col(Error), col(BatchId), col(Seq))
+        .select(
+          col("_e._2").as(Content),
+          lit(null).cast(docType).as(Doc),
+          map_concat(
+            map_filter(col(Meta), (k, _) => k =!= "archive_name"),
+            map(lit("archive_name"), col("_e._1"))).as(Meta),
+          col(Error), col(BatchId),
           (col(Seq) * 1000000 + col("_pos")).as(Seq))
     }
   }

@@ -35,6 +35,18 @@ object ErrorOps {
     }
   }
 
+  /** `jsonschema` (`lib/processor/jsonschema.go`): flag docs failing a
+    * JSON Schema (required + property types subset); invalid rows keep
+    * flowing with `_error` set. */
+  final case class JsonSchema(schemaJson: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val err = graft.exprs.Formats.jsonSchemaError(
+        Envelope.contentOrDoc(df).cast("string"), schemaJson)
+      df.withColumn(Envelope.Error,
+        when(col(Envelope.Error).isNotNull, col(Envelope.Error)).otherwise(err))
+    }
+  }
+
   /** `try` (`lib/processor/try.go`): children run only on non-errored rows;
     * errored rows pass through untouched. Implemented as split → transform →
     * union, exact for row-wise children. */

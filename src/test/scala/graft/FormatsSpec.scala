@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.blobl.Mapping
+import graft.model.Envelope
+import graft.ops._
+import graft.ops.{BatchOps => B, ErrorOps => E}
+
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  def jdf(rows: String*) = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(rows))
+  }
+  def run(mapping: String, rows: String*): List[String] = {
+    val out = Mapping.compile(mapping).applyPlain(jdf(rows: _*))
+    out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*))).collect()
+      .map(_.getString(0)).toList
+  }
+
+  test("parse_yaml to variant") {
+    assert(run(
+      """root.name = this.y.parse_yaml().name.string()
+        |root.n = this.y.parse_yaml().count.number()""".stripMargin,
+      """{"y":"name: benthos\ncount: 3"}""")
+      == List("""{"name":"benthos","n":3.0}"""))
+  }
+
+  test("format_yaml round trip") {
+    val got = run("""root.back = this.j.parse_json().string().parse_yaml().k.number()""",
+      """{"j":"{\"k\": 7}"}""")
+    assert(got == List("""{"back":7.0}"""))
+  }
+
+  test("parse_xml: elements, attributes, repeats") {
+    val got = run(
+      """root.title = this.x.parse_xml().book.title.string()
+        |root.id = this.x.parse_xml().book."-id".string()""".stripMargin,
+      """{"x":"<book id=\"bk1\"><title>Dune</title></book>"}""")
+    assert(got == List("""{"title":"Dune","id":"bk1"}"""))
+  }
+
+  test("json_schema flags invalid docs, valid pass") {
+    val env = Envelope.wrap(
+      jdf("""{"id":1,"name":"ok"}""", """{"id":2}"""), scala.Seq(col("id")))
+    val out = E.JsonSchema("""{"required":["name"],"properties":{"id":{"type":"integer"}}}""")(env)
+    val errs = out.orderBy("doc.id").select(Envelope.Error).collect().map(r =>
+      Option(r.getString(0))).toList
+    assert(errs.head.isEmpty && errs(1).exists(_.contains("name")))
+  }
+
+  test("archive tar → unarchive tar round trip") {
+    val env = Envelope.wrap(jdf(
+      """{"id":1,"s":"alpha"}""", """{"id":2,"s":"beta"}"""), scala.Seq(col("id")))
+    val pipeline = Pipeline(scala.Seq(
+      BloblangProc("root = this.s"),
+      B.Archive("tar"),
+      B.UnarchiveArchive("tar")))
+    val out = pipeline(env)
+    val got = out.select(col(Envelope.Content).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("alpha", "beta"))
+    assert(out.select(element_at(col(Envelope.Meta), "archive_name")).count() == 2)
+  }
+
+  test("archive zip → unarchive zip round trip") {
+    val env = Envelope.wrap(jdf(
+      """{"id":1,"s":"one"}""", """{"id":2,"s":"two"}"""), scala.Seq(col("id")))
+    val out = Pipeline(scala.Seq(
+      BloblangProc("root = this.s"),
+      B.Archive("zip"),
+      B.UnarchiveArchive("zip")))(env)
+    assert(out.select(col(Envelope.Content).cast("string"))
+      .collect().map(_.getString(0)).toSet == Set("one", "two"))
+  }
+}
