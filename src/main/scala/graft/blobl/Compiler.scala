@@ -228,6 +228,12 @@ object Compiler {
       case "batch_size" =>
         val (b, _) = ctx.batch.getOrElse(throw CompileError("batch_size() needs envelope batch columns"))
         TC(count(lit(1)).over(Window.partitionBy(b)), Some(LongType))
+      case "count" =>
+        // global named counter (functions.go:200) — inherently serial, so
+        // this is a single-partition window; use batch_index() for the
+        // scalable per-batch form
+        val (_, s) = ctx.batch.getOrElse(throw CompileError("count() needs envelope context"))
+        TC(row_number().over(Window.orderBy(s)).cast(LongType), Some(LongType))
       case "var" => ctx.vars.getOrElse(litStr(0), throw CompileError(s"unknown var ${litStr(0)}"))
       case other => throw CompileError(s"unknown function $other()")
     }
@@ -504,14 +510,19 @@ object Compiler {
         val o = c(0)
         (t.tpe, o.tpe) match {
           case (Some(_: MapType), Some(_: MapType)) => TC(map_concat(t.col, o.col), t.tpe)
-          case (Some(a: StructType), Some(b: StructType)) =>
-            val rightNames = b.fieldNames.toSet
-            val keepLeft = a.fieldNames.filterNot(rightNames.contains)
-            val fields = keepLeft.map(n => t.col.getField(n).as(n)) ++
-              b.fieldNames.map(n => o.col.getField(n).as(n))
-            TC(struct(fields.toIndexedSeq: _*), Some(StructType(
-              keepLeft.map(n => a(n)) ++ b.fields)))
+          case (Some(_: StructType), Some(_: StructType)) => deepMerge(t, o)
           case _ => throw CompileError("merge: both sides must be objects")
+        }
+      case "collapse" =>
+        // flatten nested structs to a dot-path → string map
+        // (`methods_structured.go:152`; array indices not expanded)
+        t.tpe match {
+          case Some(s: StructType) =>
+            val leaves = collapsePaths(s, Nil)
+            val keys = array(leaves.map(p => lit(p.mkString("."))): _*)
+            val vals = array(leaves.map(p => accessPath(t, p).col.cast(StringType)): _*)
+            TC(map_from_arrays(keys, vals), Some(MapType(StringType, StringType)))
+          case _ => throw CompileError("collapse: object required")
         }
       case "sort" =>
         if (args.isEmpty) TC(array_sort(t.col), t.tpe)
@@ -559,6 +570,42 @@ object Compiler {
       case other => throw CompileError(s"unknown method .$other()")
     }
   }
+
+  /** Deep merge of two struct values (reference `methods_structured.go:897`):
+    * same-named struct fields recurse, otherwise the right side wins;
+    * left-only fields are kept. */
+  private def deepMerge(l: TC, r: TC): TC = {
+    val (a, b) = (l.tpe, r.tpe) match {
+      case (Some(x: StructType), Some(y: StructType)) => (x, y)
+      case _ => return r
+    }
+    val names = a.fieldNames.filterNot(b.fieldNames.contains) ++ b.fieldNames
+    val merged = names.map { n =>
+      (a.fields.find(_.name == n), b.fields.find(_.name == n)) match {
+        case (Some(af), Some(bf)) if af.dataType.isInstanceOf[StructType] &&
+            bf.dataType.isInstanceOf[StructType] =>
+          val sub = deepMerge(
+            TC(l.col.getField(n), Some(af.dataType)),
+            TC(r.col.getField(n), Some(bf.dataType)))
+          (n, sub)
+        case (_, Some(bf)) => (n, TC(r.col.getField(n), Some(bf.dataType)))
+        case (Some(af), None) => (n, TC(l.col.getField(n), Some(af.dataType)))
+        case _ => (n, TC(lit(null), None))
+      }
+    }
+    TC(struct(merged.map { case (n, v) => v.col.as(n) }.toIndexedSeq: _*),
+      Some(StructType(merged.map { case (n, v) =>
+        StructField(n, v.tpe.getOrElse(NullType))
+      })))
+  }
+
+  private def collapsePaths(s: StructType, prefix: List[String]): List[List[String]] =
+    s.fields.toList.flatMap { f =>
+      f.dataType match {
+        case sub: StructType => collapsePaths(sub, prefix :+ f.name)
+        case _ => List(prefix :+ f.name)
+      }
+    }
 
   private def tsOf(t: TC): Column = t.tpe match {
     case Some(TimestampType) => t.col

@@ -51,9 +51,9 @@ object Mapping {
       vars = Map.empty, maps = Map.empty, batch = None)
   }
 
-  /** Value of a named map applied to `ctx.this` (the `.apply(name)` method
-    * and nested `map` definitions). */
-  private[blobl] def compileMapValue(stmts: List[Stmt], ctx: Ctx): TC = {
+  /** Value of a named map applied to `ctx.this` (the `.apply(name)` method,
+    * nested `map` definitions, and inline branch composition). */
+  def compileMapValue(stmts: List[Stmt], ctx: Ctx): TC = {
     val state = new RootState(ctx)
     var c = ctx
     stmts.foreach {

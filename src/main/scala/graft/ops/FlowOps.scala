@@ -63,7 +63,31 @@ object FlowOps {
       requestMap: String,
       children: scala.Seq[Processor],
       resultPaths: scala.Seq[(String, String)]) extends Processor {
-    def apply(df: DataFrame): DataFrame = {
+
+    /** Pure-mapping children compose as Columns — no join, no shuffle, one
+      * projection (the compiler-level path SURVEY §2.1 calls for). */
+    private def inlinable: Boolean = children.forall(_.isInstanceOf[BloblangProc])
+
+    def apply(df: DataFrame): DataFrame =
+      if (inlinable) applyInline(df) else applyJoin(df)
+
+    private def applyInline(df: DataFrame): DataFrame = {
+      import graft.blobl.{Mapping => BM, Parser}
+      val ctx0 = BM.envelopeCtx(df)
+      val reqTC = BM.compileMapValue(Parser.parseMapping(requestMap).stmts, ctx0)
+      val childTC = children.foldLeft(reqTC) { (tc, p) =>
+        val stmts = Parser.parseMapping(p.asInstanceOf[BloblangProc].mapping).stmts
+        BM.compileMapValue(stmts, ctx0.withThis(tc))
+      }
+      val newDoc = resultPaths.foldLeft(col(Doc)) { case (acc, (childField, destPath)) =>
+        acc.withField(destPath, graft.blobl.Compiler.accessField(childTC, childField).col)
+      }
+      df.select(col(Content), newDoc.as(Doc), col(Meta), col(Error), col(BatchId), col(Seq))
+    }
+
+    /** General children (joins, lookups, re-batching): merge back by row
+      * identity — a co-partitioned shuffle join at scale. */
+    private def applyJoin(df: DataFrame): DataFrame = {
       val request = BloblangProc(requestMap)(df)
       val childOut = Pipeline(children)(request)
       val right = childOut.select(

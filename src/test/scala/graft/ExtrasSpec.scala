@@ -96,4 +96,33 @@ class ExtrasSpec extends AnyFunSuite {
       .write.format("noop").mode("overwrite").save()
     assert(obs.get("n") == 3L && obs.get("total") == 6L)
   }
+
+  test("deep merge recurses into nested structs") {
+    assert(run(
+      """root.m = this.a.merge(this.b)""",
+      """{"a":{"x":1,"nest":{"p":1,"q":2}},"b":{"y":9,"nest":{"q":3,"r":4}}}""")
+      == List("""{"m":{"x":1,"nest":{"p":1,"q":3,"r":4},"y":9}}"""))
+  }
+
+  test("collapse flattens to dot-path map") {
+    assert(run("""root.flat = this.o.collapse()""",
+      """{"o":{"a":{"b":1,"c":"z"},"d":true}}""")
+      == List("""{"flat":{"a.b":"1","a.c":"z","d":"true"}}"""))
+  }
+
+  test("count() numbers rows in order") {
+    val env = Envelope.wrap(jdf("""{"v":"a"}""","""{"v":"b"}""","""{"v":"c"}"""), scala.Seq(col("v")))
+    val out = BloblangProc("root.v = this.v\nroot.n = count(\"c\")")(env)
+    assert(Envelope.unwrap(out).orderBy("v").collect().map(_.getLong(1)).toList == List(1L, 2L, 3L))
+  }
+
+  test("branch inlines pure-mapping children: no join in plan") {
+    val b = F.Branch("root.a = this.a",
+      scala.Seq(BloblangProc("root.r = this.a * 3")), scala.Seq("r" -> "tripled"))
+    val env = Envelope.wrap(jdf("""{"a":7}"""), scala.Seq(col("a")))
+    val out = b(env)
+    assert(Envelope.unwrap(out).select("tripled").head().getLong(0) == 21L)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"expected no join:\n$plan")
+  }
 }
