@@ -437,7 +437,8 @@ object Compiler {
         TC(graft.exprs.Formats.jsonToYaml(json), Some(StringType))
       case "parse_xml" =>
         TC(parse_json(graft.exprs.Formats.xmlToJson(t.col.cast(StringType))), Some(VariantType))
-      case "parse_duration" => parseDuration(t)
+      case "parse_duration" =>
+        TC(graft.exprs.GoDurationParse.column(t.col.cast(StringType)), Some(LongType))
       case "parse_timestamp" =>
         TC(to_timestamp(t.col, TimeFormats.goToJava(litStr(0))), Some(TimestampType))
       case "parse_timestamp_strptime" =>
@@ -635,18 +636,4 @@ object Compiler {
     else TC(t.col.substr(lowIdx + 1, sliceLen), Some(StringType))
   }
 
-  /** parse_duration: "300ms" / "1.5s" / "2m" / "1h" → nanoseconds (single
-    * component; the reference supports compound "1h2m" via Go's
-    * time.ParseDuration — compound strings are a TODO). */
-  private def parseDuration(t: TC): TC = {
-    val num = regexp_extract(t.col, "^(-?[0-9]*\\.?[0-9]+)", 1).cast(DoubleType)
-    val unit = regexp_extract(t.col, "(ns|us|µs|ms|s|m|h)$", 1)
-    val mult = when(unit === "ns", 1L)
-      .when(unit === "us" || unit === "µs", 1000L)
-      .when(unit === "ms", 1000000L)
-      .when(unit === "s", 1000000000L)
-      .when(unit === "m", 60000000000L)
-      .when(unit === "h", 3600000000000L)
-    TC((num * mult).cast(LongType), Some(LongType))
-  }
 }

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the classic Expression↔Column conversion, which Spark 4 keeps
+  * `private[sql]` (Connect-compatible Column API). Custom native
+  * expressions (graft.exprs.*) need exactly these two calls; placing the
+  * bridge in this package is the standard extension-library technique. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -125,4 +125,14 @@ class ExtrasSpec extends AnyFunSuite {
     val plan = out.queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("join"), s"expected no join:\n$plan")
   }
+
+  test("parse_duration: compound Go durations via native expression") {
+    assert(run(
+      """root.a = this.d1.parse_duration()
+        |root.b = this.d2.parse_duration()
+        |root.c = this.d3.parse_duration()
+        |root.bad = this.d4.parse_duration()""".stripMargin,
+      """{"d1":"1h2m3s","d2":"-300ms","d3":"1.5s","d4":"nope"}""")
+      == List("""{"a":3723000000000,"b":-300000000,"c":1500000000}"""))
+  }
 }
