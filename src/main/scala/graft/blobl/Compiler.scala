@@ -90,15 +90,7 @@ object Compiler {
       val b = compile(base, ctx)
       accessField(b, name)
     case IndexOp(base, idx) =>
-      val b = compile(base, ctx)
-      val i = compile(idx, ctx)
-      if (b.isMap) TC(element_at(b.col, i.col), fieldType(b.tpe, ""))
-      else {
-        // Bloblang index: 0-based, negative = from end (element_at is
-        // 1-based with negative-from-end support).
-        val adj = when(i.col >= 0, i.col + 1).otherwise(i.col)
-        TC(element_at(b.col, adj.cast(IntegerType)), b.elemType)
-      }
+      indexValue(compile(base, ctx), compile(idx, ctx))
     case Neg(x) => val c = compile(x, ctx); TC(-c.col, c.tpe)
     case Not(x) => val c = compile(x, ctx); TC(!c.col, Some(BooleanType))
     case BinOp(op, l, r) => binop(op, l, r, ctx)
@@ -126,9 +118,26 @@ object Compiler {
       TC(chain, conds.map(_._2.tpe).reduceOption(unify).flatten)
     case FnCall(name, args) => function(name, args, ctx)
     case MethodCall(LitString(fmt), "format", args) =>
-      TC(format_string(fmt, args.map(a => compile(a, ctx).col): _*), Some(StringType))
+      // Go fmt verbs: %v prints any value -> map to %s with string cast
+      val jfmt = fmt.replace("%v", "%s")
+      TC(format_string(jfmt, args.map(a => compile(a, ctx).col.cast(StringType)): _*),
+        Some(StringType))
     case MethodCall(target, name, args) => method(compile(target, ctx), name, args, ctx)
     case Lambda(_, _) => throw CompileError("lambda only valid as a method argument")
+  }
+
+  /** Index access: 0-based, negative from end (index method + brackets).
+    * Maps index by key; binary yields the byte value as a number. */
+  private def indexValue(b: TC, i: TC): TC = {
+    if (b.isMap) TC(element_at(b.col, i.col), fieldType(b.tpe, ""))
+    else if (b.tpe.contains(BinaryType)) {
+      val adj = when(i.col >= 0, i.col + 1).otherwise(octet_length(b.col) + i.col + 1)
+      TC(conv(hex(b.col.substr(adj.cast(IntegerType), lit(1))), 16, 10).cast(LongType),
+        Some(LongType))
+    } else {
+      val adj = when(i.col >= 0, i.col + 1).otherwise(i.col)
+      TC(element_at(b.col, adj.cast(IntegerType)), b.elemType)
+    }
   }
 
   def accessField(b: TC, name: String): TC = b.tpe match {
@@ -317,7 +326,12 @@ object Compiler {
       case "uppercase" => TC(upper(t.col), Some(StringType))
       case "lowercase" => TC(lower(t.col), Some(StringType))
       case "capitalize" =>
-        TC(concat(upper(substring(t.col, 1, 1)), t.col.substr(lit(2), length(t.col))), Some(StringType))
+        // Go strings.Title semantics: first letter of EVERY word upper,
+        // rest untouched (methods_strings.go:61 example "the foo bar" ->
+        // "The Foo Bar")
+        TC(array_join(transform(split(t.col, " "),
+          w => concat(upper(substring(w, 1, 1)), w.substr(lit(2), length(w)))), " "),
+          Some(StringType))
       case "trim" =>
         if (args.isEmpty) TC(trim(t.col), Some(StringType))
         else TC(trim(t.col, litStr(0)), Some(StringType))
@@ -418,13 +432,34 @@ object Compiler {
         case "hex" => TC(unhex(t.col), Some(BinaryType))
         case o => throw CompileError(s"decode: unsupported scheme $o")
       }
+      case "escape_html" =>
+        // html.EscapeString: & < > " ' (ampersand first)
+        val esc = scala.Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+          "\"" -> "&#34;", "'" -> "&#39;")
+          .foldLeft(t.col) { case (acc, (from, to)) =>
+            regexp_replace(acc, java.util.regex.Pattern.quote(from),
+              java.util.regex.Matcher.quoteReplacement(to))
+          }
+        TC(esc, Some(StringType))
+      case "unescape_html" =>
+        val un = scala.Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+          "&#34;" -> "\"", "&quot;" -> "\"", "&#39;" -> "'")
+          .foldLeft(t.col) { case (acc, (from, to)) =>
+            regexp_replace(acc, java.util.regex.Pattern.quote(from),
+              java.util.regex.Matcher.quoteReplacement(to))
+          }
+        TC(un, Some(StringType))
       case "escape_url_query" => TC(url_encode(t.col), Some(StringType))
       case "unescape_url_query" => TC(url_decode(t.col), Some(StringType))
       case "strip_html" => TC(regexp_replace(t.col, "<[^>]*>", ""), Some(StringType))
       case "quote" => TC(to_json(struct(t.col.as("q"))).substr(lit(6),
         length(to_json(struct(t.col.as("q")))) - 6), Some(StringType))
       case "filepath_join" => TC(array_join(t.col, "/"), Some(StringType))
-      case "filepath_split" => TC(split(t.col, "/"), Some(ArrayType(StringType)))
+      case "filepath_split" =>
+        // Go filepath.Split: (dir incl. trailing sep, file) pair
+        TC(array(
+          regexp_extract(t.col, "^(.*/)?", 1),
+          regexp_replace(t.col, "^.*/", "")), Some(ArrayType(StringType)))
       case "parse_json" => TC(parse_json(t.col.cast(StringType)), Some(VariantType))
       case "format_json" => TC(to_json(t.col), Some(StringType))
       case "parse_yaml" =>
@@ -484,10 +519,7 @@ object Compiler {
           case o => throw CompileError(s"fold: lambda required, got $o")
         }
         TC(aggregate(t.col, init.col, body), init.tpe)
-      case "index" =>
-        val i = c(0)
-        val adj = when(i.col >= 0, i.col + 1).otherwise(i.col)
-        TC(element_at(t.col, adj.cast(IntegerType)), t.elemType)
+      case "index" => indexValue(t, c(0))
       case "keys" => t.tpe match {
         case Some(s: StructType) =>
           TC(array(s.fieldNames.map(lit(_)).toIndexedSeq: _*), Some(ArrayType(StringType)))
@@ -615,13 +647,17 @@ object Compiler {
     case _ => to_timestamp(t.col)
   }
 
+  /** hash returns raw BYTES like the reference (`methods_strings.go:683`);
+    * the idiomatic chain is `.hash("sha1").encode("hex")`. */
   private def hashMethod(t: TC, alg: String): TC = alg match {
-    case "md5" => TC(md5(t.col.cast(BinaryType)), Some(StringType))
-    case "sha1" => TC(sha1(t.col.cast(BinaryType)), Some(StringType))
-    case "sha256" => TC(sha2(t.col.cast(BinaryType), 256), Some(StringType))
-    case "sha512" => TC(sha2(t.col.cast(BinaryType), 512), Some(StringType))
-    case "xxhash64" => TC(xxhash64(t.col).cast(StringType), Some(StringType))
-    case "crc32" => TC(crc32(t.col.cast(BinaryType)).cast(StringType), Some(StringType))
+    case "md5" => TC(unhex(md5(t.col.cast(BinaryType))), Some(BinaryType))
+    case "sha1" => TC(unhex(sha1(t.col.cast(BinaryType))), Some(BinaryType))
+    case "sha256" => TC(unhex(sha2(t.col.cast(BinaryType), 256)), Some(BinaryType))
+    case "sha512" => TC(unhex(sha2(t.col.cast(BinaryType), 512)), Some(BinaryType))
+    case "xxhash64" =>
+      TC(unhex(lpad(hex(xxhash64(t.col)), 16, "0")), Some(BinaryType))
+    case "crc32" =>
+      TC(unhex(lpad(hex(crc32(t.col.cast(BinaryType))), 8, "0")), Some(BinaryType))
     case o => throw CompileError(s"hash: unsupported algorithm $o")
   }
 

@@ -159,7 +159,7 @@ class BloblSpec extends AnyFunSuite {
   }
 
   test("hash and encode") {
-    assert(run("""root.h = this.s.hash("md5")
+    assert(run("""root.h = this.s.hash("md5").encode("hex")
                  |root.b64 = this.s.encode("base64")""".stripMargin,
       """{"s":"hello world"}""")
       == List("""{"h":"5eb63bbbe01eeed093cb22bb8f5acdc3","b64":"aGVsbG8gd29ybGQ="}"""))

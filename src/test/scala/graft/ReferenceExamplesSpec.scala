@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.blobl.Mapping
+
+/** Golden tests ported VERBATIM from the reference's executable doc
+  * examples (`NewExampleSpec` triples in
+  * `internal/bloblang/query/methods*.go`) — the same corpus the reference
+  * runs as its own tests, so passing here means matching the reference's
+  * results on its own test inputs. Each case cites the source method. */
+class ReferenceExamplesSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  def check(mapping: String, cases: (String, String)*): Unit = {
+    import spark.implicits._
+    cases.foreach { case (in, want) =>
+      val df = spark.read.json(spark.createDataset(scala.Seq(in)))
+      val out = Mapping.compile(mapping).applyPlain(df)
+      val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*)))
+        .head().getString(0)
+      assert(got == want, s"\nmapping: $mapping\nin: $in")
+    }
+  }
+
+  test("all (methods_structured.go)") {
+    check("root.all_over_21 = this.patrons.all(patron -> patron.age >= 21)",
+      """{"patrons":[{"id":"1","age":18},{"id":"2","age":23}]}""" -> """{"all_over_21":false}""",
+      """{"patrons":[{"id":"1","age":45},{"id":"2","age":23}]}""" -> """{"all_over_21":true}""")
+  }
+
+  test("any (methods_structured.go)") {
+    check("root.any_over_21 = this.patrons.any(patron -> patron.age >= 21)",
+      """{"patrons":[{"id":"1","age":18},{"id":"2","age":23}]}""" -> """{"any_over_21":true}""",
+      """{"patrons":[{"id":"1","age":10},{"id":"2","age":12}]}""" -> """{"any_over_21":false}""")
+  }
+
+  test("append (methods_structured.go)") {
+    check("""root.foo = this.foo.append("and", "this")""",
+      """{"foo":["bar","baz"]}""" -> """{"foo":["bar","baz","and","this"]}""")
+  }
+
+  test("contains on arrays and strings (methods_structured.go)") {
+    check("""root.has_foo = this.thing.contains("foo")""",
+      """{"thing":["this","foo","that"]}""" -> """{"has_foo":true}""",
+      """{"thing":"this foo that"}""" -> """{"has_foo":true}""",
+      """{"thing":"this bar that"}""" -> """{"has_foo":false}""")
+  }
+
+  test("capitalize = Go strings.Title (methods_strings.go)") {
+    check("root.title = this.title.capitalize()",
+      """{"title":"the foo bar"}""" -> """{"title":"The Foo Bar"}""")
+  }
+
+  test("encode/decode hex (methods_strings.go)") {
+    check("""root.encoded = this.value.encode("hex")""",
+      """{"value":"hello world"}""" -> """{"encoded":"68656c6c6f20776f726c64"}""")
+    check("""root.decoded = this.value.decode("hex").string()""",
+      """{"value":"68656c6c6f20776f726c64"}""" -> """{"decoded":"hello world"}""")
+  }
+
+  test("escape_html / unescape_html (methods_strings.go)") {
+    check("root.escaped = this.value.escape_html()",
+      """{"value":"foo & bar"}""" -> """{"escaped":"foo &amp; bar"}""")
+    check("root.unescaped = this.value.unescape_html()",
+      """{"value":"foo &amp; bar"}""" -> """{"unescaped":"foo & bar"}""")
+  }
+
+  test("index_of (methods_strings.go)") {
+    check("""root.index = this.thing.index_of("bar")""",
+      """{"thing":"foobar"}""" -> """{"index":3}""")
+  }
+
+  test("escape_url_query / unescape (methods_strings.go)") {
+    check("root.escaped = this.value.escape_url_query()",
+      """{"value":"foo & bar"}""" -> """{"escaped":"foo+%26+bar"}""")
+    check("root.unescaped = this.value.unescape_url_query()",
+      """{"value":"foo+%26+bar"}""" -> """{"unescaped":"foo & bar"}""")
+  }
+
+  test("format with Go verbs (methods_strings.go)") {
+    check("""root.foo = "%s(%v): %v".format(this.name, this.age, this.fingers)""",
+      """{"name":"lance","age":37,"fingers":13}""" -> """{"foo":"lance(37): 13"}""")
+  }
+
+  test("has_prefix / has_suffix (methods_strings.go)") {
+    check("""root.t1 = this.v1.has_prefix("foo")
+            |root.t2 = this.v2.has_prefix("foo")""".stripMargin,
+      """{"v1":"foobar","v2":"barfoo"}""" -> """{"t1":true,"t2":false}""")
+    check("""root.t1 = this.v1.has_suffix("foo")
+            |root.t2 = this.v2.has_suffix("foo")""".stripMargin,
+      """{"v1":"foobar","v2":"barfoo"}""" -> """{"t1":false,"t2":true}""")
+  }
+
+  test("hash + encode hex idiom (methods_strings.go)") {
+    check("""root.h1 = this.value.hash("sha1").encode("hex")""",
+      """{"value":"hello world"}""" -> """{"h1":"2aae6c35c94fcfb415dbe95f408b9ce91ee846ed"}""")
+  }
+
+  test("join (methods_strings.go)") {
+    check("""root.joined_words = this.words.join()
+            |root.joined_numbers = this.numbers.join(",")""".stripMargin,
+      """{"words":["hello","world"],"numbers":[3,8,11]}""" ->
+        """{"joined_words":"helloworld","joined_numbers":"3,8,11"}""")
+  }
+
+  test("bytes index → first byte value (methods_strings.go)") {
+    check("root.first_byte = this.name.bytes().index(0)",
+      """{"name":"foobar bazson"}""" -> """{"first_byte":102}""")
+  }
+
+  test("filepath_split (methods_strings.go)") {
+    check("root.path_sep = this.path.filepath_split()",
+      """{"path":"baz.txt"}""" -> """{"path_sep":["","baz.txt"]}""")
+  }
+
+  test("uppercase (methods_strings.go)") {
+    check("root.foo = this.foo.uppercase()",
+      """{"foo":"hello world"}""" -> """{"foo":"HELLO WORLD"}""")
+  }
+}
