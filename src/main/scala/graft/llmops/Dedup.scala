@@ -17,16 +17,16 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Distinct character k-gram shingles of a text column. */
+  /** Distinct character k-gram shingles of a text column (native
+    * expression: one pass, O(len·k) vs O(len²) for the substr-per-position
+    * composition). */
   def charShingles(text: Column, k: Int): Column =
-    array_distinct(charShinglesRaw(text, k))
+    graft.exprs.CharShinglesExpr.column(text, k, distinct = true)
 
   /** All character k-gram shingles (with duplicates — cheaper when the
     * consumer is an aggregate like min that ignores multiplicity). */
   def charShinglesRaw(text: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => text.substr(i, lit(k)))
+    graft.exprs.CharShinglesExpr.column(text, k, distinct = false)
 
   /** MinHash signature (engine-portable flavor): md5 each shingle ONCE,
     * then derive per-seed hashes by hex-rotation — min of the rotated hex

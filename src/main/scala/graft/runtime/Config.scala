@@ -19,9 +19,21 @@ object Config {
   final case class StreamSpec(
       input: SparkSession => DataFrame,
       pipeline: scala.Seq[Processor],
-      output: Sink) {
-    def run(spark: SparkSession): Unit =
+      output: Sink,
+      streaming: Boolean = false) {
+    def run(spark: SparkSession): Unit = {
+      require(!streaming, "streaming config: use runStream(spark, checkpoint)")
       output.write(Pipeline(pipeline)(input(spark)))
+    }
+
+    /** Streaming configs (file_stream / generate_stream inputs): the same
+      * pipeline on readStream, delivered through one foreachBatch. */
+    def runStream(spark: SparkSession, checkpoint: String,
+        trigger: org.apache.spark.sql.streaming.Trigger =
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      graft.streaming.Streaming.run(
+        Pipeline(pipeline)(input(spark)), output, checkpoint, trigger)
   }
 
   def load(yaml: String): StreamSpec = {
@@ -35,7 +47,9 @@ object Config {
       .map(asList(_).map(p => compileProcessor(asMap(p)))).getOrElse(Nil)
     val output = root.get("output").map(asMap).map(compileOutput)
       .getOrElse(Sinks.ConsoleSink())
-    StreamSpec(input, procs, output)
+    val streaming = root.get("input").map(asMap).exists(m =>
+      m.contains("file_stream") || m.contains("generate_stream"))
+    StreamSpec(input, procs, output, streaming)
   }
 
   // ---------- components ----------
@@ -58,6 +72,23 @@ object Config {
       case "sequence" =>
         val inputs = asList(conf("inputs")).map(i => compileInput(asMap(i)))
         s => Sources.sequence(inputs.map(_(s)))
+      case "file_stream" =>
+        val path = str(conf, "path")
+        val format = conf.get("format").map(_.toString).getOrElse("parquet")
+        s => {
+          // streaming sources need an explicit schema: infer from the
+          // existing files (standard bootstrap for file streams)
+          val schema = (format match {
+            case "parquet" => s.read.parquet(path)
+            case "json" => s.read.json(path)
+            case "csv" => s.read.option("header", true).csv(path)
+          }).schema
+          graft.streaming.Streaming.fileStream(s, path, format, schema)
+        }
+      case "generate_stream" =>
+        val mapping = str(conf, "mapping")
+        val rps = conf.get("rows_per_second").map(_.toString.toInt).getOrElse(10)
+        s => graft.streaming.Streaming.rateGenerate(s, mapping, rps)
       case "read_until" =>
         val inner = compileInput(asMap(conf("input")))
         val check = condString(conf("check"))
@@ -130,7 +161,8 @@ object Config {
     kind match {
       case "file" | "files" =>
         Sinks.FileSink(str(conf, "path"),
-          conf.get("codec").orElse(conf.get("format")).map(_.toString).getOrElse("lines"))
+          conf.get("codec").orElse(conf.get("format")).map(_.toString).getOrElse("lines"),
+          mode = conf.get("mode").map(_.toString).getOrElse("overwrite"))
       case "parquet" => Sinks.FileSink(str(conf, "path"), "parquet")
       case "stdout" => Sinks.ConsoleSink()
       case "drop" => Sinks.DropSink

@@ -93,4 +93,34 @@ class ConfigSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(spec.input(spark).count() == 5)
   }
+
+  test("streaming config: file_stream → bloblang → file(append)") {
+    val src = Files.createTempDirectory("graft-ss").toString
+    val dst = Files.createTempDirectory("graft-sd").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ck").toString
+    // stage source files
+    spark.range(40).selectExpr("id AS i", "id * 2 AS v")
+      .write.mode("overwrite").parquet(src)
+    val spec = Config.load(
+      s"""input:
+         |  file_stream:
+         |    path: $src
+         |    format: parquet
+         |pipeline:
+         |  processors:
+         |    - bloblang: |
+         |        root.i = this.i
+         |        root.v3 = this.v * 3
+         |    - filter: this.i < 20
+         |output:
+         |  file:
+         |    path: $dst
+         |    codec: lines
+         |    mode: append
+         |""".stripMargin)
+    assert(spec.streaming)
+    val q = spec.runStream(spark, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.text(dst).count() == 20)
+  }
 }
