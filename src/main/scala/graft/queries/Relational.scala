@@ -139,7 +139,42 @@ object Relational {
         count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** Event-time tumbling window (the superset the reference lacks —
+    * SURVEY §2.6); epoch-second buckets for cross-engine comparability. */
+  def q33TimeWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket"))
+
+  /** ROLLUP grouping sets (absent from the reference; Spark builtin). */
+  def q34Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** As-of join: latest order at-or-before each event (per user). Right
+    * side pre-aggregated to unique (key, time) for determinism. */
+  def q35AsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    graft.ops.AsOfJoin.join(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightCols = scala.Seq("okey"))
+      .select(col("event_id"), col("okey"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q33_time_window" -> (q33TimeWindow _),
+    "q34_rollup" -> (q34Rollup _),
+    "q35_asof_join" -> (q35AsOf _),
     "q1_agg" -> (q1Agg _),
     "q2_join_brand" -> (q2JoinBrand _),
     "q3_join_nation" -> (q3JoinNation _),
@@ -151,6 +186,23 @@ object Relational {
     "q9_events_agg" -> (q9EventsAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q33_time_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q35_asof_join" ->
+      """SELECT e.event_id, r.okey
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |  FROM orders GROUP BY 1, 2) r
+        |ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
