@@ -43,6 +43,17 @@ object BatchOps {
     }
   }
 
+  /** Reorder parts within each batch by a Bloblang expression (v4's
+    * `sort_parts`; v3 reaches this via batch+Bloblang gymnastics). */
+  final case class SortParts(by: String, descending: Boolean = false) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val key = Blobl.envelopeExpr(df, by)
+      val ord = if (descending) key.desc else key.asc
+      val w = Window.partitionBy(col(BatchId)).orderBy(ord, col(Seq))
+      df.withColumn(Seq, row_number().over(w).cast(LongType) - 1L)
+    }
+  }
+
   /** `group_by_value` (`lib/processor/group_by_value.go`): re-batch by an
     * interpolated value — THE shuffle-by-key primitive. batch identity
     * becomes the group key's hash. */
