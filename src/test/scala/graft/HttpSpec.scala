@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Envelope
+import graft.ops._
+
+/** HttpProc against an in-process HTTP server (no egress needed). */
+class HttpSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("2").getOrCreate()
+
+  def jdf(rows: String*) = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(rows))
+  }
+
+  def withServer(handler: String => (Int, String))(f: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val (code, resp) = handler(body)
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/")
+    finally server.stop(0)
+  }
+
+  test("http enrichment: response replaces content") {
+    withServer(body => (200, body.toUpperCase + "!")) { url =>
+      val env = Envelope.wrap(jdf("""{"id":1,"s":"hello"}""", """{"id":2,"s":"bye"}"""),
+        scala.Seq(col("id"))).withColumn(Envelope.Content, col("doc.s").cast("binary"))
+      val out = HttpProc(url)(env)
+      val got = out.orderBy(Envelope.Seq)
+        .select(col(Envelope.Content).cast("string")).collect().map(_.getString(0)).toList
+      assert(got == List("HELLO!", "BYE!"))
+      assert(out.filter(col(Envelope.Error).isNotNull).count() == 0)
+    }
+  }
+
+  test("http failure flags _error, content preserved, row keeps flowing") {
+    withServer(_ => (500, "boom")) { url =>
+      val env = Envelope.wrap(jdf("""{"id":1,"s":"hello"}"""), scala.Seq(col("id")))
+        .withColumn(Envelope.Content, col("doc.s").cast("binary"))
+      val out = HttpProc(url, retries = 1)(env)
+      val row = out.select(col(Envelope.Content).cast("string"), col(Envelope.Error)).head()
+      assert(row.getString(0) == "hello")
+      assert(row.getString(1).contains("500"))
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.blobl.JmesPathProc
+import graft.model.Envelope
+
+class JmesPathSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  def jdf(rows: String*) = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(rows))
+  }
+
+  def run(query: String, row: String): String = {
+    val env = Envelope.wrapUnordered(jdf(row))
+    val out = JmesPathProc(query)(env)
+    val doc = out.schema(Envelope.Doc).dataType
+    out.select(doc match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType => to_json(col(Envelope.Doc))
+      case _ => col(Envelope.Doc).cast("string")
+    }).head().getString(0)
+  }
+
+  test("dotted path + index") {
+    assert(run("a.b[0].c", """{"a":{"b":[{"c":42},{"c":7}]}}""") == "42")
+  }
+
+  test("wildcard projection") {
+    assert(run("people[*].name",
+      """{"people":[{"name":"ann"},{"name":"bo"}]}""") == """["ann","bo"]""")
+  }
+
+  test("filter projection") {
+    assert(run("people[?age > `30`].name | sort(@)",
+      """{"people":[{"name":"c","age":40},{"name":"a","age":20},{"name":"b","age":35}]}""")
+      == """["b","c"]""")
+  }
+
+  test("pipe + functions") {
+    assert(run("length(people)", """{"people":[{"n":1},{"n":2}]}""") == "2")
+    assert(run("join(', ', tags)", """{"tags":["x","y"]}""") == "x, y")
+    assert(run("max(nums)", """{"nums":[3,9,4]}""") == "9")
+  }
+
+  test("comparison and boolean logic") {
+    assert(run("a > `5` && b == 'x'", """{"a":10,"b":"x"}""") == "true")
+  }
+}
