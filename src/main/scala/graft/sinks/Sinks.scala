@@ -64,9 +64,14 @@ object Sinks {
   }
 
   /** `broker: fan_out` (`lib/broker/fan_out.go`): every sink gets every
-    * row. Caller should cache/persist the DF (StreamRunner does). */
+    * row. The DF is persisted for the duration so the upstream plan runs
+    * once, not once per sink. */
   final case class FanOutSink(sinks: scala.Seq[Sink]) extends Sink {
-    def write(df: DataFrame): Unit = sinks.foreach(_.write(df))
+    def write(df: DataFrame): Unit = {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sinks.foreach(_.write(cached))
+      finally { cached.unpersist(); () }
+    }
   }
 
   /** `fallback`/`try` output (`lib/output/try.go`): dead-letter chain —

@@ -107,4 +107,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(reg.stop("pipe1"))
     assert(reg.list.isEmpty)
   }
+
+  test("sliding + session windows (superset of reference batch policy)") {
+    val env = eventsStream
+    val withTs = env.withColumn("doc",
+      col("doc").withField("ets", timestamp_seconds((col("doc.ts") / 1000000000L).cast(LongType))))
+    // sliding: 2h window every 1h
+    val sliding = graft.streaming.Streaming.windowedAgg(withTs,
+      tsField = "ets", windowDur = "2 hours", slide = Some("1 hour"), delay = "1 hour",
+      keyFields = Nil, aggs = scala.Seq(count(lit(1)).as("n")))
+    val q1 = sliding.writeStream.format("memory").queryName("w_slide").outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.sql("SELECT count(*) FROM w_slide").head().getLong(0) > 0)
+    // session windows: gap-based grouping per user
+    val sess = withTs.withColumn("_ts", col("doc.ets")).withWatermark("_ts", "1 hour")
+      .groupBy(session_window(col("_ts"), "30 minutes"), col("doc.user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q2 = sess.writeStream.format("memory").queryName("w_sess").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.sql("SELECT count(*) FROM w_sess").head().getLong(0) > 0)
+  }
 }
