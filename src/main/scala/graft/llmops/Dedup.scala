@@ -67,6 +67,16 @@ object Dedup {
     ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Native one-pass signature (same md5-rotation scheme as
+    * [[minhashSigTable]], ≤4 independent seeds): a single projection, no
+    * explode/shuffle. Output: (id, m0..m{n-1}). */
+  def minhashSigNative(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val sig = graft.exprs.MinhashSigExpr.column(col(textCol), shingleK, numHashes)
+    df.select((col(idCol).as("id") +:
+      (0 until numHashes).map(i => element_at(sig, i + 1).as(s"m$i"))): _*)
+  }
+
   /** xxhash64 flavor of [[minhashSigTable]] (internal LSH use). */
   def minhashSigTableFast(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {

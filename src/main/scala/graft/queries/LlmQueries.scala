@@ -21,9 +21,9 @@ object LlmQueries {
       .orderBy(col("dedupe_key"))
 
   /** MinHash signatures (4 seeds over 5-gram shingles), scalar columns
-    * (explode + partial-agg path). */
+    * (native one-pass expression). */
   def q26(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSigTable(t(s, dir, "documents"), "doc_id", "text", 5, 4)
+    Dedup.minhashSigNative(t(s, dir, "documents"), "doc_id", "text", 5, 4)
       .toDF("doc_id", "m0", "m1", "m2", "m3")
       .orderBy(col("doc_id"))
 

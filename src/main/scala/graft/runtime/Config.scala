@@ -150,6 +150,19 @@ object Config {
         case "syslog_rfc5424" => Grok.GrokProc(Grok.Rfc5424)
         case o => throw new IllegalArgumentException(s"parse_log: unknown format $o")
       }
+      case "compress" => CodecProcs.CompressProc(str(conf, "algorithm"))
+      case "decompress" => CodecProcs.DecompressProc(str(conf, "algorithm"))
+      case "avro" => CodecProcs.AvroProc(str(conf, "operator"), str(conf, "schema"))
+      case "subprocess" =>
+        SubprocessProc(str(conf, "name") +: conf.get("args")
+          .map(asList(_).map(_.toString)).getOrElse(Nil))
+      case "http" =>
+        HttpProc(str(conf, "url"),
+          conf.get("verb").map(_.toString).getOrElse("POST"),
+          conf.get("headers").map(h => asMap(h).map { case (k, v) => (k, v.toString) })
+            .getOrElse(Map.empty))
+      case "jmespath" => graft.blobl.JmesPathProc(str(conf, "query"))
+      case "jsonschema" => E.JsonSchema(str(conf, "schema"))
       case "resource" => F.Resource(m(kind).toString)
       case "log" | "metric" | "sleep" | "rate_limit" => Noop // observability stubs
       case o => throw new IllegalArgumentException(s"config: unknown processor $o")
