@@ -33,7 +33,8 @@ final case class Ctx(
     content: Option[Column],
     vars: Map[String, TC],
     maps: Map[String, List[Stmt]],
-    batch: Option[(Column, Column)]) {
+    batch: Option[(Column, Column)],
+    rootMeta: Option[Column] = None) {
   def withThis(t: TC): Ctx = copy(thisTC = t)
   def withVar(n: String, v: TC): Ctx = copy(vars = vars + (n -> v))
 }
@@ -196,7 +197,13 @@ object Compiler {
         val m = ctx.meta.getOrElse(throw CompileError("no metadata in this context"))
         if (args.isEmpty) TC(m, Some(MapType(StringType, StringType)))
         else TC(element_at(m, lit(litStr(0))), Some(StringType))
-      case "root_meta" => function("meta", args, ctx)
+      case "root_meta" =>
+        // reads the OUTPUT part's metadata written so far (functions.go:509);
+        // meta() reads the input metadata
+        val m = ctx.rootMeta.orElse(ctx.meta)
+          .getOrElse(throw CompileError("no metadata in this context"))
+        if (args.isEmpty) TC(m, Some(MapType(StringType, StringType)))
+        else TC(element_at(m, lit(litStr(0))), Some(StringType))
       case "content" =>
         TC(ctx.content.getOrElse(to_json(ctx.thisTC.col).cast(BinaryType)), Some(BinaryType))
       case "error" =>

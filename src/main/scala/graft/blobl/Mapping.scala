@@ -324,8 +324,10 @@ final class CompiledMapping(val program: Program) extends Serializable {
 
     program.stmts.foreach {
       case MapDef(_, _) => ()
-      case Assign(RootPath(segs), v) => state.assignStmt(segs, v, ctx)
-      case Assign(LetVar(n), v) => ctx = ctx.withVar(n, Compiler.compile(v, ctx))
+      case Assign(RootPath(segs), v) =>
+        state.assignStmt(segs, v, ctx.copy(rootMeta = Some(meta)))
+      case Assign(LetVar(n), v) =>
+        ctx = ctx.withVar(n, Compiler.compile(v, ctx.copy(rootMeta = Some(meta))))
       case Assign(MetaKey(Some(k)), v) =>
         val r = Mapping.compileAssign(
           v, ctx.copy(meta = Some(meta)), () => TC(element_at(meta, lit(k)), Some(StringType)),

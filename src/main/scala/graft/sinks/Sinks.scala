@@ -40,6 +40,30 @@ object Sinks {
     }
   }
 
+  /** Interpolated-path file output (`file` with `${! ... }` in the path,
+    * the reference's per-message dynamic paths): the dynamic part becomes
+    * a partition column, so each interpolated value lands in its own
+    * directory — the 100 TB-safe analog of per-message file handles. */
+  final case class InterpolatedFileSink(basePath: String, pathTemplate: String,
+      format: String = "lines", mode: String = "overwrite") extends Sink {
+    def write(df: DataFrame): Unit = {
+      val keyed = df.withColumn("__path",
+        graft.blobl.Interpolation.column(df, pathTemplate))
+      val out = format match {
+        case "lines" => keyed.select(
+          Envelope.contentOrDoc(df).cast("string").as("value"), col("__path"))
+        case _ => Envelope.unwrap(keyed.drop("__path"))
+          .withColumn("__path", keyed("__path"))
+      }
+      val w = out.write.mode(mode).partitionBy("__path")
+      format match {
+        case "parquet" => w.parquet(basePath)
+        case "json" => w.json(basePath)
+        case _ => w.text(basePath)
+      }
+    }
+  }
+
   /** `stdout` (`lib/output/writer/stdout.go`-ish): console. */
   final case class ConsoleSink(n: Int = 20) extends Sink {
     def write(df: DataFrame): Unit = Envelope.unwrap(df).show(n, truncate = false)
