@@ -76,7 +76,17 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-probe sign-LSH ANN (the scale path; no SQL oracle — the driver
+    * records a rows-only check; LlmSpec asserts recall vs brute force). */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.SignLsh(dim = 64, nPlanes = 6)
+      .topK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, probes = 1)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q36_ann_lsh" -> (q36 _),
     "q25_dedup_fingerprint" -> (q25 _),
     "q26_minhash_sig" -> (q26 _),
     "q27_minhash_lsh_pairs" -> (q27 _),
