@@ -145,6 +145,10 @@ object Compiler {
     case Some(MapType(_, v, _)) => TC(element_at(b.col, lit(name)), Some(v))
     case Some(_: VariantType) =>
       TC(try_variant_get(b.col, s"$$.$name", "variant"), Some(VariantType))
+    case Some(s: StructType) if !s.fieldNames.contains(name) =>
+      // dynamic-document semantics: a missing field is null, not an
+      // analysis error (jq/Bloblang read absent paths as null)
+      TC(lit(null), Some(NullType))
     case _ => TC(b.col.getField(name), fieldType(b.tpe, name))
   }
 
@@ -432,11 +436,15 @@ object Compiler {
       case "encode" => litStr(0) match {
         case "base64" => TC(base64(t.col.cast(BinaryType)), Some(StringType))
         case "hex" => TC(lower(hex(t.col)), Some(StringType))
+        case "ascii85" =>
+          TC(graft.exprs.Codecs.ascii85EncodeCol(t.col.cast(BinaryType)), Some(StringType))
         case o => throw CompileError(s"encode: unsupported scheme $o")
       }
       case "decode" => litStr(0) match {
         case "base64" => TC(unbase64(t.col), Some(BinaryType))
         case "hex" => TC(unhex(t.col), Some(BinaryType))
+        case "ascii85" =>
+          TC(graft.exprs.Codecs.ascii85DecodeCol(t.col.cast(StringType)), Some(BinaryType))
         case o => throw CompileError(s"decode: unsupported scheme $o")
       }
       case "escape_html" =>
@@ -543,7 +551,20 @@ object Compiler {
       case "map_each" =>
         if (t.isMap) TC(transform_values(t.col, (k, v) =>
           lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), None)
-        else TC(transform(t.col, lambda1(arg(0), ctx, t.elemType)), None)
+        else {
+          // infer the result element type from the lambda body (typing
+          // pass against a placeholder element)
+          val outElem = arg(0) match {
+            case Lambda(p, body) => t.elemType.flatMap { et =>
+              val ph = TC(lit(null).cast(et), Some(et))
+              try compile(body, ctx.withVar(p, ph).withThis(ph)).tpe
+              catch { case _: Exception => None }
+            }
+            case _ => None
+          }
+          TC(transform(t.col, lambda1(arg(0), ctx, t.elemType)),
+            outElem.map(ArrayType(_)))
+        }
       case "map_each_key" =>
         TC(transform_keys(t.col, (k, _) => lambda1(arg(0), ctx, Some(StringType))(k)), t.tpe)
       case "merge" =>

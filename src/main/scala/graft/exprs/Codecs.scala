@@ -101,6 +101,58 @@ object Codecs {
       else try f(b) catch { case _: Exception => null }).apply(c)
   }
 
+  /** ASCII85 (Go encoding/ascii85 flavor, no <~ ~> frame, 'z' shorthand
+    * on encode like Go's Encode). */
+  def ascii85Encode(b: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(4, b.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (j < n) b(i + j) & 0xffL else 0L); j += 1 }
+      if (v == 0 && n == 4) sb.append('z')
+      else {
+        val chunk = new Array[Char](5)
+        var k = 4
+        var rem = v
+        while (k >= 0) { chunk(k) = ((rem % 85) + 33).toChar; rem /= 85; k -= 1 }
+        sb.appendAll(chunk, 0, n + 1)
+      }
+      i += 4
+    }
+    sb.toString
+  }
+
+  def ascii85Decode(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == 'z') { out.write(Array[Byte](0, 0, 0, 0)); i += 1 }
+      else {
+        val n = math.min(5, s.length - i)
+        var v = 0L
+        var j = 0
+        while (j < 5) {
+          val c = if (j < n) s.charAt(i + j) - 33 else 84
+          v = v * 85 + c
+          j += 1
+        }
+        val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        out.write(bytes, 0, n - 1)
+        i += 5
+      }
+    }
+    out.toByteArray
+  }
+
+  def ascii85EncodeCol(c: Column): Column =
+    udf((b: Array[Byte]) => if (b == null) null else ascii85Encode(b)).apply(c)
+  def ascii85DecodeCol(c: Column): Column =
+    udf((s: String) => if (s == null) null
+      else try ascii85Decode(s) catch { case _: Exception => null }).apply(c)
+
   /** HMAC (hex output) — hmac_sha1/hmac_sha256/hmac_sha512. */
   def hmacHex(c: Column, alg: String, key: String): Column = {
     val jAlg = alg match {

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.blobl.JqProc
+import graft.model.Envelope
+
+class JqSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  def jdf(rows: String*) = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(rows))
+  }
+
+  def run(query: String, row: String): String = {
+    val env = Envelope.wrapUnordered(jdf(row))
+    val out = JqProc(query)(env)
+    out.schema(Envelope.Doc).dataType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType =>
+        out.select(to_json(col(Envelope.Doc))).head().getString(0)
+      case _ => out.select(col(Envelope.Doc).cast("string")).head().getString(0)
+    }
+  }
+
+  test("paths, pipes, arithmetic") {
+    assert(run(".a.b", """{"a":{"b":5}}""") == "5")
+    assert(run(".a | .b + 1", """{"a":{"b":5}}""") == "6")
+    assert(run(".xs[1]", """{"xs":[10,20,30]}""") == "20")
+  }
+
+  test("object and array construction") {
+    assert(run("""{id: .a, twice: (.b * 2)}""", """{"a":7,"b":3}""")
+      == """{"id":7,"twice":6}""")
+    assert(run("""[.a, .b]""", """{"a":1,"b":2}""") == "[1,2]")
+  }
+
+  test("builtins: map, select, add, join, sort") {
+    assert(run(".xs | map(. * 10) | add", """{"xs":[1,2,3]}""") == "60")
+    assert(run(".xs | map(select(. > 1)) | length", """{"xs":[1,2,3]}""") == "2")
+    assert(run(""".words | sort | join("-")""", """{"words":["b","a"]}""") == "a-b")
+  }
+
+  test("alternative operator and strings") {
+    assert(run(".missing // .a", """{"a":"fallback"}""") == "fallback")
+    assert(run(".s | ascii_upcase", """{"s":"hey"}""") == "HEY")
+    assert(run(""".s | ltrimstr("foo")""", """{"s":"foobar"}""") == "bar")
+  }
+}
