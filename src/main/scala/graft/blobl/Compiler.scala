@@ -149,6 +149,7 @@ object Compiler {
       // dynamic-document semantics: a missing field is null, not an
       // analysis error (jq/Bloblang read absent paths as null)
       TC(lit(null), Some(NullType))
+    case Some(NullType) => TC(lit(null), Some(NullType)) // path through null
     case _ => TC(b.col.getField(name), fieldType(b.tpe, name))
   }
 

@@ -118,4 +118,45 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     check("root.foo = this.foo.uppercase()",
       """{"foo":"hello world"}""" -> """{"foo":"HELLO WORLD"}""")
   }
+
+  test("map definitions via apply (methods.go)") {
+    check(
+      """map thing {
+        |  root.inner = this.first
+        |}
+        |root.foo = this.doc.apply("thing")""".stripMargin,
+      """{"doc":{"first":"hello world"}}""" -> """{"foo":{"inner":"hello world"}}""")
+  }
+
+  test("get with dynamic-ish targets (methods.go)") {
+    check("""root.result = this.foo.get("bar")""",
+      """{"foo":{"bar":"from bar","baz":"from baz"}}""" -> """{"result":"from bar"}""")
+  }
+
+  test("type inspection (methods.go)") {
+    check(
+      """root.bar_type = this.bar.type()
+        |root.foo_type = this.foo.type()""".stripMargin,
+      """{"bar":10,"foo":"is a string"}""" -> """{"bar_type":"number","foo_type":"string"}""")
+  }
+
+  test("numbers: abs ceil floor log round (methods_numbers.go)") {
+    check("root.new_value = this.value.abs()",
+      """{"value":5.3}""" -> """{"new_value":5.3}""",
+      """{"value":-5.9}""" -> """{"new_value":5.9}""")
+    check("root.new_value = this.value.ceil()",
+      """{"value":5.3}""" -> """{"new_value":6}""",
+      """{"value":-5.9}""" -> """{"new_value":-5}""")
+    check("root.new_value = this.value.floor()",
+      """{"value":5.7}""" -> """{"new_value":5}""")
+    check("root.new_value = this.value.log().round()",
+      """{"value":1}""" -> """{"new_value":0}""",
+      """{"value":2.7183}""" -> """{"new_value":1}""")
+  }
+
+  test("catch falls back on null (methods.go flavor)") {
+    check("""root.doc.id = this.thing.id.catch("unknown")""",
+      """{"thing":{"id":"1234"}}""" -> """{"doc":{"id":"1234"}}""",
+      """{"thing":{}}""" -> """{"doc":{"id":"unknown"}}""")
+  }
 }
