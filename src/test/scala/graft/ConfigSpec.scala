@@ -123,4 +123,31 @@ class ConfigSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.read.text(dst).count() == 20)
   }
+
+  test("lint accepts valid configs and reports broken ones") {
+    val good = graft.runtime.Lint.lint(
+      """input:
+        |  generate: { count: 1, mapping: "root.i = this.i" }
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(good.isEmpty, good.mkString("; "))
+    val badProcessor = graft.runtime.Lint.lint(
+      """input:
+        |  generate: { count: 1, mapping: "root.i = this.i" }
+        |pipeline:
+        |  processors:
+        |    - no_such_processor: {}
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(badProcessor.exists(_.contains("no_such_processor")))
+    val badMapping = graft.runtime.Lint.lint(
+      """input:
+        |  generate: { count: 1, mapping: "root.i = = broken" }
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(badMapping.nonEmpty)
+  }
 }
