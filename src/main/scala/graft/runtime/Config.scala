@@ -163,6 +163,20 @@ object Config {
             .getOrElse(Map.empty))
       case "jmespath" => graft.blobl.JmesPathProc(str(conf, "query"))
       case "jsonschema" => E.JsonSchema(str(conf, "schema"))
+      case "branch" =>
+        F.Branch(str(conf, "request_map"),
+          asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))
+            .map(p => compileProcessor(asMap(p))),
+          parseResultMap(str(conf, "result_map")))
+      case "workflow" =>
+        val branches = asMap(conf("branches")).toSeq.sortBy(_._1).map { case (_, b) =>
+          val bm = asMap(b)
+          F.Branch(str(bm, "request_map"),
+            asList(bm.getOrElse("processors", new java.util.ArrayList[Any]()))
+              .map(p => compileProcessor(asMap(p))),
+            parseResultMap(str(bm, "result_map")))
+        }
+        F.Workflow.auto(branches)
       case "resource" => F.Resource(m(kind).toString)
       case "log" | "metric" | "sleep" | "rate_limit" => Noop // observability stubs
       case o => throw new IllegalArgumentException(s"config: unknown processor $o")
@@ -196,6 +210,17 @@ object Config {
       case "reject" | "drop_on_error" =>
         Sinks.DropOnError(Sinks.DropSink)
       case o => throw new IllegalArgumentException(s"config: unknown output $o")
+    }
+  }
+
+  /** result_map subset: lines of `root.<dest> = this.<srcField>` become
+    * (childField → destPath) merge pairs (the general result_map is a
+    * full mapping; the overwhelmingly common shape is field copies). */
+  private def parseResultMap(mapping: String): scala.Seq[(String, String)] = {
+    import graft.blobl.Ast._
+    graft.blobl.Parser.parseMapping(mapping).stmts.collect {
+      case Assign(RootPath(dest), Field(This, src)) if dest.nonEmpty =>
+        (src, dest.mkString("."))
     }
   }
 

@@ -150,4 +150,35 @@ class ConfigSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(badMapping.nonEmpty)
   }
+
+  test("branch + workflow from YAML compose enrichment stages") {
+    val out = java.nio.file.Files.createTempDirectory("graft-wf").toString + "/o"
+    val spec = Config.load(
+      s"""input:
+         |  generate:
+         |    count: 5
+         |    mapping: "root.a = this.i + 1"
+         |pipeline:
+         |  processors:
+         |    - workflow:
+         |        branches:
+         |          b1:
+         |            request_map: "root.a = this.a"
+         |            processors:
+         |              - bloblang: "root.r = this.a * 2"
+         |            result_map: "root.doubled = this.r"
+         |          b2:
+         |            request_map: "root.doubled = this.doubled"
+         |            processors:
+         |              - bloblang: "root.r = this.doubled + 1"
+         |            result_map: "root.plus = this.r"
+         |output:
+         |  file: { path: $out, codec: lines }
+         |""".stripMargin)
+    spec.run(spark)
+    val lines = spark.read.json(out)
+    assert(lines.count() == 5)
+    // b2 depends on b1's output: plus = a*2 + 1
+    assert(lines.filter(org.apache.spark.sql.functions.expr("plus = a * 2 + 1")).count() == 5)
+  }
 }
