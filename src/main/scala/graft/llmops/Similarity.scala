@@ -47,6 +47,29 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rnk"))
   }
 
+  /** Label-noise detection (kNN consistency): for each vector, the
+    * majority label among its k nearest neighbors vs its own label.
+    * Disagreement flags candidate mislabeled examples — a standard
+    * training-data curation signal. Deterministic: neighbor ties break on
+    * vid, label-vote ties on the smaller label. */
+  def labelConsistency(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val neighbors = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("vid"), col(labelCol).as("n_label"))
+    val voted = neighbors.join(labels, "vid")
+      .groupBy(col("qid"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val knn = voted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("n_label").as("knn_label"))
+    queries.select(col(idCol).as("qid"), col(labelCol).as("label"))
+      .join(knn, "qid")
+      .select(col("qid"), col("label"), col("knn_label"),
+        (col("label") === col("knn_label")).as("agree"))
+  }
+
   /** Random-hyperplane sign-LSH. `planes(dim, nPlanes, seed)` generates the
     * (deterministic) hyperplane matrix as a literal — broadcast free. */
   def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -85,7 +85,16 @@ object LlmQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** kNN label-noise detection over the embedding table. */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.labelConsistency(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", "label", 5)
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q37_label_noise" -> (q37 _),
     "q36_ann_lsh" -> (q36 _),
     "q25_dedup_fingerprint" -> (q25 _),
     "q26_minhash_sig" -> (q26 _),
@@ -103,6 +112,28 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q37_label_noise" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS vid, c.label AS n_label,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        | FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        | WHERE q.vec_id < 50),
+        |nn AS (
+        | SELECT qid, vid, n_label FROM (
+        |  SELECT qid, vid, n_label,
+        |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+        |  FROM sims) WHERE rnk <= 5),
+        |votes AS (
+        | SELECT qid, n_label, count(*) AS votes FROM nn GROUP BY 1, 2),
+        |knn AS (
+        | SELECT qid, n_label AS knn_label FROM (
+        |  SELECT qid, n_label,
+        |   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, n_label) AS rk
+        |  FROM votes) WHERE rk = 1)
+        |SELECT e.vec_id AS qid, e.label, knn.knn_label,
+        | e.label = knn.knn_label AS agree
+        |FROM embeddings e JOIN knn ON knn.qid = e.vec_id
+        |ORDER BY qid""".stripMargin,
     "q25_dedup_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS dedupe_key,
         | min(doc_id) AS doc_id, count(*) AS n_copies
