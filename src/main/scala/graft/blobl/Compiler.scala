@@ -439,6 +439,8 @@ object Compiler {
         case "hex" => TC(lower(hex(t.col)), Some(StringType))
         case "ascii85" =>
           TC(graft.exprs.Codecs.ascii85EncodeCol(t.col.cast(BinaryType)), Some(StringType))
+        case "z85" =>
+          TC(graft.exprs.Codecs.z85EncodeCol(t.col.cast(BinaryType)), Some(StringType))
         case o => throw CompileError(s"encode: unsupported scheme $o")
       }
       case "decode" => litStr(0) match {
@@ -446,6 +448,8 @@ object Compiler {
         case "hex" => TC(unhex(t.col), Some(BinaryType))
         case "ascii85" =>
           TC(graft.exprs.Codecs.ascii85DecodeCol(t.col.cast(StringType)), Some(BinaryType))
+        case "z85" =>
+          TC(graft.exprs.Codecs.z85DecodeCol(t.col.cast(StringType)), Some(BinaryType))
         case o => throw CompileError(s"decode: unsupported scheme $o")
       }
       case "escape_html" =>

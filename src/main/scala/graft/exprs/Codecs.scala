@@ -147,6 +147,63 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Z85 (ZeroMQ base85, RFC-32/Z85 alphabet; input must be a multiple of
+    * 4 bytes, as the spec requires). */
+  private val z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val z85Decoder: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    z85Alphabet.zipWithIndex.foreach { case (c, idx) => d(c.toInt) = idx }
+    d
+  }
+
+  def z85Encode(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, "z85: input length must be a multiple of 4")
+    val sb = new StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (b(i + j) & 0xffL); j += 1 }
+      val chunk = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chunk(k) = z85Alphabet(((v % 85).toInt)); v /= 85; k -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, "z85: input length must be a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val d = z85Decoder(s.charAt(i + j).toInt)
+        require(d >= 0, s"z85: invalid character '${s.charAt(i + j)}'")
+        v = v * 85 + d
+        j += 1
+      }
+      out(o) = ((v >> 24) & 0xff).toByte
+      out(o + 1) = ((v >> 16) & 0xff).toByte
+      out(o + 2) = ((v >> 8) & 0xff).toByte
+      out(o + 3) = (v & 0xff).toByte
+      i += 5; o += 4
+    }
+    out
+  }
+
+  def z85EncodeCol(c: Column): Column =
+    udf((b: Array[Byte]) => if (b == null) null
+      else try z85Encode(b) catch { case _: Exception => null }).apply(c)
+  def z85DecodeCol(c: Column): Column =
+    udf((s: String) => if (s == null) null
+      else try z85Decode(s) catch { case _: Exception => null }).apply(c)
+
   def ascii85EncodeCol(c: Column): Column =
     udf((b: Array[Byte]) => if (b == null) null else ascii85Encode(b)).apply(c)
   def ascii85DecodeCol(c: Column): Column =

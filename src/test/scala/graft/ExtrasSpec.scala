@@ -135,4 +135,16 @@ class ExtrasSpec extends AnyFunSuite {
       """{"d1":"1h2m3s","d2":"-300ms","d3":"1.5s","d4":"nope"}""")
       == List("""{"a":3723000000000,"b":-300000000,"c":1500000000}"""))
   }
+
+  test("ascii85 and z85 round trips; z85 known vector") {
+    assert(run(
+      """root.a = this.s.encode("ascii85").decode("ascii85").string()""",
+      """{"s":"some binary-ish payload"}""")
+      == List("""{"a":"some binary-ish payload"}"""))
+    // Z85 spec test vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B -> "HelloWorld"
+    assert(run(
+      """root.z = this.h.decode("hex").encode("z85")""",
+      """{"h":"864fd26fb559f75b"}""")
+      == List("""{"z":"HelloWorld"}"""))
+  }
 }
