@@ -26,7 +26,8 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // driver contract: local[32] with shuffle.partitions=32 (not 200)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
