@@ -34,7 +34,8 @@ final case class Ctx(
     vars: Map[String, TC],
     maps: Map[String, List[Stmt]],
     batch: Option[(Column, Column)],
-    rootMeta: Option[Column] = None) {
+    rootMeta: Option[Column] = None,
+    countCol: Option[Column] = None) {
   def withThis(t: TC): Ctx = copy(thisTC = t)
   def withVar(n: String, v: TC): Ctx = copy(vars = vars + (n -> v))
 }
@@ -250,11 +251,12 @@ object Compiler {
         val (b, _) = ctx.batch.getOrElse(throw CompileError("batch_size() needs envelope batch columns"))
         TC(count(lit(1)).over(Window.partitionBy(b)), Some(LongType))
       case "count" =>
-        // global named counter (functions.go:200) — inherently serial, so
-        // this is a single-partition window; use batch_index() for the
-        // scalable per-batch form
-        val (_, s) = ctx.batch.getOrElse(throw CompileError("count() needs envelope context"))
-        TC(row_number().over(Window.orderBy(s)).cast(LongType), Some(LongType))
+        // global named counter (functions.go:200): 1-based stream index.
+        // Mapping.applyEnvelope precomputes it via the partitioned
+        // two-pass assignment (Envelope.withGlobalSeq) — no
+        // single-partition window.
+        val c = ctx.countCol.getOrElse(throw CompileError("count() needs envelope context"))
+        TC(c, Some(LongType))
       case "var" => ctx.vars.getOrElse(litStr(0), throw CompileError(s"unknown var ${litStr(0)}"))
       case other => throw CompileError(s"unknown function $other()")
     }

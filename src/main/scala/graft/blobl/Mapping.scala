@@ -293,16 +293,26 @@ final class CompiledMapping(val program: Program) extends Serializable {
   }
 
   /** Run on an envelope DataFrame (content/doc/meta/_error/batch_id/seq). */
-  def applyEnvelope(df: DataFrame): DataFrame = {
+  def applyEnvelope(df0: DataFrame): DataFrame = {
     import graft.model.Envelope._
-    val docType = df.schema(Doc).dataType
-    val hasBatch = df.columns.contains(BatchId)
+    val docType = df0.schema(Doc).dataType
+    val hasBatch = df0.columns.contains(BatchId)
+    // count() needs a global 1-based stream index: precompute it with the
+    // partitioned two-pass assignment instead of a single-partition window
+    val usesCount = hasBatch && !df0.isStreaming &&
+      Targets.usesFunction(program, "count")
+    val df =
+      if (usesCount)
+        graft.model.Envelope.withGlobalSeq(
+          df0, scala.Seq(col(Seq), col(BatchId)), "_graft_count")
+      else df0
     val ctx = Ctx(
       thisTC = TC(col(Doc), Some(docType)),
       meta = Some(col(Meta)), err = Some(col(Error)),
       content = Some(col(Content)),
       vars = Map.empty, maps = mapDefs,
-      batch = if (hasBatch) Some((col(BatchId), col(Seq))) else None)
+      batch = if (hasBatch) Some((col(BatchId), col(Seq))) else None,
+      countCol = if (usesCount) Some(col("_graft_count") + lit(1L)) else None)
     val (docTC, deleteCond, metaCol, errCol) = run(df, ctx)
     val filtered = deleteCond.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     filtered.select(

@@ -9,6 +9,21 @@ import Ast._
   * auto-order `workflow` branches into a DAG. */
 object Targets {
 
+  /** Whether the program calls function `name` anywhere (statements, map
+    * definitions, nested expressions). Used by Mapping.applyEnvelope to
+    * precompute columns that need a whole-DataFrame pass (e.g. count()). */
+  def usesFunction(prog: Program, name: String): Boolean = {
+    def inE(e: Expr): Boolean = e match {
+      case FnCall(n, args) => n == name || args.exists(inE)
+      case other => childrenOf(other).exists(inE)
+    }
+    def inStmts(stmts: List[Stmt]): Boolean = stmts.exists {
+      case Assign(_, v) => inE(v)
+      case MapDef(_, ss) => inStmts(ss)
+    }
+    inStmts(prog.stmts)
+  }
+
   /** Doc paths read from `this` anywhere in the program. */
   def queryPaths(prog: Program): Set[List[String]] = {
     val out = scala.collection.mutable.Set[List[String]]()

@@ -32,10 +32,24 @@ object Dedup {
     * then derive per-seed hashes by hex-rotation — min of the rotated hex
     * strings. One md5 per shingle regardless of signature width (the naive
     * per-seed-md5 scheme cost numHashes× the hashing). */
+  /** Distinct hex-rotation offset per seed: seeds 0-3 keep the original
+    * 8-char (32-bit) rotations for oracle parity; seeds 4+ take the
+    * remaining 28 nibble offsets, so up to 32 independent hash functions
+    * (the old (seed*8)%32 scheme silently cycled after 4 — m4 == m0). */
+  private val rotOffsets: IndexedSeq[Int] =
+    IndexedSeq(0, 8, 16, 24) ++ (1 until 32).filterNot(Set(8, 16, 24))
+
+  private def rotOffset(seed: Int): Int = {
+    require(seed < rotOffsets.length,
+      s"md5 hex rotation supports at most ${rotOffsets.length} seeds; " +
+        "use the xxhash64 'fast' flavor for wider signatures")
+    rotOffsets(seed)
+  }
+
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     val hashes = transform(shingles, s => md5(s))
     array((0 until numHashes).map { seed =>
-      val off = (seed * 8) % 32
+      val off = rotOffset(seed)
       if (off == 0) array_min(hashes)
       else array_min(transform(hashes, h =>
         concat(substring(h, off + 1, 32), substring(h, 1, off))))
@@ -59,7 +73,7 @@ object Dedup {
         explode(charShinglesRaw(col(textCol), shingleK)).as("s"))
       .select(col("id"), md5(col("s")).as("h"))
     val aggs = (0 until numHashes).map { seed =>
-      val off = (seed * 8) % 32
+      val off = rotOffset(seed)
       val rot = if (off == 0) col("h")
         else concat(substring(col("h"), off + 1, 32), substring(col("h"), 1, off))
       min(rot).as(s"m$seed")

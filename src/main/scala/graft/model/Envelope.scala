@@ -46,15 +46,44 @@ object Envelope {
     * needed; pure per-row pipelines should stay unwrapped.
     */
   def wrap(df: DataFrame, orderBy: scala.Seq[Column], batchSize: Long = Long.MaxValue): DataFrame = {
-    val w = Window.orderBy(orderBy: _*)
-    val seqCol = row_number().over(w).cast(LongType) - lit(1L)
-    df.select(
+    val cols = df.columns
+    val seqDf = withGlobalSeq(df, orderBy, "_graft_seq")
+    val seqCol = col("_graft_seq")
+    seqDf.select(
       lit(null).cast(BinaryType).as(Content),
-      struct(df.columns.map(col).toIndexedSeq: _*).as(Doc),
+      struct(cols.map(col).toIndexedSeq: _*).as(Doc),
       map().cast(MapType(StringType, StringType)).as(Meta),
       lit(null).cast(StringType).as(Error),
       (seqCol / lit(batchSize)).cast(LongType).as(BatchId),
       seqCol.as(Seq))
+  }
+
+  /** Global 0-based dense sequence following `orderBy` WITHOUT a
+    * single-partition window (the round-1 scale-killer): range-shuffle by
+    * the order key so partition id order == key order, sort within
+    * partitions, then `RDD.zipWithIndex` — a tiny per-partition count job
+    * (one long per partition to the driver) followed by an offset-adding
+    * map, both fully parallel at any scale.
+    *
+    * zipWithIndex (not a hand-rolled DataFrame two-pass) because its count
+    * job and the final map run over the SAME RDD instance: range-partition
+    * bounds are sampled with an RDD-id-derived seed, so two separate
+    * executions of a `repartitionByRange` plan can draw slightly different
+    * bounds — per-partition counts from one execution would mis-offset
+    * rows of the other. */
+  private[graft] def withGlobalSeq(df: DataFrame, orderBy: scala.Seq[Column],
+      out: String): DataFrame = {
+    require(!df.isStreaming, "global sequence assignment requires a batch DataFrame")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(indexed, schema)
   }
 
   /** Cheap wrap for pipelines that don't need batch semantics: no shuffle,

@@ -19,13 +19,17 @@ import graft.model.Envelope._
   */
 object BatchOps {
 
-  /** `split` (`lib/processor/split.go:41-49`): re-batch by count. */
+  /** `split` (`lib/processor/split.go:41-49`): re-batch by count. Global
+    * renumbering via the partitioned two-pass assignment (no
+    * single-partition window — see Envelope.withGlobalSeq). */
   final case class Split(size: Long) extends Processor {
     def apply(df: DataFrame): DataFrame = {
-      val w = Window.orderBy(col(Seq))
-      val rn = row_number().over(w).cast(LongType) - 1L
-      df.withColumn(BatchId, (rn / size).cast(LongType))
-        .withColumn(Seq, rn)
+      val renumbered = graft.model.Envelope.withGlobalSeq(
+        df, scala.Seq(col(Seq), col(BatchId)), "_graft_rn")
+      renumbered
+        .withColumn(BatchId, (col("_graft_rn") / size).cast(LongType))
+        .withColumn(Seq, col("_graft_rn"))
+        .drop("_graft_rn")
     }
   }
 

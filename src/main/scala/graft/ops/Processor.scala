@@ -56,11 +56,22 @@ final case class SampleProc(retain: Double, seed: Long = 42L) extends Processor 
   * the same "deterministic, uniform" contract). */
 final case class HashSampleProc(minPct: Double, maxPct: Double, key: String = "content().string()")
     extends Processor {
-  private def prefix(pct: Double): String =
-    f"${math.min(65536L, math.round(pct / 100.0 * 65536.0))}%04x"
+  // bucket in [0, 65536]; 65536 means "past the end of the hash range", so
+  // a lower bound there matches nothing and an upper bound there is
+  // unbounded (pct >= 100 keeps everything above min). Never format 65536
+  // as a 5-char hex string — it compares wrong against 4-char prefixes.
+  private def bucket(pct: Double): Long =
+    math.min(65536L, math.max(0L, math.round(pct / 100.0 * 65536.0)))
   def apply(df: DataFrame): DataFrame = {
     val h = substring(md5(Blobl.envelopeExpr(df, key).cast("string")), 1, 4)
-    df.filter(h >= prefix(minPct) && h < prefix(maxPct))
+    val lo = bucket(minPct)
+    val hi = bucket(maxPct)
+    val lower =
+      if (lo <= 0L) lit(true)
+      else if (lo >= 65536L) lit(false)
+      else h >= f"$lo%04x"
+    val upper = if (hi >= 65536L) lit(true) else h < f"$hi%04x"
+    df.filter(lower && upper)
   }
 }
 

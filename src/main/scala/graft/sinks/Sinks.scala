@@ -52,8 +52,7 @@ object Sinks {
       val out = format match {
         case "lines" => keyed.select(
           Envelope.contentOrDoc(df).cast("string").as("value"), col("__path"))
-        case _ => Envelope.unwrap(keyed.drop("__path"))
-          .withColumn("__path", keyed("__path"))
+        case _ => keyed.select(col(Envelope.Doc + ".*"), col("__path"))
       }
       val w = out.write.mode(mode).partitionBy("__path")
       format match {

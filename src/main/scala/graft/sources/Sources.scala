@@ -74,15 +74,20 @@ object Sources {
       df.withColumn(Envelope.BatchId, lit(i.toLong))
     }.reduce(_.unionByName(_))
 
-  /** `read_until` (`lib/input/read_until.go`): consume rows until the
-    * predicate fires — rows strictly before the first match (ordered by
-    * seq). Global window: intended for bounded replay/debug inputs. */
+  /** `read_until` (`lib/input/read_until.go:31`): consume rows (ordered by
+    * seq) up to AND INCLUDING the first one matching the predicate — the
+    * reference explicitly delivers the triggering message before closing
+    * the input. Plan: one parallel filtered aggregate finds the first
+    * triggering seq (filter pushdown applies), then a plain filter keeps
+    * everything at-or-before it — no global window, no single-partition
+    * stage. */
   def readUntil(df: DataFrame, check: String): DataFrame = {
     val cond = graft.blobl.Mapping.envelopeExpr(df, check)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(Envelope.Seq))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("_hit", max(when(coalesce(cond, lit(false)), 1).otherwise(0)).over(w))
-      .filter(col("_hit") === 0).drop("_hit")
+    val first = df.filter(coalesce(cond, lit(false)))
+      .agg(min(col(Envelope.Seq))).head().get(0)
+    first match {
+      case null => df
+      case v => df.filter(col(Envelope.Seq) <= lit(v))
+    }
   }
 }

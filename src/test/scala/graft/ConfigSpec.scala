@@ -91,7 +91,8 @@ class ConfigSpec extends AnyFunSuite {
         |output:
         |  drop: {}
         |""".stripMargin)
-    assert(spec.input(spark).count() == 5)
+    // the triggering message itself is delivered (lib/input/read_until.go:31)
+    assert(spec.input(spark).count() == 6)
   }
 
   test("streaming config: file_stream → bloblang → file(append)") {
