@@ -8,14 +8,21 @@ import org.apache.spark.sql.types._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
   *
-  * - [[cosine]] / [[bruteForceTopK]]: exact baseline. The query set is
-  *   broadcast; the corpus streams through one pass — O(|corpus|·|queries|)
-  *   work but no corpus shuffle, so it scales to a 100 TB corpus for
-  *   moderate query batches.
+  * - [[cosine]] / [[bruteForceTopK]]: exact baseline. Exact kNN is
+  *   irreducibly one full corpus scan per query batch; the scalable exact
+  *   plan is exactly what this compiles to — queries broadcast, corpus
+  *   streamed in one pass (no corpus shuffle), then a two-stage top-k so
+  *   no single reducer ever sees more than a partition's worth of
+  *   similarities. Use it for moderate query batches and as the recall
+  *   oracle for the approximate path.
   * - [[SignLsh]]: random-hyperplane LSH — corpus bucketed by sign-pattern
-  *   key; queries probe only their bucket (plus optional multi-probe
-  *   neighbors), turning search into a co-partitioned join. Hyperplanes are
-  *   seeded deterministically.
+  *   key; queries probe their bucket plus all buckets within Hamming
+  *   distance `probes` (multi-probe). Candidates come from a bucket
+  *   equi-join (never a cross product), then exact cosine re-ranks them:
+  *   output = true top-k restricted to the candidate set. Hyperplanes are
+  *   seeded deterministically, so the candidate set itself is
+  *   reproducible — which is what lets the DuckDB oracle replicate it
+  *   bit-for-bit (see LlmQueries.lshBucketSql).
   */
 object Similarity {
 
@@ -32,6 +39,23 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Deterministic top-k per query over a (qid, vid, sim) relation in two
+    * stages: partition-local rank first (shuffle key (qid, partition) —
+    * parallelism queries×partitions instead of queries), then a global
+    * rank over the ≤ q·P·k survivors. Any true global top-k row has at
+    * most k-1 rows above it in its own partition, so it always survives
+    * stage one. Ties break on vid in both stages. */
+  private[llmops] def topKOfSims(sims: DataFrame, k: Int): DataFrame = {
+    val staged = sims.withColumn("_pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("qid"), col("_pid"))
+      .orderBy(col("sim").desc, col("vid"))
+    val local = staged.withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= k).drop("_r", "_pid")
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    local.withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+      .select(col("qid"), col("vid"), col("rnk"))
+  }
+
   /** Exact top-k neighbors for each query row.
     * queries/corpus: (idCol, vecCol). Output: qid, vid, rnk (1-based),
     * deterministic tie-break on vid. */
@@ -42,19 +66,14 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"))
     val sims = c.crossJoin(q).filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), cosine(col("qvec"), col("cvec")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select(col("qid"), col("vid"), col("rnk"))
+    topKOfSims(sims, k)
   }
 
-  /** Label-noise detection (kNN consistency): for each vector, the
-    * majority label among its k nearest neighbors vs its own label.
-    * Disagreement flags candidate mislabeled examples — a standard
-    * training-data curation signal. Deterministic: neighbor ties break on
-    * vid, label-vote ties on the smaller label. */
-  def labelConsistency(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val neighbors = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+  /** Majority-vote step shared by the exact and ANN label-noise paths:
+    * neighbors (qid, vid, rnk) + per-id labels → per-query agreement.
+    * Deterministic: label-vote ties break on the smaller label. */
+  private def voteLabels(neighbors: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val labels = corpus.select(col(idCol).as("vid"), col(labelCol).as("n_label"))
     val voted = neighbors.join(labels, "vid")
       .groupBy(col("qid"), col("n_label"))
@@ -70,6 +89,25 @@ object Similarity {
         (col("label") === col("knn_label")).as("agree"))
   }
 
+  /** Label-noise detection (kNN consistency), exact-neighbor flavor: for
+    * each vector, the majority label among its k nearest neighbors vs its
+    * own label. Disagreement flags candidate mislabeled examples — a
+    * standard training-data curation signal. */
+  def labelConsistency(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
+    voteLabels(bruteForceTopK(queries, corpus, idCol, vecCol, k),
+      queries, corpus, idCol, labelCol)
+
+  /** Label-noise detection over ANN neighbors — the 100 TB path: neighbor
+    * candidates come from the LSH bucket equi-join (no cross product),
+    * exactly re-ranked. This is how kNN curation actually runs at corpus
+    * scale; the exact flavor remains as the small-batch/recall baseline. */
+  def labelConsistencyAnn(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      lsh: SignLsh, probes: Int): DataFrame =
+    voteLabels(lsh.topK(queries, corpus, idCol, vecCol, k, probes),
+      queries, corpus, idCol, labelCol)
+
   /** Random-hyperplane sign-LSH. `planes(dim, nPlanes, seed)` generates the
     * (deterministic) hyperplane matrix as a literal — broadcast free. */
   def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -78,7 +116,7 @@ object Similarity {
   }
 
   final case class SignLsh(dim: Int, nPlanes: Int, seed: Long = 42L) {
-    private val hp: Array[Array[Double]] = planes(dim, nPlanes, seed)
+    val hp: Array[Array[Double]] = planes(dim, nPlanes, seed)
 
     /** Bucket key: one bit per hyperplane (sign of the projection). */
     def bucket(vec: Column): Column = {
@@ -90,30 +128,39 @@ object Similarity {
       bits.reduce(_ + _)
     }
 
-    /** ANN top-k with multi-probe: queries probe their own bucket plus all
-      * buckets within Hamming distance `probes` of it (standard multi-probe
-      * LSH — big recall win for a small candidate-set increase). Candidates
-      * come from a co-partitioned equi-join on the bucket key — the scale
-      * path: the cross product never materializes. */
-    def topK(queries: DataFrame, corpus: DataFrame,
-        idCol: String, vecCol: String, k: Int, probes: Int = 1): DataFrame = {
+    /** All XOR masks within Hamming distance `radius` of 0 — the
+      * multi-probe neighborhood (mask 0 = the home bucket). */
+    def probeMasks(radius: Int): scala.Seq[Long] =
+      (0 to math.min(radius, nPlanes)).flatMap(r =>
+        (0 until nPlanes).combinations(r).map(_.map(1L << _).sum))
+
+    /** Candidate pairs via the bucket equi-join: each query probes its own
+      * bucket plus all buckets within Hamming distance `probes`. Output:
+      * (qid, qvec, vid, cvec), distinct pairs. The cross product never
+      * materializes — candidates are O(n · collision-rate). */
+    def candidates(queries: DataFrame, corpus: DataFrame,
+        idCol: String, vecCol: String, probes: Int): DataFrame = {
       val base = bucket(col(vecCol))
-      val probeBuckets: Column = {
-        val flips: scala.Seq[Column] =
-          if (probes <= 0) scala.Seq(base)
-          else base +: (0 until nPlanes).map(i => base.bitwiseXOR(lit(1L << i)))
-        array(flips: _*)
-      }
+      val probeBuckets =
+        array(probeMasks(probes).map(m => base.bitwiseXOR(lit(m))): _*)
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-          explode(probeBuckets).as("b"))
+        explode(probeBuckets).as("b"))
       val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
         bucket(col(vecCol)).as("b"))
-      val sims = q.join(c, "b").filter(col("vid") =!= col("qid"))
+      q.join(c, "b").filter(col("vid") =!= col("qid"))
         .dropDuplicates("qid", "vid")
-        .select(col("qid"), col("vid"), cosine(col("qvec"), col("cvec")).as("sim"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-      sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-        .select(col("qid"), col("vid"), col("rnk"))
+    }
+
+    /** ANN top-k: LSH candidates, exact cosine re-rank. Output = the true
+      * top-k restricted to the candidate set (qid, vid, rnk) — so the
+      * only approximation is candidate coverage, which the deterministic
+      * bucketing makes reproducible (and oracle-checkable). */
+    def topK(queries: DataFrame, corpus: DataFrame,
+        idCol: String, vecCol: String, k: Int, probes: Int = 1): DataFrame = {
+      val sims = candidates(queries, corpus, idCol, vecCol, probes)
+        .select(col("qid"), col("vid"),
+          cosine(col("qvec"), col("cvec")).as("sim"))
+      topKOfSims(sims, k)
     }
   }
 }

@@ -76,21 +76,67 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Multi-probe sign-LSH ANN (the scale path; no SQL oracle — the driver
-    * records a rows-only check; LlmSpec asserts recall vs brute force). */
+  /** Multi-probe sign-LSH ANN — the scale path. The hyperplanes are
+    * deterministic, so the DuckDB oracle replicates the bucketing and the
+    * multi-probe candidate join bit-for-bit: full rows+schema+hash gate
+    * (round 1 had only a rows-only check here). */
   def q36(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.SignLsh(dim = 64, nPlanes = 6)
-      .topK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, probes = 1)
+    q36Lsh.topK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
+        probes = 1)
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** kNN label-noise detection over the embedding table. */
+  /** kNN label-noise detection, routed through the LSH candidate join +
+    * exact re-rank (the 100 TB plan: bucket equi-join, no cross product).
+    * The oracle computes the identical ANN neighbors in DuckDB. The exact
+    * brute-force flavor stays oracle-covered via q29. */
   def q37(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.labelConsistency(
-        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", "label", 5)
+    Similarity.labelConsistencyAnn(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", "label", 5,
+        q37Lsh, probes = 2)
       .orderBy(col("qid"))
+  }
+
+  // Shipped ANN configs (fixed: the oracles embed the same hyperplanes).
+  private val q36Lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
+  private val q37Lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
+
+  /** DuckDB expression for the SignLsh bucket of `vecExpr` — the same
+    * deterministic hyperplanes as the Spark side, embedded as literals, so
+    * the oracle reproduces the candidate set exactly. */
+  private def lshBucketSql(lsh: Similarity.SignLsh, vecExpr: String): String =
+    lsh.hp.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST($vecExpr AS DOUBLE[]), $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Multi-probe membership predicate: corpus bucket ∈ Hamming ball around
+    * the query bucket. */
+  private def probeInSql(lsh: Similarity.SignLsh, probes: Int,
+      qb: String, cb: String): String =
+    lsh.probeMasks(probes)
+      .map(m => if (m == 0L) qb else s"xor($qb, $m)")
+      .mkString(s"$cb IN (", ", ", ")")
+
+  /** Shared ANN candidate CTEs: q (filtered queries) and cand (candidate
+    * pairs with exact cosine). */
+  private def annCandSql(lsh: Similarity.SignLsh, probes: Int,
+      queryPred: String): String = {
+    val bucket = lshBucketSql(lsh, "embedding")
+    s"""WITH q AS (
+       | SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+       |  $bucket AS qb
+       | FROM embeddings WHERE $queryPred),
+       |c AS (
+       | SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS cv,
+       |  $bucket AS cb
+       | FROM embeddings),
+       |cand AS (
+       | SELECT qid, vid, list_cosine_similarity(qv, cv) AS sim
+       | FROM q JOIN c ON ${probeInSql(lsh, probes, "qb", "cb")}
+       |  AND c.vid != q.qid)""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -112,28 +158,32 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q36_ann_lsh" ->
+      s"""${annCandSql(q36Lsh, probes = 1, queryPred = "vec_id < 10")}
+         |SELECT qid, vid, rnk FROM (
+         | SELECT qid, vid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+         | FROM cand)
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q37_label_noise" ->
-      """WITH sims AS (
-        | SELECT q.vec_id AS qid, c.vec_id AS vid, c.label AS n_label,
-        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
-        | FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-        | WHERE q.vec_id < 50),
-        |nn AS (
-        | SELECT qid, vid, n_label FROM (
-        |  SELECT qid, vid, n_label,
-        |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
-        |  FROM sims) WHERE rnk <= 5),
-        |votes AS (
-        | SELECT qid, n_label, count(*) AS votes FROM nn GROUP BY 1, 2),
-        |knn AS (
-        | SELECT qid, n_label AS knn_label FROM (
-        |  SELECT qid, n_label,
-        |   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, n_label) AS rk
-        |  FROM votes) WHERE rk = 1)
-        |SELECT e.vec_id AS qid, e.label, knn.knn_label,
-        | e.label = knn.knn_label AS agree
-        |FROM embeddings e JOIN knn ON knn.qid = e.vec_id
-        |ORDER BY qid""".stripMargin,
+      s"""${annCandSql(q37Lsh, probes = 2, queryPred = "vec_id < 50")},
+         |nn AS (
+         | SELECT qid, vid FROM (
+         |  SELECT qid, vid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+         |  FROM cand) WHERE rnk <= 5),
+         |votes AS (
+         | SELECT qid, e.label AS n_label, count(*) AS votes
+         | FROM nn JOIN embeddings e ON e.vec_id = nn.vid GROUP BY 1, 2),
+         |knn AS (
+         | SELECT qid, n_label AS knn_label FROM (
+         |  SELECT qid, n_label,
+         |   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, n_label) AS rk
+         |  FROM votes) WHERE rk = 1)
+         |SELECT e.vec_id AS qid, e.label, knn.knn_label,
+         | e.label = knn.knn_label AS agree
+         |FROM embeddings e JOIN knn ON knn.qid = e.vec_id
+         |ORDER BY qid""".stripMargin,
     "q25_dedup_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS dedupe_key,
         | min(doc_id) AS doc_id, count(*) AS n_copies

@@ -24,6 +24,42 @@ class LlmSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("ANN at the shipped q36 config = exact top-k restricted to LSH candidates") {
+    // independent local-math oracle at the exact shipped configuration
+    // (dim=64, nPlanes=6, probes=1): reproduce bucketing, candidate
+    // membership, and exact re-rank with plain Scala doubles (same
+    // operation order as the Column expressions → bit-identical).
+    val lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosL(a: Array[Double], b: Array[Double]): Double =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+    def bucketL(v: Array[Double]): Long =
+      lsh.hp.zipWithIndex.map { case (p, i) =>
+        if (dotL(v, p) >= 0) 1L << i else 0L }.sum
+    val buckets = all.map { case (id, v) => id -> bucketL(v) }.toMap
+    val vecs = all.toMap
+    val qs = all.filter(_._1 < 10)
+    val expected = qs.flatMap { case (qid, qv) =>
+      val ball = lsh.probeMasks(1).map(_ ^ buckets(qid)).toSet
+      val cand = all.filter { case (vid, _) =>
+        vid != qid && ball.contains(buckets(vid)) }
+      cand.map { case (vid, cv) => (qid, vid, cosL(qv, cv)) }
+        .sortBy { case (_, vid, sim) => (-sim, vid) }
+        .take(5).zipWithIndex
+        .map { case ((_, vid, _), i) => (qid, vid, i + 1) }
+    }.toSet
+    val got = lsh.topK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("cosine of identical vectors is 1") {
     val one = emb.limit(1).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
