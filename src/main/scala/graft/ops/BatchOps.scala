@@ -179,14 +179,53 @@ object BatchOps {
     }
   }
 
-  /** `merge_json` (`lib/processor/merge_json.go`): merge all parts of a
-    * batch into one doc. Static-schema variant: later fields win, arrays
-    * concat is NOT applied (deep-merge aggregate is a TODO). */
-  final case class MergeJsonLast() extends Processor {
+  /** `merge_json` (`lib/processor/merge_json.go`, gabs-merge semantics per
+    * `methods_structured.go:897`): merge all parts of a batch into one
+    * doc — objects recurse, colliding values collect into arrays (in part
+    * order), array collisions concatenate. Static-schema rendering of the
+    * dynamic reference semantics: every scalar leaf becomes an array of
+    * the non-null values across parts in seq order (the reference keeps a
+    * lone value unwrapped — value-dependent types don't exist in a static
+    * schema, so a single value arrives as a 1-element array; divergence
+    * documented in COVERAGE.md). All pure aggregation: one shuffle by
+    * batch_id with partial aggregation, no driver loops. */
+  final case class MergeJson() extends Processor {
     def apply(df: DataFrame): DataFrame = {
       val docType = df.schema(Doc).dataType
+
+      // ordered non-null collect: array_sort on struct(seq, v) sorts by
+      // seq (unique), `when` without otherwise skips nulls in collect_list
+      def ordered(leaf: Column): Column =
+        array_sort(collect_list(when(leaf.isNotNull,
+          struct(col(Seq).as("s"), leaf.as("v")))))
+
+      def merge(dt: DataType, path: Column): Column = dt match {
+        case st: StructType =>
+          struct(st.fields.toIndexedSeq.map(f =>
+            merge(f.dataType, path.getField(f.name)).as(f.name)): _*)
+        case ArrayType(_, _) =>
+          // array collision → concatenation in part order
+          flatten(transform(ordered(path), x => x.getField("v")))
+        case mt: MapType =>
+          // objects-as-maps: later parts win per key (fold of
+          // filter-then-concat keeps dedup-policy-independent)
+          aggregate(
+            transform(ordered(path), x => x.getField("v")),
+            map().cast(mt),
+            (acc, m) => map_concat(
+              map_filter(acc, (k, _) => !map_contains_key(m, k)), m))
+        case _ =>
+          transform(ordered(path), x => x.getField("v"))
+      }
+
+      val mergedDoc = docType match {
+        case st: StructType =>
+          struct(st.fields.toIndexedSeq.map(f =>
+            merge(f.dataType, col(Doc).getField(f.name)).as(f.name)): _*)
+        case other => merge(other, col(Doc))
+      }
       df.groupBy(col(BatchId)).agg(
-          max_by(col(Doc), col(Seq)).as(Doc), min(col(Seq)).as(Seq))
+          mergedDoc.as(Doc), min(col(Seq)).as(Seq))
         .select(
           lit(null).cast(BinaryType).as(Content), col(Doc),
           map().cast(MapType(StringType, StringType)).as(Meta),

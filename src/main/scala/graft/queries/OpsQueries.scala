@@ -175,7 +175,22 @@ object OpsQueries {
       .orderBy(col("bucket"))
   }
 
+  /** merge_json: deep-merge 50-row batches — scalar leaves collect into
+    * seq-ordered arrays (rendered as joined strings for the oracle). */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrap(
+      t(s, dir, "events").select(col("event_id"), col("event_type")),
+      scala.Seq(col("event_id")), batchSize = 50)
+    val out = B.MergeJson()(env)
+    out.select(
+        col(Envelope.BatchId).as("batch_id"),
+        array_join(transform(col("doc.event_id"), x => x.cast(StringType)), ",").as("ids"),
+        array_join(col("doc.event_type"), ",").as("types"))
+      .orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q38_merge_json" -> (q38 _),
     "q32_generate_agg" -> (q32 _),
     "q13_dedupe" -> (q13 _),
     "q14_hash_sample" -> (q14 _),
@@ -191,6 +206,15 @@ object OpsQueries {
     "q24_grok" -> (q24 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q38_merge_json" ->
+      """WITH t AS (
+        | SELECT event_id, event_type,
+        |  row_number() OVER (ORDER BY event_id) - 1 AS rn
+        | FROM events)
+        |SELECT CAST(floor(rn/50.0) AS BIGINT) AS batch_id,
+        | string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS ids,
+        | string_agg(event_type, ',' ORDER BY rn) AS types
+        |FROM t GROUP BY 1 ORDER BY batch_id""".stripMargin,
     "q32_generate_agg" ->
       """SELECT i % 7 AS bucket, CAST(sum(i*i) AS BIGINT) AS sum_sq, count(*) AS n
         |FROM range(1000) t(i) GROUP BY 1 ORDER BY bucket""".stripMargin,

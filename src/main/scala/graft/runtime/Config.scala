@@ -111,6 +111,7 @@ object Config {
         HashSampleProc(dbl(conf, "retain_min"), dbl(conf, "retain_max"),
           conf.get("key").map(_.toString).getOrElse("content().string()"))
       case "split" => B.Split(conf.get("size").map(_.toString.toLong).getOrElse(1L))
+      case "merge_json" => B.MergeJson()
       case "archive" => B.Archive(str(conf, "format"))
       case "unarchive" => str(conf, "format") match {
         case "lines" => B.UnarchiveLines()

@@ -44,11 +44,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Envelope.unwrap(out).filter(col("id") === 999).count() == 1)
   }
 
-  test("merge_json (last-wins) collapses a batch to one doc") {
-    val out = B.MergeJsonLast()(env(
-      """{"id":1,"v":1}""", """{"id":2,"v":2}""", """{"id":3,"v":3}"""))
+  test("merge_json deep-merges a batch: scalars collect, arrays concat") {
+    // reference semantics (lib/processor/merge_json_test.go): colliding
+    // scalars gather into an array in part order; array fields concat
+    val out = B.MergeJson()(env(
+      """{"id":1,"v":1,"tags":["a"],"nest":{"x":10}}""",
+      """{"id":2,"v":2,"tags":["b","c"],"nest":{"x":20}}""",
+      """{"id":3,"v":3,"tags":[],"nest":{}}"""))
     assert(out.count() == 1)
-    assert(Envelope.unwrap(out).select("v").head().getLong(0) == 3L)
+    val doc = Envelope.unwrap(out).head()
+    assert(doc.getSeq[Long](doc.fieldIndex("id")) == scala.Seq(1L, 2L, 3L))
+    assert(doc.getSeq[Long](doc.fieldIndex("v")) == scala.Seq(1L, 2L, 3L))
+    assert(doc.getSeq[String](doc.fieldIndex("tags")) == scala.Seq("a", "b", "c"))
+    val nest = doc.getStruct(doc.fieldIndex("nest"))
+    assert(nest.getSeq[Long](nest.fieldIndex("x")) == scala.Seq(10L, 20L))
+  }
+
+  test("merge_json skips null (absent) fields") {
+    val out = B.MergeJson()(env(
+      """{"id":1,"v":5}""", """{"id":2}"""))
+    val doc = Envelope.unwrap(out).head()
+    assert(doc.getSeq[Long](doc.fieldIndex("v")) == scala.Seq(5L))
+    assert(doc.getSeq[Long](doc.fieldIndex("id")) == scala.Seq(1L, 2L))
   }
 
   test("resource registry round trip") {
