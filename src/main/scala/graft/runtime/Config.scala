@@ -48,7 +48,9 @@ object Config {
     val output = root.get("output").map(asMap).map(compileOutput)
       .getOrElse(Sinks.ConsoleSink())
     val streaming = root.get("input").map(asMap).exists(m =>
-      m.contains("file_stream") || m.contains("generate_stream"))
+      m.contains("file_stream") || m.contains("generate_stream") ||
+        (m.contains("kafka") &&
+          !asMap(m("kafka")).get("batch").exists(_.toString.toBoolean)))
     StreamSpec(input, procs, output, streaming)
   }
 
@@ -93,6 +95,11 @@ object Config {
         val inner = compileInput(asMap(conf("input")))
         val check = condString(conf("check"))
         s => Sources.readUntil(inner(s), check)
+      case "kafka" =>
+        val c = kafkaInputConfig(conf)
+        val batch = conf.get("batch").exists(_.toString.toBoolean)
+        s => if (batch) graft.sources.Kafka.read(s, c)
+             else graft.sources.Kafka.readStream(s, c)
       case o => throw new IllegalArgumentException(s"config: unknown input kind $o")
     }
   }
@@ -210,8 +217,53 @@ object Config {
         Sinks.FallbackSink(asList(m(kind)).map(o => compileOutput(asMap(o))))
       case "reject" | "drop_on_error" =>
         Sinks.DropOnError(Sinks.DropSink)
+      case "kafka" =>
+        Sinks.KafkaSink(kafkaOutputConfig(conf))
       case o => throw new IllegalArgumentException(s"config: unknown output $o")
     }
+  }
+
+  // ---------- kafka config mapping ----------
+  private def strings(m: Map[String, Any], k: String): scala.Seq[String] =
+    m.get(k).map(asList(_).map(_.toString)).getOrElse(Nil)
+  private def optStr(m: Map[String, Any], k: String, dflt: String = ""): String =
+    m.get(k).map(_.toString).getOrElse(dflt)
+  private def kafkaSecurity(m: Map[String, Any])
+      : (Boolean, String, String, String) = {
+    val tls = m.get("tls").map(asMap).exists(t =>
+      t.get("enabled").exists(_.toString.toBoolean))
+    val sasl = m.get("sasl").map(asMap).getOrElse(Map.empty)
+    (tls, optStr(sasl, "mechanism"), optStr(sasl, "user"),
+      optStr(sasl, "password"))
+  }
+  private def kafkaInputConfig(conf: Map[String, Any])
+      : graft.sources.Kafka.InputConfig = {
+    val (tls, mech, user, pass) = kafkaSecurity(conf)
+    graft.sources.Kafka.InputConfig(
+      addresses = strings(conf, "addresses"),
+      topics = strings(conf, "topics"),
+      consumerGroup = optStr(conf, "consumer_group"),
+      clientId = optStr(conf, "client_id", "graft"),
+      startFromOldest =
+        conf.get("start_from_oldest").forall(_.toString.toBoolean),
+      tlsEnabled = tls, saslMechanism = mech,
+      saslUser = user, saslPassword = pass,
+      minPartitions = conf.get("min_partitions").map(_.toString.toInt))
+  }
+  private def kafkaOutputConfig(conf: Map[String, Any])
+      : graft.sources.Kafka.OutputConfig = {
+    val (tls, mech, user, pass) = kafkaSecurity(conf)
+    graft.sources.Kafka.OutputConfig(
+      addresses = strings(conf, "addresses"),
+      topic = str(conf, "topic"),
+      key = optStr(conf, "key"),
+      clientId = optStr(conf, "client_id", "graft"),
+      compression = optStr(conf, "compression"),
+      staticHeaders = conf.get("static_headers").map(asMap).getOrElse(Map.empty)
+        .map { case (k, v) => k -> v.toString },
+      metadataHeaders = conf.get("metadata").isDefined,
+      tlsEnabled = tls, saslMechanism = mech,
+      saslUser = user, saslPassword = pass)
   }
 
   /** result_map subset: lines of `root.<dest> = this.<srcField>` become

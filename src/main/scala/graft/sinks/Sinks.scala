@@ -63,6 +63,14 @@ object Sinks {
     }
   }
 
+  /** `kafka` output (`lib/output/writer/kafka.go`): envelope → wire
+    * columns projection + `format("kafka")` write. The projection
+    * (key/topic interpolation, headers) is pure and covered by KafkaSpec;
+    * the connector jar supplies transport at deploy time. */
+  final case class KafkaSink(conf: graft.sources.Kafka.OutputConfig) extends Sink {
+    def write(df: DataFrame): Unit = graft.sources.Kafka.write(df, conf)
+  }
+
   /** `stdout` (`lib/output/writer/stdout.go`-ish): console. */
   final case class ConsoleSink(n: Int = 20) extends Sink {
     def write(df: DataFrame): Unit = Envelope.unwrap(df).show(n, truncate = false)
