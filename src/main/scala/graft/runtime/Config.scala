@@ -161,6 +161,10 @@ object Config {
       case "compress" => CodecProcs.CompressProc(str(conf, "algorithm"))
       case "decompress" => CodecProcs.DecompressProc(str(conf, "algorithm"))
       case "avro" => CodecProcs.AvroProc(str(conf, "operator"), str(conf, "schema"))
+      case "protobuf" => CodecProcs.ProtobufProc(str(conf, "operator"),
+        str(conf, "message"),
+        importPaths = strings(conf, "import_paths") ++
+          conf.get("import_path").map(_.toString).toSeq)
       case "subprocess" =>
         SubprocessProc(str(conf, "name") +: conf.get("args")
           .map(asList(_).map(_.toString)).getOrElse(Nil))
