@@ -161,6 +161,14 @@ object Config {
       case "compress" => CodecProcs.CompressProc(str(conf, "algorithm"))
       case "decompress" => CodecProcs.DecompressProc(str(conf, "algorithm"))
       case "avro" => CodecProcs.AvroProc(str(conf, "operator"), str(conf, "schema"))
+      case "sql" => SqlProc(
+        optStr(conf, "driver"),
+        conf.get("data_source_name").orElse(conf.get("dsn")).map(_.toString)
+          .getOrElse(throw new IllegalArgumentException(
+            "config: sql needs data_source_name")),
+        str(conf, "query"),
+        argsMapping = optStr(conf, "args_mapping"),
+        resultCodec = optStr(conf, "result_codec", "none"))
       case "protobuf" => CodecProcs.ProtobufProc(str(conf, "operator"),
         str(conf, "message"),
         importPaths = strings(conf, "import_paths") ++
