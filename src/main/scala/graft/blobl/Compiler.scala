@@ -46,6 +46,43 @@ final case class Ctx(
   */
 object Compiler {
 
+  /** Scan a regex pattern for capturing groups: returns the pattern with
+    * Go-style named groups `(?P<n>` rewritten to plain `(` (Java rejects
+    * some Go group names) plus the ordered group-name list (None =
+    * unnamed). Tracks escapes and character classes. */
+  private[blobl] def captureGroups(pat: String): (String, List[Option[String]]) = {
+    val out = new StringBuilder
+    val groups = scala.collection.mutable.ListBuffer[Option[String]]()
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      c match {
+        case '\\' if i + 1 < pat.length =>
+          out.append(c).append(pat.charAt(i + 1)); i += 1
+        case '[' if !inClass => inClass = true; out.append(c)
+        case ']' if inClass => inClass = false; out.append(c)
+        case '(' if !inClass =>
+          val named = "^\\(\\?P?<([A-Za-z][A-Za-z0-9_]*)>".r
+            .findFirstMatchIn(pat.substring(i))
+          named match {
+            case Some(m) =>
+              groups += Some(m.group(1))
+              out.append('(') // strip the name: extraction is by index
+              i += m.end - 1
+            case None if i + 1 < pat.length && pat.charAt(i + 1) == '?' =>
+              out.append(c) // non-capturing / lookaround / flags
+            case None =>
+              groups += None
+              out.append(c)
+          }
+        case o => out.append(o)
+      }
+      i += 1
+    }
+    (out.result(), groups.toList)
+  }
+
   // ---------- type helpers ----------
   private def numeric(t: Option[DataType]): Boolean = t.exists {
     case _: NumericType => true; case _ => false
@@ -220,6 +257,14 @@ object Compiler {
         throw CompileError(s"$name() only valid as a whole assignment value or if/match branch")
       case "now" =>
         TC(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), Some(StringType))
+      case "timestamp" | "timestamp_utc" =>
+        // deprecated aliases (functions.go:630,651): current time in a Go
+        // layout; the session timezone is pinned to UTC, so the local and
+        // UTC flavors coincide
+        val layout =
+          if (args.nonEmpty) litStr(0) else "Mon Jan 2 15:04:05 -0700 MST 2006"
+        TC(date_format(current_timestamp(), TimeFormats.goToJava(layout)),
+          Some(StringType))
       case "timestamp_unix" => TC(unix_timestamp(), Some(LongType))
       case "timestamp_unix_nano" =>
         TC(unix_micros(current_timestamp()) * 1000L, Some(LongType))
@@ -400,6 +445,26 @@ object Compiler {
       case "re_match" => TC(regexp_like(t.col, c(0).col), Some(BooleanType))
       case "re_replace" => TC(regexp_replace(t.col, litStr(0), litStr(1)), Some(StringType))
       case "re_find_all" => TC(regexp_extract_all(t.col, lit(litStr(0)), lit(0)), Some(ArrayType(StringType)))
+      case "re_find_all_submatch" =>
+        // array of [full, group1, ...] per match (methods_strings.go:1659):
+        // regexp_extract_all per group index aligns by match, zip them up
+        val (pat, groups) = Compiler.captureGroups(litStr(0))
+        val cols = (0 to groups.length).map(i =>
+          regexp_extract_all(t.col, lit(pat), lit(i)).as(s"g$i"))
+        TC(transform(arrays_zip(cols: _*), x =>
+            array((0 to groups.length).map(i => x.getField(s"g$i")): _*)),
+          Some(ArrayType(ArrayType(StringType))))
+      case "re_find_all_object" =>
+        // array of {name-or-index: match} per match (methods_strings.go:1768)
+        val (pat, groups) = Compiler.captureGroups(litStr(0))
+        val keys = "0" +: groups.zipWithIndex.map { case (n, i) =>
+          n.getOrElse((i + 1).toString) }
+        val cols = (0 to groups.length).map(i =>
+          regexp_extract_all(t.col, lit(pat), lit(i)).as(s"g$i"))
+        TC(transform(arrays_zip(cols: _*), x =>
+            struct(keys.zipWithIndex.map { case (k, i) =>
+              x.getField(s"g$i").as(k) }: _*)),
+          None)
       case "re_find_object" =>
         // named groups → struct of group matches
         val pat = litStr(0)
@@ -476,6 +541,25 @@ object Compiler {
       case "strip_html" => TC(regexp_replace(t.col, "<[^>]*>", ""), Some(StringType))
       case "quote" => TC(to_json(struct(t.col.as("q"))).substr(lit(6),
         length(to_json(struct(t.col.as("q")))) - 6), Some(StringType))
+      case "unquote" =>
+        // strconv.Unquote (methods_strings.go:1492): JSON-string unescape
+        // via a from_json round trip; Go-only escapes (\xHH, \') are
+        // pre-normalized to their JSON forms (octal escapes unsupported)
+        val pre = regexp_replace(
+          regexp_replace(t.col, "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1"),
+          "\\\\'", "'")
+        TC(element_at(
+          from_json(concat(lit("["), pre, lit("]")), ArrayType(StringType)),
+          1), Some(StringType))
+      case "json_schema" =>
+        // validate against a JSON schema subset; invalid → null (pair
+        // with .catch() — the processor form writes the error flag)
+        val asJson = t.tpe match {
+          case Some(StringType) => t.col
+          case _ => to_json(t.col)
+        }
+        val err = graft.exprs.Formats.jsonSchemaError(asJson, litStr(0))
+        TC(when(err.isNull, t.col), t.tpe)
       case "filepath_join" => TC(array_join(t.col, "/"), Some(StringType))
       case "filepath_split" =>
         // Go filepath.Split: (dir incl. trailing sep, file) pair

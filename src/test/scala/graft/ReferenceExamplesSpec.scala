@@ -159,4 +159,41 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       """{"thing":{"id":"1234"}}""" -> """{"doc":{"id":"1234"}}""",
       """{"thing":{}}""" -> """{"doc":{"id":"unknown"}}""")
   }
+
+  test("unquote (methods_strings.go:1492)") {
+    check("root.unquoted = this.thing.unquote()",
+      """{"thing":"\"foo\\nbar\""}""" -> """{"unquoted":"foo\nbar"}""")
+  }
+
+  test("re_find_all_submatch (methods_strings.go:1659)") {
+    check("""root.matches = this.value.re_find_all_submatch("a(x*)b")""",
+      """{"value":"-axxb-ab-"}""" -> """{"matches":[["axxb","xx"],["ab",""]]}""")
+  }
+
+  test("re_find_all_object (methods_strings.go:1768)") {
+    check("""root.matches = this.value.re_find_all_object("a(?P<foo>x*)b")""",
+      """{"value":"-axxb-ab-"}""" ->
+        """{"matches":[{"0":"axxb","foo":"xx"},{"0":"ab","foo":""}]}""")
+    check("root.matches = this.value.re_find_all_object(" +
+        "\"(?m)(?P<key>\\\\w+):\\\\s+(?P<value>\\\\w+)$\")",
+      """{"value":"option1: value1\noption2: value2\noption3: value3"}""" ->
+        ("""{"matches":[{"0":"option1: value1","key":"option1","value":"value1"},""" +
+          """{"0":"option2: value2","key":"option2","value":"value2"},""" +
+          """{"0":"option3: value3","key":"option3","value":"value3"}]}"""))
+  }
+
+  test("json_schema method validates, invalid pairs with catch (methods_structured.go:587)") {
+    val schema = """{\"type\":\"object\",\"required\":[\"name\"],""" +
+      """\"properties\":{\"name\":{\"type\":\"string\"}}}"""
+    check(s"""root.who = this.json_schema("$schema").name.catch("invalid")""",
+      """{"name":"ann"}""" -> """{"who":"ann"}""",
+      """{"name":5}""" -> """{"who":"invalid"}""")
+  }
+
+  test("timestamp / timestamp_utc deprecated aliases (functions.go:630,651)") {
+    check("""root.y = timestamp("2006").number() >= 2024""",
+      """{"x":1}""" -> """{"y":true}""")
+    check("""root.t = timestamp_utc("15:04:05").length() == 8""",
+      """{"x":1}""" -> """{"t":true}""")
+  }
 }
