@@ -1,0 +1,142 @@
+package graft.runtime
+
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.streaming.StreamRegistry
+
+/** Metric registry: named `df.observe` observations, rendered as
+  * prometheus text (`lib/metrics/constructor.go:74-84` prometheus sink).
+  * Batch observations publish after their action completes; streaming
+  * metrics surface through query progress (`/streams/{id}/stats`). */
+object Metrics {
+  private val observations =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.Observation]()
+
+  def observation(name: String): org.apache.spark.sql.Observation =
+    observations.getOrElseUpdate(name, org.apache.spark.sql.Observation(name))
+
+  def clear(): Unit = observations.clear()
+
+  private def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Prometheus exposition text of all completed observations. */
+  def prometheus: String = {
+    val lines = observations.toSeq.sortBy(_._1).flatMap { case (n, o) =>
+      org.apache.spark.sql.GraftBridge.observationValues(o)
+        .toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        val num = v match {
+          case x: java.lang.Number => Some(x.doubleValue)
+          case _ => None
+        }
+        num.map { d =>
+          val metric = s"graft_${sanitize(n)}_${sanitize(k)}"
+          s"# TYPE $metric gauge\n$metric $d"
+        }
+      }
+    }
+    lines.mkString("", "\n", "\n")
+  }
+}
+
+/** REST control plane over the stream registry — the reference's streams
+  * mode API (`lib/stream/manager/api.go:34-58`):
+  *
+  *   GET    /ping, /ready          liveness / readiness
+  *   GET    /streams               ids → {active, uptime_s}
+  *   POST   /streams/{id}          body = YAML config → start
+  *   GET    /streams/{id}          status JSON
+  *   DELETE /streams/{id}          stop
+  *   GET    /streams/{id}/stats    last progress JSON (streaming)
+  *   GET    /metrics, /stats       prometheus text of observations
+  *
+  * Runs on the driver (the natural control-plane host in Spark's
+  * architecture); data never flows through it. */
+final class ControlPlane(spark: SparkSession,
+    registry: StreamRegistry = new StreamRegistry, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val started =
+    scala.collection.concurrent.TrieMap[String, (Long, Boolean)]() // id → (t0, streaming)
+  private val checkpointRoot =
+    java.nio.file.Files.createTempDirectory("graft-api-ckpt").toString
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def streamStatus(id: String): Option[String] =
+    started.get(id).map { case (t0, streaming) =>
+      val active = streaming && registry.list.contains(id)
+      val uptime = (System.currentTimeMillis() - t0) / 1000.0
+      s"""{"active":$active,"uptime_s":$uptime,"streaming":$streaming}"""
+    }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    (method, path.split("/").filter(_.nonEmpty).toList) match {
+      case ("GET", List("ping")) => respond(ex, 200, "pong", "text/plain")
+      case ("GET", List("ready")) => respond(ex, 200, """{"ready":true}""")
+      case ("GET", List("metrics")) | ("GET", List("stats")) =>
+        respond(ex, 200, Metrics.prometheus,
+          "text/plain; version=0.0.4; charset=utf-8")
+      case ("GET", List("streams")) =>
+        val items = started.keys.toSeq.sorted.map(id =>
+          s"${jsonStr(id)}:${streamStatus(id).get}")
+        respond(ex, 200, items.mkString("{", ",", "}"))
+      case ("POST", List("streams", id)) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val spec = Config.load(body)
+        if (spec.streaming) {
+          val q = spec.runStream(spark, s"$checkpointRoot/$id")
+          registry.start(id, q)
+          started.put(id, (System.currentTimeMillis(), true))
+        } else {
+          spec.run(spark)
+          started.put(id, (System.currentTimeMillis(), false))
+        }
+        respond(ex, 200, """{"status":"created"}""")
+      case ("GET", List("streams", id)) =>
+        streamStatus(id) match {
+          case Some(s) => respond(ex, 200, s)
+          case None => respond(ex, 404, """{"error":"stream not found"}""")
+        }
+      case ("DELETE", List("streams", id)) =>
+        val wasStreaming = registry.stop(id)
+        if (started.remove(id).isDefined)
+          respond(ex, 200, s"""{"status":"stopped","was_active":$wasStreaming}""")
+        else respond(ex, 404, """{"error":"stream not found"}""")
+      case ("GET", List("streams", id, "stats")) =>
+        if (!started.contains(id))
+          respond(ex, 404, """{"error":"stream not found"}""")
+        else respond(ex, 200, registry.stats(id).getOrElse("{}"))
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    }
+  } catch {
+    case e: Exception =>
+      respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+  }
+
+  server.createContext("/", handle(_))
+  server.setExecutor(null) // single-threaded: a control plane, not a data path
+
+  def start(): ControlPlane = { server.start(); this }
+  def stop(): Unit = { registry.stopAll(); server.stop(0) }
+}

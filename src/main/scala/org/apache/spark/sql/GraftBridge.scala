@@ -9,4 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an Observation's metrics (empty until the
+    * observed action completes) — `getOrEmpty` is `private[sql]`. */
+  def observationValues(o: Observation): Map[String, Any] = o.getOrEmpty
 }

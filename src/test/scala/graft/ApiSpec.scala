@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.runtime.{ControlPlane, Metrics}
+
+/** Control-plane REST API (lib/stream/manager/api.go surface) + the
+  * prometheus rendering of df.observe metrics. */
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  def http(method: String, url: String, body: String = null): (Int, String) = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, text)
+  }
+
+  test("lifecycle: ready, create, list, status, stats, delete") {
+    val api = new ControlPlane(spark).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      assert(http("GET", s"$base/ping")._2 == "pong")
+      assert(http("GET", s"$base/ready")._1 == 200)
+
+      // create a (batch) stream from YAML
+      val (code, _) = http("POST", s"$base/streams/job1",
+        """input:
+          |  generate:
+          |    count: 5
+          |    mapping: "root.i = this.i"
+          |output:
+          |  drop: {}
+          |""".stripMargin)
+      assert(code == 200)
+
+      val (_, list) = http("GET", s"$base/streams")
+      assert(list.contains("\"job1\""))
+      val (sCode, status) = http("GET", s"$base/streams/job1")
+      assert(sCode == 200 && status.contains("\"streaming\":false"))
+
+      // a real streaming stream: rate-source generate → drop
+      val (cCode, _) = http("POST", s"$base/streams/job2",
+        """input:
+          |  generate_stream:
+          |    rows_per_second: 5
+          |    mapping: "root.v = this.i"
+          |output:
+          |  drop: {}
+          |""".stripMargin)
+      assert(cCode == 200)
+      assert(http("GET", s"$base/streams/job2")._2.contains("\"active\":true"))
+      // stats: JSON (may be {} before the first progress event)
+      assert(http("GET", s"$base/streams/job2/stats")._1 == 200)
+      assert(http("DELETE", s"$base/streams/job2")._1 == 200)
+      assert(http("GET", s"$base/streams/job2")._1 == 404)
+
+      assert(http("GET", s"$base/streams/nope")._1 == 404)
+      assert(http("POST", s"$base/streams/bad", "not: [valid")._1 == 400)
+    } finally api.stop()
+  }
+
+  test("prometheus rendering of df.observe metrics") {
+    Metrics.clear()
+    val obs = Metrics.observation("events_seen")
+    val df = spark.range(100).observe(obs,
+      count(lit(1)).as("rows"), sum(col("id")).as("id_sum"))
+    df.collect()
+    val api = new ControlPlane(spark).start()
+    try {
+      val (code, text) =
+        http("GET", s"http://localhost:${api.boundPort}/metrics")
+      assert(code == 200)
+      assert(text.contains("graft_events_seen_rows 100.0"))
+      assert(text.contains("graft_events_seen_id_sum 4950.0"))
+      assert(text.contains("# TYPE graft_events_seen_rows gauge"))
+    } finally api.stop()
+  }
+}
