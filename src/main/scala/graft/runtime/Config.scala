@@ -161,6 +161,11 @@ object Config {
       case "compress" => CodecProcs.CompressProc(str(conf, "algorithm"))
       case "decompress" => CodecProcs.DecompressProc(str(conf, "algorithm"))
       case "avro" => CodecProcs.AvroProc(str(conf, "operator"), str(conf, "schema"))
+      case "aws_lambda" | "lambda" => LambdaProc(
+        str(conf, "function"),
+        region = optStr(conf, "region", "us-east-1"),
+        endpoint = optStr(conf, "endpoint"),
+        timeoutMs = conf.get("timeout_ms").map(_.toString.toInt).getOrElse(10000))
       case "sql" => SqlProc(
         optStr(conf, "driver"),
         conf.get("data_source_name").orElse(conf.get("dsn")).map(_.toString)

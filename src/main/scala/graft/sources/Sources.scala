@@ -13,12 +13,20 @@ import graft.model.Envelope
   */
 object Sources {
 
-  /** Codec-driven file read (`file`/`files`/`csv` inputs + §2.7 codecs).
-    * codec ∈ lines | csv | csv:<delim> | json | json_documents | parquet |
-    * all-bytes. */
-  def file(spark: SparkSession, path: String, codec: String,
+  /** Codec-driven file read (`file`/`files`/`csv` inputs + §2.7 codecs,
+    * `internal/codec/reader.go:204-250`). codec ∈ lines | csv |
+    * csv:<delim> | json | json_documents | parquet | all-bytes |
+    * delim:<d> | chunker:<n> | tar | gzip/<inner> | auto. Deprecated
+    * aliases csv-gzip / tar-gzip normalize like the reference. */
+  def file(spark: SparkSession, path: String, codec0: String,
       schema: Option[StructType] = None, header: Boolean = true): DataFrame = {
     val meta = map(lit("path"), input_file_name())
+    val codec = codec0 match { // convertDeprecatedCodec (reader.go:243-250)
+      case "csv-gzip" => "gzip/csv"
+      case "tar-gzip" => "gzip/tar"
+      case "auto" => autoCodec(path)
+      case o => o
+    }
     codec match {
       case "lines" =>
         val df = spark.read.text(path)
@@ -49,9 +57,117 @@ object Sources {
           lit(null).cast(StringType).as(Envelope.Error),
           spark_partition_id().cast(LongType).as(Envelope.BatchId),
           monotonically_increasing_id().as(Envelope.Seq))
+      case c if c.startsWith("delim:") =>
+        // custom delimiter (reader.go:221-229): the text source's lineSep
+        // handles it natively — splits stream inside the scan, scalable
+        val d = c.substring(6)
+        require(d.nonEmpty, "custom delimiter codec requires a non-empty delimiter")
+        val df = spark.read.option("lineSep", d).text(path)
+        linesEnvelope(df.select(col("value")), meta)
+      case c if c.startsWith("chunker:") =>
+        // fixed-size chunks (reader.go:230-238): whole file → n-byte slices
+        val n = c.substring(8).toInt
+        require(n > 0, "invalid chunk size for chunker codec")
+        val raw = spark.read.format("binaryFile").load(path)
+        chunked(raw.select(col("content"), col("path")), n)
+      case "tar" =>
+        val raw = spark.read.format("binaryFile").load(path)
+        tarEntries(raw.select(col("content"), col("path")))
+      case c if c.startsWith("gzip/") =>
+        // chained wrapper codec (reader.go GetReader chain)
+        val raw = spark.read.format("binaryFile").load(path)
+        val unz = raw.select(
+          graft.exprs.Codecs.decompress(col("content"), "gzip").as("content"),
+          col("path"))
+        c.substring(5) match {
+          case "all-bytes" => bytesEnvelope(unz)
+          case "lines" => linesEnvelope(
+            unz.select(explode(splitLines(col("content"))).as("value"),
+              col("path")),
+            map(lit("path"), col("path")))
+          case d if d.startsWith("delim:") =>
+            val sep = d.substring(6)
+            linesEnvelope(
+              unz.select(explode(split(col("content").cast(StringType),
+                java.util.regex.Pattern.quote(sep))).as("value"), col("path")),
+              map(lit("path"), col("path")))
+          case d if d.startsWith("chunker:") =>
+            chunked(unz, d.substring(8).toInt)
+          case "tar" => tarEntries(unz)
+          case o => throw new IllegalArgumentException(s"unknown chained codec gzip/$o")
+        }
       case o => throw new IllegalArgumentException(s"unknown codec $o")
     }
   }
+
+  /** `auto` codec: dispatch on the path's extension (reader.go autoCodec). */
+  private def autoCodec(path: String): String = {
+    val p = path.toLowerCase
+    if (p.endsWith(".csv")) "csv"
+    else if (p.endsWith(".csv.gz") || p.endsWith(".csv.gzip")) "csv" // native .gz
+    else if (p.endsWith(".tar")) "tar"
+    else if (p.endsWith(".tar.gz") || p.endsWith(".tgz")) "gzip/tar"
+    else if (p.endsWith(".parquet")) "parquet"
+    else if (p.endsWith(".json")) "json"
+    else if (p.endsWith(".gz")) "gzip/lines"
+    else "lines"
+  }
+
+  /** Split decompressed bytes into lines, dropping one trailing empty
+    * element (text-file convention). */
+  private def splitLines(content: org.apache.spark.sql.Column) = {
+    val arr = split(content.cast(StringType), "\n")
+    when(element_at(arr, -1) === "", slice(arr, lit(1), size(arr) - 1)).otherwise(arr)
+  }
+
+  private def linesEnvelope(df: DataFrame, meta: Column): DataFrame =
+    df.select(
+      col("value").cast(BinaryType).as(Envelope.Content),
+      col("value").as(Envelope.Doc),
+      meta.as(Envelope.Meta),
+      lit(null).cast(StringType).as(Envelope.Error),
+      spark_partition_id().cast(LongType).as(Envelope.BatchId),
+      monotonically_increasing_id().as(Envelope.Seq))
+
+  private def bytesEnvelope(df: DataFrame): DataFrame =
+    df.select(
+      col("content").as(Envelope.Content),
+      col("content").as(Envelope.Doc),
+      map(lit("path"), col("path")).as(Envelope.Meta),
+      lit(null).cast(StringType).as(Envelope.Error),
+      spark_partition_id().cast(LongType).as(Envelope.BatchId),
+      monotonically_increasing_id().as(Envelope.Seq))
+
+  /** (content, path) → one row per n-byte slice. */
+  private def chunked(df: DataFrame, n: Int): DataFrame = {
+    val len = length(col("content"))
+    val idxs = when(len <= 0, array().cast("array<int>"))
+      .otherwise(org.apache.spark.sql.functions.sequence(
+        lit(0), ceil(len.cast("double") / n).cast("int") - 1))
+    df.select(posexplode(transform(idxs, i =>
+          substring(col("content"), (i * n + 1).cast("int"), lit(n))))
+        .as(scala.Seq("_pos", "_chunk")), col("path"))
+      .select(
+        col("_chunk").as(Envelope.Content),
+        col("_chunk").as(Envelope.Doc),
+        map(lit("path"), col("path")).as(Envelope.Meta),
+        lit(null).cast(StringType).as(Envelope.Error),
+        spark_partition_id().cast(LongType).as(Envelope.BatchId),
+        (monotonically_increasing_id() * 1000000 + col("_pos")).as(Envelope.Seq))
+  }
+
+  /** (content, path) → one row per tar entry, name in meta. */
+  private def tarEntries(df: DataFrame): DataFrame =
+    df.select(posexplode(graft.exprs.Formats.untar(col("content")))
+        .as(scala.Seq("_pos", "_e")), col("path"))
+      .select(
+        col("_e._2").as(Envelope.Content),
+        col("_e._2").as(Envelope.Doc),
+        map(lit("path"), col("path"), lit("archive_name"), col("_e._1"))
+          .as(Envelope.Meta),
+        lit(null).cast(StringType).as(Envelope.Error),
+        spark_partition_id().cast(LongType).as(Envelope.BatchId),
+        (monotonically_increasing_id() * 1000000 + col("_pos")).as(Envelope.Seq))
 
   private def wrap(df: DataFrame): DataFrame = Envelope.wrapUnordered(df)
 
