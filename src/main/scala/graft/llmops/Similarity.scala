@@ -147,8 +147,10 @@ object Similarity {
         explode(probeBuckets).as("b"))
       val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
         bucket(col(vecCol)).as("b"))
+      // no dedup needed: a corpus vector has exactly one bucket and the
+      // probe masks are distinct, so each (qid, vid) pair joins at most
+      // once — saves a full shuffle over the candidate set
       q.join(c, "b").filter(col("vid") =!= col("qid"))
-        .dropDuplicates("qid", "vid")
     }
 
     /** ANN top-k: LSH candidates, exact cosine re-rank. Output = the true
