@@ -214,4 +214,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
+
+  /** Embedding-cosine near-duplicate pairs — the semantic flavor of
+    * near-dup detection: candidate pairs from a sign-LSH bucketed
+    * SELF-join (multi-probe), verified with exact cosine ≥ threshold.
+    * Never O(n²): candidates are O(n · bucket-collision-rate).
+    *
+    * Pair uniqueness without a dedup shuffle: the left side explodes the
+    * probe Hamming ball, the right side keeps its single home bucket,
+    * and `id_a < id_b` keeps one orientation — for a pair of buckets
+    * exactly one XOR mask connects them, so each surviving pair joins
+    * exactly once. Returns (id_a, id_b, sim), deterministic. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      lsh: Similarity.SignLsh, probes: Int = 1,
+      threshold: Double = 0.9): DataFrame = {
+    val base = lsh.bucket(col(vecCol))
+    val probeBuckets =
+      array(lsh.probeMasks(probes).map(m => base.bitwiseXOR(lit(m))): _*)
+    val left = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      explode(probeBuckets).as("b"))
+    val right = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      base.as("b"))
+    left.join(right, "b")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

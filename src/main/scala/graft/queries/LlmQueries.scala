@@ -99,9 +99,18 @@ object LlmQueries {
       .orderBy(col("qid"))
   }
 
+  /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
+    * exact cosine verify (the semantic dedup mode). Oracle replicates
+    * the LSH candidate pairs in DuckDB. */
+  def q39(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        q39Lsh, probes = 2, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   // Shipped ANN configs (fixed: the oracles embed the same hyperplanes).
   private val q36Lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
   private val q37Lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
+  private val q39Lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
 
   /** DuckDB expression for the SignLsh bucket of `vecExpr` — the same
     * deterministic hyperplanes as the Spark side, embedded as literals, so
@@ -140,6 +149,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q39_embed_neardup" -> (q39 _),
     "q37_label_noise" -> (q37 _),
     "q36_ann_lsh" -> (q36 _),
     "q25_dedup_fingerprint" -> (q25 _),
@@ -158,6 +168,19 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q39_embed_neardup" -> {
+      val bucket = lshBucketSql(q39Lsh, "embedding")
+      s"""WITH v AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+         |  $bucket AS b
+         | FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | list_cosine_similarity(a.ve, b.ve) AS sim
+         |FROM v a JOIN v b
+         | ON ${probeInSql(q39Lsh, 2, "a.b", "b.b")} AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.ve, b.ve) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q36_ann_lsh" ->
       s"""${annCandSql(q36Lsh, probes = 1, queryPred = "vec_id < 10")}
          |SELECT qid, vid, rnk FROM (

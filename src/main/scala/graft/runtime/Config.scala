@@ -41,6 +41,16 @@ object Config {
       scala.util.matching.Regex.quoteReplacement(
         sys.env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
     val root = asMap(new Yaml().load[Any](interpolated))
+    // cache_resources first: the cache processor resolves labels at compile
+    root.get("cache_resources").map(asList).getOrElse(Nil).foreach { c =>
+      val cm = asMap(c)
+      val label = str(cm, "label")
+      val store: graft.ops.CacheOps.CacheStore =
+        if (cm.contains("file"))
+          new graft.ops.CacheOps.FileCache(str(asMap(cm("file")), "directory"))
+        else new graft.ops.CacheOps.MemoryCache
+      graft.ops.CacheOps.Caches.register(label, store)
+    }
     val input = compileInput(asMap(root.getOrElse("input",
       throw new IllegalArgumentException("config: missing input"))))
     val procs = root.get("pipeline").map(asMap).flatMap(_.get("processors"))
@@ -119,6 +129,13 @@ object Config {
           conf.get("key").map(_.toString).getOrElse("content().string()"))
       case "split" => B.Split(conf.get("size").map(_.toString.toLong).getOrElse(1L))
       case "merge_json" => B.MergeJson()
+      case "cache" => graft.ops.CacheOps.CacheProc(
+        graft.ops.CacheOps.Caches(str(conf, "resource")),
+        str(conf, "operator"), str(conf, "key"), optStr(conf, "value"))
+      case "awk" => AwkProc(str(conf, "program"),
+        optStr(conf, "codec", "text"))
+      case "log" => LogProc(optStr(conf, "level", "INFO"),
+        str(conf, "message"))
       case "archive" => B.Archive(str(conf, "format"))
       case "unarchive" => str(conf, "format") match {
         case "lines" => B.UnarchiveLines()

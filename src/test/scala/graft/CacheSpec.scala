@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Envelope
+import graft.ops.CacheOps._
+import graft.ops.{AwkProc, LogProc}
+
+/** cache processor verbs over memory + file backends, awk, log. */
+class CacheSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+  import spark.implicits._
+
+  def env(rows: (Long, String)*) = Envelope.wrap(
+    rows.toDF("id", "s"), scala.Seq(col("id")))
+
+  test("cache set → get round trip (memory backend)") {
+    val store = new MemoryCache
+    CacheProc(store, "set", "k-${! this.id }", "${! this.s }")(
+      env(1L -> "one", 2L -> "two"))
+    assert(store.get("k-1").contains("one"))
+    assert(store.get("k-2").contains("two"))
+
+    val got = CacheProc(store, "get", "k-${! this.id }")(
+      env(1L -> "x", 3L -> "y"))
+    val rows = got.select(col("doc.id"),
+      col(Envelope.Content).cast("string"), col(Envelope.Error)).collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(1L) == (("one", null)))
+    assert(byId(3L)._2 == "cache get: key not found")
+  }
+
+  test("cache add flags existing keys; delete removes (file backend)") {
+    val dir = Files.createTempDirectory("graft-cache").toString
+    val store = new FileCache(dir)
+    CacheProc(store, "set", "${! this.s }", "v1")(env(1L -> "a"))
+    val added = CacheProc(store, "add", "${! this.s }", "v2")(
+      env(1L -> "a", 2L -> "b"))
+    val errs = added.select(col("doc.s"), col(Envelope.Error)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(errs("a") == "cache add: key already exists")
+    assert(errs("b") == null)
+    // a kept v1, b got v2
+    val snap = store.snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("a" -> "v1", "b" -> "v2"))
+
+    CacheProc(store, "delete", "${! this.s }")(env(1L -> "a"))
+    assert(store.snapshot(spark).collect().map(_.getString(0)).toSeq == scala.Seq("b"))
+  }
+
+  test("awk processor (text codec) pipes content through mawk") {
+    val e = env(1L -> "hello", 2L -> "world")
+      .withColumn(Envelope.Content, col("doc.s").cast("binary"))
+    val out = AwkProc("{ print toupper($0) }")(e)
+    assert(out.select(col(Envelope.Content).cast("string")).as[String]
+      .collect().sorted.toSeq == scala.Seq("HELLO", "WORLD"))
+  }
+
+  test("log processor passes rows through unchanged") {
+    val e = env(1L -> "a", 2L -> "b")
+    val out = LogProc("INFO", "saw ${! this.s }")(e)
+    assert(out.columns.toSeq == e.columns.toSeq)
+    assert(out.count() == 2)
+  }
+
+  test("YAML cache_resources + cache/awk/log processors compile") {
+    val spec = graft.runtime.Config.load(
+      """cache_resources:
+        |  - label: mycache
+        |    memory: {}
+        |input:
+        |  generate:
+        |    count: 2
+        |    mapping: "root.i = this.i"
+        |pipeline:
+        |  processors:
+        |    - cache:
+        |        resource: mycache
+        |        operator: set
+        |        key: "k${! this.i }"
+        |    - log:
+        |        message: "row ${! this.i }"
+        |    - awk:
+        |        program: "{ print $0 }"
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(spec.pipeline.size == 3)
+    spec.run(spark) // executes: set + log + awk over 2 rows
+  }
+}
