@@ -26,18 +26,15 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
-
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native one-pass kernels (exprs.VectorExprs): same arithmetic and
+    * accumulation order as the old `aggregate(zip_with(...))` columns —
+    * bit-identical results, no per-pair allocation. */
+  def dot(a: Column, b: Column): Column = graft.exprs.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity between two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  def cosine(a: Column, b: Column): Column = graft.exprs.VectorExprs.cosine(a, b)
 
   /** Deterministic top-k per query over a (qid, vid, sim) relation in two
     * stages: partition-local rank first (shuffle key (qid, partition) —
@@ -120,10 +117,9 @@ object Similarity {
 
     /** Bucket key: one bit per hyperplane (sign of the projection). */
     def bucket(vec: Column): Column = {
-      val v = asDouble(vec)
       val bits = hp.zipWithIndex.map { case (plane, i) =>
         val planeCol = array(plane.map(lit(_)).toIndexedSeq: _*)
-        when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+        when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
       }
       bits.reduce(_ + _)
     }
