@@ -105,6 +105,60 @@ object Similarity {
     voteLabels(lsh.topK(queries, corpus, idCol, vecCol, k, probes),
       queries, corpus, idCol, labelCol)
 
+  /** IVF-flat ANN: a coarse quantizer partitions the corpus into inverted
+    * lists; queries probe only the `nprobe` nearest lists, then exact
+    * cosine re-ranks the candidates. Centroids here are `numCentroids`
+    * deterministic seed vectors (the lowest ids) — no iterative k-means,
+    * so the whole structure is reproducible and the DuckDB oracle can
+    * replicate it (the training loop is orthogonal to the search plan; at
+    * scale you'd refine centroids offline and feed them in).
+    *
+    * Plan shape: centroid assignment is a broadcast join (centroid set is
+    * tiny) + max_by partial aggregation; search is a cluster-id equi-join.
+    * The corpus never shuffles by anything wider than its cluster id. */
+  object Ivf {
+    /** Assign each row its nearest centroid id (cosine, ties → lowest). */
+    def assign(df: DataFrame, idCol: String, vecCol: String,
+        centroids: DataFrame): DataFrame =
+      df.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(centroids))
+        .select(col(idCol), col(vecCol), col("cid"),
+          cosine(col(vecCol), col("cvec")).as("csim"))
+        .groupBy(col(idCol))
+        .agg(
+          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          first(col(vecCol)).as(vecCol))
+
+    /** Deterministic seed centroids: the `numCentroids` lowest-id vectors. */
+    def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+        numCentroids: Int): DataFrame =
+      corpus.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+    /** ANN top-k: probe the `nprobe` nearest inverted lists per query,
+      * exact re-rank candidates. Output (qid, vid, rnk). */
+    def topK(queries: DataFrame, corpus: DataFrame,
+        idCol: String, vecCol: String, k: Int,
+        numCentroids: Int, nprobe: Int): DataFrame = {
+      val cents = seedCentroids(corpus, idCol, vecCol, numCentroids)
+      val corpusAssigned = assign(corpus, idCol, vecCol, cents)
+        .select(col(idCol).as("vid"), col(vecCol).as("cvec_full"), col("cid"))
+      val qSims = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("qvec"), col("cid"),
+          cosine(col("qvec"), col("cvec")).as("csim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+      val probes = qSims.withColumn("_pr", row_number().over(w))
+        .filter(col("_pr") <= nprobe)
+        .select(col("qid"), col("qvec"), col("cid"))
+      val sims = probes.join(corpusAssigned, "cid")
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"),
+          cosine(col("qvec"), col("cvec_full")).as("sim"))
+      topKOfSims(sims, k)
+    }
+  }
+
   /** Random-hyperplane sign-LSH. `planes(dim, nPlanes, seed)` generates the
     * (deterministic) hyperplane matrix as a literal — broadcast free. */
   def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {

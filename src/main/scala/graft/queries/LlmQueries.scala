@@ -99,6 +99,16 @@ object LlmQueries {
       .orderBy(col("qid"))
   }
 
+  /** IVF-flat ANN: deterministic seed centroids → inverted-list probe →
+    * exact re-rank. The oracle replicates the full structure (assignment
+    * tie-breaks and probe ranking mirror exactly). */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.Ivf.topK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5, numCentroids = 16, nprobe = 4)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
     * exact cosine verify (the semantic dedup mode). Oracle replicates
     * the LSH candidate pairs in DuckDB. */
@@ -149,6 +159,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q40_ann_ivf" -> (q40 _),
     "q39_embed_neardup" -> (q39 _),
     "q37_label_noise" -> (q37 _),
     "q36_ann_lsh" -> (q36 _),
@@ -168,6 +179,31 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q40_ann_ivf" ->
+      """WITH cents AS (
+        | SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        | FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corpus AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |assigned AS (
+        | SELECT vec_id AS vid, ve, cid FROM (
+        |  SELECT c.vec_id, c.ve, k.cid,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY list_cosine_similarity(c.ve, k.cvec) DESC, k.cid) AS rn
+        |  FROM corpus c CROSS JOIN cents k) WHERE rn = 1),
+        |probes AS (
+        | SELECT qid, qv, cid FROM (
+        |  SELECT q.vec_id AS qid, q.ve AS qv, k.cid,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.ve, k.cvec) DESC, k.cid) AS rn
+        |  FROM corpus q CROSS JOIN cents k WHERE q.vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        | SELECT p.qid, a.vid, list_cosine_similarity(p.qv, a.ve) AS sim
+        | FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vid != p.qid)
+        |SELECT qid, vid, rnk FROM (
+        | SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+        | FROM cand) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q39_embed_neardup" -> {
       val bucket = lshBucketSql(q39Lsh, "embedding")
       s"""WITH v AS (

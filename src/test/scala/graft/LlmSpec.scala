@@ -60,6 +60,16 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("IVF with full probe = exact top-k (candidates cover the corpus)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.Ivf.topK(queries, emb, "vec_id", "embedding", 10,
+        numCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == exact)
+  }
+
   test("cosine of identical vectors is 1") {
     val one = emb.limit(1).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
