@@ -7,15 +7,75 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns plus a typed metadata struct.
   *
-  * The Spark-side plumbing (schema, partitioning by payload size, batch
-  * shaping, slicing) is real; the actual media DECODE step is a clearly
-  * marked STUB — this container has no image/audio libraries, so
-  * [[fakeDecode]] derives deterministic pseudo-metadata from the bytes.
-  * Swap `fakeDecode` for a real decoder (e.g. an Arrow-batched Python
-  * worker via `mapInArrow`, or a JNI codec) without touching the pipeline
-  * around it.
+  * IMAGE decode/resize is REAL for the formats the JDK decodes natively
+  * (PNG, JPEG, GIF, BMP via `javax.imageio` — no external libraries):
+  * [[decodeImage]] reads only the header for dimensions, [[resizeImage]]
+  * re-renders through Graphics2D. Audio/video decode would need codec
+  * libraries this container lacks, so [[fakeDecode]] remains as the
+  * documented deterministic stand-in for those modalities (and for the
+  * synthetic text-payload gate data); swap it for an Arrow-batched
+  * worker or JNI codec without touching the pipeline around it.
   */
 object Multimodal {
+
+  private case class ImgMeta(n_bytes: Long, format: String,
+      width: java.lang.Long, height: java.lang.Long)
+
+  /** Real image metadata via javax.imageio: reads just the header (no
+    * full pixel decode) — (n_bytes, format, width, height); unknown
+    * formats yield null dims. Scalar-UDF shape: per-row byte work, no
+    * data-dependent plan. */
+  def decodeImage(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) ImgMeta(b.length.toLong, null, null, null)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              ImgMeta(b.length.toLong, r.getFormatName.toLowerCase,
+                r.getWidth(0).toLong, r.getHeight(0).toLong)
+            } finally r.dispose()
+          }
+        } catch {
+          case _: Exception => ImgMeta(b.length.toLong, null, null, null)
+        } finally iis.close()
+      }
+    }
+    f(payload)
+  }
+
+  /** Real image resize: decode → Graphics2D bilinear re-render → PNG
+    * bytes. Null for undecodable payloads. */
+  def resizeImage(payload: Column, width: Int, height: Int): Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) null
+        else {
+          val out = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      } catch { case _: Exception => null }
+    }
+    f(payload)
+  }
 
   /** Typed metadata schema carried next to every media payload. */
   val metaSchema: StructType = StructType(scala.Seq(

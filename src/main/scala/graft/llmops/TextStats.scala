@@ -37,6 +37,11 @@ object TextStats {
   }
 
   /** Whitespace token count. */
+  /** Winnowing fingerprints (rolling k-gram hash, window w — SIGMOD'03):
+    * distinct selected hash prefixes, sorted. Native one-pass expression. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.exprs.WinnowExpr.column(text, k, w)
+
   def nTokens(text: Column): Column = size(split(text, " ")).cast(LongType)
 
   /** BPE-ish token estimate: letter runs, single digits, and punctuation

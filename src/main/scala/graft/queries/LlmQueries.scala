@@ -99,6 +99,15 @@ object LlmQueries {
       .orderBy(col("qid"))
   }
 
+  /** Winnowing fingerprints over documents (k=5, w=4), rendered as a
+    * joined string per doc for the oracle compare. */
+  def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(TextStats.winnowFingerprints(col("text"), 5, 4), ",")
+          .as("fps"))
+      .orderBy(col("doc_id"))
+
   /** IVF-flat ANN: deterministic seed centroids → inverted-list probe →
     * exact re-rank. The oracle replicates the full structure (assignment
     * tie-breaks and probe ranking mirror exactly). */
@@ -159,6 +168,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q41_winnow" -> (q41 _),
     "q40_ann_ivf" -> (q40 _),
     "q39_embed_neardup" -> (q39 _),
     "q37_label_noise" -> (q37 _),
@@ -179,6 +189,28 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q41_winnow" ->
+      """WITH g AS (
+        | SELECT doc_id, i, substr(md5(substr(text, i, 5)), 1, 16) AS h
+        | FROM documents,
+        |  unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i)),
+        |g2 AS (
+        | SELECT doc_id, i, h,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        |  count(*) OVER (PARTITION BY doc_id) AS n
+        | FROM g),
+        |pos AS (
+        | SELECT a.doc_id, a.i AS ws, max(b.i) AS selpos
+        | FROM g2 a JOIN g b ON b.doc_id = a.doc_id
+        |  AND b.i BETWEEN a.i AND a.i + 3 AND b.h = a.mh
+        | WHERE a.i <= greatest(a.n - 3, 1)
+        | GROUP BY 1, 2),
+        |fp AS (
+        | SELECT DISTINCT p.doc_id, g.h
+        | FROM pos p JOIN g ON g.doc_id = p.doc_id AND g.i = p.selpos)
+        |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fps
+        |FROM fp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q40_ann_ivf" ->
       """WITH cents AS (
         | SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

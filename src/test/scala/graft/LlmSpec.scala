@@ -102,6 +102,31 @@ class LlmSpec extends AnyFunSuite {
     assert(parts.count() == media.count())
   }
 
+  test("real image decode + resize via javax.imageio") {
+    import spark.implicits._
+    // build a genuine 64x48 PNG in-process
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(10, 10, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = scala.Seq((1L, bos.toByteArray),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    val meta = df.select(col("id"),
+      Multimodal.decodeImage(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.get(2), r.get(3))).toMap
+    assert(meta(1L) == (("png", 64L, 48L)))
+    assert(meta(2L)._1 == null)
+
+    val resized = df.filter(col("id") === 1L)
+      .select(Multimodal.resizeImage(col("payload"), 32, 24).as("p"))
+      .select(Multimodal.decodeImage(col("p")).as("m"))
+      .select(col("m.width"), col("m.height")).head()
+    assert(resized.getLong(0) == 32L && resized.getLong(1) == 24L)
+  }
+
   test("fakeDecode metadata is deterministic") {
     val m1 = docs.select(Multimodal.fakeDecode(col("text").cast("binary")).as("m"))
       .select("m.width", "m.height", "m.format").collect().toList
