@@ -60,7 +60,9 @@ object Config {
     val streaming = root.get("input").map(asMap).exists(m =>
       m.contains("file_stream") || m.contains("generate_stream") ||
         (m.contains("kafka") &&
-          !asMap(m("kafka")).get("batch").exists(_.toString.toBoolean)))
+          !asMap(m("kafka")).get("batch").exists(_.toString.toBoolean)) ||
+        (m.contains("spark_format") &&
+          asMap(m("spark_format")).get("streaming").forall(_.toString.toBoolean)))
     StreamSpec(input, procs, output, streaming)
   }
 
@@ -110,6 +112,12 @@ object Config {
         val batch = conf.get("batch").exists(_.toString.toBoolean)
         s => if (batch) graft.sources.Kafka.read(s, c)
              else graft.sources.Kafka.readStream(s, c)
+      case "spark_format" =>
+        val format = str(conf, "format")
+        val opts = conf.get("options").map(asMap).getOrElse(Map.empty)
+          .map { case (k, v) => k -> v.toString }
+        val stream = conf.get("streaming").forall(_.toString.toBoolean)
+        s => Sources.sparkFormat(s, format, opts, stream)
       case o => throw new IllegalArgumentException(s"config: unknown input kind $o")
     }
   }
@@ -253,6 +261,11 @@ object Config {
         Sinks.DropOnError(Sinks.DropSink)
       case "kafka" =>
         Sinks.KafkaSink(kafkaOutputConfig(conf))
+      case "spark_format" =>
+        Sinks.SparkFormatSink(str(conf, "format"),
+          conf.get("options").map(asMap).getOrElse(Map.empty)
+            .map { case (k, v) => k -> v.toString },
+          optStr(conf, "mode", "append"))
       case o => throw new IllegalArgumentException(s"config: unknown output $o")
     }
   }

@@ -71,6 +71,17 @@ object Sinks {
     def write(df: DataFrame): Unit = graft.sources.Kafka.write(df, conf)
   }
 
+  /** Generic connector output: any DataSource format + options — the
+    * portable path for the reference's broker/database output tail
+    * (cassandra, elasticsearch, …) given the connector jar. Unwraps the
+    * doc struct so connector schemas see real columns. */
+  final case class SparkFormatSink(format: String,
+      options: Map[String, String] = Map.empty,
+      mode: String = "append") extends Sink {
+    def write(df: DataFrame): Unit =
+      Envelope.unwrap(df).write.format(format).options(options).mode(mode).save()
+  }
+
   /** `stdout` (`lib/output/writer/stdout.go`-ish): console. */
   final case class ConsoleSink(n: Int = 20) extends Sink {
     def write(df: DataFrame): Unit = Envelope.unwrap(df).show(n, truncate = false)

@@ -179,6 +179,28 @@ object Sources {
     graft.blobl.Mapping.compile(mapping).applyEnvelope(base)
   }
 
+  /** Generic connector input: any Spark DataSource V2 format + options,
+    * wrapped into the envelope. This is the portable escape hatch for the
+    * reference's long tail of broker inputs (kinesis, pubsub, mqtt, …):
+    * each is a `format` string + options + its connector jar on the
+    * cluster classpath — the same mechanism the kafka input uses, minus
+    * the per-connector metadata mapping. */
+  def sparkFormat(spark: SparkSession, format: String,
+      options: Map[String, String], streaming: Boolean,
+      schema: Option[StructType] = None): DataFrame = {
+    val df =
+      if (streaming) {
+        var r = spark.readStream.format(format).options(options)
+        schema.foreach(s => r = r.schema(s))
+        r.load()
+      } else {
+        var r = spark.read.format(format).options(options)
+        schema.foreach(s => r = r.schema(s))
+        r.load()
+      }
+    Envelope.wrapUnordered(df)
+  }
+
   /** `broker` fan-in (`lib/broker/fan_in.go`): union of N inputs. */
   def broker(inputs: scala.Seq[DataFrame]): DataFrame =
     inputs.reduce(_.unionByName(_, allowMissingColumns = false))

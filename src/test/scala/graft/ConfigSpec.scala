@@ -182,4 +182,38 @@ class ConfigSpec extends AnyFunSuite {
     // b2 depends on b1's output: plus = a*2 + 1
     assert(lines.filter(org.apache.spark.sql.functions.expr("plus = a * 2 + 1")).count() == 5)
   }
+
+  test("spark_format generic connector input/output") {
+    // batch: read parquet through the generic mechanism, write json out
+    val src = Files.createTempDirectory("graft-sfmt").toString + "/in"
+    val dst = Files.createTempDirectory("graft-sfmt").toString + "/out"
+    spark.range(10).selectExpr("id", "id * 3 AS v")
+      .write.mode("overwrite").parquet(src)
+    val spec = Config.load(
+      s"""input:
+         |  spark_format:
+         |    format: parquet
+         |    streaming: false
+         |    options: { path: "$src" }
+         |output:
+         |  spark_format:
+         |    format: json
+         |    mode: overwrite
+         |    options: { path: "$dst" }
+         |""".stripMargin)
+    assert(!spec.streaming)
+    spec.run(spark)
+    assert(spark.read.json(dst).count() == 10)
+    // streaming flavor compiles against the built-in rate source
+    val sspec = Config.load(
+      """input:
+        |  spark_format:
+        |    format: rate
+        |    options: { rowsPerSecond: "5" }
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(sspec.streaming)
+    assert(sspec.input(spark).isStreaming)
+  }
 }
