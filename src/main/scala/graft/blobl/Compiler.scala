@@ -631,8 +631,19 @@ object Compiler {
           TC(array(s.fieldNames.map(lit(_)).toIndexedSeq: _*), Some(ArrayType(StringType)))
         case _ => TC(map_keys(t.col), Some(ArrayType(StringType)))
       }
-      case "key_values" =>
-        TC(map_entries(t.col), None)
+      case "key_values" => t.tpe match {
+        case Some(s: StructType) =>
+          // struct-typed object: entries in field order; values unify to
+          // string when the field types differ (dynamic-object rendering)
+          val uniform = s.fields.map(_.dataType).distinct.length == 1
+          val entries = s.fields.map { f =>
+            val v = if (uniform) t.col.getField(f.name)
+              else t.col.getField(f.name).cast(StringType)
+            struct(lit(f.name).as("key"), v.as("value"))
+          }
+          TC(array(entries.toIndexedSeq: _*), None)
+        case _ => TC(map_entries(t.col), None)
+      }
       case "values" => t.tpe match {
         case Some(s: StructType) =>
           TC(array(s.fieldNames.map(t.col.getField).toIndexedSeq: _*), None)

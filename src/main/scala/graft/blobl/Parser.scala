@@ -42,7 +42,10 @@ object Parser {
         out += TStr(s, i); i = j
       } else if (c.isDigit) {
         val start = i
-        while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.' ||
+        // a '.' continues the number only when a digit follows — so path
+        // segments like `this.0.keys()` lex as [0][.][keys], not "0."
+        while (i < n && (src.charAt(i).isDigit ||
+          (src.charAt(i) == '.' && i + 1 < n && src.charAt(i + 1).isDigit) ||
           src.charAt(i) == 'e' || src.charAt(i) == 'E' ||
           ((src.charAt(i) == '+' || src.charAt(i) == '-') && i > start &&
             (src.charAt(i - 1) == 'e' || src.charAt(i - 1) == 'E')))) i += 1
@@ -232,14 +235,22 @@ object Parser {
     while (!done) {
       if (p.isOp(".")) {
         p.next()
-        val name = p.next() match {
-          case TIdent(s, _) => s
-          case TStr(s, _) => s
-          case t => throw ParseError("expected field or method name after '.'", t.pos)
+        p.peek match {
+          // numeric path segment: `this.0` == `this.index(0)` (the
+          // reference's path grammar allows array indices as segments)
+          case TNum(s, _) if s.forall(_.isDigit) =>
+            p.next()
+            e = IndexOp(e, LitLong(s.toLong))
+          case _ =>
+            val name = p.next() match {
+              case TIdent(s, _) => s
+              case TStr(s, _) => s
+              case t => throw ParseError("expected field or method name after '.'", t.pos)
+            }
+            if (p.isOp("(")) {
+              e = MethodCall(e, name, parseArgs(p))
+            } else e = Field(e, name)
         }
-        if (p.isOp("(")) {
-          e = MethodCall(e, name, parseArgs(p))
-        } else e = Field(e, name)
       } else if (p.isOp("[")) {
         p.next()
         val idx = parseQuery(p)

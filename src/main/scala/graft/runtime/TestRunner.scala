@@ -109,7 +109,13 @@ object TestRunner {
     val rows = contents.zip(metas).zipWithIndex.map { case ((s, m), i) => (s, m, i.toLong) }
     val base = rows.toDF("content", "meta", "seq")
     val withDoc = if (allJson) {
-      val schema = spark.read.json(spark.createDataset(contents)).schema
+      val inferred = spark.read.json(spark.createDataset(contents)).schema
+      // spark.read.json flattens a top-level JSON array into records, so
+      // re-wrap: array documents have ArrayType(inferred element) schema
+      val schema =
+        if (contents.forall(_.trim.startsWith("[")))
+          org.apache.spark.sql.types.ArrayType(inferred)
+        else inferred
       base.withColumn("doc", from_json(col("content"), schema))
     } else base.withColumn("doc", col("content"))
     withDoc.select(

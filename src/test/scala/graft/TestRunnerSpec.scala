@@ -37,6 +37,53 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
   }
 
+  test("reference csv_formatter_test.yaml consistent-objects case (verbatim)") {
+    // mapping from config/test/bloblang/csv_formatter.blobl, test from
+    // csv_formatter_test.yaml (the error-message case is reference-
+    // specific wording and is skipped)
+    val results = TestRunner.run(spark,
+      """tests:
+        |  - name: Consistent objects
+        |    target_mapping: |
+        |      let header_row = this.0.keys().sort().join(",")
+        |      root = $header_row + "\n" + this.map_each(element -> element.key_values().
+        |        sort_by(item -> item.key).
+        |        map_each(item -> item.value.string()).
+        |        join(",")
+        |      ).join("\n")
+        |    input_batch:
+        |      - content: |
+        |            [
+        |                {
+        |                    "foo": "hello world",
+        |                    "baz": 110,
+        |                    "bar": "bar value",
+        |                    "buz": false
+        |                },
+        |                {
+        |                    "foo": "hello world 2",
+        |                    "bar": "bar value 2",
+        |                    "baz": 220,
+        |                    "buz": true
+        |                },
+        |                {
+        |                    "foo": "hello world 3",
+        |                    "bar": "bar value 3",
+        |                    "baz": 330,
+        |                    "buz": true
+        |                }
+        |            ]
+        |    output_batches:
+        |      -
+        |        - content_equals: |-
+        |            bar,baz,buz,foo
+        |            bar value,110,false,hello world
+        |            bar value 2,220,true,hello world 2
+        |            bar value 3,330,true,hello world 3
+        |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+  }
+
   test("content + metadata assertions (unit_test_example shape)") {
     val results = TestRunner.run(spark,
       """tests:
