@@ -286,7 +286,8 @@ object Parser {
       val items = List.newBuilder[Expr]
       if (!p.isOp("]")) {
         items += parseQuery(p)
-        while (p.eatOp(",")) items += parseQuery(p)
+        // trailing commas allowed (reference literal grammar)
+        while (p.eatOp(",") && !p.isOp("]")) items += parseQuery(p)
       }
       p.expectOp("]")
       LitArray(items.result())
@@ -295,7 +296,8 @@ object Parser {
       val fields = List.newBuilder[(Expr, Expr)]
       if (!p.isOp("}")) {
         fields += parseObjField(p)
-        while (p.eatOp(",")) fields += parseObjField(p)
+        // trailing commas allowed (reference literal grammar)
+        while (p.eatOp(",") && !p.isOp("}")) fields += parseObjField(p)
       }
       p.expectOp("}")
       LitObject(fields.result())

@@ -84,6 +84,44 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
   }
 
+  test("reference github_releases_test.yaml passes verbatim (mapping inlined)") {
+    // mapping from config/test/bloblang/github_releases.blobl
+    val results = TestRunner.run(spark,
+      """tests:
+        |  - name: Github releases mapping
+        |    target_mapping: |
+        |      root = this.map_each(release -> release.assets.map_each(asset -> {
+        |        "source":         "github",
+        |        "dist":           asset.name.re_replace("^benthos-?((lambda_)|_)[0-9\\.]+(-rc[0-9]+)?_([^\\.]+).*", "$2$4"),
+        |        "download_count": asset.download_count,
+        |        "version":        release.tag_name.trim("v"),
+        |      }).filter(asset -> asset.dist != "checksums")).flatten()
+        |    input_batch:
+        |      - content: |
+        |          [
+        |            {
+        |              "tag_name": "1.23.4",
+        |              "assets": [
+        |                {"name": "benthos-lambda_1.23.4_linux_amd64.zip", "download_count": 123},
+        |                {"name": "benthos_1.23.4_checksums.txt", "download_count": 456},
+        |                {"name": "benthos_1.23.4_darwin_amd64.tar.gz", "download_count": 789},
+        |                {"name": "benthos_1.23.4_linux_amd64.tar.gz", "download_count": 101112},
+        |                {"name": "benthos_1.23.4_linux_arm64.tar.gz", "download_count": 131415}
+        |              ]
+        |            }
+        |          ]
+        |    output_batches:
+        |      - - json_equals:
+        |            [
+        |                {"dist": "lambda_linux_amd64", "download_count": 123, "source": "github", "version": "1.23.4"},
+        |                {"version": "1.23.4", "dist": "darwin_amd64", "download_count": 789, "source": "github"},
+        |                {"dist": "linux_amd64", "download_count": 101112, "source": "github", "version": "1.23.4"},
+        |                {"dist": "linux_arm64", "download_count": 131415, "source": "github", "version": "1.23.4"}
+        |            ]
+        |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+  }
+
   test("content + metadata assertions (unit_test_example shape)") {
     val results = TestRunner.run(spark,
       """tests:
