@@ -75,6 +75,26 @@ final case class HashSampleProc(minPct: Double, maxPct: Double, key: String = "c
   }
 }
 
+/** `sleep` processor (`lib/processor/sleep.go`): pause per message — the
+  * row-interleaved throttle. Go-duration string (e.g. "100ms"); rows pass
+  * through untouched. For pipeline-level pacing prefer streaming trigger
+  * intervals; this exists for the reference's per-message form. */
+final case class SleepProc(duration: String) extends Processor {
+  private val millis: Long = {
+    val nanos = graft.exprs.GoDurationParse.parse(
+      org.apache.spark.unsafe.types.UTF8String.fromString(duration))
+    require(nanos != null, s"sleep: bad duration '$duration'")
+    nanos / 1000000L
+  }
+  def apply(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val ms = millis
+    df.mapPartitions { rows =>
+      rows.map { r => if (ms > 0) Thread.sleep(ms); r }
+    }(enc)
+  }
+}
+
 /** `metric` processor (`lib/processor/metric.go:280-308`): emit
   * counters/gauges from the flowing data without a separate pass —
   * `df.observe` accumulates during the action; read via

@@ -137,6 +137,7 @@ object Config {
           conf.get("key").map(_.toString).getOrElse("content().string()"))
       case "split" => B.Split(conf.get("size").map(_.toString.toLong).getOrElse(1L))
       case "merge_json" => B.MergeJson()
+      case "sleep" => SleepProc(str(conf, "duration"))
       case "cache" => graft.ops.CacheOps.CacheProc(
         graft.ops.CacheOps.Caches(str(conf, "resource")),
         str(conf, "operator"), str(conf, "key"), optStr(conf, "value"))
@@ -252,9 +253,19 @@ object Config {
       case "broker" =>
         val outs = asList(conf("outputs")).map(o => compileOutput(asMap(o)))
         conf.get("pattern").map(_.toString).getOrElse("fan_out") match {
-          case "fan_out" => Sinks.FanOutSink(outs)
+          // fan_out_sequential: FanOutSink already writes sinks in order
+          case "fan_out" | "fan_out_sequential" => Sinks.FanOutSink(outs)
+          case "round_robin" => Sinks.RoundRobinSink(outs)
+          // greedy load-balances for throughput; with Spark's partition
+          // parallelism one sink takes the whole (parallel) write
+          case "greedy" => outs.head
           case o => throw new IllegalArgumentException(s"broker output: unsupported pattern $o")
         }
+      case "retry" =>
+        Sinks.RetrySink(compileOutput(asMap(conf("output"))),
+          conf.get("max_retries").map(_.toString.toInt).getOrElse(3))
+      case "resource" =>
+        Sinks.OutputResources(m(kind).toString)
       case "fallback" | "try" =>
         Sinks.FallbackSink(asList(m(kind)).map(o => compileOutput(asMap(o))))
       case "reject" | "drop_on_error" =>

@@ -116,6 +116,48 @@ object Sinks {
     }
   }
 
+  /** `broker: round_robin` (`lib/broker/round_robin.go`): distribute rows
+    * across sinks — batch rendering: row i goes to sink (seq mod N), so
+    * every sink gets an even deterministic share in one pass each. */
+  final case class RoundRobinSink(sinks: scala.Seq[Sink]) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val n = sinks.length
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sinks.zipWithIndex.foreach { case (sink, i) =>
+        sink.write(cached.filter(pmod(col(Envelope.Seq), lit(n.toLong)) === i.toLong))
+      } finally { cached.unpersist(); () }
+    }
+  }
+
+  /** `retry` output (`lib/output/retry.go`): re-attempt the wrapped sink
+    * with linear backoff before giving up. */
+  final case class RetrySink(inner: Sink, maxRetries: Int = 3,
+      backoffMs: Long = 100L) extends Sink {
+    def write(df: DataFrame): Unit = {
+      var attempt = 0
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt <= maxRetries) {
+        try { inner.write(df); done = true }
+        catch {
+          case e: Throwable =>
+            lastErr = e
+            attempt += 1
+            if (attempt <= maxRetries) Thread.sleep(backoffMs * attempt)
+        }
+      }
+      if (!done) throw lastErr
+    }
+  }
+
+  /** Named output resources (`output.resource`). */
+  object OutputResources {
+    private val sinks = scala.collection.concurrent.TrieMap[String, Sink]()
+    def register(name: String, sink: Sink): Unit = sinks.put(name, sink)
+    def apply(name: String): Sink = sinks.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown output resource $name"))
+  }
+
   /** `fallback`/`try` output (`lib/output/try.go`): dead-letter chain —
     * try each sink in order until one succeeds. */
   final case class FallbackSink(sinks: scala.Seq[Sink]) extends Sink {

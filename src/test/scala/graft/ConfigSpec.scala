@@ -183,6 +183,37 @@ class ConfigSpec extends AnyFunSuite {
     assert(lines.filter(org.apache.spark.sql.functions.expr("plus = a * 2 + 1")).count() == 5)
   }
 
+  test("broker round_robin / retry / resource outputs + sleep processor") {
+    val d1 = Files.createTempDirectory("graft-rr").toString + "/a"
+    val d2 = Files.createTempDirectory("graft-rr").toString + "/b"
+    graft.sinks.Sinks.OutputResources.register("res-out",
+      graft.sinks.Sinks.FileSink(d2, "lines"))
+    val spec = Config.load(
+      s"""input:
+         |  generate:
+         |    count: 10
+         |    mapping: "root.i = this.i"
+         |pipeline:
+         |  processors:
+         |    - sleep: { duration: 1ms }
+         |output:
+         |  broker:
+         |    pattern: round_robin
+         |    outputs:
+         |      - retry:
+         |          max_retries: 2
+         |          output:
+         |            file: { path: "$d1", codec: lines }
+         |      - resource: res-out
+         |""".stripMargin)
+    spec.run(spark)
+    val a = spark.read.text(d1).count()
+    val b = spark.read.text(d2).count()
+    // round_robin distributes deterministically by seq mod N; with sparse
+    // monotonic seqs the split is even-ish, not an exact rotation
+    assert(a + b == 10 && a > 0 && b > 0, s"a=$a b=$b")
+  }
+
   test("spark_format generic connector input/output") {
     // batch: read parquet through the generic mechanism, write json out
     val src = Files.createTempDirectory("graft-sfmt").toString + "/in"

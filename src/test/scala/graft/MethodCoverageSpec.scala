@@ -83,4 +83,18 @@ class MethodCoverageSpec extends AnyFunSuite {
     val de = spark.read.text(s"$dir/__path=lang%3Dde").count()
     assert(en == 2 && de == 1)
   }
+
+  test("interpolated dynamic-path sink: structured (parquet) format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynp").toString
+    val env = Envelope.wrap(jdf(
+      """{"id":1,"lang":"en","s":"one"}""", """{"id":2,"lang":"de","s":"zwei"}"""),
+      scala.Seq(col("id")))
+    graft.sinks.Sinks.InterpolatedFileSink(dir, "lang=${! this.lang }",
+      format = "parquet").write(env)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(back.columns.contains("__path") && back.columns.contains("s"))
+    assert(back.filter(col("__path") === "lang=en")
+      .select("s").head().getString(0) == "one")
+  }
 }
