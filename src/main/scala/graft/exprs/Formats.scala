@@ -81,43 +81,100 @@ object Formats {
     }
   }
 
-  /** Minimal JSON-Schema check (`lib/processor/jsonschema.go` semantics:
-    * invalid docs get flagged, not dropped): supports `required` and
-    * `properties.<k>.type`. Returns null when valid, else the message. */
+  /** Recursive JSON-Schema subset check (`lib/processor/jsonschema.go`
+    * semantics: invalid docs get flagged, not dropped). Supported
+    * keywords: type (string or list), required, properties (recursive),
+    * items (recursive), enum, minimum/maximum/exclusive*, minLength/
+    * maxLength, minItems/maxItems. $ref/allOf-family unsupported
+    * (documented). Returns null when valid, else the first violation. */
   def jsonSchemaError(jsonCol: Column, schemaJson: String): Column = {
-    val schema = jsonMapper.readTree(schemaJson)
-    val required: scala.Seq[String] =
-      if (schema.has("required"))
-        (0 until schema.get("required").size()).map(schema.get("required").get(_).asText())
-      else scala.Seq.empty
-    val types: scala.Seq[(String, String)] =
-      if (schema.has("properties")) {
-        val it = schema.get("properties").fields()
-        val buf = scala.collection.mutable.ListBuffer[(String, String)]()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.has("type")) buf += ((e.getKey, e.getValue.get("type").asText()))
-        }
-        buf.toSeq
-      } else scala.Seq.empty
+    val schemaStr = schemaJson // serialize into the closure as text
     val f = udf((s: String) => if (s == null) "document is null" else {
       try {
+        val schema = jsonMapper.readTree(schemaStr)
         val node = jsonMapper.readTree(s)
-        val missing = required.filterNot(node.has)
-        if (missing.nonEmpty) s"missing required field(s): ${missing.mkString(",")}"
-        else {
-          val bad = types.collectFirst {
-            case (k, t) if node.has(k) && !typeOk(node.get(k), t) =>
-              s"field $k: expected $t"
-          }
-          bad.orNull
-        }
+        jsonSchemaCheck(node, schema, "$").orNull
       } catch { case e: Exception => s"invalid JSON: ${e.getMessage}" }
     })
     f(jsonCol)
   }
 
-  private def typeOk(n: com.fasterxml.jackson.databind.JsonNode, t: String): Boolean = t match {
+  private type JNode = com.fasterxml.jackson.databind.JsonNode
+
+  private def jsonSchemaCheck(n: JNode, schema: JNode, path: String): Option[String] = {
+    def fail(msg: String) = Some(s"$path: $msg")
+    // type
+    if (schema.has("type")) {
+      val types = schema.get("type") match {
+        case a if a.isArray => (0 until a.size()).map(a.get(_).asText())
+        case t => scala.Seq(t.asText())
+      }
+      if (!types.exists(typeOk(n, _)))
+        return fail(s"expected ${types.mkString("|")}")
+    }
+    // enum (value equality on the JSON tree)
+    if (schema.has("enum")) {
+      val e = schema.get("enum")
+      if (!(0 until e.size()).exists(i => e.get(i) == n))
+        return fail("not in enum")
+    }
+    if (n.isNumber) {
+      val v = n.asDouble()
+      if (schema.has("minimum") && v < schema.get("minimum").asDouble())
+        return fail(s"below minimum ${schema.get("minimum").asDouble()}")
+      if (schema.has("maximum") && v > schema.get("maximum").asDouble())
+        return fail(s"above maximum ${schema.get("maximum").asDouble()}")
+      if (schema.has("exclusiveMinimum") && v <= schema.get("exclusiveMinimum").asDouble())
+        return fail("violates exclusiveMinimum")
+      if (schema.has("exclusiveMaximum") && v >= schema.get("exclusiveMaximum").asDouble())
+        return fail("violates exclusiveMaximum")
+    }
+    if (n.isTextual) {
+      val len = n.asText().length
+      if (schema.has("minLength") && len < schema.get("minLength").asInt())
+        return fail("shorter than minLength")
+      if (schema.has("maxLength") && len > schema.get("maxLength").asInt())
+        return fail("longer than maxLength")
+    }
+    if (n.isArray) {
+      if (schema.has("minItems") && n.size() < schema.get("minItems").asInt())
+        return fail("fewer than minItems")
+      if (schema.has("maxItems") && n.size() > schema.get("maxItems").asInt())
+        return fail("more than maxItems")
+      if (schema.has("items")) {
+        val items = schema.get("items")
+        var i = 0
+        while (i < n.size()) {
+          val r = jsonSchemaCheck(n.get(i), items, s"$path[$i]")
+          if (r.isDefined) return r
+          i += 1
+        }
+      }
+    }
+    if (n.isObject) {
+      if (schema.has("required")) {
+        val req = schema.get("required")
+        val missing = (0 until req.size()).map(req.get(_).asText())
+          .filterNot(n.has)
+        if (missing.nonEmpty)
+          return fail(s"missing required field(s): ${missing.mkString(",")}")
+      }
+      if (schema.has("properties")) {
+        val it = schema.get("properties").fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (n.has(e.getKey)) {
+            val r = jsonSchemaCheck(n.get(e.getKey), e.getValue,
+              s"$path.${e.getKey}")
+            if (r.isDefined) return r
+          }
+        }
+      }
+    }
+    None
+  }
+
+  private def typeOk(n: JNode, t: String): Boolean = t match {
     case "string" => n.isTextual
     case "number" => n.isNumber
     case "integer" => n.isIntegralNumber

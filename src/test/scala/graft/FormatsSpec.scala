@@ -51,6 +51,39 @@ class FormatsSpec extends AnyFunSuite {
     assert(errs.head.isEmpty && errs(1).exists(_.contains("name")))
   }
 
+  test("json_schema recursive subset: nested props, items, enum, bounds") {
+    val schema =
+      """{
+        |  "type": "object",
+        |  "required": ["user"],
+        |  "properties": {
+        |    "user": {
+        |      "type": "object",
+        |      "required": ["name"],
+        |      "properties": {
+        |        "name": {"type": "string", "minLength": 2},
+        |        "age": {"type": "integer", "minimum": 0, "maximum": 150},
+        |        "role": {"enum": ["admin", "user"]}
+        |      }
+        |    },
+        |    "tags": {"type": "array", "items": {"type": "string"}, "maxItems": 3}
+        |  }
+        |}""".stripMargin
+    def errOf(doc: String): Option[String] = {
+      val env = Envelope.wrap(jdf(doc), scala.Seq(col("user")))
+      E.JsonSchema(schema)(env).select(Envelope.Error).collect()
+        .headOption.flatMap(r => Option(r.getString(0)))
+    }
+    assert(errOf("""{"user":{"name":"ann","age":33,"role":"admin"},"tags":["a","b"]}""").isEmpty)
+    assert(errOf("""{"user":{"name":"a"}}""").exists(_.contains("minLength")))
+    assert(errOf("""{"user":{"name":"ann","age":200}}""").exists(_.contains("maximum")))
+    assert(errOf("""{"user":{"name":"ann","role":"guest"}}""").exists(_.contains("enum")))
+    // (schema-first note: mixed-type ARRAYS coerce at parse, so the type
+    // violation is exercised through an object field instead)
+    assert(errOf("""{"user":{"name":5}}""").exists(_.contains("expected string")))
+    assert(errOf("""{"user":{"age":5,"name":"ok"},"tags":["a","b","c","d"]}""").exists(_.contains("maxItems")))
+  }
+
   test("archive tar → unarchive tar round trip") {
     val env = Envelope.wrap(jdf(
       """{"id":1,"s":"alpha"}""", """{"id":2,"s":"beta"}"""), scala.Seq(col("id")))
