@@ -51,6 +51,19 @@ object Config {
         else new graft.ops.CacheOps.MemoryCache
       graft.ops.CacheOps.Caches.register(label, store)
     }
+    // rate_limit_resources: named token buckets (local rate limit)
+    root.get("rate_limit_resources").map(asList).getOrElse(Nil).foreach { c =>
+      val cm = asMap(c)
+      val local = cm.get("local").map(asMap).getOrElse(Map.empty)
+      val count = local.get("count").map(_.toString.toDouble).getOrElse(10.0)
+      val interval = local.get("interval").map(_.toString).getOrElse("1s")
+      val intervalSec = {
+        val nanos = graft.exprs.GoDurationParse.parse(
+          org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+        if (nanos == null || nanos <= 0) 1.0 else nanos / 1e9
+      }
+      graft.ops.RateLimits.register(str(cm, "label"), count / intervalSec)
+    }
     val input = compileInput(asMap(root.getOrElse("input",
       throw new IllegalArgumentException("config: missing input"))))
     val procs = root.get("pipeline").map(asMap).flatMap(_.get("processors"))
@@ -211,7 +224,8 @@ object Config {
         HttpProc(str(conf, "url"),
           conf.get("verb").map(_.toString).getOrElse("POST"),
           conf.get("headers").map(h => asMap(h).map { case (k, v) => (k, v.toString) })
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty),
+          rateLimit = optStr(conf, "rate_limit"))
       case "jmespath" => graft.blobl.JmesPathProc(str(conf, "query"))
       case "jsonschema" => E.JsonSchema(str(conf, "schema"))
       case "branch" =>

@@ -52,4 +52,19 @@ class HttpSpec extends AnyFunSuite {
       assert(row.getString(1).contains("500"))
     }
   }
+
+  test("rate_limit resource throttles http requests") {
+    RateLimits.register("slow", 10.0) // 10 req/s → 8 requests ≥ ~700ms
+    withServer(body => (200, body)) { url =>
+      val rows = (1 to 8).map(i => s"""{"id":$i,"s":"x"}""")
+      val env = Envelope.wrap(jdf(rows: _*), scala.Seq(col("id")))
+        .withColumn(Envelope.Content, col("doc.s").cast("binary"))
+        .coalesce(1) // one bucket, one partition → measurable pacing
+      val t0 = System.nanoTime()
+      val n = HttpProc(url, rateLimit = "slow")(env).count()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(n == 8)
+      assert(elapsedMs >= 500, s"elapsed $elapsedMs ms — limiter not applied")
+    }
+  }
 }
