@@ -189,7 +189,59 @@ object OpsQueries {
       .orderBy(col("batch_id"))
   }
 
+  /** sort_parts: reorder each 50-row batch by value descending. */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrap(
+      t(s, dir, "events").select(col("event_id"), col("value")),
+      scala.Seq(col("event_id")), batchSize = 50)
+    val out = B.SortParts("this.value", descending = true)(env)
+    out.select(col(Envelope.BatchId).as("batch_id"),
+        col(Envelope.Seq).as("seq"), col("doc.event_id").as("event_id"))
+      .orderBy(col("batch_id"), col("seq"))
+  }
+
+  /** group_by_value: re-batch by an interpolated value; group sizes. */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "events"))
+    val out = B.GroupByValue("this.event_type")(env)
+    out.groupBy(element_at(col(Envelope.Meta), "group_value").as("group_value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("group_value"))
+  }
+
+  /** compress → decompress round trip over document text (gzip). */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(t(s, dir, "documents"))
+      .withColumn(Envelope.Content, col("doc.text").cast(BinaryType))
+    val out = Pipeline(scala.Seq(
+      CodecProcs.CompressProc("gzip"),
+      CodecProcs.DecompressProc("gzip")))(env)
+    out.select(col("doc.doc_id").as("doc_id"),
+        col(Envelope.Content).cast(StringType).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** awk (subprocess line-lockstep pipe): uppercase document text. */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelope.wrapUnordered(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .withColumn(Envelope.Content, col("doc.text").cast(BinaryType))
+    val out = AwkProc("{ print toupper($0) }")(env)
+    out.select(col(Envelope.Meta), // keep schema simple: meta unused
+        col(Envelope.Content).cast(StringType).as("utext"),
+        col(Envelope.Seq))
+      .join(
+        env.select(col("doc.doc_id").as("doc_id"), col(Envelope.Seq)),
+        scala.Seq(Envelope.Seq))
+      .select(col("doc_id"), col("utext"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_awk" -> (q45 _),
+    "q44_compress_roundtrip" -> (q44 _),
+    "q42_sort_parts" -> (q42 _),
+    "q43_group_by_value" -> (q43 _),
     "q38_merge_json" -> (q38 _),
     "q32_generate_agg" -> (q32 _),
     "q13_dedupe" -> (q13 _),
@@ -206,6 +258,27 @@ object OpsQueries {
     "q24_grok" -> (q24 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q45_awk" ->
+      """SELECT doc_id, upper(text) AS utext
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_compress_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "q42_sort_parts" ->
+      """WITH t AS (
+        | SELECT event_id, value,
+        |  row_number() OVER (ORDER BY event_id) - 1 AS rn
+        | FROM events),
+        |b AS (
+        | SELECT event_id, value, rn,
+        |  CAST(floor(rn/50.0) AS BIGINT) AS batch_id
+        | FROM t)
+        |SELECT batch_id,
+        | row_number() OVER (PARTITION BY batch_id ORDER BY value DESC, rn) - 1 AS seq,
+        | event_id
+        |FROM b ORDER BY batch_id, seq""".stripMargin,
+    "q43_group_by_value" ->
+      """SELECT event_type AS group_value, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY group_value""".stripMargin,
     "q38_merge_json" ->
       """WITH t AS (
         | SELECT event_id, event_type,
