@@ -200,11 +200,33 @@ object Jq {
         case "map" =>
           eat('(')
           ws()
-          // map(select(f)) → filter; map(f) → map_each
+          // map(select(f)) → filter; map(select(f).path) → filter+map;
+          // map(f) → map_each
           if (tryEat("select")) {
             val cond = { eat('('); val c = parsePipe(); eat(')'); c }
+            // optional postfix path applied to each selected element
+            var proj: Expr = This
+            var more = true
+            while (more) {
+              ws()
+              if (peek == '.' && i + 1 < s.length &&
+                  (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+                i += 1
+                proj = Field(proj, ident())
+              } else if (peek == '[') {
+                i += 1; ws()
+                val neg = tryEat("-")
+                val st = i
+                while (i < s.length && s.charAt(i).isDigit) i += 1
+                val n = s.substring(st, i).toLong * (if (neg) -1 else 1)
+                eat(']')
+                proj = IndexOp(proj, LitLong(n))
+              } else more = false
+            }
             eat(')')
-            MethodCall(This, "filter", List(Lambda("x", cond)))
+            val filtered = MethodCall(This, "filter", List(Lambda("x", cond)))
+            if (proj == This) filtered
+            else MethodCall(filtered, "map_each", List(Lambda("x", proj)))
           } else {
             val body = parsePipe()
             eat(')')

@@ -42,6 +42,13 @@ class JqSpec extends AnyFunSuite {
     assert(run(""".words | sort | join("-")""", """{"words":["b","a"]}""") == "a-b")
   }
 
+  test("reference doc example: cities mapping (lib/processor/jq.go)") {
+    assert(run(
+      """{Cities: .locations | map(select(.state == "WA").name) | sort | join(", ") }""",
+      """{"locations":[{"name":"Seattle","state":"WA"},{"name":"New York","state":"NY"},{"name":"Bellevue","state":"WA"},{"name":"Olympia","state":"WA"}]}""")
+      == """{"Cities":"Bellevue, Olympia, Seattle"}""")
+  }
+
   test("alternative operator and strings") {
     assert(run(".missing // .a", """{"a":"fallback"}""") == "fallback")
     assert(run(".s | ascii_upcase", """{"s":"hey"}""") == "HEY")
