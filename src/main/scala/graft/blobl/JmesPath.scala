@@ -128,12 +128,39 @@ object JmesPath {
           val v = s.substring(start, i); i += 1
           LitString(v)
         case '@' => i += 1; This
+        case '{' => // multi-select hash: {Key: expr, ...}
+          i += 1
+          val fields = scala.collection.mutable.ListBuffer[(Expr, Expr)]()
+          ws()
+          if (peek != '}') {
+            fields += hashField()
+            while (tryEat(",")) fields += hashField()
+          }
+          eat('}')
+          LitObject(fields.toList)
+        case '[' => // multi-select list: [expr, expr]
+          i += 1
+          val items = scala.collection.mutable.ListBuffer[Expr]()
+          ws()
+          if (peek != ']') {
+            items += parsePipe()
+            while (tryEat(",")) items += parsePipe()
+          }
+          eat(']')
+          LitArray(items.toList)
         case c if c.isLetter || c == '_' =>
           val name = ident()
           ws()
           if (peek == '(') fnCall(name) else Field(This, name)
         case c => throw new IllegalArgumentException(s"jmespath: unexpected '$c' at $i in '$s'")
       }
+    }
+
+    private def hashField(): (Expr, Expr) = {
+      ws()
+      val k = ident()
+      eat(':')
+      (LitString(k), parsePipe())
     }
 
     def fnCall(name: String): Expr = {

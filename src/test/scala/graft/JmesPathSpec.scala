@@ -48,4 +48,11 @@ class JmesPathSpec extends AnyFunSuite {
   test("comparison and boolean logic") {
     assert(run("a > `5` && b == 'x'", """{"a":10,"b":"x"}""") == "true")
   }
+
+  test("reference doc example: cities query (lib/processor/jmespath.go)") {
+    assert(run(
+      """locations[?state == 'WA'].name | sort(@) | {Cities: join(', ', @)}""",
+      """{"locations":[{"name":"Seattle","state":"WA"},{"name":"New York","state":"NY"},{"name":"Bellevue","state":"WA"},{"name":"Olympia","state":"WA"}]}""")
+      == """{"Cities":"Bellevue, Olympia, Seattle"}""")
+  }
 }
