@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions function registration: the native kernels reach
+  * SQL users through spark.sql.extensions=graft.plans.GraftExtensions. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = {
+    // conf-based injection (spark.sql.extensions=graft.plans.GraftExtensions)
+    // only applies to sessions constructed after the conf is set; the test
+    // JVM shares one session across suites, so use the install() path
+    val s = Sessions.builder("2").getOrCreate()
+    graft.plans.GraftExtensions.install(s)
+    s
+  }
+
+  test("registered SQL functions evaluate") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  graft_parse_duration('1h30m') AS nanos,
+        |  size(graft_char_shingles('abcdef', 3)) AS n_shingles,
+        |  size(graft_minhash_sig('hello world hello', 5, 4)) AS n_sig,
+        |  size(graft_winnow('the quick brown fox jumps', 5, 4)) AS n_fp
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == 5400L * 1000000000L)
+    assert(r.getInt(3) == 4) // abc bcd cde def
+    assert(r.getInt(4) == 4)
+    assert(r.getInt(5) >= 1)
+  }
+}
