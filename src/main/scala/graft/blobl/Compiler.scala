@@ -719,11 +719,26 @@ object Compiler {
           case LitString(s) => s
           case o => throw CompileError(s"without: literal string paths required, got $o")
         }
+        // dotted args remove NESTED fields (methods_structured.go: paths)
+        def drop(col0: Column, st: StructType,
+            paths: scala.Seq[List[String]]): (Column, StructType) = {
+          val topLevel = paths.collect { case n :: Nil => n }.toSet
+          val nested = paths.collect { case n :: rest if rest.nonEmpty => (n, rest) }
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+          val kept = st.fields.filterNot(f => topLevel.contains(f.name)).map { f =>
+            (f.dataType, nested.get(f.name)) match {
+              case (inner: StructType, Some(sub)) =>
+                val (c, newType) = drop(col0.getField(f.name), inner, sub.toSeq)
+                (c.as(f.name), StructField(f.name, newType, f.nullable))
+              case _ => (col0.getField(f.name).as(f.name), f)
+            }
+          }
+          (struct(kept.map(_._1).toIndexedSeq: _*), StructType(kept.map(_._2)))
+        }
         t.tpe match {
           case Some(s: StructType) =>
-            val keep = s.fieldNames.filterNot(names.contains)
-            TC(struct(keep.map(n => t.col.getField(n).as(n)).toIndexedSeq: _*),
-              Some(StructType(keep.map(n => s(n)))))
+            val (c, newType) = drop(t.col, s, names.map(_.split('.').toList))
+            TC(c, Some(newType))
           case Some(_: MapType) =>
             TC(map_filter(t.col, (k, _) => !k.isin(names.map(lit(_)): _*)), t.tpe)
           case _ => throw CompileError("without: object required")

@@ -160,6 +160,35 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       """{"thing":{}}""" -> """{"doc":{"id":"unknown"}}""")
   }
 
+  test("sort_by (methods_structured.go)") {
+    check("root.sorted = this.foo.sort_by(ele -> ele.id)",
+      """{"foo":[{"id":"bbb","message":"bar"},{"id":"aaa","message":"foo"},{"id":"ccc","message":"baz"}]}""" ->
+        """{"sorted":[{"id":"aaa","message":"foo"},{"id":"bbb","message":"bar"},{"id":"ccc","message":"baz"}]}""")
+  }
+
+  test("without (methods_structured.go)") {
+    check("""root = this.without("inner.a","inner.c","d")""",
+      """{"inner":{"a":"first","b":"second","c":"third"},"d":"fourth","e":"fifth"}""" ->
+        """{"e":"fifth","inner":{"b":"second"}}""")
+  }
+
+  test("unique (methods_structured.go)") {
+    check("root.uniques = this.foo.unique()",
+      """{"foo":["a","b","a","c"]}""" -> """{"uniques":["a","b","c"]}""")
+  }
+
+  test("trim with and without cutset (methods_strings.go)") {
+    check("""root.title = this.title.trim("!?")
+            |root.description = this.description.trim()""".stripMargin,
+      """{"description":"  something happened and its amazing! ","title":"!!!watch out!?"}""" ->
+        """{"title":"watch out","description":"something happened and its amazing!"}""")
+  }
+
+  test("split (methods_strings.go)") {
+    check("""root.new_value = this.value.split(",")""",
+      """{"value":"foo,bar,baz"}""" -> """{"new_value":["foo","bar","baz"]}""")
+  }
+
   test("unquote (methods_strings.go:1492)") {
     check("root.unquoted = this.thing.unquote()",
       """{"thing":"\"foo\\nbar\""}""" -> """{"unquoted":"foo\nbar"}""")
