@@ -87,8 +87,11 @@ object Dedup {
   def minhashSigNative(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
     val sig = graft.exprs.MinhashSigExpr.column(col(textCol), shingleK, numHashes)
-    df.select((col(idCol).as("id") +:
-      (0 until numHashes).map(i => element_at(sig, i + 1).as(s"m$i"))): _*)
+    // two selects so the one-pass expression evaluates once per row
+    // (CollapseProject keeps multi-referenced non-cheap aliases)
+    df.select(col(idCol).as("id"), sig.as("_sig"))
+      .select((col("id") +:
+        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"m$i"))): _*)
   }
 
   /** xxhash64 flavor of [[minhashSigTable]] (internal LSH use). */
@@ -180,10 +183,16 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"minhashPairs: bands*rowsPerBand (${bands * rowsPerBand}) exceeds numHashes ($numHashes)")
-    // Stage 1 — signature table via explode + partial-agg min (columnar;
-    // no per-row array work). First bands×r columns drive bucketing; ALL
+    // Stage 1 — signature table via the native one-pass expression: a
+    // pure projection (the exploded |text|·rows shingle relation never
+    // exists, no shuffle). First bands×r columns drive bucketing; ALL
     // numHashes drive the estimate prefilter.
-    val sig = minhashSigTableFast(df, idCol, textCol, shingleK, numHashes)
+    // two selects: the alias is referenced numHashes times, which stops
+    // CollapseProject from inlining (and re-evaluating) the signature
+    val sigArr = graft.exprs.XxMinhashSigExpr.column(col(textCol), shingleK, numHashes)
+    val sig = df.select(col(idCol).as("id"), sigArr.as("_sig"))
+      .select((col("id") +:
+        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"m$i"))): _*)
     // Stage 2 — candidates carry ONLY (bucket, id).
     val bandKey = (b: Int) => xxhash64(
       lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
