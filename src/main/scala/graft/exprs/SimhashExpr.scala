@@ -1,0 +1,61 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass SimHash: whitespace tokens → md5 → per-bit +1/-1 balances →
+  * sign bits, in a single loop per row. Bit b reads the parity of hex
+  * nibble b of the token hash — exactly the portable scheme of
+  * `Dedup.simhashTable` (and its DuckDB oracle), so results are
+  * identical while the exploded token relation and its groupBy shuffle
+  * disappear. bits ≤ 32 (one md5 per token covers all bit positions). */
+case class SimhashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 32, "simhash: bits must be in [1, 32]")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // identical tokenization to functions.split(text, " ") (-1 limit)
+    val toks = s.split(" ", -1)
+    val balance = new Array[Int](bits)
+    var t = 0
+    while (t < toks.length) {
+      digest.reset()
+      val d = digest.digest(toks(t).getBytes("UTF-8"))
+      var b = 0
+      while (b < bits) {
+        // hex nibble b: high nibble of byte b/2 when b even, else low
+        val nib =
+          if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf
+          else d(b >> 1) & 0xf
+        if ((nib & 1) == 1) balance(b) += 1 else balance(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (balance(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+object SimhashExpr {
+  def column(c: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimhashExpr(org.apache.spark.sql.GraftBridge.expression(c), bits))
+}

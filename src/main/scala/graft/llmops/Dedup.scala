@@ -141,24 +141,14 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
-  /** SimHash as a TABLE (explode + partial-agg): one md5 per token total,
-    * all bit balances from the same hash — the columnar path for corpus-
-    * scale fingerprinting. Output: (id, simhash). */
+  /** SimHash as a TABLE: native one-pass expression — a pure projection
+    * (one md5 per token, all bit balances in the same loop; the exploded
+    * token relation and its shuffle no longer exist). Same bit scheme as
+    * the DuckDB oracle. Output: (id, simhash). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16): DataFrame = {
-    val oddHex = scala.Seq("1", "3", "5", "7", "9", "b", "d", "f").map(lit(_))
-    val ex = df.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), md5(col("tok")).as("h"))
-    val aggs = (0 until bits).map { b =>
-      sum(when(substring(col("h"), b + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L)).as(s"s$b")
-    }
-    val bal = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val combined = (0 until bits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    bal.select(col("id"), combined.as("simhash"))
-  }
+      bits: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.exprs.SimhashExpr.column(col(textCol), bits).as("simhash"))
 
   /** Exact Jaccard on two distinct-element arrays (verification stage). */
   def jaccard(a: Column, b: Column): Column = {
