@@ -303,6 +303,10 @@ object Compiler {
         val c = ctx.countCol.getOrElse(throw CompileError("count() needs envelope context"))
         TC(c, Some(LongType))
       case "var" => ctx.vars.getOrElse(litStr(0), throw CompileError(s"unknown var ${litStr(0)}"))
+      case other if args.isEmpty =>
+        // v3 naked-path shorthand: `root.a = doc.b` ≡ `this.doc.b` (lambda
+        // params and let-vars were already resolved above)
+        compile(Field(This, other), ctx)
       case other => throw CompileError(s"unknown function $other()")
     }
   }

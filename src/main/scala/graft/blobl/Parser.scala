@@ -312,7 +312,8 @@ object Parser {
     case TIdent(name, _) =>
       p.next()
       if (p.isOp("(")) FnCall(name, parseArgs(p))
-      else FnCall(name, Nil) // bare function reference, e.g. `deleted` — treat as call
+      else FnCall(name, Nil) // bare identifier: lambda param, function, or
+                             // naked field path — resolved at compile time
     case t => throw ParseError(s"unexpected token $t", t.pos)
   }
 

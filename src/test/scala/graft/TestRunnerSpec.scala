@@ -122,6 +122,33 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
   }
 
+  test("reference filtering cookbook test passes verbatim (config inlined)") {
+    // processors from config/test/cookbooks/filtering.yaml, test from
+    // filtering_benthos_test.yaml
+    val results = TestRunner.run(spark,
+      """tests:
+        |  - name: Basic filter
+        |    environment: {}
+        |    target_processors:
+        |      - bloblang: |
+        |          root = match {
+        |            meta("topic").or("") == "foo" ||
+        |            doc.type.or("") == "bar" ||
+        |            doc.urls.contains("https://www.benthos.dev/").catch(false) => deleted()
+        |          }
+        |    input_batch:
+        |      - content: '{"doc":{"should":"remain"},"id":"1"}'
+        |      - content: '{"doc":{"should":"not remain"},"id":"2"}'
+        |        metadata:
+        |          topic: foo
+        |      - content: '{"doc":{"should":"not remain","type":"bar"},"id":"3"}'
+        |      - content: '{"doc":{"should":"not remain","urls":["https://www.benthos.dev/"]},"id":"4"}'
+        |    output_batches:
+        |      - - content_equals: '{"doc":{"should":"remain"},"id":"1"}'
+        |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+  }
+
   test("content + metadata assertions (unit_test_example shape)") {
     val results = TestRunner.run(spark,
       """tests:
