@@ -85,15 +85,16 @@ object Formats {
     * semantics: invalid docs get flagged, not dropped). Supported
     * keywords: type (string or list), required, properties (recursive),
     * items (recursive), enum, minimum/maximum/exclusive*, minLength/
-    * maxLength, minItems/maxItems. $ref/allOf-family unsupported
-    * (documented). Returns null when valid, else the first violation. */
+    * maxLength, minItems/maxItems, local $ref (#/definitions, #/$defs,
+    * any local pointer), allOf/anyOf/oneOf/not. Remote $ref unsupported
+    * (no egress). Returns null when valid, else the first violation. */
   def jsonSchemaError(jsonCol: Column, schemaJson: String): Column = {
     val schemaStr = schemaJson // serialize into the closure as text
     val f = udf((s: String) => if (s == null) "document is null" else {
       try {
         val schema = jsonMapper.readTree(schemaStr)
         val node = jsonMapper.readTree(s)
-        jsonSchemaCheck(node, schema, "$").orNull
+        jsonSchemaCheck(node, schema, "$", schema, 0).orNull
       } catch { case e: Exception => s"invalid JSON: ${e.getMessage}" }
     })
     f(jsonCol)
@@ -101,8 +102,43 @@ object Formats {
 
   private type JNode = com.fasterxml.jackson.databind.JsonNode
 
-  private def jsonSchemaCheck(n: JNode, schema: JNode, path: String): Option[String] = {
+  private def jsonSchemaCheck(n: JNode, schema: JNode, path: String,
+      root: JNode, depth: Int): Option[String] = {
     def fail(msg: String) = Some(s"$path: $msg")
+    def check(cn: JNode, cs: JNode, cp: String) =
+      jsonSchemaCheck(cn, cs, cp, root, depth + 1)
+    // self-referential schemas ($ref cycles) consume no input — cap depth
+    if (depth > 64) return fail("schema nesting/$ref depth exceeded")
+    // $ref: resolve a local JSON pointer; draft-07 semantics (the
+    // resolved schema replaces this one entirely)
+    if (schema.has("$ref")) {
+      val ptr = schema.get("$ref").asText()
+      return resolveLocalRef(root, ptr) match {
+        case Some(t) => check(n, t, path)
+        case None => fail(s"unresolvable $$ref $ptr")
+      }
+    }
+    if (schema.has("allOf")) {
+      val a = schema.get("allOf")
+      var i = 0
+      while (i < a.size()) {
+        val r = check(n, a.get(i), path)
+        if (r.isDefined) return r
+        i += 1
+      }
+    }
+    if (schema.has("anyOf")) {
+      val a = schema.get("anyOf")
+      if (!(0 until a.size()).exists(i => check(n, a.get(i), path).isEmpty))
+        return fail("matches no anyOf branch")
+    }
+    if (schema.has("oneOf")) {
+      val a = schema.get("oneOf")
+      val hits = (0 until a.size()).count(i => check(n, a.get(i), path).isEmpty)
+      if (hits != 1) return fail(s"matches $hits oneOf branches, need exactly 1")
+    }
+    if (schema.has("not") && check(n, schema.get("not"), path).isEmpty)
+      return fail("matches 'not' schema")
     // type
     if (schema.has("type")) {
       val types = schema.get("type") match {
@@ -145,7 +181,7 @@ object Formats {
         val items = schema.get("items")
         var i = 0
         while (i < n.size()) {
-          val r = jsonSchemaCheck(n.get(i), items, s"$path[$i]")
+          val r = check(n.get(i), items, s"$path[$i]")
           if (r.isDefined) return r
           i += 1
         }
@@ -164,14 +200,29 @@ object Formats {
         while (it.hasNext) {
           val e = it.next()
           if (n.has(e.getKey)) {
-            val r = jsonSchemaCheck(n.get(e.getKey), e.getValue,
-              s"$path.${e.getKey}")
+            val r = check(n.get(e.getKey), e.getValue, s"$path.${e.getKey}")
             if (r.isDefined) return r
           }
         }
       }
     }
     None
+  }
+
+  /** Resolve a local `#/a/b` JSON pointer against the root schema
+    * (RFC 6901 unescaping: ~1 → `/`, ~0 → `~`). `#` alone is the root. */
+  private def resolveLocalRef(root: JNode, ptr: String): Option[JNode] = {
+    if (!ptr.startsWith("#")) return None // remote refs: no egress
+    val frag = ptr.drop(1).stripPrefix("/")
+    if (frag.isEmpty) return Some(root)
+    var cur = root
+    for (seg <- frag.split("/")) {
+      val key = seg.replace("~1", "/").replace("~0", "~")
+      cur = if (cur.isArray && key.forall(_.isDigit)) cur.get(key.toInt)
+            else cur.get(key)
+      if (cur == null) return None
+    }
+    Some(cur)
   }
 
   private def typeOk(n: JNode, t: String): Boolean = t match {

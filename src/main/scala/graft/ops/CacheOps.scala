@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.blobl.{Mapping => Blobl}
@@ -143,22 +143,81 @@ object CacheOps {
 }
 
 /** `awk` processor (`lib/processor/awk.go`): run an awk program over the
-  * content, output replaces content. Maps onto the subprocess pattern —
-  * one awk process per partition, line-lockstep (the program must print
-  * exactly one record per input line). Only the `text` codec (content as
-  * `$0`) is supported: the reference's `json` codec injects per-row
-  * variables, which a partition-long process cannot receive. */
+  * content, printed output replaces content. Maps onto the subprocess
+  * pattern — one awk process per partition, line-lockstep (the program
+  * must print exactly one record per input line).
+  *
+  * Codecs (awk.go:440-443):
+  *  - `text`: content is `$0`, the typical awk use.
+  *  - `json`: the doc's flattened leaf fields become named awk variables
+  *    (`flattenForAWK`, awk.go:825-827: dots → `_`, like `doc.val1` →
+  *    `doc_val1`) and `$0` is a single space. The reference injects vars
+  *    per message at interpreter startup; a partition-long process can't
+  *    restart per row, but the envelope's doc SCHEMA is static, so the
+  *    assignment prologue is generated at compile time and the values
+  *    travel as an escaped unit-separator line per row. Divergences
+  *    (documented in COVERAGE.md): metadata keys are dynamic and not
+  *    injected; array fields bind their LAST element (the reference's
+  *    map-iteration order is unspecified there); nulls read as "".
+  */
 final case class AwkProc(program: String, codec: String = "text") extends Processor {
-  require(codec == "text",
-    "awk: only codec 'text' is supported (json codec needs per-row vars)")
+  require(codec == "text" || codec == "json",
+    s"awk: unrecognised codec: $codec")
   // mawk buffers output with its own writer (stdbuf can't reach it) and
   // would deadlock the line-lockstep pipe; -W interactive makes it flush
   // per record. gawk/busybox awk flush before blocking on input.
-  private def cmd: scala.Seq[String] =
+  private def cmd(prog: String): scala.Seq[String] =
     if (new java.io.File("/usr/bin/mawk").exists)
-      scala.Seq("mawk", "-W", "interactive", program)
-    else scala.Seq("awk", program)
-  def apply(df: DataFrame): DataFrame = SubprocessProc(cmd)(df)
+      scala.Seq("mawk", "-W", "interactive", prog)
+    else scala.Seq("awk", prog)
+
+  def apply(df: DataFrame): DataFrame = codec match {
+    case "text" => SubprocessProc(cmd(program))(df)
+    case "json" =>
+      val fields = AwkProc.docLeaves(df)
+      val line = concat_ws("\u001f", fields.map(f => AwkProc.escape(f._2)): _*)
+      val staged = df.withColumn(Envelope.Content, line.cast(BinaryType))
+      SubprocessProc(cmd(AwkProc.prologue(fields.map(_._1)) + "\n" + program))(staged)
+  }
+}
+
+object AwkProc {
+  /** Flattened (awkVarName, valueColumn) pairs for the doc struct, in
+    * schema order — the static analog of the reference's `flattenForAWK`.
+    * Maps are skipped (dynamic keys can't become compile-time names). */
+  private[ops] def docLeaves(df: DataFrame): scala.Seq[(String, Column)] = {
+    def walk(dt: DataType, path: String, c: Column): scala.Seq[(String, Column)] =
+      dt match {
+        case st: StructType => st.fields.toSeq.flatMap { f =>
+          val p = if (path.isEmpty) f.name else path + "." + f.name
+          walk(f.dataType, p, c.getField(f.name))
+        }
+        case ArrayType(et, _) => walk(et, path, element_at(c, -1))
+        case _: MapType => scala.Seq.empty
+        case _ => scala.Seq((path.replaceAll("[^a-zA-Z0-9_]", "_"), c.cast(StringType)))
+      }
+    walk(df.schema(Envelope.Doc).dataType, "", col(Envelope.Doc))
+  }
+
+  /** Escape % and the unit separator so any value survives the
+    * one-line-per-row pipe; newlines become spaces (the same flattening
+    * the text codec applies on write — a value that re-grew a newline
+    * would make the program emit two lines and break lockstep). */
+  private[ops] def escape(c: Column): Column = {
+    val s = coalesce(c, lit(""))
+    regexp_replace(regexp_replace(regexp_replace(
+      s, "[\n\r]", " "), "%", "%P"), "\u001f", "%U")
+  }
+
+  /** Generated awk prologue: decode the var line, assign the flattened
+    * doc variables, reset `$0` to the reference's single space. */
+  private[ops] def prologue(names: scala.Seq[String]): String = {
+    val assigns = names.zipWithIndex
+      .map { case (n, i) => s"$n=__gdec(__GV[${i + 1}]);" }.mkString(" ")
+    """function __gdec(s,  o,i,n,c) { o=""; n=length(s); i=1; while (i<=n) { c=substr(s,i,1); if (c=="%") { i+=1; c=substr(s,i,1); if (c=="U") { o=o __US } else if (c=="P") { o=o "%" } else { o=o "%" c } } else { o=o c } i+=1 } return o }
+BEGIN { __US = sprintf("%c", 31) }
+{ split($0, __GV, __US); """ + assigns + """ $0 = " " }"""
+  }
 }
 
 /** `log` processor (`lib/processor/log.go`): log an interpolated message

@@ -58,6 +58,19 @@ class CacheSpec extends AnyFunSuite {
       .collect().sorted.toSeq == scala.Seq("HELLO", "WORLD"))
   }
 
+  test("awk processor (json codec) binds flattened doc fields as variables") {
+    // mirrors the reference's "Json Mapping and Arithmetic" example shape
+    // (awk.go:326-345): fields accessed by flattened name, $0 is " ".
+    val e = Envelope.wrap(
+      scala.Seq((1L, 3L, 4L, "x%y\nz"), (2L, 10L, 5L, "plain"))
+        .toDF("id", "val1", "val2", "s"),
+      scala.Seq(col("id")))
+    val out = AwkProc("{ print id \":\" (val1 + val2) \":\" s }", codec = "json")(e)
+    assert(out.select(col(Envelope.Content).cast("string")).as[String]
+      .collect().sorted.toSeq ==
+      scala.Seq("1:7:x%y z", "2:15:plain"))
+  }
+
   test("log processor passes rows through unchanged") {
     val e = env(1L -> "a", 2L -> "b")
     val out = LogProc("INFO", "saw ${! this.s }")(e)

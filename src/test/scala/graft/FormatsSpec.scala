@@ -84,6 +84,43 @@ class FormatsSpec extends AnyFunSuite {
     assert(errOf("""{"user":{"age":5,"name":"ok"},"tags":["a","b","c","d"]}""").exists(_.contains("maxItems")))
   }
 
+  test("json_schema $ref, allOf, anyOf, oneOf, not") {
+    val schema =
+      """{
+        |  "definitions": {
+        |    "posInt": {"type": "integer", "minimum": 1},
+        |    "person": {
+        |      "type": "object", "required": ["name"],
+        |      "properties": {
+        |        "name": {"type": "string"},
+        |        "boss": {"$ref": "#/definitions/person"}
+        |      }
+        |    }
+        |  },
+        |  "allOf": [
+        |    {"required": ["who"]},
+        |    {"properties": {"who": {"$ref": "#/definitions/person"}}}
+        |  ],
+        |  "properties": {
+        |    "n": {"anyOf": [{"$ref": "#/definitions/posInt"}, {"type": "string"}]},
+        |    "x": {"oneOf": [{"type": "integer"}, {"type": "string"}]},
+        |    "tag": {"not": {"enum": ["forbidden"]}}
+        |  }
+        |}""".stripMargin
+    def errOf(doc: String): Option[String] = {
+      val df = jdf(doc)
+      val env = Envelope.wrap(df, scala.Seq(col(df.columns.head)))
+      E.JsonSchema(schema)(env).select(Envelope.Error).collect()
+        .headOption.flatMap(r => Option(r.getString(0)))
+    }
+    assert(errOf("""{"who":{"name":"ann","boss":{"name":"zed"}},"n":3,"tag":"ok"}""").isEmpty)
+    // recursive $ref applies at depth: boss is a person too
+    assert(errOf("""{"who":{"name":"ann","boss":{"nick":"z"}}}""").exists(_.contains("required")))
+    assert(errOf("""{"tag":"x"}""").exists(_.contains("required")))
+    assert(errOf("""{"who":{"name":"a"},"n":0}""").exists(_.contains("anyOf")))
+    assert(errOf("""{"who":{"name":"a"},"tag":"forbidden"}""").exists(_.contains("not")))
+  }
+
   test("archive tar → unarchive tar round trip") {
     val env = Envelope.wrap(jdf(
       """{"id":1,"s":"alpha"}""", """{"id":2,"s":"beta"}"""), scala.Seq(col("id")))
