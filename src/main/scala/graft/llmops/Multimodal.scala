@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode/resize is REAL for the formats the JDK decodes natively
   * (PNG, JPEG, GIF, BMP via `javax.imageio` — no external libraries):
   * [[decodeImage]] reads only the header for dimensions, [[resizeImage]]
-  * re-renders through Graphics2D. Audio/video decode would need codec
-  * libraries this container lacks, so [[fakeDecode]] remains as the
-  * documented deterministic stand-in for those modalities (and for the
+  * re-renders through Graphics2D. AUDIO decode/features are REAL for the
+  * containers the JDK parses (WAV/AIFF/AU PCM via `javax.sound.sampled`):
+  * [[decodeAudio]] reads the header, [[audioFeatures]] computes RMS/peak/
+  * zero-cross over bounded PCM. Video (and compressed audio like mp3)
+  * would need codec libraries this container lacks, so [[fakeDecode]]
+  * remains as the documented deterministic stand-in there (and for the
   * synthetic text-payload gate data); swap it for an Arrow-batched
   * worker or JNI codec without touching the pipeline around it.
   */
@@ -72,6 +75,94 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           bos.toByteArray
         }
+      } catch { case _: Exception => null }
+    }
+    f(payload)
+  }
+
+  private case class AudioMeta(n_bytes: Long, format: String,
+      channels: java.lang.Integer, sample_rate: java.lang.Float,
+      frames: java.lang.Long, duration_ms: java.lang.Double)
+
+  /** Real audio metadata via javax.sound.sampled (WAV/AIFF/AU — the
+    * containers the JDK parses natively, no codec libraries): container
+    * type, channels, sample rate, frame count, duration. Unknown or
+    * compressed formats yield null fields (swap in a codec-backed worker
+    * for mp3/ogg without touching the surrounding pipeline). */
+  def decodeAudio(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = ais.getFormat
+          val container = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(b)).getType.getExtension
+          val frames = ais.getFrameLength
+          AudioMeta(b.length.toLong, container, fmt.getChannels,
+            fmt.getSampleRate,
+            if (frames >= 0) frames else null,
+            if (frames >= 0 && fmt.getFrameRate > 0)
+              frames * 1000.0 / fmt.getFrameRate
+            else null)
+        } finally ais.close()
+      } catch {
+        case _: Exception => AudioMeta(b.length.toLong, null, null, null, null, null)
+      }
+    }
+    f(payload)
+  }
+
+  private case class AudioFeat(rms: Double, peak: Double,
+      zero_cross_rate: Double, n_samples: Long)
+
+  /** Real PCM feature extraction for audio-quality filtering: convert to
+    * 16-bit signed PCM, fold channel 0 into normalized [-1,1] samples,
+    * and compute RMS energy, peak amplitude, and zero-crossing rate.
+    * `maxSamples` bounds per-row work so one long file can't stall a
+    * task (analyze a prefix, like header-only image decode). */
+  def audioFeatures(payload: Column, maxSamples: Int = 1 << 20): Column = {
+    val limit = maxSamples
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else try {
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val fmt = src.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+        try {
+          val frameBytes = target.getFrameSize
+          val buf = new Array[Byte](frameBytes * 4096)
+          var n = 0L; var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+          var prevSign = 0
+          var read = pcm.read(buf)
+          while (read > 0 && n < limit) {
+            var off = 0
+            while (off + 1 < read && n < limit) {
+              // little-endian 16-bit channel 0 of each frame
+              val s = ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort
+              val v = s / 32768.0
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) crossings += 1
+                prevSign = sign
+              }
+              n += 1
+              off += frameBytes
+            }
+            read = if (n < limit) pcm.read(buf) else -1
+          }
+          if (n == 0) null
+          else AudioFeat(math.sqrt(sumSq / n), peak,
+            crossings.toDouble / n, n)
+        } finally { pcm.close(); src.close() }
       } catch { case _: Exception => null }
     }
     f(payload)

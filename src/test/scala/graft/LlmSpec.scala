@@ -127,6 +127,47 @@ class LlmSpec extends AnyFunSuite {
     assert(resized.getLong(0) == 32L && resized.getLong(1) == 24L)
   }
 
+  test("real audio decode + PCM features via javax.sound.sampled") {
+    import spark.implicits._
+    // synthesize a genuine 440 Hz sine WAV: 8 kHz, mono, 16-bit, 0.5 s
+    val sr = 8000f; val n = 4000; val freq = 440.0; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = scala.Seq((1L, bos.toByteArray),
+      (2L, "not audio".getBytes("UTF-8"))).toDF("id", "payload")
+
+    val meta = df.select(col("id"), Multimodal.decodeAudio(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.frames"), col("m.duration_ms"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getString(1) == "wav")
+    assert(meta(1L).getInt(2) == 1)
+    assert(meta(1L).getFloat(3) == 8000f)
+    assert(meta(1L).getLong(4) == n.toLong)
+    assert(math.abs(meta(1L).getDouble(5) - 500.0) < 1.0)
+    assert(meta(2L).getString(1) == null)
+
+    val feat = df.filter(col("id") === 1L)
+      .select(Multimodal.audioFeatures(col("payload")).as("f"))
+      .select(col("f.rms"), col("f.peak"), col("f.zero_cross_rate"),
+        col("f.n_samples")).head()
+    // sine wave: rms = amp/sqrt(2), zcr = 2*freq/sr
+    assert(math.abs(feat.getDouble(0) - amp / math.sqrt(2)) < 0.01)
+    assert(math.abs(feat.getDouble(1) - amp) < 0.01)
+    assert(math.abs(feat.getDouble(2) - 2 * freq / sr) < 0.01)
+    assert(feat.getLong(3) == n.toLong)
+  }
+
   test("fakeDecode metadata is deterministic") {
     val m1 = docs.select(Multimodal.fakeDecode(col("text").cast("binary")).as("m"))
       .select("m.width", "m.height", "m.format").collect().toList
