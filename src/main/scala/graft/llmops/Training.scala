@@ -1,0 +1,162 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-assembly operators: the steps between "cleaned corpus"
+  * and "tokens on GPUs" that a 100 TB pipeline runs after dedup/quality
+  * filtering.
+  *
+  *  - [[KMeans]]: distributed Lloyd's clustering over an embedding column
+  *    (semantic sharding / domain balancing / diversity sampling).
+  *    Assignment is a broadcast cross of k centroids per row (never a
+  *    corpus shuffle); the centroid update partial-aggregates with the
+  *    native [[graft.exprs.VectorSumAgg]] kernel, shuffling k·dim doubles
+  *    per partition instead of n·dim exploded rows.
+  *  - [[packChunks]]: concat-and-chunk sequence packing — the standard
+  *    pretraining batch-assembly step (concatenate documents in a
+  *    deterministic order, cut every `budget` tokens). The global token
+  *    prefix-sum uses a partitioned two-pass plan (range shuffle +
+  *    per-partition sums broadcast as offsets), NOT a global-order
+  *    window — the same discipline as Envelope.withGlobalSeq.
+  *  - [[mixStrata]]: weighted dataset mixing / stratified sampling with
+  *    deterministic hash buckets (reproducible across runs and engines —
+  *    the md5-prefix contract of hash_sample), e.g. up-weight wiki,
+  *    down-weight crawl, per-language caps.
+  */
+object Training {
+
+  // ---------------------------------------------------------------- kmeans
+
+  object KMeans {
+    /** Deterministic seed centroids: the k lowest-id vectors (same
+      * convention as Similarity.Ivf.seedCentroids, so an external oracle
+      * can replicate the whole trajectory). */
+    def seed(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+      corpus.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).as("cid"), col(vecCol).cast(ArrayType(DoubleType)).as("cvec"))
+
+    /** Nearest-centroid assignment (cosine, ties → lowest cid): broadcast
+      * the k centroids, one corpus pass, max_by — no corpus shuffle. */
+    def assign(corpus: DataFrame, idCol: String, vecCol: String,
+        centroids: DataFrame): DataFrame =
+      corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(centroids))
+        .select(col(idCol), col(vecCol), col("cid"),
+          Similarity.cosine(col(vecCol), col("cvec")).as("csim"))
+        .groupBy(col(idCol))
+        .agg(
+          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          first(col(vecCol)).as(vecCol))
+
+    /** One Lloyd step: new centroid = element-wise mean of the assigned
+      * vectors (native vector-sum partial agg; empty clusters keep their
+      * previous centroid). */
+    def updateCentroids(assigned: DataFrame, vecCol: String,
+        prev: DataFrame): DataFrame = {
+      val sums = assigned.groupBy(col("cid"))
+        .agg(graft.exprs.VectorSumAgg.column(col(vecCol)).as("vsum"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("vsum"), x => x / col("n")).as("cvec"))
+      // empty clusters: fall back to the previous centroid
+      prev.select(col("cid"), col("cvec").as("prev_cvec"))
+        .join(sums, scala.Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cvec"), col("prev_cvec")).as("cvec"))
+    }
+
+    /** Full Lloyd loop: returns (assignments, centroids) after `iters`
+      * update steps. Centroids are collected to the driver between
+      * iterations (k·dim doubles — tiny) so each assignment pass
+      * broadcasts a stable literal table rather than re-executing the
+      * previous iteration's lineage. */
+    def fit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+        iters: Int): (DataFrame, DataFrame) = {
+      val spark = corpus.sparkSession
+      var cents = collectCentroids(spark, seed(corpus, idCol, vecCol, k))
+      var i = 0
+      while (i < iters) {
+        val assigned = assign(corpus, idCol, vecCol, cents)
+        cents = collectCentroids(spark,
+          updateCentroids(assigned, vecCol, cents))
+        i += 1
+      }
+      (assign(corpus, idCol, vecCol, cents), cents)
+    }
+
+    private def collectCentroids(spark: SparkSession, df: DataFrame): DataFrame = {
+      val rows = df.orderBy(col("cid")).collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(scala.Seq(
+          StructField("cid", LongType),
+          StructField("cvec", ArrayType(DoubleType)))))
+    }
+  }
+
+  // --------------------------------------------------------------- packing
+
+  /** Concat-and-chunk sequence packing: documents ordered by `orderCol`
+    * are conceptually concatenated and cut every `budget` tokens. Emits
+    * one row per input row: (…, chunk_id, chunk_offset) where `chunk_id`
+    * is the training sequence this document STARTS in. Integer arithmetic
+    * only — bit-exact across engines.
+    *
+    * Scale shape: range-shuffle on the order key, per-partition token
+    * sums collected (one tiny job that reuses the shuffle stage), prefix
+    * offsets closed over the second pass on the SAME RDD instance (range
+    * bounds are sampled per-instance — see Envelope.withGlobalSeq). */
+  def packChunks(df: DataFrame, orderCol: String, tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(!df.isStreaming, "packChunks requires a batch DataFrame")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val withTok = df.withColumn("n_tokens", tokensCol.cast(LongType))
+    val sorted = withTok.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val rdd = sorted.rdd // single instance: both jobs share its shuffle
+    val tokIdx = sorted.schema.fieldIndex("n_tokens")
+    val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(tokIdx))
+      Iterator((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pi) = tokens before pi
+    val b = budget
+    val schema = StructType(sorted.schema.fields ++ scala.Seq(
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("chunk_offset", LongType, nullable = false)))
+    val packed = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var cum = offsets(pi)
+      it.map { r =>
+        val start = cum
+        cum += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq ++ scala.Seq(start / b, start % b))
+      }
+    }
+    spark.createDataFrame(packed, schema)
+  }
+
+  // ---------------------------------------------------------------- mixing
+
+  /** Deterministic weighted mixing / stratified sampling: keep a row of
+    * stratum s with probability rates(s), decided by the md5-prefix
+    * bucket of its key (the hash_sample contract: reproducible, engine-
+    * portable, no RNG state). Rows of strata absent from `rates` use
+    * `defaultRate`. Rate ≥ 1.0 keeps everything. */
+  def mixStrata(df: DataFrame, stratumCol: Column, keyCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    def keep(rate: Double): Column = {
+      val hi = math.min(65536L, math.max(0L, math.round(rate * 65536.0)))
+      if (hi >= 65536L) lit(true)
+      else substring(md5(keyCol.cast(StringType)), 1, 4) < f"$hi%04x"
+    }
+    val cond = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(false))) { case (acc, (s, r)) =>
+        acc.when(stratumCol === s, keep(r))
+      }
+      .otherwise(keep(defaultRate))
+    df.filter(cond)
+  }
+}

@@ -126,6 +126,77 @@ object LlmQueries {
         q39Lsh, probes = 2, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Distributed k-means (Lloyd, 2 iterations, k=8) over embeddings:
+    * semantic sharding for training-mix balancing. Deterministic seed
+    * centroids (lowest-id vectors) let the oracle replicate the full
+    * trajectory; output is integer-only (vec_id → cluster) so the last-bit
+    * float summation-order differences in the centroid means can't reach
+    * the hash (assignment argmax flips would need two centroids within
+    * ~1e-14 cosine — not a thing with random data). */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = Training.KMeans.fit(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+    assigned.select(col("vec_id"), col("cid")).orderBy(col("vec_id"))
+  }
+
+  /** Concat-and-chunk sequence packing at a 2048-token budget: which
+    * training sequence does each document start in. Integer arithmetic,
+    * partitioned two-pass prefix sum (no global window). */
+  def q47(s: SparkSession, dir: String): DataFrame =
+    Training.packChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TextStats.nTokens(col("text")), budget = 2048L)
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
+        col("chunk_offset"))
+      .orderBy(col("doc_id"))
+
+  /** Weighted dataset mixing: keep all English, half the German,
+    * a quarter of everything else — deterministic md5 buckets keyed on
+    * doc_id (reproducible across runs AND engines). */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    Training.mixStrata(t(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        Map("en" -> 1.0, "de" -> 0.5), defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB replication of the q46 k-means trajectory: seed → (assign →
+    * mean)×iters → final assign. Mirrors KMeans.fit exactly, including
+    * the empty-cluster fallback (COALESCE onto the previous centroid). */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH corpus AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |c0 AS (
+         | SELECT vec_id AS cid, ve AS cvec FROM corpus ORDER BY vec_id LIMIT $k)""".stripMargin)
+    def assignCte(name: String, cents: String): String =
+      s""",
+         |$name AS (
+         | SELECT vec_id, ve, cid FROM (
+         |  SELECT c.vec_id, c.ve, kk.cid,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY list_cosine_similarity(c.ve, kk.cvec) DESC, kk.cid) AS rn
+         |  FROM corpus c CROSS JOIN $cents kk) WHERE rn = 1)""".stripMargin
+    for (i <- 1 to iters) {
+      sb.append(assignCte(s"a$i", s"c${i - 1}"))
+      sb.append(
+        s""",
+           |u$i AS (
+           | SELECT cid, list(m ORDER BY i) AS cvec FROM (
+           |  SELECT cid, i, avg(ve[i]) AS m
+           |  FROM a$i, generate_series(1, $dim) t(i) GROUP BY cid, i)
+           | GROUP BY cid),
+           |c$i AS (
+           | SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+           | FROM c${i - 1} p LEFT JOIN u$i u ON u.cid = p.cid)""".stripMargin)
+    }
+    sb.append(assignCte(s"a${iters + 1}", s"c$iters"))
+    sb.append(s"""
+         |SELECT vec_id, cid FROM a${iters + 1} ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   // Shipped ANN configs (fixed: the oracles embed the same hyperplanes).
   private val q36Lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
   private val q37Lsh = Similarity.SignLsh(dim = 64, nPlanes = 6)
@@ -168,6 +239,9 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q46_kmeans" -> (q46 _),
+    "q47_pack" -> (q47 _),
+    "q48_mix" -> (q48 _),
     "q41_winnow" -> (q41 _),
     "q40_ann_ivf" -> (q40 _),
     "q39_embed_neardup" -> (q39 _),
@@ -189,6 +263,25 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q46_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
+    "q47_pack" ->
+      """WITH d AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        | FROM d)
+        |SELECT doc_id, n_tokens, cb // 2048 AS chunk_id, cb % 2048 AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q48_mix" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE lang
+        | WHEN 'en' THEN TRUE
+        | WHEN 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        | ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000' END
+        |ORDER BY doc_id""".stripMargin,
     "q41_winnow" ->
       """WITH g AS (
         | SELECT doc_id, i, substr(md5(substr(text, i, 5)), 1, 16) AS h
