@@ -97,6 +97,8 @@ final class ControlPlane(spark: SparkSession,
       case ("GET", List("metrics")) | ("GET", List("stats")) =>
         respond(ex, 200, Metrics.prometheus,
           "text/plain; version=0.0.4; charset=utf-8")
+      case ("GET", List("traces")) =>
+        respond(ex, 200, Tracing.tracesJson)
       case ("GET", List("streams")) =>
         val items = started.keys.toSeq.sorted.map(id =>
           s"${jsonStr(id)}:${streamStatus(id).get}")

@@ -23,7 +23,14 @@ object Config {
       streaming: Boolean = false) {
     def run(spark: SparkSession): Unit = {
       require(!streaming, "streaming config: use runStream(spark, checkpoint)")
-      output.write(Pipeline(pipeline)(input(spark)))
+      if (Tracing.isEnabled) Tracing.attachJobListener(spark)
+      Tracing.span("pipeline") {
+        val staged = pipeline.foldLeft(Tracing.span("input")(input(spark))) {
+          (d, p) =>
+            Tracing.span(p.getClass.getSimpleName.stripSuffix("$"))(p(d))
+        }
+        Tracing.span("output")(output.write(staged))
+      }
     }
 
     /** Streaming configs (file_stream / generate_stream inputs): the same
@@ -41,6 +48,12 @@ object Config {
       scala.util.matching.Regex.quoteReplacement(
         sys.env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
     val root = asMap(new Yaml().load[Any](interpolated))
+    // tracer section (`lib/tracer/constructor.go`): `none` disables; any
+    // configured tracer (jaeger, …) turns on the in-process collector —
+    // spans serve from the control plane's /traces (no agent in image).
+    root.get("tracer").map(asMap).foreach { t =>
+      if (t.contains("none")) Tracing.disable() else Tracing.enable()
+    }
     // cache_resources first: the cache processor resolves labels at compile
     root.get("cache_resources").map(asList).getOrElse(Nil).foreach { c =>
       val cm = asMap(c)

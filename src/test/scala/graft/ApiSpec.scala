@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.runtime.{ControlPlane, Metrics}
+import graft.runtime.{Config, ControlPlane, Metrics, Tracing}
 
 /** Control-plane REST API (lib/stream/manager/api.go surface) + the
   * prometheus rendering of df.observe metrics. */
@@ -66,6 +66,49 @@ class ApiSpec extends AnyFunSuite {
       assert(http("GET", s"$base/streams/nope")._1 == 404)
       assert(http("POST", s"$base/streams/bad", "not: [valid")._1 == 400)
     } finally api.stop()
+  }
+
+  test("tracer: spans per processor + spark jobs, served at /traces") {
+    Tracing.clear()
+    val spec = Config.load(
+      """tracer:
+        |  jaeger:
+        |    agent_address: localhost:6831
+        |input:
+        |  generate:
+        |    count: 50
+        |    mapping: "root.i = this.i"
+        |pipeline:
+        |  processors:
+        |    - bloblang: "root.double = this.i * 2"
+        |output:
+        |  stdout: {}
+        |""".stripMargin)
+    try {
+      spec.run(spark)
+      val spans = Tracing.spans
+      assert(spans.exists(_.operation == "pipeline"))
+      assert(spans.exists(_.operation == "BloblangProc"))
+      assert(spans.exists(_.operation.startsWith("spark job")),
+        s"no job span in ${spans.map(_.operation)}")
+      // processor span is a child of the pipeline root
+      val root = spans.find(_.operation == "pipeline").get
+      val proc = spans.find(_.operation == "BloblangProc").get
+      assert(proc.parentId.contains(root.id) && proc.traceId == root.traceId)
+
+      val api = new ControlPlane(spark).start()
+      try {
+        val (code, text) =
+          http("GET", s"http://localhost:${api.boundPort}/traces")
+        assert(code == 200)
+        assert(text.contains("\"operationName\":\"pipeline\""))
+        assert(text.contains("CHILD_OF"))
+      } finally api.stop()
+    } finally {
+      Tracing.disable()
+      Tracing.detachJobListener()
+      Tracing.clear()
+    }
   }
 
   test("prometheus rendering of df.observe metrics") {
