@@ -26,7 +26,7 @@ object Interpolation {
     var last = 0
     for (m <- pattern.findAllMatchIn(template)) {
       if (m.start > last) parts += lit(template.substring(last, m.start))
-      parts += compile(m.group(1)).cast("string")
+      parts += goRender(compile(m.group(1)))
       last = m.end
     }
     if (last < template.length) parts += lit(template.substring(last))
@@ -34,6 +34,13 @@ object Interpolation {
     else if (parts.size == 1) parts.head
     else concat(parts.toSeq: _*)
   }
+
+  /** Render a query result the way Go's `%v` does for the common cases:
+    * whole doubles print without the trailing `.0` (`json("a").number() +
+    * json("b").number()` interpolates as `5`, not `5.0` — the reference's
+    * own text fixture depends on it). Everything else is a plain cast. */
+  private def goRender(c: Column): Column =
+    regexp_replace(c.cast("string"), "^(-?\\d+)\\.0$", "$1")
 
   /** True when the template contains no dynamic parts. */
   def isStatic(template: String): Boolean = pattern.findFirstIn(template).isEmpty

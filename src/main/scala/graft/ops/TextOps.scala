@@ -76,3 +76,41 @@ object Grok {
   /** syslog_rfc5424 header (no structured-data parsing). */
   val Rfc5424 = "<%{INT:priority}>%{INT:version} %{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:hostname} %{NOTSPACE:appname} %{NOTSPACE:procid} %{NOTSPACE:msgid} %{GREEDYDATA:message}"
 }
+
+/** v3 `text` processor (`lib/processor/text.go:198-233`): content-level
+  * string operations. `value` is a Bloblang-interpolated string (the
+  * reference's `${! }` message interpolation), `arg` a static argument.
+  * Every operator compiles to a Catalyst column over the content — no
+  * UDF. `regexp_expand` (Go template expansion) is unsupported. */
+final case class TextProc(operator: String, arg: String = "", value: String = "")
+    extends Processor {
+  def apply(df: DataFrame): DataFrame = {
+    val content = contentOrDoc(df).cast(StringType)
+    def interp: Column =
+      graft.blobl.Interpolation.column(df, value).cast(StringType)
+    val out: Column = operator match {
+      case "set" => interp
+      case "append" => concat(content, interp)
+      case "prepend" => concat(interp, content)
+      case "to_upper" => upper(content)
+      case "to_lower" => lower(content)
+      case "trim_space" => trim(content)
+      case "trim" => if (arg.isEmpty) trim(content) else trim(content, arg)
+      case "replace" =>
+        regexp_replace(content,
+          lit(java.util.regex.Pattern.quote(arg)),
+          regexp_replace(interp, "([\\\\$])", "\\\\$1"))
+      case "replace_regexp" => regexp_replace(content, lit(arg), interp)
+      case "find_regexp" => regexp_extract(content, arg, 0)
+      case "strip_html" => regexp_replace(content, "<[^>]*>", "")
+      case "quote" =>
+        graft.blobl.Mapping.envelopeExpr(df, "content().string().quote()")
+      case "unquote" =>
+        graft.blobl.Mapping.envelopeExpr(df, "content().string().unquote()")
+      case "escape_url_query" => url_encode(content)
+      case "unescape_url_query" => url_decode(content)
+      case o => throw new IllegalArgumentException(s"text: unsupported operator $o")
+    }
+    df.withColumn(Content, out.cast(BinaryType))
+  }
+}

@@ -239,6 +239,8 @@ object Config {
           conf.get("headers").map(h => asMap(h).map { case (k, v) => (k, v.toString) })
             .getOrElse(Map.empty),
           rateLimit = optStr(conf, "rate_limit"))
+      case "text" => TextProc(str(conf, "operator"),
+        optStr(conf, "arg"), optStr(conf, "value"))
       case "jmespath" => graft.blobl.JmesPathProc(str(conf, "query"))
       case "jsonschema" => E.JsonSchema(str(conf, "schema"))
       case "branch" =>

@@ -169,6 +169,68 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
   }
 
+  test("reference unit_test_example_benthos_test.yaml passes verbatim") {
+    // config/test/unit_test_example.yaml processors + its _benthos_test
+    val results = TestRunner.run(spark,
+      """tests:
+        |  - name: example test
+        |    target_processors:
+        |      - bloblang: 'root = "%vend".format(content().uppercase().string())'
+        |    environment: {}
+        |    input_batch:
+        |      - content: 'example content'
+        |        metadata:
+        |          example_key: example metadata value
+        |    output_batches:
+        |      -
+        |        - content_equals: EXAMPLE CONTENTend
+        |          metadata_equals:
+        |            example_key: example metadata value
+        |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+  }
+
+  test("reference text_benthos_test.yaml passes verbatim (all four cases)") {
+    // config/test/text.yaml + text_benthos_test.yaml: interpolated
+    // arithmetic and equality over json() numbers
+    val proc =
+      """      - text:
+        |          operator: set
+        |          value: 'total: ${! json("a").number() + json("b").number()}, matches: ${!json("a").number() == json("b").number() }'""".stripMargin
+    val results = TestRunner.run(spark,
+      s"""tests:
+         |  - name: Add two ints
+         |    target_processors:
+         |$proc
+         |    input_batch:
+         |      - content: '{"a":2,"b":3}'
+         |    output_batches:
+         |      - - content_equals: 'total: 5, matches: false'
+         |  - name: Add int to string int
+         |    target_processors:
+         |$proc
+         |    input_batch:
+         |      - content: '{"a":7,"b":"3"}'
+         |    output_batches:
+         |      - - content_equals: 'total: 10, matches: false'
+         |  - name: Add matching int
+         |    target_processors:
+         |$proc
+         |    input_batch:
+         |      - content: '{"a":3,"b":3}'
+         |    output_batches:
+         |      - - content_equals: 'total: 6, matches: true'
+         |  - name: Add matching int and string int
+         |    target_processors:
+         |$proc
+         |    input_batch:
+         |      - content: '{"a":3,"b":"3"}'
+         |    output_batches:
+         |      - - content_equals: 'total: 6, matches: true'
+         |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+  }
+
   test("inline target_processors with multiple parts") {
     val results = TestRunner.run(spark,
       """tests:
