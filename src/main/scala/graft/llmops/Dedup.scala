@@ -241,4 +241,46 @@ object Dedup {
         Similarity.cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // --------------------------------------------- benchmark contamination
+
+  /** Distinct word n-grams ("a b c ..." strings). Empty array below n
+    * tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Benchmark-contamination detection: which evaluation documents leak
+    * into the training corpus (the train/test overlap scrub every serious
+    * pretraining pipeline runs before shipping a model). Distinct word
+    * n-grams per doc, equi-join on the n-gram (shuffle keyed by n-gram —
+    * never |train|×|eval|), per-pair overlap count, containment =
+    * overlap / |eval n-grams|. At deploy scale, join on xxhash64(ngram)
+    * to cut shuffle bytes (string keys kept here for engine-portable
+    * verification).
+    *
+    * Output: (train_id, eval_id, overlap, containment ≥ minContainment).
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      minContainment: Double = 0.5): DataFrame = {
+    val tg = train.select(col(idCol).as("train_id"),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    val eng = eval.select(col(idCol).as("eval_id"),
+      wordNgrams(col(textCol), n).as("gs"))
+    val eg = eng.select(col("eval_id"), explode(col("gs")).as("g"))
+    val esz = eng.select(col("eval_id"), size(col("gs")).cast(LongType).as("en"))
+    tg.join(eg, "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(esz, "eval_id")
+      .select(col("train_id"), col("eval_id"), col("overlap"),
+        (col("overlap").cast(DoubleType) / col("en").cast(DoubleType))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
 }

@@ -74,4 +74,47 @@ object TextStats {
 
   /** Rolling-hash document fingerprint = Dedup.fingerprint (token-set md5). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  // ------------------------------------------------------------------ PII
+
+  /** PII patterns (emails, international-ish phone numbers, IPv4, 13-16
+    * digit card-like numbers). Conservative character-class regexes that
+    * mean the same thing in Java regex and RE2-style engines, so an
+    * external SQL oracle can replicate them verbatim. */
+  val piiPatterns: scala.Seq[(String, String)] = scala.Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "card" -> "\\b[0-9]{13,16}\\b", // before phone: a card is also a digit run
+    "phone" -> "\\+?[0-9][0-9()\\- ]{7,14}[0-9]",
+    "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b")
+
+  /** Count of matches for one PII class. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  /** Redact every PII class with its `[CLASS]` token — the standard
+    * pre-training scrub. Order matters (emails before phones so the
+    * digits inside a redaction token can't re-match); one codegen'd
+    * regexp_replace chain, no UDF. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
+  // ----------------------------------------------------- repetition stats
+
+  /** Fraction of all word bigrams occupied by the single most frequent
+    * one (the Gopher "top-2-gram fraction" repetition filter). 0 for
+    * texts with fewer than 2 tokens. Native one-pass expression (per-row
+    * hash counting — a projection, not a shuffle). */
+  def topBigramFrac(text: Column): Column =
+    graft.exprs.TopBigramFracExpr.column(text)
+
+  /** Fraction of duplicate tokens: 1 - distinct/total (type-token
+    * inverse; high values flag boilerplate/repetition). */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType))
+  }
 }

@@ -160,6 +160,44 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark-contamination scrub: eval = the src0 slice, train = the
+    * rest; word 5-gram containment ≥ 0.5 flags the leaked pairs. */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationPairs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5, minContainment = 0.5)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** PII detect + redact. The corpus is synthetic (no natural PII), so
+    * deterministic PII is salted into the text identically on both
+    * engines — the machinery under test is the detect/redact regex
+    * pipeline itself. */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val salted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-010-"),
+      lpad(col("doc_id").cast(StringType), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast(StringType), lit(".7"))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.piiCount(salted, TextStats.piiPatterns.toMap.apply("email")).as("n_email"),
+        TextStats.piiCount(salted, TextStats.piiPatterns.toMap.apply("phone")).as("n_phone"),
+        TextStats.piiCount(salted, TextStats.piiPatterns.toMap.apply("ipv4")).as("n_ip"),
+        TextStats.piiRedact(salted).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition stats: top-bigram fraction (native one-pass
+    * expression) + duplicate-token fraction. */
+  def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.topBigramFrac(col("text")).as("top_bigram_frac"),
+        TextStats.dupTokenFrac(col("text")).as("dup_tok_frac"))
+      .orderBy(col("doc_id"))
+
   /** DuckDB replication of the q46 k-means trajectory: seed → (assign →
     * mean)×iters → final assign. Mirrors KMeans.fit exactly, including
     * the empty-cluster fallback (COALESCE onto the previous centroid). */
@@ -238,7 +276,29 @@ object LlmQueries {
        |  AND c.vid != q.qid)""".stripMargin
   }
 
+  /** q50's salted text, as a DuckDB expression (identical to the Spark
+    * side's concat). */
+  private val saltedSql =
+    "text || ' contact user' || doc_id || '@example.com or +1 555-010-' || " +
+      "lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' from 10.0.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.7'"
+
+  /** Chained redaction matching TextStats.piiRedact's pattern order,
+    * built from the SAME runtime pattern strings. */
+  private val redactSql: String =
+    graft.llmops.TextStats.piiPatterns.foldLeft("t") { case (acc, (name, pat)) =>
+      s"regexp_replace($acc, '$pat', '[${name.toUpperCase}]', 'g')"
+    }
+
+  private def piiCountSql(key: String): String = {
+    val pat = graft.llmops.TextStats.piiPatterns.toMap.apply(key)
+    s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT)"
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_contamination" -> (q49 _),
+    "q50_pii" -> (q50 _),
+    "q51_repetition" -> (q51 _),
     "q46_kmeans" -> (q46 _),
     "q47_pack" -> (q47 _),
     "q48_mix" -> (q48 _),
@@ -263,6 +323,46 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q49_contamination" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |ng AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(generate_series(1, greatest(len(t)-4, 0)),
+        |   i -> array_to_string(t[i:i+4], ' '))) AS gs
+        | FROM toks),
+        |tr AS (SELECT doc_id AS train_id, unnest(gs) AS g FROM ng WHERE source != 'src0'),
+        |ev AS (SELECT doc_id AS eval_id, unnest(gs) AS g FROM ng WHERE source = 'src0'),
+        |esz AS (SELECT doc_id AS eval_id, CAST(len(gs) AS BIGINT) AS en
+        |        FROM ng WHERE source = 'src0'),
+        |ov AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS overlap
+        |       FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+        |SELECT train_id, eval_id, overlap,
+        | CAST(overlap AS DOUBLE)/CAST(en AS DOUBLE) AS containment
+        |FROM ov JOIN esz USING (eval_id)
+        |WHERE CAST(overlap AS DOUBLE)/CAST(en AS DOUBLE) >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "q50_pii" ->
+      s"""WITH s AS (SELECT doc_id, $saltedSql AS t FROM documents)
+         |SELECT doc_id,
+         | ${piiCountSql("email")} AS n_email,
+         | ${piiCountSql("phone")} AS n_phone,
+         | ${piiCountSql("ipv4")} AS n_ip,
+         | $redactSql AS redacted
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q51_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        | SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        | FROM toks, unnest(generate_series(1, greatest(len(t)-1, 0))) AS s(i)),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        | COALESCE(CAST(a.mx AS DOUBLE)/CAST(a.n AS DOUBLE), 0.0) AS top_bigram_frac,
+        | CASE WHEN len(string_split(d.text, ' ')) <= 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+        |               / CAST(len(string_split(d.text, ' ')) AS DOUBLE) END AS dup_tok_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q46_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
     "q47_pack" ->
       """WITH d AS (

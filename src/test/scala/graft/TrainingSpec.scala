@@ -75,4 +75,50 @@ class TrainingSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).toSet ==
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("contaminationPairs flags the leaked eval doc") {
+    import graft.llmops.Dedup
+    val train = scala.Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("id", "text")
+    val eval = scala.Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // contained in train 1
+      (11L, "totally different words that never appear anywhere else here"))
+      .toDF("id", "text")
+    val out = Dedup.contaminationPairs(train, eval, "id", "text", n = 5,
+      minContainment = 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 10L)
+    assert(out.head.getDouble(3) == 1.0) // all eval 5-grams present
+  }
+
+  test("PII redaction replaces every class; counts match") {
+    import graft.llmops.TextStats
+    val df = scala.Seq((1L,
+      "mail a.user+x@test.org or b@c.io, call +1 (555) 010-1234, " +
+        "host 192.168.0.1, card 4111111111111111 end")).toDF("id", "text")
+    val row = df.select(
+      TextStats.piiCount(col("text"), TextStats.piiPatterns.toMap.apply("email")).as("e"),
+      TextStats.piiCount(col("text"), TextStats.piiPatterns.toMap.apply("ipv4")).as("i"),
+      TextStats.piiRedact(col("text")).as("r")).head()
+    assert(row.getLong(0) == 2)
+    assert(row.getLong(1) == 1)
+    val r = row.getString(2)
+    assert(r.contains("[EMAIL]") && r.contains("[PHONE]") &&
+      r.contains("[IPV4]") && r.contains("[CARD]"))
+    assert(!r.contains("@") && !r.contains("192.168"))
+  }
+
+  test("repetition stats: boilerplate scores high, prose low") {
+    import graft.llmops.TextStats
+    val df = scala.Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over a lazy dog")).toDF("id", "text")
+    val rows = df.select(col("id"),
+      TextStats.topBigramFrac(col("text")).as("tb"),
+      TextStats.dupTokenFrac(col("text")).as("dt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 > 0.5 && rows(1L)._2 > 0.5)
+    assert(rows(2L)._1 <= 0.2 && rows(2L)._2 == 0.0)
+  }
 }
