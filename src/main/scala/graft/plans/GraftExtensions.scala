@@ -60,7 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(args(1), "k"), distinct = true)),
       fn("graft_parse_duration",
         "graft_parse_duration(s) - Go duration string to nanoseconds",
-        args => graft.exprs.GoDurationParse(args(0))))
+        args => graft.exprs.GoDurationParse(args(0))),
+      fn("graft_simhash",
+        "graft_simhash(text, bits) - one-pass SimHash of whitespace tokens",
+        args => graft.exprs.SimhashExpr(args(0), intLit(args(1), "bits"))),
+      fn("graft_top_bigram_frac",
+        "graft_top_bigram_frac(text) - share of the most frequent word bigram",
+        args => graft.exprs.TopBigramFracExpr(args(0))),
+      fn("graft_vector_sum",
+        "graft_vector_sum(vec) - element-wise sum aggregate over arrays",
+        args => graft.exprs.VectorSumAgg(args(0)).toAggregateExpression()))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -31,4 +31,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 4)
     assert(r.getInt(5) >= 1)
   }
+
+  test("round-3 kernels: simhash, top-bigram-frac, vector-sum aggregate") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_simhash('hello world hello', 16) AS sh,
+        |  graft_top_bigram_frac('buy now buy now buy now') AS tb
+        |""".stripMargin).head()
+    assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 16))
+    assert(r.getDouble(1) > 0.5)
+
+    val agg = spark.sql(
+      """SELECT k, graft_vector_sum(v) AS vs FROM VALUES
+        |  (1, array(1.0D, 2.0D)), (1, array(10.0D, 20.0D)),
+        |  (2, array(5.0D, 5.0D)) AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(agg(0).getSeq[Double](1) == scala.Seq(11.0, 22.0))
+    assert(agg(1).getSeq[Double](1) == scala.Seq(5.0, 5.0))
+  }
 }
