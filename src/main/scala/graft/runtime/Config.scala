@@ -133,6 +133,13 @@ object Config {
         val inner = compileInput(asMap(conf("input")))
         val check = condString(conf("check"))
         s => Sources.readUntil(inner(s), check)
+      case "http_client" =>
+        val url = str(conf, "url")
+        val verb = optStr(conf, "verb", "GET")
+        val codec = optStr(conf, "codec", "lines")
+        val hdrs = conf.get("headers").map(asMap).getOrElse(Map.empty)
+          .map { case (k, v) => k -> v.toString }
+        s => Sources.httpClient(s, url, verb, hdrs, codec)
       case "kafka" =>
         val c = kafkaInputConfig(conf)
         val batch = conf.get("batch").exists(_.toString.toBoolean)
@@ -299,6 +306,10 @@ object Config {
         Sinks.FallbackSink(asList(m(kind)).map(o => compileOutput(asMap(o))))
       case "reject" | "drop_on_error" =>
         Sinks.DropOnError(Sinks.DropSink)
+      case "http_client" =>
+        Sinks.HttpClientSink(str(conf, "url"), optStr(conf, "verb", "POST"),
+          conf.get("headers").map(asMap).getOrElse(Map.empty)
+            .map { case (k, v) => k -> v.toString })
       case "kafka" =>
         Sinks.KafkaSink(kafkaOutputConfig(conf))
       case "spark_format" =>

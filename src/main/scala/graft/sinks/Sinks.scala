@@ -87,6 +87,46 @@ object Sinks {
     def write(df: DataFrame): Unit = Envelope.unwrap(df).show(n, truncate = false)
   }
 
+  /** `http_client` output (`lib/output/writer/http_client.go`): POST each
+    * row's content to a URL. One pooled client per PARTITION (the same
+    * external-I/O shape as the http processor: connection reuse, bounded
+    * concurrency = partition count); a non-2xx response after `retries`
+    * fails the task — delivery is at-least-once under Spark retries, like
+    * the reference's retry-forever semantics. */
+  final case class HttpClientSink(url: String, verb: String = "POST",
+      headers: Map[String, String] = Map.empty,
+      timeoutMs: Int = 10000, retries: Int = 2) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val (u, m, hs, tmo, rtr) = (url, verb, headers, timeoutMs, retries)
+      df.select(Envelope.contentOrDoc(df).cast("string").as("body"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val client = java.net.http.HttpClient.newBuilder()
+            .connectTimeout(java.time.Duration.ofMillis(tmo)).build()
+          rows.foreach { r =>
+            var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+              .timeout(java.time.Duration.ofMillis(tmo))
+              .method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+                r.getString(0)))
+            hs.foreach { case (k, v) => b = b.header(k, v) }
+            var attempt = 0
+            var done = false
+            var lastCode = -1
+            while (!done && attempt <= rtr) {
+              try {
+                val resp = client.send(b.build(),
+                  java.net.http.HttpResponse.BodyHandlers.ofString())
+                lastCode = resp.statusCode()
+                done = lastCode < 300
+              } catch { case _: Exception => }
+              attempt += 1
+            }
+            if (!done) throw new java.io.IOException(
+              s"http_client output: $u returned $lastCode after $rtr retries")
+          }
+        }
+    }
+  }
+
   /** `drop` — discard (still evaluates, for side-effect pipelines). */
   case object DropSink extends Sink { def write(df: DataFrame): Unit = () }
 

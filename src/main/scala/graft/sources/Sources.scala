@@ -219,6 +219,40 @@ object Sources {
     * triggering seq (filter pushdown applies), then a plain filter keeps
     * everything at-or-before it — no global window, no single-partition
     * stage. */
+  /** `http_client` input (`lib/input/http_client.go`): fetch a URL and
+    * envelope the response by codec (`lines` or `all-bytes`). The fetch
+    * runs once on the driver — an HTTP endpoint is a control-plane-sized
+    * source; BULK ingest over HTTP belongs to the `http` processor over a
+    * DataFrame of URLs/cursors (pooled clients per partition), which is
+    * the scale path for paginated APIs. Streaming polls = generate_stream
+    * trigger + that same processor. */
+  def httpClient(spark: SparkSession, url: String, verb: String = "GET",
+      headers: Map[String, String] = Map.empty,
+      codec: String = "lines", timeoutMs: Int = 10000): DataFrame = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .method(verb, java.net.http.HttpRequest.BodyPublishers.noBody())
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() < 300,
+      s"http_client input: $url returned ${resp.statusCode()}")
+    import spark.implicits._
+    val metaCol = map(lit("http_status"), lit(resp.statusCode().toString))
+    codec match {
+      case "lines" =>
+        linesEnvelope(resp.body().stripSuffix("\n").split("\n", -1).toSeq
+          .toDF("value"), metaCol)
+      case "all-bytes" | "json" =>
+        bytesEnvelope(scala.Seq(resp.body()).toDF("value")
+          .select(col("value").cast(BinaryType).as("content"),
+            lit(url).as("path")))
+      case o => throw new IllegalArgumentException(s"http_client: unknown codec $o")
+    }
+  }
+
   def readUntil(df: DataFrame, check: String): DataFrame = {
     val cond = graft.blobl.Mapping.envelopeExpr(df, check)
     val first = df.filter(coalesce(cond, lit(false)))

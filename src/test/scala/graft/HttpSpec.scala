@@ -67,4 +67,37 @@ class HttpSpec extends AnyFunSuite {
       assert(elapsedMs >= 500, s"elapsed $elapsedMs ms — limiter not applied")
     }
   }
+
+  test("http_client input fetches and envelopes lines; YAML wired") {
+    withServer(_ => (200, "alpha\nbeta\ngamma\n")) { url =>
+      val df = graft.sources.Sources.httpClient(spark, url)
+      val lines = df.select(col(Envelope.Content).cast("string"))
+        .collect().map(_.getString(0)).sorted.toList
+      assert(lines == List("alpha", "beta", "gamma"))
+      assert(df.select(Envelope.Meta).head().getMap[String, String](0)
+        .get("http_status").contains("200"))
+
+      val spec = graft.runtime.Config.load(
+        s"""input:
+           |  http_client:
+           |    url: $url
+           |    codec: lines
+           |output:
+           |  drop: {}
+           |""".stripMargin)
+      assert(!spec.streaming)
+    }
+  }
+
+  test("http_client output posts each row's content") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer(body => { seen.add(body); (200, "ok") }) { url =>
+      val env = Envelope.wrap(jdf("""{"id":1,"s":"one"}""", """{"id":2,"s":"two"}"""),
+        scala.Seq(col("id"))).withColumn(Envelope.Content, col("doc.s").cast("binary"))
+      graft.sinks.Sinks.HttpClientSink(url).write(env)
+      val got = scala.jdk.CollectionConverters.CollectionHasAsScala(seen)
+        .asScala.toList.sorted
+      assert(got == List("one", "two"))
+    }
+  }
 }
