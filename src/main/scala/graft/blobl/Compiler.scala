@@ -83,6 +83,13 @@ object Compiler {
     (out.result(), groups.toList)
   }
 
+  /** `deleted()` appearing as a branch value (valid inside map_each
+    * lambdas and whole-assignment if/match positions). */
+  private def isDeletedCall(e: Expr): Boolean = e match {
+    case FnCall("deleted", _) => true
+    case _ => false
+  }
+
   // ---------- type helpers ----------
   private def numeric(t: Option[DataType]): Boolean = t.exists {
     case _: NumericType => true; case _ => false
@@ -657,7 +664,43 @@ object Compiler {
       case "map_each" =>
         if (t.isMap) TC(transform_values(t.col, (k, v) =>
           lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), None)
-        else {
+        else arg(0) match {
+          // `deleted()` in an if-branch drops the element (the reference's
+          // filter+map fusion, methods_structured.go:762): compile the
+          // delete-condition and the kept body separately, then
+          // filter-then-transform — both stay codegen'd HOFs.
+          case Lambda(p, IfExpr(branches, orElse))
+              if (branches.map(_._2) ++ orElse).exists(isDeletedCall) =>
+            val delCond: Expr = {
+              // disjunction of conditions guarding deleted() branches
+              // (else-branch deletion = negation of all guards)
+              val guarded = branches.collect {
+                case (c, b) if isDeletedCall(b) => c
+              }
+              val elseDel = orElse.exists(isDeletedCall)
+              val ors = guarded.reduceOption[Expr]((a, b) => BinOp("||", a, b))
+              if (elseDel) {
+                val allGuards = branches.map(_._1)
+                  .reduceOption[Expr]((a, b) => BinOp("||", a, b))
+                  .getOrElse(LitBool(false))
+                val notAll = Not(allGuards)
+                ors.map(o => BinOp("||", o, notAll)).getOrElse(notAll)
+              } else ors.get
+            }
+            val keptBranches = branches.filterNot(b => isDeletedCall(b._2))
+            val keptBody: Expr =
+              if (keptBranches.isEmpty) orElse.get
+              else IfExpr(keptBranches, orElse.filterNot(isDeletedCall))
+            val kept = filter(t.col,
+              e => !lambda1(Lambda(p, delCond), ctx, t.elemType)(e).cast(BooleanType))
+            val outElem = t.elemType.flatMap { et =>
+              val ph = TC(lit(null).cast(et), Some(et))
+              try compile(keptBody, ctx.withVar(p, ph).withThis(ph)).tpe
+              catch { case _: Exception => None }
+            }
+            TC(transform(kept, lambda1(Lambda(p, keptBody), ctx, t.elemType)),
+              outElem.map(ArrayType(_)))
+          case _ => {
           // infer the result element type from the lambda body (typing
           // pass against a placeholder element)
           val outElem = arg(0) match {
@@ -670,6 +713,7 @@ object Compiler {
           }
           TC(transform(t.col, lambda1(arg(0), ctx, t.elemType)),
             outElem.map(ArrayType(_)))
+          }
         }
       case "map_each_key" =>
         TC(transform_keys(t.col, (k, _) => lambda1(arg(0), ctx, Some(StringType))(k)), t.tpe)

@@ -225,4 +225,31 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     check("""root.t = timestamp_utc("15:04:05").length() == 8""",
       """{"x":1}""" -> """{"t":true}""")
   }
+
+  test("fold accumulates numbers and strings (methods_structured.go:475-483)") {
+    check("""root.sum = this.foo.fold(0, item -> item.tally + item.value)""",
+      """{"foo":[3,8,11]}""" -> """{"sum":22}""")
+    check("""root.result = this.foo.fold("", item -> "%v%v".format(item.tally, item.value))""",
+      """{"foo":["hello ", "world"]}""" -> """{"result":"hello world"}""")
+  }
+
+  test("sum (methods_structured.go:1308)") {
+    check("root.sum = this.foo.sum()",
+      """{"foo":[3,8,4]}""" -> """{"sum":15}""")
+  }
+
+  test("key_values sorted by key (methods_structured.go:683)") {
+    check("root.foo_key_values = this.foo.key_values().sort_by(pair -> pair.key)",
+      """{"foo":{"bar":1,"baz":2}}""" ->
+        """{"foo_key_values":[{"key":"bar","value":1},{"key":"baz","value":2}]}""")
+  }
+
+  test("map_each with deleted() drops elements (methods_structured.go:762-768)") {
+    check("""root.new_nums = this.nums.map_each(num -> if num < 10 {
+             |  deleted()
+             |} else {
+             |  num - 10
+             |})""".stripMargin,
+      """{"nums":[3,11,4,17]}""" -> """{"new_nums":[1,7]}""")
+  }
 }
