@@ -33,16 +33,30 @@ final case class SubprocessProc(cmd: scala.Seq[String]) extends Processor {
         val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           proc.getInputStream, "UTF-8"))
         // line-lockstep codec: write one line, read one line — bounded
-        // buffering, no deadlock for line-oriented filters
-        val out = rows.map { r =>
+        // buffering, no deadlock for line-oriented filters. The iterator
+        // stays LAZY (no per-partition materialization — a 100 TB
+        // partition's output never sits in memory at once); the process
+        // closes when the iterator exhausts.
+        val inner = rows.map { r =>
           writer.println(r.getString(0).replace("\n", " "))
           writer.flush()
           val line = reader.readLine()
           Row(line, r.getMap[String, String](1), r.getString(2), r.getLong(3), r.getLong(4))
-        }.toList // drain before closing the process
-        writer.close()
-        proc.waitFor()
-        out.iterator
+        }
+        new Iterator[Row] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = inner.hasNext
+            if (!h && !closed) {
+              closed = true
+              writer.close()
+              proc.waitFor()
+              ()
+            }
+            h
+          }
+          def next(): Row = inner.next()
+        }
       }
     }(enc)
     piped.select(
