@@ -88,7 +88,9 @@ object Config {
         (m.contains("kafka") &&
           !asMap(m("kafka")).get("batch").exists(_.toString.toBoolean)) ||
         (m.contains("spark_format") &&
-          asMap(m("spark_format")).get("streaming").forall(_.toString.toBoolean)))
+          asMap(m("spark_format")).get("streaming").forall(_.toString.toBoolean)) ||
+        (m.contains("socket") &&
+          asMap(m("socket")).get("stream").exists(_.toString.toBoolean)))
     StreamSpec(input, procs, output, streaming)
   }
 
@@ -140,6 +142,16 @@ object Config {
         val hdrs = conf.get("headers").map(asMap).getOrElse(Map.empty)
           .map { case (k, v) => k -> v.toString }
         s => Sources.httpClient(s, url, verb, hdrs, codec)
+      case "stdin" => s => Sources.stdin(s)
+      case "socket" =>
+        // address "host:port" (lib/input/socket.go); stream: true →
+        // Spark's native socket streaming source
+        val addr = str(conf, "address").split(":", 2)
+        require(addr.length == 2, "socket input: address must be host:port")
+        val (host, port) = (addr(0), addr(1).toInt)
+        val stream = conf.get("stream").exists(_.toString.toBoolean)
+        s => if (stream) Sources.socketStream(s, host, port)
+             else Sources.socket(s, host, port)
       case "kafka" =>
         val c = kafkaInputConfig(conf)
         val batch = conf.get("batch").exists(_.toString.toBoolean)

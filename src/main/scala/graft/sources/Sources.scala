@@ -219,6 +219,38 @@ object Sources {
     * triggering seq (filter pushdown applies), then a plain filter keeps
     * everything at-or-before it — no global window, no single-partition
     * stage. */
+  /** `stdin` input (`lib/input/stdin.go`): driver-read lines. A console
+    * is a control-plane-sized source by definition. */
+  def stdin(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val lines = scala.io.Source.stdin.getLines().toSeq
+    linesEnvelope(lines.toDF("value"),
+      map(lit("source"), lit("stdin")))
+  }
+
+  /** `socket` input (`lib/input/socket.go`), batch form: connect, read
+    * lines until EOF, envelope them. The driver performs the read — a
+    * single TCP stream is inherently serial; the distributed path for
+    * socket-shaped feeds is [[socketStream]]. */
+  def socket(spark: SparkSession, host: String, port: Int): DataFrame = {
+    import spark.implicits._
+    val sock = new java.net.Socket(host, port)
+    val lines = try {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, "UTF-8"))
+      Iterator.continually(r.readLine()).takeWhile(_ != null).toSeq
+    } finally sock.close()
+    linesEnvelope(lines.toDF("value"),
+      map(lit("source"), lit(s"$host:$port")))
+  }
+
+  /** `socket` input, streaming form: Spark's native socket source — each
+    * line a micro-batched row (`readStream.format("socket")`). */
+  def socketStream(spark: SparkSession, host: String, port: Int): DataFrame =
+    graft.model.Envelope.wrapUnordered(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load())
+
   /** `http_client` input (`lib/input/http_client.go`): fetch a URL and
     * envelope the response by codec (`lines` or `all-bytes`). The fetch
     * runs once on the driver — an HTTP endpoint is a control-plane-sized

@@ -100,4 +100,31 @@ class HttpSpec extends AnyFunSuite {
       assert(got == List("one", "two"))
     }
   }
+
+  test("socket input reads lines until EOF (batch form)") {
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val c = server.accept()
+      val w = new java.io.PrintWriter(c.getOutputStream, true)
+      w.println("one"); w.println("two"); w.close(); c.close()
+    })
+    t.start()
+    try {
+      val df = graft.sources.Sources.socket(spark, "127.0.0.1", server.getLocalPort)
+      assert(df.select(col(Envelope.Content).cast("string"))
+        .collect().map(_.getString(0)).sorted.toList == List("one", "two"))
+    } finally { t.join(); server.close() }
+  }
+
+  test("socket streaming form compiles to Spark's socket source") {
+    val spec = graft.runtime.Config.load(
+      """input:
+        |  socket:
+        |    address: 127.0.0.1:9999
+        |    stream: true
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(spec.streaming)
+  }
 }
