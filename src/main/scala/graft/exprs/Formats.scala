@@ -236,6 +236,97 @@ object Formats {
     case _ => true
   }
 
+  /** JSON array content → element JSON texts (`unarchive: json_array`,
+    * `lib/processor/unarchive.go:222`). Null for non-array docs. */
+  val jsonArrayElems: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else {
+      try {
+        val tree = jsonMapper.readTree(s)
+        if (!tree.isArray) null
+        else (0 until tree.size()).map(i => jsonMapper.writeValueAsString(tree.get(i)))
+      } catch { case _: Exception => null }
+    })
+    c => f(c.cast(org.apache.spark.sql.types.StringType))
+  }
+
+  /** JSON object content → (key, element JSON) pairs, key-sorted
+    * (`unarchive: json_map`, unarchive.go:247 — the reference iterates the
+    * Go map in RANDOM order; sorted is the deterministic rendering). */
+  val jsonMapElems: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else {
+      try {
+        val tree = jsonMapper.readTree(s)
+        if (!tree.isObject) null
+        else {
+          val out = scala.collection.mutable.ListBuffer[(String, String)]()
+          val it = tree.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            out += ((e.getKey, jsonMapper.writeValueAsString(e.getValue)))
+          }
+          out.sortBy(_._1).toSeq
+        }
+      } catch { case _: Exception => null }
+    })
+    c => f(c.cast(org.apache.spark.sql.types.StringType))
+  }
+
+  /** RFC-4180-ish CSV parse: records of quoted/unquoted fields. */
+  private[graft] def parseCsv(s: String): scala.Seq[scala.Seq[String]] = {
+    val rows = scala.collection.mutable.ListBuffer[scala.Seq[String]]()
+    val row = scala.collection.mutable.ListBuffer[String]()
+    val field = new StringBuilder
+    var i = 0
+    var inQuotes = false
+    def endField(): Unit = { row += field.result(); field.clear() }
+    def endRow(): Unit = {
+      endField()
+      if (row.nonEmpty && !(row.length == 1 && row.head.isEmpty)) rows += row.toList
+      row.clear()
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { field += '"'; i += 1 }
+          else inQuotes = false
+        } else field += c
+      } else c match {
+        case '"' if field.isEmpty => inQuotes = true
+        case ',' => endField()
+        case '\r' =>
+        case '\n' => endRow()
+        case o => field += o
+      }
+      i += 1
+    }
+    if (field.nonEmpty || row.nonEmpty) endRow()
+    rows.toList
+  }
+
+  /** CSV content → one JSON object per data row, keys from the header
+    * record (`unarchive: csv`, unarchive.go:272-320; string values like
+    * the reference). Null when a row is shorter than the header. */
+  val csvRowsAsJson: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else {
+      try {
+        val recs = parseCsv(s)
+        if (recs.isEmpty) scala.Seq.empty[String]
+        else {
+          val headers = recs.head
+          recs.tail.map { r =>
+            if (r.length < headers.length)
+              throw new IllegalArgumentException("row has too few values")
+            val node = jsonMapper.createObjectNode()
+            headers.zip(r).foreach { case (h, v) => node.put(h, v); () }
+            jsonMapper.writeValueAsString(node)
+          }
+        }
+      } catch { case _: Exception => null }
+    })
+    c => f(c.cast(org.apache.spark.sql.types.StringType))
+  }
+
   /** tar archive of (name, content) entries — the `archive: tar` format
     * (`lib/processor/archive.go`). */
   val tarOf: Column => Column = {

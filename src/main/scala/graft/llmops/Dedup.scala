@@ -150,6 +150,37 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.exprs.SimhashExpr.column(col(textCol), bits).as("simhash"))
 
+  /** SimHash near-dup pairs at scale: band the simhash into
+    * `bands` equal bit-slices, bucket-join on (band, slice) — any pair
+    * within Hamming distance < bands shares at least one identical band
+    * by pigeonhole — then verify exact Hamming ≤ maxHamming via
+    * bit_count(xor). Candidates are O(n · bucket-collision), never
+    * O(n²); the dropDuplicates absorbs multi-band collisions. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "simhashPairs: bands must divide bits")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sh = simhashTable(df, idCol, textCol, bits)
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("b"),
+            shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+        }: _*)).as("band"))
+      .select(col("id"), col("simhash"), col("band.b"), col("band.bv"))
+    val left = banded.select(col("id").as("id_a"), col("simhash").as("sa"),
+      col("b"), col("bv"))
+    val right = banded.select(col("id").as("id_b"), col("simhash").as("sb"),
+      col("b"), col("bv"))
+    left.join(right, scala.Seq("b", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact Jaccard on two distinct-element arrays (verification stage). */
   def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b)).cast(DoubleType)

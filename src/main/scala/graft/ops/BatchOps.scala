@@ -160,6 +160,45 @@ object BatchOps {
     }
   }
 
+  /** `unarchive: json_array | json_map | csv` (unarchive.go:222-320):
+    * one part → one part per element / map entry / CSV data row.
+    * json_map adds `archive_key` meta (key-sorted — the reference's Go
+    * map order is random, documented); csv rows become JSON objects
+    * keyed by the header record. */
+  final case class UnarchiveParts(format: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val docType = df.schema(Doc).dataType
+      val content = contentOrDoc(df)
+      format match {
+        case "json_array" | "csv" =>
+          val elems =
+            if (format == "csv") graft.exprs.Formats.csvRowsAsJson(content)
+            else graft.exprs.Formats.jsonArrayElems(content)
+          df.select(posexplode(elems).as(scala.Seq("_pos", "_e")),
+              col(Meta), col(Error), col(BatchId), col(Seq))
+            .select(
+              col("_e").cast(BinaryType).as(Content),
+              lit(null).cast(docType).as(Doc),
+              col(Meta), col(Error), col(BatchId),
+              (col(Seq) * 1000000 + col("_pos")).as(Seq))
+        case "json_map" =>
+          val entries = graft.exprs.Formats.jsonMapElems(content)
+          df.select(posexplode(entries).as(scala.Seq("_pos", "_e")),
+              col(Meta), col(Error), col(BatchId), col(Seq))
+            .select(
+              col("_e._2").cast(BinaryType).as(Content),
+              lit(null).cast(docType).as(Doc),
+              map_concat(
+                map_filter(col(Meta), (k, _) => k =!= "archive_key"),
+                map(lit("archive_key"), col("_e._1"))).as(Meta),
+              col(Error), col(BatchId),
+              (col(Seq) * 1000000 + col("_pos")).as(Seq))
+        case o => throw new IllegalArgumentException(
+          s"unarchive: unsupported format $o")
+      }
+    }
+  }
+
   /** `insert_part` (`lib/processor/insert_part.go`): synthesize a part at a
     * batch index (0 = front, -1 = back). */
   final case class InsertPart(index: Long, mapping: String) extends Processor {

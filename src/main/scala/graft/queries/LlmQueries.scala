@@ -198,6 +198,13 @@ object LlmQueries {
         TextStats.dupTokenFrac(col("text")).as("dup_tok_frac"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs: 32-bit simhash, 4 bands of 8 bits, exact
+    * Hamming ≤ 3 verify — the banded-bucket plan that scales. */
+  def q52(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** DuckDB replication of the q46 k-means trajectory: seed → (assign →
     * mean)×iters → final assign. Mirrors KMeans.fit exactly, including
     * the empty-cluster fallback (COALESCE onto the previous centroid). */
@@ -299,6 +306,7 @@ object LlmQueries {
     "q49_contamination" -> (q49 _),
     "q50_pii" -> (q50 _),
     "q51_repetition" -> (q51 _),
+    "q52_simhash_pairs" -> (q52 _),
     "q46_kmeans" -> (q46 _),
     "q47_pack" -> (q47 _),
     "q48_mix" -> (q48 _),
@@ -314,6 +322,13 @@ object LlmQueries {
     "q29_cosine_topk" -> (q29 _),
     "q30_text_quality" -> (q30 _),
     "q31_multimodal_meta" -> (q31 _))
+
+  private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
+    s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
+  }.mkString(",\n  ")
+  private def simhashCombineN(bits: Int) = (0 until bits).map { b =>
+    s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
 
   private val simhashSums = (0 until 16).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -363,6 +378,25 @@ object LlmQueries {
         |      ELSE 1.0 - CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
         |               / CAST(len(string_split(d.text, ' ')) AS DOUBLE) END AS dup_tok_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q52_simhash_pairs" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bits AS (
+         | SELECT doc_id,
+         |  ${simhashSumsN(32)}
+         | FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, ${simhashCombineN(32)} AS simhash FROM bits),
+         |banded AS (
+         | SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
+         | FROM sh, unnest([0,1,2,3]) AS t(b)),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.simhash AS sa, b.simhash AS sb
+         | FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv
+         |  AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q46_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
     "q47_pack" ->
       """WITH d AS (

@@ -145,4 +145,29 @@ class FormatsSpec extends AnyFunSuite {
     assert(out.select(col(Envelope.Content).cast("string"))
       .collect().map(_.getString(0)).toSet == Set("one", "two"))
   }
+
+  test("unarchive json_array / json_map / csv") {
+    import graft.ops.BatchOps
+    def env(content: String) = Envelope.wrap(jdf("""{"id":1}"""), scala.Seq(col("id")))
+      .withColumn(Envelope.Content, lit(content).cast("binary"))
+
+    val arr = BatchOps.UnarchiveParts("json_array")(
+      env("""[{"a":1},"two",3]"""))
+    assert(arr.orderBy(Envelope.Seq).select(col(Envelope.Content).cast("string"))
+      .collect().map(_.getString(0)).toList == List("""{"a":1}""", "\"two\"", "3"))
+
+    val m = BatchOps.UnarchiveParts("json_map")(
+      env("""{"b":{"x":1},"a":"one"}"""))
+    val rows = m.orderBy(Envelope.Seq).select(
+      col(Envelope.Content).cast("string"), col(Envelope.Meta)).collect()
+    assert(rows.map(_.getString(0)).toList == List("\"one\"", """{"x":1}"""))
+    assert(rows.map(_.getMap[String, String](1).get("archive_key").get).toList ==
+      List("a", "b"))
+
+    val csv = BatchOps.UnarchiveParts("csv")(
+      env("name,color\nfoo,\"blue, dark\"\nbar,red"))
+    assert(csv.orderBy(Envelope.Seq).select(col(Envelope.Content).cast("string"))
+      .collect().map(_.getString(0)).toList ==
+      List("""{"name":"foo","color":"blue, dark"}""", """{"name":"bar","color":"red"}"""))
+  }
 }
