@@ -104,6 +104,39 @@ final case class MetricProc(obs: org.apache.spark.sql.Observation,
   def apply(df: DataFrame): DataFrame = df.observe(obs, aggs.head, aggs.tail: _*)
 }
 
+/** Content-transform processor: replace the raw content bytes with a
+  * compiled Bloblang expression over the envelope — the shared shape of
+  * the v3 `hash`, `encode`, `decode`, and `xml` processors (content in,
+  * content out, doc/meta untouched). */
+final case class ContentProc(expr: String) extends Processor {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(graft.model.Envelope.Content,
+      Blobl.envelopeExpr(df, expr).cast(org.apache.spark.sql.types.BinaryType))
+}
+
+/** `metadata` processor (`lib/processor/metadata.go`): set/delete a meta
+  * key; the value is an interpolated string. */
+final case class MetadataProc(operator: String, key: String, value: String = "")
+    extends Processor {
+  def apply(df: DataFrame): DataFrame = {
+    val M = graft.model.Envelope.Meta
+    operator match {
+      case "set" =>
+        val v = graft.blobl.Interpolation.column(df, value)
+          .cast(org.apache.spark.sql.types.StringType)
+        df.withColumn(M, map_concat(
+          map_filter(col(M), (k, _) => k =!= key), map(lit(key), v)))
+      case "delete" | "delete_all" if operator == "delete" =>
+        df.withColumn(M, map_filter(col(M), (k, _) => k =!= key))
+      case "delete_all" =>
+        df.withColumn(M, map_filter(col(M), (_, _) => lit(false)))
+      case "delete_prefix" =>
+        df.withColumn(M, map_filter(col(M), (k, _) => !k.startsWith(key)))
+      case o => throw new IllegalArgumentException(s"metadata: unknown operator $o")
+    }
+  }
+}
+
 /** `dedupe` (`lib/processor/dedupe.go:32-58`): drop rows with an
   * already-seen key. Batch mode = dropDuplicates (state = shuffle hash);
   * streaming uses dropDuplicatesWithinWatermark (see graft.streaming). */

@@ -263,13 +263,43 @@ object Config {
       case "text" => TextProc(str(conf, "operator"),
         optStr(conf, "arg"), optStr(conf, "value"))
       case "jmespath" => graft.blobl.JmesPathProc(str(conf, "query"))
+      case "jq" => graft.blobl.JqProc(str(conf, "query"))
+      case "filter_parts" => FilterProc(condString(conf("check")))
+      case "hash" =>
+        ContentProc(s"""content().hash("${str(conf, "algorithm")}")""")
+      case "encode" =>
+        ContentProc(s"""content().encode("${str(conf, "scheme")}")""")
+      case "decode" =>
+        ContentProc(s"""content().decode("${str(conf, "scheme")}")""")
+      case "xml" => // operator: to_json (lib/processor/xml.go)
+        ContentProc("content().string().parse_xml().format_json()")
+      case "metadata" =>
+        MetadataProc(str(conf, "operator"), str(conf, "key"),
+          optStr(conf, "value"))
+      case "insert_part" =>
+        B.InsertPart(conf.get("index").map(_.toString.toLong).getOrElse(-1L),
+          conf.get("mapping").map(_.toString).getOrElse {
+            val c = str(conf, "content").replace("\\", "\\\\").replace("\"", "\\\"")
+            "root = \"" + c + "\""
+          })
+      case "conditional" =>
+        F.Switch(scala.Seq(
+          (Some(condString(conf("condition"))),
+            asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))
+              .map(p => compileProcessor(asMap(p)))),
+          (None,
+            asList(conf.getOrElse("else_processors", new java.util.ArrayList[Any]()))
+              .map(p => compileProcessor(asMap(p))))))
+      case "parallel" =>
+        ForEach(asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))
+          .map(p => compileProcessor(asMap(p))))
       case "jsonschema" => E.JsonSchema(str(conf, "schema"))
       case "branch" =>
         F.Branch(str(conf, "request_map"),
           asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))
             .map(p => compileProcessor(asMap(p))),
           parseResultMap(str(conf, "result_map")))
-      case "workflow" =>
+      case "workflow" | "process_dag" =>
         val branches = asMap(conf("branches")).toSeq.sortBy(_._1).map { case (_, b) =>
           val bm = asMap(b)
           F.Branch(str(bm, "request_map"),

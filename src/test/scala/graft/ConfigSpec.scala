@@ -247,4 +247,67 @@ class ConfigSpec extends AnyFunSuite {
     assert(sspec.streaming)
     assert(sspec.input(spark).isStreaming)
   }
+
+  test("round-3 YAML surface: jq, text, hash/encode, metadata, conditional, insert_part") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg3").toString
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  generate:
+         |    count: 4
+         |    mapping: "root.i = this.i"
+         |pipeline:
+         |  processors:
+         |    - conditional:
+         |        condition: "this.i % 2 == 0"
+         |        processors:
+         |          - bloblang: "root.i = this.i\\nroot.kind = \\"even\\""
+         |        else_processors:
+         |          - bloblang: "root.i = this.i\\nroot.kind = \\"odd\\""
+         |    - metadata:
+         |        operator: set
+         |        key: src
+         |        value: "gen-$${! this.kind }"
+         |    - jq:
+         |        query: ".kind"
+         |output:
+         |  file:
+         |    path: $dir/out
+         |    format: lines
+         |""".stripMargin.replace("$$", "$"))
+    spec.run(spark)
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0)).sorted
+    assert(lines.toList == List("even", "even", "odd", "odd"))
+
+    // content-transform processors compile and evaluate
+    val enc = graft.runtime.Config.load(
+      """input:
+        |  generate:
+        |    count: 1
+        |    mapping: "root = \"hi\""
+        |pipeline:
+        |  processors:
+        |    - encode:
+        |        scheme: base64
+        |    - decode:
+        |        scheme: base64
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(enc.pipeline.length == 2)
+
+    val ins = graft.runtime.Config.load(
+      """input:
+        |  generate:
+        |    count: 2
+        |    mapping: "root.i = this.i"
+        |pipeline:
+        |  processors:
+        |    - insert_part:
+        |        index: 0
+        |        content: "header"
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(ins.pipeline.length == 1)
+  }
 }
