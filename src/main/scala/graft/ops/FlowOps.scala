@@ -80,7 +80,9 @@ object FlowOps {
         BM.compileMapValue(stmts, ctx0.withThis(tc))
       }
       val newDoc = resultPaths.foldLeft(col(Doc)) { case (acc, (childField, destPath)) =>
-        acc.withField(destPath, graft.blobl.Compiler.accessField(childTC, childField).col)
+        val v = if (childField.isEmpty) childTC.col
+          else graft.blobl.Compiler.accessField(childTC, childField).col
+        acc.withField(destPath, v)
       }
       df.select(col(Content), newDoc.as(Doc), col(Meta), col(Error), col(BatchId), col(Seq))
     }
@@ -95,7 +97,9 @@ object FlowOps {
       val joined = df.join(right,
         df(BatchId) === right("_b") && df(Seq) === right("_s"), "left")
       val newDoc = resultPaths.foldLeft(col(Doc)) { case (acc, (childField, destPath)) =>
-        acc.withField(destPath, col("_child").getField(childField))
+        val v = if (childField.isEmpty) col("_child")
+          else col("_child").getField(childField)
+        acc.withField(destPath, v)
       }
       joined.select(
         col(Content), newDoc.as(Doc), col(Meta), col(Error), col(BatchId), col(Seq))

@@ -282,6 +282,30 @@ object Config {
             val c = str(conf, "content").replace("\\", "\\\\").replace("\"", "\\\"")
             "root = \"" + c + "\""
           })
+      case "number" =>
+        // add | subtract on numeric content (lib/processor/number.go:71-78)
+        val v = conf.getOrElse("value", 0).toString.toDouble
+        val op = optStr(conf, "operator", "add") match {
+          case "add" => "+"
+          case "subtract" => "-"
+          case o => throw new IllegalArgumentException(s"number: operator $o")
+        }
+        ContentProc(s"(content().string().number() $op $v).string()")
+      case "process_map" | "process_field" =>
+        // both are pre-branch forms of branch (premap/postmap ≈
+        // request_map/result_map; process_field path sugar)
+        val req = conf.get("premap").map(m => "root = " + asMap(m)("root"))
+          .orElse(conf.get("path").map(p => s"root = this.$p"))
+          .getOrElse("root = this")
+        val res = conf.get("postmap").map(m => asMap(m).map {
+            case (k, v) => s"root.$k = this.$v"
+          }.mkString("\n"))
+          .orElse(conf.get("path").map(p => s"root.$p = this"))
+          .getOrElse("root = this")
+        F.Branch(req,
+          asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))
+            .map(p => compileProcessor(asMap(p))),
+          parseResultMap(res))
       case "conditional" =>
         F.Switch(scala.Seq(
           (Some(condString(conf("condition"))),
@@ -416,6 +440,9 @@ object Config {
     graft.blobl.Parser.parseMapping(mapping).stmts.collect {
       case Assign(RootPath(dest), Field(This, src)) if dest.nonEmpty =>
         (src, dest.mkString("."))
+      // `root.<dest> = this`: the whole child doc lands at dest ("" src)
+      case Assign(RootPath(dest), This) if dest.nonEmpty =>
+        ("", dest.mkString("."))
     }
   }
 

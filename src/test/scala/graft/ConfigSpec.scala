@@ -310,4 +310,43 @@ class ConfigSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(ins.pipeline.length == 1)
   }
+
+  test("number + process_field from YAML") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg4").toString
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  generate:
+         |    count: 3
+         |    mapping: "root.i = this.i"
+         |pipeline:
+         |  processors:
+         |    - process_field:
+         |        path: i
+         |        processors:
+         |          - bloblang: "root = this + 10"
+         |output:
+         |  file:
+         |    path: $dir/out
+         |    format: json
+         |""".stripMargin)
+    spec.run(spark)
+    val vals = spark.read.json(s"$dir/out").select("i").collect()
+      .map(_.getLong(0)).sorted
+    assert(vals.toList == List(10L, 11L, 12L))
+
+    val num = graft.runtime.Config.load(
+      """input:
+        |  generate:
+        |    count: 1
+        |    mapping: "root = 5"
+        |pipeline:
+        |  processors:
+        |    - number:
+        |        operator: add
+        |        value: 2.5
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(num.pipeline.length == 1)
+  }
 }
