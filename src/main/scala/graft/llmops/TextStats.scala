@@ -75,6 +75,18 @@ object TextStats {
   /** Rolling-hash document fingerprint = Dedup.fingerprint (token-set md5). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  /** Corpus vocabulary: token → (count, doc frequency), the corpus-level
+    * statistics tokenizer training and vocab pruning start from. One
+    * explode + one groupBy — map-side combine shrinks the shuffle to one
+    * row per distinct token per partition (the canonical word-count
+    * shape; at 100 TB this is exactly the job Spark was built for). */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("_id"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_id")).as("doc_freq"))
+
   // ------------------------------------------------------------------ PII
 
   /** PII patterns (emails, international-ish phone numbers, IPv4, 13-16

@@ -198,6 +198,13 @@ object LlmQueries {
         TextStats.dupTokenFrac(col("text")).as("dup_tok_frac"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary: top-500 tokens by frequency (count desc, token) —
+    * the tokenizer-training / vocab-pruning statistic. */
+  def q53(s: SparkSession, dir: String): DataFrame =
+    TextStats.vocabulary(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("n").desc, col("token"))
+      .limit(500)
+
   /** SimHash near-dup pairs: 32-bit simhash, 4 bands of 8 bits, exact
     * Hamming ≤ 3 verify — the banded-bucket plan that scales. */
   def q52(s: SparkSession, dir: String): DataFrame =
@@ -306,6 +313,7 @@ object LlmQueries {
     "q49_contamination" -> (q49 _),
     "q50_pii" -> (q50 _),
     "q51_repetition" -> (q51 _),
+    "q53_vocab" -> (q53 _),
     "q52_simhash_pairs" -> (q52 _),
     "q46_kmeans" -> (q46 _),
     "q47_pack" -> (q47 _),
@@ -378,6 +386,12 @@ object LlmQueries {
         |      ELSE 1.0 - CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
         |               / CAST(len(string_split(d.text, ' ')) AS DOUBLE) END AS dup_tok_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q53_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 500""".stripMargin,
     "q52_simhash_pairs" ->
       s"""WITH toks AS (
          | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
