@@ -16,6 +16,17 @@ object Metrics {
   def observation(name: String): org.apache.spark.sql.Observation =
     observations.getOrElseUpdate(name, org.apache.spark.sql.Observation(name))
 
+  /** A NEW Observation registered under `name` (replacing any prior) —
+    * an Observation instance can only attach to one DataFrame, so every
+    * pipeline compile needs a fresh one; /metrics always renders the
+    * latest. */
+  def freshObservation(name: String): org.apache.spark.sql.Observation = {
+    val o = org.apache.spark.sql.Observation(
+      s"$name#${System.nanoTime()}")
+    observations.put(name, o)
+    o
+  }
+
   def clear(): Unit = observations.clear()
 
   private def sanitize(s: String): String =

@@ -333,7 +333,13 @@ object Config {
         }
         F.Workflow.auto(branches)
       case "resource" => F.Resource(m(kind).toString)
-      case "log" | "metric" | "sleep" | "rate_limit" => Noop // observability stubs
+      case "metric" =>
+        // live df.observe: row count under the configured metric name,
+        // rendered at /metrics (`lib/processor/metric.go` counter form)
+        import org.apache.spark.sql.functions.{count => cnt, lit => l}
+        MetricProc(Metrics.freshObservation(str(conf, "name")),
+          scala.Seq(cnt(l(1)).as("count")))
+      case "log" | "sleep" | "rate_limit" => Noop // row-pacing stubs
       case o => throw new IllegalArgumentException(s"config: unknown processor $o")
     }
   }

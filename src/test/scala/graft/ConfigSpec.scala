@@ -349,4 +349,23 @@ class ConfigSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(num.pipeline.length == 1)
   }
+
+  test("metric processor observes row count, rendered at /metrics") {
+    graft.runtime.Metrics.clear()
+    val spec = graft.runtime.Config.load(
+      """input:
+        |  generate:
+        |    count: 7
+        |    mapping: "root.i = this.i"
+        |pipeline:
+        |  processors:
+        |    - metric:
+        |        name: rows_seen
+        |output:
+        |  stdout: {}
+        |""".stripMargin)
+    spec.run(spark)
+    val prom = graft.runtime.Metrics.prometheus
+    assert(prom.contains("graft_rows_seen_count 7.0"), prom)
+  }
 }
