@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit over EVERY gate query: the 100 TB guardrail.
+  *
+  * - `CartesianProduct` (large × large) is never acceptable.
+  * - `BroadcastNestedLoopJoin` is acceptable only where a deliberately
+  *   tiny side broadcasts against one corpus pass: exact kNN (q29 — the
+  *   query batch), and the k-centroid assignment crosses of IVF (q40)
+  *   and k-means (q46). Everything else must be an equi-join / bucketed
+  *   plan. A new query that accidentally introduces a cross product
+  *   fails here before it ever reaches a cluster.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  private val bnljAllowed = Set(
+    "q29_cosine_topk", // exact kNN: broadcast query batch × corpus scan
+    "q40_ann_ivf",     // 16 seed centroids broadcast for coarse assign
+    "q46_kmeans")      // k=8 centroids broadcast per Lloyd assign
+
+  test("no CartesianProduct anywhere; BNLJ only in the documented trio") {
+    val sf = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
