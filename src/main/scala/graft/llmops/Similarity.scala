@@ -159,6 +159,28 @@ object Similarity {
     }
   }
 
+  /** Int8 embedding quantization (symmetric, per-vector max-abs scale) —
+    * the 4× storage cut an embedding corpus takes before it lands in an
+    * ANN index at 100 TB. Deterministic floor-based rounding (identical
+    * IEEE op sequence across engines); all-zero vectors quantize to
+    * zeros with scale 0. Output: (id, scale, codes int8-range array). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val scale = array_max(transform(v, x => abs(x)))
+    df.select(
+      col(idCol).as("id"),
+      scale.as("scale"),
+      when(scale === 0.0,
+          transform(v, _ => lit(0)))
+        .otherwise(transform(v, x =>
+          floor(x / scale * 127.0 + 0.5).cast(IntegerType)))
+        .as("codes"))
+  }
+
+  /** Dequantize back to doubles (codes * scale / 127). */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast(DoubleType) * scale / 127.0)
+
   /** Random-hyperplane sign-LSH. `planes(dim, nPlanes, seed)` generates the
     * (deterministic) hyperplane matrix as a literal — broadcast free. */
   def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {

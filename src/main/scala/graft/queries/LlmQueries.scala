@@ -198,6 +198,14 @@ object LlmQueries {
         TextStats.dupTokenFrac(col("text")).as("dup_tok_frac"))
       .orderBy(col("doc_id"))
 
+  /** Int8 embedding quantization: per-vector max-abs scale + code array
+    * (rendered as a joined string for the compare). */
+  def q54(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("scale"),
+        array_join(col("codes"), ",").as("codes"))
+      .orderBy(col("vec_id"))
+
   /** Corpus vocabulary: top-500 tokens by frequency (count desc, token) —
     * the tokenizer-training / vocab-pruning statistic. */
   def q53(s: SparkSession, dir: String): DataFrame =
@@ -313,6 +321,7 @@ object LlmQueries {
     "q49_contamination" -> (q49 _),
     "q50_pii" -> (q50 _),
     "q51_repetition" -> (q51 _),
+    "q54_quantize" -> (q54 _),
     "q53_vocab" -> (q53 _),
     "q52_simhash_pairs" -> (q52 _),
     "q46_kmeans" -> (q46 _),
@@ -386,6 +395,21 @@ object LlmQueries {
         |      ELSE 1.0 - CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
         |               / CAST(len(string_split(d.text, ' ')) AS DOUBLE) END AS dup_tok_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q54_quantize" ->
+      """WITH v AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |s AS (
+        | SELECT vec_id, ve,
+        |  list_max(list_transform(ve, x -> abs(x))) AS scale
+        | FROM v)
+        |SELECT vec_id, scale,
+        | CASE WHEN scale = 0 THEN
+        |   array_to_string(list_transform(ve, x -> 0), ',')
+        | ELSE
+        |   array_to_string(list_transform(ve,
+        |     x -> CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER)), ',')
+        | END AS codes
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q53_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n,
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
