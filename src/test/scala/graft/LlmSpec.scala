@@ -176,4 +176,20 @@ class LlmSpec extends AnyFunSuite {
     assert(m1 == m2)
     assert(m1.forall(r => r.getLong(0) >= 320 && r.getLong(1) >= 240))
   }
+
+  test("int8 quantize → dequantize round trip bounds the error") {
+    import graft.llmops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val back = q.select(col("id"), col("scale"),
+      Similarity.dequantizeInt8(col("codes"), col("scale")).as("deq"))
+      .join(emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("orig")), "id")
+    val maxErr = back.select(max(aggregate(
+      zip_with(col("deq"), col("orig"), (a, b) => abs(a - b)),
+      lit(0.0), (acc, x) => greatest(acc, x))).as("e")).head().getDouble(0)
+    val maxScale = q.select(max(col("scale"))).head().getDouble(0)
+    // quantization step is scale/127; round-to-nearest error ≤ half step
+    assert(maxErr <= maxScale / 127.0 * 0.5 + 1e-12, s"maxErr $maxErr")
+  }
 }
