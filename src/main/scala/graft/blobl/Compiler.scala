@@ -798,7 +798,9 @@ object Compiler {
   }
 
   /** Deep merge of two struct values (reference `methods_structured.go:897`):
-    * same-named struct fields recurse, otherwise the right side wins;
+    * same-named struct fields recurse; colliding scalars/arrays
+    * CONCATENATE into an array (the reference's gather-append — see its
+    * own doc example: `likes` "bars" + "foos" → ["bars","foos"]);
     * left-only fields are kept. */
   private def deepMerge(l: TC, r: TC): TC = {
     val (a, b) = (l.tpe, r.tpe) match {
@@ -814,6 +816,9 @@ object Compiler {
             TC(l.col.getField(n), Some(af.dataType)),
             TC(r.col.getField(n), Some(bf.dataType)))
           (n, sub)
+        case (Some(af), Some(bf)) =>
+          (n, mergeCollide(TC(l.col.getField(n), Some(af.dataType)),
+            TC(r.col.getField(n), Some(bf.dataType))))
         case (_, Some(bf)) => (n, TC(r.col.getField(n), Some(bf.dataType)))
         case (Some(af), None) => (n, TC(l.col.getField(n), Some(af.dataType)))
         case _ => (n, TC(lit(null), None))
@@ -823,6 +828,23 @@ object Compiler {
       Some(StructType(merged.map { case (n, v) =>
         StructField(n, v.tpe.getOrElse(NullType))
       })))
+  }
+
+  /** Colliding non-struct values under merge: arrays concat, scalars
+    * gather into an array (heterogeneous types stringify — static
+    * schemas need one element type). */
+  private def mergeCollide(lv: TC, rv: TC): TC = (lv.tpe, rv.tpe) match {
+    case (Some(ArrayType(x, _)), Some(ArrayType(y, _))) if x == y =>
+      TC(concat(lv.col, rv.col), lv.tpe)
+    case (Some(ArrayType(x, _)), Some(y)) if x == y =>
+      TC(concat(lv.col, array(rv.col)), lv.tpe)
+    case (Some(x), Some(ArrayType(y, _))) if x == y =>
+      TC(concat(array(lv.col), rv.col), rv.tpe)
+    case (Some(x), Some(y)) if x == y =>
+      TC(array(lv.col, rv.col), Some(ArrayType(x)))
+    case _ =>
+      TC(array(lv.col.cast(StringType), rv.col.cast(StringType)),
+        Some(ArrayType(StringType)))
   }
 
   private def collapsePaths(s: StructType, prefix: List[String]): List[List[String]] =

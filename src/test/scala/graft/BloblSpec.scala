@@ -145,7 +145,7 @@ class BloblSpec extends AnyFunSuite {
       """root.ks = this.obj.keys()
         |root.merged = this.obj.merge(this.extra)""".stripMargin,
       """{"obj":{"a":1,"b":2},"extra":{"b":9,"c":3}}""")
-      == List("""{"ks":["a","b"],"merged":{"a":1,"b":9,"c":3}}"""))
+      == List("""{"ks":["a","b"],"merged":{"a":1,"b":[2,9],"c":3}}"""))
   }
 
   test("number methods") {

@@ -101,7 +101,7 @@ class ExtrasSpec extends AnyFunSuite {
     assert(run(
       """root.m = this.a.merge(this.b)""",
       """{"a":{"x":1,"nest":{"p":1,"q":2}},"b":{"y":9,"nest":{"q":3,"r":4}}}""")
-      == List("""{"m":{"x":1,"nest":{"p":1,"q":3,"r":4},"y":9}}"""))
+      == List("""{"m":{"x":1,"nest":{"p":1,"q":[2,3],"r":4},"y":9}}"""))
   }
 
   test("collapse flattens to dot-path map") {

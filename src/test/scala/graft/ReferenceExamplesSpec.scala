@@ -252,4 +252,16 @@ class ReferenceExamplesSpec extends AnyFunSuite {
              |})""".stripMargin,
       """{"nums":[3,11,4,17]}""" -> """{"new_nums":[1,7]}""")
   }
+
+  test("enumerated (methods_structured.go:253)") {
+    check("root.foo = this.foo.enumerated()",
+      """{"foo":["bar","baz"]}""" ->
+        """{"foo":[{"index":0,"value":"bar"},{"index":1,"value":"baz"}]}""")
+  }
+
+  test("merge with scalar collision → array concat (methods_structured.go:901)") {
+    check("root = this.foo.merge(this.bar)",
+      """{"foo":{"first_name":"fooer","likes":"bars"},"bar":{"second_name":"barer","likes":"foos"}}""" ->
+        """{"first_name":"fooer","likes":["bars","foos"],"second_name":"barer"}""")
+  }
 }
