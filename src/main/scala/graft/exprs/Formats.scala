@@ -327,6 +327,42 @@ object Formats {
     c => f(c.cast(org.apache.spark.sql.types.StringType))
   }
 
+  /** Benthos v3 message serialization (`lib/message/message.go:138`
+    * ToBytes): uint32-BE part count, then per part uint32-BE length +
+    * bytes — the `archive: binary` format. */
+  val benthosSerialize: Column => Column = {
+    val f = udf((parts: scala.Seq[Array[Byte]]) => {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(parts.length)
+      parts.foreach { p =>
+        val b = if (p == null) Array.emptyByteArray else p
+        out.writeInt(b.length)
+        out.write(b)
+      }
+      out.flush()
+      bos.toByteArray
+    })
+    c => f(c)
+  }
+
+  /** Inverse of [[benthosSerialize]] (`message.go:171` FromBytes). Null
+    * for malformed blobs. */
+  val benthosDeserialize: Column => Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+      val n = in.readInt()
+      require(n >= 0 && n < (1 << 24))
+      (0 until n).map { _ =>
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        buf
+      }
+    } catch { case _: Exception => null })
+    c => f(c)
+  }
+
   /** tar archive of (name, content) entries — the `archive: tar` format
     * (`lib/processor/archive.go`). */
   val tarOf: Column => Column = {

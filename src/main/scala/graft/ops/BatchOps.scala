@@ -101,7 +101,10 @@ object BatchOps {
       val contentCol = format match {
         case "json_array" => to_json(docs).cast(BinaryType)
         case "lines" => array_join(contents, "\n").cast(BinaryType)
-        case "concatenate" | "binary" => array_join(contents, "").cast(BinaryType)
+        case "concatenate" => array_join(contents, "").cast(BinaryType)
+        case "binary" => // length-prefixed message serialization
+          graft.exprs.Formats.benthosSerialize(
+            transform(col("parts"), p => p.getField("c")))
         case "tar" | "zip" =>
           val entries = transform(col("parts"), p => struct(
             p.getField("s").cast(StringType).as("name"),
@@ -170,6 +173,15 @@ object BatchOps {
       val docType = df.schema(Doc).dataType
       val content = contentOrDoc(df)
       format match {
+        case "binary" =>
+          val parts = graft.exprs.Formats.benthosDeserialize(content)
+          df.select(posexplode(parts).as(scala.Seq("_pos", "_e")),
+              col(Meta), col(Error), col(BatchId), col(Seq))
+            .select(
+              col("_e").as(Content),
+              lit(null).cast(docType).as(Doc),
+              col(Meta), col(Error), col(BatchId),
+              (col(Seq) * 1000000 + col("_pos")).as(Seq))
         case "json_array" | "csv" =>
           val elems =
             if (format == "csv") graft.exprs.Formats.csvRowsAsJson(content)

@@ -194,7 +194,7 @@ object Config {
       case "unarchive" => str(conf, "format") match {
         case "lines" => B.UnarchiveLines()
         case "tar" | "zip" => B.UnarchiveArchive(str(conf, "format"))
-        case f @ ("json_array" | "json_map" | "csv") => B.UnarchiveParts(f)
+        case f @ ("json_array" | "json_map" | "csv" | "binary") => B.UnarchiveParts(f)
         case o => throw new IllegalArgumentException(s"unarchive: unsupported format $o")
       }
       case "select_parts" =>

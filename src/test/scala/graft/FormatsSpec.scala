@@ -170,4 +170,16 @@ class FormatsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toList ==
       List("""{"name":"foo","color":"blue, dark"}""", """{"name":"bar","color":"red"}"""))
   }
+
+  test("archive binary → unarchive binary round trip (length-prefixed)") {
+    val env = Envelope.wrap(jdf(
+      """{"id":1,"s":"alpha"}""", """{"id":2,"s":""}""", """{"id":3,"s":"gamma"}"""),
+      scala.Seq(col("id")))
+    val out = Pipeline(scala.Seq(
+      BloblangProc("root = this.s"),
+      B.Archive("binary"),
+      B.UnarchiveParts("binary")))(env)
+    assert(out.orderBy(Envelope.Seq).select(col(Envelope.Content).cast("string"))
+      .collect().map(_.getString(0)).toList == List("alpha", "", "gamma"))
+  }
 }
