@@ -13,9 +13,12 @@ object Tables {
     // `events.ts` is parquet TIMESTAMP(NANOS); with
     // spark.sql.legacy.parquet.nanosAsLong=true it surfaces as nano epoch
     // longs — convert to a microsecond TimestampType column.
+    // `ts div 1000` (IntegralDivide) — NOT `/` (Divide), which promotes to
+    // double and loses ~256 ns at epoch-nanosecond magnitude, off-by-1µs
+    // against an exact engine.
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 }

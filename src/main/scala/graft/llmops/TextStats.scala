@@ -112,6 +112,119 @@ object TextStats {
       regexp_replace(c, pat, s"[${name.toUpperCase}]")
     }
 
+  // ------------------------------------------- n-gram LM novelty scoring
+
+  /** Word bigrams with multiplicity ("a b" strings); empty below 2 tokens. */
+  def wordBigramsRaw(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  }
+
+  /** Corpus bigram counts — the "training" pass of a count-based n-gram
+    * language model. One explode + one map-side-combined groupBy (same
+    * shape as [[vocabulary]]): the shuffle carries one row per distinct
+    * bigram per partition, never the raw token stream. */
+  def bigramModel(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(wordBigramsRaw(col(textCol))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Score documents against a bigram model: how much of each document is
+    * built from corpus-rare bigrams — the integer-exact, engine-portable
+    * proxy for n-gram-LM perplexity scoring (a float cross-entropy would
+    * hash-differ across engines in the last ulp; rare-mass counts rank
+    * documents the same way). A doc's `novelty` is the fraction of its
+    * bigram occurrences whose corpus count ≤ `rareMax`.
+    *
+    * Scale: explode keyed by bigram, sort-merge join against the model
+    * (both sides shuffle on the bigram key — at deploy scale join on
+    * xxhash64(bigram) to cut shuffle bytes), integer per-doc re-agg.
+    * Output: (id, n_bigrams, n_distinct_bigrams, rare_hits, novelty). */
+  def bigramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: org.apache.spark.sql.DataFrame,
+      rareMax: Long): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(wordBigramsRaw(col(textCol))).as("bigram"))
+    val scored = ex.join(model, scala.Seq("bigram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bigram")).as("n_distinct_bigrams"),
+        sum(when(coalesce(col("n"), lit(0L)) <= rareMax, 1L).otherwise(0L))
+          .as("rare_hits"))
+    df.select(col(idCol).as("id")).join(scored, scala.Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("rare_hits"), lit(0L)).as("rare_hits"))
+      .withColumn("novelty",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("rare_hits").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)))
+  }
+
+  // ----------------------------------------------------------------- TF-IDF
+
+  /** Top-k salient terms per document, TF-IDF style. Ranking is the
+    * integer-deterministic variant (tf DESC, doc-frequency ASC, token ASC):
+    * the same ordering ln(N/df) induces at equal tf, without a float score
+    * whose last ulp could differ across engines. `tfidf` (tf·ln(N/df)) is
+    * still emitted for in-engine consumers.
+    *
+    * Scale: tf is one explode + groupBy(id, token) with map-side combine;
+    * df re-aggregates the tf relation by token (no second corpus pass);
+    * the rank window partitions by doc id — high cardinality, no global
+    * window. Output: (id, token, tf, df_docs, rnk, tfidf). */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val nDocs = df.count()
+    val tf = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df_docs").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("token"), col("tf"), col("df_docs"), col("rnk"),
+        (col("tf").cast(DoubleType) *
+          log(lit(nDocs.toDouble) / col("df_docs").cast(DoubleType))).as("tfidf"))
+  }
+
+  // ------------------------------------------------- Gopher quality gates
+
+  /** Gopher-rule stopword list (Rae et al. 2021 §A1.1). */
+  val gopherStopwords: scala.Seq[String] =
+    scala.Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality gates (Rae et al. 2021, MassiveText
+    * filtering): word-count bounds, mean-word-length window, symbol ratio,
+    * alpha-word fraction, stopword floor — pure codegen'd projections, and
+    * the combined keep verdict. Output columns:
+    * (n_words, mean_word_len, frac_alpha, n_symbols, stop_hits, keep). */
+  def gopherFlags(text: Column): scala.Seq[Column] = {
+    val toks = split(text, " ")
+    val nWords = size(toks).cast(LongType)
+    val meanLen = (length(text) - (nWords - 1)).cast(DoubleType) /
+      nWords.cast(DoubleType)
+    val fracAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(DoubleType) / nWords.cast(DoubleType)
+    val nSymbols = (size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))).cast(LongType)
+    val stopHits = listHits(text, gopherStopwords)
+    val keep = nWords.between(50, 100000) &&
+      meanLen.between(3.0, 10.0) &&
+      (nSymbols.cast(DoubleType) / nWords.cast(DoubleType)) <= 0.1 &&
+      fracAlpha >= 0.8 && stopHits >= 2
+    scala.Seq(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      fracAlpha.as("frac_alpha"), nSymbols.as("n_symbols"),
+      stopHits.as("stop_hits"), keep.as("keep"))
+  }
+
   // ----------------------------------------------------- repetition stats
 
   /** Fraction of all word bigrams occupied by the single most frequent

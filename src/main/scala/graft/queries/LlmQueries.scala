@@ -220,6 +220,45 @@ object LlmQueries {
         bits = 32, bands = 4, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup CLUSTERS: SimHash banded pairs (the q52 edge set) →
+    * distributed connected components (alternating large/small-star) →
+    * every document labeled with its cluster id (= min doc id of the
+    * component) and the keep/drop verdict. The oracle computes the same
+    * transitive closure with a recursive CTE. */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 3)
+    Graph.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram-LM novelty scoring: train corpus bigram counts, score each
+    * document by its rare-bigram mass (integer-exact perplexity proxy). */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = TextStats.bigramModel(docs, "text")
+    TextStats.bigramNovelty(docs, "doc_id", "text", model, rareMax = 2L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-3 salient terms per document (integer-deterministic
+    * ranking: tf DESC, doc-frequency ASC, token ASC; the float score is
+    * API-only so the gate can't trip on cross-engine ln() ulps). */
+  def q58(s: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .drop("tfidf")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** Gopher-style quality gates (word-count / mean-word-length / symbol
+    * ratio / alpha fraction / stopword floor) + combined keep verdict. */
+  def q59(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id") +: TextStats.gopherFlags(col("text")): _*)
+      .orderBy(col("doc_id"))
+
   /** DuckDB replication of the q46 k-means trajectory: seed → (assign →
     * mean)×iters → final assign. Mirrors KMeans.fit exactly, including
     * the empty-cluster fallback (COALESCE onto the previous centroid). */
@@ -318,6 +357,10 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q55_dedup_clusters" -> (q55 _),
+    "q57_lm_novelty" -> (q57 _),
+    "q58_tfidf" -> (q58 _),
+    "q59_gopher" -> (q59 _),
     "q49_contamination" -> (q49 _),
     "q50_pii" -> (q50 _),
     "q51_repetition" -> (q51 _),
@@ -355,6 +398,90 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // q55: the q52 SimHash pair CTEs, then the transitive closure via a
+    // recursive CTE (min reachable id per node = the cluster label).
+    "q55_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bits AS (
+         | SELECT doc_id,
+         |  ${simhashSumsN(32)}
+         | FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, ${simhashCombineN(32)} AS simhash FROM bits),
+         |banded AS (
+         | SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
+         | FROM sh, unnest([0,1,2,3]) AS t(b)),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.simhash AS sa, b.simhash AS sb
+         | FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv
+         |  AND a.doc_id < b.doc_id),
+         |pe AS (SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 3),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pe
+         |      UNION ALL SELECT id_b, id_a FROM pe),
+         |reach(a, bb) AS (
+         | SELECT u, v FROM e
+         | UNION
+         | SELECT r.a, e2.v FROM reach r JOIN e e2 ON e2.u = r.bb),
+         |comp AS (SELECT a AS id, least(a, min(bb)) AS comp FROM reach GROUP BY a)
+         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+         | d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q57_lm_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        | SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        | FROM toks, unnest(generate_series(1, greatest(len(t)-1, 0))) AS s(i)),
+        |model AS (SELECT g, count(*) AS n FROM bg GROUP BY g),
+        |sc AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(sum(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_hits
+        | FROM bg JOIN model USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        | COALESCE(sc.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        | COALESCE(sc.rare_hits, 0) AS rare_hits,
+        | CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0.0
+        |      ELSE CAST(sc.rare_hits AS DOUBLE)/CAST(sc.n_bigrams AS DOUBLE)
+        | END AS novelty
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q58_tfidf" ->
+      """WITH tf AS (
+        | SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |       FROM documents)
+        | GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+        |        FROM tf GROUP BY token)
+        |SELECT doc_id, token, tf, df_docs, rnk FROM (
+        | SELECT tf.doc_id, tf.token, tf.tf, dfq.df_docs,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |   ORDER BY tf.tf DESC, dfq.df_docs ASC, tf.token ASC) AS rnk
+        | FROM tf JOIN dfq USING (token))
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q59_gopher" ->
+      """SELECT doc_id, n_words, mean_word_len, frac_alpha, n_symbols, stop_hits,
+        | (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |  AND (CAST(n_symbols AS DOUBLE)/CAST(n_words AS DOUBLE)) <= 0.1
+        |  AND frac_alpha >= 0.8 AND stop_hits >= 2 AS keep
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frac_alpha,
+        |  CAST(len(regexp_extract_all(text, '#'))
+        |   + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['the','be','to','of','and','that','have','with'], t)))
+        |   AS BIGINT) AS stop_hits
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q49_contamination" ->
       """WITH toks AS (
         | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

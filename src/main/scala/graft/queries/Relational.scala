@@ -149,6 +149,18 @@ object Relational {
         col("n"), col("sum_value"))
       .orderBy(col("bucket"))
 
+  /** Session windows (native `session_window` — the event-time
+    * sessionization the reference's batch policies can't express). 6-hour
+    * gap; timestamps emitted as exact epoch micros for engine parity. */
+  def q56Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
+        "6 hours", scala.Seq(dsum(col("value")).as("sum_value")))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start"),
+        unix_micros(col("session_end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** ROLLUP grouping sets (absent from the reference; Spark builtin). */
   def q34Rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -172,6 +184,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
     "q35_asof_join" -> (q35AsOf _),
@@ -186,6 +199,28 @@ object Relational {
     "q9_events_agg" -> (q9EventsAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    // Gaps-and-islands twin of session_window: a session breaks when the
+    // gap STRICTLY exceeds 6h (Spark's merge boundary is inclusive — an
+    // event exactly `gap` after its predecessor still merges; pinned by
+    // GraphSpec). All arithmetic on exact epoch-microsecond integers.
+    "q56_sessionize" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_ns(ts)//1000 AS tus, value FROM events),
+        |b AS (
+        | SELECT user_id, tus, value,
+        |  CASE WHEN lag(tus) OVER w IS NULL
+        |        OR tus - lag(tus) OVER w > 21600000000 THEN 1 ELSE 0 END AS brk
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (
+        | SELECT user_id, tus, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM b)
+        |SELECT user_id, min(tus) AS session_start, max(tus) AS session_end,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q33_time_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
         | count(*) AS n,
