@@ -56,12 +56,34 @@ object Graph {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Edge sets at or below this (driver-memory-safe, ~32 MB of longs) are
+    * finished with a driver union-find instead of more distributed rounds —
+    * the iterative tail of a shrinking graph is pure scheduling overhead,
+    * exactly the broadcast-join-threshold trade. Distributed rounds run
+    * first whenever the graph is bigger, so a 100 TB pair set never
+    * reaches the driver until star-contraction has collapsed it. */
+  val localFinishThreshold: Long = 2000000L
+
   /** Component label per node: (id, component) where component = the
-    * smallest node id reachable from `id`. Nodes only present as isolated
-    * ids (no edges) are the caller's concern — every id appearing in
-    * `edges` gets a row. */
+    * smallest node id reachable from `id`. Every id on a real (non-self)
+    * edge gets a row; ids appearing only in self loops are singletons and
+    * omitted (callers coalesce, see [[dedupClusters]]).
+    *
+    * The input edge relation is evaluated exactly ONCE (into the first
+    * checkpoint) — callers can pass an expensive pair pipeline (LSH
+    * self-join) directly. Superseded round checkpoints are unpersisted as
+    * soon as the next round materializes, so iteration memory is bounded
+    * by two copies of the (small) edge set; the returned label table is
+    * itself checkpointed so no caller plan re-runs the loop's lineage.
+    *
+    * Hybrid finish: each round already pays one O(1) driver aggregate for
+    * the convergence checksum; its count doubles as the size probe. The
+    * moment the surviving edge set fits [[localFinishThreshold]], the
+    * transitive closure completes with a driver union-find (milliseconds)
+    * instead of O(log n) more two-shuffle rounds. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      localThreshold: Long = localFinishThreshold): DataFrame = {
     var e = symmetrize(edges.select(
         col(srcCol).cast(LongType).as("u"),
         col(dstCol).cast(LongType).as("v")))
@@ -69,24 +91,58 @@ object Graph {
     var prev = checksum(e)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
-      val cur = checksum(e)
+    while (!converged && prev._1 > localThreshold && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(next)
+      e.unpersist()
+      e = next
       converged = cur == prev
       prev = cur
       it += 1
     }
-    require(converged, s"connectedComponents: not converged after $maxIter rounds")
-    // Converged ⇒ every component is a star centered at its min id, so
-    // comp(x) = min(x, min Γ(x)).
-    val nodes = edges.select(col(srcCol).cast(LongType).as("id"))
-      .union(edges.select(col(dstCol).cast(LongType).as("id")))
-      .distinct()
-    val m = e.groupBy(col("u")).agg(min(col("v")).as("_m"))
-      .select(col("u").as("id"), col("_m"))
-    nodes.join(m, scala.Seq("id"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("_m"), col("id")))
-        .as("component"))
+    val labels =
+      if (!converged) { // small enough: finish on the driver
+        require(prev._1 <= localThreshold,
+          s"connectedComponents: not converged after $maxIter rounds")
+        val lbl = localUnionFind(e)
+        e.unpersist()
+        lbl.localCheckpoint()
+      } else {
+        // Converged ⇒ every component is a star centered at its min id, so
+        // comp(x) = min(x, min Γ(x)); e is symmetric, e.u covers every node.
+        val out = e.groupBy(col("u")).agg(min(col("v")).as("_m"))
+          .select(col("u").as("id"),
+            least(col("u"), col("_m")).as("component"))
+          .localCheckpoint()
+        e.unpersist()
+        out
+      }
+    labels
+  }
+
+  /** Driver union-find (path-halving + union-by-min-root) over a collected
+    * symmetric edge set — the O(E α(E)) finisher for graphs under
+    * [[localFinishThreshold]]. Labels every node with its component's min id. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    val it = e.filter(col("u") < col("v")).as[(Long, Long)].toLocalIterator()
+    while (it.hasNext) {
+      val (u, v) = it.next()
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { // min id becomes the root ⇒ root IS the label
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val rows = parent.keysIterator.map(id => (id, find(id))).toSeq
+    spark.createDataset(rows).toDF("id", "component")
   }
 
   /** End-to-end dedup clustering: every document labeled with its near-dup

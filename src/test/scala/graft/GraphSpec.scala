@@ -43,6 +43,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("connected components: distributed star-contraction path agrees " +
+      "with the union-find finisher") {
+    val clique = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val edges = clique ++ (0L until 31L).map(i => (i + 100L, i + 101L)) ++
+      scala.Seq((14L, 100L), (200L, 201L))
+    // localThreshold = 0 forces the full distributed loop to convergence
+    val distributed = Graph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === ufComponents(edges))
+    assert(distributed === ccMap(edges))
+  }
+
   test("connected components: duplicate/reversed/self edges are harmless") {
     val edges = scala.Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (3L, 4L))
     val got = ccMap(edges)
