@@ -317,4 +317,33 @@ object Dedup {
           .as("containment"))
       .filter(col("containment") >= minContainment)
   }
+
+  /** Cross-document shared-passage detection (the MOSS shape, SIGMOD'03
+    * §4): docs sharing ≥ `minShared` winnowing fingerprints copied a
+    * passage from each other — catching partial/embedded duplication the
+    * whole-doc detectors miss.
+    *
+    * Scale: word-count-shaped. Fingerprints equi-join on the hash (never
+    * |docs|²), and fingerprints present in more than `maxDf` documents
+    * are dropped FIRST (boilerplate n-grams are the skewed keys — the
+    * same reason MOSS ignores over-common fingerprints; threshold is the
+    * knob between recall and hot-key flood). Output: (id_a, id_b,
+    * shared) with id_a < id_b, distinct-fingerprint counts. */
+  def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+        explode(graft.exprs.WinnowExpr.column(col(textCol), k, w)).as("h"))
+    val rare = fp.groupBy(col("h"))
+      .agg(count(lit(1)).as("_df")) // fingerprints are distinct per doc
+      .filter(col("_df") <= maxDf)
+      .select(col("h"))
+    val keyed = fp.join(rare, "h")
+    keyed.select(col("h"), col("id").as("id_a"))
+      .join(keyed.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared")) // one row per (pair, fingerprint)
+      .filter(col("shared") >= minShared)
+  }
 }

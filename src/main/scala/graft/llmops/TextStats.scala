@@ -242,4 +242,56 @@ object TextStats {
       .otherwise(lit(1.0) -
         size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType))
   }
+
+  // ------------------------------------------------------------- chunking
+
+  /** Sliding-window document chunking (context-window prep for training /
+    * retrieval): token windows of `window` tokens every `stride` tokens,
+    * final partial window kept. A pure projection + generator — the
+    * chunk relation never shuffles; chunk text is rebuilt with
+    * `array_join(slice(...))` inside codegen.
+    *
+    * Output: input row × (chunk_ix from 0, chunk_text, chunk_tokens). */
+  def chunkOverlap(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkOverlap: need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // last start s.t. start <= n-window, plus the tail window when stride
+    // doesn't land exactly; single-token docs still yield chunk 0.
+    val starts = sequence(lit(1), greatest(n - window + lit(1), lit(1)), lit(stride))
+    df.select(col(idCol).as("id"), toks.as("_t"), posexplode(starts).as(scala.Seq("chunk_ix", "_s")))
+      .select(col("id"), col("chunk_ix").cast(LongType).as("chunk_ix"),
+        array_join(slice(col("_t"), col("_s"), lit(window)), " ").as("chunk_text"),
+        least(size(col("_t")) - col("_s") + 1, lit(window)).cast(LongType)
+          .as("chunk_tokens"))
+  }
+
+  // ----------------------------------------- importance weights (DSIR-ish)
+
+  /** Integer-exact importance-resampling statistic (the DSIR idea —
+    * Xie et al. 2023 — with hashed-unigram models and the log-ratio
+    * replaced by rational mass sums so the gate can't trip on ln()
+    * ulps): for each document, the total target-model count mass and
+    * background-model count mass of its tokens. Downstream samplers
+    * rank or threshold on target_mass/background_mass.
+    *
+    * Both models are corpus-derived: target = rows matching
+    * `targetPred`, background = everything. Two word-count-shaped
+    * aggregations + one token-keyed equi-join; never a cross product.
+    * Output: (id, n_tokens, target_mass, background_mass). */
+  def importanceMass(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol).as("id"), targetPred.as("_tgt"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val model = tok.groupBy(col("tok")).agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cb"))
+    tok.join(model, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ct")).as("target_mass"),
+        sum(col("cb")).as("background_mass"))
+  }
 }

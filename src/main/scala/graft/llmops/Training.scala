@@ -159,4 +159,53 @@ object Training {
       .otherwise(keep(defaultRate))
     df.filter(cond)
   }
+
+  /** Per-group contribution cap (the "domain cap" of web-scale corpus
+    * curation: no source may contribute more than `maxPerGroup` docs).
+    * Selection is deterministic and engine-portable: within each group
+    * rows are ranked by (md5(key), key) — a fixed pseudo-random order —
+    * and only the first `maxPerGroup` survive. The window partitions by
+    * group, so work distributes across groups (no global order); a group
+    * big enough to skew a partition is exactly the group the cap is
+    * about to cut to `maxPerGroup` rows anyway. */
+  def capPerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+      maxPerGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(keyCol.cast(StringType)), keyCol)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerGroup)
+      .drop("_rk")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
+    * corpus. K-means shards the space (broadcast assign — no corpus
+    * shuffle), pairwise cosine runs WITHIN clusters only (the equi-join
+    * on cluster id is the pruning step that makes 100 TB feasible: k
+    * scales with corpus size, keeping per-cluster pair work bounded),
+    * and the ≥-threshold pair graph collapses to keep-one-per-component
+    * via [[Graph.connectedComponents]] (min id is the canonical keeper).
+    *
+    * Returns one row per vector: (id, cid, cluster_id, keep) where
+    * `cluster_id` is the semantic-duplicate component label (= own id
+    * for uniques) and `cid` the k-means shard. Integer ids + a boolean;
+    * the float similarity never reaches the output. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val (assigned, _) = KMeans.fit(corpus, idCol, vecCol, k, iters)
+    val slim = assigned.select(col(idCol).as("id"), col("cid"), col(vecCol).as("v"))
+      .localCheckpoint() // k-means trajectory runs once, not per join branch
+    val a = slim.select(col("id").as("id_a"), col("cid"), col("v").as("va"))
+    val b = slim.select(col("id").as("id_b"), col("cid"), col("v").as("vb"))
+    val pairs = a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+    slim.select(col("id"), col("cid"))
+      .join(cc, scala.Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
 }

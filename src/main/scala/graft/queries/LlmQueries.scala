@@ -259,13 +259,83 @@ object LlmQueries {
       .select(col("doc_id") +: TextStats.gopherFlags(col("text")): _*)
       .orderBy(col("doc_id"))
 
+  /** SemDeDup: k-means shards → within-cluster cosine pairs ≥ 0.4 →
+    * connected components → keep-one-per-semantic-group. Integer output
+    * (ids + boolean); the oracle replays the k-means trajectory, the
+    * in-cluster pair join, and the closure with a recursive CTE. */
+  def q60(s: SparkSession, dir: String): DataFrame =
+    Training.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.4)
+      .orderBy(col("vec_id"))
+
+  /** Cross-document shared-passage detection: ≥ 8 shared winnowing
+    * fingerprints (k=5, w=4), fingerprints in > 40 docs dropped as
+    * boilerplate before the self-join. */
+  def q61(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedPassagePairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 8, maxDf = 40)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Sliding-window chunking: 32-token windows every 24 tokens (25%
+    * overlap), tail partials kept — context-window prep. */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    TextStats.chunkOverlap(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_ix"))
+
+  /** DSIR-style importance-resampling statistic, integer-exact: per-doc
+    * target-model (lang='en') and background-model unigram count masses. */
+  def q63(s: SparkSession, dir: String): DataFrame =
+    TextStats.importanceMass(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Per-source contribution cap at 40 docs, deterministic md5-order
+    * selection (the web-pipeline domain cap). */
+  def q64(s: SparkSession, dir: String): DataFrame =
+    Training.capPerGroup(t(s, dir, "documents"), col("source"), col("doc_id"),
+        maxPerGroup = 40)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source document-length profile: counts, min/max/total tokens and
+    * discrete p50/p90 (value at rank ceil(q·n) — integer-exact, no
+    * interpolation so the gate can't trip on quantile conventions). */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), TextStats.nTokens(col("text")).as("nt"), col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("nt"), col("doc_id"))
+    val ranked = d.withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        min(col("nt")).as("min_tokens"),
+        max(col("nt")).as("max_tokens"),
+        max(when(col("_r") === ceil(col("_n") * 0.5), col("nt"))).as("p50_tokens"),
+        max(when(col("_r") === ceil(col("_n") * 0.9), col("nt"))).as("p90_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** DuckDB replication of the q46 k-means trajectory: seed → (assign →
     * mean)×iters → final assign. Mirrors KMeans.fit exactly, including
     * the empty-cluster fallback (COALESCE onto the previous centroid). */
   private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val (ctes, fin) = kmeansCtes(k, iters, dim)
+    s"""WITH $ctes
+       |SELECT vec_id, cid FROM $fin ORDER BY vec_id""".stripMargin
+  }
+
+  /** The k-means trajectory CTE chain (no WITH keyword), and the name of
+    * the final assignment CTE (vec_id, ve, cid) — shared by q46 and q60. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): (String, String) = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH corpus AS (
+      s"""corpus AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
          |c0 AS (
          | SELECT vec_id AS cid, ve AS cvec FROM corpus ORDER BY vec_id LIMIT $k)""".stripMargin)
@@ -291,9 +361,30 @@ object LlmQueries {
            | FROM c${i - 1} p LEFT JOIN u$i u ON u.cid = p.cid)""".stripMargin)
     }
     sb.append(assignCte(s"a${iters + 1}", s"c$iters"))
-    sb.append(s"""
-         |SELECT vec_id, cid FROM a${iters + 1} ORDER BY vec_id""".stripMargin)
-    sb.toString
+    (sb.toString, s"a${iters + 1}")
+  }
+
+  /** q60 oracle: the q46 k-means CTEs, then within-cluster cosine pairs
+    * and the recursive-CTE transitive closure (q55's shape) over them. */
+  private def semdedupSql(k: Int, iters: Int, dim: Int,
+      threshold: Double): String = {
+    val (ctes, fin) = kmeansCtes(k, iters, dim)
+    s"""WITH RECURSIVE $ctes,
+       |pairs AS (
+       | SELECT a.vec_id AS ida, b.vec_id AS idb
+       | FROM $fin a JOIN $fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       | WHERE list_cosine_similarity(a.ve, b.ve) >= $threshold),
+       |e AS (SELECT ida AS u, idb AS v FROM pairs
+       |      UNION ALL SELECT idb, ida FROM pairs),
+       |reach(a, bb) AS (
+       | SELECT u, v FROM e
+       | UNION
+       | SELECT r.a, e2.v FROM reach r JOIN e e2 ON e2.u = r.bb),
+       |comp AS (SELECT a AS id, least(a, min(bb)) AS comp FROM reach GROUP BY a)
+       |SELECT s.vec_id, s.cid, COALESCE(c.comp, s.vec_id) AS cluster_id,
+       | s.vec_id = COALESCE(c.comp, s.vec_id) AS keep
+       |FROM $fin s LEFT JOIN comp c ON c.id = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
   }
 
   // Shipped ANN configs (fixed: the oracles embed the same hyperplanes).
@@ -357,6 +448,12 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q60_semdedup" -> (q60 _),
+    "q61_shared_passages" -> (q61 _),
+    "q62_chunks" -> (q62 _),
+    "q63_importance" -> (q63 _),
+    "q64_source_cap" -> (q64 _),
+    "q65_source_stats" -> (q65 _),
     "q55_dedup_clusters" -> (q55 _),
     "q57_lm_novelty" -> (q57 _),
     "q58_tfidf" -> (q58 _),
@@ -396,6 +493,30 @@ object LlmQueries {
   private val simhashCombine = (0 until 16).map { b =>
     s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+
+  /** Winnowing-fingerprint CTE chain ending in fp(doc_id, h) — the exact
+    * WinnowExpr contract (k=5, w=4, rightmost-min selection); shared by
+    * q41 and q61. */
+  private val winnowFpCtes: String =
+    """g AS (
+      | SELECT doc_id, i, substr(md5(substr(text, i, 5)), 1, 16) AS h
+      | FROM documents,
+      |  unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i)),
+      |g2 AS (
+      | SELECT doc_id, i, h,
+      |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+      |  count(*) OVER (PARTITION BY doc_id) AS n
+      | FROM g),
+      |pos AS (
+      | SELECT a.doc_id, a.i AS ws, max(b.i) AS selpos
+      | FROM g2 a JOIN g b ON b.doc_id = a.doc_id
+      |  AND b.i BETWEEN a.i AND a.i + 3 AND b.h = a.mh
+      | WHERE a.i <= greatest(a.n - 3, 1)
+      | GROUP BY 1, 2),
+      |fp AS (
+      | SELECT DISTINCT p.doc_id, g.h
+      | FROM pos p JOIN g ON g.doc_id = p.doc_id AND g.i = p.selpos)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // q55: the q52 SimHash pair CTEs, then the transitive closure via a
@@ -582,27 +703,66 @@ object LlmQueries {
         | ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000' END
         |ORDER BY doc_id""".stripMargin,
     "q41_winnow" ->
-      """WITH g AS (
-        | SELECT doc_id, i, substr(md5(substr(text, i, 5)), 1, 16) AS h
-        | FROM documents,
-        |  unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i)),
-        |g2 AS (
-        | SELECT doc_id, i, h,
-        |  min(h) OVER (PARTITION BY doc_id ORDER BY i
-        |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
-        |  count(*) OVER (PARTITION BY doc_id) AS n
-        | FROM g),
-        |pos AS (
-        | SELECT a.doc_id, a.i AS ws, max(b.i) AS selpos
-        | FROM g2 a JOIN g b ON b.doc_id = a.doc_id
-        |  AND b.i BETWEEN a.i AND a.i + 3 AND b.h = a.mh
-        | WHERE a.i <= greatest(a.n - 3, 1)
-        | GROUP BY 1, 2),
-        |fp AS (
-        | SELECT DISTINCT p.doc_id, g.h
-        | FROM pos p JOIN g ON g.doc_id = p.doc_id AND g.i = p.selpos)
+      s"""WITH $winnowFpCtes
         |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fps
         |FROM fp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q60_semdedup" -> semdedupSql(k = 8, iters = 2, dim = 64, threshold = 0.4),
+    "q61_shared_passages" ->
+      s"""WITH $winnowFpCtes,
+        |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 40),
+        |fpk AS (SELECT f.doc_id, f.h FROM fp f JOIN rare USING (h))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(count(*) AS BIGINT) AS shared
+        |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q62_chunks" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (
+        | SELECT doc_id, t, i,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |   AS BIGINT) AS chunk_ix
+        | FROM toks,
+        |  unnest(generate_series(1, greatest(len(t) - 31, 1), 24)) s(i))
+        |SELECT doc_id, chunk_ix,
+        | array_to_string(t[i:i+31], ' ') AS chunk_text,
+        | CAST(least(len(t) - i + 1, 32) AS BIGINT) AS chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_ix""".stripMargin,
+    "q63_importance" ->
+      """WITH tk AS (
+        | SELECT doc_id, lang = 'en' AS tgt,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |model AS (
+        | SELECT tok, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |  CAST(count(*) AS BIGINT) AS cb
+        | FROM tk GROUP BY tok)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(ct) AS BIGINT) AS target_mass,
+        | CAST(sum(cb) AS BIGINT) AS background_mass
+        |FROM tk t JOIN model USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q64_source_cap" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents) WHERE rk <= 40
+        |ORDER BY doc_id""".stripMargin,
+    "q65_source_stats" ->
+      """WITH d AS (
+        | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  doc_id FROM documents),
+        |r AS (
+        | SELECT source, nt,
+        |  row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rr,
+        |  count(*) OVER (PARTITION BY source) AS n FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS total_tokens,
+        | min(nt) AS min_tokens, max(nt) AS max_tokens,
+        | max(CASE WHEN rr = CAST(ceil(n * 0.5) AS BIGINT) THEN nt END) AS p50_tokens,
+        | max(CASE WHEN rr = CAST(ceil(n * 0.9) AS BIGINT) THEN nt END) AS p90_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q40_ann_ivf" ->
       """WITH cents AS (
         | SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

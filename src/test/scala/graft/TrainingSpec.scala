@@ -121,4 +121,75 @@ class TrainingSpec extends AnyFunSuite {
     assert(rows(1L)._1 > 0.5 && rows(1L)._2 > 0.5)
     assert(rows(2L)._1 <= 0.2 && rows(2L)._2 == 0.0)
   }
+
+  test("capPerGroup: deterministic cap, repeated run identical") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val a = Training.capPerGroup(df, col("src"), col("id"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Training.capPerGroup(df, col("src"), col("id"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.size == 30)
+    assert(a.groupBy(_._2).forall(_._2.size == 10))
+    // groups under the cap survive whole
+    val small = Training.capPerGroup(df.filter(col("id") < 6), col("src"), col("id"), 10)
+    assert(small.count() == 6)
+  }
+
+  test("semanticDedup: near-identical vectors collapse, distinct survive") {
+    // 3 copies of e0 (tiny jitter), 2 copies of e1, 1 lone e2-ish vector
+    def v(base: Int, jit: Float) = {
+      val a = Array.fill(4)(0f); a(base) = 1f; a((base + 1) % 4) += jit; a
+    }
+    val df = scala.Seq(
+      (0L, v(0, 0.001f)), (1L, v(0, 0.002f)), (2L, v(0, 0.003f)),
+      (10L, v(1, 0.001f)), (11L, v(1, 0.002f)),
+      (20L, v(2, 0.001f))).toDF("vec_id", "embedding")
+    val out = Training.semanticDedup(df, "vec_id", "embedding",
+        k = 3, iters = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toList
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(0L) == (0L, true) && byId(1L) == (0L, false) && byId(2L) == (0L, false))
+    assert(byId(10L) == (10L, true) && byId(11L) == (10L, false))
+    assert(byId(20L) == (20L, true))
+  }
+
+  test("chunkOverlap: windows, stride, tail partial, token counts") {
+    import graft.llmops.TextStats
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = scala.Seq((1L, text), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextStats.chunkOverlap(df, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts at 1,4,7 (last start = n-window+1 = 7): three full windows
+    assert(d1.map(_._3).toList == List(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toList == List(4L, 4L, 4L))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "solo" && d2.head._4 == 1L)
+  }
+
+  test("importanceMass: hand-computed target/background masses") {
+    import graft.llmops.TextStats
+    val df = scala.Seq(
+      (1L, "a b a", true), (2L, "b c", false)).toDF("id", "text", "tgt")
+    // target counts: a=2 b=1; background: a=2 b=2 c=1
+    val out = TextStats.importanceMass(df, "id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 5L, 6L)))  // tokens a,b,a → ct 2+1+2=5, cb 2+2+2=6
+    assert(out(2L) == ((2L, 1L, 3L)))  // tokens b,c → ct 1+0, cb 2+1
+  }
+
+  test("sharedPassagePairs: planted shared passage found; boilerplate df-capped") {
+    import graft.llmops.Dedup
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val df = scala.Seq(
+      (1L, s"unique one $passage tail x"),
+      (2L, s"other prefix $passage closing y"),
+      (3L, "completely different content with nothing shared here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedPassagePairs(df, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toList == List((1L, 2L)))
+  }
 }
