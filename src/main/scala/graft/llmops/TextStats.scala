@@ -114,13 +114,21 @@ object TextStats {
 
   // ------------------------------------------- n-gram LM novelty scoring
 
-  /** Word bigrams with multiplicity ("a b" strings); empty below 2 tokens. */
-  def wordBigramsRaw(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Word bigrams of a token ARRAY with multiplicity ("a b" strings);
+    * empty below 2 tokens. zip_with over two shifted slices — O(n) per
+    * row. (The tempting transform(sequence)+element_at(toks, i) form
+    * re-evaluates the `toks` expression inside the lambda per element:
+    * with toks = split(...) that's O(n²) per document — measured 6× on
+    * q57 at sf0.1.) */
+  def bigramsOfTokens(toks: Column): Column =
     when(size(toks) < 2, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-  }
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+
+  /** Word bigrams with multiplicity ("a b" strings); empty below 2 tokens. */
+  def wordBigramsRaw(text: Column): Column = bigramsOfTokens(split(text, " "))
 
   /** Corpus bigram counts — the "training" pass of a count-based n-gram
     * language model. One explode + one map-side-combined groupBy (same
