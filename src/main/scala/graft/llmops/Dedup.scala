@@ -278,15 +278,23 @@ object Dedup {
 
   // --------------------------------------------- benchmark contamination
 
+  /** Let-binding for Column lambdas: evaluate `arr` exactly ONCE and pass
+    * the result to `f` as a lambda variable. A non-trivial expression
+    * referenced inside a higher-order-function lambda is re-evaluated per
+    * element (no CSE across lambda scopes) — with arr = split(text) that
+    * turns O(n) transforms into O(n²) per row (measured 3-6× on q49/q57
+    * at sf0.1). */
+  private[llmops] def bindArray(arr: Column, f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   /** Distinct word n-grams ("a b c ..." strings). Empty array below n
     * tokens. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < n, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    bindArray(split(text, " "), toks =>
+      when(size(toks) < n, array().cast(ArrayType(StringType)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))))
 
   /** Benchmark-contamination detection: which evaluation documents leak
     * into the training corpus (the train/test overlap scrub every serious

@@ -166,15 +166,18 @@ object Similarity {
     * zeros with scale 0. Output: (id, scale, codes int8-range array). */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    val scale = array_max(transform(v, x => abs(x)))
-    df.select(
-      col(idCol).as("id"),
-      scale.as("scale"),
-      when(scale === 0.0,
-          transform(v, _ => lit(0)))
-        .otherwise(transform(v, x =>
-          floor(x / scale * 127.0 + 0.5).cast(IntegerType)))
-        .as("codes"))
+    // Bind vector + scale as lambda variables: a plain `scale` reference
+    // inside the codes lambda would re-evaluate the array_max per element
+    // (no CSE across lambda scopes — O(dim²) per row).
+    val q = Dedup.bindArray(v, vb =>
+      Dedup.bindArray(array_max(transform(vb, x => abs(x))), scale =>
+        struct(scale.as("scale"),
+          when(scale === 0.0, transform(vb, _ => lit(0)))
+            .otherwise(transform(vb, x =>
+              floor(x / scale * 127.0 + 0.5).cast(IntegerType)))
+            .as("codes"))))
+    df.select(col(idCol).as("id"), q.as("_q")) // 2nd select: keep _q single-eval
+      .select(col("id"), col("_q.scale").as("scale"), col("_q.codes").as("codes"))
   }
 
   /** Dequantize back to doubles (codes * scale / 127). */
