@@ -202,10 +202,13 @@ object Training {
       .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
-    slim.select(col("id"), col("cid"))
+    val out = slim.select(col("id"), col("cid"))
       .join(cc, scala.Seq("id"), "left")
       .select(col("id").as(idCol), col("cid"),
         coalesce(col("component"), col("id")).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
+      .localCheckpoint() // materialize, then free the slim block below
+    slim.unpersist()
+    out
   }
 }
