@@ -211,17 +211,9 @@ object Dedup {
     // pure projection (the exploded |text|·rows shingle relation never
     // exists, no shuffle). First bands×r columns drive bucketing; ALL
     // numHashes drive the estimate prefilter.
-    // two selects: the alias is referenced numHashes times, which stops
-    // CollapseProject from inlining (and re-evaluating) the signature
-    val sigArr = graft.exprs.XxMinhashSigExpr.column(col(textCol), shingleK, numHashes)
-    val sig = df.select(col(idCol).as("id"), sigArr.as("_sig"))
-      .select((col("id") +:
-        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"m$i"))): _*)
+    val sig = sigTable(df, idCol, textCol, shingleK, numHashes)
     // Stage 2 — candidates carry ONLY (bucket, id).
-    val bandKey = (b: Int) => xxhash64(
-      lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    val buckets = sig.select(col("id"),
-      explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
+    val buckets = sigBuckets(sig, bands, rowsPerBand)
     val cand = buckets.as("x").join(buckets.as("y"), "bucket")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -245,6 +237,62 @@ object Dedup {
     val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     pre.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash signature table (id, m0..m{n-1}) — two selects so the `_sig`
+    * alias (referenced numHashes times) stops CollapseProject from
+    * inlining and re-evaluating the one-pass signature expression. */
+  private def sigTable(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val sigArr = graft.exprs.XxMinhashSigExpr.column(col(textCol), shingleK, numHashes)
+    df.select(col(idCol).as("id"), sigArr.as("_sig"))
+      .select((col("id") +:
+        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"m$i"))): _*)
+  }
+
+  /** Exploded LSH band keys (id, bucket) for a signature table. */
+  private def sigBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKey = (b: Int) => xxhash64(
+      lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    sig.select(col("id"),
+      explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
+  }
+
+  /** Incremental near-duplicate scrub — the daily-ingest shape: which NEW
+    * documents near-duplicate an EXISTING corpus. Same four-stage LSH
+    * plan as [[minhashPairs]] but the bucket join is new×corpus only —
+    * today's batch (small) never self-joins and the corpus (huge) is
+    * touched by exactly one scan + one shuffle keyed on band buckets; at
+    * deploy scale the corpus signature/bucket table is precomputed once
+    * and reused across batches. Returns (new_id, corpus_id, jac). */
+  def incrementalNearDup(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 24, bands: Int = 8,
+      rowsPerBand: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"incrementalNearDup: bands*rowsPerBand exceeds numHashes ($numHashes)")
+    val nSig = sigTable(newDf, idCol, textCol, shingleK, numHashes)
+    val cSig = sigTable(corpus, idCol, textCol, shingleK, numHashes)
+    val cand = sigBuckets(nSig, bands, rowsPerBand).toDF("new_id", "bucket")
+      .join(sigBuckets(cSig, bands, rowsPerBand).toDF("corpus_id", "bucket"), "bucket")
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val sa = nSig.toDF("new_id" +: (0 until numHashes).map(i => s"a$i"): _*)
+    val sb = cSig.toDF("corpus_id" +: (0 until numHashes).map(i => s"b$i"): _*)
+    val estMatches = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pre = cand.join(sa, "new_id").join(sb, "corpus_id")
+      .filter(estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
+      .select(col("new_id"), col("corpus_id"))
+    val shN = newDf.select(col(idCol).as("new_id"),
+      charShingles(col(textCol), shingleK).as("sh_a"))
+    val shC = corpus.select(col(idCol).as("corpus_id"),
+      charShingles(col(textCol), shingleK).as("sh_b"))
+    pre.join(shN, "new_id").join(shC, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 

@@ -321,6 +321,20 @@ object LlmQueries {
       .orderBy(col("source"))
   }
 
+  /** Incremental near-dup scrub: the src0 slice as today's ingest batch,
+    * everything else as the existing corpus — which new docs are ≥0.9
+    * Jaccard copies of corpus docs. The oracle computes full pairwise
+    * new×corpus Jaccard (LSH miss probability ≈ 3e-4 at 0.9, and the
+    * observed matches sit ≥0.96 — see q27). */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalNearDup(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", threshold = 0.9)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   /** DuckDB replication of the q46 k-means trajectory: seed → (assign →
     * mean)×iters → final assign. Mirrors KMeans.fit exactly, including
     * the empty-cluster fallback (COALESCE onto the previous centroid). */
@@ -449,6 +463,7 @@ object LlmQueries {
 
   val queries: Map[String, Q] = Map(
     "q60_semdedup" -> (q60 _),
+    "q66_incremental_neardup" -> (q66 _),
     "q61_shared_passages" -> (q61 _),
     "q62_chunks" -> (q62 _),
     "q63_importance" -> (q63 _),
@@ -707,6 +722,22 @@ object LlmQueries {
         |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fps
         |FROM fp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q60_semdedup" -> semdedupSql(k = 8, iters = 2, dim = 64, threshold = 0.4),
+    "q66_incremental_neardup" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, source, substr(text, i, 5) AS s
+        | FROM documents,
+        |  unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS c
+        | FROM sh a JOIN sh b ON a.s = b.s
+        | WHERE a.source = 'src0' AND b.source != 'src0'
+        | GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, CAST(c AS DOUBLE)/(x.n + y.n - c) AS jac
+        |FROM inter JOIN sizes x ON x.doc_id = new_id
+        | JOIN sizes y ON y.doc_id = corpus_id
+        |WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= 0.9
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "q61_shared_passages" ->
       s"""WITH $winnowFpCtes,
         |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 40),

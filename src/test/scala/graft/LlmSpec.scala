@@ -192,4 +192,23 @@ class LlmSpec extends AnyFunSuite {
     // quantization step is scale/127; round-to-nearest error ≤ half step
     assert(maxErr <= maxScale / 127.0 * 0.5 + 1e-12, s"maxErr $maxErr")
   }
+
+  test("incrementalNearDup: planted copy found, cross-side only") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = scala.Seq(
+      (100L, corpusText),
+      (101L, "completely unrelated corpus document about spark plans and shuffles"),
+      (102L, corpusText + " x")) // near-identical to 100 but corpus-side
+    val fresh = scala.Seq(
+      (1L, corpusText),          // exact copy of corpus 100
+      (2L, "novel content that matches nothing in the existing corpus at all"))
+    val got = Dedup.incrementalNearDup(
+        fresh.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 matches 100 (jac 1.0) and 102 (jac ~0.97); 2 matches nothing;
+    // the corpus-internal pair (100,102) must NOT appear
+    assert(got == Set((1L, 100L), (1L, 102L)), s"got $got")
+  }
 }
