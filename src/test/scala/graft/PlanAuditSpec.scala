@@ -32,4 +32,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("no unpartitioned Window in any gate query plan (scale-killer audit)") {
+    // The round-1 verdict's top issue: Window.orderBy with no partition
+    // serializes the whole dataset through one task at scale. Every such
+    // site was replaced with partitioned two-pass assignment; this pins
+    // the invariant for all current and future gate queries.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sf = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val hits = fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (hits.nonEmpty) offenders += s"$name: ${hits.size} global Window(s)"
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
