@@ -251,6 +251,17 @@ object TextStats {
         size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType))
   }
 
+  // ------------------------------------------- unicode normalization
+
+  /** Unicode-normalize text (NFC/NFD/NFKC/NFKD or STRIP_ACCENTS) — the
+    * canonical-bytes pass before any fingerprint/dedup keying. Native
+    * expression, no UDF ser/de. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.exprs.UnicodeNormExpr.column(text, form)
+
+  /** Diacritic folding (NFD → drop combining marks → NFC). */
+  def stripAccents(text: Column): Column = normalizeUnicode(text, "STRIP_ACCENTS")
+
   // ------------------------------------------------------------- chunking
 
   /** Sliding-window document chunking (context-window prep for training /

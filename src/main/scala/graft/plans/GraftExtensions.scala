@@ -69,7 +69,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args => graft.exprs.TopBigramFracExpr(args(0))),
       fn("graft_vector_sum",
         "graft_vector_sum(vec) - element-wise sum aggregate over arrays",
-        args => graft.exprs.VectorSumAgg(args(0)).toAggregateExpression()))
+        args => graft.exprs.VectorSumAgg(args(0)).toAggregateExpression()),
+      fn("graft_normalize",
+        "graft_normalize(text, form) - Unicode normalization " +
+          "(NFC/NFD/NFKC/NFKD/STRIP_ACCENTS)",
+        args => graft.exprs.UnicodeNormExpr(args(0), strLit(args(1), "form"))))
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case o => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $o")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

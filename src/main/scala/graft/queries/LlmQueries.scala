@@ -321,6 +321,21 @@ object LlmQueries {
       .orderBy(col("source"))
   }
 
+  /** Unicode normalization gate: documents salted with decomposed
+    * diacritics (e + U+0301) and a precomposed form, then NFC-composed
+    * and accent-stripped. Native UnicodeNormExpr vs DuckDB's
+    * nfc_normalize/strip_accents (same Unicode canonical tables);
+    * NFKC/NFKD are spec-covered (no DuckDB equivalent). */
+  def q67(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      // salt: decomposed e+U+0301, precomposed U+00E9, decomposed o+U+0308
+      .select(col("doc_id"),
+        concat(col("text"), lit(" café café nöel")).as("_t"))
+      .select(col("doc_id"),
+        TextStats.normalizeUnicode(col("_t"), "NFC").as("nfc"),
+        TextStats.stripAccents(col("_t")).as("plain"))
+      .orderBy(col("doc_id"))
+
   /** Incremental near-dup scrub: the src0 slice as today's ingest batch,
     * everything else as the existing corpus — which new docs are ≥0.9
     * Jaccard copies of corpus docs. The oracle computes full pairwise
@@ -464,6 +479,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "q60_semdedup" -> (q60 _),
     "q66_incremental_neardup" -> (q66 _),
+    "q67_normalize" -> (q67 _),
     "q61_shared_passages" -> (q61 _),
     "q62_chunks" -> (q62 _),
     "q63_importance" -> (q63 _),
@@ -722,6 +738,13 @@ object LlmQueries {
         |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fps
         |FROM fp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q60_semdedup" -> semdedupSql(k = 8, iters = 2, dim = 64, threshold = 0.4),
+    "q67_normalize" ->
+      """WITH s AS (
+        | SELECT doc_id, text || ' cafe' || chr(769) || ' caf' || chr(233)
+        |  || ' no' || chr(776) || 'el' AS t
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS nfc, strip_accents(t) AS plain
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q66_incremental_neardup" ->
       """WITH sh AS (
         | SELECT DISTINCT doc_id, source, substr(text, i, 5) AS s

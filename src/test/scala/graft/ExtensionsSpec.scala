@@ -49,4 +49,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(agg(0).getSeq[Double](1) == scala.Seq(11.0, 22.0))
     assert(agg(1).getSeq[Double](1) == scala.Seq(5.0, 5.0))
   }
+
+  test("graft_normalize: unicode forms incl. NFKC fold and accent strip") {
+    val decomposed = "café"     // e + combining acute
+    val composed = "café"
+    val r = spark.sql(
+      s"""SELECT graft_normalize('$decomposed', 'NFC') AS nfc,
+         |  graft_normalize('$composed', 'NFD') AS nfd,
+         |  graft_normalize('ｆｕｌｌ 2µ', 'NFKC') AS nfkc,
+         |  graft_normalize('$decomposed nöel', 'STRIP_ACCENTS') AS plain
+         |""".stripMargin).head()
+    assert(r.getString(0) == composed)
+    assert(r.getString(1) == decomposed)
+    assert(r.getString(2) == "full 2μ") // fullwidth + micro sign folded
+    assert(r.getString(3) == "cafe noel")
+  }
 }
