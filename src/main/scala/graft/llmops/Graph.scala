@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -158,5 +158,26 @@ object Graph {
       .select(col("id").as(idCol),
         coalesce(col("component"), col("id")).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+
+  /** Dedup clustering with a QUALITY keeper policy: within each near-dup
+    * cluster keep the row with the highest `score` (ties → lowest id) —
+    * the keep-the-longest / keep-the-highest-quality rule production
+    * pipelines use instead of keep-min-id. One extra aggregation keyed
+    * by cluster id (clusters are tiny; the shuffle carries one row per
+    * doc in a cluster, singletons skip it via the left join). */
+  def dedupClustersBy(docs: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol)
+    val labeled = docs
+      .select(col(idCol).cast(LongType).as("id"), score.as("_score"))
+      .join(cc, scala.Seq("id"), "left")
+      .select(col("id"), col("_score"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+    val keeper = labeled.groupBy(col("cluster_id"))
+      .agg(max_by(col("id"), struct(col("_score"), -col("id"))).as("keep_id"))
+    labeled.join(keeper, "cluster_id")
+      .select(col("id").as(idCol), col("cluster_id"), col("_score").as("score"),
+        (col("id") === col("keep_id")).as("keep"))
   }
 }

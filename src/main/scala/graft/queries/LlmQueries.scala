@@ -321,6 +321,18 @@ object LlmQueries {
       .orderBy(col("source"))
   }
 
+  /** Keep-the-longest dedup policy: same SimHash pair graph + closure as
+    * q55, but the cluster keeper is the highest-token-count doc (ties →
+    * lowest id) — the quality-keeper rule production pipelines use. */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 3)
+    Graph.dedupClustersBy(docs, "doc_id", TextStats.nTokens(col("text")),
+        pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode normalization gate: documents salted with decomposed
     * diacritics (e + U+0301) and a precomposed form, then NFC-composed
     * and accent-stripped. Native UnicodeNormExpr vs DuckDB's
@@ -480,6 +492,7 @@ object LlmQueries {
     "q60_semdedup" -> (q60 _),
     "q66_incremental_neardup" -> (q66 _),
     "q67_normalize" -> (q67 _),
+    "q68_dedup_keep_longest" -> (q68 _),
     "q61_shared_passages" -> (q61 _),
     "q62_chunks" -> (q62 _),
     "q63_importance" -> (q63 _),
@@ -549,37 +562,60 @@ object LlmQueries {
       | SELECT DISTINCT p.doc_id, g.h
       | FROM pos p JOIN g ON g.doc_id = p.doc_id AND g.i = p.selpos)""".stripMargin
 
+  /** SimHash banded pairs + recursive-CTE transitive closure, ending in
+    * comp(id, comp) — shared by q55 and q68. Needs WITH RECURSIVE. */
+  private lazy val simhashCcCtes: String =
+    s"""toks AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bits AS (
+       | SELECT doc_id,
+       |  ${simhashSumsN(32)}
+       | FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, ${simhashCombineN(32)} AS simhash FROM bits),
+       |banded AS (
+       | SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
+       | FROM sh, unnest([0,1,2,3]) AS t(b)),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.simhash AS sa, b.simhash AS sb
+       | FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv
+       |  AND a.doc_id < b.doc_id),
+       |pe AS (SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 3),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pe
+       |      UNION ALL SELECT id_b, id_a FROM pe),
+       |reach(a, bb) AS (
+       | SELECT u, v FROM e
+       | UNION
+       | SELECT r.a, e2.v FROM reach r JOIN e e2 ON e2.u = r.bb),
+       |comp AS (SELECT a AS id, least(a, min(bb)) AS comp FROM reach GROUP BY a)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // q55: the q52 SimHash pair CTEs, then the transitive closure via a
     // recursive CTE (min reachable id per node = the cluster label).
     "q55_dedup_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |bits AS (
-         | SELECT doc_id,
-         |  ${simhashSumsN(32)}
-         | FROM toks GROUP BY doc_id),
-         |sh AS (SELECT doc_id, ${simhashCombineN(32)} AS simhash FROM bits),
-         |banded AS (
-         | SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
-         | FROM sh, unnest([0,1,2,3]) AS t(b)),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  a.simhash AS sa, b.simhash AS sb
-         | FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv
-         |  AND a.doc_id < b.doc_id),
-         |pe AS (SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 3),
-         |e AS (SELECT id_a AS u, id_b AS v FROM pe
-         |      UNION ALL SELECT id_b, id_a FROM pe),
-         |reach(a, bb) AS (
-         | SELECT u, v FROM e
-         | UNION
-         | SELECT r.a, e2.v FROM reach r JOIN e e2 ON e2.u = r.bb),
-         |comp AS (SELECT a AS id, least(a, min(bb)) AS comp FROM reach GROUP BY a)
+      s"""WITH RECURSIVE $simhashCcCtes
          |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
          | d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q68_dedup_keep_longest" ->
+      s"""WITH RECURSIVE $simhashCcCtes,
+         |d AS (
+         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         | FROM documents),
+         |lab AS (
+         | SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, d.nt
+         | FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+         |k AS (
+         | SELECT cluster_id, doc_id AS keep_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |   row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY nt DESC, doc_id) AS rn
+         |  FROM lab) WHERE rn = 1)
+         |SELECT l.doc_id, l.cluster_id, l.nt AS score,
+         | l.doc_id = k.keep_id AS keep
+         |FROM lab l JOIN k USING (cluster_id)
+         |ORDER BY l.doc_id""".stripMargin,
     "q57_lm_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (

@@ -72,6 +72,19 @@ class GraphSpec extends AnyFunSuite {
       (4L, 2L, false), (5L, 2L, false)))
   }
 
+  test("dedupClustersBy: keeper is highest score, ties break to lowest id") {
+    val docs = scala.Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L))
+      .toDF("doc_id", "nt")
+    val pairs = scala.Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.dedupClustersBy(docs, "doc_id", col("nt"),
+        pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    // cluster {1,2,3}: 2 and 3 tie at nt=9 → keeper 2; singletons keep
+    assert(got == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
   test("sessionize: gap boundary is inclusive (> gap starts a new session)") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(ms: Long) = new java.sql.Timestamp(base.getTime + ms)
