@@ -179,6 +179,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 3L)))  // tokens b,c → ct 1+0, cb 2+1
   }
 
+  test("round-4 ops survive null/empty/single-token text") {
+    import graft.llmops.{Dedup, TextStats}
+    val df = scala.Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "one"), (4L, "two tokens"))
+      .toDF("doc_id", "text")
+    // none of these may throw; null text rows yield null/empty outputs
+    assert(TextStats.chunkOverlap(df.filter(col("text").isNotNull),
+      "doc_id", "text", 4, 3).count() == 3)
+    assert(TextStats.importanceMass(df, "doc_id", "text",
+      lit(true)).count() >= 2)
+    val ngrams = df.select(Dedup.wordNgrams(col("text"), 5).as("g")).collect()
+    assert(ngrams.length == 4)
+    val norm = df.select(
+      TextStats.normalizeUnicode(col("text"), "NFC").as("n"),
+      TextStats.stripAccents(col("text")).as("p")).collect()
+    assert(norm(0).isNullAt(0) && norm(1).getString(0) == "")
+    val bg = df.select(TextStats.wordBigramsRaw(col("text")).as("b")).collect()
+    assert(bg.length == 4)
+  }
+
   test("sharedPassagePairs: planted shared passage found; boilerplate df-capped") {
     import graft.llmops.Dedup
     val passage = "alpha beta gamma delta epsilon zeta"
