@@ -388,8 +388,12 @@ object Dedup {
   def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
       maxDf: Int = 1000): DataFrame = {
+    // materialized once: the (id, h) relation feeds the df-cap AND both
+    // self-join branches — lazily composed it would run the winnowing
+    // expression three times over the corpus
     val fp = df.select(col(idCol).as("id"),
         explode(graft.exprs.WinnowExpr.column(col(textCol), k, w)).as("h"))
+      .localCheckpoint()
     val rare = fp.groupBy(col("h"))
       .agg(count(lit(1)).as("_df")) // fingerprints are distinct per doc
       .filter(col("_df") <= maxDf)
