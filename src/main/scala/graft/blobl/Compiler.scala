@@ -571,7 +571,14 @@ object Compiler {
         }
         val err = graft.exprs.Formats.jsonSchemaError(asJson, litStr(0))
         TC(when(err.isNull, t.col), t.tpe)
-      case "filepath_join" => TC(array_join(t.col, "/"), Some(StringType))
+      case "filepath_join" =>
+        // Go filepath.Join cleans the result: collapse duplicate
+        // separators, drop any trailing one (methods_strings.go doc
+        // example: ["/foo/","bar.txt"] -> "/foo/bar.txt"). Full
+        // Clean("..") resolution is out of scope.
+        val joined = regexp_replace(array_join(t.col, "/"), "/{2,}", "/")
+        TC(when(length(joined) > 1, regexp_replace(joined, "/$", ""))
+          .otherwise(joined), Some(StringType))
       case "filepath_split" =>
         // Go filepath.Split: (dir incl. trailing sep, file) pair
         TC(array(
@@ -716,7 +723,24 @@ object Compiler {
           }
         }
       case "map_each_key" =>
-        TC(transform_keys(t.col, (k, _) => lambda1(arg(0), ctx, Some(StringType))(k)), t.tpe)
+        t.tpe match {
+          case Some(s: StructType) =>
+            // struct columns (schema-inferred objects) have static keys;
+            // renaming them dynamically requires the map representation.
+            // Values keep their type when uniform, else stringify
+            // (documented divergence for heterogeneous objects).
+            val vt =
+              if (s.fields.nonEmpty && s.fields.map(_.dataType).distinct.length == 1)
+                s.fields.head.dataType
+              else StringType
+            val m = map_from_arrays(
+              array(s.fields.toIndexedSeq.map(f => lit(f.name)): _*),
+              array(s.fields.toIndexedSeq.map(f => t.col.getField(f.name).cast(vt)): _*))
+            TC(transform_keys(m, (k, _) => lambda1(arg(0), ctx, Some(StringType))(k)),
+              Some(MapType(StringType, vt)))
+          case _ =>
+            TC(transform_keys(t.col, (k, _) => lambda1(arg(0), ctx, Some(StringType))(k)), t.tpe)
+        }
       case "merge" =>
         val o = c(0)
         (t.tpe, o.tpe) match {

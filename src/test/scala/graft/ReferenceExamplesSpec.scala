@@ -23,6 +23,26 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     }
   }
 
+  /** Like [[check]] but key-order-insensitive: both sides are re-parsed
+    * (Spark schema inference sorts keys) and re-serialized before compare
+    * — for examples where the reference's Go map serialization order is
+    * an artifact, not semantics. */
+  def checkCanon(mapping: String, cases: (String, String)*): Unit = {
+    import spark.implicits._
+    def canon(j: String): String = {
+      val df = spark.read.json(spark.createDataset(scala.Seq(j)))
+      df.select(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*)))
+        .head().getString(0)
+    }
+    cases.foreach { case (in, want) =>
+      val df = spark.read.json(spark.createDataset(scala.Seq(in)))
+      val out = Mapping.compile(mapping).applyPlain(df)
+      val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*)))
+        .head().getString(0)
+      assert(canon(got) == canon(want), s"\nmapping: $mapping\nin: $in\ngot: $got")
+    }
+  }
+
   test("all (methods_structured.go)") {
     check("root.all_over_21 = this.patrons.all(patron -> patron.age >= 21)",
       """{"patrons":[{"id":"1","age":18},{"id":"2","age":23}]}""" -> """{"all_over_21":false}""",
@@ -263,5 +283,118 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     check("root = this.foo.merge(this.bar)",
       """{"foo":{"first_name":"fooer","likes":"bars"},"bar":{"second_name":"barer","likes":"foos"}}""" ->
         """{"first_name":"fooer","likes":["bars","foos"],"second_name":"barer"}""")
+  }
+
+  test("lowercase (methods_strings.go)") {
+    check("root.foo = this.foo.lowercase()",
+      """{"foo":"HELLO WORLD"}""" -> """{"foo":"hello world"}""")
+  }
+
+  test("replace (methods_strings.go)") {
+    check("""root.new_value = this.value.replace("foo","dog")""",
+      """{"value":"The foo ate my homework"}""" ->
+        """{"new_value":"The dog ate my homework"}""")
+  }
+
+  test("replace_many (methods_strings.go)") {
+    check("""root.new_value = this.value.replace_many([
+             |  "<b>", "&lt;b&gt;",
+             |  "</b>", "&lt;/b&gt;",
+             |  "<i>", "&lt;i&gt;",
+             |  "</i>", "&lt;/i&gt;",
+             |])""".stripMargin,
+      """{"value":"<i>Hello</i> <b>World</b>"}""" ->
+        """{"new_value":"&lt;i&gt;Hello&lt;/i&gt; &lt;b&gt;World&lt;/b&gt;"}""")
+  }
+
+  test("re_match (methods_strings.go)") {
+    check("""root.matches = this.value.re_match("[0-9]")""",
+      """{"value":"there are 10 puppies"}""" -> """{"matches":true}""",
+      """{"value":"there are ten puppies"}""" -> """{"matches":false}""")
+  }
+
+  test("re_replace (methods_strings.go)") {
+    check("""root.new_value = this.value.re_replace("ADD ([0-9]+)","+($1)")""",
+      """{"value":"foo ADD 70"}""" -> """{"new_value":"foo +(70)"}""")
+  }
+
+  test("reverse string (methods_strings.go)") {
+    check("root.reversed = this.thing.reverse()",
+      """{"thing":"backwards"}""" -> """{"reversed":"sdrawkcab"}""")
+  }
+
+  test("strip_html (methods_strings.go)") {
+    check("root.stripped = this.value.strip_html()",
+      """{"value":"<p>the plain <strong>old text</strong></p>"}""" ->
+        """{"stripped":"the plain old text"}""")
+  }
+
+  test("parse_json (methods_strings.go)") {
+    check("root.doc = this.doc.parse_json()",
+      """{"doc":"{\"foo\":\"bar\"}"}""" -> """{"doc":{"foo":"bar"}}""")
+  }
+
+  test("parse_csv (methods_strings.go)") {
+    // Go serializes map keys alphabetically; we keep CSV header order.
+    // Same value — compare canonically (both sides key-sorted).
+    checkCanon("root.orders = this.orders.parse_csv()",
+      """{"orders":"foo,bar\nfoo 1,bar 1\nfoo 2,bar 2"}""" ->
+        """{"orders":[{"bar":"bar 1","foo":"foo 1"},{"bar":"bar 2","foo":"foo 2"}]}""")
+  }
+
+  test("parse_duration (methods_strings.go)") {
+    check("root.delay_for_ns = this.delay_for.parse_duration()",
+      """{"delay_for":"50us"}""" -> """{"delay_for_ns":50000}""")
+  }
+
+  test("filepath_join (methods_strings.go)") {
+    check("root.path = this.path_elements.filepath_join()",
+      """{"path_elements":["/foo/","bar.txt"]}""" -> """{"path":"/foo/bar.txt"}""")
+  }
+
+  test("format_timestamp_unix (methods_strings.go)") {
+    check("root.created_at_unix = this.created_at.format_timestamp_unix()",
+      """{"created_at":"2009-11-10T23:00:00Z"}""" ->
+        """{"created_at_unix":1257894000}""")
+  }
+
+  test("exists (methods_structured.go)") {
+    check("""root.result = this.foo.exists("bar.baz")""",
+      """{"foo":{"bar":{"baz":"yep, I exist"}}}""" -> """{"result":true}""",
+      """{"foo":{"bar":{}}}""" -> """{"result":false}""")
+  }
+
+  test("filter on arrays (methods_structured.go)") {
+    check("root.new_nums = this.nums.filter(num -> num > 10)",
+      """{"nums":[3,11,4,17]}""" -> """{"new_nums":[11,17]}""")
+  }
+
+  test("keys (methods_structured.go)") {
+    check("root.foo_keys = this.foo.keys()",
+      """{"foo":{"bar":1,"baz":2}}""" -> """{"foo_keys":["bar","baz"]}""")
+  }
+
+  test("map_each_key uppercase (methods_structured.go)") {
+    check("root.new_dict = this.dict.map_each_key(key -> key.uppercase())",
+      """{"dict":{"keya":"hello","keyb":"world"}}""" ->
+        """{"new_dict":{"KEYA":"hello","KEYB":"world"}}""")
+  }
+
+  test("slice with negative indices (methods_structured.go)") {
+    check("""root.beginning = this.value.slice(0, 2)
+             |root.end = this.value.slice(4)""".stripMargin,
+      """{"value":"foo bar"}""" -> """{"beginning":"fo","end":"bar"}""")
+    check("""root.last_chunk = this.value.slice(-4)
+             |root.the_rest = this.value.slice(0, -4)""".stripMargin,
+      """{"value":"foo bar"}""" -> """{"last_chunk":" bar","the_rest":"foo"}""")
+  }
+
+  test("max / min over int arrays (methods_numbers.go)") {
+    check("root.new_value = [0,this.value].max()",
+      """{"value":-1}""" -> """{"new_value":0}""",
+      """{"value":7}""" -> """{"new_value":7}""")
+    check("root.new_value = [10,this.value].min()",
+      """{"value":2}""" -> """{"new_value":2}""",
+      """{"value":23}""" -> """{"new_value":10}""")
   }
 }
