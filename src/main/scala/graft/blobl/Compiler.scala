@@ -477,14 +477,15 @@ object Compiler {
               x.getField(s"g$i").as(k) }: _*)),
           None)
       case "re_find_object" =>
-        // named groups → struct of group matches
-        val pat = litStr(0)
-        val names = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pat).map(_.group(1)).toList
-        val gnames = if (names.nonEmpty) names else List("0")
-        val fields = gnames.zipWithIndex.map { case (n, i) =>
-          regexp_extract(t.col, pat, i + (if (names.nonEmpty) 1 else 0)).as(n)
+        // {“0”: full match, name-or-index: group} (methods_strings.go);
+        // Go (?P<n> names rewritten via the shared translator
+        val (pat, groups) = Compiler.captureGroups(litStr(0))
+        val keys = "0" +: groups.zipWithIndex.map { case (n, i) =>
+          n.getOrElse((i + 1).toString) }
+        val fields = keys.zipWithIndex.map { case (k, i) =>
+          regexp_extract(t.col, pat, i).as(k)
         }
-        TC(struct(fields: _*), Some(StructType(gnames.map(StructField(_, StringType)))))
+        TC(struct(fields: _*), Some(StructType(keys.map(StructField(_, StringType)))))
       case "reverse" => TC(reverse(t.col), t.tpe)
       case "slice" => sliceMethod(t, args, ctx)
       case "hash" =>
@@ -496,9 +497,20 @@ object Compiler {
         TC(graft.exprs.Codecs.compress(t.col.cast(BinaryType), litStr(0)), Some(BinaryType))
       case "decompress" =>
         TC(graft.exprs.Codecs.decompress(t.col.cast(BinaryType), litStr(0)), Some(BinaryType))
+      case "encrypt_aes" if args.length == 3 =>
+        // reference signature: encrypt_aes(scheme, key, iv) with an
+        // explicit IV — deterministic, schemes ctr/ofb/cbc
+        // (methods_strings.go:263; doc example ported verbatim)
+        TC(graft.exprs.Codecs.aesIv(t.col.cast(BinaryType), litStr(0),
+          c(1).col.cast(BinaryType), c(2).col.cast(BinaryType),
+          encrypting = true), Some(BinaryType))
+      case "decrypt_aes" if args.length == 3 =>
+        TC(graft.exprs.Codecs.aesIv(t.col.cast(BinaryType), litStr(0),
+          c(1).col.cast(BinaryType), c(2).col.cast(BinaryType),
+          encrypting = false), Some(BinaryType))
       case "encrypt_aes" =>
-        // reference modes cbc/ofb/ctr (methods_strings.go:263); Spark
-        // builtin covers CBC (+GCM/ECB); ofb/ctr unsupported
+        // 2-arg compat form (key, mode) over Spark's builtin envelope
+        // (random IV for CBC/GCM — NOT byte-deterministic)
         TC(aes_encrypt(t.col.cast(BinaryType), c(0).col.cast(BinaryType),
           lit(litStr(1).toUpperCase)), Some(BinaryType))
       case "decrypt_aes" =>

@@ -210,6 +210,37 @@ object Codecs {
     udf((s: String) => if (s == null) null
       else try ascii85Decode(s) catch { case _: Exception => null }).apply(c)
 
+  /** AES with an explicit IV — the reference's encrypt_aes(scheme, key,
+    * iv) contract (methods_strings.go:263): deterministic output (no
+    * random-IV envelope), schemes ctr / ofb / cbc. ctr and ofb are
+    * stream modes (encrypt ≡ decrypt); cbc mirrors Go's block mode
+    * (input must be a multiple of 16 bytes — no implicit padding). */
+  def aesIv(data: Column, scheme: String, key: Column, iv: Column,
+      encrypting: Boolean): Column = {
+    val (transformation, modeConst) = scheme match {
+      case "ctr" => ("AES/CTR/NoPadding", 0)
+      case "ofb" => ("AES/OFB/NoPadding", 0)
+      case "cbc" => ("AES/CBC/NoPadding",
+        if (encrypting) javax.crypto.Cipher.ENCRYPT_MODE
+        else javax.crypto.Cipher.DECRYPT_MODE)
+      case o => throw new IllegalArgumentException(
+        s"encrypt_aes: unknown scheme $o (ctr/ofb/cbc)")
+    }
+    val enc = encrypting
+    udf((b: Array[Byte], k: Array[Byte], v: Array[Byte]) =>
+      if (b == null || k == null || v == null) null
+      else try {
+        val c = javax.crypto.Cipher.getInstance(transformation)
+        val mode =
+          if (modeConst != 0) modeConst
+          else if (enc) javax.crypto.Cipher.ENCRYPT_MODE
+          else javax.crypto.Cipher.DECRYPT_MODE // same keystream for ctr/ofb
+        c.init(mode, new javax.crypto.spec.SecretKeySpec(k, "AES"),
+          new javax.crypto.spec.IvParameterSpec(v))
+        c.doFinal(b)
+      } catch { case _: Exception => null }).apply(data, key, iv)
+  }
+
   /** HMAC (hex output) — hmac_sha1/hmac_sha256/hmac_sha512. */
   def hmacHex(c: Column, alg: String, key: String): Column = {
     val jAlg = alg match {

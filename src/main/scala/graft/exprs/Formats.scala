@@ -29,7 +29,10 @@ object Formats {
   val jsonToYaml: Column => Column = {
     val f = udf((s: String) => if (s == null) null else {
       val tree = jsonMapper.readValue(s, classOf[Object])
-      new org.yaml.snakeyaml.Yaml().dump(tree)
+      val opts = new org.yaml.snakeyaml.DumperOptions()
+      // block style matches Go yaml.Marshal ("foo: bar\n", not "{foo: bar}")
+      opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+      new org.yaml.snakeyaml.Yaml(opts).dump(tree)
     })
     c => f(c)
   }

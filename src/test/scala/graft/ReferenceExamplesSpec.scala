@@ -17,9 +17,13 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     cases.foreach { case (in, want) =>
       val df = spark.read.json(spark.createDataset(scala.Seq(in)))
       val out = Mapping.compile(mapping).applyPlain(df)
-      val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*)))
+      // RFC3339 seconds precision like Go's time marshaling (the
+      // reference drops zero fractions; fractional cases format
+      // explicitly via format_timestamp*)
+      val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*),
+          java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")))
         .head().getString(0)
-      assert(got == want, s"\nmapping: $mapping\nin: $in")
+      assert(got == want, s"\nmapping: $mapping\nin: $in\ngot: $got")
     }
   }
 
@@ -387,6 +391,50 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     check("""root.last_chunk = this.value.slice(-4)
              |root.the_rest = this.value.slice(0, -4)""".stripMargin,
       """{"value":"foo bar"}""" -> """{"last_chunk":" bar","the_rest":"foo"}""")
+  }
+
+  test("encrypt_aes ctr with explicit IV (methods_strings.go:263)") {
+    check("""let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")
+             |let vector = "f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")
+             |root.encrypted = this.value.encrypt_aes("ctr", $key, $vector).encode("hex")""".stripMargin,
+      """{"value":"hello world!"}""" -> """{"encrypted":"84e9b31ff7400bdf80be7254"}""")
+    // and the inverse round-trips
+    check("""let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")
+             |let vector = "f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")
+             |root.decrypted = "84e9b31ff7400bdf80be7254".decode("hex").decrypt_aes("ctr", $key, $vector).string()""".stripMargin,
+      """{"value":""}""" -> """{"decrypted":"hello world!"}""")
+  }
+
+  test("parse_xml (methods_strings.go)") {
+    checkCanon("root.doc = this.doc.parse_xml()",
+      """{"doc":"<root><title>This is a title</title><content>This is some content</content></root>"}""" ->
+        """{"doc":{"root":{"content":"This is some content","title":"This is a title"}}}""")
+  }
+
+  test("parse_yaml / format_yaml (methods_strings.go)") {
+    checkCanon("root.doc = this.doc.parse_yaml()",
+      """{"doc":"foo: bar"}""" -> """{"doc":{"foo":"bar"}}""")
+    check("""root.doc = this.doc.format_yaml().string()""",
+      """{"doc":{"foo":"bar"}}""" -> """{"doc":"foo: bar\n"}""")
+  }
+
+  test("parse_timestamp with Go layout (methods_strings.go)") {
+    check("""root.doc.timestamp = this.doc.timestamp.parse_timestamp("2006-Jan-02")""",
+      """{"doc":{"timestamp":"2020-Aug-14"}}""" ->
+        """{"doc":{"timestamp":"2020-08-14T00:00:00Z"}}""")
+  }
+
+  test("format_timestamp_strftime with timezone (methods_strings.go)") {
+    check("""root.something_at = this.created_at.format_timestamp_strftime("%Y-%b-%d %H:%M:%S", "UTC")""",
+      """{"created_at":1597405526}""" -> """{"something_at":"2020-Aug-14 11:45:26"}""")
+  }
+
+  test("re_find_object named groups (methods_strings.go)") {
+    checkCanon("""root.matches = this.value.re_find_object("a(?P<foo>x*)b")""",
+      """{"value":"-axxb-ab-"}""" -> """{"matches":{"0":"axxb","foo":"xx"}}""")
+    checkCanon("""root.matches = this.value.re_find_object("(?P<key>\\w+):\\s+(?P<value>\\w+)")""",
+      """{"value":"option1: value1"}""" ->
+        """{"matches":{"0":"option1: value1","key":"option1","value":"value1"}}""")
   }
 
   test("max / min over int arrays (methods_numbers.go)") {
