@@ -34,10 +34,11 @@ class MethodCoverageSpec extends AnyFunSuite {
   }
 
   test("re_find_object with named groups") {
+    // key "0" = the full match, like the reference's doc examples
     assert(run(
       """root.parts = this.s.re_find_object("(?<y>\\d{4})-(?<m>\\d{2})")""",
       """{"s":"on 2024-03 ok"}""")
-      == List("""{"parts":{"y":"2024","m":"03"}}"""))
+      == List("""{"parts":{"0":"2024-03","y":"2024","m":"03"}}"""))
   }
 
   test("parse_timestamp_unix with layout") {
