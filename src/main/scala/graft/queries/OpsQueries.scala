@@ -122,7 +122,11 @@ object OpsQueries {
       ("cust", t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")), "c_custkey")))
     merged.select(
         col("id"),
-        coalesce(size(col("orders")), lit(0)).cast(LongType).as("n_orders"),
+        // size(NULL) is -1 with ANSI off (legacy sizeOfNull), so the
+        // null-array case needs an explicit branch, not coalesce —
+        // first surfaces at sf0.1 where zero-order customers exist
+        when(col("orders").isNull, lit(0L))
+          .otherwise(size(col("orders")).cast(LongType)).as("n_orders"),
         aggregate(
           transform(col("orders"), x => x.getField("o_totalprice").cast(DecimalType(18, 4))),
           lit(0).cast(DecimalType(30, 4)),
