@@ -42,7 +42,11 @@ object TextStats {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     graft.exprs.WinnowExpr.column(text, k, w)
 
-  def nTokens(text: Column): Column = size(split(text, " ")).cast(LongType)
+  def nTokens(text: Column): Column =
+    // size(NULL) is -1 with ANSI off; null text must count null like
+    // DuckDB's len(string_split(NULL))
+    when(text.isNull, lit(null).cast(LongType))
+      .otherwise(size(split(text, " ")).cast(LongType))
 
   /** BPE-ish token estimate: letter runs, single digits, and punctuation
     * each count as one piece (the GPT-2 pre-tokenizer shape). */
