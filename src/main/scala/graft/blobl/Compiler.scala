@@ -828,7 +828,38 @@ object Compiler {
           case _ => throw CompileError("without: object required")
         }
       case "explode" | "explode_array" =>
-        throw CompileError("explode is row-producing; use ops.Unarchive / Ops.explodeField")
+        // value-level explode (methods_structured.go:338): on an array
+        // target, an array of parent copies with the target replaced by
+        // each element; on an object target, an object keyed like the
+        // target whose values are parent copies. Row-producing explosion
+        // stays with ops.Unarchive.
+        val fld = litStr(0)
+        val parent = t.tpe match {
+          case Some(s: StructType) if s.fieldNames.contains(fld) => s
+          case _ => throw CompileError(
+            s"explode: receiver must be an object with field '$fld'")
+        }
+        val target = t.col.getField(fld)
+        def replaced(v: Column) = struct(parent.fields.toIndexedSeq.map { f =>
+          (if (f.name == fld) v else t.col.getField(f.name)).as(f.name) }: _*)
+        parent.fields(parent.fieldIndex(fld)).dataType match {
+          case ArrayType(et, _) =>
+            val outF = StructType(parent.fields.map(f =>
+              if (f.name == fld) f.copy(dataType = et) else f))
+            TC(transform(target, v => replaced(v)), Some(ArrayType(outF)))
+          case st: StructType =>
+            TC(struct(st.fields.toIndexedSeq.map(f =>
+                replaced(target.getField(f.name)).as(f.name)): _*),
+              Some(StructType(st.fields.map(f => f.copy(dataType =
+                StructType(parent.fields.map(p =>
+                  if (p.name == fld) p.copy(dataType = f.dataType) else p)))))))
+          case mt: MapType =>
+            TC(transform_values(target, (_, v) => replaced(v)),
+              Some(MapType(mt.keyType,
+                StructType(parent.fields.map(p =>
+                  if (p.name == fld) p.copy(dataType = mt.valueType) else p)))))
+          case _ => throw CompileError("explode: target must be array or object")
+        }
       case other => throw CompileError(s"unknown method .$other()")
     }
   }

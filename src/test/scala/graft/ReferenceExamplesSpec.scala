@@ -437,6 +437,16 @@ class ReferenceExamplesSpec extends AnyFunSuite {
         """{"matches":{"0":"option1: value1","key":"option1","value":"value1"}}""")
   }
 
+  test("explode on objects and arrays (methods_structured.go:338)") {
+    check("""root = this.explode("value")""",
+      """{"id":1,"value":{"foo":2,"bar":[3,4],"baz":{"bev":5}}}""" ->
+        """{"bar":{"id":1,"value":[3,4]},"baz":{"id":1,"value":{"bev":5}},"foo":{"id":1,"value":2}}""")
+    // array flavor (root-level array wrapped in a field for the harness)
+    check("""root.rows = this.explode("value")""",
+      """{"id":1,"value":["foo","bar","baz"]}""" ->
+        """{"rows":[{"id":1,"value":"foo"},{"id":1,"value":"bar"},{"id":1,"value":"baz"}]}""")
+  }
+
   test("max / min over int arrays (methods_numbers.go)") {
     check("root.new_value = [0,this.value].max()",
       """{"value":-1}""" -> """{"new_value":0}""",
