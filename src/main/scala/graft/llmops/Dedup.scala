@@ -266,14 +266,34 @@ object Dedup {
     * touched by exactly one scan + one shuffle keyed on band buckets; at
     * deploy scale the corpus signature/bucket table is precomputed once
     * and reused across batches. Returns (new_id, corpus_id, jac). */
+  /** The persistable MinHash index of a corpus: (id, m0..m{n-1}) — a few
+    * longs per document, ~1000× smaller than the text. Write it to
+    * parquet once per corpus version; every subsequent ingest batch
+    * passes it to [[incrementalNearDupWithIndex]] and never re-runs the
+    * signature expression over the old corpus. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 24): DataFrame =
+    sigTable(corpus, idCol, textCol, shingleK, numHashes)
+
   def incrementalNearDup(newDf: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 24, bands: Int = 8,
+      rowsPerBand: Int = 3, threshold: Double = 0.9): DataFrame =
+    incrementalNearDupWithIndex(newDf, corpus,
+      minhashIndex(corpus, idCol, textCol, shingleK, numHashes),
+      idCol, textCol, shingleK, numHashes, bands, rowsPerBand, threshold)
+
+  /** [[incrementalNearDup]] against a precomputed corpus index (see
+    * [[minhashIndex]]); the corpus TEXT is only touched by the final
+    * exact-verify join on surviving candidates. */
+  def incrementalNearDupWithIndex(newDf: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 24, bands: Int = 8,
       rowsPerBand: Int = 3, threshold: Double = 0.9): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"incrementalNearDup: bands*rowsPerBand exceeds numHashes ($numHashes)")
     val nSig = sigTable(newDf, idCol, textCol, shingleK, numHashes)
-    val cSig = sigTable(corpus, idCol, textCol, shingleK, numHashes)
+    val cSig = corpusIndex
     val cand = sigBuckets(nSig, bands, rowsPerBand).toDF("new_id", "bucket")
       .join(sigBuckets(cSig, bands, rowsPerBand).toDF("corpus_id", "bucket"), "bucket")
       .select(col("new_id"), col("corpus_id"))

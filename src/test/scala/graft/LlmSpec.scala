@@ -193,6 +193,26 @@ class LlmSpec extends AnyFunSuite {
     assert(maxErr <= maxScale / 127.0 * 0.5 + 1e-12, s"maxErr $maxErr")
   }
 
+  test("incrementalNearDup: precomputed index round-trips parquet, same result") {
+    import spark.implicits._
+    val corpus = scala.Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely unrelated corpus document about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+    val fresh = scala.Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.minhashIndex(corpus, "doc_id", "text").write.mode("overwrite")
+      .parquet(dir)
+    val viaIndex = Dedup.incrementalNearDupWithIndex(
+        fresh, corpus, spark.read.parquet(dir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.incrementalNearDup(fresh, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct && viaIndex == Set((1L, 100L)))
+  }
+
   test("incrementalNearDup: planted copy found, cross-side only") {
     import spark.implicits._
     val corpusText = "the quick brown fox jumps over the lazy dog again and again today"
