@@ -127,4 +127,31 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     assert(spark.sql("SELECT count(*) FROM w_sess").head().getLong(0) > 0)
   }
+
+  test("LLM curation ops stream: quality gates + PII redact + simhash key dedupe") {
+    import graft.llmops.TextStats
+    import graft.llmops.Dedup
+    val d = Files.createTempDirectory("graft-docs")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("part-0.parquet"))
+    val docsSchema = StructType(scala.Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docsSchema).parquet(d.toString)
+    // the curation projections are stream-safe by construction (no
+    // shuffle): gopher gates, PII redaction, simhash, unicode fold
+    val curated = stream.select(
+        col("doc_id"),
+        TextStats.normalizeUnicode(TextStats.piiRedact(col("text")), "NFC").as("clean"),
+        Dedup.simhash(col("text"), 16).as("sh"),
+        struct(TextStats.gopherFlags(col("text")): _*).getField("keep").as("keep"))
+      .filter(col("keep"))
+      .dropDuplicates("sh") // streaming state: first doc per simhash key wins
+    val q = curated.writeStream.format("memory").queryName("s_curate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT count(*), count(DISTINCT sh) FROM s_curate").head()
+    assert(rows.getLong(0) > 0 && rows.getLong(0) == rows.getLong(1))
+  }
 }
