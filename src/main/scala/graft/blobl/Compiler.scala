@@ -561,7 +561,20 @@ object Compiler {
         TC(un, Some(StringType))
       case "escape_url_query" => TC(url_encode(t.col), Some(StringType))
       case "unescape_url_query" => TC(url_decode(t.col), Some(StringType))
-      case "strip_html" => TC(regexp_replace(t.col, "<[^>]*>", ""), Some(StringType))
+      case "strip_html" =>
+        // optional arg: element types to PRESERVE (methods_strings.go
+        // doc example 2): their open/close/self-closing tags survive
+        val keep = args.headOption.map {
+          case Ast.LitArray(items) => items.map {
+            case Ast.LitString(s) => java.util.regex.Pattern.quote(s)
+            case o => throw CompileError(s"strip_html: string list expected, got $o")
+          }
+          case o => throw CompileError(s"strip_html: array literal expected, got $o")
+        }.getOrElse(Nil)
+        val pat =
+          if (keep.isEmpty) "<[^>]*>"
+          else s"<(?!/?(?:${keep.mkString("|")})\\b)[^>]*>"
+        TC(regexp_replace(t.col, pat, ""), Some(StringType))
       case "quote" => TC(to_json(struct(t.col.as("q"))).substr(lit(6),
         length(to_json(struct(t.col.as("q")))) - 6), Some(StringType))
       case "unquote" =>

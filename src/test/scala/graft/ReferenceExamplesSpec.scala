@@ -331,6 +331,9 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     check("root.stripped = this.value.strip_html()",
       """{"value":"<p>the plain <strong>old text</strong></p>"}""" ->
         """{"stripped":"the plain old text"}""")
+    check("""root.stripped = this.value.strip_html(["article"])""",
+      """{"value":"<article><p>the plain <strong>old text</strong></p></article>"}""" ->
+        """{"stripped":"<article>the plain old text</article>"}""")
   }
 
   test("parse_json (methods_strings.go)") {
