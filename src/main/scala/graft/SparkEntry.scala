@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.BloblQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.BloblQueries.oracleSql ++
       graft.queries.OpsQueries.oracleSql ++
-      graft.queries.LlmQueries.oracleSql
+      graft.queries.LlmQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }

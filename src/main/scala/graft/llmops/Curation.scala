@@ -1,0 +1,185 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Web-corpus curation operators for training-data pipelines: C4-style
+  * line filtering (Raffel et al. 2020 §2.2), corpus-wide exact line
+  * dedup (MassiveText, Rae et al. 2021 §A1.2), URL canonicalization +
+  * dedup (the Common-Crawl pre-dedup key), deterministic hash splits,
+  * BPE merge-pair statistics (Sennrich et al. 2016), and a deterministic
+  * global corpus shuffle.
+  *
+  * Everything is either a pure codegen'd Column projection or the
+  * canonical word-count/shuffle shape — no UDFs, no driver loops, and
+  * regex/hash primitives chosen to mean the same thing in Java regex and
+  * RE2-style engines so an external SQL oracle can replicate them.
+  */
+object Curation {
+
+  private def quoted(sep: String): String = java.util.regex.Pattern.quote(sep)
+
+  // ------------------------------------------------------- C4 line filter
+
+  /** C4-style line filtering: split each document into lines, keep lines
+    * with at least `minWords` whitespace words and none of the
+    * `badSubstrings`, re-join survivors, and gate the document on a
+    * minimum surviving-line count. A pure projection — the corpus never
+    * shuffles, and the per-line work is array lambdas inside whole-stage
+    * codegen.
+    *
+    * Output: (id, n_lines, n_kept, clean_text, keep_doc). */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minWords: Int = 5,
+      badSubstrings: scala.Seq[String] = scala.Seq("lorem ipsum", "javascript", "{"),
+      minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), quoted(sep))
+    val kept = filter(lines, l =>
+      badSubstrings.foldLeft(size(split(l, " ")) >= minWords) {
+        (acc, b) => acc && !l.contains(b)
+      })
+    df.select(col(idCol).as("id"), lines.as("_ls"), kept.as("_kept"))
+      .select(col("id"),
+        size(col("_ls")).cast(LongType).as("n_lines"),
+        size(col("_kept")).cast(LongType).as("n_kept"),
+        array_join(col("_kept"), sep).as("clean_text"),
+        (size(col("_kept")) >= minKeptLines).as("keep_doc"))
+  }
+
+  // ------------------------------------------- corpus-wide exact line dedup
+
+  /** Corpus-wide exact line deduplication (the MassiveText boilerplate
+    * scrub): every duplicate occurrence of a line across the WHOLE corpus
+    * is removed, keeping only the first (lowest id, then line index).
+    * Documents are re-assembled from their surviving lines in original
+    * order.
+    *
+    * Scale: one explode keyed by line, one window partitioned by line
+    * (high-cardinality — no global window), one re-agg by doc. The
+    * line-keyed shuffle is the irreducible cost of a global-first-wins
+    * rule; skew from ultra-hot lines is bounded because the window only
+    * computes row_number (no buffering beyond the sort run).
+    *
+    * Output: (id, n_lines, n_removed, clean_text). */
+  def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), quoted(sep))).as(scala.Seq("ix", "line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col("id"), col("ix"))
+    ex.withColumn("_rk", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_rk") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_rk") === 1,
+              struct(col("ix"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("clean_text"))
+  }
+
+  // ---------------------------------------------------- URL canonicalization
+
+  /** Canonicalize an absolute URL for dedup keying: lowercase scheme and
+    * host, strip a leading `www.`, drop default ports (:80/:443), collapse
+    * repeated slashes, resolve one level of `/./`, drop the trailing
+    * slash (root stays `/`), drop the fragment, and drop `utm_*` tracking
+    * params while sorting the rest.
+    *
+    * One chain of regexp/array primitives with identical semantics in
+    * Java regex and RE2 (no backreferences or lookarounds), so a SQL
+    * oracle replicates it verbatim. Nested `/./` deeper than one level is
+    * intentionally NOT iterated (single regex pass, same in both engines). */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val hostRaw = regexp_extract(rest, "^[^/?#]*", 0)
+    val host = regexp_replace(
+      regexp_replace(lower(hostRaw), "^www\\.", ""), ":(80|443)$", "")
+    val pathq = rest.substr(length(hostRaw) + 1, length(rest))
+    val path0 = regexp_extract(pathq, "^[^?#]*", 0)
+    val path1 = regexp_replace(regexp_replace(path0, "/+", "/"), "/\\./", "/")
+    val path2 = regexp_replace(path1, "/$", "")
+    val path = when(path2 === "", lit("/")).otherwise(path2)
+    val q0 = regexp_extract(pathq, "\\?([^#]*)", 1)
+    val params = filter(split(q0, "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** URL dedup: canonicalize `urlCol`, keep the lowest-`idCol` row per
+    * canonical URL. Output: input columns + (canon_url, keep). The window
+    * partitions by canonical URL — high cardinality, never global. */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String,
+      urlCol: String): DataFrame = {
+    val canon = df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_url")).orderBy(col(idCol))
+    canon.withColumn("keep", row_number().over(w) === 1)
+  }
+
+  // -------------------------------------------------- deterministic splits
+
+  /** Cumulative md5-bucket thresholds (4 hex chars = 65536 buckets) for
+    * [[hashSplit]] — public so oracle SQL can embed the same literals. */
+  def splitThresholds(splits: scala.Seq[(String, Double)]): scala.Seq[String] = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.dropRight(1)
+      .map(p => f"${math.floor(p * 65536).toLong}%04x")
+  }
+
+  /** Deterministic train/val/test split: rows are assigned to the named
+    * split by their md5(id) prefix bucket — reproducible across runs,
+    * engines, and data orderings (the hash_sample contract), and pure
+    * projection (no shuffle, no RNG state). */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: scala.Seq[(String, Double)], out: String = "split"): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val cuts = splitThresholds(splits)
+    val assigned = splits.init.zip(cuts).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cut)) =>
+        when(h < lit(cut), name).otherwise(acc)
+      }
+    df.withColumn(out, assigned)
+  }
+
+  // ------------------------------------------------ BPE merge-pair counts
+
+  /** One BPE merge-step statistic: corpus-wide counts of adjacent
+    * character pairs inside whitespace words (Sennrich et al. 2016 — the
+    * argmax pair is the next merge). The canonical word-count shape:
+    * explode to pairs, map-side-combined groupBy; the shuffle carries one
+    * row per distinct pair per partition, never the character stream.
+    *
+    * Output: (pair, n), top `k` by count (ties → pair ascending). */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  // --------------------------------------------- deterministic global shuffle
+
+  /** Deterministic global training-order shuffle: rank every row by
+    * md5(id) (ties → id). Uses the partitioned two-pass sequence
+    * assignment ([[graft.model.Envelope.withGlobalSeq]]: range shuffle +
+    * zipWithIndex) — a total order WITHOUT a single-partition window, so
+    * it holds at any scale. Reproducible across runs and engines. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      out: String = "shuffle_rank"): DataFrame =
+    graft.model.Envelope.withGlobalSeq(df,
+      scala.Seq(md5(col(idCol).cast("string")), col(idCol)), out)
+}

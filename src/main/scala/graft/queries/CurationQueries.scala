@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Curation
+
+/** Oracle-gated web-curation queries (q69-q74): C4 line filtering, BPE
+  * merge-pair counts, URL canonicalization + dedup, deterministic hash
+  * splits, corpus-wide exact line dedup, deterministic global shuffle.
+  *
+  * The documents table is single-line synthetic text, so the line-based
+  * gates derive lines deterministically by replacing the token ` the `
+  * with a newline — `replace` and Java/RE2 `regexp_replace` share the
+  * same left-to-right non-overlapping scan, so both engines see the
+  * exact same line structure.
+  */
+object CurationQueries {
+  import graft.Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Newline-ified text: ' the ' → '\n' (deterministic line derivation). */
+  private def linesText = regexp_replace(col("text"), " the ", "\n")
+
+  private val linesSqlExpr = "replace(text, ' the ', chr(10))"
+
+  /** q69: C4-style line filter — lines need ≥10 words and no 'slow';
+    * docs need ≥2 surviving lines. */
+  def q69(s: SparkSession, dir: String): DataFrame =
+    Curation.c4LineFilter(
+        t(s, dir, "documents").select(col("doc_id"), linesText.as("t2")),
+        "doc_id", "t2", sep = "\n", minWords = 10,
+        badSubstrings = scala.Seq("slow"), minKeptLines = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q70: one BPE merge-step statistic — corpus-wide adjacent character
+    * pair counts inside words, top 20 (ties → pair ascending). */
+  def q70(s: SparkSession, dir: String): DataFrame =
+    Curation.bpePairCounts(t(s, dir, "documents"), "text", k = 20)
+
+  /** Synthetic absolute URL per document (deterministic from columns;
+    * doc_id % 250 induces canonical collisions so the dedup fires). */
+  private def rawUrl = concat(
+    lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443//a/./docs/"),
+    (col("doc_id") % 250).cast("string"),
+    lit("/?utm_source=rss&z=9&a=1&utm_medium=email#frag"))
+
+  private val rawUrlSql =
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM:443//a/./docs/' || " +
+      "CAST(doc_id % 250 AS VARCHAR) || " +
+      "'/?utm_source=rss&z=9&a=1&utm_medium=email#frag'"
+
+  /** q71: URL canonicalization + first-wins dedup on the canonical URL. */
+  def q71(s: SparkSession, dir: String): DataFrame =
+    Curation.dedupByCanonicalUrl(
+        t(s, dir, "documents").select(col("doc_id"), rawUrl.as("url")),
+        "doc_id", "url")
+      .select(col("doc_id"), col("canon_url"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  private val q72Splits =
+    scala.Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** q72: deterministic md5-bucket train/val/test split (80/10/10). */
+  def q72(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(t(s, dir, "documents"), "doc_id", q72Splits)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** q73: corpus-wide exact line dedup, first occurrence wins, documents
+    * re-assembled in original line order. */
+  def q73(s: SparkSession, dir: String): DataFrame =
+    Curation.lineDedupGlobal(
+        t(s, dir, "documents").select(col("doc_id"), linesText.as("t2")),
+        "doc_id", "t2", sep = "\n")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q74: deterministic global corpus shuffle — md5(id) rank via the
+    * partitioned two-pass assignment (no single-partition window). */
+  def q74(s: SparkSession, dir: String): DataFrame =
+    Curation.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q69_c4_filter" -> (q69 _),
+    "q70_bpe_pairs" -> (q70 _),
+    "q71_url_canon" -> (q71 _),
+    "q72_split" -> (q72 _),
+    "q73_line_dedup" -> (q73 _),
+    "q74_shuffle" -> (q74 _))
+
+  private def q72SplitSql: String = {
+    val cuts = Curation.splitThresholds(q72Splits)
+    val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+    val whens = q72Splits.init.zip(cuts).map { case ((name, _), cut) =>
+      s"WHEN $h < '$cut' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${q72Splits.last._1}' END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q69_c4_filter" ->
+      s"""WITH l AS (
+         | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls
+         | FROM documents),
+         |f AS (
+         | SELECT doc_id, ls,
+         |  list_filter(ls, x -> len(string_split(x, ' ')) >= 10
+         |   AND NOT contains(x, 'slow')) AS kept
+         | FROM l)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         | CAST(len(kept) AS BIGINT) AS n_kept,
+         | COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+         | len(kept) >= 2 AS keep_doc
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q70_bpe_pairs" ->
+      """WITH w AS (
+        | SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |p AS (
+        | SELECT substr(word, i, 2) AS pair
+        | FROM w, unnest(generate_series(1, length(word) - 1)) t(i)
+        | WHERE length(word) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q71_url_canon" ->
+      s"""WITH raw AS (
+         | SELECT doc_id, $rawUrlSql AS url FROM documents),
+         |s1 AS (
+         | SELECT doc_id,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+         | FROM raw),
+         |s2 AS (
+         | SELECT doc_id, scheme, rest,
+         |  regexp_extract(rest, '^[^/?#]*', 0) AS hostraw FROM s1),
+         |s3 AS (
+         | SELECT doc_id, scheme,
+         |  regexp_replace(regexp_replace(lower(hostraw), '^www\\.', ''),
+         |   ':(80|443)$$', '') AS host,
+         |  substr(rest, length(hostraw) + 1) AS pathq FROM s2),
+         |s4 AS (
+         | SELECT doc_id, scheme, host,
+         |  regexp_replace(regexp_replace(
+         |   regexp_extract(pathq, '^[^?#]*', 0), '/+', '/', 'g'),
+         |   '/\\./', '/', 'g') AS p1,
+         |  regexp_extract(pathq, '\\?([^#]*)', 1) AS q0 FROM s3),
+         |s5 AS (
+         | SELECT doc_id, scheme, host,
+         |  CASE WHEN regexp_replace(p1, '/$$', '') = '' THEN '/'
+         |   ELSE regexp_replace(p1, '/$$', '') END AS path,
+         |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+         |   x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qs
+         | FROM s4)
+         |SELECT doc_id,
+         | scheme || '://' || host || path ||
+         |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+         | row_number() OVER (
+         |  PARTITION BY scheme || '://' || host || path ||
+         |   CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+         |  ORDER BY doc_id) = 1 AS keep
+         |FROM s5 ORDER BY doc_id""".stripMargin,
+    "q72_split" ->
+      s"""SELECT doc_id, $q72SplitSql AS "split"
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q73_line_dedup" ->
+      s"""WITH l AS (
+         | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls
+         | FROM documents),
+         |ex AS (
+         | SELECT doc_id, i - 1 AS ix, ls[i] AS line
+         | FROM l, unnest(generate_series(1, len(ls))) t(i)),
+         |mk AS (
+         | SELECT doc_id, ix, line,
+         |  row_number() OVER (PARTITION BY line ORDER BY doc_id, ix) AS rk
+         | FROM ex)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         | COALESCE(array_to_string(list(line ORDER BY ix) FILTER (WHERE rk = 1),
+         |  chr(10)), '') AS clean_text
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q74_shuffle" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |  AS shuffle_rank
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llmops.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+  import spark.implicits._
+
+  test("c4LineFilter keeps long clean lines and gates docs on survivors") {
+    val df = Seq(
+      (1L, "one two three four five\nshort line\nbad javascript line here today ok\nsix seven eight nine ten"),
+      (2L, "tiny\nalso tiny")).toDF("id", "text")
+    val out = Curation.c4LineFilter(df, "id", "text", minWords = 5,
+        badSubstrings = Seq("javascript"), minKeptLines = 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_lines") === 4)
+    assert(out(0).getAs[Long]("n_kept") === 2)
+    assert(out(0).getAs[String]("clean_text") ===
+      "one two three four five\nsix seven eight nine ten")
+    assert(out(0).getAs[Boolean]("keep_doc"))
+    assert(out(1).getAs[Long]("n_kept") === 0)
+    assert(out(1).getAs[String]("clean_text") === "")
+    assert(!out(1).getAs[Boolean]("keep_doc"))
+  }
+
+  test("lineDedupGlobal removes repeat lines corpus-wide, first occurrence wins") {
+    val df = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma"),
+      (3L, "gamma\ngamma")).toDF("id", "text")
+    val out = Curation.lineDedupGlobal(df, "id", "text")
+      .orderBy("id").collect()
+    // doc 1 keeps everything (first to use "shared line")
+    assert(out(0).getAs[Long]("n_removed") === 0)
+    assert(out(0).getAs[String]("clean_text") === "alpha\nshared line\nbeta")
+    // doc 2 loses "shared line", keeps gamma (first gamma overall)
+    assert(out(1).getAs[Long]("n_removed") === 1)
+    assert(out(1).getAs[String]("clean_text") === "gamma")
+    // doc 3: both gammas are later occurrences
+    assert(out(2).getAs[Long]("n_removed") === 2)
+    assert(out(2).getAs[String]("clean_text") === "")
+  }
+
+  test("canonicalizeUrl normalizes scheme/host/path/query and drops tracking") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443//a/./b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2"),
+      ("http://host.com:80/", "http://host.com/"),
+      ("http://host.com", "http://host.com/"),
+      ("http://host.com/path/", "http://host.com/path"),
+      ("http://host.com/p?utm_medium=email", "http://host.com/p"),
+      ("http://host.com/p?z=1&y=2&z=0", "http://host.com/p?y=2&z=0&z=1"),
+      // non-default port survives; www stripped only as a prefix
+      ("http://wwwhost.com:8080/x", "http://wwwhost.com:8080/x"))
+    val df = cases.map(_._1).toDF("url")
+      .withColumn("canon", Curation.canonicalizeUrl(col("url")))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"canonicalizeUrl($in)")
+    }
+  }
+
+  test("hashSplit is deterministic, exhaustive, and near the target weights") {
+    val df = spark.range(10000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.hashSplit(df, "id", splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000L) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 150, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000L) < 150, s"test=${counts("test")}")
+    // re-running yields the identical assignment (pure hash, no RNG)
+    val again = Curation.hashSplit(df, "id", splits)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+  }
+
+  test("splitThresholds rejects weights that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      Curation.splitThresholds(Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
+  test("bpePairCounts counts within-word adjacent char pairs with multiplicity") {
+    val df = Seq("aa ab aa", "x aab").toDF("text")
+    // words: aa, ab, aa, x(skipped), aab -> pairs: aa, ab, aa, aa, ab
+    val got = Curation.bpePairCounts(df, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("aa" -> 3L, "ab" -> 2L))
+  }
+
+  test("deterministicShuffle is a stable permutation of 0..n-1") {
+    val df = spark.range(500).toDF("id")
+    val a = Curation.deterministicShuffle(df, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.toSeq.sorted === (0L until 500L))
+    val b = Curation.deterministicShuffle(df, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // it actually permutes (md5 order != id order)
+    assert((0L until 500L).exists(i => a(i) != i))
+  }
+}
