@@ -357,7 +357,19 @@ object Compiler {
       case "exists" =>
         TC(accessPath(t, litStr(0).split('.').toSeq.filter(_.nonEmpty)).col.isNotNull,
           Some(BooleanType))
-      case "not_null" | "not_empty" => t
+      case "not_null" => t
+      case "not_empty" =>
+        // reference (methods_structured.go:955): empty string/array/object
+        // → error. In the engine's null-propagation error model that maps
+        // to null, so `.catch(fallback)` / pipe-coalesce fire the same way.
+        val empty = t.tpe match {
+          case Some(StringType) => length(t.col) === 0
+          case Some(_: ArrayType) | Some(_: MapType) => size(t.col) === 0
+          case Some(s: StructType) if s.fields.isEmpty => lit(true)
+          case Some(_: StructType) => lit(false)
+          case _ => t.col.cast(StringType).isin("", "[]", "{}")
+        }
+        TC(when(empty, lit(null)).otherwise(t.col), t.tpe)
       case "number" =>
         if (t.isVariant) TC(t.col.cast(DoubleType), Some(DoubleType))
         else TC(t.col.cast(DoubleType), Some(DoubleType))

@@ -34,7 +34,11 @@ object Curation {
       sep: String = "\n", minWords: Int = 5,
       badSubstrings: scala.Seq[String] = scala.Seq("lorem ipsum", "javascript", "{"),
       minKeptLines: Int = 3): DataFrame = {
-    val lines = split(col(textCol), quoted(sep))
+    // null text → zero lines (size(null) is -1 with ANSI off; never let
+    // that reach the counts)
+    val lines = when(col(textCol).isNull,
+        array().cast(ArrayType(StringType)))
+      .otherwise(split(col(textCol), quoted(sep)))
     val kept = filter(lines, l =>
       badSubstrings.foldLeft(size(split(l, " ")) >= minWords) {
         (acc, b) => acc && !l.contains(b)
@@ -64,17 +68,21 @@ object Curation {
     * Output: (id, n_lines, n_removed, clean_text). */
   def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
+    // posexplode_outer keeps null-text docs in the output (as zero lines)
     val ex = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), quoted(sep))).as(scala.Seq("ix", "line")))
+      posexplode_outer(split(col(textCol), quoted(sep)))
+        .as(scala.Seq("ix", "line")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("line")).orderBy(col("id"), col("ix"))
     ex.withColumn("_rk", row_number().over(w))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("_rk") > 1, 1L).otherwise(0L)).as("n_removed"),
+      .agg(count(col("line")).as("n_lines"),
+        sum(when(col("line").isNotNull && col("_rk") > 1, 1L).otherwise(0L))
+          .as("n_removed"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("_rk") === 1,
+            array_sort(collect_list(when(
+              col("line").isNotNull && col("_rk") === 1,
               struct(col("ix"), col("line"))))),
             x => x.getField("line")),
           sep).as("clean_text"))

@@ -91,6 +91,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Map("aa" -> 3L, "ab" -> 2L))
   }
 
+  test("curation ops survive null/empty/single-token text") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "one"), (4L, "two tokens here"))
+      .toDF("id", "text")
+    val c4 = Curation.c4LineFilter(df, "id", "text", minWords = 2,
+      badSubstrings = Seq("zz"), minKeptLines = 1).orderBy("id").collect()
+    assert(c4.length === 4)
+    // null text: no lines, not kept (never negative counts from size(null))
+    assert(c4(0).getAs[Long]("n_lines") === 0L &&
+      c4(0).getAs[Long]("n_kept") === 0L && !c4(0).getAs[Boolean]("keep_doc"))
+    assert(c4(1).getAs[Long]("n_lines") === 1L && c4(1).getAs[Long]("n_kept") === 0L)
+    val ld = Curation.lineDedupGlobal(df, "id", "text").orderBy("id").collect()
+    assert(ld.length === 4 && ld.forall(_.getAs[Long]("n_removed") >= 0L))
+    assert(Curation.bpePairCounts(df, "text", 10).collect()
+      .forall(_.getLong(1) > 0))
+    assert(Curation.hashSplit(df, "id",
+      Seq("a" -> 0.5, "b" -> 0.5)).count() === 4)
+    val canon = df.select(Curation.canonicalizeUrl(col("text")).as("c")).collect()
+    assert(canon.length === 4) // no throw on null/garbage input
+  }
+
   test("deterministicShuffle is a stable permutation of 0..n-1") {
     val df = spark.range(500).toDF("id")
     val a = Curation.deterministicShuffle(df, "id")

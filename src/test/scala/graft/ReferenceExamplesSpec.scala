@@ -218,6 +218,19 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       """{"thing":"\"foo\\nbar\""}""" -> """{"unquoted":"foo\nbar"}""")
   }
 
+  test("not_empty with catch fallback (methods_structured.go:955)") {
+    // reference: empty string/array → error; in the engine's error model
+    // that's null, so `.catch()` supplies the fallback the same way.
+    check("""root.a = this.a.not_empty().catch("fallback")""",
+      """{"a":"foo"}""" -> """{"a":"foo"}""",
+      """{"a":""}""" -> """{"a":"fallback"}""")
+    // (fallback is coerced to the input's inferred array<string> type —
+    // schema-first unification, so the fallback here is a string array)
+    check("""root.n = this.a.not_empty().catch(["none"])""",
+      """{"a":["foo","bar"]}""" -> """{"n":["foo","bar"]}""",
+      """{"a":[]}""" -> """{"n":["none"]}""")
+  }
+
   test("re_find_all_submatch (methods_strings.go:1659)") {
     check("""root.matches = this.value.re_find_all_submatch("a(x*)b")""",
       """{"value":"-axxb-ab-"}""" -> """{"matches":[["axxb","xx"],["ab",""]]}""")
