@@ -95,6 +95,36 @@ object Training {
     }
   }
 
+  // ------------------------------------------------------ centroid outliers
+
+  /** Embedding outlier detection by centroid distance (the CLIP-score /
+    * density pruning analog for curation): run k-means, then within each
+    * cluster rank members by cosine similarity to their own centroid
+    * (ascending, ties → lowest id) and flag the bottom `frac` as
+    * outliers (`rnk <= ceil(frac * cluster_size)`).
+    *
+    * Scale: the k-means assign is a broadcast pass (corpus never
+    * shuffles); the rank window partitions by cluster id — bounded-width
+    * partitions at any corpus size when k scales with the data. The flag
+    * is integer-deterministic given the (bit-stable) cosine kernel.
+    * Output: (idCol, cid, rnk, n_c, outlier). */
+  def centroidOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, frac: Double): DataFrame = {
+    require(frac > 0 && frac < 1, s"frac must be in (0,1), got $frac")
+    val (assigned, cents) = KMeans.fit(corpus, idCol, vecCol, k, iters)
+    val withSim = assigned.join(broadcast(cents), "cid")
+      .select(col(idCol), col("cid"),
+        Similarity.cosine(col(vecCol), col("cvec")).as("csim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("csim"), col(idCol))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    withSim
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("n_c", count(lit(1)).over(wc))
+      .select(col(idCol), col("cid"), col("rnk"), col("n_c"),
+        (col("rnk") <= ceil(col("n_c") * frac)).as("outlier"))
+  }
+
   // --------------------------------------------------------------- packing
 
   /** Concat-and-chunk sequence packing: documents ordered by `orderCol`

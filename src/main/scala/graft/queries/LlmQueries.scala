@@ -139,6 +139,14 @@ object LlmQueries {
     assigned.select(col("vec_id"), col("cid")).orderBy(col("vec_id"))
   }
 
+  /** Centroid-distance embedding outliers: k-means (q46's exact
+    * trajectory), then the bottom 10% of each cluster by
+    * cosine-to-own-centroid flagged (rank asc, ties → lowest id). */
+  def q75(s: SparkSession, dir: String): DataFrame =
+    Training.centroidOutliers(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, frac = 0.1)
+      .orderBy(col("vec_id"))
+
   /** Concat-and-chunk sequence packing at a 2048-token budget: which
     * training sequence does each document start in. Integer arithmetic,
     * partitioned two-pass prefix sum (no global window). */
@@ -509,6 +517,7 @@ object LlmQueries {
     "q53_vocab" -> (q53 _),
     "q52_simhash_pairs" -> (q52 _),
     "q46_kmeans" -> (q46 _),
+    "q75_embed_outliers" -> (q75 _),
     "q47_pack" -> (q47 _),
     "q48_mix" -> (q48 _),
     "q41_winnow" -> (q41 _),
@@ -751,6 +760,22 @@ object LlmQueries {
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q46_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
+    "q75_embed_outliers" -> {
+      val (ctes, fin) = kmeansCtes(k = 8, iters = 2, dim = 64)
+      s"""WITH $ctes,
+         |sim AS (
+         | SELECT a.vec_id, a.cid,
+         |  list_cosine_similarity(a.ve, kk.cvec) AS csim
+         | FROM $fin a JOIN c2 kk ON kk.cid = a.cid),
+         |rk AS (
+         | SELECT vec_id, cid,
+         |  CAST(row_number() OVER (PARTITION BY cid ORDER BY csim, vec_id)
+         |   AS BIGINT) AS rnk,
+         |  CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_c
+         | FROM sim)
+         |SELECT vec_id, cid, rnk, n_c, rnk <= ceil(n_c * 0.1) AS outlier
+         |FROM rk ORDER BY vec_id""".stripMargin
+    },
     "q47_pack" ->
       """WITH d AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

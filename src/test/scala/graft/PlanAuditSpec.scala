@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "q29_cosine_topk", // exact kNN: broadcast query batch × corpus scan
     "q40_ann_ivf",     // 16 seed centroids broadcast for coarse assign
-    "q46_kmeans")      // k=8 centroids broadcast per Lloyd assign
+    "q46_kmeans",      // k=8 centroids broadcast per Lloyd assign
+    "q75_embed_outliers") // same Lloyd assign broadcast as q46
 
   test("no CartesianProduct anywhere; BNLJ only in the documented trio") {
     val sf = "/root/testdata/sf0.001"

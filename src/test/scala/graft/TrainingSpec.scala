@@ -153,6 +153,25 @@ class TrainingSpec extends AnyFunSuite {
     assert(byId(20L) == (20L, true))
   }
 
+  test("centroidOutliers flags the farthest-from-centroid fraction per cluster") {
+    // 9 vectors tight around axis 0 + 1 clear straggler leaning to axis 1;
+    // 10 around axis 1 with a straggler leaning to axis 0.
+    def v(base: Int, lean: Float) = {
+      val a = Array.fill(4)(0f); a(base) = 1f; a((base + 1) % 4) = lean; a
+    }
+    val rows =
+      (0L until 9L).map(i => (i, v(0, 0.01f * (i + 1)))) ++ Seq((9L, v(0, 0.9f))) ++
+        (10L until 19L).map(i => (i, v(1, 0.01f * (i - 9)))) ++ Seq((19L, v(1, 0.9f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Training.centroidOutliers(df, "vec_id", "embedding",
+        k = 2, iters = 2, frac = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out.size == 20)
+    // exactly ceil(10 * 0.1) = 1 outlier per cluster: the stragglers
+    assert(out(9L) && out(19L))
+    assert(out.count(_._2) == 2)
+  }
+
   test("chunkOverlap: windows, stride, tail partial, token counts") {
     import graft.llmops.TextStats
     val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
