@@ -255,6 +255,34 @@ object TextStats {
         size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType))
   }
 
+  /** Gopher "duplicate line fraction": share of a document's lines that
+    * are repeats of an earlier line in the SAME document (Rae et al.
+    * 2021 §A1.1 repetition filters — the within-doc complement of the
+    * corpus-wide [[Curation.lineDedupGlobal]]). Pure projection. */
+  def dupLineFrac(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    when(text.isNull || size(lines) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast(DoubleType) /
+          size(lines).cast(DoubleType))
+  }
+
+  /** Gopher "duplicate line character fraction": share of the document's
+    * line-characters living in repeated lines (weighted variant of
+    * [[dupLineFrac]] — long boilerplate counts more). Characters of every
+    * occurrence AFTER a line's first are duplicated. Implemented as
+    * array folds inside codegen: total chars minus chars of distinct
+    * lines, over total chars. */
+  def dupLineCharFrac(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast(LongType))
+    val total = charSum(lines)
+    val firsts = charSum(array_distinct(lines))
+    when(text.isNull || total <= 0, lit(0.0))
+      .otherwise((total - firsts).cast(DoubleType) / total.cast(DoubleType))
+  }
+
   // ------------------------------------------- unicode normalization
 
   /** Unicode-normalize text (NFC/NFD/NFKC/NFKD or STRIP_ACCENTS) — the

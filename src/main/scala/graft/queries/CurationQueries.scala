@@ -85,7 +85,22 @@ object CurationQueries {
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
       .orderBy(col("doc_id"))
 
+  /** q76: Gopher within-doc repetition — duplicate-line fraction and
+    * duplicate-line CHARACTER fraction (Rae et al. 2021 §A1.1). */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.TextStats
+    t(s, dir, "documents")
+      .select(col("doc_id"), linesText.as("t2"))
+      .select(col("doc_id"),
+        size(split(col("t2"), "\n")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_lines"),
+        TextStats.dupLineFrac(col("t2")).as("dup_line_frac"),
+        TextStats.dupLineCharFrac(col("t2")).as("dup_line_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_dup_lines" -> (q76 _),
     "q69_c4_filter" -> (q69 _),
     "q70_bpe_pairs" -> (q70 _),
     "q71_url_canon" -> (q71 _),
@@ -103,6 +118,22 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q76_dup_lines" ->
+      s"""WITH l AS (
+         | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, ls,
+         |  list_sum(list_transform(ls, x -> length(x))) AS total,
+         |  list_sum(list_transform(list_distinct(ls), x -> length(x))) AS firsts
+         | FROM l)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         | 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+         |  AS dup_line_frac,
+         | CASE WHEN total > 0 THEN
+         |   CAST(total - firsts AS DOUBLE) / CAST(total AS DOUBLE)
+         |  ELSE 0.0 END AS dup_line_char_frac
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q69_c4_filter" ->
       s"""WITH l AS (
          | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls

@@ -112,6 +112,30 @@ class CurationSpec extends AnyFunSuite {
     assert(canon.length === 4) // no throw on null/garbage input
   }
 
+  test("composition: chunkOverlap + minhashPairs finds a shared passage between docs") {
+    import graft.llmops.{Dedup, TextStats}
+    // two long docs sharing one verbatim passage, one unrelated doc
+    val passage = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, (1 to 30).map(i => s"alpha$i").mkString(" ") + " " + passage),
+      (2L, passage + " " + (1 to 30).map(i => s"beta$i").mkString(" ")),
+      (3L, (1 to 70).map(i => s"lone$i").mkString(" "))).toDF("doc_id", "text")
+    // sub-document near-dup: chunk into windows, then LSH near-dup over
+    // chunk ids "doc:ix" — the chunk relation is what pairs at 100 TB
+    val chunks = TextStats.chunkOverlap(df, "doc_id", "text",
+        window = 32, stride = 16)
+      .select(concat(col("id"), lit(":"), col("chunk_ix")).as("cid"),
+        col("chunk_text"))
+    val pairs = Dedup.minhashPairs(chunks, "cid", "chunk_text",
+        threshold = 0.8)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getString(0).split(':')(0), r.getString(1).split(':')(0)))
+    // at least one cross-document chunk pair between docs 1 and 2, none
+    // touching the unrelated doc 3
+    assert(pairs.exists(p => Set(p._1, p._2) == Set("1", "2")), pairs.mkString(", "))
+    assert(!pairs.exists(p => p._1 == "3" || p._2 == "3"), pairs.mkString(", "))
+  }
+
   test("deterministicShuffle is a stable permutation of 0..n-1") {
     val df = spark.range(500).toDF("id")
     val a = Curation.deterministicShuffle(df, "id")

@@ -154,4 +154,32 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT count(*), count(DISTINCT sh) FROM s_curate").head()
     assert(rows.getLong(0) > 0 && rows.getLong(0) == rows.getLong(1))
   }
+
+  test("C4 line filter + hash split stream (pure projections, stream-safe)") {
+    import graft.llmops.Curation
+    val d = Files.createTempDirectory("graft-docs2")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("part-0.parquet"))
+    val docsSchema = StructType(scala.Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docsSchema).parquet(d.toString)
+    val lined = stream.select(col("doc_id"),
+      regexp_replace(col("text"), " the ", "\n").as("t2"))
+    val curated = Curation.hashSplit(
+      Curation.c4LineFilter(lined, "doc_id", "t2",
+        minWords = 5, badSubstrings = scala.Seq("slow"), minKeptLines = 1)
+        .filter(col("keep_doc")),
+      "id", scala.Seq("train" -> 0.9, "val" -> 0.1))
+    val q = curated.writeStream.format("memory").queryName("s_c4split")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql(
+      "SELECT count(*), count_if(split = 'train'), count_if(n_kept = 0) FROM s_c4split")
+      .head()
+    assert(out.getLong(0) > 0, "c4-filtered stream produced no rows")
+    assert(out.getLong(1) > 0, "no rows assigned to the train split")
+    assert(out.getLong(2) === 0, "keep_doc rows must have kept lines")
+  }
 }
