@@ -318,6 +318,24 @@ object Config {
         ForEach(asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))
           .map(p => compileProcessor(asMap(p))))
       case "jsonschema" => E.JsonSchema(str(conf, "schema"))
+      // --- curation extension processors (no reference equivalent) ---
+      case "c4_line_filter" => graft.ops.CurationProcs.C4LineFilterProc(
+        optStr(conf, "separator", "\n"),
+        conf.get("min_words").map(_.toString.toInt).getOrElse(5),
+        conf.get("bad_substrings")
+          .map(v => asList(v).map(_.toString))
+          .getOrElse(scala.Seq("lorem ipsum", "javascript")),
+        conf.get("min_kept_lines").map(_.toString.toInt).getOrElse(1))
+      case "pii_redact" => graft.ops.CurationProcs.PiiRedactProc()
+      case "gopher_filter" => graft.ops.CurationProcs.GopherFilterProc()
+      case "unicode_normalize" =>
+        graft.ops.CurationProcs.UnicodeNormalizeProc(optStr(conf, "form", "NFC"))
+      case "hash_split" =>
+        val w = asMap(conf("weights")).toSeq
+          .map { case (k, v) => k -> v.toString.toDouble }.sortBy(_._1)
+        graft.ops.CurationProcs.HashSplitProc(w,
+          optStr(conf, "meta_key", "split"),
+          optStr(conf, "key", "content().string()"))
       case "branch" =>
         F.Branch(str(conf, "request_map"),
           asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))

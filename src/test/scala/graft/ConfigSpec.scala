@@ -350,6 +350,45 @@ class ConfigSpec extends AnyFunSuite {
     assert(num.pipeline.length == 1)
   }
 
+  test("curation processors from YAML: c4 filter + pii redact + normalize + hash split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  generate:
+         |    count: 6
+         |    mapping: |
+         |      root = if this.i % 3 == 0 {
+         |        "short"
+         |      } else {
+         |        "mail me at a@b.com today\\ntiny line"
+         |      }
+         |pipeline:
+         |  processors:
+         |    - unicode_normalize:
+         |        form: NFC
+         |    - pii_redact: {}
+         |    - c4_line_filter:
+         |        min_words: 4
+         |        min_kept_lines: 1
+         |    - hash_split:
+         |        meta_key: split
+         |        weights:
+         |          train: 0.5
+         |          val: 0.5
+         |output:
+         |  file:
+         |    path: $dir/out
+         |    codec: lines
+         |""".stripMargin)
+    spec.run(spark)
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0))
+    // "short" docs (i=0,3) have no line with >=4 words → dropped entirely;
+    // the "tiny line" (2 words) is scrubbed from the survivors
+    assert(lines.length == 4, lines.mkString("|"))
+    assert(lines.forall(_ == "mail me at [EMAIL] today"),
+      lines.mkString("|"))
+  }
+
   test("metric processor observes row count, rendered at /metrics") {
     graft.runtime.Metrics.clear()
     val spec = graft.runtime.Config.load(

@@ -218,6 +218,11 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       """{"thing":"\"foo\\nbar\""}""" -> """{"unquoted":"foo\nbar"}""")
   }
 
+  test("values sorted (methods_structured.go:1459)") {
+    check("root.foo_vals = this.foo.values().sort()",
+      """{"foo":{"bar":1,"baz":2}}""" -> """{"foo_vals":[1,2]}""")
+  }
+
   test("not_empty with catch fallback (methods_structured.go:955)") {
     // reference: empty string/array → error; in the engine's error model
     // that's null, so `.catch()` supplies the fallback the same way.
