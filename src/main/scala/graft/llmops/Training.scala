@@ -241,4 +241,77 @@ object Training {
     slim.unpersist()
     out
   }
+
+  // -------------------------------------------------- BPE tokenizer training
+
+  /** BPE tokenizer training (Sennrich et al. 2016): learn `numMerges`
+    * merge rules from a corpus.
+    *
+    * The corpus-heavy pass — the word count — is fully distributed (the
+    * canonical explode + map-side-combined groupBy); the merge loop then
+    * runs on the COLLECTED vocabulary (distinct words × counts). That is
+    * the standard trade, and the same shape as the connected-components
+    * union-find finish: at 100 TB the corpus is petabytes but the
+    * vocabulary is millions of rows, and each merge step only touches
+    * vocabulary entries. `maxVocab` caps driver memory (rare tail words
+    * contribute negligible pair mass).
+    *
+    * Deterministic: best pair = max count, ties → lexicographically
+    * smallest pair; merge application is the classic left-to-right
+    * non-overlapping scan over SYMBOL ARRAYS (no string-replace boundary
+    * artifacts). Words carry a terminal `</w>` marker.
+    *
+    * Returns the ordered merge rules. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 1000000): scala.Seq[(String, String)] = {
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, n) => (applyBpeMerge(syms, best), n) }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One merge rule applied to a symbol array: left-to-right
+    * non-overlapping — exactly the reference BPE algorithm's scan. */
+  def applyBpeMerge(syms: Array[String],
+      pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += pair._1 + pair._2
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Tokenize one word with a learned merge table (test/driver utility;
+    * bulk application at corpus scale belongs in a native expression). */
+  def bpeTokenize(word: String,
+      merges: scala.Seq[(String, String)]): scala.Seq[String] =
+    merges.foldLeft(word.map(_.toString).toArray :+ "</w>")(applyBpeMerge).toSeq
 }

@@ -153,6 +153,22 @@ class TrainingSpec extends AnyFunSuite {
     assert(byId(20L) == (20L, true))
   }
 
+  test("bpeTrain learns the textbook merge sequence (Sennrich et al. example)") {
+    import graft.llmops.Training
+    // vocabulary low:5, lower:2, newest:6, widest:3 — the classic demo
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val merges = Training.bpeTrain(df, "text", numMerges = 4)
+    // hand-computed: (e,s)@9 → (es,t)@9 → (est,</w>)@9 → (l,o)@7
+    assert(merges === Seq("e" -> "s", "es" -> "t", "est" -> "</w>", "l" -> "o"))
+    assert(Training.bpeTokenize("newest", merges) === Seq("n", "e", "w", "est</w>"))
+    assert(Training.bpeTokenize("low", merges) === Seq("lo", "w", "</w>"))
+    // merge application is left-to-right non-overlapping on symbol arrays
+    assert(Training.applyBpeMerge(Array("a", "a", "a"), ("a", "a")).toSeq ===
+      Seq("aa", "a"))
+  }
+
   test("centroidOutliers flags the farthest-from-centroid fraction per cluster") {
     // 9 vectors tight around axis 0 + 1 clear straggler leaning to axis 1;
     // 10 around axis 1 with a straggler leaning to axis 0.
