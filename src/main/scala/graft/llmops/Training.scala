@@ -190,6 +190,41 @@ object Training {
     df.filter(cond)
   }
 
+  /** Solved sampling plan for one source: `rate` feeds [[mixStrata]],
+    * `epochs` = rate (≥1 means the source repeats), `tokens` the expected
+    * contribution, `capped` flags sources whose epoch cap binds — the
+    * realized mixture under-weights them vs the target. */
+  final case class MixRate(rate: Double, epochs: Double, tokens: Long,
+      capped: Boolean)
+
+  /** Solve per-source sampling rates for a target token mixture (the
+    * LLaMA/Pile-style recipe arithmetic): source s should contribute
+    * `weights(s) * budgetTokens` tokens, so its rate is
+    * `weight·budget / tokens_s`, clamped to `maxEpochs` repeats of the
+    * source. Driver-side arithmetic over the (tiny) per-source token
+    * table — pair with a `groupBy(source).agg(sum(nTokens))` pass and
+    * feed the rates into [[mixStrata]] (rates > 1 mean duplication,
+    * which mixStrata treats as keep-all; express extra epochs as corpus
+    * repetition upstream). */
+  def mixtureRates(sourceTokens: Map[String, Long],
+      weights: Map[String, Double], budgetTokens: Long,
+      maxEpochs: Double = 1.0): Map[String, MixRate] = {
+    require(sourceTokens.keySet == weights.keySet,
+      "mixtureRates: sources and weights must cover the same keys")
+    val wsum = weights.values.sum
+    require(wsum > 0, "mixtureRates: weights must sum > 0")
+    weights.map { case (s, w) =>
+      val have = sourceTokens(s)
+      val want = w / wsum * budgetTokens
+      val raw = if (have <= 0) 0.0 else want / have
+      val rate = math.min(raw, maxEpochs)
+      // relative epsilon: weight-normalization arithmetic may land an ulp
+      // above the cap without the cap genuinely binding
+      val capped = raw > maxEpochs * (1 + 1e-9)
+      s -> MixRate(rate, rate, math.round(rate * have), capped)
+    }
+  }
+
   /** Per-group contribution cap (the "domain cap" of web-scale corpus
     * curation: no source may contribute more than `maxPerGroup` docs).
     * Selection is deterministic and engine-portable: within each group

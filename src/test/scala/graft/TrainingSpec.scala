@@ -153,6 +153,30 @@ class TrainingSpec extends AnyFunSuite {
     assert(byId(20L) == (20L, true))
   }
 
+  test("mixtureRates solves target weights under an epoch cap") {
+    import graft.llmops.Training
+    val rates = Training.mixtureRates(
+      sourceTokens = Map("web" -> 1000000L, "code" -> 100000L, "wiki" -> 50000L),
+      weights = Map("web" -> 0.6, "code" -> 0.3, "wiki" -> 0.1),
+      budgetTokens = 500000L, maxEpochs = 1.0)
+    // web: wants 300k of 1M → 0.3; code: wants 150k of 100k → capped at 1 epoch
+    assert(math.abs(rates("web").rate - 0.3) < 1e-12 && !rates("web").capped)
+    assert(rates("code").rate === 1.0 && rates("code").capped)
+    assert(rates("code").tokens === 100000L)
+    // wiki: wants 50k of 50k → exactly 1 epoch, not capped
+    assert(rates("wiki").rate === 1.0 && !rates("wiki").capped)
+    // the realized plan feeds mixStrata directly
+    val df = (0 until 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "wiki"))
+      .toDF("id", "src")
+    val kept = Training.mixStrata(df, col("src"), col("id"),
+      rates.view.mapValues(_.rate).toMap)
+    val n = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("code") === 100L && n("wiki") === 100L) // rate 1.0 keeps all
+    assert(n("web") > 10 && n("web") < 60) // ~30% of 100
+  }
+
   test("bpeTrain learns the textbook merge sequence (Sennrich et al. example)") {
     import graft.llmops.Training
     // vocabulary low:5, lower:2, newest:6, widest:3 — the classic demo
