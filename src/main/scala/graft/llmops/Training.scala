@@ -344,9 +344,18 @@ object Training {
     out.toArray
   }
 
-  /** Tokenize one word with a learned merge table (test/driver utility;
-    * bulk application at corpus scale belongs in a native expression). */
+  /** Tokenize one word with a learned merge table (reference
+    * implementation: the literal in-order fold; the corpus-scale path is
+    * [[bpeTokens]] / [[graft.exprs.BpeTokenizeExpr]]). */
   def bpeTokenize(word: String,
       merges: scala.Seq[(String, String)]): scala.Seq[String] =
     merges.foldLeft(word.map(_.toString).toArray :+ "</w>")(applyBpeMerge).toSeq
+
+  /** Corpus-scale BPE tokenization: text column → array of merged
+    * symbols, native one-pass expression (rank-greedy per word — provably
+    * identical to the in-order fold because a merged symbol only ever
+    * participates in later-rank rules). `size(bpeTokens(...))` is the
+    * trained-tokenizer token count the packing/budget ops consume. */
+  def bpeTokens(text: Column, merges: scala.Seq[(String, String)]): Column =
+    graft.exprs.BpeTokenizeExpr.column(text, merges)
 }

@@ -193,6 +193,23 @@ class TrainingSpec extends AnyFunSuite {
       Seq("aa", "a"))
   }
 
+  test("bpeTokens expression matches the in-order fold reference on real text") {
+    import graft.llmops.Training
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val merges = Training.bpeTrain(docs, "text", numMerges = 12)
+    assert(merges.size === 12)
+    val got = docs.select(col("text"),
+        Training.bpeTokens(col("text"), merges).as("toks"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val text = r.getString(0)
+      val want = text.split(" ", -1).filter(_.nonEmpty).toSeq
+        .flatMap(w => Training.bpeTokenize(w, merges))
+      assert(r.getSeq[String](1) === want, s"text: $text")
+    }
+  }
+
   test("centroidOutliers flags the farthest-from-centroid fraction per cluster") {
     // 9 vectors tight around axis 0 + 1 clear straggler leaning to axis 1;
     // 10 around axis 1 with a straggler leaning to axis 0.
