@@ -98,6 +98,15 @@ object Parser {
   // ---------------- Parser state ----------------
   private final class P(toks: Vector[Tok]) {
     var pos = 0
+    // recursion guard: bounded nesting so hostile/degenerate input yields
+    // a ParseError diagnostic instead of a JVM StackOverflowError
+    var depth = 0
+    def enter(): Unit = {
+      depth += 1
+      if (depth > 500)
+        throw ParseError("expression nesting too deep (limit 500)", peek.pos)
+    }
+    def exit(): Unit = depth -= 1
     def peek: Tok = toks(pos)
     def peek2: Tok = toks(math.min(pos + 1, toks.length - 1))
     def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -183,9 +192,12 @@ object Parser {
   def parseQuery(p: P): Expr = parsePipe(p)
 
   private def parsePipe(p: P): Expr = {
-    var l = parseOr(p)
-    while (p.isOp("|")) { p.next(); l = BinOp("|", l, parseOr(p)) }
-    l
+    p.enter()
+    try {
+      var l = parseOr(p)
+      while (p.isOp("|")) { p.next(); l = BinOp("|", l, parseOr(p)) }
+      l
+    } finally p.exit()
   }
   private def parseOr(p: P): Expr = {
     var l = parseAnd(p)

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.blobl.{CompileError, Mapping, ParseError}
+
+/** Compiler robustness: arbitrary input must produce a CONTROLLED outcome
+  * — a compiled mapping or a typed compile/parse error — never a
+  * StackOverflow, NPE, or match error. A config-driven engine's parser is
+  * attacker-adjacent surface; "garbage in, diagnostic out" is the
+  * contract `benthos lint` relies on. Deterministic seed so failures
+  * reproduce. */
+class FuzzSpec extends AnyFunSuite {
+
+  private def compiles(src: String): Boolean =
+    try { Mapping.compile(src); true }
+    catch {
+      case _: CompileError | _: ParseError => true
+      case _: IllegalArgumentException => true
+      case _: org.apache.spark.sql.AnalysisException => true
+    }
+
+  test("random printable garbage never crashes the Bloblang compiler") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val len = rnd.nextInt(120)
+      val s = new String(Array.fill(len)((32 + rnd.nextInt(95)).toChar))
+      assert(compiles(s), s"input: $s")
+    }
+  }
+
+  test("random token soup (keywords/operators/idents) never crashes") {
+    val toks = Array(
+      "root", "this", "meta", "let", "map", "if", "else", "match",
+      ".", "=", "==", "|", "->", "(", ")", "{", "}", "[", "]", ",",
+      "\"x\"", "1", "1.5", "true", "null", "foo", "_bar", "+", "-",
+      "*", "/", "!", "&&", "||", ">=", "$v", "#", "\n", " ")
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val s = Array.fill(1 + rnd.nextInt(30))(toks(rnd.nextInt(toks.length)))
+        .mkString(" ")
+      assert(compiles(s), s"input: $s")
+    }
+  }
+
+  test("deeply nested expressions fail gracefully, not with stack overflow") {
+    // kilo-deep parens/paths — a recursive-descent parser either parses
+    // them or reports a bounded error
+    val deep = "root = " + ("(" * 2000) + "this.a" + (")" * 2000)
+    assert(compiles(deep))
+    val deepPath = "root = this" + (".a" * 3000)
+    assert(compiles(deepPath))
+  }
+}
