@@ -43,6 +43,30 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("jq / jmespath / grok translators never crash on garbage") {
+    def ok(f: => Any): Boolean =
+      try { f; true }
+      catch {
+        case _: CompileError | _: ParseError => true
+        case _: IllegalArgumentException => true
+        case _: java.util.regex.PatternSyntaxException => true
+      }
+    val rnd = new scala.util.Random(99)
+    val jqToks = Array(".", "|", "[", "]", "(", ")", "{", "}", ",", "?",
+      "a", "b", "select", "map", "//", "==", "\"s\"", "1", " ")
+    (1 to 300).foreach { _ =>
+      val s = Array.fill(1 + rnd.nextInt(20))(jqToks(rnd.nextInt(jqToks.length))).mkString
+      assert(ok(graft.blobl.Jq.translate(s)), s"jq: $s")
+      assert(ok(graft.blobl.JmesPath.translate(s)), s"jmespath: $s")
+    }
+    val grokBits = Array("%{WORD:w}", "%{NUMBER", "%{", "}", "\\[", "(",
+      "[a-", "%{IP:ip}", " ", "x")
+    (1 to 200).foreach { _ =>
+      val s = Array.fill(1 + rnd.nextInt(8))(grokBits(rnd.nextInt(grokBits.length))).mkString
+      assert(ok(graft.ops.Grok.compile(s)), s"grok: $s")
+    }
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error
