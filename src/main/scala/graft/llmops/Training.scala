@@ -358,4 +358,30 @@ object Training {
     * trained-tokenizer token count the packing/budget ops consume. */
   def bpeTokens(text: Column, merges: scala.Seq[(String, String)]): Column =
     graft.exprs.BpeTokenizeExpr.column(text, merges)
+
+  // ------------------------------------------------- artifact persistence
+
+  /** Persist a learned BPE merge table to parquet (rank order preserved)
+    * — train once on the corpus, reuse across jobs (the same contract as
+    * [[graft.llmops.Dedup.minhashIndex]] for signature tables). */
+  def saveMerges(spark: SparkSession, merges: scala.Seq[(String, String)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: SparkSession, path: String): scala.Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
+  /** Persist fitted k-means centroids (cid, cvec) — the reusable model
+    * for [[KMeans.assign]]-style scoring of new batches. */
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -210,6 +210,26 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merges and k-means centroids round-trip through parquet") {
+    import graft.llmops.Training
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts")
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    val merges = Training.bpeTrain(docs, "text", numMerges = 6)
+    Training.saveMerges(spark, merges, s"$dir/merges")
+    assert(Training.loadMerges(spark, s"$dir/merges") === merges)
+
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    val (_, cents) = Training.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    Training.saveCentroids(cents, s"$dir/cents")
+    val loaded = Training.loadCentroids(spark, s"$dir/cents")
+    // scoring a new batch with the loaded model reproduces the assignment
+    val a = Training.KMeans.assign(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Training.KMeans.assign(emb, "vec_id", "embedding", loaded)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b && a.size === 40)
+  }
+
   test("centroidOutliers flags the farthest-from-centroid fraction per cluster") {
     // 9 vectors tight around axis 0 + 1 clear straggler leaning to axis 1;
     // 10 around axis 1 with a straggler leaning to axis 0.
