@@ -67,6 +67,26 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("interpolation templates never crash on garbage") {
+    val spark = Sessions.builder("2").getOrCreate()
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    def ok(t: String): Boolean =
+      try { graft.blobl.Interpolation.column(df, t); true }
+      catch {
+        case _: CompileError | _: ParseError => true
+        case _: IllegalArgumentException => true
+        case _: org.apache.spark.sql.AnalysisException => true
+      }
+    val bits = Array("${!", "}", "this", ".", "id", "(", ")", "\"", "$",
+      "{", "literal", " ", "${! this.v }", "%")
+    val rnd = new scala.util.Random(3)
+    (1 to 300).foreach { _ =>
+      val s = Array.fill(1 + rnd.nextInt(10))(bits(rnd.nextInt(bits.length))).mkString
+      assert(ok(s), s"template: $s")
+    }
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error
