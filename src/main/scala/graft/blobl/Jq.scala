@@ -237,6 +237,23 @@ object Jq {
           IfExpr(List((cond, This)), Some(LitNull))
         case "not" => Not(This)
         case "empty" => LitNull
+        case "type" => MethodCall(This, "type", Nil)
+        case "has" => MethodCall(This, "exists", List(arg()))
+        case "any" => MethodCall(This, "any", List(Lambda("x", VarRef("x"))))
+        case "all" => MethodCall(This, "all", List(Lambda("x", VarRef("x"))))
+        case "first" => IndexOp(This, LitLong(0))
+        case "last" => IndexOp(This, LitLong(-1))
+        case "flatten" => MethodCall(This, "flatten", Nil)
+        case "abs" => MethodCall(This, "abs", Nil)
+        case "test" => MethodCall(This, "re_match", List(arg()))
+        case "gsub" =>
+          // gsub(re; replacement)
+          eat('(')
+          val re = parsePipe()
+          ws(); eat(';'); ws()
+          val repl = parsePipe()
+          eat(')')
+          MethodCall(This, "re_replace", List(re, repl))
         case o => throw new IllegalArgumentException(s"jq: unsupported builtin $o")
       }
     }

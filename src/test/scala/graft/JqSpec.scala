@@ -54,4 +54,18 @@ class JqSpec extends AnyFunSuite {
     assert(run(".s | ascii_upcase", """{"s":"hey"}""") == "HEY")
     assert(run(""".s | ltrimstr("foo")""", """{"s":"foobar"}""") == "bar")
   }
+
+  test("builtins: has, type, first/last, flatten, any/all, abs, test, gsub") {
+    assert(run("""has("a")""", """{"a":1}""") == "true")
+    assert(run("""has("zz")""", """{"a":1}""") == "false")
+    assert(run(".a | type", """{"a":[1]}""") == "array")
+    assert(run(".xs | first", """{"xs":[7,8,9]}""") == "7")
+    assert(run(".xs | last", """{"xs":[7,8,9]}""") == "9")
+    assert(run(".xs | flatten | add", """{"xs":[[1,2],[3]]}""") == "6")
+    assert(run(".bs | any", """{"bs":[false,true]}""") == "true")
+    assert(run(".bs | all", """{"bs":[false,true]}""") == "false")
+    assert(run(".n | abs", """{"n":-4}""") == "4")
+    assert(run(""".s | test("b.r")""", """{"s":"bar"}""") == "true")
+    assert(run(""".s | gsub("o"; "0")""", """{"s":"foo"}""") == "f00")
+  }
 }
