@@ -190,6 +190,15 @@ object JmesPath {
         case "floor" => MethodCall(args.head, "floor", Nil)
         case "ceil" => MethodCall(args.head, "ceil", Nil)
         case "reverse" => MethodCall(args.head, "reverse", Nil)
+        case "type" => MethodCall(args.head, "type", Nil)
+        case "not_null" =>
+          // first non-null argument (JMESPath spec §not_null)
+          args.reduceRight((a, b) => BinOp("|", a, b))
+        case "avg" =>
+          BinOp("/", MethodCall(args.head, "sum", Nil),
+            MethodCall(args.head, "length", Nil))
+        case "merge" =>
+          args.reduceLeft((a, b) => MethodCall(a, "merge", List(b)))
         case o => throw new IllegalArgumentException(s"jmespath: unsupported function $o")
       }
     }

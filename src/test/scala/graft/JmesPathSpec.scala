@@ -49,6 +49,14 @@ class JmesPathSpec extends AnyFunSuite {
     assert(run("a > `5` && b == 'x'", """{"a":10,"b":"x"}""") == "true")
   }
 
+  test("functions: type, not_null, avg, merge") {
+    assert(run("type(a)", """{"a":[1,2]}""") == "array")
+    assert(run("not_null(missing, a)", """{"a":"v"}""") == "v")
+    assert(run("avg(xs)", """{"xs":[2,4,6]}""") == "4.0")
+    assert(run("merge(a, b)", """{"a":{"x":1},"b":{"y":2}}""")
+      == """{"x":1,"y":2}""")
+  }
+
   test("reference doc example: cities query (lib/processor/jmespath.go)") {
     assert(run(
       """locations[?state == 'WA'].name | sort(@) | {Cities: join(', ', @)}""",
