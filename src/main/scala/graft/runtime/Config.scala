@@ -357,7 +357,10 @@ object Config {
         import org.apache.spark.sql.functions.{count => cnt, lit => l}
         MetricProc(Metrics.freshObservation(str(conf, "name")),
           scala.Seq(cnt(l(1)).as("count")))
-      case "log" | "sleep" | "rate_limit" => Noop // row-pacing stubs
+      // log and sleep have real processors above; only the inline
+      // rate_limit placement degrades to a no-op (named rate_limit
+      // resources are acquired by the http processor per request)
+      case "rate_limit" => Noop
       case o => throw new IllegalArgumentException(s"config: unknown processor $o")
     }
   }
