@@ -426,4 +426,35 @@ object Dedup {
       .agg(count(lit(1)).as("shared")) // one row per (pair, fingerprint)
       .filter(col("shared") >= minShared)
   }
+
+  /** Per-document duplicated-content fraction (the MassiveText
+    * "fraction of characters in duplicated n-grams" gate, expressed
+    * over winnowing fingerprints): a fingerprint is *shared* when it
+    * occurs in at least two documents; a document's duplication level
+    * is `dup_bp = n_shared * 10000 div n_fp` basis points, flagged at
+    * `thresholdBp`. Integer-exact end to end.
+    *
+    * Scale shape: the (id, h) relation is materialized once (winnowing
+    * is the expensive projection), document frequencies come from one
+    * `groupBy(h)` with map-side combine, and the join back is
+    * h-co-partitioned with that aggregation — then one `groupBy(id)`.
+    * Never a pairwise product, unlike [[sharedPassagePairs]]: this is
+    * the per-doc roll-up you run corpus-wide BEFORE deciding which
+    * pairs deserve the self-join.
+    *
+    * Output: (id, n_fp, n_shared, dup_bp, flagged). */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, thresholdBp: Int = 2500): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+        explode(graft.exprs.WinnowExpr.column(col(textCol), k, w)).as("h"))
+      .localCheckpoint()
+    val dfc = fp.groupBy(col("h")).agg(count(lit(1)).as("_dfn"))
+    fp.join(dfc, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("_dfn") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("id"), col("n_fp"), col("n_shared"),
+        expr("n_shared * 10000 div n_fp").as("dup_bp"))
+      .withColumn("flagged", col("dup_bp") >= thresholdBp)
+  }
 }

@@ -134,6 +134,68 @@ object TextStats {
   /** Word bigrams with multiplicity ("a b" strings); empty below 2 tokens. */
   def wordBigramsRaw(text: Column): Column = bigramsOfTokens(split(text, " "))
 
+  /** Word trigrams with multiplicity ("a b c" strings); empty below 3
+    * tokens. Same shifted-slice zip_with shape as [[bigramsOfTokens]]
+    * (O(n) per document — no lambda-scope re-tokenize). */
+  def trigramsOfTokens(toks: Column): Column =
+    when(size(toks) < 3, array().cast(ArrayType(StringType)))
+      .otherwise(zip_with(
+        zip_with(
+          slice(toks, lit(1), size(toks) - 2),
+          slice(toks, lit(2), size(toks) - 2),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(toks, lit(3), size(toks) - 2),
+        (ab, c) => concat_ws(" ", ab, c)))
+
+  /** Trigram stupid-backoff resolution histogram — the integer-exact,
+    * engine-portable core of an n-gram-LM perplexity filter (CCNet
+    * style). Each document trigram is resolved at the deepest model
+    * level that has corpus support beyond the occurrence itself:
+    * level 3 if the trigram occurs ≥2× corpus-wide, else level 2 if
+    * its trailing bigram does, else level 1 if its trailing unigram
+    * does, else level 0 (a hapax continuation). A float stupid-backoff
+    * score (0.4^(3-level) products) would hash-differ in the last ulp
+    * across engines; the level histogram ranks documents identically
+    * and stays bit-exact.
+    *
+    * Scale shape: three word-count-shaped model aggregations (map-side
+    * combined; shuffle rows bounded by distinct n-grams per partition),
+    * then n-gram-keyed equi-joins against the exploded trigram stream
+    * and one per-doc re-agg. Linear end to end; never a product.
+    *
+    * Output: (id, n_tri, l3, l2, l1, l0) with zeros for sub-3-token
+    * docs. */
+  def backoffLevels(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("_tk"))
+    val tri = base.select(col("id"),
+        explode(trigramsOfTokens(col("_tk"))).as("g3"))
+      .select(col("id"), col("g3"),
+        substring_index(col("g3"), " ", -2).as("g2"),
+        substring_index(col("g3"), " ", -1).as("g1"))
+    val m3 = tri.groupBy(col("g3")).agg(count(lit(1)).as("c3"))
+    val m2 = base.select(explode(bigramsOfTokens(col("_tk"))).as("g2"))
+      .groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val m1 = base.select(explode(col("_tk")).as("g1"))
+      .groupBy(col("g1")).agg(count(lit(1)).as("c1"))
+    val lvl = tri
+      .join(m3, "g3").join(m2, "g2").join(m1, "g1")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("c3") >= 2L, 1L).otherwise(0L)).as("l3"),
+        sum(when(col("c3") < 2L && col("c2") >= 2L, 1L).otherwise(0L)).as("l2"),
+        sum(when(col("c3") < 2L && col("c2") < 2L && col("c1") >= 2L, 1L)
+          .otherwise(0L)).as("l1"),
+        sum(when(col("c3") < 2L && col("c2") < 2L && col("c1") < 2L, 1L)
+          .otherwise(0L)).as("l0"))
+    df.select(col(idCol).as("id")).join(lvl, scala.Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("l3"), lit(0L)).as("l3"),
+        coalesce(col("l2"), lit(0L)).as("l2"),
+        coalesce(col("l1"), lit(0L)).as("l1"),
+        coalesce(col("l0"), lit(0L)).as("l0"))
+  }
+
   /** Corpus bigram counts — the "training" pass of a count-based n-gram
     * language model. One explode + one map-side-combined groupBy (same
     * shape as [[vocabulary]]): the shuffle carries one row per distinct

@@ -95,6 +95,52 @@ object Training {
     }
   }
 
+  // ------------------------------------------------- quality classifier
+
+  /** Integer-exact hashed quality classifier (the fastText-style
+    * filter-model step of a web-curation pipeline, e.g. the CCNet /
+    * LLaMA "is this page Wikipedia-like?" gate): train a multinomial
+    * Naive-Bayes-flavoured linear model from a boolean label column,
+    * then score every document with it — all in fixed-point integer
+    * arithmetic so the result is bit-exact across engines.
+    *
+    * Features are hashed unigrams: `f = int(md5(tok)[0,4)) mod dim`
+    * (the hashing trick — bounds the model at `dim` weights no matter
+    * the vocabulary). Each feature's weight is the smoothed positive
+    * rate in fixed point: `w_f = (c1_f + 1) * scale div (cn_f + 2)`
+    * where `c1_f` counts occurrences under the label and `cn_f` all
+    * occurrences. A document's score is the token-frequency-weighted
+    * mean posterior, `score_fp = sum(w_tok) div n_tokens`, and
+    * `pred = 2 * sum(w_tok) > n_tokens * scale` (mean posterior above
+    * one half).
+    *
+    * Scale shape (100 TB): one tokenize+hash pass with a map-side
+    * partial `groupBy(f)` — at most `dim` rows leave each task — then
+    * the `dim`-row weight table is BROADCAST back for the scoring
+    * pass, whose only shuffle is the per-document re-aggregation.
+    * Nothing in the plan grows with vocabulary size.
+    *
+    * Output: (id, n_tokens, score_fp, pred). */
+  def hashedNbClassifier(df: DataFrame, idCol: String, textCol: String,
+      labelPred: Column, dim: Int = 4096, scale: Long = 1000000L): DataFrame = {
+    require(dim > 0 && dim <= 65536, s"dim must be in (0, 65536], got $dim")
+    val tok = df.select(col(idCol).as("id"), labelPred.as("_y"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val feat = tok.select(col("id"), col("_y"),
+      (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast(LongType) % dim).as("f"))
+    val weights = feat.groupBy(col("f")).agg(
+        sum(when(col("_y"), 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("cn"))
+      .select(col("f"),
+        expr(s"(c1 + 1) * $scale div (cn + 2)").as("w"))
+    feat.join(broadcast(weights), "f")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("_ws"))
+      .select(col("id"), col("n_tokens"),
+        expr("_ws div n_tokens").as("score_fp"),
+        (col("_ws") * 2L > col("n_tokens") * scale).as("pred"))
+  }
+
   // ------------------------------------------------------ centroid outliers
 
   /** Embedding outlier detection by centroid distance (the CLIP-score /

@@ -147,6 +147,32 @@ object LlmQueries {
         k = 8, iters = 2, frac = 0.1)
       .orderBy(col("vec_id"))
 
+  /** q77: integer-exact hashed quality classifier — train the
+    * fastText-style filter model on lang='en' labels (4096 hashed
+    * unigram buckets, fixed-point smoothed positive rates), then score
+    * every document with the broadcast weight table. */
+  def q77(s: SparkSession, dir: String): DataFrame =
+    Training.hashedNbClassifier(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 4096)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q78: per-document duplicated-content fraction over winnowing
+    * fingerprints (MassiveText dup-ngram-fraction gate), flagged at
+    * 25% basis points. */
+  def q78(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, thresholdBp = 2500)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q79: trigram stupid-backoff resolution histogram — the
+    * integer-exact n-gram-LM perplexity-filter core. */
+  def q79(s: SparkSession, dir: String): DataFrame =
+    TextStats.backoffLevels(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Concat-and-chunk sequence packing at a 2048-token budget: which
     * training sequence does each document start in. Integer arithmetic,
     * partitioned two-pass prefix sum (no global window). */
@@ -531,7 +557,10 @@ object LlmQueries {
     "q28_simhash" -> (q28 _),
     "q29_cosine_topk" -> (q29 _),
     "q30_text_quality" -> (q30 _),
-    "q31_multimodal_meta" -> (q31 _))
+    "q31_multimodal_meta" -> (q31 _),
+    "q77_classifier" -> (q77 _),
+    "q78_dup_spans" -> (q78 _),
+    "q79_backoff" -> (q79 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -844,6 +873,74 @@ object LlmQueries {
         | array_to_string(t[i:i+31], ' ') AS chunk_text,
         | CAST(least(len(t) - i + 1, 32) AS BIGINT) AS chunk_tokens
         |FROM st ORDER BY doc_id, chunk_ix""".stripMargin,
+    "q77_classifier" ->
+      """WITH tk AS (
+        | SELECT doc_id, lang = 'en' AS y,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ft AS (
+        | SELECT doc_id, y, CAST(
+        |   256 * (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+        |   + 16 * (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+        |   + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)
+        |  AS BIGINT) AS f
+        | FROM tk),
+        |w AS (
+        | SELECT f, CAST(
+        |   (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000
+        |    // (CAST(count(*) AS BIGINT) + 2) AS BIGINT) AS w
+        | FROM ft GROUP BY f),
+        |per AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w) AS BIGINT) AS ws
+        | FROM ft JOIN w USING (f) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        | CAST(ws // n_tokens AS BIGINT) AS score_fp,
+        | 2 * ws > n_tokens * 1000000 AS pred
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "q78_dup_spans" ->
+      s"""WITH $winnowFpCtes,
+        |dfc AS (SELECT h, CAST(count(*) AS BIGINT) AS dfn FROM fp GROUP BY h),
+        |per AS (
+        | SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(sum(CASE WHEN dfn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        | FROM fp f JOIN dfc USING (h) GROUP BY f.doc_id)
+        |SELECT doc_id, n_fp, n_shared,
+        | CAST(n_shared * 10000 // n_fp AS BIGINT) AS dup_bp,
+        | n_shared * 10000 // n_fp >= 2500 AS flagged
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "q79_backoff" ->
+      """WITH tk AS (
+        | SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tri AS (
+        | SELECT doc_id,
+        |  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g3,
+        |  ts[i+1] || ' ' || ts[i+2] AS g2,
+        |  ts[i+2] AS g1
+        | FROM tk, unnest(generate_series(1, greatest(len(ts) - 2, 0))) s(i)),
+        |m3 AS (SELECT g3, CAST(count(*) AS BIGINT) AS c3 FROM tri GROUP BY g3),
+        |bi AS (
+        | SELECT ts[i] || ' ' || ts[i+1] AS g2 FROM tk,
+        |  unnest(generate_series(1, greatest(len(ts) - 1, 0))) s(i)),
+        |m2 AS (SELECT g2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY g2),
+        |un AS (SELECT unnest(ts) AS g1 FROM tk),
+        |m1 AS (SELECT g1, CAST(count(*) AS BIGINT) AS c1 FROM un GROUP BY g1),
+        |lvl AS (
+        | SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(CASE WHEN c3 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS l3,
+        |  CAST(sum(CASE WHEN c3 < 2 AND c2 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+        |  CAST(sum(CASE WHEN c3 < 2 AND c2 < 2 AND c1 >= 2 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS l1,
+        |  CAST(sum(CASE WHEN c3 < 2 AND c2 < 2 AND c1 < 2 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS l0
+        | FROM tri t JOIN m3 USING (g3) JOIN m2 USING (g2) JOIN m1 USING (g1)
+        | GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        | CAST(COALESCE(l3, 0) AS BIGINT) AS l3,
+        | CAST(COALESCE(l2, 0) AS BIGINT) AS l2,
+        | CAST(COALESCE(l1, 0) AS BIGINT) AS l1,
+        | CAST(COALESCE(l0, 0) AS BIGINT) AS l0
+        |FROM documents d LEFT JOIN lvl ON lvl.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q63_importance" ->
       """WITH tk AS (
         | SELECT doc_id, lang = 'en' AS tgt,

@@ -308,4 +308,60 @@ class TrainingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toList == List((1L, 2L)))
   }
+
+  test("hashedNbClassifier: weights are smoothed positive rates; pred tracks label") {
+    // dim=65536 with distinct tokens → no bucket collisions: each token's
+    // weight is exactly (c1+1)*1e6 div (cn+2)
+    val df = scala.Seq(
+      (1L, "good good good", true),
+      (2L, "bad bad bad", false),
+      (3L, "good bad", true))
+      .toDF("id", "text", "y")
+    val out = Training.hashedNbClassifier(df, "id", "text", col("y"),
+        dim = 65536).orderBy("id").collect()
+    // good: c1=4, cn=4 → w = 5e6 div 6 = 833333; bad: c1=1, cn=4 → 2e6 div 6 = 333333
+    val wGood = 833333L; val wBad = 333333L
+    assert(out(0).getLong(2) == wGood && out(0).getBoolean(3))      // doc 1
+    assert(out(1).getLong(2) == wBad && !out(1).getBoolean(3))      // doc 2
+    assert(out(2).getLong(2) == (wGood + wBad) / 2)                 // doc 3
+    assert(out(2).getBoolean(3)) // (833333+333333)*2 > 2e6
+  }
+
+  test("dupSpanStats: duplicated passage raises dup_bp; unique doc stays 0") {
+    import graft.llmops.Dedup
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = scala.Seq(
+      (1L, passage),
+      (2L, passage),
+      (3L, "completely different content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(df, "doc_id", "text", k = 5, w = 4,
+        thresholdBp = 2500).orderBy("id").collect()
+    // docs 1 and 2 are identical → every fingerprint shared → 10000 bp
+    assert(out(0).getLong(3) == 10000L && out(0).getBoolean(4))
+    assert(out(1).getLong(3) == 10000L && out(1).getBoolean(4))
+    assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 0L
+      && !out(2).getBoolean(4))
+  }
+
+  test("backoffLevels: hand-computed resolution histogram") {
+    // corpus: "a b c a b c" repeats every trigram ≥2× except the bridging
+    // ones; "x y z" contributes hapax trigrams that back off
+    val df = scala.Seq(
+      (1L, "a b c a b c"),   // trigrams: abc bca cab abc → c3: abc=2
+      (2L, "x y b"),          // xyb hapax; trailing bigram "y b" hapax; "b" freq 3
+      (3L, "q"))              // no trigrams
+      .toDF("doc_id", "text")
+    val out = graft.llmops.TextStats.backoffLevels(df, "doc_id", "text")
+      .orderBy("id").collect()
+    // doc 1: 4 trigrams; "a b c"×2 → l3=2; "b c a"/"c a b" hapax →
+    //   bigrams "c a"(1), "a b"(2) → "b c a": g2="c a" c2=1 → back to "a"
+    //   (c1=2) → l1; "c a b": g2="a b" c2=2 → l2
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L) // n_tri, l3
+    assert(out(0).getLong(3) == 1L && out(0).getLong(4) == 1L) // l2, l1
+    // doc 2: 1 trigram, resolves at unigram level ("b" appears 3×)
+    assert(out(1).getLong(1) == 1L && out(1).getLong(4) == 1L)
+    // doc 3: no trigrams, all zeros
+    assert(out(2).getLong(1) == 0L && out(2).getLong(5) == 0L)
+  }
 }
