@@ -640,8 +640,11 @@ object Compiler {
       case "parse_timestamp_strptime" =>
         TC(to_timestamp(t.col, TimeFormats.strftimeToJava(litStr(0))), Some(TimestampType))
       case "parse_timestamp_unix" =>
+        // no-format form accepts RFC3339 like the reference (Go
+        // time.Parse default), not just "yyyy-MM-dd HH:mm:ss"
         val f = args.headOption.map(a => TimeFormats.goToJava(litStr(0)))
-        TC(f.map(fmt => unix_timestamp(t.col, fmt)).getOrElse(unix_timestamp(t.col)), Some(LongType))
+        TC(f.map(fmt => unix_timestamp(t.col, fmt))
+          .getOrElse(unix_timestamp(tsOf(t))), Some(LongType))
       case "format_timestamp" =>
         val fmt = args.headOption.map(_ => TimeFormats.goToJava(litStr(0)))
           .getOrElse("yyyy-MM-dd'T'HH:mm:ssXXX")
@@ -786,14 +789,33 @@ object Compiler {
           case _ => throw CompileError("merge: both sides must be objects")
         }
       case "collapse" =>
-        // flatten nested structs to a dot-path → string map
-        // (`methods_structured.go:152`; array indices not expanded)
+        // flatten nested structure to a dot-path → string map, arrays
+        // expanded with numeric indices (`methods_structured.go:152`:
+        // gabs Flatten — {"foo":[{"bar":"1"}]} → {"foo.0.bar":"1"};
+        // empty objects/arrays dropped, matching the no-arg form)
         t.tpe match {
-          case Some(s: StructType) =>
-            val leaves = collapsePaths(s, Nil)
-            val keys = array(leaves.map(p => lit(p.mkString("."))): _*)
-            val vals = array(leaves.map(p => accessPath(t, p).col.cast(StringType)): _*)
-            TC(map_from_arrays(keys, vals), Some(MapType(StringType, StringType)))
+          case Some(_: StructType) =>
+            val entryType = ArrayType(StructType(scala.Seq(
+              StructField("key", StringType), StructField("value", StringType))))
+            def entries(c: Column, tpe: DataType, prefix: Column): Column = tpe match {
+              case s: StructType =>
+                val parts = s.fields.map { f =>
+                  val p = concat(prefix,
+                    when(length(prefix) === 0, lit("")).otherwise(lit(".")),
+                    lit(f.name))
+                  entries(c.getField(f.name), f.dataType, p)
+                }
+                if (parts.isEmpty) lit(Array.empty[String]).cast(entryType)
+                else flatten(array(parts.toIndexedSeq: _*))
+              case a: ArrayType =>
+                flatten(transform(c, (x, i) =>
+                  entries(x, a.elementType,
+                    concat(prefix, lit("."), i.cast(StringType)))))
+              case _ =>
+                array(struct(prefix.as("key"), c.cast(StringType).as("value")))
+            }
+            TC(map_from_entries(entries(t.col, t.tpe.get, lit(""))),
+              Some(MapType(StringType, StringType)))
           case _ => throw CompileError("collapse: object required")
         }
       case "sort" =>
@@ -938,14 +960,6 @@ object Compiler {
       TC(array(lv.col.cast(StringType), rv.col.cast(StringType)),
         Some(ArrayType(StringType)))
   }
-
-  private def collapsePaths(s: StructType, prefix: List[String]): List[List[String]] =
-    s.fields.toList.flatMap { f =>
-      f.dataType match {
-        case sub: StructType => collapsePaths(sub, prefix :+ f.name)
-        case _ => List(prefix :+ f.name)
-      }
-    }
 
   private def tsOf(t: TC): Column = t.tpe match {
     case Some(TimestampType) => t.col

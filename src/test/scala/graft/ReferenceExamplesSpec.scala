@@ -476,4 +476,198 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       """{"value":2}""" -> """{"new_value":2}""",
       """{"value":23}""" -> """{"new_value":10}""")
   }
+
+  /** Numeric-tolerant compare: both sides parsed as JSON trees, numbers
+    * compared by value — Go marshals float64(2) as `2` where Spark's
+    * to_json writes `2.0`; a formatting artifact, not semantics. */
+  def checkNum(mapping: String, cases: (String, String)*): Unit = {
+    import spark.implicits._
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val om = new ObjectMapper()
+    def sameTree(a: JsonNode, b: JsonNode): Boolean =
+      if (a.isNumber && b.isNumber)
+        a.decimalValue().compareTo(b.decimalValue()) == 0
+      else if (a.isObject && b.isObject) {
+        import scala.jdk.CollectionConverters._
+        val ka = a.fieldNames().asScala.toSet
+        ka == b.fieldNames().asScala.toSet && ka.forall(k => sameTree(a.get(k), b.get(k)))
+      } else if (a.isArray && b.isArray)
+        a.size == b.size && (0 until a.size).forall(i => sameTree(a.get(i), b.get(i)))
+      else a == b
+    cases.foreach { case (in, want) =>
+      val df = spark.read.json(spark.createDataset(scala.Seq(in)))
+      val out = Mapping.compile(mapping).applyPlain(df)
+      val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*)))
+        .head().getString(0)
+      assert(sameTree(om.readTree(got), om.readTree(want)),
+        s"\nmapping: $mapping\nin: $in\ngot: $got\nwant: $want")
+    }
+  }
+
+  test("abs (methods_numbers.go)") {
+    check("root.new_value = this.value.abs()",
+      """{"value":5.3}""" -> """{"new_value":5.3}""",
+      """{"value":-5.9}""" -> """{"new_value":5.9}""")
+  }
+
+  test("ceil / floor (methods_numbers.go)") {
+    check("root.new_value = this.value.ceil()",
+      """{"value":5.3}""" -> """{"new_value":6}""",
+      """{"value":-5.9}""" -> """{"new_value":-5}""")
+    check("root.new_value = this.value.floor()",
+      """{"value":5.7}""" -> """{"new_value":5}""")
+  }
+
+  test("log / log10 (methods_numbers.go)") {
+    check("root.new_value = this.value.log().round()",
+      """{"value":1}""" -> """{"new_value":0}""",
+      """{"value":2.7183}""" -> """{"new_value":1}""")
+    checkNum("root.new_value = this.value.log10()",
+      """{"value":100}""" -> """{"new_value":2}""",
+      """{"value":1000}""" -> """{"new_value":3}""")
+  }
+
+  test("min over mixed numeric array (methods_numbers.go)") {
+    checkNum("root.smallest = this.values.min()",
+      """{"values":[0,3,-2.5,7,5]}""" -> """{"smallest":-2.5}""")
+  }
+
+  test("round (methods_numbers.go)") {
+    check("root.new_value = this.value.round()",
+      """{"value":5.3}""" -> """{"new_value":5}""",
+      """{"value":5.9}""" -> """{"new_value":6}""")
+  }
+
+  test("apply (methods.go)") {
+    check(
+      """map thing {
+        |  root.inner = this.first
+        |}
+        |
+        |root.foo = this.doc.apply("thing")""".stripMargin,
+      """{"doc":{"first":"hello world"}}""" -> """{"foo":{"inner":"hello world"}}""")
+    checkCanon(
+      """map create_foo {
+        |  root.name = "a foo"
+        |  root.purpose = "to be a foo"
+        |}
+        |
+        |root = this
+        |root.foo = null.apply("create_foo")""".stripMargin,
+      """{"id":"1234"}""" ->
+        """{"foo":{"name":"a foo","purpose":"to be a foo"},"id":"1234"}""")
+  }
+
+  test("not_null (methods.go)") {
+    check("root.a = this.a.not_null()",
+      """{"a":"foobar","b":"barbaz"}""" -> """{"a":"foobar"}""")
+  }
+
+  test("collapse (methods_structured.go)") {
+    checkCanon("root.result = this.collapse()",
+      """{"foo":[{"bar":"1"},{"bar":"2"}]}""" ->
+        """{"result":{"foo.0.bar":"1","foo.1.bar":"2"}}""")
+  }
+
+  test("index (methods_structured.go)") {
+    check("root.last_name = this.names.index(-1)",
+      """{"names":["rachel","stevens"]}""" -> """{"last_name":"stevens"}""")
+    checkNum("root.last_byte = this.name.bytes().index(-1)",
+      """{"name":"foobar bazson"}""" -> """{"last_byte":110}""")
+  }
+
+  test("length (methods_structured.go)") {
+    check("root.foo_len = this.foo.length()",
+      """{"foo":"hello world"}""" -> """{"foo_len":11}""")
+    check("root.foo_len = this.foo.length()",
+      """{"foo":["first","second"]}""" -> """{"foo_len":2}""")
+    check("root.foo_len = this.foo.length()",
+      """{"foo":{"first":"bar","second":"baz"}}""" -> """{"foo_len":2}""")
+  }
+
+  test("sort (methods_structured.go)") {
+    check("root.sorted = this.foo.sort()",
+      """{"foo":["bbb","ccc","aaa"]}""" -> """{"sorted":["aaa","bbb","ccc"]}""")
+    check("root.sorted = this.foo.sort(item -> item.left.v < item.right.v)",
+      """{"foo":[{"id":"foo","v":"bbb"},{"id":"bar","v":"ccc"},{"id":"baz","v":"aaa"}]}""" ->
+        """{"sorted":[{"id":"baz","v":"aaa"},{"id":"foo","v":"bbb"},{"id":"bar","v":"ccc"}]}""")
+  }
+
+  test("encode / decode hex (methods_strings.go)") {
+    check("""root.encoded = this.value.encode("hex")""",
+      """{"value":"hello world"}""" -> """{"encoded":"68656c6c6f20776f726c64"}""")
+    check("""root.decoded = this.value.decode("hex").string()""",
+      """{"value":"68656c6c6f20776f726c64"}""" -> """{"decoded":"hello world"}""")
+  }
+
+  test("decrypt_aes ctr (methods_strings.go)") {
+    check(
+      """let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")
+        |let vector = "f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")
+        |root.decrypted = this.value.decode("hex").decrypt_aes("ctr", $key, $vector).string()""".stripMargin,
+      """{"value":"84e9b31ff7400bdf80be7254"}""" -> """{"decrypted":"hello world!"}""")
+  }
+
+  test("unescape_html / unescape_url_query (methods_strings.go)") {
+    check("root.unescaped = this.value.unescape_html()",
+      """{"value":"foo &amp; bar"}""" -> """{"unescaped":"foo & bar"}""")
+    check("root.unescaped = this.value.unescape_url_query()",
+      """{"value":"foo+%26+bar"}""" -> """{"unescaped":"foo & bar"}""")
+  }
+
+  test("has_suffix (methods_strings.go)") {
+    check(
+      """root.t1 = this.v1.has_suffix("foo")
+        |root.t2 = this.v2.has_suffix("foo")""".stripMargin,
+      """{"v1":"foobar","v2":"barfoo"}""" -> """{"t1":false,"t2":true}""")
+  }
+
+  test("format_yaml string coercion (methods_strings.go)") {
+    check("root.doc = this.doc.format_yaml().string()",
+      """{"doc":{"foo":"bar"}}""" -> """{"doc":"foo: bar\n"}""")
+  }
+
+  test("parse_timestamp_unix (methods_strings.go)") {
+    check("root.doc.timestamp = this.doc.timestamp.parse_timestamp_unix()",
+      """{"doc":{"timestamp":"2020-08-14T11:45:26.371Z"}}""" ->
+        """{"doc":{"timestamp":1597405526}}""")
+    check("""root.doc.timestamp = this.doc.timestamp.parse_timestamp_unix("2006-Jan-02")""",
+      """{"doc":{"timestamp":"2020-Aug-14"}}""" ->
+        """{"doc":{"timestamp":1597363200}}""")
+  }
+
+  test("parse_timestamp_strptime (methods_strings.go)") {
+    check("""root.doc.timestamp = this.doc.timestamp.parse_timestamp_strptime("%Y-%b-%d")""",
+      """{"doc":{"timestamp":"2020-Aug-14"}}""" ->
+        """{"doc":{"timestamp":"2020-08-14T00:00:00Z"}}""")
+  }
+
+  test("format_timestamp with timezone (methods_strings.go)") {
+    check("""root.something_at = this.created_at.format_timestamp("2006-Jan-02 15:04:05", "UTC")""",
+      """{"created_at":1597405526}""" -> """{"something_at":"2020-Aug-14 11:45:26"}""",
+      """{"created_at":"2020-08-14T11:50:26.371Z"}""" -> """{"something_at":"2020-Aug-14 11:50:26"}""")
+  }
+
+  test("format_timestamp_unix_nano (methods_strings.go)") {
+    check("root.created_at_unix = this.created_at.format_timestamp_unix_nano()",
+      """{"created_at":"2009-11-10T23:00:00Z"}""" ->
+        """{"created_at_unix":1257894000000000000}""")
+  }
+
+  test("quote (methods_strings.go)") {
+    check("root.quoted = this.thing.quote()",
+      """{"thing":"foo\nbar"}""" -> """{"quoted":"\"foo\\nbar\""}""")
+  }
+
+  test("re_find_all (methods_strings.go)") {
+    check("""root.matches = this.value.re_find_all("a.")""",
+      """{"value":"paranormal"}""" -> """{"matches":["ar","an","al"]}""")
+  }
+
+  test("string (methods_strings.go)") {
+    check("root.nested_json = this.string()",
+      """{"foo":"bar"}""" -> """{"nested_json":"{\"foo\":\"bar\"}"}""")
+    check("root.id = this.id.string()",
+      """{"id":228930314431312345}""" -> """{"id":"228930314431312345"}""")
+  }
 }
