@@ -424,9 +424,21 @@ object Compiler {
       case "has_prefix" => TC(t.col.startsWith(c(0).col), Some(BooleanType))
       case "has_suffix" => TC(t.col.endsWith(c(0).col), Some(BooleanType))
       case "contains" =>
-        if (t.isArray) TC(array_contains(t.col, c(0).col), Some(BooleanType))
-        else if (t.isMap) TC(array_contains(map_values(t.col), c(0).col), Some(BooleanType))
-        else TC(t.col.contains(c(0).col), Some(BooleanType))
+        t.tpe match {
+          case _ if t.isArray => TC(array_contains(t.col, c(0).col), Some(BooleanType))
+          case _ if t.isMap =>
+            TC(array_contains(map_values(t.col), c(0).col), Some(BooleanType))
+          case Some(s: StructType) =>
+            // object form checks VALUES (methods_structured.go contains)
+            val uniform = s.fields.map(_.dataType).distinct.length == 1
+            val vals = s.fields.map { f =>
+              if (uniform) t.col.getField(f.name)
+              else t.col.getField(f.name).cast(StringType)
+            }
+            val needle = if (uniform) c(0).col else c(0).col.cast(StringType)
+            TC(array_contains(array(vals.toIndexedSeq: _*), needle), Some(BooleanType))
+          case _ => TC(t.col.contains(c(0).col), Some(BooleanType))
+        }
       case "index_of" => TC(instr(t.col, litStr(0)).cast(LongType) - 1L, Some(LongType))
       case "length" => t.tpe match {
         case Some(_: ArrayType) | Some(_: MapType) => TC(size(t.col).cast(LongType), Some(LongType))
@@ -667,10 +679,26 @@ object Compiler {
           Some(ArrayType(StructType(scala.Seq(
             StructField("index", LongType), StructField("value", et))))))
       case "filter" =>
-        if (t.isMap)
-          TC(map_filter(t.col, (k, v) =>
-            lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), t.tpe)
-        else TC(filter(t.col, lambda1(arg(0), ctx, t.elemType)), t.tpe)
+        t.tpe match {
+          case _ if t.isMap =>
+            TC(map_filter(t.col, (k, v) =>
+              lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), t.tpe)
+          case Some(s: StructType) =>
+            // object form: keys kept per-row → result is a map (a struct
+            // can't drop fields dynamically); values unify to string when
+            // field types differ (key_values convention)
+            val uniform = s.fields.map(_.dataType).distinct.length == 1
+            val vt = if (uniform) s.fields.head.dataType else StringType
+            val entries = s.fields.map { f =>
+              val v = if (uniform) t.col.getField(f.name)
+                else t.col.getField(f.name).cast(StringType)
+              struct(lit(f.name).as("key"), v.as("value"))
+            }
+            val kept = filter(array(entries.toIndexedSeq: _*),
+              e => lambda1(arg(0), ctx, None)(e))
+            TC(map_from_entries(kept), Some(MapType(StringType, vt)))
+          case _ => TC(filter(t.col, lambda1(arg(0), ctx, t.elemType)), t.tpe)
+        }
       case "flatten" =>
         TC(flatten(t.col), t.elemType)
       case "fold" =>
@@ -711,7 +739,17 @@ object Compiler {
       case "map_each" =>
         if (t.isMap) TC(transform_values(t.col, (k, v) =>
           lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), None)
-        else arg(0) match {
+        else if (t.tpe.exists(_.isInstanceOf[StructType])) {
+          // object form: apply the lambda to each {key,value}, keys kept
+          // (methods_structured.go map_each object flavor)
+          val s = t.tpe.get.asInstanceOf[StructType]
+          val mapped = s.fields.map { f =>
+            lambda1(arg(0), ctx, None)(
+              struct(lit(f.name).as("key"),
+                t.col.getField(f.name).as("value"))).as(f.name)
+          }
+          TC(struct(mapped.toIndexedSeq: _*), None)
+        } else arg(0) match {
           // `deleted()` in an if-branch drops the element (the reference's
           // filter+map fusion, methods_structured.go:762): compile the
           // delete-condition and the kept body separately, then
@@ -786,6 +824,12 @@ object Compiler {
         (t.tpe, o.tpe) match {
           case (Some(_: MapType), Some(_: MapType)) => TC(map_concat(t.col, o.col), t.tpe)
           case (Some(_: StructType), Some(_: StructType)) => deepMerge(t, o)
+          // array targets append (methods_structured.go merge: "if the
+          // target is an array the value is appended")
+          case (Some(_: ArrayType), Some(_: ArrayType)) =>
+            TC(concat(t.col, o.col), t.tpe)
+          case (Some(at: ArrayType), _) =>
+            TC(concat(t.col, array(o.col)), t.tpe)
           case _ => throw CompileError("merge: both sides must be objects")
         }
       case "collapse" =>

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.blobl.Mapping
+
+/** Value-level test vectors ported from the reference's own table-driven
+  * method tests (`internal/bloblang/query/methods_test.go`) — the edge
+  * cases its engine is pinned to: negative/out-of-bounds slicing, merge
+  * collision rules, order-preserving unique, fold/filter/map_each
+  * lambdas. Each test names the Go case(s) it ports. Expressed as
+  * mappings over literals (the reference builds the same method chains
+  * programmatically).
+  */
+class ReferenceVectorsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+
+  /** mapping + line-JSON input → exact output JSON (key order as given). */
+  def check(mapping: String, in: String, want: String): Unit = {
+    import spark.implicits._
+    val df = spark.read.json(spark.createDataset(scala.Seq(in)))
+    val out = Mapping.compile(mapping).applyPlain(df)
+    val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*)))
+      .head().getString(0)
+    assert(got == want, s"\nmapping: $mapping\nin: $in\ngot: $got")
+  }
+
+  /** Key-order-insensitive variant (Go map serialization order is an
+    * artifact): both sides canonicalized through schema inference. */
+  def checkCanon(mapping: String, in: String, want: String): Unit = {
+    import spark.implicits._
+    def canon(j: String): String = {
+      val df = spark.read.json(spark.createDataset(scala.Seq(j)))
+      df.select(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*)))
+        .head().getString(0)
+    }
+    val df = spark.read.json(spark.createDataset(scala.Seq(in)))
+    val out = Mapping.compile(mapping).applyPlain(df)
+    val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*)))
+      .head().getString(0)
+    assert(canon(got) == canon(want), s"\nmapping: $mapping\nin: $in\ngot: $got")
+  }
+
+  val nil = """{"z":0}""" // dummy input for literal-only mappings
+
+  test("without single / double / nested / combination (methods_test.go)") {
+    checkCanon("""root.r = {"a":"first","b":"second"}.without("a")""",
+      nil, """{"r":{"b":"second"}}""")
+    checkCanon("""root.r = {"a":"first","b":"second","c":"third"}.without("a", "c")""",
+      nil, """{"r":{"b":"second"}}""")
+    checkCanon(
+      """root.r = {"inner":{"a":"first","b":"second","c":"third"}}.without("inner.a", "inner.c", "thisdoesntexist")""",
+      nil, """{"r":{"inner":{"b":"second"}}}""")
+    checkCanon(
+      """root.r = {"d":"fourth","e":"fifth","inner":{"a":"first","b":"second","c":"third"}}.without("d", "inner.a", "inner.c")""",
+      nil, """{"r":{"e":"fifth","inner":{"b":"second"}}}""")
+  }
+
+  test("unique preserves first-occurrence order (methods_test.go)") {
+    check("""root.r = ["a","b","c","b","d","a"].unique()""",
+      nil, """{"r":["a","b","c","d"]}""")
+    check("""root.r = [3.0,5,3,4,5.1,5].unique()""",
+      nil, """{"r":[3.0,5.0,4.0,5.1]}""")
+  }
+
+  test("join variants (methods_test.go)") {
+    check("""root.r = ["foo","bar"].join(",")""", nil, """{"r":"foo,bar"}""")
+    check("""root.r = ["foo"].join(",")""", nil, """{"r":"foo"}""")
+    check("""root.r = ["foo","bar"].join()""", nil, """{"r":"foobar"}""")
+  }
+
+  test("index out-of-bounds caught (methods_test.go)") {
+    check("""root.r = ["foo","bar","baz"].index(1)""", nil, """{"r":"bar"}""")
+    check("""root.r = ["foo","bar","baz"].index(-1)""", nil, """{"r":"baz"}""")
+    check("""root.r = ["foo","bar","baz"].index(4).catch("buz")""",
+      nil, """{"r":"buz"}""")
+    check("""root.r = ["foo","bar","baz"].index(-4).catch("buz")""",
+      nil, """{"r":"buz"}""")
+  }
+
+  test("slice negative and out-of-bounds (methods_test.go)") {
+    check("""root.r = "foo bar baz".slice(0, 3)""", nil, """{"r":"foo"}""")
+    check("""root.r = "foo bar baz".slice(8)""", nil, """{"r":"baz"}""")
+    check("""root.r = "foo bar baz".slice(-1)""", nil, """{"r":"z"}""")
+    check("""root.r = "foo bar baz".slice(-2)""", nil, """{"r":"az"}""")
+    check("""root.r = "foo bar baz".slice(-100)""", nil, """{"r":"foo bar baz"}""")
+    check("""root.r = "foo bar baz".slice(0, -1)""", nil, """{"r":"foo bar ba"}""")
+    check("""root.r = "foo bar baz".slice(0, -2)""", nil, """{"r":"foo bar b"}""")
+    check("""root.r = "foo bar baz".slice(0, -100)""", nil, """{"r":""}""")
+    check("""root.r = "foo bar baz".slice(0, 30)""", nil, """{"r":"foo bar baz"}""")
+    check("""root.r = ["foo","bar","baz","buz"].slice(1, 3)""",
+      nil, """{"r":["bar","baz"]}""")
+    check("""root.r = ["foo","bar","baz"].slice(0, 30)""",
+      nil, """{"r":["foo","bar","baz"]}""")
+  }
+
+  test("enumerated (methods_test.go)") {
+    check("""root.r = ["foo","bar","baz"].enumerated()""",
+      nil,
+      """{"r":[{"index":0,"value":"foo"},{"index":1,"value":"bar"},{"index":2,"value":"baz"}]}""")
+  }
+
+  test("merge collision rules (methods_test.go)") {
+    checkCanon("""root.r = {"foo":"val1"}.merge({"bar":"val2"})""",
+      nil, """{"r":{"foo":"val1","bar":"val2"}}""")
+    // merge 2: colliding scalars gather into an array (source order)
+    checkCanon("root.r = this.foo.merge(this.bar)",
+      """{"bar":{"second":"val2","third":6},"foo":{"first":"val1","third":3}}""",
+      """{"r":{"first":"val1","second":"val2","third":[3,6]}}""")
+    // merge 4: colliding arrays concatenate
+    checkCanon("root.r = this.foo.merge(this.bar)",
+      """{"bar":{"second":"val2","third":[6]},"foo":{"first":"val1","third":[3]}}""",
+      """{"r":{"first":"val1","second":"val2","third":[3,6]}}""")
+    // merge 5: double merge gathers repeatedly
+    checkCanon("root.r = this.foo.merge(this.bar).merge(this.foo)",
+      """{"bar":{"second":"val2","third":[6]},"foo":{"first":"val1","third":[3]}}""",
+      """{"r":{"first":["val1","val1"],"second":"val2","third":[3,6,3]}}""")
+    // merge arrays 2: array-on-array appends
+    check("""root.r = ["foo"].merge(["bar","baz"])""",
+      nil, """{"r":["foo","bar","baz"]}""")
+  }
+
+  test("contains: array membership, object values, substring (methods_test.go)") {
+    check("""root.r = ["nope","foo","bar"].contains("foo")""", nil, """{"r":true}""")
+    check("""root.r = ["nope","bar"].contains("foo")""", nil, """{"r":false}""")
+    check("""root.r = this.m.contains("foo")""",
+      """{"m":{"1":"nope","2":"foo","3":"bar"}}""", """{"r":true}""")
+    check("""root.r = this.m.contains("foo")""",
+      """{"m":{"1":"nope","3":"bar"}}""", """{"r":false}""")
+    check("""root.r = this.foo.contains("foo")""",
+      """{"foo":"hello foo world"}""", """{"r":true}""")
+    check("""root.r = this.foo.contains("foo")""",
+      """{"foo":"hello bar world"}""", """{"r":false}""")
+  }
+
+  test("fold sum (methods_test.go)") {
+    check("""root.r = [3,5,2].fold(0, item -> item.tally + item.value)""",
+      nil, """{"r":10}""")
+  }
+
+  test("keys / values sorted (methods_test.go)") {
+    check("""root.r = {"foo":1,"bar":2}.keys().sort()""",
+      nil, """{"r":["bar","foo"]}""")
+    check("""root.r = {"foo":1,"bar":2}.values().sort()""",
+      nil, """{"r":[1,2]}""")
+  }
+
+  test("any / all over literals (methods_test.go)") {
+    check("""root.r = ["foo","bar","baz"].any(v -> v == "bar")""",
+      nil, """{"r":true}""")
+    check("""root.r = ["foo","buz","baz"].any(v -> v == "bar")""",
+      nil, """{"r":false}""")
+    check("""root.r = [10,11,12].all(v -> v > 9)""", nil, """{"r":true}""")
+    check("""root.r = [10,8,12].all(v -> v > 9)""", nil, """{"r":false}""")
+  }
+
+  test("replace_many (methods_test.go)") {
+    check(
+      """root.r = "<i>hello</i> <b>world</b>".replace_many(["<b>","BOLD","</b>","!BOLD","<i>","ITA","</i>","!ITA"])""",
+      nil, """{"r":"ITAhello!ITA BOLDworld!BOLD"}""")
+  }
+
+  test("index_of hit and miss (methods_test.go)") {
+    check("""root.r = "foobar".index_of("bar")""", nil, """{"r":3}""")
+    check("""root.r = "foofoo".index_of("bar")""", nil, """{"r":-1}""")
+  }
+
+  test("reverse string (methods_test.go)") {
+    check("""root.r = "foobar".reverse()""", nil, """{"r":"raboof"}""")
+  }
+
+  test("trim default and cutset (methods_test.go)") {
+    check("""root.r = " the foo bar   ".trim()""", nil, """{"r":"the foo bar"}""")
+    check("""root.r = "!!?!the foo bar!".trim("!?")""", nil, """{"r":"the foo bar"}""")
+  }
+
+  test("unquote (methods_test.go)") {
+    check("""root.r = "\"foo\\nbar\\nbaz\"".unquote()""",
+      nil, """{"r":"foo\nbar\nbaz"}""")
+  }
+
+  test("map_each on arrays and objects (methods_test.go)") {
+    check("""root.r = ["foo","bar"].map_each(v -> v.uppercase())""",
+      nil, """{"r":["FOO","BAR"]}""")
+    checkCanon(
+      """root.r = {"foo":"hello world","bar":"this is ash"}.map_each(item -> item.value.uppercase())""",
+      nil, """{"r":{"foo":"HELLO WORLD","bar":"THIS IS ASH"}}""")
+  }
+
+  test("filter on arrays and objects (methods_test.go)") {
+    check("""root.r = [2,14,4,11,7].filter(v -> v > 10)""",
+      nil, """{"r":[14,11]}""")
+    checkCanon(
+      """root.r = {"foo":"hello ! world","bar":"this is ash","baz":"im cool!"}.filter(item -> item.value.contains("!"))""",
+      nil, """{"r":{"foo":"hello ! world","baz":"im cool!"}}""")
+  }
+}
