@@ -187,6 +187,67 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       nil, """{"r":{"foo":"HELLO WORLD","bar":"THIS IS ASH"}}""")
   }
 
+  /** Numeric-tolerant compare (Go marshals float64(4) as `4`). */
+  def checkNum(mapping: String, in: String, want: String): Unit = {
+    import spark.implicits._
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val om = new ObjectMapper()
+    def sameTree(a: JsonNode, b: JsonNode): Boolean =
+      if (a.isNumber && b.isNumber)
+        a.decimalValue().compareTo(b.decimalValue()) == 0
+      else if (a.isObject && b.isObject) {
+        import scala.jdk.CollectionConverters._
+        val ka = a.fieldNames().asScala.toSet
+        ka == b.fieldNames().asScala.toSet && ka.forall(k => sameTree(a.get(k), b.get(k)))
+      } else if (a.isArray && b.isArray)
+        a.size == b.size && (0 until a.size).forall(i => sameTree(a.get(i), b.get(i)))
+      else a == b
+    val df = spark.read.json(spark.createDataset(scala.Seq(in)))
+    val out = Mapping.compile(mapping).applyPlain(df)
+    val got = out.select(to_json(struct(out.columns.map(col).toIndexedSeq: _*)))
+      .head().getString(0)
+    assert(sameTree(om.readTree(got), om.readTree(want)),
+      s"\nmapping: $mapping\nin: $in\ngot: $got\nwant: $want")
+  }
+
+  test("boolean precedence chains (arithmetic_test.go comparisons 1-3)") {
+    check("""root.r = true && false || true && false""", nil, """{"r":false}""")
+    check("""root.r = false || true && true || false""", nil, """{"r":true}""")
+    check("""root.r = true || false && true""", nil, """{"r":true}""")
+    check("""root.r = !true || false""", nil, """{"r":false}""")
+    check("""root.r = false || !false""", nil, """{"r":true}""")
+  }
+
+  test("string concat and int mod (arithmetic_test.go)") {
+    check("""root.r = "foo" + "bar" + "baz"""", nil, """{"r":"foobarbaz"}""")
+    check("""root.r = 5 % 2""", nil, """{"r":1}""")
+  }
+
+  test("numeric comparisons across int/float (arithmetic_test.go)") {
+    check("""root.r = 15.0 > 0""", nil, """{"r":true}""")
+    check("""root.r = 0 > 15.0""", nil, """{"r":false}""")
+    check("""root.r = 15 >= 15""", nil, """{"r":true}""")
+    check("""root.r = 15 <= 15.0""", nil, """{"r":true}""")
+    check("""root.r = 15 < 15.0""", nil, """{"r":false}""")
+  }
+
+  test("mixed int/float arithmetic yields float (arithmetic_test.go)") {
+    checkNum("""root.r = 2 + 3 * 2.0 + 1 * 3""", nil, """{"r":11}""")
+    checkNum("""root.r = 6 - 6 / 2.0 + 1""", nil, """{"r":4}""")
+  }
+
+  test("pipe coalesce on null fields (arithmetic_test.go coalesce json)") {
+    check("""root.r = this.foo | this.bar""",
+      """{"foo":null,"bar":"from_bar"}""", """{"r":"from_bar"}""")
+    check("""root.r = this.foo | "not this"""",
+      """{"foo":"from_foo"}""", """{"r":"from_foo"}""")
+  }
+
+  test("object equality (arithmetic_test.go compare maps)") {
+    check("""root.r = {"foo":"bar"} == {"foo":"bar"}""", nil, """{"r":true}""")
+    check("""root.r = {"foo":"bar"} != {"foo":"baz"}""", nil, """{"r":true}""")
+  }
+
   test("filter on arrays and objects (methods_test.go)") {
     check("""root.r = [2,14,4,11,7].filter(v -> v > 10)""",
       nil, """{"r":[14,11]}""")
