@@ -427,6 +427,67 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Cross-document duplicated-span EXCISION — the transform step of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): spans whose winnowing
+    * fingerprint occurs in ≥2 documents are cut out of the text, not
+    * just flagged. Each shared fingerprint at 1-based gram position p
+    * marks the interval [p, p+k-1]; overlapping intervals merge via the
+    * gaps-and-islands pattern (running-max window per document), and
+    * the clean text is the ordered concatenation of the gaps. All
+    * string/integer arithmetic — bit-exact across engines.
+    *
+    * Scale shape: fingerprint+position projection (one pass), document
+    * frequency from a distinct+groupBy(h), hash-keyed join back, then
+    * per-DOCUMENT windows (bounded width) and one groupBy(id) — never a
+    * global window, never a product. The full text travels once,
+    * joined at the end by id.
+    *
+    * Output: (id, n_spans, clean_text) for every input document —
+    * n_spans counts merged excised islands, 0 = text unchanged. */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+    val fp = base.select(col("id"),
+        explode(graft.exprs.WinnowPosExpr.column(col("_txt"), k, w)).as("f"))
+      .select(col("id"), col("f.p").as("p"), col("f.h").as("h"))
+      .localCheckpoint()
+    val shared = fp.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_dfn"))
+      .filter(col("_dfn") >= 2L).select(col("h"))
+    val sp = fp.join(shared, "h")
+      .select(col("id"), col("p"), (col("p") + (k - 1)).as("q"))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("p"), col("q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("p"), col("q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val isl = sp
+      .withColumn("_pm", max(col("q")).over(wPrev))
+      .withColumn("_ni",
+        when(col("_pm").isNull || col("p") > col("_pm"), 1L).otherwise(0L))
+      .withColumn("_iid", sum(col("_ni")).over(wRun))
+      .groupBy(col("id"), col("_iid"))
+      .agg(min(col("p")).as("s"), max(col("q")).as("e"))
+    val wLag = Window.partitionBy(col("id")).orderBy(col("s"))
+    val per = isl
+      .withColumn("pe", coalesce(lag(col("e"), 1).over(wLag), lit(0)))
+      .join(base, "id")
+      .select(col("id"), col("s"), col("e"),
+        expr("substring(_txt, pe + 1, s - pe - 1)").as("seg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("s"), col("seg")))),
+          x => x.getField("seg")), "").as("_head"),
+        max(col("e")).as("_laste"))
+    base.join(per, scala.Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("n_spans").isNull, col("_txt"))
+          .otherwise(concat(col("_head"), expr("substring(_txt, _laste + 1, length(_txt))")))
+          .as("clean_text"))
+  }
+
   /** Per-document duplicated-content fraction (the MassiveText
     * "fraction of characters in duplicated n-grams" gate, expressed
     * over winnowing fingerprints): a fingerprint is *shared* when it

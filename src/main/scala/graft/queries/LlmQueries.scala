@@ -173,6 +173,14 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** q80: cross-document duplicated-span excision — exact-substring
+    * dedup as a TRANSFORM (spans shared with other docs cut out). */
+  def q80(s: SparkSession, dir: String): DataFrame =
+    Dedup.exciseDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Concat-and-chunk sequence packing at a 2048-token budget: which
     * training sequence does each document start in. Integer arithmetic,
     * partitioned two-pass prefix sum (no global window). */
@@ -560,7 +568,8 @@ object LlmQueries {
     "q31_multimodal_meta" -> (q31 _),
     "q77_classifier" -> (q77 _),
     "q78_dup_spans" -> (q78 _),
-    "q79_backoff" -> (q79 _))
+    "q79_backoff" -> (q79 _),
+    "q80_excise_spans" -> (q80 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -940,6 +949,52 @@ object LlmQueries {
         | CAST(COALESCE(l1, 0) AS BIGINT) AS l1,
         | CAST(COALESCE(l0, 0) AS BIGINT) AS l0
         |FROM documents d LEFT JOIN lvl ON lvl.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q80_excise_spans" ->
+      """WITH g AS (
+        | SELECT doc_id, i, substr(md5(substr(text, i, 5)), 1, 16) AS h
+        | FROM documents,
+        |  unnest(generate_series(1, greatest(strlen(text)-4, 1))) AS t(i)),
+        |g2 AS (
+        | SELECT doc_id, i, h,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        |  count(*) OVER (PARTITION BY doc_id) AS n
+        | FROM g),
+        |pos AS (
+        | SELECT a.doc_id, a.i AS ws, max(b.i) AS selpos
+        | FROM g2 a JOIN g b ON b.doc_id = a.doc_id
+        |  AND b.i BETWEEN a.i AND a.i + 3 AND b.h = a.mh
+        | WHERE a.i <= greatest(a.n - 3, 1)
+        | GROUP BY 1, 2),
+        |fpp AS (
+        | SELECT DISTINCT p.doc_id, p.selpos AS p, g.h
+        | FROM pos p JOIN g ON g.doc_id = p.doc_id AND g.i = p.selpos),
+        |shared AS (
+        | SELECT h FROM (SELECT DISTINCT doc_id, h FROM fpp)
+        | GROUP BY h HAVING count(*) >= 2),
+        |sp AS (SELECT doc_id, p, p + 4 AS q FROM fpp JOIN shared USING (h)),
+        |cm AS (SELECT doc_id, p, q,
+        |  max(q) OVER (PARTITION BY doc_id ORDER BY p, q
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sp),
+        |i1 AS (SELECT doc_id, p, q,
+        |  sum(CASE WHEN pm IS NULL OR p > pm THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY doc_id ORDER BY p, q) AS iid FROM cm),
+        |isl AS (SELECT doc_id, iid, min(p) AS s, max(q) AS e
+        | FROM i1 GROUP BY 1, 2),
+        |seg AS (SELECT doc_id, s, e,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        | FROM isl),
+        |per AS (
+        | SELECT seg.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  string_agg(substr(d.text, pe + 1, s - pe - 1), '' ORDER BY s) AS head,
+        |  max(e) AS laste
+        | FROM seg JOIN documents d ON d.doc_id = seg.doc_id
+        | GROUP BY seg.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        | CASE WHEN p.doc_id IS NULL THEN d.text
+        |  ELSE coalesce(p.head, '') || substr(d.text, p.laste + 1) END AS clean_text
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q63_importance" ->
       """WITH tk AS (

@@ -344,6 +344,42 @@ class TrainingSpec extends AnyFunSuite {
       && !out(2).getBoolean(4))
   }
 
+  test("exciseDupSpans: shared spans cut, unique docs untouched") {
+    import graft.llmops.Dedup
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = scala.Seq(
+      (1L, common),
+      (2L, common),
+      (3L, "completely different content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseDupSpans(df, "doc_id", "text", k = 5, w = 4)
+      .orderBy("id").collect()
+    // identical docs: every selected fingerprint is shared and with
+    // w <= k-1 consecutive selections always overlap → one island
+    // covering all but at most w-1 leading + w-1 trailing chars
+    assert(out(0).getLong(1) == 1L && out(0).getString(2).length <= 6)
+    assert(out(1).getLong(1) == 1L && out(1).getString(2).length <= 6)
+    assert(!out(0).getString(2).contains("gamma"))
+    // unique doc: zero spans, text unchanged
+    assert(out(2).getLong(1) == 0L && out(2).getString(2) ==
+      "completely different content with nothing shared here at all")
+  }
+
+  test("exciseDupSpans: partial overlap leaves the distinct head/tail") {
+    import graft.llmops.Dedup
+    val passage = "0123456789abcdefghij0123456789abcdefghij" // 40 shared chars
+    val df = scala.Seq(
+      (1L, s"UNIQUEHEAD-$passage-UNIQUETAIL"),
+      (2L, passage))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseDupSpans(df, "doc_id", "text", k = 5, w = 4)
+      .orderBy("id").collect()
+    val clean1 = out(0).getString(2)
+    assert(out(0).getLong(1) >= 1L)
+    assert(clean1.startsWith("UNIQUEHEAD") && clean1.endsWith("UNIQUETAIL"))
+    assert(!clean1.contains("0123456789abcdefghij"))
+  }
+
   test("backoffLevels: hand-computed resolution histogram") {
     // corpus: "a b c a b c" repeats every trigram ≥2× except the bridging
     // ones; "x y z" contributes hapax trigrams that back off
