@@ -190,4 +190,26 @@ object Curation {
       out: String = "shuffle_rank"): DataFrame =
     graft.model.Envelope.withGlobalSeq(df,
       scala.Seq(md5(col(idCol).cast("string")), col(idCol)), out)
+
+  /** Within-document duplicate-line removal — the repetition SCRUB that
+    * complements the Gopher dup-line FLAGS (dupLineFrac/q76): keep each
+    * line's first occurrence, preserve order, rejoin on the separator.
+    *
+    * Pure per-row array kernel: zero shuffle at any corpus size. The
+    * first-occurrence scan (`array_position` per element) is quadratic
+    * in LINES PER DOCUMENT, not corpus size — bounded work per row.
+    * Output: (id, n_lines, n_kept, clean_text). */
+  def dedupLinesInDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      split(col(textCol), quoted(sep)).as("_ls"))
+    val kept = filter(col("_ls"),
+      (x, i) => array_position(col("_ls"), x) === (i + 1).cast(LongType))
+    base
+      .withColumn("_kept", kept)
+      .select(col("id"),
+        size(col("_ls")).cast(LongType).as("n_lines"),
+        size(col("_kept")).cast(LongType).as("n_kept"),
+        array_join(col("_kept"), sep).as("clean_text"))
+  }
 }

@@ -25,6 +25,15 @@ object CurationQueries {
 
   private val linesSqlExpr = "replace(text, ' the ', chr(10))"
 
+  /** q81: within-doc duplicate-line removal — the repetition scrub
+    * complementing q76's flags (keep first occurrence, order kept). */
+  def q81(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Curation.dedupLinesInDoc(
+        t(s, dir, "documents").select(col("doc_id"), linesText.as("t2")),
+        "doc_id", "t2", sep = "\n")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** q69: C4-style line filter — lines need ≥10 words and no 'slow';
     * docs need ≥2 surviving lines. */
   def q69(s: SparkSession, dir: String): DataFrame =
@@ -101,6 +110,7 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
     "q76_dup_lines" -> (q76 _),
+    "q81_dedup_lines_in_doc" -> (q81 _),
     "q69_c4_filter" -> (q69 _),
     "q70_bpe_pairs" -> (q70 _),
     "q71_url_canon" -> (q71 _),
@@ -118,6 +128,18 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q81_dedup_lines_in_doc" ->
+      s"""WITH l AS (
+         | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls
+         | FROM documents),
+         |k AS (
+         | SELECT doc_id, ls,
+         |  list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+         | FROM l)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         | CAST(len(kept) AS BIGINT) AS n_kept,
+         | array_to_string(kept, chr(10)) AS clean_text
+         |FROM k ORDER BY doc_id""".stripMargin,
     "q76_dup_lines" ->
       s"""WITH l AS (
          | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls

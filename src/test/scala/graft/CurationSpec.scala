@@ -147,4 +147,17 @@ class CurationSpec extends AnyFunSuite {
     // it actually permutes (md5 order != id order)
     assert((0L until 500L).exists(i => a(i) != i))
   }
+
+  test("dedupLinesInDoc keeps first occurrence in order") {
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x"),
+      (3L, "dup\ndup\ndup")).toDF("id", "text")
+    val out = Curation.dedupLinesInDoc(df, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 5L && out(0).getLong(2) == 3L
+      && out(0).getString(3) == "a\nb\nc")
+    assert(out(1).getString(3) == "x")
+    assert(out(2).getLong(2) == 1L && out(2).getString(3) == "dup")
+  }
 }
