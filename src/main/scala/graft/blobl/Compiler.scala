@@ -371,8 +371,11 @@ object Compiler {
         }
         TC(when(empty, lit(null)).otherwise(t.col), t.tpe)
       case "number" =>
-        if (t.isVariant) TC(t.col.cast(DoubleType), Some(DoubleType))
-        else TC(t.col.cast(DoubleType), Some(DoubleType))
+        // optional arg = fallback when the value can't be parsed
+        // (methods.go numberCoerceMethod)
+        val n = t.col.cast(DoubleType)
+        TC(args.headOption.map(_ => coalesce(n, c(0).col.cast(DoubleType)))
+          .getOrElse(n), Some(DoubleType))
       case "string" => t.tpe match {
         case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) =>
           TC(to_json(t.col), Some(StringType))
@@ -380,7 +383,12 @@ object Compiler {
         case _ => TC(t.col.cast(StringType), Some(StringType))
       }
       case "int" | "integer" => TC(t.col.cast(LongType), Some(LongType))
-      case "bool" => TC(t.col.cast(BooleanType), Some(BooleanType))
+      case "bool" =>
+        // optional arg = fallback when the value can't be parsed
+        // (methods.go boolMethod)
+        val b = t.col.cast(BooleanType)
+        TC(args.headOption.map(_ => coalesce(b, c(0).col.cast(BooleanType)))
+          .getOrElse(b), Some(BooleanType))
       case "bytes" => TC(t.col.cast(BinaryType), Some(BinaryType))
       case "type" =>
         val tn = typeof(t.col)

@@ -243,9 +243,29 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       """{"foo":"from_foo"}""", """{"r":"from_foo"}""")
   }
 
+  test("bool / number fallback args (methods.go bool, number)") {
+    check("""root.r = "nope".bool(true)""", nil, """{"r":true}""")
+    check("""root.r = "true".bool(false)""", nil, """{"r":true}""")
+    checkNum("""root.r = "nope".number(5) * 10""", nil, """{"r":50}""")
+    checkNum("""root.r = "7".number(5) * 10""", nil, """{"r":70}""")
+  }
+
   test("object equality (arithmetic_test.go compare maps)") {
     check("""root.r = {"foo":"bar"} == {"foo":"bar"}""", nil, """{"r":true}""")
     check("""root.r = {"foo":"bar"} != {"foo":"baz"}""", nil, """{"r":true}""")
+  }
+
+  test("interpolation leaves unsuspicious strings alone (field/expression_test.go)") {
+    import spark.implicits._
+    val df = scala.Seq("bar").toDF("foo")
+    def render(t: String): String =
+      df.select(graft.blobl.Interpolation.columnPlain(df, t).as("r"))
+        .head().getString(0)
+    assert(render("static string hello world") == "static string hello world")
+    assert(render("${{! not a thing") == "${{! not a thing")
+    assert(render("${! not a thing") == "${! not a thing")
+    assert(render("hello $ world") == "hello $ world")
+    assert(render("foo ${! this.foo } bar") == "foo bar bar")
   }
 
   test("filter on arrays and objects (methods_test.go)") {
