@@ -255,6 +255,29 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     check("""root.r = {"foo":"bar"} != {"foo":"baz"}""", nil, """{"r":true}""")
   }
 
+  test("if / else-if chains incl. Nothing on no-else miss (query/expression_test.go)") {
+    // "if false": no else branch and a false condition maps Nothing —
+    // the field is simply absent from the output
+    check("""root.r = if 10 > 20 { "foo" }""", nil, """{}""")
+    check("""root.r = if 10 > 20 { "foo" } else { "bar" }""", nil, """{"r":"bar"}""")
+    check("""root.r = if 10 < 20 { "foo" }""", nil, """{"r":"foo"}""")
+    check(
+      """root.r = if false { "foo" } else if false { "bar" } else if true { "baz" } else { "buz" }""",
+      nil, """{"r":"baz"}""")
+  }
+
+  test("match rebinds context; all-fail maps Nothing (query/expression_test.go)") {
+    check(
+      """root.r = match "context" {
+        |  true => this
+        |}""".stripMargin, nil, """{"r":"context"}""")
+    check(
+      """root.r = match "context" {
+        |  false => "foo"
+        |  false => "bar"
+        |}""".stripMargin, nil, """{}""")
+  }
+
   test("interpolation leaves unsuspicious strings alone (field/expression_test.go)") {
     import spark.implicits._
     val df = scala.Seq("bar").toDF("foo")
