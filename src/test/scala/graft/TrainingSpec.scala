@@ -295,6 +295,27 @@ class TrainingSpec extends AnyFunSuite {
     assert(bg.length == 4)
   }
 
+  test("round-6 ops survive null/empty/single-token text") {
+    import graft.llmops.{Curation, Dedup, TextStats}
+    val df = scala.Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "one"), (4L, "two tokens"))
+      .toDF("doc_id", "text")
+    val nonNull = df.filter(col("text").isNotNull)
+    // none of these may throw; null/empty rows degrade, never crash
+    assert(Training.hashedNbClassifier(nonNull, "doc_id", "text",
+      lit(true), dim = 256).count() == 3)
+    assert(Dedup.dupSpanStats(nonNull, "doc_id", "text").count() == 3)
+    assert(TextStats.backoffLevels(df, "doc_id", "text")
+      .filter(col("n_tri") === 0).count() >= 3) // null, "", "one", "two tokens"
+    val ex = Dedup.exciseDupSpans(nonNull, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(ex.length == 3 && ex.forall(_.getLong(1) == 0L)) // nothing shared
+    val dl = Curation.dedupLinesInDoc(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(dl(0).isNullAt(3) || dl(0).getString(3) == null || dl(0).getString(3) == "")
+    assert(dl(2).getString(3) == "one")
+  }
+
   test("sharedPassagePairs: planted shared passage found; boilerplate df-capped") {
     import graft.llmops.Dedup
     val passage = "alpha beta gamma delta epsilon zeta"
