@@ -352,7 +352,12 @@ object Compiler {
           Window.partitionBy(b).orderBy(s)
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         if (name == "from_all") TC(all, t.tpe.map(ArrayType(_)))
-        else TC(element_at(all, compile(arg(0), ctx).col.cast(IntegerType) + 1), t.tpe)
+        else {
+          // negative index counts from the batch end (query_method_parser
+          // "json from 3/4": from(-1) = last part)
+          val i = compile(arg(0), ctx).col.cast(IntegerType)
+          TC(element_at(all, when(i >= 0, i + 1).otherwise(i)), t.tpe)
+        }
       case "get" => accessPath(t, litStr(0).split('.').toSeq.filter(_.nonEmpty))
       case "exists" =>
         TC(accessPath(t, litStr(0).split('.').toSeq.filter(_.nonEmpty)).col.isNotNull,

@@ -209,6 +209,19 @@ class BloblSpec extends AnyFunSuite {
     assert(got == List(Row(0L, 2L, "x,y"), Row(1L, 2L, "x,y"), Row(0L, 1L, "z")))
   }
 
+  test("from with negative indices over a batch (parser/query_method_parser_test.go)") {
+    import graft.model.Envelope
+    val df = jdf("""{"foo":1}""", """{"foo":2}""", """{"foo":3}""", """{"foo":4}""")
+    val env = Envelope.wrap(df, scala.Seq(col("foo")), batchSize = 4)
+    val out = Mapping.compile(
+      """root.a = this.foo.from(0)
+        |root.b = this.foo.from(1)
+        |root.c = this.foo.from(-1)
+        |root.d = this.foo.from(-2)""".stripMargin).applyEnvelope(env)
+    val got = out.select("doc.a", "doc.b", "doc.c", "doc.d").distinct().collect().toList
+    assert(got == List(Row(1L, 2L, 4L, 3L)))
+  }
+
   test("named maps via apply") {
     assert(run(
       """map squared {
