@@ -278,6 +278,41 @@ class ReferenceVectorsSpec extends AnyFunSuite {
         |}""".stripMargin, nil, """{}""")
   }
 
+  test("coercion round-trips, case, format (parser/query_method_parser_test.go)") {
+    check("""root.r = 5.string() == "5"""", nil, """{"r":true}""")
+    check("""root.r = "5".number() == 5""", nil, """{"r":true}""")
+    check("""root.r = "foobar".uppercase()""", nil, """{"r":"FOOBAR"}""")
+    check("""root.r = "FOOBAR".lowercase()""", nil, """{"r":"foobar"}""")
+    check("""root.r = "foo %v bar".format("test")""", nil, """{"r":"foo test bar"}""")
+  }
+
+  test("get / exists on paths (parser/query_method_parser_test.go)") {
+    check("""root.r = this.get("foo")""",
+      """{"foo":"bar"}""", """{"r":"bar"}""")
+    check("""root.r = this.get("foo.bar")""",
+      """{"foo":{"bar":"baz"}}""", """{"r":"baz"}""")
+    check("""root.r = this.exists("foo")""",
+      """{"foo":"bar"}""", """{"r":true}""")
+    check("""root.r = this.exists("foo.bar")""",
+      """{"foo":{"bar":"baz"}}""", """{"r":true}""")
+    check("""root.r = this.exists("foo.bar")""",
+      """{"foo":{"nope":"baz"}}""", """{"r":false}""")
+  }
+
+  test("sum over literal array (parser/query_method_parser_test.go)") {
+    check("""root.r = [1,2,2].sum()""", nil, """{"r":5}""")
+  }
+
+  test("division is always float (arithmetic.go ArithmeticDiv)") {
+    checkNum("""root.r = 5 / 2""", nil, """{"r":2.5}""")
+    checkNum("""root.r = 6 / 2""", nil, """{"r":3}""")
+  }
+
+  test("map_each legacy this-context (parser/query_method_parser_test.go)") {
+    check("""root.r = this.foo.map_each(this + 10)""",
+      """{"foo":[1,2,2]}""", """{"r":[11,12,12]}""")
+  }
+
   test("interpolation leaves unsuspicious strings alone (field/expression_test.go)") {
     import spark.implicits._
     val df = scala.Seq("bar").toDF("foo")
