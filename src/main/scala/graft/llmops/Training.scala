@@ -122,24 +122,52 @@ object Training {
     *
     * Output: (id, n_tokens, score_fp, pred). */
   def hashedNbClassifier(df: DataFrame, idCol: String, textCol: String,
-      labelPred: Column, dim: Int = 4096, scale: Long = 1000000L): DataFrame = {
+      labelPred: Column, dim: Int = 4096, scale: Long = 1000000L): DataFrame =
+    nbClassifierScore(df, idCol, textCol,
+      nbClassifierWeights(df, textCol, labelPred, dim, scale), dim, scale)
+
+  /** Hashed-unigram feature bucket: `int(md5(tok)[0,4)) mod dim`. */
+  private def featHash(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast(LongType) % dim
+
+  /** The TRAIN half of [[hashedNbClassifier]]: the ≤`dim`-row weight
+    * table (f, w) — persist with [[saveClassifier]] to score later
+    * batches or streams without retraining. */
+  def nbClassifierWeights(df: DataFrame, textCol: String, labelPred: Column,
+      dim: Int = 4096, scale: Long = 1000000L): DataFrame = {
     require(dim > 0 && dim <= 65536, s"dim must be in (0, 65536], got $dim")
-    val tok = df.select(col(idCol).as("id"), labelPred.as("_y"),
-      explode(split(col(textCol), " ")).as("tok"))
-    val feat = tok.select(col("id"), col("_y"),
-      (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast(LongType) % dim).as("f"))
-    val weights = feat.groupBy(col("f")).agg(
+    df.select(labelPred.as("_y"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("_y"), featHash(col("tok"), dim).as("f"))
+      .groupBy(col("f")).agg(
         sum(when(col("_y"), 1L).otherwise(0L)).as("c1"),
         count(lit(1)).as("cn"))
-      .select(col("f"),
-        expr(s"(c1 + 1) * $scale div (cn + 2)").as("w"))
-    feat.join(broadcast(weights), "f")
+      .select(col("f"), expr(s"(c1 + 1) * $scale div (cn + 2)").as("w"))
+  }
+
+  /** The SCORE half of [[hashedNbClassifier]]: stateless projection +
+    * broadcast join + per-doc re-agg — also valid on a streaming
+    * DataFrame (update/complete mode) with a loaded weight table. */
+  def nbClassifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int = 4096, scale: Long = 1000000L): DataFrame = {
+    require(dim > 0 && dim <= 65536, s"dim must be in (0, 65536], got $dim")
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), featHash(col("tok"), dim).as("f"))
+      .join(broadcast(weights), "f")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("_ws"))
       .select(col("id"), col("n_tokens"),
         expr("_ws div n_tokens").as("score_fp"),
         (col("_ws") * 2L > col("n_tokens") * scale).as("pred"))
   }
+
+  /** Persist / reload the classifier weight table (f, w). */
+  def saveClassifier(weights: DataFrame, path: String): Unit =
+    weights.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadClassifier(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   // ------------------------------------------------------ centroid outliers
 

@@ -348,6 +348,22 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(2).getBoolean(3)) // (833333+333333)*2 > 2e6
   }
 
+  test("classifier weights round-trip through parquet; loaded scores match") {
+    val train = scala.Seq(
+      (1L, "good text here", true), (2L, "bad words now", false),
+      (3L, "good good words", true))
+      .toDF("id", "text", "y")
+    val dir = java.nio.file.Files.createTempDirectory("nbw").toString
+    val w = Training.nbClassifierWeights(train, "text", col("y"), dim = 256)
+    Training.saveClassifier(w, s"$dir/w")
+    val loaded = Training.loadClassifier(spark, s"$dir/w")
+    val direct = Training.hashedNbClassifier(train, "id", "text", col("y"),
+      dim = 256).orderBy("id").collect().toList
+    val scored = Training.nbClassifierScore(train, "id", "text", loaded,
+      dim = 256).orderBy("id").collect().toList
+    assert(direct == scored)
+  }
+
   test("dupSpanStats: duplicated passage raises dup_bp; unique doc stays 0") {
     import graft.llmops.Dedup
     val passage = "alpha beta gamma delta epsilon zeta eta theta"
