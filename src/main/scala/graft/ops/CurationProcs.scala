@@ -82,4 +82,54 @@ object CurationProcs {
         map(lit(metaKey), assigned)))
     }
   }
+
+  /** `dedup_lines`: within-message duplicate-line removal (keep first
+    * occurrence, order preserved) — the processor form of
+    * [[Curation.dedupLinesInDoc]]. Pure per-row kernel, stream-safe. */
+  final case class DedupLinesProc(sep: String = "\n") extends Processor {
+    def apply(df: DataFrame): DataFrame =
+      df
+        .withColumn("_ls", split(contentStr(df), java.util.regex.Pattern.quote(sep)))
+        .withColumn(Envelope.Content,
+          array_join(filter(col("_ls"), (x, i) =>
+            array_position(col("_ls"), x) ===
+              (i + 1).cast(org.apache.spark.sql.types.LongType)), sep)
+            .cast(BinaryType))
+        .drop("_ls")
+  }
+
+  /** `quality_score`: score each message with a trained
+    * [[graft.llmops.Training.nbClassifierWeights]] table (loaded from
+    * `weightsPath`) and write the fixed-point mean posterior to a meta
+    * key. The ≤dim-entry weight table becomes a LITERAL map, so scoring
+    * is a pure per-row fold over the token array — no join, no shuffle,
+    * stream-safe; identical arithmetic to the batch scorer (tokens whose
+    * hash bucket is absent from the table are skipped, like its inner
+    * join). */
+  final case class QualityScoreProc(weightsPath: String, dim: Int = 4096,
+      scale: Long = 1000000L, metaKey: String = "quality_score_fp")
+      extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val rows = graft.llmops.Training
+        .loadClassifier(df.sparkSession, weightsPath).collect()
+      val wmap = map_from_arrays(
+        lit(rows.map(_.getLong(0))), lit(rows.map(_.getLong(1))))
+      val LT = org.apache.spark.sql.types.LongType
+      def bucket(t: org.apache.spark.sql.Column) =
+        conv(substring(md5(t), 1, 4), 16, 10).cast(LT) % dim
+      val M = Envelope.Meta
+      df
+        .withColumn("_ws8",
+          filter(transform(split(contentStr(df), " "),
+            t => element_at(wmap, bucket(t))), w => w.isNotNull))
+        .withColumn(M, map_concat(
+          map_filter(col(M), (k, _) => k =!= metaKey),
+          map(lit(metaKey),
+            when(size(col("_ws8")) > 0,
+              floor(aggregate(col("_ws8"), lit(0L), (a, x) => a + x) /
+                size(col("_ws8"))).cast(LT))
+              .otherwise(lit(scale / 2)).cast(StringType))))
+        .drop("_ws8")
+    }
+  }
 }

@@ -327,6 +327,14 @@ object Config {
           .getOrElse(scala.Seq("lorem ipsum", "javascript")),
         conf.get("min_kept_lines").map(_.toString.toInt).getOrElse(1))
       case "pii_redact" => graft.ops.CurationProcs.PiiRedactProc()
+      case "dedup_lines" =>
+        graft.ops.CurationProcs.DedupLinesProc(optStr(conf, "separator", "\n"))
+      case "quality_score" =>
+        graft.ops.CurationProcs.QualityScoreProc(
+          str(conf, "weights_path"),
+          conf.get("dim").map(_.toString.toInt).getOrElse(4096),
+          conf.get("scale").map(_.toString.toLong).getOrElse(1000000L),
+          optStr(conf, "meta_key", "quality_score_fp"))
       case "gopher_filter" => graft.ops.CurationProcs.GopherFilterProc()
       case "unicode_normalize" =>
         graft.ops.CurationProcs.UnicodeNormalizeProc(optStr(conf, "form", "NFC"))

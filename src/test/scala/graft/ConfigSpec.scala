@@ -389,6 +389,75 @@ class ConfigSpec extends AnyFunSuite {
       lines.mkString("|"))
   }
 
+  test("dedup_lines + quality_score processors from YAML") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-q").toString
+    // train a tiny weight table: 'signal' appears only under the label
+    val train = {
+      import spark.implicits._
+      scala.Seq(("signal signal good", true), ("noise noise bad", false))
+        .toDF("text", "y")
+    }
+    graft.llmops.Training.saveClassifier(
+      graft.llmops.Training.nbClassifierWeights(train, "text", col("y"),
+        dim = 256), s"$dir/w")
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  generate:
+         |    count: 2
+         |    mapping: |
+         |      root = if this.i == 0 {
+         |        "signal here\\nsignal here\\nagain"
+         |      } else {
+         |        "noise floor\\nnoise floor"
+         |      }
+         |pipeline:
+         |  processors:
+         |    - dedup_lines: {}
+         |    - quality_score:
+         |        weights_path: $dir/w
+         |        dim: 256
+         |output:
+         |  file:
+         |    path: $dir/out
+         |    codec: lines
+         |""".stripMargin)
+    spec.run(spark)
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0)).sorted
+    // duplicate lines removed, order kept
+    assert(lines.toList == List("noise floor", "signal here\nagain").sorted ||
+      lines.toList == List("noise floor", "signal here", "again").sorted,
+      lines.mkString("|"))
+  }
+
+  test("quality_score meta matches the batch scorer arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at}
+    val dir = java.nio.file.Files.createTempDirectory("graft-qs").toString
+    val docs = scala.Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha delta")).toDF("id", "text")
+    val w = graft.llmops.Training.nbClassifierWeights(docs, "text",
+      col("id") === 1L, dim = 256)
+    graft.llmops.Training.saveClassifier(w, s"$dir/w")
+    val batch = graft.llmops.Training.nbClassifierScore(docs, "id", "text",
+        w, dim = 256)
+      .select(col("id"), col("score_fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val env = graft.model.Envelope.wrap(
+      docs.select(col("text")), scala.Seq(col("text")))
+      .withColumn(graft.model.Envelope.Content,
+        col("doc.text").cast(org.apache.spark.sql.types.BinaryType))
+    val scored = graft.ops.CurationProcs.QualityScoreProc(s"$dir/w", dim = 256)
+      .apply(env)
+      .select(col("doc.text"),
+        element_at(col("meta"), "quality_score_fp").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byText = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byText.foreach { case (id, text) =>
+      assert(scored(text) == batch(id), s"doc $id: ${scored(text)} vs ${batch(id)}")
+    }
+  }
+
   test("metric processor observes row count, rendered at /metrics") {
     graft.runtime.Metrics.clear()
     val spec = graft.runtime.Config.load(

@@ -182,4 +182,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.getLong(1) > 0, "no rows assigned to the train split")
     assert(out.getLong(2) === 0, "keep_doc rows must have kept lines")
   }
+
+  test("quality_score + dedup_lines processors on a stream (literal weight map)") {
+    import graft.llmops.Training
+    val wdir = Files.createTempDirectory("graft-w")
+    // train on a batch, score a stream — the cross-job artifact flow
+    val train = {
+      import spark.implicits._
+      scala.Seq(("signal text", true), ("noise text", false)).toDF("text", "y")
+    }
+    Training.saveClassifier(
+      Training.nbClassifierWeights(train, "text",
+        org.apache.spark.sql.functions.col("y"), dim = 256),
+      s"$wdir/w")
+    val d = Files.createTempDirectory("graft-docs3")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("part-0.parquet"))
+    val docsSchema = StructType(scala.Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docsSchema).parquet(d.toString)
+    val env = graft.model.Envelope.wrapUnordered(stream)
+      .withColumn(graft.model.Envelope.Content,
+        col("doc.text").cast(org.apache.spark.sql.types.BinaryType))
+    val scored = graft.ops.CurationProcs.QualityScoreProc(
+        s"$wdir/w", dim = 256)
+      .apply(graft.ops.CurationProcs.DedupLinesProc().apply(env))
+    assert(scored.isStreaming, "processors must preserve streaming-ness")
+    val q = scored
+      .select(element_at(col("meta"), "quality_score_fp").cast(LongType).as("s"))
+      .writeStream.format("memory").queryName("s_qscore")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql(
+      "SELECT count(*), count_if(s IS NOT NULL), min(s), max(s) FROM s_qscore").head()
+    assert(out.getLong(0) > 0 && out.getLong(0) === out.getLong(1))
+    assert(out.getLong(2) >= 0L && out.getLong(3) <= 1000000L)
+  }
 }
