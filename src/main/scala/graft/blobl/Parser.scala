@@ -172,6 +172,26 @@ object Parser {
       while (!p.isOp("}")) stmts += parseStmt(p)
       p.expectOp("}")
       MapDef(name, stmts.result())
+    case TIdent(_, _) =>
+      // v3 naked forms (mapping_parser.go statement parser): a bare
+      // path target `foo.bar = q` is sugar for `root.foo.bar = q`
+      // ("simple json map 2"), and a bare query Q with no assignment
+      // is `root = Q` ("compressed arithmetic" / the blobl CLI form).
+      val save = p.pos
+      val isNakedAssign = {
+        p.next()
+        val pathOk =
+          try { parsePathSegs(p); true } catch { case _: ParseError => false }
+        val ok = pathOk && p.isOp("=")
+        p.pos = save
+        ok
+      }
+      if (isNakedAssign) {
+        val first = p.next().asInstanceOf[TIdent].s
+        val segs = parsePathSegs(p)
+        p.expectOp("=")
+        Assign(RootPath(first :: segs), parseQuery(p))
+      } else Assign(RootPath(Nil), parseQuery(p))
     case t => throw ParseError(s"expected statement (root/meta/let/map) but found $t", t.pos)
   }
 

@@ -313,6 +313,53 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       """{"foo":[1,2,2]}""", """{"r":[11,12,12]}""")
   }
 
+  test("naked-path statements desugar to root/this (parser/mapping_parser_test.go)") {
+    // "simple json map 2": `foo = foo + 2` ≡ `root.foo = this.foo + 2`
+    checkCanon(
+      """
+        |foo = foo + 2
+        |
+        |bar = "test1"
+        |
+        |zed = deleted()
+        |""".stripMargin,
+      """{"foo":10,"zed":"gone"}""",
+      """{"bar":"test1","foo":12}""")
+    // "test variables and json": naked RHS in let + quoted variable name
+    check(
+      """let foo = foo
+        |let "bar baz" = "test1"
+        |bar.baz = var("bar baz")""".stripMargin,
+      """{"foo":"bar"}""", """{"bar":{"baz":"test1"}}""")
+  }
+
+  test("bare query maps to root (parser/mapping_parser_test.go compressed arithmetic)") {
+    import spark.implicits._
+    val df = spark.read.json(spark.createDataset(scala.Seq("""{"foo":5,"bar":3}""")))
+    val env = graft.model.Envelope.wrap(df, scala.Seq(col("foo")))
+    val out = Mapping.compile("this.foo+this.bar").applyEnvelope(env)
+    assert(out.select(col("doc")).head().getLong(0) == 8L)
+    val out2 = Mapping.compile("this.foo-this.bar").applyEnvelope(env)
+    assert(out2.select(col("doc")).head().getLong(0) == 2L)
+  }
+
+  test("quoted path segments and a field called root (parser/mapping_parser_test.go)") {
+    check("""root."bar baz".test = 5 + 2""", nil, """{"bar baz":{"test":7}}""")
+    check("""root.root = "not set at root"""", nil, """{"root":"not set at root"}""")
+  }
+
+  test("maps with naked bodies via apply (parser/mapping_parser_test.go test maps)") {
+    checkCanon(
+      """map foo {
+        |  foo = "static foo"
+        |  bar = this
+        |  applied = ["foo"]
+        |}
+        |root = this.apply("foo")""".stripMargin,
+      """{"outter":{"inner":"hello world"}}""",
+      """{"applied":["foo"],"bar":{"outter":{"inner":"hello world"}},"foo":"static foo"}""")
+  }
+
   test("interpolation leaves unsuspicious strings alone (field/expression_test.go)") {
     import spark.implicits._
     val df = scala.Seq("bar").toDF("foo")
