@@ -50,6 +50,11 @@ object Ast {
   sealed trait Stmt
   final case class Assign(target: Target, value: Expr) extends Stmt
   final case class MapDef(name: String, stmts: List[Stmt]) extends Stmt
+  /** `import "file"` — pull the file's map definitions in
+    * (mapping_parser.go importParser); resolved by Mapping.compile. */
+  final case class ImportFile(path: String) extends Stmt
+  /** `from "file"` — execute the file as the whole mapping. */
+  final case class FromFile(path: String) extends Stmt
 
   final case class Program(stmts: List[Stmt])
 }

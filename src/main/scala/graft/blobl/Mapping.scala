@@ -19,7 +19,35 @@ import Ast._
   */
 object Mapping {
 
-  def compile(src: String): CompiledMapping = new CompiledMapping(Parser.parseMapping(src))
+  def compile(src: String): CompiledMapping =
+    new CompiledMapping(resolveImports(Parser.parseMapping(src), 0))
+
+  /** Resolve `import "file"` (map definitions only, with the reference's
+    * no-maps / collision errors — mapping_parser.go importParser) and
+    * `from "file"` (whole-mapping splice) statements. */
+  private def resolveImports(prog: Program, depth: Int): Program = {
+    if (depth > 10) throw CompileError("import nesting too deep")
+    val out = prog.stmts.flatMap {
+      case ImportFile(path) =>
+        val sub = resolveImports(
+          Parser.parseMapping(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(path))), depth + 1)
+        val maps = sub.stmts.collect { case m: MapDef => m }
+        if (maps.isEmpty) throw CompileError(s"no maps to import from '$path'")
+        maps
+      case FromFile(path) =>
+        resolveImports(
+          Parser.parseMapping(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(path))), depth + 1).stmts
+      case s => List(s)
+    }
+    val names = out.collect { case MapDef(n, _) => n }
+    val dups = names.diff(names.distinct).distinct
+    if (dups.nonEmpty)
+      throw CompileError(
+        s"map name collisions from import: ${dups.mkString("[", ", ", "]")}")
+    Program(out)
+  }
 
   /** Compile a bare Bloblang expression to a Column against a plain
     * DataFrame (`this` = struct of all columns). */

@@ -164,9 +164,20 @@ object Parser {
       }
       p.expectOp("=")
       Assign(LetVar(name), parseQuery(p))
-    case TIdent("map", _) if p.peek2.isInstanceOf[TIdent] =>
+    case TIdent("import", _) if p.peek2.isInstanceOf[TStr] =>
       p.next()
-      val name = p.next().asInstanceOf[TIdent].s
+      ImportFile(p.next().asInstanceOf[TStr].s)
+    case TIdent("from", _) if p.peek2.isInstanceOf[TStr] =>
+      p.next()
+      FromFile(p.next().asInstanceOf[TStr].s)
+    case TIdent("map", _)
+        if p.peek2.isInstanceOf[TIdent] || p.peek2.isInstanceOf[TStr] =>
+      p.next()
+      val name = p.next() match {
+        case TIdent(s, _) => s
+        case TStr(s, _) => s
+        case t => throw ParseError("expected map name", t.pos)
+      }
       p.expectOp("{")
       val stmts = List.newBuilder[Stmt]
       while (!p.isOp("}")) stmts += parseStmt(p)

@@ -348,6 +348,46 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     check("""root.root = "not set at root"""", nil, """{"root":"not set at root"}""")
   }
 
+  test("import and from file statements (parser/mapping_parser_test.go)") {
+    val dir = java.nio.file.Files.createTempDirectory("blobl-imp")
+    val goodMap = dir.resolve("foo_map.blobl")
+    java.nio.file.Files.writeString(goodMap,
+      """map foo {
+        |  foo = "this is valid"
+        |  nested = this
+        |}""".stripMargin)
+    val directMap = dir.resolve("direct_map.blobl")
+    java.nio.file.Files.writeString(directMap, """root.nested = this""")
+    val noMaps = dir.resolve("no_maps.blobl")
+    java.nio.file.Files.writeString(noMaps, """root.nope = "not a map"""")
+    // "test imported map"
+    checkCanon(
+      s"""import "$goodMap"
+         |
+         |root = this.apply("foo")""".stripMargin,
+      """{"outter":{"inner":"hello world"}}""",
+      """{"foo":"this is valid","nested":{"outter":{"inner":"hello world"}}}""")
+    // "test directly imported map"
+    check(s"""from "$directMap"""",
+      """{"inner":"hello world"}""",
+      """{"nested":{"inner":"hello world"}}""")
+    // "no maps file import"
+    val e1 = intercept[Exception] {
+      Mapping.compile(s"""import "$noMaps"
+                         |
+                         |root.foo = this.bar.apply("from_import")""".stripMargin)
+    }
+    assert(e1.getMessage.contains("no maps to import"))
+    // "colliding maps file import"
+    val e2 = intercept[Exception] {
+      Mapping.compile(
+        s"""map "foo" { root.a = this }
+           |import "$goodMap"
+           |root.foo = this.bar.apply("foo")""".stripMargin)
+    }
+    assert(e2.getMessage.contains("collision"))
+  }
+
   test("maps with naked bodies via apply (parser/mapping_parser_test.go test maps)") {
     checkCanon(
       """map foo {
