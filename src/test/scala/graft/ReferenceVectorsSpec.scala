@@ -388,6 +388,15 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("collision"))
   }
 
+  test("range with step and negative step (functions.go)") {
+    check(
+      """root.a = range(0, 10)
+        |root.b = range(0, this.max, 2)
+        |root.c = range(0, -this.max, -2)""".stripMargin,
+      """{"max":10}""",
+      """{"a":[0,1,2,3,4,5,6,7,8,9],"b":[0,2,4,6,8],"c":[0,-2,-4,-6,-8]}""")
+  }
+
   test("maps with naked bodies via apply (parser/mapping_parser_test.go test maps)") {
     checkCanon(
       """map foo {
