@@ -34,6 +34,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("q77 classifier scores through a broadcast weight join") {
+    // the weight table is ≤dim rows by construction — if this ever
+    // degrades to a SortMergeJoin the tokenized corpus shuffles on the
+    // feature key, which is the wrong plan at any scale
+    val plan = graft.queries.LlmQueries
+      .queries("q77_classifier")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("no unpartitioned Window in any gate query plan (scale-killer audit)") {
     // The round-1 verdict's top issue: Window.orderBy with no partition
     // serializes the whole dataset through one task at scale. Every such
