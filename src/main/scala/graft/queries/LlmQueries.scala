@@ -173,6 +173,25 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** q82: QUALITY-AWARE near-dup dedup — the production composition:
+    * SimHash-banded near-dup pairs → connected components → keep the
+    * highest classifier-scored member of each cluster (ties → lowest
+    * id). The keeper policy big curation pipelines actually run:
+    * among duplicates, keep the best document, not the longest. */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.join(
+      Training.hashedNbClassifier(docs, "doc_id", "text",
+          col("lang") === "en", dim = 4096)
+        .select(col("id").as("doc_id"), col("score_fp")),
+      "doc_id")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 3)
+    Graph.dedupClustersBy(scored, "doc_id", col("score_fp"),
+        pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** q80: cross-document duplicated-span excision — exact-substring
     * dedup as a TRANSFORM (spans shared with other docs cut out). */
   def q80(s: SparkSession, dir: String): DataFrame =
@@ -569,7 +588,8 @@ object LlmQueries {
     "q77_classifier" -> (q77 _),
     "q78_dup_spans" -> (q78 _),
     "q79_backoff" -> (q79 _),
-    "q80_excise_spans" -> (q80 _))
+    "q80_excise_spans" -> (q80 _),
+    "q82_dedup_keep_best_quality" -> (q82 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -645,6 +665,42 @@ object LlmQueries {
          | d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q82_dedup_keep_best_quality" ->
+      s"""WITH RECURSIVE $simhashCcCtes,
+         |tk AS (
+         | SELECT doc_id, lang = 'en' AS y,
+         |  unnest(string_split(text, ' ')) AS tok FROM documents),
+         |ft AS (
+         | SELECT doc_id, y, CAST(
+         |   256 * (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+         |   + 16 * (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+         |   + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)
+         |  AS BIGINT) AS f
+         | FROM tk),
+         |w AS (
+         | SELECT f, CAST(
+         |   (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000
+         |    // (CAST(count(*) AS BIGINT) + 2) AS BIGINT) AS w
+         | FROM ft GROUP BY f),
+         |sc AS (
+         | SELECT doc_id,
+         |  CAST(CAST(sum(w) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+         |   AS score_fp
+         | FROM ft JOIN w USING (f) GROUP BY doc_id),
+         |lab AS (
+         | SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, sc.score_fp
+         | FROM documents d JOIN sc USING (doc_id)
+         |  LEFT JOIN comp c ON c.id = d.doc_id),
+         |k AS (
+         | SELECT cluster_id, doc_id AS keep_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |   row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY score_fp DESC, doc_id) AS rn
+         |  FROM lab) WHERE rn = 1)
+         |SELECT l.doc_id, l.cluster_id, l.score_fp AS score,
+         | l.doc_id = k.keep_id AS keep
+         |FROM lab l JOIN k USING (cluster_id)
+         |ORDER BY l.doc_id""".stripMargin,
     "q68_dedup_keep_longest" ->
       s"""WITH RECURSIVE $simhashCcCtes,
          |d AS (
