@@ -299,6 +299,12 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       """{"foo":{"nope":"baz"}}""", """{"r":false}""")
   }
 
+  test("flatten one level (methods_structured.go; homogeneous form — " +
+      "the doc example's mixed ['foo',[...]] array can't type in Spark)") {
+    check("""root.r = [["foo"],["bar","baz"],["buz"]].flatten()""",
+      nil, """{"r":["foo","bar","baz","buz"]}""")
+  }
+
   test("sum over literal array (parser/query_method_parser_test.go)") {
     check("""root.r = [1,2,2].sum()""", nil, """{"r":5}""")
   }
