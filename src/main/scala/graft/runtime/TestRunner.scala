@@ -94,6 +94,44 @@ object TestRunner {
             failures += s"part $i metadata_equals[$k]: got ${gotMeta.get(k)}, want '$v'"
         }
       }
+      // remaining reference condition kinds (condition.go:43-73)
+      want.get("content_matches").foreach { exp =>
+        if (!java.util.regex.Pattern.compile(exp.toString)
+            .matcher(row.getString(1)).find())
+          failures += s"part $i content_matches: '${row.getString(1)}' !~ /$exp/"
+      }
+      want.get("json_contains").foreach { exp =>
+        val wantTree = json.valueToTree[com.fasterxml.jackson.databind.JsonNode](exp)
+        val gotTree = try json.readTree(row.getString(0)) catch { case _: Exception => null }
+        def contains(g: com.fasterxml.jackson.databind.JsonNode,
+            w: com.fasterxml.jackson.databind.JsonNode): Boolean =
+          if (w == null || g == null) false
+          else if (w.isObject) {
+            val it = w.fields()
+            var ok = g.isObject
+            while (ok && it.hasNext) {
+              val e = it.next()
+              ok = g.has(e.getKey) && contains(g.get(e.getKey), e.getValue)
+            }
+            ok
+          } else if (w.isArray)
+            g.isArray && w.size == g.size &&
+              (0 until w.size).forall(j => contains(g.get(j), w.get(j)))
+          else g == w
+        if (!contains(gotTree, wantTree))
+          failures += s"part $i json_contains: got ${row.getString(0)}, want subset $wantTree"
+      }
+      want.get("bloblang").foreach { exp =>
+        // predicate mapping evaluated against the output part; must be true
+        val ok = try {
+          val dfOne = out.orderBy(col(Envelope.Seq)).limit(i + 1)
+            .orderBy(col(Envelope.Seq).desc).limit(1)
+          val pred = graft.blobl.Mapping.envelopeExpr(dfOne, exp.toString)
+          dfOne.select(pred.cast(org.apache.spark.sql.types.BooleanType))
+            .head().getBoolean(0)
+        } catch { case _: Exception => false }
+        if (!ok) failures += s"part $i bloblang: predicate '$exp' not true"
+      }
     }
     CaseResult(name, failures.toList)
   }

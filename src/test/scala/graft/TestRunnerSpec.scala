@@ -251,6 +251,35 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
   }
 
+  test("content_matches / json_contains / bloblang conditions (condition.go)") {
+    val results = TestRunner.run(spark,
+      """tests:
+        |  - name: all three condition kinds
+        |    target_mapping: |
+        |      root = this
+        |      root.doubled = this.v * 2
+        |    input_batch:
+        |      - content: '{"v":5,"tag":"keep this"}'
+        |    output_batches:
+        |      -
+        |        - content_matches: "keep th[a-z]s"
+        |          json_contains: {"doubled": 10}
+        |          bloblang: 'this.doubled == 10 && this.tag.contains("keep")'
+        |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+    val bad = TestRunner.run(spark,
+      """tests:
+        |  - name: regex miss reported
+        |    target_mapping: "root.x = \"abc\""
+        |    input_batch:
+        |      - content: '{"y":0}'
+        |    output_batches:
+        |      -
+        |        - content_matches: "zzz"
+        |""".stripMargin)
+    assert(bad.exists(!_.ok))
+  }
+
   test("failures are reported, not thrown") {
     val results = TestRunner.run(spark,
       """tests:
