@@ -35,7 +35,8 @@ final case class Ctx(
     maps: Map[String, List[Stmt]],
     batch: Option[(Column, Column)],
     rootMeta: Option[Column] = None,
-    countCol: Option[Column] = None) {
+    countCol: Option[Column] = None,
+    envOverride: Map[String, String] = Map.empty) {
   def withThis(t: TC): Ctx = copy(thisTC = t)
   def withVar(n: String, v: TC): Ctx = copy(vars = vars + (n -> v))
 }
@@ -290,7 +291,9 @@ object Compiler {
         TC(sequence(start.cast(LongType), last.cast(LongType), step.cast(LongType)),
           Some(ArrayType(LongType)))
       case "env" =>
-        TC(lit(sys.env.get(litStr(0)).orNull), Some(StringType))
+        // per-case overrides (test-runner `environment`) win over process env
+        TC(lit(ctx.envOverride.get(litStr(0))
+          .orElse(sys.env.get(litStr(0))).orNull), Some(StringType))
       case "hostname" =>
         TC(lit(java.net.InetAddress.getLocalHost.getHostName), Some(StringType))
       case "file" =>

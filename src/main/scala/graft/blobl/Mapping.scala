@@ -306,7 +306,13 @@ object Mapping {
   * DataFrames. Compilation is per-DataFrame (schema-directed); the result is
   * a single Catalyst projection + optional filter.
   */
-final class CompiledMapping(val program: Program) extends Serializable {
+final class CompiledMapping(val program: Program,
+    env: Map[String, String] = Map.empty) extends Serializable {
+
+  /** Copy with per-run env() overrides (the test runner's `environment`
+    * field — lib/service/test/case.go). */
+  def withEnv(e: Map[String, String]): CompiledMapping =
+    new CompiledMapping(program, e)
 
   private def mapDefs: Map[String, List[Stmt]] =
     program.stmts.collect { case MapDef(n, s) => n -> s }.toMap
@@ -314,7 +320,7 @@ final class CompiledMapping(val program: Program) extends Serializable {
   /** Run on a plain DataFrame (e.g. a TPC-H table): `this` = the row struct;
     * output = root struct expanded back to columns. */
   def applyPlain(df: DataFrame): DataFrame = {
-    val ctx = Mapping.plainCtx(df).copy(maps = mapDefs)
+    val ctx = Mapping.plainCtx(df).copy(maps = mapDefs, envOverride = env)
     val (docTC, deleteCond, _, _) = run(df, ctx)
     val filtered = deleteCond.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     filtered.select(docTC.col.as("doc")).select(col("doc.*"))
@@ -340,7 +346,8 @@ final class CompiledMapping(val program: Program) extends Serializable {
       content = Some(col(Content)),
       vars = Map.empty, maps = mapDefs,
       batch = if (hasBatch) Some((col(BatchId), col(Seq))) else None,
-      countCol = if (usesCount) Some(col("_graft_count") + lit(1L)) else None)
+      countCol = if (usesCount) Some(col("_graft_count") + lit(1L)) else None,
+      envOverride = env)
     val (docTC, deleteCond, metaCol, errCol) = run(df, ctx)
     val filtered = deleteCond.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     filtered.select(

@@ -32,8 +32,10 @@ final case class ForEach(children: scala.Seq[Processor]) extends Processor {
 }
 
 /** `bloblang` processor (`lib/processor/bloblang.go`): the centerpiece. */
-final case class BloblangProc(mapping: String) extends Processor {
-  @transient private lazy val compiled: CompiledMapping = Blobl.compile(mapping)
+final case class BloblangProc(mapping: String,
+    env: Map[String, String] = Map.empty) extends Processor {
+  @transient private lazy val compiled: CompiledMapping =
+    Blobl.compile(mapping).withEnv(env)
   def apply(df: DataFrame): DataFrame = compiled.applyEnvelope(df)
 }
 

@@ -31,6 +31,11 @@ object TestRunner {
 
   private def runCase(spark: SparkSession, c: Map[String, Any], baseDir: String): CaseResult = {
     val name = c.getOrElse("name", "unnamed").toString
+    // per-case env() overrides (case.go `environment`)
+    val caseEnv: Map[String, String] = c.get("environment")
+      .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
+        .map { case (k, v) => (k.toString, v.toString) }.toMap)
+      .getOrElse(Map.empty)
     val procs: scala.Seq[Processor] = c.get("target_mapping") match {
       case Some(m) =>
         val text = m.toString
@@ -39,7 +44,7 @@ object TestRunner {
             new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(baseDir).resolve(text.trim.stripPrefix("./"))), "UTF-8")
           else text
-        scala.Seq(BloblangProc(mapping))
+        scala.Seq(BloblangProc(mapping, caseEnv))
       case None => c.get("target_processors") match {
         case Some(l: java.util.List[_]) =>
           l.asScala.toSeq.map(p => Config.compileProcessor(

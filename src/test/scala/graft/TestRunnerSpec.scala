@@ -280,6 +280,22 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(bad.exists(!_.ok))
   }
 
+  test("environment overrides env() per case (case.go environment)") {
+    val results = TestRunner.run(spark,
+      """tests:
+        |  - name: env override
+        |    environment:
+        |      GRAFT_TEST_STAGE: staging
+        |    target_mapping: 'root.stage = env("GRAFT_TEST_STAGE")'
+        |    input_batch:
+        |      - content: '{"a":1}'
+        |    output_batches:
+        |      -
+        |        - json_equals: {"stage": "staging"}
+        |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+  }
+
   test("failures are reported, not thrown") {
     val results = TestRunner.run(spark,
       """tests:
