@@ -47,8 +47,21 @@ object TestRunner {
         scala.Seq(BloblangProc(mapping, caseEnv))
       case None => c.get("target_processors") match {
         case Some(l: java.util.List[_]) =>
-          l.asScala.toSeq.map(p => Config.compileProcessor(
-            p.asInstanceOf[java.util.Map[String, Any]].asScala.toMap))
+          // `mocks` substitute processors by label before compilation
+          // (processors_provider.go ProvideMocked)
+          val mocks: Map[String, Map[String, Any]] = c.get("mocks")
+            .map(_.asInstanceOf[java.util.Map[String, Any]].asScala.map {
+              case (k, v) =>
+                (k.toString,
+                  v.asInstanceOf[java.util.Map[String, Any]].asScala.toMap)
+            }.toMap)
+            .getOrElse(Map.empty)
+          l.asScala.toSeq.map { p =>
+            val pm = p.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+            val effective = pm.get("label").map(_.toString)
+              .flatMap(mocks.get).getOrElse(pm)
+            Config.compileProcessor(effective)
+          }
         case _ => return CaseResult(name, List("no target_mapping or inline target_processors"))
       }
     }

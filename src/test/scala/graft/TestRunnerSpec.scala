@@ -296,6 +296,28 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
   }
 
+  test("mocks substitute labeled processors (processors_provider.go ProvideMocked)") {
+    val results = TestRunner.run(spark,
+      """tests:
+        |  - name: mocked http enrichment
+        |    target_processors:
+        |      - label: get_thing
+        |        http:
+        |          url: http://example.invalid/get
+        |          verb: GET
+        |      - mapping: 'root.after = this.mocked'
+        |    mocks:
+        |      get_thing:
+        |        mapping: 'root.mocked = "from mock"'
+        |    input_batch:
+        |      - content: '{"a":1}'
+        |    output_batches:
+        |      -
+        |        - json_equals: {"after": "from mock"}
+        |""".stripMargin)
+    assert(results.forall(_.ok), results.flatMap(_.failures).mkString("; "))
+  }
+
   test("failures are reported, not thrown") {
     val results = TestRunner.run(spark,
       """tests:
