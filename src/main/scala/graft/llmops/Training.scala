@@ -180,6 +180,28 @@ object Training {
         (col("_ws") * 2L > col("n_tokens") * scale).as("pred"))
   }
 
+  /** Per-group quality buckets — the CCNet head/middle/tail selection
+    * step: rank documents within each group (source/language) by a
+    * quality score (descending, ties → lowest id) and cut into `k`
+    * integer buckets, `bucket = (rank-1) * k div n` (0 = best). The
+    * downstream pipeline keeps head+middle, or samples buckets at
+    * different rates. Integer-exact; windows partition by group —
+    * bounded width at any corpus size when groups scale with the data.
+    * Output: (id, groupCol, score, bucket). */
+  def qualityBuckets(df: DataFrame, idCol: String, groupCol: String,
+      score: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(col(groupCol))
+      .orderBy(col("_score").desc, col(idCol))
+    val wn = Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), score.as("_score"))
+      .withColumn("_rnk", row_number().over(wr).cast(LongType))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .select(col(idCol), col(groupCol), col("_score").as("score"),
+        expr(s"(_rnk - 1) * $k div _n").as("bucket"))
+  }
+
   /** Persist / reload the classifier weight table (f, w). */
   def saveClassifier(weights: DataFrame, path: String): Unit =
     weights.coalesce(1).write.mode("overwrite").parquet(path)

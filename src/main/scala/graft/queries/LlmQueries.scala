@@ -192,6 +192,19 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q83: CCNet-style head/middle/tail buckets — classifier quality
+    * score ranked within each source, cut into 3 integer buckets. */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.join(
+      Training.hashedNbClassifier(docs, "doc_id", "text",
+          col("lang") === "en", dim = 4096)
+        .select(col("id").as("doc_id"), col("score_fp")),
+      "doc_id")
+    Training.qualityBuckets(scored, "doc_id", "source", col("score_fp"), 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** q80: cross-document duplicated-span excision — exact-substring
     * dedup as a TRANSFORM (spans shared with other docs cut out). */
   def q80(s: SparkSession, dir: String): DataFrame =
@@ -589,7 +602,8 @@ object LlmQueries {
     "q78_dup_spans" -> (q78 _),
     "q79_backoff" -> (q79 _),
     "q80_excise_spans" -> (q80 _),
-    "q82_dedup_keep_best_quality" -> (q82 _))
+    "q82_dedup_keep_best_quality" -> (q82 _),
+    "q83_quality_buckets" -> (q83 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -665,6 +679,36 @@ object LlmQueries {
          | d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q83_quality_buckets" ->
+      """WITH tk AS (
+        | SELECT doc_id, lang = 'en' AS y,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ft AS (
+        | SELECT doc_id, y, CAST(
+        |   256 * (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+        |   + 16 * (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+        |   + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)
+        |  AS BIGINT) AS f
+        | FROM tk),
+        |w AS (
+        | SELECT f, CAST(
+        |   (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000
+        |    // (CAST(count(*) AS BIGINT) + 2) AS BIGINT) AS w
+        | FROM ft GROUP BY f),
+        |sc AS (
+        | SELECT doc_id,
+        |  CAST(CAST(sum(w) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+        |   AS score_fp
+        | FROM ft JOIN w USING (f) GROUP BY doc_id),
+        |r AS (
+        | SELECT d.doc_id, d.source, sc.score_fp,
+        |  CAST(row_number() OVER (PARTITION BY d.source
+        |   ORDER BY sc.score_fp DESC, d.doc_id) AS BIGINT) AS rnk,
+        |  CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+        | FROM documents d JOIN sc USING (doc_id))
+        |SELECT doc_id, source, score_fp AS score,
+        | CAST((rnk - 1) * 3 // n AS BIGINT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q82_dedup_keep_best_quality" ->
       s"""WITH RECURSIVE $simhashCcCtes,
          |tk AS (

@@ -348,6 +348,20 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(2).getBoolean(3)) // (833333+333333)*2 > 2e6
   }
 
+  test("qualityBuckets: per-group integer terciles, best = bucket 0") {
+    val df = scala.Seq(
+      (1L, "a", 90L), (2L, "a", 80L), (3L, "a", 70L),
+      (4L, "a", 60L), (5L, "a", 50L), (6L, "a", 40L),
+      (7L, "b", 10L), (8L, "b", 10L)) // ties break to lowest id
+      .toDF("id", "src", "s")
+    val out = Training.qualityBuckets(df, "id", "src", col("s"), 3)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L) // ranks 1,2 of 6 → (0,1)*3/6=0
+    assert(out(3L) == 1L && out(4L) == 1L)
+    assert(out(5L) == 2L && out(6L) == 2L)
+    assert(out(7L) == 0L && out(8L) == 1L) // tie → id 7 ranked first
+  }
+
   test("classifier weights round-trip through parquet; loaded scores match") {
     val train = scala.Seq(
       (1L, "good text here", true), (2L, "bad words now", false),
