@@ -715,6 +715,18 @@ object Compiler {
             TC(map_from_entries(kept), Some(MapType(StringType, vt)))
           case _ => TC(filter(t.col, lambda1(arg(0), ctx, t.elemType)), t.tpe)
         }
+      case "from_entries" =>
+        // inverse of key_values: [{key,value}…] → object (the jq
+        // to_entries/from_entries round trip; the reference reaches this
+        // via the jq processor's embedded runtime)
+        val vt = t.elemType match {
+          case Some(s: StructType) =>
+            s.fields.find(_.name == "value").map(_.dataType).getOrElse(StringType)
+          case _ => StringType
+        }
+        TC(map_from_entries(transform(t.col, e =>
+          struct(e.getField("key").cast(StringType).as("key"),
+            e.getField("value").as("value")))), Some(MapType(StringType, vt)))
       case "flatten" =>
         TC(flatten(t.col), t.elemType)
       case "fold" =>

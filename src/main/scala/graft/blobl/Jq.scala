@@ -236,6 +236,8 @@ object Jq {
           val cond = arg()
           IfExpr(List((cond, This)), Some(LitNull))
         case "not" => Not(This)
+        case "to_entries" => MethodCall(This, "key_values", Nil)
+        case "from_entries" => MethodCall(This, "from_entries", Nil)
         case "empty" => LitNull
         case "type" => MethodCall(This, "type", Nil)
         case "has" => MethodCall(This, "exists", List(arg()))

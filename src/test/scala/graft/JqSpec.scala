@@ -18,7 +18,8 @@ class JqSpec extends AnyFunSuite {
     val out = JqProc(query)(env)
     out.schema(Envelope.Doc).dataType match {
       case _: org.apache.spark.sql.types.StructType |
-           _: org.apache.spark.sql.types.ArrayType =>
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType =>
         out.select(to_json(col(Envelope.Doc))).head().getString(0)
       case _ => out.select(col(Envelope.Doc).cast("string")).head().getString(0)
     }
@@ -67,5 +68,12 @@ class JqSpec extends AnyFunSuite {
     assert(run(".n | abs", """{"n":-4}""") == "4")
     assert(run(""".s | test("b.r")""", """{"s":"bar"}""") == "true")
     assert(run(""".s | gsub("o"; "0")""", """{"s":"foo"}""") == "f00")
+  }
+
+  test("to_entries / from_entries round trip") {
+    assert(run(".m | to_entries", """{"m":{"a":1,"b":2}}""")
+      == """[{"key":"a","value":1},{"key":"b","value":2}]""")
+    val rt = run(".m | to_entries | from_entries", """{"m":{"a":1,"b":2}}""")
+    assert(rt == """{"a":1,"b":2}""" || rt == """{"b":2,"a":1}""", rt)
   }
 }
