@@ -166,10 +166,16 @@ object JmesPath {
     def fnCall(name: String): Expr = {
       eat('(')
       val args = scala.collection.mutable.ListBuffer[Expr]()
+      // `&expr` expression references (sort_by/min_by/max_by/map keys)
+      // become lambdas over the element (jq map translation shape)
+      def parseArg(): Expr = {
+        ws()
+        if (peek == '&') { i += 1; Lambda("x", parsePipe()) } else parsePipe()
+      }
       ws()
       if (peek != ')') {
-        args += parsePipe()
-        while (tryEat(",")) args += parsePipe()
+        args += parseArg()
+        while (tryEat(",")) args += parseArg()
       }
       eat(')')
       name match {
@@ -199,6 +205,12 @@ object JmesPath {
             MethodCall(args.head, "length", Nil))
         case "merge" =>
           args.reduceLeft((a, b) => MethodCall(a, "merge", List(b)))
+        case "sort_by" => MethodCall(args.head, "sort_by", List(args(1)))
+        case "min_by" =>
+          IndexOp(MethodCall(args.head, "sort_by", List(args(1))), LitLong(0))
+        case "max_by" =>
+          IndexOp(MethodCall(args.head, "sort_by", List(args(1))), LitLong(-1))
+        case "map" => MethodCall(args(1), "map_each", List(args.head))
         case o => throw new IllegalArgumentException(s"jmespath: unsupported function $o")
       }
     }

@@ -57,6 +57,16 @@ class JmesPathSpec extends AnyFunSuite {
       == """{"x":1,"y":2}""")
   }
 
+  test("expression references: sort_by, min_by, max_by, map") {
+    assert(run("sort_by(xs, &v)", """{"xs":[{"v":3},{"v":1},{"v":2}]}""")
+      == """[{"v":1},{"v":2},{"v":3}]""")
+    assert(run("min_by(xs, &v)", """{"xs":[{"v":3},{"v":1},{"v":2}]}""")
+      == """{"v":1}""")
+    assert(run("max_by(xs, &v)", """{"xs":[{"v":3},{"v":1},{"v":2}]}""")
+      == """{"v":3}""")
+    assert(run("map(&v, xs)", """{"xs":[{"v":3},{"v":1}]}""") == "[3,1]")
+  }
+
   test("reference doc example: cities query (lib/processor/jmespath.go)") {
     assert(run(
       """locations[?state == 'WA'].name | sort(@) | {Cities: join(', ', @)}""",
