@@ -316,6 +316,52 @@ class TrainingSpec extends AnyFunSuite {
     assert(dl(2).getString(3) == "one")
   }
 
+  test("round-6 op invariants hold over a randomized corpus") {
+    import graft.llmops.{Dedup, TextStats}
+    // deterministic pseudo-random corpus with planted duplication
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val shared = "common passage shared across documents here"
+    val docs = (1L to 60L).map { i =>
+      val words = scala.Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val t = if (i % 4 == 0) words.mkString(" ") + " " + shared
+        else words.mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+
+    // dupSpanStats: dup_bp bounded; n_shared <= n_fp
+    val dss = Dedup.dupSpanStats(docs, "doc_id", "text").collect()
+    assert(dss.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 10000))
+    assert(dss.forall(r => r.getLong(2) <= r.getLong(1)))
+
+    // exciseDupSpans: clean length <= original; excised docs lose the
+    // planted passage core; total rows preserved
+    val ex = Dedup.exciseDupSpans(docs, "doc_id", "text").collect()
+    assert(ex.length == 60)
+    val lens = docs.collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    ex.foreach { r =>
+      assert(r.getString(2).length <= lens(r.getLong(0)))
+      if (r.getLong(0) % 4 == 0) assert(!r.getString(2).contains("passage shared"))
+    }
+
+    // classifier: score_fp in [0, scale]; pred consistent with threshold
+    val cls = Training.hashedNbClassifier(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0, dim = 512).collect()
+    assert(cls.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+
+    // backoff: level counts partition the trigram count
+    val bo = TextStats.backoffLevels(docs, "doc_id", "text").collect()
+    assert(bo.forall(r =>
+      r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == r.getLong(1)))
+
+    // quality buckets: every bucket in [0, k)
+    val qb = Training.qualityBuckets(
+      docs.withColumn("src", (col("doc_id") % 3).cast("string")),
+      "doc_id", "src", length(col("text")).cast("long"), 4).collect()
+    assert(qb.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 4))
+  }
+
   test("sharedPassagePairs: planted shared passage found; boilerplate df-capped") {
     import graft.llmops.Dedup
     val passage = "alpha beta gamma delta epsilon zeta"
