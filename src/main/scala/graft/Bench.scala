@@ -23,6 +23,9 @@ object Bench {
         time(fn(spark, sfDir).write.format("noop").mode("overwrite").save()) // warmup
         val runs = (1 to 3).map(_ =>
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
+        // free checkpointed/cached RDDs so block-manager pressure from one
+        // query never skews the next (localCheckpoint has no auto-unpersist)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> median(runs)
       } catch { case _: Throwable => name -> -1.0 }
     }

@@ -122,27 +122,13 @@ object Training {
     *
     * Output: (id, n_tokens, score_fp, pred). */
   def hashedNbClassifier(df: DataFrame, idCol: String, textCol: String,
-      labelPred: Column, dim: Int = 4096, scale: Long = 1000000L): DataFrame = {
-    require(dim > 0 && dim <= 65536, s"dim must be in (0, 65536], got $dim")
-    // featurize ONCE (the md5+conv per token dominates): the materialized
-    // (id, y, f) relation feeds both the train aggregation and the
-    // scoring join — at deploy scale this is the featurized table you'd
-    // persist anyway
-    val feat = df.select(col(idCol).as("id"), labelPred.as("_y"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), col("_y"), featHash(col("tok"), dim).as("f"))
-      .localCheckpoint()
-    val weights = feat.groupBy(col("f")).agg(
-        sum(when(col("_y"), 1L).otherwise(0L)).as("c1"),
-        count(lit(1)).as("cn"))
-      .select(col("f"), expr(s"(c1 + 1) * $scale div (cn + 2)").as("w"))
-    feat.join(broadcast(weights), "f")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("_ws"))
-      .select(col("id"), col("n_tokens"),
-        expr("_ws div n_tokens").as("score_fp"),
-        (col("_ws") * 2L > col("n_tokens") * scale).as("pred"))
-  }
+      labelPred: Column, dim: Int = 4096, scale: Long = 1000000L): DataFrame =
+    // two lazy scans (train agg, then scoring join) — measured FASTER
+    // than materializing the featurized relation with localCheckpoint,
+    // whose eager block-manager writes accumulate across queries; at
+    // deploy scale persist the weight table via saveClassifier instead
+    nbClassifierScore(df, idCol, textCol,
+      nbClassifierWeights(df, textCol, labelPred, dim, scale), dim, scale)
 
   /** Hashed-unigram feature bucket: `int(md5(tok)[0,4)) mod dim`. */
   private def featHash(tok: Column, dim: Int): Column =
