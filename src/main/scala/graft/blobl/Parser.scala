@@ -103,8 +103,11 @@ object Parser {
     var depth = 0
     def enter(): Unit = {
       depth += 1
-      if (depth > 500)
-        throw ParseError("expression nesting too deep (limit 500)", peek.pos)
+      // 100 levels × ~10 recursive-descent frames each stays well inside
+      // a default JVM thread stack; 500 was observed to overflow under
+      // test-runner threads before the guard fired
+      if (depth > 100)
+        throw ParseError("expression nesting too deep (limit 100)", peek.pos)
     }
     def exit(): Unit = depth -= 1
     def peek: Tok = toks(pos)
@@ -267,8 +270,12 @@ object Parser {
     l
   }
   private def parseUnary(p: P): Expr = p.peek match {
-    case TOp("-", _) => p.next(); Neg(parseUnary(p))
-    case TOp("!", _) => p.next(); Not(parseUnary(p))
+    case TOp("-", _) =>
+      p.enter()
+      try { p.next(); Neg(parseUnary(p)) } finally p.exit()
+    case TOp("!", _) =>
+      p.enter()
+      try { p.next(); Not(parseUnary(p)) } finally p.exit()
     case _ => parsePostfix(p)
   }
 

@@ -191,6 +191,34 @@ object Curation {
     graft.model.Envelope.withGlobalSeq(df,
       scala.Seq(md5(col(idCol).cast("string")), col(idCol)), out)
 
+  /** Token-budget truncation with sentence awareness — the
+    * context-length trim step before packing: documents over
+    * `maxTokens` whitespace tokens are cut to the first `maxTokens`
+    * tokens, then backed off to the last sentence end ('.') inside
+    * that window when one exists (so training text doesn't end
+    * mid-sentence). Pure per-row string/array arithmetic — zero
+    * shuffle, bit-exact across engines.
+    * Output: (id, n_tokens, truncated, clean_text). */
+  def truncateToBudget(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .withColumn("_tk", split(col("_t"), " "))
+      .withColumn("n_tokens", size(col("_tk")).cast(LongType))
+      .withColumn("truncated", col("n_tokens") > maxTokens)
+      .withColumn("_kept",
+        array_join(slice(col("_tk"), 1, maxTokens), " "))
+      // 1-based position of the last '.' in the kept window (0 = none)
+      .withColumn("_cut",
+        when(instr(reverse(col("_kept")), ".") > 0,
+          length(col("_kept")) - instr(reverse(col("_kept")), ".") + 1)
+          .otherwise(lit(0)))
+      .select(col("id"), col("n_tokens"), col("truncated"),
+        when(!col("truncated"), col("_t"))
+          .when(col("_cut") > 0, expr("substring(_kept, 1, _cut)"))
+          .otherwise(col("_kept")).as("clean_text"))
+  }
+
   /** Within-document duplicate-line removal — the repetition SCRUB that
     * complements the Gopher dup-line FLAGS (dupLineFrac/q76): keep each
     * line's first occurrence, preserve order, rejoin on the separator.

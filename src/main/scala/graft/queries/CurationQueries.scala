@@ -34,6 +34,14 @@ object CurationQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** q84: sentence-aware token-budget truncation at 24 tokens — the
+    * context-length trim before packing. */
+  def q84(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Curation.truncateToBudget(
+        t(s, dir, "documents"), "doc_id", "text", maxTokens = 24)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** q69: C4-style line filter — lines need ≥10 words and no 'slow';
     * docs need ≥2 surviving lines. */
   def q69(s: SparkSession, dir: String): DataFrame =
@@ -111,6 +119,7 @@ object CurationQueries {
   val queries: Map[String, Q] = Map(
     "q76_dup_lines" -> (q76 _),
     "q81_dedup_lines_in_doc" -> (q81 _),
+    "q84_truncate_budget" -> (q84 _),
     "q69_c4_filter" -> (q69 _),
     "q70_bpe_pairs" -> (q70 _),
     "q71_url_canon" -> (q71 _),
@@ -128,6 +137,27 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q84_truncate_budget" ->
+      """WITH b AS (
+         | SELECT doc_id, text, string_split(text, ' ') AS tk
+         | FROM documents),
+         |k AS (
+         | SELECT doc_id, text,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  len(tk) > 24 AS truncated,
+         |  array_to_string(tk[1:24], ' ') AS kept
+         | FROM b),
+         |c AS (
+         | SELECT doc_id, text, n_tokens, truncated, kept,
+         |  CASE WHEN strpos(reverse(kept), '.') > 0
+         |   THEN length(kept) - strpos(reverse(kept), '.') + 1
+         |   ELSE 0 END AS cut
+         | FROM k)
+         |SELECT doc_id, n_tokens, truncated,
+         | CASE WHEN NOT truncated THEN text
+         |  WHEN cut > 0 THEN substr(kept, 1, cut)
+         |  ELSE kept END AS clean_text
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q81_dedup_lines_in_doc" ->
       s"""WITH l AS (
          | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls

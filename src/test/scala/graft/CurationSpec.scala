@@ -148,6 +148,21 @@ class CurationSpec extends AnyFunSuite {
     assert((0L until 500L).exists(i => a(i) != i))
   }
 
+  test("truncateToBudget: sentence-aware cut, short docs untouched") {
+    val df = Seq(
+      (1L, "one two three. four five six seven"), // 7 tokens, budget 5
+      (2L, "no sentence end here at all beyond budget"),
+      (3L, "short doc")).toDF("id", "text")
+    val out = Curation.truncateToBudget(df, "id", "text", maxTokens = 5)
+      .orderBy("id").collect()
+    // kept window = "one two three. four five" → back off to last '.'
+    assert(out(0).getBoolean(2) && out(0).getString(3) == "one two three.")
+    // no '.' in window → keep the full 5-token window
+    assert(out(1).getBoolean(2)
+      && out(1).getString(3) == "no sentence end here at")
+    assert(!out(2).getBoolean(2) && out(2).getString(3) == "short doc")
+  }
+
   test("dedupLinesInDoc keeps first occurrence in order") {
     val df = Seq(
       (1L, "a\nb\na\nc\nb"),
