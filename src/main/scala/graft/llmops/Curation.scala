@@ -179,6 +179,37 @@ object Curation {
       .limit(k)
   }
 
+  /** Deterministic exact-k corpus sample: the k rows with the smallest
+    * (md5(key), key) — the reservoir-sample replacement that is
+    * reproducible across runs, engines, and input orderings. Plan shape:
+    * `TakeOrderedAndProject` — each partition keeps its own top-k and
+    * only k·partitions candidate rows ever move, so there is no full
+    * sort and no global window at any scale. */
+  def sampleExactK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    df.withColumn("_h", md5(col(keyCol).cast(StringType)))
+      .orderBy(col("_h"), col(keyCol))
+      .limit(k)
+      .drop("_h")
+  }
+
+  /** Over-represented-group scrub (the "drop the head domains" curation
+    * step — the hard-filter complement of [[Training.capPerGroup]]):
+    * derive the blocklist as the `k` largest groups by row count (count
+    * desc, group asc — deterministic) and drop every row belonging to
+    * them. The blocklist is k rows, so the anti-join broadcasts; the
+    * corpus itself never shuffles.
+    * Output: input columns + `blocked` flag (callers filter or audit). */
+  def dropTopGroups(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"blocklist size must be positive, got $k")
+    val top = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col(groupCol)).limit(k)
+      .select(col(groupCol).as("_blocked_g"))
+    df.join(broadcast(top), col(groupCol) === col("_blocked_g"), "left")
+      .withColumn("blocked", col("_blocked_g").isNotNull)
+      .drop("_blocked_g")
+  }
+
   // --------------------------------------------- deterministic global shuffle
 
   /** Deterministic global training-order shuffle: rank every row by

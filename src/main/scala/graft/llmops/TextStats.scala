@@ -345,6 +345,52 @@ object TextStats {
       .otherwise((total - firsts).cast(DoubleType) / total.cast(DoubleType))
   }
 
+  /** Gopher "top n-gram character fraction" (n = 2..4): share of token
+    * characters covered by occurrences of the most frequent word n-gram
+    * (position-marked — overlaps never double-count; ties break to the
+    * earliest first occurrence). Native one-pass expression. */
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    graft.exprs.NgramCoverExpr.column(text, n, dup = false)
+
+  /** Gopher "duplicate n-gram character fraction" (n = 5..10): share of
+    * token characters covered by any word n-gram that occurs at least
+    * twice in the document (position-marked union over all duplicated
+    * n-grams). Native one-pass expression. */
+  def dupNgramCharFrac(text: Column, n: Int): Column =
+    graft.exprs.NgramCoverExpr.column(text, n, dup = true)
+
+  /** Vocabulary head coverage: the `k` most frequent corpus tokens
+    * (count desc, token asc — deterministic) with their cumulative share
+    * of the WHOLE corpus token mass in basis points (integer-exact:
+    * `10000·cumsum div total`). The statistic behind "how small can the
+    * vocab be" tokenizer decisions.
+    *
+    * Scale shape: one word-count aggregation (map-side combined), a
+    * top-k selection (per-partition partial top-k, no full sort), and
+    * cumulative arithmetic on the collected k-row head — k is a small
+    * constant, so the driver finish is bounded like the union-find
+    * finish in [[Graph.connectedComponents]]. Nothing here is a global
+    * window over corpus-sized data.
+    *
+    * Output: (rank, token, n, cum_bp). */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && k <= 100000, s"vocab head size must be in (0,100000], got $k")
+    val spark = df.sparkSession
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).collect()(0).getLong(0)
+    val head = counts.orderBy(col("n").desc, col("token")).limit(k).collect()
+    var cum = 0L
+    val rows = head.zipWithIndex.map { case (r, i) =>
+      cum += r.getLong(1)
+      (i + 1L, r.getString(0), r.getLong(1), 10000L * cum / total)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("rank", "token", "n", "cum_bp")
+  }
+
   // ------------------------------------------- unicode normalization
 
   /** Unicode-normalize text (NFC/NFD/NFKC/NFKD or STRIP_ACCENTS) — the

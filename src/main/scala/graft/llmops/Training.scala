@@ -325,6 +325,30 @@ object Training {
     }
   }
 
+  /** Temperature-scaled source sampling weights (the multilingual /
+    * multi-source upsampling recipe: sample source s proportionally to
+    * p_s^τ with τ = 0.5, flattening the head so low-resource sources are
+    * seen more often). Integer-exact end to end so an external oracle
+    * matches bit-for-bit: the weight is `floor(sqrt(tokens_s))` — IEEE
+    * sqrt is correctly rounded, so both engines agree on every input —
+    * and the share is basis points by integer division.
+    *
+    * Scale shape: one map-side-combined aggregation to the per-source
+    * token table (source-cardinality rows); the scalar total is a
+    * bounded driver value (one row), injected as a literal — no window,
+    * no join, no global order.
+    *
+    * Output: (source, tokens, weight, share_bp). */
+  def temperatureWeights(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val perSource = df.groupBy(col(srcCol).as("source"))
+      .agg(sum(size(split(col(textCol), " ")).cast(LongType)).as("tokens"))
+      .withColumn("weight", floor(sqrt(col("tokens"))).cast(LongType))
+    val total = perSource.agg(sum(col("weight"))).collect()(0).getLong(0)
+    perSource.select(col("source"), col("tokens"), col("weight"),
+      expr(s"10000 * weight div ${total}L").as("share_bp"))
+  }
+
   /** Per-group contribution cap (the "domain cap" of web-scale corpus
     * curation: no source may contribute more than `maxPerGroup` docs).
     * Selection is deterministic and engine-portable: within each group

@@ -116,7 +116,62 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Text with a deterministically injected repeated tail (the first 12
+    * tokens appended) so the duplicate-n-gram gates exercise nonzero
+    * coverage — the raw synthetic docs have almost no 5-gram repeats. */
+  private def repText = concat(col("text"), lit(" "),
+    array_join(slice(split(col("text"), " "), 1, 12), " "))
+
+  /** q85: Gopher n-gram repetition suite completion — top-n-gram
+    * character fractions (n=2,3) and duplicate-n-gram character
+    * fractions (n=5,10), all position-marked (Rae et al. 2021 §A1.1). */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.TextStats
+    t(s, dir, "documents")
+      .select(col("doc_id"), repText.as("t2"))
+      .select(col("doc_id"),
+        TextStats.topNgramCharFrac(col("t2"), 2).as("top2_frac"),
+        TextStats.topNgramCharFrac(col("t2"), 3).as("top3_frac"),
+        TextStats.dupNgramCharFrac(col("t2"), 5).as("dup5_frac"),
+        TextStats.dupNgramCharFrac(col("t2"), 10).as("dup10_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q86: temperature-scaled (τ=0.5) per-language sampling weights —
+    * integer-exact sqrt weights and basis-point shares. */
+  def q86(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Training.temperatureWeights(
+        t(s, dir, "documents"), "lang", "text")
+      .withColumnRenamed("source", "lang")
+      .orderBy(col("lang"))
+
+  /** q87: vocabulary head coverage — top-50 corpus tokens with
+    * cumulative basis-point share of the whole token mass. */
+  def q87(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.TextStats.vocabCoverage(t(s, dir, "documents"), "text", 50)
+      .orderBy(col("rank"))
+
+  /** q88: deterministic exact-k sample (k=40) by md5 order — the
+    * reproducible reservoir-sample replacement. */
+  def q88(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleExactK(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", 40)
+      .orderBy(col("doc_id"))
+
+  /** q89: over-represented-group scrub — block the 2 largest languages
+    * (count desc, lang asc), flag every document. */
+  def q89(s: SparkSession, dir: String): DataFrame =
+    Curation.dropTopGroups(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "lang", 2)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "q85_ngram_rep" -> (q85 _),
+    "q86_temp_mix" -> (q86 _),
+    "q87_vocab_coverage" -> (q87 _),
+    "q88_exact_sample" -> (q88 _),
+    "q89_drop_top_groups" -> (q89 _),
     "q76_dup_lines" -> (q76 _),
     "q81_dedup_lines_in_doc" -> (q81 _),
     "q84_truncate_budget" -> (q84 _),
@@ -136,7 +191,108 @@ object CurationQueries {
     s"CASE $whens ELSE '${q72Splits.last._1}' END"
   }
 
+  /** DuckDB replica of the position-marked n-gram coverage kernel
+    * ([[graft.exprs.NgramCoverExpr]]): per n, enumerate occurrences with
+    * positions, count keys, select (top-1 by count with earliest-first-
+    * occurrence tiebreak | every key with count ≥ 2), union the covered
+    * token positions distinctly, and divide covered by total token code
+    * points. Both sides divide the same two integers, so the doubles are
+    * bit-identical. */
+  private def q85NgramSql: String = {
+    val rep = "text || ' ' || array_to_string((string_split(text, ' '))[1:12], ' ')"
+    def base(n: Int) =
+      s"""g$n AS (
+         | SELECT doc_id, i, array_to_string(tk[i:i+${n - 1}], ' ') AS key
+         | FROM (SELECT doc_id, tk,
+         |   unnest(generate_series(1, greatest(len(tk)-${n - 1}, 0))) AS i
+         |  FROM t) u$n),
+         |c$n AS (SELECT doc_id, key, count(*) AS c, min(i) AS fp
+         | FROM g$n GROUP BY doc_id, key)""".stripMargin
+    def covTop(n: Int) =
+      s"""sel$n AS (
+         | SELECT doc_id, min_by(key, fp) AS key FROM (
+         |  SELECT doc_id, key, c, fp, max(c) OVER (PARTITION BY doc_id) AS mc
+         |  FROM c$n) x$n
+         | WHERE c = mc GROUP BY doc_id),
+         |cov$n AS (
+         | SELECT p.doc_id, sum(length(t.tk[p.p])) AS cov FROM (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |   SELECT g.doc_id, unnest(generate_series(g.i, g.i+${n - 1})) AS p
+         |   FROM g$n g JOIN sel$n s ON g.doc_id = s.doc_id AND g.key = s.key) y$n) p
+         | JOIN t ON p.doc_id = t.doc_id GROUP BY p.doc_id)""".stripMargin
+    def covDup(n: Int) =
+      s"""cov$n AS (
+         | SELECT p.doc_id, sum(length(t.tk[p.p])) AS cov FROM (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |   SELECT g.doc_id, unnest(generate_series(g.i, g.i+${n - 1})) AS p
+         |   FROM g$n g JOIN c$n c ON g.doc_id = c.doc_id AND g.key = c.key
+         |   WHERE c.c >= 2) y$n) p
+         | JOIN t ON p.doc_id = t.doc_id GROUP BY p.doc_id)""".stripMargin
+    def frac(n: Int, out: String) =
+      s"""CASE WHEN tot.total > 0 THEN
+         |  coalesce(CAST(cov$n.cov AS DOUBLE) / CAST(tot.total AS DOUBLE), 0.0)
+         | ELSE 0.0 END AS $out""".stripMargin
+    s"""WITH t AS (
+       | SELECT doc_id, string_split($rep, ' ') AS tk FROM documents),
+       |tot AS (
+       | SELECT doc_id, list_sum(list_transform(tk, x -> length(x))) AS total
+       | FROM t),
+       |${base(2)},
+       |${base(3)},
+       |${base(5)},
+       |${base(10)},
+       |${covTop(2)},
+       |${covTop(3)},
+       |${covDup(5)},
+       |${covDup(10)}
+       |SELECT t.doc_id,
+       | ${frac(2, "top2_frac")},
+       | ${frac(3, "top3_frac")},
+       | ${frac(5, "dup5_frac")},
+       | ${frac(10, "dup10_frac")}
+       |FROM t
+       |JOIN tot ON t.doc_id = tot.doc_id
+       |LEFT JOIN cov2 ON t.doc_id = cov2.doc_id
+       |LEFT JOIN cov3 ON t.doc_id = cov3.doc_id
+       |LEFT JOIN cov5 ON t.doc_id = cov5.doc_id
+       |LEFT JOIN cov10 ON t.doc_id = cov10.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q85_ngram_rep" -> q85NgramSql,
+    "q86_temp_mix" ->
+      """WITH p AS (
+         | SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         | FROM documents GROUP BY lang),
+         |w AS (SELECT lang, tokens,
+         |  CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM p),
+         |tot AS (SELECT SUM(weight) AS tw FROM w)
+         |SELECT lang, tokens, weight,
+         | CAST(10000 * weight // tw AS BIGINT) AS share_bp
+         |FROM w, tot ORDER BY lang""".stripMargin,
+    "q87_vocab_coverage" ->
+      """WITH ex AS (
+         | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS n FROM ex GROUP BY token),
+         |tot AS (SELECT SUM(n) AS total FROM v),
+         |h AS (SELECT token, n,
+         |  row_number() OVER (ORDER BY n DESC, token) AS rank
+         | FROM v QUALIFY rank <= 50)
+         |SELECT rank, token, n,
+         | CAST(10000 * (SUM(n) OVER (ORDER BY rank)) // total AS BIGINT) AS cum_bp
+         |FROM h, tot ORDER BY rank""".stripMargin,
+    "q88_exact_sample" ->
+      """SELECT doc_id, source FROM (
+         | SELECT doc_id, source FROM documents
+         | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40) s
+         |ORDER BY doc_id""".stripMargin,
+    "q89_drop_top_groups" ->
+      """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |b AS (SELECT lang FROM g ORDER BY n DESC, lang LIMIT 2)
+         |SELECT doc_id, lang,
+         | (lang IN (SELECT lang FROM b)) AS blocked
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q84_truncate_budget" ->
       """WITH b AS (
          | SELECT doc_id, text, string_split(text, ' ') AS tk

@@ -163,6 +163,30 @@ class CurationSpec extends AnyFunSuite {
     assert(!out(2).getBoolean(2) && out(2).getString(3) == "short doc")
   }
 
+  test("sampleExactK: deterministic across input order, k caps the size") {
+    val ids = (1L to 100L).toList
+    val a = Curation.sampleExactK(ids.toDF("id"), "id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleExactK(
+        scala.util.Random.shuffle(ids).toDF("id").repartition(7), "id", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b && a.size === 10)
+    // k beyond the corpus returns everything
+    assert(Curation.sampleExactK(ids.toDF("id"), "id", 500).count() === 100)
+  }
+
+  test("dropTopGroups: largest k groups blocked, count ties break by name") {
+    val df = scala.Seq(
+      ("big", 1L), ("big", 2L), ("big", 3L),
+      ("tie_a", 4L), ("tie_a", 5L),
+      ("tie_b", 6L), ("tie_b", 7L),
+      ("small", 8L)).toDF("g", "id")
+    val out = Curation.dropTopGroups(df, "g", 2)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    // blocklist = big(3), then tie_a over tie_b lexicographically
+    assert(out(1L) && out(4L) && !out(6L) && !out(8L))
+  }
+
   test("dedupLinesInDoc keeps first occurrence in order") {
     val df = Seq(
       (1L, "a\nb\na\nc\nb"),

@@ -122,6 +122,72 @@ class TrainingSpec extends AnyFunSuite {
     assert(rows(2L)._1 <= 0.2 && rows(2L)._2 == 0.0)
   }
 
+  test("n-gram coverage fractions: hand-computed marking, overlaps once") {
+    import graft.llmops.TextStats
+    val df = scala.Seq(
+      // "ab cd ab cd ab" — top bigram "ab cd" occurs 2×, covering
+      // positions 1-4 of 5; every token is 2 chars → top2 = 8/10
+      (1L, "ab cd ab cd ab"),
+      // all bigrams unique → top2 covers exactly one bigram = 4/10 chars
+      (2L, "aa bb cc dd ee"),
+      // "x y z w v x y z w v" — the 5-gram repeats at positions 1 and 6
+      // covering everything → dup5 = 1.0; no duplicate 10-gram → dup10 = 0
+      (3L, "x y z w v x y z w v"),
+      (4L, "one"), (5L, "")).toDF("id", "text")
+    val rows = df.select(col("id"),
+        TextStats.topNgramCharFrac(col("text"), 2).as("t2"),
+        TextStats.dupNgramCharFrac(col("text"), 5).as("d5"),
+        TextStats.dupNgramCharFrac(col("text"), 10).as("d10"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows(1L)._1 === 0.8)
+    assert(rows(2L)._1 === 0.4)
+    // top bigram "x y" (earliest of the count-2 ties) marks positions
+    // 1,2,6,7 of ten 1-char tokens
+    assert(rows(3L)._1 === 0.4)
+    assert(rows(3L)._2 === 1.0)
+    assert(rows(3L)._3 === 0.0)
+    assert(rows(4L) === ((0.0, 0.0, 0.0)))
+    assert(rows(5L) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("n-gram top tiebreak: earliest first occurrence wins") {
+    import graft.llmops.TextStats
+    // "b c a a b c" — bigrams: "b c"(2: pos 1,5), "c a"(1), "a a"(1),
+    // "a b"(1). Top = "b c" covering pos 1,2,5,6 → 4/6 chars.
+    val df = scala.Seq((1L, "b c a a b c")).toDF("id", "text")
+    val v = df.select(TextStats.topNgramCharFrac(col("text"), 2))
+      .collect()(0).getDouble(0)
+    assert(math.abs(v - 4.0 / 6.0) < 1e-15)
+  }
+
+  test("temperatureWeights: integer-exact sqrt weights and shares") {
+    import graft.llmops.Training
+    val df = scala.Seq(
+      ("a", "t " * 99 + "t"), // 100 tokens → weight 10
+      ("b", "t " * 24 + "t"), // 25 tokens → weight 5
+      ("b", "t " * 10 + "t")  // 11 more → b: 36 tokens → weight 6
+    ).toDF("src", "text")
+    val rows = Training.temperatureWeights(df, "src", "text")
+      .orderBy("source").collect()
+    assert(rows(0).getString(0) === "a" && rows(0).getLong(1) === 100L
+      && rows(0).getLong(2) === 10L && rows(0).getLong(3) === 6250L)
+    assert(rows(1).getString(0) === "b" && rows(1).getLong(1) === 36L
+      && rows(1).getLong(2) === 6L && rows(1).getLong(3) === 3750L)
+  }
+
+  test("vocabCoverage: rank order, cumulative basis points over ALL tokens") {
+    import graft.llmops.TextStats
+    val df = scala.Seq((1L, "a a a b b c")).toDF("id", "text")
+    val rows = TextStats.vocabCoverage(df, "text", 2).orderBy("rank").collect()
+    // total mass 6; head: a(3) → 5000 bp, b(2) → cum 5 → 8333 bp
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 1L && rows(0).getString(1) === "a"
+      && rows(0).getLong(2) === 3L && rows(0).getLong(3) === 5000L)
+    assert(rows(1).getString(1) === "b" && rows(1).getLong(3) === 8333L)
+  }
+
   test("capPerGroup: deterministic cap, repeated run identical") {
     val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
     val a = Training.capPerGroup(df, col("src"), col("id"), 10)
