@@ -234,20 +234,26 @@ object Curation {
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     df.select(col(idCol).as("id"), col(textCol).as("_t"))
-      .withColumn("_tk", split(col("_t"), " "))
-      .withColumn("n_tokens", size(col("_tk")).cast(LongType))
+      .withColumn("n_tokens",
+        size(split(col("_t"), " ")).cast(LongType))
       .withColumn("truncated", col("n_tokens") > maxTokens)
-      .withColumn("_kept",
-        array_join(slice(col("_tk"), 1, maxTokens), " "))
-      // 1-based position of the last '.' in the kept window (0 = none)
-      .withColumn("_cut",
-        when(instr(reverse(col("_kept")), ".") > 0,
-          length(col("_kept")) - instr(reverse(col("_kept")), ".") + 1)
-          .otherwise(lit(0)))
       .select(col("id"), col("n_tokens"), col("truncated"),
-        when(!col("truncated"), col("_t"))
-          .when(col("_cut") > 0, expr("substring(_kept, 1, _cut)"))
-          .otherwise(col("_kept")).as("clean_text"))
+        truncatedTextCol(col("_t"), maxTokens).as("clean_text"))
+  }
+
+  /** The [[truncateToBudget]] kernel as a single Column (shared with the
+    * `truncate_budget` stream processor): text over the token budget is
+    * cut to the first `maxTokens` whitespace tokens, backed off to the
+    * last '.' inside the window when one exists. */
+  def truncatedTextCol(text: Column, maxTokens: Int): Column = {
+    val tk = split(text, " ")
+    val kept = array_join(slice(tk, 1, maxTokens), " ")
+    // 1-based position of the last '.' in the kept window (0 = none)
+    val cut = when(instr(reverse(kept), ".") > 0,
+      length(kept) - instr(reverse(kept), ".") + 1).otherwise(lit(0))
+    when(size(tk) <= maxTokens, text)
+      .when(cut > 0, kept.substr(lit(1), cut))
+      .otherwise(kept)
   }
 
   /** Within-document duplicate-line removal — the repetition SCRUB that

@@ -394,6 +394,99 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Ensemble near-dup dedup — the production pattern of running SEVERAL
+    * detectors and collapsing the union of their verdicts: exact
+    * duplicates (md5 of the raw text), MinHash+LSH Jaccard pairs, and
+    * SimHash banded Hamming pairs all contribute edges; connected
+    * components over the union produce one cluster label per document
+    * (min id keeps). Each detector catches what the others miss — exact
+    * is free, MinHash catches shingle-level rewrites, SimHash catches
+    * token-frequency near-dups.
+    *
+    * Scale: each edge source is the already-bucketed shape of its gate
+    * query (never O(n²)); the union is edge-count-sized, and
+    * [[Graph.dedupClusters]] runs the alternating-star CC with the
+    * bounded driver finish.
+    *
+    * `withMinhash = false` drops the MinHash detector (its pair set is
+    * independently verified by its own gate; the gate form of THIS
+    * operator excludes it because a brute-force Jaccard oracle combined
+    * with the transitive closure in one query exceeds single-node spill
+    * budgets — at deploy scale keep it on).
+    *
+    * Output: (id, cluster_id, keep) for every document. */
+  def ensembleDedup(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, jaccardThreshold: Double = 0.9,
+      simhashBits: Int = 32, simhashBands: Int = 4,
+      maxHamming: Int = 3, withMinhash: Boolean = true): DataFrame = {
+    def keyedPairs(key: Column): DataFrame = {
+      val keyed = df.select(col(idCol).as("_id"), key.as("_k"))
+      val reps = keyed.groupBy(col("_k")).agg(min(col("_id")).as("_rep"))
+      keyed.join(reps, "_k").filter(col("_id") =!= col("_rep"))
+        .select(col("_rep").as("id_a"), col("_id").as("id_b"))
+    }
+    // exact copies + word-reordered copies (order-insensitive token set)
+    val exact = keyedPairs(md5(col(textCol)))
+    val reordered = keyedPairs(fingerprint(col(textCol)))
+    val sh = simhashPairs(df, idCol, textCol, bits = simhashBits,
+      bands = simhashBands, maxHamming = maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val base = exact.unionByName(reordered).unionByName(sh)
+    val edges =
+      if (!withMinhash) base
+      else base.unionByName(
+        minhashPairs(df, idCol, textCol, shingleK = shingleK,
+          threshold = jaccardThreshold).select(col("id_a"), col("id_b")))
+    Graph.dedupClusters(df, idCol, edges, "id_a", "id_b")
+  }
+
+  /** Exact-substring decontamination: eval passages appearing VERBATIM
+    * inside train documents (the strictest leak check — n-gram
+    * containment flags paraphrases, this flags copies). Candidates come
+    * from a winnowing-fingerprint equi-join, confirmed by an exact
+    * `instr` test on the candidate pairs only.
+    *
+    * Recall is guaranteed, not probabilistic: winnowing (SIGMOD'03 §3)
+    * promises that any shared substring of at least w+k-1 characters
+    * shares at least one selected fingerprint, so with `minShared = 1`
+    * every true containment of a passage that long is a candidate — the
+    * exact verify then makes precision 1. An external oracle can
+    * therefore brute-force the same answer independently of the
+    * candidate machinery.
+    *
+    * Scale: fingerprint projections + hash equi-join (never
+    * |train|×|eval|); full texts travel only to verify candidate pairs.
+    * `maxDf` (0 = off) drops fingerprints present in more than that many
+    * train docs — the boilerplate hot-key guard; enabling it trades the
+    * recall guarantee for bounded bucket fan-out, the right trade at
+    * 100 TB, the wrong one under an exact oracle.
+    *
+    * Output: (train_id, eval_id) confirmed containments. */
+  def substringContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, w: Int = 4,
+      minShared: Int = 1, maxDf: Int = 0): DataFrame = {
+    val tf = train.select(col(idCol).as("train_id"), col(textCol).as("_ttext"))
+    val ef = eval.select(col(idCol).as("eval_id"), col(textCol).as("_etext"))
+    val tfp0 = tf.select(col("train_id"),
+      explode(graft.exprs.WinnowExpr.column(col("_ttext"), k, w)).as("h"))
+    val tfp =
+      if (maxDf <= 0) tfp0
+      else {
+        val rare = tfp0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select(col("h"))
+        tfp0.join(rare, "h")
+      }
+    val efp = ef.select(col("eval_id"),
+      explode(graft.exprs.WinnowExpr.column(col("_etext"), k, w)).as("h"))
+    val cand = tfp.join(efp, "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+    cand.join(tf, "train_id").join(ef, "eval_id")
+      .filter(instr(col("_ttext"), col("_etext")) > 0)
+      .select(col("train_id"), col("eval_id"))
+  }
+
   /** Cross-document shared-passage detection (the MOSS shape, SIGMOD'03
     * §4): docs sharing ≥ `minShared` winnowing fingerprints copied a
     * passage from each other — catching partial/embedded duplication the

@@ -391,6 +391,35 @@ object TextStats {
     rows.toSeq.toDF("rank", "token", "n", "cum_bp")
   }
 
+  /** Line-structure quality signals (the C4/RefinedWeb formatting
+    * heuristics that complement the token-level Gopher gates): terminal-
+    * punctuation line fraction (C4 keeps only sentence-like lines),
+    * bullet-line fraction (RefinedWeb flags list-dominated pages), and
+    * mean words per line. All array lambdas inside codegen — zero
+    * shuffle; fractions are ratios of two integers, bit-exact across
+    * engines. Output columns: (n_lines, punct_line_frac,
+    * bullet_line_frac, mean_line_words). */
+  def lineSignals(text: Column, sep: String = "\n"): scala.Seq[Column] = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    val n = size(lines)
+    def frac(cnt: Column): Column =
+      when(n <= 0, lit(0.0))
+        .otherwise(cnt.cast(DoubleType) / n.cast(DoubleType))
+    val punct = size(filter(lines, l =>
+      l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
+    val bullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ")))
+    val words = aggregate(lines, lit(0L),
+      (acc, l) => acc + size(split(l, " ")).cast(LongType))
+    scala.Seq(
+      n.cast(LongType).as("n_lines"),
+      frac(punct).as("punct_line_frac"),
+      frac(bullet).as("bullet_line_frac"),
+      when(n <= 0, lit(0.0))
+        .otherwise(words.cast(DoubleType) / n.cast(DoubleType))
+        .as("mean_line_words"))
+  }
+
   // ------------------------------------------- unicode normalization
 
   /** Unicode-normalize text (NFC/NFD/NFKC/NFKD or STRIP_ACCENTS) — the

@@ -132,4 +132,16 @@ object CurationProcs {
         .drop("_ws8")
     }
   }
+
+  /** `truncate_budget`: sentence-aware token-budget truncation — the
+    * processor form of [[Curation.truncateToBudget]] (same kernel, so
+    * stream output matches the batch gate bit-for-bit). Pure per-row
+    * projection, stream-safe. */
+  final case class TruncateBudgetProc(maxTokens: Int) extends Processor {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(Envelope.Content,
+        graft.llmops.Curation.truncatedTextCol(contentStr(df), maxTokens)
+          .cast(BinaryType))
+  }
 }

@@ -166,7 +166,32 @@ object CurationQueries {
         t(s, dir, "documents").select(col("doc_id"), col("lang")), "lang", 2)
       .orderBy(col("doc_id"))
 
+  /** Lines with deterministic content-derived formatting salt: lines
+    * whose length ≡ 0 (mod 3) get a terminal '.', else (mod 5) a '?';
+    * lines whose length ≡ 0 (mod 4) get a '- ' bullet prefix (judged on
+    * the ORIGINAL length). The synthetic corpus has no punctuation, so
+    * the line-signal machinery needs salted structure to exercise. */
+  private def saltedLines: org.apache.spark.sql.Column =
+    transform(split(linesText, "\n"), l => {
+      val tail = when(length(l) % 3 === 0, concat(l, lit(".")))
+        .when(length(l) % 5 === 0, concat(l, lit("?")))
+        .otherwise(l)
+      when(length(l) % 4 === 0, concat(lit("- "), tail)).otherwise(tail)
+    })
+
+  /** q91: C4/RefinedWeb line-structure quality signals over salted
+    * lines — terminal-punctuation fraction, bullet fraction, mean words
+    * per line. */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.TextStats
+    t(s, dir, "documents")
+      .select(col("doc_id"), array_join(saltedLines, "\n").as("t2"))
+      .select(col("doc_id") +: TextStats.lineSignals(col("t2")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_line_signals" -> (q91 _),
     "q85_ngram_rep" -> (q85 _),
     "q86_temp_mix" -> (q86 _),
     "q87_vocab_coverage" -> (q87 _),
@@ -260,6 +285,37 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q91_line_signals" ->
+      s"""WITH l AS (
+         | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls
+         | FROM documents),
+         |s AS (
+         | SELECT doc_id, list_transform(ls, l ->
+         |  (CASE WHEN length(l) % 4 = 0 THEN '- ' ELSE '' END) ||
+         |  (CASE WHEN length(l) % 3 = 0 THEN l || '.'
+         |        WHEN length(l) % 5 = 0 THEN l || '?'
+         |        ELSE l END)) AS ls2
+         | FROM l),
+         |m AS (
+         | SELECT doc_id,
+         |  CAST(len(ls2) AS BIGINT) AS n_lines,
+         |  len(list_filter(ls2, x -> ends_with(x, '.')
+         |    OR ends_with(x, '!') OR ends_with(x, '?'))) AS n_punct,
+         |  len(list_filter(ls2, x -> starts_with(x, '- ')
+         |    OR starts_with(x, '* '))) AS n_bullet,
+         |  list_sum(list_transform(ls2, x -> len(string_split(x, ' ')))) AS words
+         | FROM s)
+         |SELECT doc_id, n_lines,
+         | CASE WHEN n_lines > 0
+         |  THEN CAST(n_punct AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |  ELSE 0.0 END AS punct_line_frac,
+         | CASE WHEN n_lines > 0
+         |  THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |  ELSE 0.0 END AS bullet_line_frac,
+         | CASE WHEN n_lines > 0
+         |  THEN CAST(words AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |  ELSE 0.0 END AS mean_line_words
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q85_ngram_rep" -> q85NgramSql,
     "q86_temp_mix" ->
       """WITH p AS (

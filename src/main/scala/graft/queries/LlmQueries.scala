@@ -294,6 +294,29 @@ object LlmQueries {
         bits = 32, bands = 4, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q90: exact-substring decontamination — eval passages (tokens 3..20
+    * of every 50th doc) found VERBATIM inside train documents via
+    * winnowing-fingerprint candidates + instr verify. The oracle
+    * brute-forces containment directly; winnowing's recall guarantee
+    * (shared substring ≥ w+k-1 chars ⇒ shared fingerprint) makes the
+    * candidate path return the identical set. */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalDf = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 3, 18), " ").as("text"))
+    Dedup.substringContamination(docs, evalDf, "doc_id", "text")
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** q92: ensemble dedup — exact md5 + token-set fingerprint + SimHash
+    * Hamming edges unioned, connected components labels every doc
+    * (MinHash edges gate-excluded; see [[Dedup.ensembleDedup]]). */
+  def q92(s: SparkSession, dir: String): DataFrame =
+    Dedup.ensembleDedup(t(s, dir, "documents"), "doc_id", "text",
+        withMinhash = false)
+      .orderBy(col("doc_id"))
+
   /** Near-dup CLUSTERS: SimHash banded pairs (the q52 edge set) →
     * distributed connected components (alternating large/small-star) →
     * every document labeled with its cluster id (= min doc id of the
@@ -603,7 +626,9 @@ object LlmQueries {
     "q79_backoff" -> (q79 _),
     "q80_excise_spans" -> (q80 _),
     "q82_dedup_keep_best_quality" -> (q82 _),
-    "q83_quality_buckets" -> (q83 _))
+    "q83_quality_buckets" -> (q83 _),
+    "q90_substring_contamination" -> (q90 _),
+    "q92_ensemble_dedup" -> (q92 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -671,6 +696,60 @@ object LlmQueries {
        |comp AS (SELECT a AS id, least(a, min(bb)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q90: brute-force containment — eval is tiny, so eval×train instr
+    // is fine single-node; the Spark side must reach the same set through
+    // winnowing candidates (recall guarantee makes them equal).
+    "q90_substring_contamination" ->
+      """WITH ev AS (
+         | SELECT doc_id AS eval_id,
+         |  array_to_string((string_split(text, ' '))[3:20], ' ') AS et
+         | FROM documents WHERE doc_id % 50 = 0)
+         |SELECT d.doc_id AS train_id, ev.eval_id
+         |FROM documents d, ev
+         |WHERE strpos(d.text, ev.et) > 0
+         |ORDER BY train_id, eval_id""".stripMargin,
+    // q92: union of exact-md5, token-set fingerprint, and SimHash banded
+    // pairs (q52's shape), closed transitively.
+    "q92_ensemble_dedup" ->
+      s"""WITH RECURSIVE toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bits AS (
+         | SELECT doc_id,
+         |  ${simhashSumsN(32)}
+         | FROM toks GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${simhashCombineN(32)} AS simhash FROM bits),
+         |banded AS (
+         | SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
+         | FROM shh, unnest([0,1,2,3]) AS t(b)),
+         |spairs AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.simhash AS sa, b.simhash AS sb
+         | FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv
+         |  AND a.doc_id < b.doc_id),
+         |spe AS (SELECT id_a, id_b FROM spairs WHERE bit_count(xor(sa, sb)) <= 3),
+         |ek AS (SELECT doc_id, md5(text) AS k FROM documents
+         |       UNION ALL
+         |       SELECT doc_id, 'fp' || md5(array_to_string(
+         |         list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+         |       FROM documents),
+         |er AS (SELECT k, min(doc_id) AS rep FROM ek GROUP BY k),
+         |epe AS (
+         | SELECT DISTINCT er.rep AS id_a, ek.doc_id AS id_b
+         | FROM ek JOIN er USING (k) WHERE ek.doc_id != er.rep),
+         |pe AS (
+         | SELECT id_a, id_b FROM spe
+         | UNION SELECT id_a, id_b FROM epe),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pe
+         |      UNION ALL SELECT id_b, id_a FROM pe),
+         |reach(a, bb) AS (
+         | SELECT u, v FROM e
+         | UNION
+         | SELECT r.a, e2.v FROM reach r JOIN e e2 ON e2.u = r.bb),
+         |comp AS (SELECT a AS id, least(a, min(bb)) AS comp FROM reach GROUP BY a)
+         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+         | d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q55: the q52 SimHash pair CTEs, then the transitive closure via a
     // recursive CTE (min reachable id per node = the cluster label).
     "q55_dedup_clusters" ->

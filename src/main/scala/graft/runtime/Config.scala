@@ -336,6 +336,9 @@ object Config {
           conf.get("scale").map(_.toString.toLong).getOrElse(1000000L),
           optStr(conf, "meta_key", "quality_score_fp"))
       case "gopher_filter" => graft.ops.CurationProcs.GopherFilterProc()
+      case "truncate_budget" =>
+        graft.ops.CurationProcs.TruncateBudgetProc(
+          conf.get("max_tokens").map(_.toString.toInt).getOrElse(2048))
       case "unicode_normalize" =>
         graft.ops.CurationProcs.UnicodeNormalizeProc(optStr(conf, "form", "NFC"))
       case "hash_split" =>

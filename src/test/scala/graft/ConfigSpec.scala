@@ -389,6 +389,30 @@ class ConfigSpec extends AnyFunSuite {
       lines.mkString("|"))
   }
 
+  test("truncate_budget processor from YAML: sentence-aware cut") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tb").toString
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  generate:
+         |    count: 2
+         |    mapping: |
+         |      root = if this.i == 0 {
+         |        "one two three. four five six seven"
+         |      } else { "short doc" }
+         |pipeline:
+         |  processors:
+         |    - truncate_budget:
+         |        max_tokens: 5
+         |output:
+         |  file:
+         |    path: $dir/out
+         |    codec: lines
+         |""".stripMargin)
+    spec.run(spark)
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0)).sorted
+    assert(lines.toList === List("one two three.", "short doc"))
+  }
+
   test("dedup_lines + quality_score processors from YAML") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-q").toString

@@ -428,6 +428,52 @@ class TrainingSpec extends AnyFunSuite {
     assert(qb.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 4))
   }
 
+  test("substringContamination: verbatim leak found, paraphrase rejected") {
+    import graft.llmops.Dedup
+    val train = scala.Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "completely different content with no overlap at all here")).toDF("id", "text")
+    val eval = scala.Seq(
+      (100L, "gamma delta epsilon zeta"),          // verbatim inside doc 1
+      (101L, "three five four six"),               // same words, wrong order
+      (102L, "totally novel eval passage")).toDF("id", "text")
+    val out = Dedup.substringContamination(train, eval, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 100L)))
+  }
+
+  test("ensembleDedup: each detector contributes edges; union clusters") {
+    import graft.llmops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val df = scala.Seq(
+      (1L, base),
+      (2L, base),                      // exact duplicate of 1
+      (3L, base + " x"),               // near-dup (high jaccard/simhash)
+      (10L, "entirely unrelated text about distributed query engines and shuffles")
+    ).toDF("id", "text")
+    val out = Dedup.ensembleDedup(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L)._1 === 1L && !out(3L)._2)
+    assert(out(10L) === ((10L, true)))
+  }
+
+  test("lineSignals: hand-computed fractions") {
+    import graft.llmops.TextStats
+    val df = scala.Seq(
+      (1L, "good sentence here.\n- bullet item\nplain line\nanother one?")
+    ).toDF("id", "text")
+    val rows = df.select(col("id") +: TextStats.lineSignals(col("text")): _*)
+      .collect()(0)
+    assert(rows.getLong(1) === 4L)
+    assert(rows.getDouble(2) === 0.5)  // '.', '?' lines of 4
+    assert(rows.getDouble(3) === 0.25) // one bullet
+    // words: 3 + 3 + 2 + 2 = 10 over 4 lines
+    assert(rows.getDouble(4) === 2.5)
+  }
+
   test("sharedPassagePairs: planted shared passage found; boilerplate df-capped") {
     import graft.llmops.Dedup
     val passage = "alpha beta gamma delta epsilon zeta"
