@@ -159,6 +159,28 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the top-k most SIMILAR corpus vectors with a DIFFERENT
+    * label — the high-similarity wrong-class examples that make the
+    * best training negatives. LSH candidate generation + label
+    * anti-filter + exact cosine re-rank; the label relation is a skinny
+    * two-column projection, so the only corpus-sized shuffle is the
+    * id-keyed label join against the (candidate-sized) pair set.
+    * Output: (qid, vid, rnk). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, lsh: SignLsh,
+      probes: Int = 1): DataFrame = {
+    val ql = queries.select(col(idCol).as("qid"), col(labelCol).as("_ql"))
+    val cl = corpus.select(col(idCol).as("vid"), col(labelCol).as("_cl"))
+    val sims = lsh.candidates(queries, corpus, idCol, vecCol, probes)
+      .select(col("qid"), col("vid"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+      .join(broadcast(ql), "qid").join(cl, "vid")
+      .filter(col("_ql") =!= col("_cl"))
+      .select(col("qid"), col("vid"), col("sim"))
+    topKOfSims(sims, k)
+  }
+
   /** Int8 embedding quantization (symmetric, per-vector max-abs scale) —
     * the 4× storage cut an embedding corpus takes before it lands in an
     * ANN index at 100 TB. Deterministic floor-based rounding (identical

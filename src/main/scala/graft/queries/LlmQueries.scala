@@ -99,6 +99,16 @@ object LlmQueries {
       .orderBy(col("qid"))
   }
 
+  /** q93: hard-negative mining — for each query vector (vec_id < 50),
+    * the 5 most similar corpus vectors with a DIFFERENT label; LSH
+    * candidates + exact re-rank, same deterministic machinery as q37. */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", "label", 5, q37Lsh, probes = 2)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Winnowing fingerprints over documents (k=5, w=4), rendered as a
     * joined string per doc for the oracle compare. */
   def q41(s: SparkSession, dir: String): DataFrame =
@@ -628,7 +638,8 @@ object LlmQueries {
     "q82_dedup_keep_best_quality" -> (q82 _),
     "q83_quality_buckets" -> (q83 _),
     "q90_substring_contamination" -> (q90 _),
-    "q92_ensemble_dedup" -> (q92 _))
+    "q92_ensemble_dedup" -> (q92 _),
+    "q93_hard_negatives" -> (q93 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -1253,6 +1264,18 @@ object LlmQueries {
          | SELECT qid, vid,
          |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
          | FROM cand)
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q93_hard_negatives" ->
+      s"""${annCandSql(q37Lsh, probes = 2, queryPred = "vec_id < 50")},
+         |lab AS (
+         | SELECT qid, vid, sim FROM cand
+         | JOIN embeddings ql ON ql.vec_id = cand.qid
+         | JOIN embeddings cl ON cl.vec_id = cand.vid
+         | WHERE ql.label != cl.label)
+         |SELECT qid, vid, rnk FROM (
+         | SELECT qid, vid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+         | FROM lab)
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q37_label_noise" ->
       s"""${annCandSql(q37Lsh, probes = 2, queryPred = "vec_id < 50")},

@@ -24,6 +24,24 @@ class LlmSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("hardNegatives: every neighbor has a different label, ranked by sim") {
+    val lsh = Similarity.SignLsh(dim = 64, nPlanes = 4)
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(queries, emb, "vec_id", "embedding",
+        "label", 3, lsh, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (qid, vid, _) =>
+      assert(labels(qid) != labels(vid), s"$qid/$vid share a label")
+    }
+    // ranks are 1..k contiguous per query
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === (1 to g.length))
+    }
+  }
+
   test("ANN at the shipped q36 config = exact top-k restricted to LSH candidates") {
     // independent local-math oracle at the exact shipped configuration
     // (dim=64, nPlanes=6, probes=1): reproduce bucketing, candidate
