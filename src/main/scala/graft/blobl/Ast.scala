@@ -38,6 +38,10 @@ object Ast {
   final case class MatchExpr(target: Expr, cases: List[(Option[Expr], Expr)]) extends Expr
   /** Lambda `param -> body` (argument to map_each/filter/sort_by/...). */
   final case class Lambda(param: String, body: Expr) extends Expr
+  /** `this` with a nested field set: `.a.b = v` as a VALUE expression
+    * (the jq assignment stage — jq_test.go TestJQMutation). The value
+    * compiles against the same `this`. */
+  final case class SetPath(path: List[String], value: Expr) extends Expr
 
   sealed trait Target
   /** `root` / `root.a.b` */

@@ -171,6 +171,35 @@ object Compiler {
         Some(StringType))
     case MethodCall(target, name, args) => method(compile(target, ctx), name, args, ctx)
     case Lambda(_, _) => throw CompileError("lambda only valid as a method argument")
+    case SetPath(path, v) =>
+      val t = ctx.thisTC
+      val vc = compile(v, ctx)
+      val updated = t.tpe.collect { case s: StructType => s }
+        .flatMap(setNestedFieldType(_, path, vc.tpe.getOrElse(NullType)))
+      TC(t.col.withField(path.mkString("."), vc.col), updated)
+  }
+
+  /** Nested-field type update for [[Ast.SetPath]]: None when an
+    * intermediate segment is missing or not a struct (the runtime
+    * withField would fail there anyway — callers keep the untyped TC). */
+  private def setNestedFieldType(s: StructType, path: List[String],
+      leaf: DataType): Option[StructType] = path match {
+    case Nil => Some(s)
+    case h :: Nil =>
+      val f = StructField(h, leaf)
+      Some(
+        if (s.fieldNames.contains(h))
+          StructType(s.fields.map(x => if (x.name == h) f else x))
+        else StructType(s.fields :+ f))
+    case h :: rest =>
+      s.fields.find(_.name == h) match {
+        case Some(StructField(_, inner: StructType, n, m)) =>
+          setNestedFieldType(inner, rest, leaf).map { upd =>
+            StructType(s.fields.map(x =>
+              if (x.name == h) StructField(h, upd, n, m) else x))
+          }
+        case _ => None
+      }
   }
 
   /** Index access: 0-based, negative from end (index method + brackets).

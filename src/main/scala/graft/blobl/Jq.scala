@@ -36,13 +36,49 @@ object Jq {
     }
 
     def parsePipe(): Expr = {
-      var l = parseAlt()
+      var l = parseStage()
       ws()
       while (peek == '|' && !s.startsWith("||", i)) {
         i += 1
-        l = MatchExpr(l, List((None, parseAlt()))) // rebind `this`
+        l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
       }
       l
+    }
+
+    /** One pipe stage: a jq path assignment `.a.b = expr`
+      * (jq_test.go TestJQMutation) or a plain expression. */
+    def parseStage(): Expr = {
+      ws()
+      val save = i
+      if (peek == '.') {
+        val segs = tryParsePurePath()
+        if (segs.nonEmpty) {
+          ws()
+          if (peek == '=' && !s.startsWith("==", i)) {
+            i += 1
+            return SetPath(segs, parseAlt())
+          }
+        }
+        i = save
+      }
+      parseAlt()
+    }
+
+    /** `.ident(.ident)*` with nothing else — the assignable-path form;
+      * empty list (caller restores position) when it isn't one. */
+    private def tryParsePurePath(): List[String] = {
+      val segs = List.newBuilder[String]
+      var n = 0
+      while (peek == '.' && i + 1 < s.length &&
+          (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+        i += 1
+        val st = i
+        while (i < s.length &&
+          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        segs += s.substring(st, i)
+        n += 1
+      }
+      if (n == 0) Nil else segs.result()
     }
     def parseAlt(): Expr = { // `a // b`
       var l = parseOr()

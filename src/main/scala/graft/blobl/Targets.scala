@@ -68,6 +68,7 @@ object Targets {
     case IfExpr(bs, oe) => bs.flatMap { case (c, v) => List(c, v) } ++ oe.toList
     case MatchExpr(t, cs) => t :: cs.flatMap { case (p, v) => p.toList :+ v }
     case Lambda(_, b) => List(b)
+    case SetPath(_, v) => List(v)
     case _ => Nil
   }
 

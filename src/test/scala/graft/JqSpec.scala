@@ -70,6 +70,32 @@ class JqSpec extends AnyFunSuite {
     assert(run(""".s | gsub("o"; "0")""", """{"s":"foo"}""") == "f00")
   }
 
+  test("reference TestJQ vectors: types preserved through extraction") {
+    // lib/processor/jq_test.go:76-122
+    assert(run(".foo.bar", """{"foo":{"bar":{"baz":1}}}""") == """{"baz":1}""")
+    assert(run(".foo.bar", """{"foo":{"bar":["baz","qux"]}}""")
+      == """["baz","qux"]""")
+    assert(run(".foo.bar", """{"foo":{"bar":"hello world"}}""") == "hello world")
+    assert(run(".foo.bar", """{"foo":{"bar":0.123}}""") == "0.123")
+    assert(run(".foo.bar", """{"foo":{"bar":123}}""") == "123")
+    assert(run(".foo.bar", """{"foo":{"bar":true}}""") == "true")
+  }
+
+  test("reference TestJQMutation: pipe stage path assignment") {
+    // lib/processor/jq_test.go:52 — `{foo: .foo} | .foo.bar = "baz"`
+    assert(run("""{foo: .foo} | .foo.bar = "baz"""",
+      """{"foo":{"original":{"content":"is this"}},"bar":"remove this"}""")
+      == """{"foo":{"original":{"content":"is this"},"bar":"baz"}}""")
+    // overwrite an existing nested field
+    assert(run(""".a.b = 9""", """{"a":{"b":1,"c":2}}""")
+      == """{"a":{"b":9,"c":2}}""")
+    // RHS reads the same input value
+    assert(run(""".a.sum = (.a.b + .a.c)""", """{"a":{"b":1,"c":2}}""")
+      == """{"a":{"b":1,"c":2,"sum":3}}""")
+    // `==` still parses as comparison, not assignment
+    assert(run(""".a.b == 1""", """{"a":{"b":1}}""") == "true")
+  }
+
   test("to_entries / from_entries round trip") {
     assert(run(".m | to_entries", """{"m":{"a":1,"b":2}}""")
       == """[{"key":"a","value":1},{"key":"b","value":2}]""")
