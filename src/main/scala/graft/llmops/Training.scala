@@ -268,6 +268,103 @@ object Training {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Greedy sequential DOCUMENT packing into fixed-capacity token bins,
+    * preserving document boundaries — the padding-minimizing alternative
+    * to [[packChunks]]' concat-and-chunk (no document is ever split).
+    * Docs land in `nBuckets` deterministic md5 buckets; within a bucket,
+    * docs in (md5, id) order fill bins first-fit-sequentially: a doc
+    * that would overflow the current bin opens the next one (an
+    * over-capacity doc gets a bin alone). Deterministic and
+    * engine-portable end to end.
+    *
+    * Scale: one shuffle to the bucket key; each bucket's fold is a
+    * per-group array kernel whose size you control with `nBuckets`
+    * (pick corpus_size / ~500). Bin ids are (bucket, bin) pairs, so no
+    * global coordination exists between buckets — exactly the property
+    * that lets 1000 executors pack independently.
+    *
+    * Output: (id, n_tokens, bucket, bin). */
+  def packDocs(df: DataFrame, idCol: String, tokensCol: Column,
+      capacity: Long, nBuckets: Int = 16): DataFrame = {
+    require(capacity > 0 && nBuckets > 0, "packDocs: capacity and nBuckets must be positive")
+    val h = md5(col(idCol).cast(StringType))
+    val rows = df.select(col(idCol).as("id"), tokensCol.cast(LongType).as("n_tokens"),
+      conv(substring(h, 1, 1), 16, 10).cast(LongType).%(nBuckets).as("bucket"),
+      h.as("_h"))
+    val folded = rows
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("_h"), col("id"), col("n_tokens"))))
+        .as("_docs"))
+      .select(col("bucket"), aggregate(
+        col("_docs"),
+        struct(lit(0L).as("fill"), lit(0L).as("bin"),
+          array().cast("array<struct<id:bigint,n_tokens:bigint,bin:bigint>>")
+            .as("assigns")),
+        (acc, d) => {
+          val over = acc.getField("fill") > 0 &&
+            acc.getField("fill") + d.getField("n_tokens") > capacity
+          val bin = when(over, acc.getField("bin") + 1)
+            .otherwise(acc.getField("bin"))
+          val fill = when(over, d.getField("n_tokens"))
+            .otherwise(acc.getField("fill") + d.getField("n_tokens"))
+          struct(fill.as("fill"), bin.as("bin"),
+            concat(acc.getField("assigns"),
+              array(struct(d.getField("id").as("id"),
+                d.getField("n_tokens").as("n_tokens"), bin.as("bin"))))
+              .as("assigns"))
+        },
+        acc => acc.getField("assigns")).as("_a"))
+      .select(col("bucket"), explode(col("_a")).as("_d"))
+    folded.select(col("_d.id").as("id"), col("_d.n_tokens").as("n_tokens"),
+      col("bucket"), col("_d.bin").as("bin"))
+  }
+
+  /** Budget-constrained corpus selection in priority order (the "take
+    * the best documents until the token budget is spent" step of
+    * quality-curriculum data selection): rows are totally ordered by
+    * `orderBy` (ties must be broken by a unique key), ranked, given
+    * their running token prefix sum, and flagged selected while the
+    * budget holds. Uses the partitioned two-pass assignment (range
+    * shuffle + per-partition offsets, [[packChunks]]' shape) — a total
+    * order WITHOUT a single-partition window.
+    *
+    * Output: input columns + (n_tokens, rank, cum_before, selected). */
+  def selectByBudget(df: DataFrame, orderBy: scala.Seq[Column],
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(!df.isStreaming, "selectByBudget requires a batch DataFrame")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val withTok = df.withColumn("n_tokens", tokensCol.cast(LongType))
+    val sorted = withTok.repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+    val rdd = sorted.rdd // single instance: both jobs share its shuffle
+    val tokIdx = sorted.schema.fieldIndex("n_tokens")
+    val partAgg = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var c = 0L; var s = 0L
+      it.foreach { r => c += 1; s += r.getLong(tokIdx) }
+      Iterator((pi, c, s))
+    }.collect().sortBy(_._1)
+    val rankOff = partAgg.map(_._2).scanLeft(0L)(_ + _)
+    val tokOff = partAgg.map(_._3).scanLeft(0L)(_ + _)
+    val b = budget
+    val schema = StructType(sorted.schema.fields ++ scala.Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("cum_before", LongType, nullable = false),
+      StructField("selected", BooleanType, nullable = false)))
+    val flagged = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var rk = rankOff(pi)
+      var cum = tokOff(pi)
+      it.map { r =>
+        rk += 1
+        val before = cum
+        val n = r.getLong(tokIdx)
+        cum += n
+        Row.fromSeq(r.toSeq ++ scala.Seq(rk, before, before + n <= b))
+      }
+    }
+    spark.createDataFrame(flagged, schema)
+  }
+
   // ---------------------------------------------------------------- mixing
 
   /** Deterministic weighted mixing / stratified sampling: keep a row of

@@ -109,6 +109,28 @@ object LlmQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q94: greedy document packing into 256-token bins within 16 md5
+    * buckets — doc boundaries preserved (vs q47's concat-and-chunk);
+    * first-fit-sequential in (md5, id) order, fully deterministic. */
+  def q94(s: SparkSession, dir: String): DataFrame =
+    Training.packDocs(t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), capacity = 256, nBuckets = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q95: budget-constrained quality selection — rank every document by
+    * the q77 classifier score (desc, id tiebreak), flag docs selected
+    * while the running token prefix sum fits a 20k budget. */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val scored = Training.hashedNbClassifier(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", dim = 4096)
+      .select(col("id").as("doc_id"), col("score_fp"), col("n_tokens"))
+    Training.selectByBudget(scored,
+        scala.Seq((-col("score_fp")).as("_ns"), col("doc_id")),
+        col("n_tokens"), budget = 20000L)
+      .orderBy(col("rank"))
+  }
+
   /** Winnowing fingerprints over documents (k=5, w=4), rendered as a
     * joined string per doc for the oracle compare. */
   def q41(s: SparkSession, dir: String): DataFrame =
@@ -639,7 +661,9 @@ object LlmQueries {
     "q83_quality_buckets" -> (q83 _),
     "q90_substring_contamination" -> (q90 _),
     "q92_ensemble_dedup" -> (q92 _),
-    "q93_hard_negatives" -> (q93 _))
+    "q93_hard_negatives" -> (q93 _),
+    "q94_pack_docs" -> (q94 _),
+    "q95_budget_select" -> (q95 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -1072,6 +1096,65 @@ object LlmQueries {
         | array_to_string(t[i:i+31], ' ') AS chunk_text,
         | CAST(least(len(t) - i + 1, 32) AS BIGINT) AS chunk_tokens
         |FROM st ORDER BY doc_id, chunk_ix""".stripMargin,
+    // q94: per-bucket sequential first-fit via a recursive CTE stepping
+    // rank-by-rank inside each bucket (base rk=1 opens bin 0).
+    "q94_pack_docs" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, n, h,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 16 AS BIGINT)
+        |   AS bucket
+        | FROM d),
+        |r AS (
+        | SELECT doc_id, n, bucket,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+        | FROM b),
+        |rec(bucket, rk, doc_id, n, fill, bin) AS (
+        | SELECT bucket, rk, doc_id, n, n, CAST(0 AS BIGINT) FROM r WHERE rk = 1
+        | UNION ALL
+        | SELECT r2.bucket, r2.rk, r2.doc_id, r2.n,
+        |  CASE WHEN rec.fill + r2.n > 256 THEN r2.n ELSE rec.fill + r2.n END,
+        |  CASE WHEN rec.fill + r2.n > 256 THEN rec.bin + 1 ELSE rec.bin END
+        | FROM rec JOIN r r2 ON r2.bucket = rec.bucket AND r2.rk = rec.rk + 1)
+        |SELECT doc_id, n AS n_tokens, bucket, bin
+        |FROM rec ORDER BY doc_id""".stripMargin,
+    // q95: the q77 classifier score chain + global rank and running
+    // token prefix sum in priority order, budget flag at 20k tokens.
+    "q95_budget_select" ->
+      """WITH tk AS (
+        | SELECT doc_id, lang = 'en' AS y,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ft AS (
+        | SELECT doc_id, y, CAST(
+        |   256 * (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+        |   + 16 * (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+        |   + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)
+        |  AS BIGINT) AS f
+        | FROM tk),
+        |w AS (
+        | SELECT f, CAST(
+        |   (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000
+        |    // (CAST(count(*) AS BIGINT) + 2) AS BIGINT) AS w
+        | FROM ft GROUP BY f),
+        |per AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(w) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+        |   AS score_fp
+        | FROM ft JOIN w USING (f) GROUP BY doc_id),
+        |r AS (
+        | SELECT doc_id, score_fp, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT)
+        |   AS rank,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score_fp DESC, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS cum_before
+        | FROM per)
+        |SELECT doc_id, score_fp, n_tokens, rank, cum_before,
+        | cum_before + n_tokens <= 20000 AS selected
+        |FROM r ORDER BY rank""".stripMargin,
     "q77_classifier" ->
       """WITH tk AS (
         | SELECT doc_id, lang = 'en' AS y,

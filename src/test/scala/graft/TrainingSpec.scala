@@ -188,6 +188,57 @@ class TrainingSpec extends AnyFunSuite {
     assert(rows(1).getString(1) === "b" && rows(1).getLong(3) === 8333L)
   }
 
+  test("packDocs: boundaries kept, bins never overfill, oversized doc alone") {
+    import graft.llmops.Training
+    val df = scala.Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 300L), (5L, 50L), (6L, 10L))
+      .toDF("id", "nt")
+    val out = Training.packDocs(df, "id", col("nt"), capacity = 256,
+        nBuckets = 1) // single bucket → one deterministic sequence
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // every doc assigned exactly once
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // reconstruct fills per bin: no bin over capacity unless single doc
+    val nt = Map(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 300L, 5L -> 50L, 6L -> 10L)
+    out.groupBy(_._2._2).foreach { case (_, docs) =>
+      val fill = docs.keys.map(nt).sum
+      assert(fill <= 256 || docs.size == 1, s"overfilled bin: $docs")
+    }
+    // bins are contiguous starting at 0
+    val bins = out.values.map(_._2).toSet
+    assert(bins === (0L until bins.size).toSet)
+  }
+
+  test("selectByBudget: rank order, exact prefix sums, budget boundary") {
+    import graft.llmops.Training
+    val df = scala.Seq(
+      (1L, 10L, 5L), (2L, 30L, 7L), (3L, 20L, 4L), (4L, 30L, 2L))
+      .toDF("id", "score", "nt")
+    // order: score desc, id asc → 2(7), 4(2), 3(4), 1(5)
+    val out = Training.selectByBudget(df,
+        scala.Seq(-col("score"), col("id")), col("nt"), budget = 10L)
+      .orderBy("rank")
+      .select("id", "rank", "cum_before", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === scala.Seq(
+      (2L, 1L, 0L, true),   // 0+7 <= 10
+      (4L, 2L, 7L, true),   // 7+2 <= 10
+      (3L, 3L, 9L, false),  // 9+4 > 10
+      (1L, 4L, 13L, false)))
+  }
+
+  test("selectByBudget distributes: many partitions, same answer") {
+    import graft.llmops.Training
+    val df = (1L to 200L).map(i => (i, i % 17, 3L)).toDF("id", "score", "nt")
+    val one = Training.selectByBudget(df.coalesce(1),
+      scala.Seq(-col("score"), col("id")), col("nt"), budget = 100L)
+      .select("id", "rank", "cum_before", "selected").collect().toSet
+    val many = Training.selectByBudget(df.repartition(13),
+      scala.Seq(-col("score"), col("id")), col("nt"), budget = 100L)
+      .select("id", "rank", "cum_before", "selected").collect().toSet
+    assert(one === many)
+  }
+
   test("capPerGroup: deterministic cap, repeated run identical") {
     val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
     val a = Training.capPerGroup(df, col("src"), col("id"), 10)
