@@ -210,6 +210,25 @@ object Curation {
       .drop("_blocked_g")
   }
 
+  /** Group-interleaved training order (curriculum mixing): rows are
+    * ranked within their group by (md5, key) — a deterministic
+    * pseudo-random order — and the global order is (within-group rank,
+    * group), so consecutive training rows cycle through the groups
+    * round-robin instead of clustering one source. The within-group
+    * window distributes across groups; the total order uses the
+    * partitioned two-pass assignment (no global window).
+    * Output: input columns + (grp_rank, train_rank). */
+  def interleaveGroups(df: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast(StringType)), col(keyCol))
+    val ranked = df.withColumn("grp_rank",
+      row_number().over(w).cast(LongType))
+    graft.model.Envelope.withGlobalSeq(ranked,
+      scala.Seq(col("grp_rank"), col(groupCol), col(keyCol)), "train_rank")
+  }
+
   // --------------------------------------------- deterministic global shuffle
 
   /** Deterministic global training-order shuffle: rank every row by

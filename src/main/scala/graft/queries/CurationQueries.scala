@@ -190,7 +190,29 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q96: language-interleaved training order — rows cycle through the
+    * languages round-robin in deterministic md5 order. */
+  def q96(s: SparkSession, dir: String): DataFrame =
+    Curation.interleaveGroups(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q97: lang × source pivot counts — the wide-format contingency table
+    * (Spark `pivot`; the oracle as portable conditional aggregation). */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val langs = scala.Seq("de", "en", "es", "fr", "zh")
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .count()
+      .na.fill(0L, langs)
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q96_interleave" -> (q96 _),
+    "q97_pivot" -> (q97 _),
     "q91_line_signals" -> (q91 _),
     "q85_ngram_rep" -> (q85 _),
     "q86_temp_mix" -> (q86 _),
@@ -285,6 +307,25 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q96_interleave" ->
+      """WITH r AS (
+         | SELECT doc_id, lang,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         |   AS grp_rank
+         | FROM documents)
+         |SELECT doc_id, lang, grp_rank,
+         | CAST(row_number() OVER (ORDER BY grp_rank, lang, doc_id) - 1
+         |  AS BIGINT) AS train_rank
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q97_pivot" ->
+      """SELECT source,
+         | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+         | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+         | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+         | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+         | CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q91_line_signals" ->
       s"""WITH l AS (
          | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls

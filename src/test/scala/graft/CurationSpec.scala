@@ -187,6 +187,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) && out(4L) && !out(6L) && !out(8L))
   }
 
+  test("interleaveGroups: training order cycles through groups round-robin") {
+    val df = (1L to 30L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Curation.interleaveGroups(df, "g", "id")
+      .orderBy("train_rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // groups are balanced (10 each), so consecutive train ranks never
+    // repeat a group within a cycle of 3
+    out.grouped(3).foreach { cycle =>
+      assert(cycle.map(_._1).distinct.length === cycle.length)
+    }
+    // grp_rank is non-decreasing along the training order
+    assert(out.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // deterministic across input partitioning
+    val base = Curation.interleaveGroups(df, "g", "id")
+      .select("id", "train_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = Curation.interleaveGroups(df.repartition(7), "g", "id")
+      .select("id", "train_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base === again)
+  }
+
   test("dedupLinesInDoc keeps first occurrence in order") {
     val df = Seq(
       (1L, "a\nb\na\nc\nb"),

@@ -24,6 +24,19 @@ class JmesPathSpec extends AnyFunSuite {
     }).head().getString(0)
   }
 
+  test("reference TestJMESPath vectors: types preserved through extraction") {
+    // lib/processor/jmespath_test.go:130-178
+    assert(run("foo.bar", """{"foo":{"bar":{"baz":1}}}""") == """{"baz":1}""")
+    assert(run("foo.bar", """{"foo":{"bar":["baz","qux"]}}""")
+      == """["baz","qux"]""")
+    assert(run("foo.bar", """{"foo":{"bar":"hello world"}}""") == "hello world")
+    assert(run("foo.bar", """{"foo":{"bar":0.123}}""") == "0.123")
+    assert(run("foo.bar", """{"foo":{"bar":123}}""") == "123")
+    assert(run("foo.bar", """{"foo":{"bar":true}}""") == "true")
+    // "addition int": sum([foo.bar, `6`])
+    assert(run("sum([foo.bar, `6`])", """{"foo":{"bar":123}}""") == "129")
+  }
+
   test("dotted path + index") {
     assert(run("a.b[0].c", """{"a":{"b":[{"c":42},{"c":7}]}}""") == "42")
   }
