@@ -166,6 +166,24 @@ object Graph {
     * pipelines use instead of keep-min-id. One extra aggregation keyed
     * by cluster id (clusters are tiny; the shuffle carries one row per
     * doc in a cluster, singletons skip it via the left join). */
+  /** SOFT dedup: instead of dropping near-duplicates, weight every row
+    * by the inverse of its cluster size (Muennighoff et al. 2023 —
+    * repeated data is worth less, not nothing; the sampling weight for
+    * cluster members is 1/|cluster|). Integer-exact basis points
+    * (`10000 div size`) so an external oracle matches bit-for-bit.
+    * Same plan as [[dedupClusters]] plus one cluster-keyed count.
+    * Output: (id, cluster_id, cluster_size, weight_bp). */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+    val labeled = dedupClusters(docs, idCol, pairs, idACol, idBCol)
+      .select(col(idCol), col("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        expr("10000 div cluster_size").as("weight_bp"))
+  }
+
   def dedupClustersBy(docs: DataFrame, idCol: String, score: Column,
       pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
     val cc = connectedComponents(pairs, idACol, idBCol)

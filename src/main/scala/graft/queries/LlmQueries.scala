@@ -131,6 +131,17 @@ object LlmQueries {
       .orderBy(col("rank"))
   }
 
+  /** q98: SOFT dedup — near-dup clusters (q52's SimHash edge set) give
+    * every doc an inverse-cluster-size sampling weight instead of a
+    * drop verdict (repeated data is worth less, not nothing). */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 3)
+    Graph.softDedupWeights(docs, "doc_id", pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints over documents (k=5, w=4), rendered as a
     * joined string per doc for the oracle compare. */
   def q41(s: SparkSession, dir: String): DataFrame =
@@ -663,7 +674,8 @@ object LlmQueries {
     "q92_ensemble_dedup" -> (q92 _),
     "q93_hard_negatives" -> (q93 _),
     "q94_pack_docs" -> (q94 _),
-    "q95_budget_select" -> (q95 _))
+    "q95_budget_select" -> (q95 _),
+    "q98_soft_dedup" -> (q98 _))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -785,6 +797,20 @@ object LlmQueries {
          | d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q98: the q52 SimHash pair CTEs + closure, then inverse-cluster-size
+    // weights in integer basis points.
+    "q98_soft_dedup" ->
+      s"""WITH RECURSIVE $simhashCcCtes,
+         |lab AS (
+         | SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+         | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sz AS (
+         | SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         | FROM lab GROUP BY cluster_id)
+         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+         | CAST(10000 // sz.cluster_size AS BIGINT) AS weight_bp
+         |FROM lab JOIN sz USING (cluster_id)
+         |ORDER BY lab.doc_id""".stripMargin,
     // q55: the q52 SimHash pair CTEs, then the transitive closure via a
     // recursive CTE (min reachable id per node = the cluster label).
     "q55_dedup_clusters" ->

@@ -85,6 +85,18 @@ class GraphSpec extends AnyFunSuite {
       (4L, 4L, true), (5L, 5L, true)))
   }
 
+  test("softDedupWeights: inverse-cluster-size basis points, singletons full") {
+    val docs = scala.Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = scala.Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Graph.softDedupWeights(docs, "doc_id", pairs, "id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 1L, 3L, 3333L), (2L, 1L, 3L, 3333L), (3L, 1L, 3L, 3333L),
+      (4L, 4L, 1L, 10000L),
+      (5L, 5L, 2L, 5000L), (6L, 5L, 2L, 5000L)))
+  }
+
   test("sessionize: gap boundary is inclusive (> gap starts a new session)") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(ms: Long) = new java.sql.Timestamp(base.getTime + ms)
