@@ -103,11 +103,11 @@ object Parser {
     var depth = 0
     def enter(): Unit = {
       depth += 1
-      // 100 levels × ~10 recursive-descent frames each stays well inside
-      // a default JVM thread stack; 500 was observed to overflow under
-      // test-runner threads before the guard fired
-      if (depth > 100)
-        throw ParseError("expression nesting too deep (limit 100)", peek.pos)
+      // 40 levels × ~10 recursive-descent frames each (~400 frames) fits
+      // any JVM thread stack; 100 was still observed to overflow on
+      // concurrent test-runner threads, and real mappings nest < 20
+      if (depth > 40)
+        throw ParseError("expression nesting too deep (limit 40)", peek.pos)
     }
     def exit(): Unit = depth -= 1
     def peek: Tok = toks(pos)
