@@ -16,7 +16,10 @@ object Bench {
       val s = xs.sorted; s(s.length / 2)
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = query-name filter (dev loop); driver passes none
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try {
