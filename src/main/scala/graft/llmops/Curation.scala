@@ -275,6 +275,61 @@ object Curation {
       .otherwise(kept)
   }
 
+  /** Stratified exact-fraction split: within every group (source,
+    * language, …) rows are ranked by (md5(id), id) — a deterministic
+    * pseudo-random order — and the first `floor(group_n · valFracBp /
+    * 10000)` become the held-out split. Unlike [[hashSplit]] (globally
+    * unbiased but only approximately sized per stratum), this guarantees
+    * the per-group fraction exactly — the eval-set construction that
+    * keeps small sources represented.
+    *
+    * Scale: one window partitioned BY GROUP (distributes across
+    * executors; no global window) plus a broadcastable group-size
+    * aggregate. Output: (id, group, grp_n, grp_rank, split). */
+  def stratifiedExactSplit(df: DataFrame, idCol: String, groupCol: String,
+      valFracBp: Int, valName: String = "val",
+      trainName: String = "train"): DataFrame = {
+    require(valFracBp >= 0 && valFracBp <= 10000,
+      s"valFracBp must be in [0, 10000], got $valFracBp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col("id").cast(StringType)), col("id"))
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("grp_n"))
+    df.select(col(idCol).as("id"), col(groupCol))
+      .withColumn("grp_rank", row_number().over(w).cast(LongType))
+      .join(broadcast(sizes), groupCol)
+      .select(col("id"), col(groupCol), col("grp_n"), col("grp_rank"),
+        when(col("grp_rank") <= expr(s"grp_n * $valFracBp div 10000"),
+          valName).otherwise(trainName).as("split"))
+  }
+
+  /** Recency-decay sampling weights (freshness weighting for a corpus
+    * with a time axis): a row's weight halves every `halflifeDays`
+    * relative to the newest row in the corpus. Integer-exact basis
+    * points — `10000 div 2^halflives` with the shift capped so the
+    * weight floors at 1 bp — so an external oracle matches
+    * bit-for-bit; age is calendar-day difference (both engines count
+    * day boundaries).
+    *
+    * Scale: the corpus max timestamp is a 1-row aggregate broadcast to
+    * a pure projection — no shuffle of the data itself.
+    * Output: (id, age_days, halflives, weight_bp). */
+  def recencyWeights(df: DataFrame, idCol: String, tsCol: Column,
+      halflifeDays: Int): DataFrame = {
+    require(halflifeDays > 0, s"halflifeDays must be positive, got $halflifeDays")
+    val asOf = df.agg(max(tsCol).as("_as_of"))
+    df.select(col(idCol).as("id"), tsCol.as("_ts"))
+      .crossJoin(broadcast(asOf))
+      .select(col("id"),
+        datediff(col("_as_of").cast(DateType), col("_ts").cast(DateType))
+          .cast(LongType).as("age_days"))
+      .select(col("id"), col("age_days"),
+        expr(s"age_days div $halflifeDays").as("halflives"))
+      .withColumn("weight_bp",
+        expr("10000 div shiftleft(cast(1 as bigint), cast(least(halflives, 13) as int))"))
+  }
+
   /** Within-document duplicate-line removal — the repetition SCRUB that
     * complements the Gopher dup-line FLAGS (dupLineFrac/q76): keep each
     * line's first occurrence, preserve order, rejoin on the separator.

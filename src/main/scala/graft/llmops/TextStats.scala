@@ -469,6 +469,25 @@ object TextStats {
     * `targetPred`, background = everything. Two word-count-shaped
     * aggregations + one token-keyed equi-join; never a cross product.
     * Output: (id, n_tokens, target_mass, background_mass). */
+  /** Sequence-length histogram in power-of-2 buckets — the corpus
+    * profile behind max_seq_len / packing-capacity decisions: how many
+    * documents and how much token mass sits in [2^b, 2^(b+1)). The
+    * bucket exponent is `length(bin(n)) - 1` (bit length), an integer
+    * identity on both engines — no float log2 whose ulp could flip a
+    * doc at an exact power of 2.
+    *
+    * Scale: one projection + one tiny groupBy (≤ 64 buckets).
+    * Output: (bucket, bucket_lo, n_docs, tok_sum) by bucket. */
+  def lengthHistogram(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(size(split(col(textCol), " ")).cast(LongType).as("_n"))
+      .select(col("_n"), expr("length(bin(_n)) - 1").cast(LongType).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("tok_sum"))
+      .select(col("bucket"),
+        expr("shiftleft(cast(1 as bigint), cast(bucket as int))").as("bucket_lo"),
+        col("n_docs"), col("tok_sum"))
+
   def importanceMass(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
     val tok = df.select(col(idCol).as("id"), targetPred.as("_tgt"),

@@ -580,6 +580,55 @@ object Training {
   def bpeTokens(text: Column, merges: scala.Seq[(String, String)]): Column =
     graft.exprs.BpeTokenizeExpr.column(text, merges)
 
+  /** Epoch-repetition materialization: given a per-row repetition
+    * factor in basis points (25000 = 2.5 epochs — typically from
+    * [[temperatureWeights]]-style mixture math), emit one (row, epoch)
+    * pair per full epoch, plus one more for the fractional remainder on
+    * a deterministic md5-bucket of the id (so exactly ~frac of each
+    * source repeats, reproducibly across runs/engines — no RNG). The
+    * up-sampling counterpart of [[capPerGroup]]: how "2.5 epochs of
+    * wikipedia" actually materializes into a training corpus.
+    *
+    * Scale: pure projection + explode — zero shuffle; output size is
+    * sum(factor) rows, which is the training set you asked for.
+    * Output: (id, n_epochs, epoch). Rows with factor < 10000 can drop
+    * entirely (n_epochs = 0) — that IS sub-epoch sampling. */
+  def repeatEpochs(df: DataFrame, idCol: String,
+      factorBp: Column): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(id as string)), 1, 4), 16, 10) as bigint)" +
+        " * 10000 div 65536")
+    df.select(col(idCol).as("id"), factorBp.cast(LongType).as("_f"))
+      .select(col("id"),
+        (expr("_f div 10000") +
+          when(bucket < expr("_f % 10000"), 1L).otherwise(0L)).as("n_epochs"))
+      .select(col("id"), col("n_epochs"),
+        explode(when(col("n_epochs") >= 1L,
+            sequence(lit(1L), col("n_epochs")))
+          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+  }
+
+  /** Size-balanced shard assignment (the output-layout step: N files of
+    * roughly equal token mass, not row count): rows are totally ordered
+    * by (tokens DESC, id) and dealt to shards in boustrophedon ("snake")
+    * order — shard 0..N-1 then N-1..0 — the classic LPT-flavored greedy
+    * that keeps every shard within one max-document of the mean without
+    * any sequential bin state. Total order via the partitioned two-pass
+    * assignment ([[graft.model.Envelope.withGlobalSeq]]) — no global
+    * window at any scale.
+    * Output: (id, n_tokens, rank, shard). */
+  def balancedShards(df: DataFrame, idCol: String, tokensCol: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val rows = df.select(col(idCol).as("id"),
+      tokensCol.cast(LongType).as("n_tokens"))
+    val ranked = graft.model.Envelope.withGlobalSeq(rows,
+      scala.Seq(col("n_tokens").desc, col("id")), "rank")
+    val pos = col("rank") % (2L * nShards)
+    ranked.select(col("id"), col("n_tokens"), col("rank"),
+      when(pos < nShards, pos).otherwise(lit(2L * nShards - 1) - pos).as("shard"))
+  }
+
   // ------------------------------------------------- artifact persistence
 
   /** Persist a learned BPE merge table to parquet (rank order preserved)

@@ -210,7 +210,66 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** q99: stratified exact-fraction split — 10% of every source held
+    * out by (md5, id) rank within the source (small strata keep exact
+    * representation, unlike the global hash split q72). */
+  def q99(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedExactSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", valFracBp = 1000)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Per-language epoch factors in basis points (25000 = 2.5 epochs) —
+    * the mixture a curriculum might assign. */
+  private val q100Factors: scala.Seq[(String, Long)] = scala.Seq(
+    "en" -> 25000L, "de" -> 15000L, "es" -> 10000L, "fr" -> 5000L,
+    "zh" -> 30000L)
+
+  /** q100: epoch-repetition materialization — each doc appears
+    * floor(factor) times plus once more on a deterministic md5 bucket
+    * for the fractional remainder ("2.5 epochs of en" made concrete). */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val factor = q100Factors.tail.foldLeft(
+        when(col("lang") === q100Factors.head._1, q100Factors.head._2)) {
+      case (acc, (l, f)) => acc.when(col("lang") === l, f)
+    }.otherwise(0L)
+    graft.llmops.Training.repeatEpochs(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id",
+        factor)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** q101: size-balanced output shards — 8 shards dealt in snake order
+    * over the (tokens DESC, id) total order. */
+  def q101(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Training.balancedShards(
+        t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), nShards = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q102: recency-decay sampling weights over events — weight halves
+    * every 3 days of age relative to the newest event. */
+  def q102(s: SparkSession, dir: String): DataFrame =
+    Curation.recencyWeights(t(s, dir, "events"), "event_id", col("ts"),
+        halflifeDays = 3)
+      .withColumnRenamed("id", "event_id")
+      .orderBy(col("event_id"))
+
+  /** q103: sequence-length histogram in power-of-2 token buckets — the
+    * corpus profile behind max_seq_len / packing decisions. */
+  def q103(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.TextStats.lengthHistogram(t(s, dir, "documents"), "text")
+      .orderBy(col("bucket"))
+
   val queries: Map[String, Q] = Map(
+    "q99_stratified_split" -> (q99 _),
+    "q100_epoch_repeat" -> (q100 _),
+    "q101_balanced_shards" -> (q101 _),
+    "q102_recency_weight" -> (q102 _),
+    "q103_len_histogram" -> (q103 _),
     "q96_interleave" -> (q96 _),
     "q97_pivot" -> (q97 _),
     "q91_line_signals" -> (q91 _),
@@ -306,7 +365,83 @@ object CurationQueries {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** DuckDB replica of the md5 16-bit bucket scaled to basis points
+    * (Spark side: conv(substr(md5(id),1,4),16,10) * 10000 div 65536). */
+  private def md5BucketBpSql(idExpr: String): String = {
+    val h = s"md5(CAST($idExpr AS VARCHAR))"
+    val digit = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    s"(CAST(4096 * ${digit(1)} + 256 * ${digit(2)} + 16 * ${digit(3)} + " +
+      s"${digit(4)} AS BIGINT) * 10000 // 65536)"
+  }
+
+  private def q100FactorSql: String =
+    "CASE lang " + q100Factors.map { case (l, f) =>
+      s"WHEN '$l' THEN ${f}"
+    }.mkString(" ") + " ELSE 0 END"
+
   val oracleSql: Map[String, String] = Map(
+    "q99_stratified_split" ->
+      """WITH r AS (
+         | SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         |   AS grp_rank,
+         |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS grp_n
+         | FROM documents)
+         |SELECT doc_id, source, grp_n, grp_rank,
+         | CASE WHEN grp_rank <= grp_n * 1000 // 10000 THEN 'val'
+         |      ELSE 'train' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q100_epoch_repeat" ->
+      s"""WITH f AS (
+         | SELECT doc_id, CAST($q100FactorSql AS BIGINT) AS fbp
+         | FROM documents),
+         |n AS (
+         | SELECT doc_id, fbp // 10000 +
+         |  (CASE WHEN ${md5BucketBpSql("doc_id")} < fbp % 10000
+         |        THEN 1 ELSE 0 END) AS n_epochs
+         | FROM f)
+         |SELECT doc_id, CAST(n_epochs AS BIGINT) AS n_epochs,
+         | CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+         |FROM n WHERE n_epochs >= 1
+         |ORDER BY doc_id, epoch""".stripMargin,
+    "q101_balanced_shards" ->
+      """WITH r AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |rk AS (
+         | SELECT doc_id, n_tokens,
+         |  CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+         |   AS BIGINT) AS rank
+         | FROM r)
+         |SELECT doc_id, n_tokens, rank,
+         | CASE WHEN rank % 16 < 8 THEN rank % 16 ELSE 15 - rank % 16 END
+         |  AS shard
+         |FROM rk ORDER BY doc_id""".stripMargin,
+    "q102_recency_weight" ->
+      """WITH m AS (SELECT max(ts) AS as_of FROM events),
+         |a AS (
+         | SELECT event_id,
+         |  CAST(date_diff('day', CAST(ts AS DATE), CAST(as_of AS DATE))
+         |   AS BIGINT) AS age_days
+         | FROM events, m)
+         |SELECT event_id, age_days, age_days // 3 AS halflives,
+         | 10000 // (1::BIGINT << CAST(least(age_days // 3, 13) AS INT))
+         |  AS weight_bp
+         |FROM a ORDER BY event_id""".stripMargin,
+    "q103_len_histogram" ->
+      """WITH n AS (
+         | SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         | FROM documents),
+         |b AS (SELECT tok, CAST(length(bin(tok)) - 1 AS BIGINT) AS bucket
+         | FROM n)
+         |SELECT bucket, CAST(1::BIGINT << CAST(bucket AS INT) AS BIGINT)
+         |  AS bucket_lo,
+         | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT)
+         |  AS tok_sum
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q96_interleave" ->
       """WITH r AS (
          | SELECT doc_id, lang,

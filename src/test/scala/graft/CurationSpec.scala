@@ -209,6 +209,41 @@ class CurationSpec extends AnyFunSuite {
     assert(base === again)
   }
 
+  test("stratifiedExactSplit: exact per-group fraction, deterministic") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "small"))).toDF("id", "g")
+    val out = Curation.stratifiedExactSplit(df, "id", "g", valFracBp = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+    // exactly floor(n * 0.10) per group: 10 of 100, 1 of 10
+    assert(out.count(r => r._2 == "big" && r._3 == "val") === 10)
+    assert(out.count(r => r._2 == "small" && r._3 == "val") === 1)
+    // deterministic across partitioning
+    val again = Curation.stratifiedExactSplit(df.repartition(7), "id", "g", 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out.map(r => r._1 -> r._3).toMap === again)
+    // 0 bp → everything train; 10000 bp → everything val
+    assert(Curation.stratifiedExactSplit(df, "id", "g", 0)
+      .where(col("split") === "val").count() === 0)
+    assert(Curation.stratifiedExactSplit(df, "id", "g", 10000)
+      .where(col("split") === "train").count() === 0)
+  }
+
+  test("recencyWeights: halving per halflife, floored at 1 bp") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-03-10 23:59:00")), // newest: age 0
+      (2L, ts("2024-03-08 00:01:00")), // age 2 days -> 0 halflives
+      (3L, ts("2024-03-04 12:00:00")), // age 6 days -> 3 halflives @hl=2
+      (4L, ts("2023-03-10 12:00:00"))  // age 366 -> capped, floor 1 bp
+    ).toDF("id", "t")
+    val out = Curation.recencyWeights(df, "id", col("t"), halflifeDays = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L) === (0L, 10000L))
+    assert(out(2L) === (2L, 5000L))
+    assert(out(3L) === (6L, 1250L))
+    assert(out(4L)._2 === 1L) // shift capped at 13 → 10000 div 8192 = 1
+  }
+
   test("dedupLinesInDoc keeps first occurrence in order") {
     val df = Seq(
       (1L, "a\nb\na\nc\nb"),

@@ -660,4 +660,55 @@ class TrainingSpec extends AnyFunSuite {
     // doc 3: no trigrams, all zeros
     assert(out(2).getLong(1) == 0L && out(2).getLong(5) == 0L)
   }
+
+  test("repeatEpochs: whole epochs exact, fractional share ~frac, deterministic") {
+    val df = (1L to 1000L).toDF("id")
+    // 2.5 epochs: every id appears 2 or 3 times; mean ≈ 2.5
+    val out = Training.repeatEpochs(df, "id", lit(25000L))
+    val perId = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perId.values.forall(n => n == 2L || n == 3L))
+    val total = perId.values.sum
+    assert(total > 2300 && total < 2700, s"total=$total not ~2500")
+    // epoch numbering is 1..n_epochs
+    val eps = out.where(col("id") === 1L).select("epoch")
+      .collect().map(_.getLong(0)).sorted
+    assert(eps === (1L to eps.length).toArray)
+    // factor 0 → row drops entirely; factor 10000 → exactly once
+    assert(Training.repeatEpochs(df, "id", lit(0L)).count() === 0)
+    assert(Training.repeatEpochs(df, "id", lit(10000L)).count() === 1000)
+    // deterministic across partitioning
+    val again = Training.repeatEpochs(df.repartition(7), "id", lit(25000L))
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perId === again)
+  }
+
+  test("balancedShards: snake deal keeps shard token mass near-equal") {
+    // skewed sizes: doc i has i tokens
+    val df = (1L to 64L).map(i => (i, ("w " * i.toInt).trim)).toDF("id", "text")
+    val out = Training.balancedShards(df, "id",
+        size(split(col("text"), " ")), nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._4).distinct.sorted === Array(0L, 1L, 2L, 3L))
+    // rank is the (tokens DESC, id) total order starting at 0
+    assert(out.sortBy(r => (-r._2, r._1)).map(_._3).toSeq === (0L until 64L))
+    val mass = out.groupBy(_._4).map { case (_, rs) => rs.map(_._2).sum }
+    // 1+...+64 = 2080, mean 520/shard; snake deal keeps within one max doc
+    assert(mass.max - mass.min <= 64, s"imbalance ${mass.max - mass.min}")
+  }
+
+  test("lengthHistogram: power-of-2 buckets, exact boundaries") {
+    val df = Seq(
+      (1L, "a"),                       // 1 token  → bucket 0
+      (2L, "a b"),                     // 2 tokens → bucket 1
+      (3L, "a b c"),                   // 3        → bucket 1
+      (4L, "a b c d"),                 // 4        → bucket 2
+      (5L, ("w " * 7).trim)            // 7        → bucket 2
+    ).toDF("id", "text")
+    val out = graft.llmops.TextStats.lengthHistogram(df, "text")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array((0L, 1L, 1L, 1L), (1L, 2L, 2L, 5L), (2L, 4L, 2L, 11L)))
+  }
 }
