@@ -469,6 +469,20 @@ object TextStats {
     * `targetPred`, background = everything. Two word-count-shaped
     * aggregations + one token-keyed equi-join; never a cross product.
     * Output: (id, n_tokens, target_mass, background_mass). */
+  def importanceMass(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol).as("id"), targetPred.as("_tgt"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val model = tok.groupBy(col("tok")).agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cb"))
+    tok.join(model, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ct")).as("target_mass"),
+        sum(col("cb")).as("background_mass"))
+  }
+
   /** Sequence-length histogram in power-of-2 buckets — the corpus
     * profile behind max_seq_len / packing-capacity decisions: how many
     * documents and how much token mass sits in [2^b, 2^(b+1)). The
@@ -488,17 +502,30 @@ object TextStats {
         expr("shiftleft(cast(1 as bigint), cast(bucket as int))").as("bucket_lo"),
         col("n_docs"), col("tok_sum"))
 
-  def importanceMass(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
-    val tok = df.select(col(idCol).as("id"), targetPred.as("_tgt"),
-      explode(split(col(textCol), " ")).as("tok"))
-    val model = tok.groupBy(col("tok")).agg(
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cb"))
-    tok.join(model, "tok")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("ct")).as("target_mass"),
-        sum(col("cb")).as("background_mass"))
-  }
+  /** Per-group byte/char/word "compression profile" — the
+    * tokenizer-fertility heuristic corpora are triaged by: languages or
+    * sources whose bytes-per-word (or chars-per-word) ratio is far from
+    * the corpus norm tokenize expensively and get re-weighted or
+    * re-segmented. Ratios are integer basis points (sum·10000 div
+    * denominator) so an external oracle matches bit-for-bit.
+    *
+    * Scale: one projection (octet/char/word length per row) + one
+    * groupBy on the (small) group key — partial aggregation does the
+    * work map-side; nothing grows with vocabulary.
+    * Output: (group…, n_docs, sum_bytes, sum_chars, sum_words,
+    * bytes_per_word_bp, chars_per_word_bp). */
+  def compressionProfile(df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      groupCols: scala.Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(groupCols.map(col) :+
+        octet_length(col(textCol)).cast(LongType).as("_b") :+
+        length(col(textCol)).cast(LongType).as("_c") :+
+        size(split(col(textCol), " ")).cast(LongType).as("_w"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_b")).as("sum_bytes"),
+        sum(col("_c")).as("sum_chars"), sum(col("_w")).as("sum_words"))
+      .withColumn("bytes_per_word_bp",
+        expr("sum_bytes * 10000 div sum_words"))
+      .withColumn("chars_per_word_bp",
+        expr("sum_chars * 10000 div sum_words"))
 }

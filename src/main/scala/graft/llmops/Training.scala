@@ -629,6 +629,25 @@ object Training {
       when(pos < nShards, pos).otherwise(lit(2L * nShards - 1) - pos).as("shard"))
   }
 
+  /** Cluster-balanced diversity sample: k-means the embedding space,
+    * then keep the same EXACT fraction of every cluster (md5-rank order
+    * within the cluster — deterministic, no RNG). Downsampling this way
+    * preserves semantic coverage: rare regions of the space lose rows at
+    * the same rate as dominant ones, unlike a uniform sample that
+    * drains small clusters first. The embedding-space analog of
+    * [[graft.llmops.Curation.stratifiedExactSplit]] with learned strata.
+    *
+    * Scale: Lloyd iterations are broadcast-assign passes (k·dim
+    * centroids); the split is one window partitioned by cluster.
+    * Output: (id, cid, grp_n, grp_rank, split∈{keep,drop}). */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, keepFracBp: Int): DataFrame = {
+    val (assigned, _) = KMeans.fit(corpus, idCol, vecCol, k, iters)
+    Curation.stratifiedExactSplit(
+      assigned.select(col(idCol), col("cid")), idCol, "cid", keepFracBp,
+      valName = "keep", trainName = "drop")
+  }
+
   // ------------------------------------------------- artifact persistence
 
   /** Persist a learned BPE merge table to parquet (rank order preserved)

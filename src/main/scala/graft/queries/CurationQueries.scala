@@ -264,12 +264,21 @@ object CurationQueries {
     graft.llmops.TextStats.lengthHistogram(t(s, dir, "documents"), "text")
       .orderBy(col("bucket"))
 
+  /** q104: per-(lang, source) byte/char/word compression profile — the
+    * tokenizer-fertility heuristic corpora are triaged and re-weighted
+    * by (ratios in integer basis points). */
+  def q104(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.TextStats.compressionProfile(t(s, dir, "documents"),
+        "text", scala.Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+
   val queries: Map[String, Q] = Map(
     "q99_stratified_split" -> (q99 _),
     "q100_epoch_repeat" -> (q100 _),
     "q101_balanced_shards" -> (q101 _),
     "q102_recency_weight" -> (q102 _),
     "q103_len_histogram" -> (q103 _),
+    "q104_compression" -> (q104 _),
     "q96_interleave" -> (q96 _),
     "q97_pivot" -> (q97 _),
     "q91_line_signals" -> (q91 _),
@@ -442,6 +451,18 @@ object CurationQueries {
          | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT)
          |  AS tok_sum
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q104_compression" ->
+      """SELECT lang, source,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+         | sum(strlen(text)) * 10000 // sum(len(string_split(text, ' ')))
+         |  AS bytes_per_word_bp,
+         | sum(length(text)) * 10000 // sum(len(string_split(text, ' ')))
+         |  AS chars_per_word_bp
+         |FROM documents GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
     "q96_interleave" ->
       """WITH r AS (
          | SELECT doc_id, lang,

@@ -545,6 +545,26 @@ object LlmQueries {
     (sb.toString, s"a${iters + 1}")
   }
 
+  /** q105 oracle: the q46 k-means CTEs, then the exact-fraction
+    * (md5, id)-rank split within each cluster (q99's window shape with
+    * learned strata). */
+  private def clusterSampleSql(k: Int, iters: Int, dim: Int,
+      keepFracBp: Int): String = {
+    val (ctes, fin) = kmeansCtes(k, iters, dim)
+    s"""WITH $ctes,
+       |r AS (
+       | SELECT vec_id, cid,
+       |  CAST(row_number() OVER (PARTITION BY cid
+       |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+       |   AS grp_rank,
+       |  CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS grp_n
+       | FROM $fin)
+       |SELECT vec_id, cid, grp_n, grp_rank,
+       | CASE WHEN grp_rank <= grp_n * $keepFracBp // 10000 THEN 'keep'
+       |      ELSE 'drop' END AS split
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
+
   /** q60 oracle: the q46 k-means CTEs, then within-cluster cosine pairs
     * and the recursive-CTE transitive closure (q55's shape) over them. */
   private def semdedupSql(k: Int, iters: Int, dim: Int,
@@ -675,7 +695,18 @@ object LlmQueries {
     "q93_hard_negatives" -> (q93 _),
     "q94_pack_docs" -> (q94 _),
     "q95_budget_select" -> (q95 _),
-    "q98_soft_dedup" -> (q98 _))
+    "q98_soft_dedup" -> (q98 _),
+    "q105_cluster_sample" -> (q105 _))
+
+  /** q105: cluster-balanced diversity sample — k-means strata (q46's
+    * exact trajectory), then keep EXACTLY 25% of every cluster by
+    * (md5, id) rank: semantic-coverage-preserving downsampling. */
+  def q105(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Training.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, keepFracBp = 2500)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
     s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
@@ -1038,6 +1069,8 @@ object LlmQueries {
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q46_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
+    "q105_cluster_sample" -> clusterSampleSql(k = 8, iters = 2, dim = 64,
+      keepFracBp = 2500),
     "q75_embed_outliers" -> {
       val (ctes, fin) = kmeansCtes(k = 8, iters = 2, dim = 64)
       s"""WITH $ctes,

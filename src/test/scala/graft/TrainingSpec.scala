@@ -698,6 +698,42 @@ class TrainingSpec extends AnyFunSuite {
     assert(mass.max - mass.min <= 64, s"imbalance ${mass.max - mass.min}")
   }
 
+  test("compressionProfile: utf8 bytes vs chars vs words, bp ratios") {
+    val df = Seq(
+      ("en", "ab cd"),        // 5 bytes, 5 chars, 2 words
+      ("en", "x"),            // 1 byte, 1 char, 1 word
+      ("fr", "é à")           // 5 bytes, 3 chars, 2 words
+    ).toDF("lang", "text")
+    val out = graft.llmops.TextStats.compressionProfile(df, "text", Seq("lang"))
+      .orderBy("lang").collect()
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 6L
+      && out(0).getLong(3) === 6L && out(0).getLong(4) === 3L)
+    assert(out(0).getAs[Long]("bytes_per_word_bp") === 20000L)
+    assert(out(1).getLong(2) === 5L && out(1).getLong(3) === 3L
+      && out(1).getLong(4) === 2L)
+    assert(out(1).getAs[Long]("bytes_per_word_bp") === 25000L)
+    assert(out(1).getAs[Long]("chars_per_word_bp") === 15000L)
+  }
+
+  test("clusterBalancedSample: exact per-cluster fraction, deterministic") {
+    // two obvious clusters of different sizes: 40 near e1, 8 near e2
+    val pts = (0 until 40).map(i => (i.toLong, Array(10f + i % 3, 0f))) ++
+      (100 until 108).map(i => (i.toLong, Array(0f, 10f + i % 3)))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Training.clusterBalancedSample(df, "vec_id", "embedding",
+      k = 2, iters = 2, keepFracBp = 2500)
+    val byCluster = out.collect()
+      .groupBy(_.getLong(1)).view.mapValues { rs =>
+        (rs.length, rs.count(_.getString(4) == "keep"))
+      }.toMap
+    // exactly floor(n/4) kept in each cluster
+    assert(byCluster.values.toSet === Set((40, 10), (8, 2)))
+    val again = Training.clusterBalancedSample(df.repartition(5), "vec_id",
+        "embedding", k = 2, iters = 2, keepFracBp = 2500)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(4)).toMap === again)
+  }
+
   test("lengthHistogram: power-of-2 buckets, exact boundaries") {
     val df = Seq(
       (1L, "a"),                       // 1 token  → bucket 0
