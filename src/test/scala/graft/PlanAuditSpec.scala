@@ -19,9 +19,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q29_cosine_topk", // exact kNN: broadcast query batch × corpus scan
     "q40_ann_ivf",     // 16 seed centroids broadcast for coarse assign
     "q46_kmeans",      // k=8 centroids broadcast per Lloyd assign
-    "q75_embed_outliers") // same Lloyd assign broadcast as q46
+    "q75_embed_outliers",  // same Lloyd assign broadcast as q46
+    "q102_recency_weight", // 1-row corpus-max-timestamp broadcast
+    "q105_cluster_sample") // same Lloyd assign broadcast as q46
 
-  test("no CartesianProduct anywhere; BNLJ only in the documented trio") {
+  test("no CartesianProduct anywhere; BNLJ only documented tiny-side crosses") {
     val sf = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
