@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream analytics: ordered funnels, cohort retention, last-touch
+  * attribution. The reference's event tooling stops at stateful counters
+  * and batch grouping (`lib/processor/group_by.go`, cache counters —
+  * SURVEY §2.10); these are the corresponding whole-corpus analyses an
+  * analytics engine is actually asked for, expressed as Spark
+  * aggregation plans.
+  *
+  * Scale notes (100 TB posture): every operator here shuffles ONLY on
+  * the user/entity key (one exchange, reused by the chained aggregations
+  * via co-partitioning) or on tiny (cohort, offset) pairs; per-user state
+  * is a fixed-size tuple of stage timestamps — no per-user event arrays,
+  * no global windows, no cross products.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: stage i counts when an event of type `stages(i)`
+    * happens STRICTLY AFTER the user's qualifying time for stage i-1
+    * (classic "view → click → purchase within the user's own timeline").
+    * For each stage the qualifying time is the MINIMUM event time after
+    * the previous stage's qualifying time — the earliest completion, so
+    * the funnel is maximal (a later stage-1 event can never unlock a
+    * conversion the earliest one wouldn't).
+    *
+    * Plan: one filtered min-agg per stage, chained by equi-joins on the
+    * user key — k tiny aggregates over one co-partitioned exchange;
+    * spill-safe (no collected per-user arrays, unbounded-session-proof).
+    * Output: (user, reached ∈ 0..k) for every user seen in the input. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: scala.Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val user = col(userCol)
+    // stage 1: earliest event of the first type per user
+    var reachedTimes: DataFrame = df.filter(col(typeCol) === stages.head)
+      .groupBy(user.as("u")).agg(min(col(tsCol)).as("t1"))
+    // stage i: earliest event of type i strictly after t(i-1)
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val next = df.filter(col(typeCol) === st)
+        .join(reachedTimes, user === col("u"))
+        .filter(col(tsCol) > col(s"t$i"))
+        .groupBy(col("u")).agg(min(col(tsCol)).as(s"t${i + 1}"))
+      reachedTimes = reachedTimes.join(next, scala.Seq("u"), "left")
+    }
+    val users = df.select(user.as("u")).distinct()
+    val reached = (stages.indices.map { i =>
+      when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)
+    }).reduce(_ + _)
+    users.join(reachedTimes, scala.Seq("u"), "left")
+      .select(col("u").as(userCol), reached.cast(LongType).as("reached"))
+  }
+
+  /** Cohort retention triangle: users are cohorted by their FIRST active
+    * calendar day; every (user, active day) pair then lands in bucket
+    * `floor(days_since_cohort / bucketDays)`. Output is the classic
+    * retention matrix in long form.
+    *
+    * Plan: per-user min-day agg + distinct (user, day) activity —
+    * both shuffle on the user key — then a count-distinct on the tiny
+    * (cohort, offset) pairs. Days, not timestamps, cross the wire.
+    * Output: (cohort_date, offset, n_users). */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, s"bucketDays must be positive, got $bucketDays")
+    val user = col(userCol)
+    val day = to_date(col(tsCol))
+    val cohort = df.groupBy(user.as("u")).agg(min(day).as("cohort_date"))
+    val activity = df.select(user.as("u"), day.as("act_date")).distinct()
+    activity.join(cohort, "u")
+      .select(col("cohort_date"),
+        expr(s"datediff(act_date, cohort_date) div $bucketDays")
+          .cast(LongType).as("offset"),
+        col("u"))
+      .groupBy(col("cohort_date"), col("offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * channel of the latest touch event at-or-before it in the user's
+    * timeline (touch-before-conversion on time ties — the industry
+    * convention that a same-instant touch still gets credit). Revenue
+    * and conversion counts roll up per channel.
+    *
+    * Plan: tag + union the two event slices, ONE window partitioned by
+    * user ordered by (ts, tag, id) carrying the last non-null channel
+    * forward, then a per-channel roll-up. One user-keyed shuffle; the
+    * window state is a single value.
+    * Output: (channel, n_conv, revenue) per channel, plus channel NULL
+    * for conversions with no preceding touch. */
+  def lastTouchAttribution(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, convPred: Column, touchPred: Column,
+      channel: Column, revenue: Column): DataFrame = {
+    val user = col(userCol)
+    val touches = df.filter(touchPred).select(user.as("u"),
+      col(tsCol).as("ts"), lit(0).as("tag"), col(idCol).as("eid"),
+      channel.as("ch"), lit(null).cast("double").as("rev"))
+    val convs = df.filter(convPred).select(user.as("u"),
+      col(tsCol).as("ts"), lit(1).as("tag"), col(idCol).as("eid"),
+      lit(null).cast("string").as("ch"), revenue.cast("double").as("rev"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("ts"), col("tag"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(convs)
+      .withColumn("attr_ch", last(col("ch"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .groupBy(col("attr_ch").as("channel"))
+      .agg(count(lit(1)).as("n_conv"),
+        // exact-decimal sum (engine-order-independent), surfaced as double
+        sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+  }
+}

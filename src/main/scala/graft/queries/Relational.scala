@@ -183,7 +183,38 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q106: ordered funnel signup → view → click → purchase per user —
+    * stage i counts only strictly after the user's stage-(i-1) time. */
+  def q106Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", scala.Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  /** q107: weekly cohort retention triangle — cohort by first active
+    * day, activity bucketed in 7-day offsets from it. */
+  def q107Retention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.retentionCohorts(t(s, dir, "events"),
+        "user_id", "ts", bucketDays = 7)
+      .orderBy(col("cohort_date"), col("offset"))
+
+  /** q108: last-touch revenue attribution — each purchase credited to
+    * the channel (props.k mod 10) of the latest view/click at-or-before
+    * it in the user's timeline. */
+  def q108Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id",
+        convPred = col("event_type") === "purchase",
+        touchPred = col("event_type").isin("view", "click"),
+        channel = concat(lit("ch"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10)
+            .cast("string")),
+        revenue = col("value"))
+      .orderBy(col("channel").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
+    "q106_funnel" -> (q106Funnel _),
+    "q107_retention" -> (q107Retention _),
+    "q108_attribution" -> (q108Attribution _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -199,6 +230,64 @@ object Relational {
     "q9_events_agg" -> (q9EventsAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    // Funnel stages replicated as chained filtered min-aggs; all time
+    // comparisons on exact epoch micros (the engines' shared precision).
+    "q106_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM ev e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.tus > s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM ev e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tus > s2.t2
+        |       GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.tus) AS t4 FROM ev e
+        |       JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tus > s3.t3
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id,
+        | CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT +
+        |      (t3 IS NOT NULL)::INT + (t4 IS NOT NULL)::INT AS BIGINT)
+        |  AS reached
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q107_retention" ->
+      """WITH c AS (
+        | SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        | FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_date
+        |      FROM events)
+        |SELECT c.cohort_date,
+        | CAST(date_diff('day', c.cohort_date, a.act_date) // 7 AS BIGINT)
+        |  AS offset,
+        | CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q108_attribution" ->
+      """WITH u AS (
+        | SELECT user_id, epoch_ns(ts)//1000 AS tus, event_id,
+        |  CASE WHEN event_type IN ('view','click') THEN 0 ELSE 1 END AS tag,
+        |  CASE WHEN event_type IN ('view','click')
+        |       THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k')
+        |            AS BIGINT) % 10 AS VARCHAR)
+        |       ELSE NULL END AS ch,
+        |  CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS rev
+        | FROM events WHERE event_type IN ('view','click','purchase')),
+        |l AS (
+        | SELECT *, last_value(ch IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY tus, tag, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS attr_ch
+        | FROM u)
+        |SELECT attr_ch AS channel, CAST(count(*) AS BIGINT) AS n_conv,
+        | CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM l WHERE tag = 1
+        |GROUP BY attr_ch ORDER BY channel NULLS FIRST""".stripMargin,
     // Gaps-and-islands twin of session_window: a session breaks when the
     // gap STRICTLY exceeds 6h (Spark's merge boundary is inclusive — an
     // event exactly `gap` after its predecessor still merges; pinned by
