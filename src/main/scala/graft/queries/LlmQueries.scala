@@ -76,6 +76,23 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q109: video-frame sampling plumbing under an oracle — 4 evenly
+    * spaced 16-byte payload slices per document (the offset schedule and
+    * array-of-binary shape are the real part; a codec worker swaps in
+    * for the slicer without touching this plan). Slices are compared by
+    * md5 — text is ASCII in the gate data so DuckDB's char offsets equal
+    * Spark's byte offsets; the oracle uses `//` (truncating) division
+    * because DuckDB CAST rounds where Spark's cast truncates. */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast(BinaryType)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(Multimodal.frameSample(payload, 4)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("frame_i"),
+        md5(col("col")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_i"))
+  }
+
   /** Multi-probe sign-LSH ANN — the scale path. The hyperplanes are
     * deterministic, so the DuckDB oracle replicates the bucketing and the
     * multi-probe candidate join bit-for-bit: full rows+schema+hash gate
@@ -696,7 +713,8 @@ object LlmQueries {
     "q94_pack_docs" -> (q94 _),
     "q95_budget_select" -> (q95 _),
     "q98_soft_dedup" -> (q98 _),
-    "q105_cluster_sample" -> (q105 _))
+    "q105_cluster_sample" -> (q105 _),
+    "q109_frame_sample" -> (q109 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -1071,6 +1089,12 @@ object LlmQueries {
     "q46_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
     "q105_cluster_sample" -> clusterSampleSql(k = 8, iters = 2, dim = 64,
       keepFracBp = 2500),
+    "q109_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
+        | md5(substring(text, CAST(1 + strlen(text) * i // 4 AS BIGINT), 16))
+        |  AS frame_md5
+        |FROM documents, generate_series(0, 3) t(i)
+        |ORDER BY doc_id, frame_i""".stripMargin,
     "q75_embed_outliers" -> {
       val (ctes, fin) = kmeansCtes(k = 8, iters = 2, dim = 64)
       s"""WITH $ctes,
