@@ -264,6 +264,29 @@ object CurationQueries {
     graft.llmops.TextStats.lengthHistogram(t(s, dir, "documents"), "text")
       .orderBy(col("bucket"))
 
+  /** q110: split-leakage audit — val docs whose token-set fingerprint
+    * (q25's near-dup key) also appears on the train side of the q99
+    * stratified split: the held-out-set contamination check run before
+    * any eval is trusted. Equi-joins on the fingerprint key only. */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val split = Curation.stratifiedExactSplit(
+        docs.select(col("doc_id"), col("source")), "doc_id", "source",
+        valFracBp = 1000)
+      .select(col("id").as("doc_id"), col("split"))
+    val fp = docs.select(col("doc_id"),
+      graft.llmops.Dedup.fingerprint(col("text")).as("fp"))
+    val joined = fp.join(split, "doc_id")
+    val train = joined.filter(col("split") === "train")
+      .select(col("fp"), col("doc_id").as("train_id"))
+    joined.filter(col("split") === "val").select(col("doc_id"), col("fp"))
+      .join(train, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        min(col("train_id")).as("first_train_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q104: per-(lang, source) byte/char/word compression profile — the
     * tokenizer-fertility heuristic corpora are triaged and re-weighted
     * by (ratios in integer basis points). */
@@ -279,6 +302,7 @@ object CurationQueries {
     "q102_recency_weight" -> (q102 _),
     "q103_len_histogram" -> (q103 _),
     "q104_compression" -> (q104 _),
+    "q110_split_leakage" -> (q110 _),
     "q96_interleave" -> (q96 _),
     "q97_pivot" -> (q97 _),
     "q91_line_signals" -> (q91 _),
@@ -451,6 +475,31 @@ object CurationQueries {
          | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT)
          |  AS tok_sum
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q110_split_leakage" ->
+      """WITH r AS (
+         | SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         |   AS grp_rank,
+         |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS grp_n
+         | FROM documents),
+         |sp AS (
+         | SELECT doc_id,
+         |  CASE WHEN grp_rank <= grp_n * 1000 // 10000 THEN 'val'
+         |       ELSE 'train' END AS split
+         | FROM r),
+         |fp AS (
+         | SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    string_split(text, ' '))), ' ')) AS fp
+         | FROM documents),
+         |j AS (SELECT f.doc_id, f.fp, s.split
+         |      FROM fp f JOIN sp s USING (doc_id))
+         |SELECT v.doc_id, CAST(count(*) AS BIGINT) AS n_train_dups,
+         | min(t.doc_id) AS first_train_dup
+         |FROM j v JOIN j t ON v.fp = t.fp
+         |WHERE v.split = 'val' AND t.split = 'train'
+         |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin,
     "q104_compression" ->
       """SELECT lang, source,
          | CAST(count(*) AS BIGINT) AS n_docs,
