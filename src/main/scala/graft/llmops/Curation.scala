@@ -88,6 +88,41 @@ object Curation {
           sep).as("clean_text"))
   }
 
+  /** Boilerplate-line scrub by document frequency — the C4/RefinedWeb
+    * rule complementing [[lineDedupGlobal]] (first-wins): a line seen in
+    * `minDf` OR MORE DISTINCT documents is boilerplate (nav chrome,
+    * cookie banners, license headers) and every occurrence is dropped;
+    * lines below the threshold keep all their occurrences, duplicates
+    * included.
+    *
+    * Scale: explode → distinct (id, line) → line-keyed count → equi-join
+    * back → per-doc re-agg. Two line-keyed shuffles, partial aggs
+    * map-side; the join is a plain hash equi-join (the line-frequency
+    * relation is corpus-sized, not broadcastable — and doesn't need to
+    * be).
+    * Output: (id, n_lines, n_scrubbed, clean_text). */
+  def scrubBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf must be at least 2, got $minDf")
+    val ex = df.select(col(idCol).as("id"),
+      posexplode_outer(split(col(textCol), quoted(sep)))
+        .as(scala.Seq("ix", "line")))
+    val lineDf = ex.filter(col("line").isNotNull)
+      .select(col("line"), col("id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("_df"))
+    ex.join(lineDf, scala.Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("line")).as("n_lines"),
+        sum(when(col("_df") >= minDf, 1L).otherwise(0L)).as("n_scrubbed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(
+              col("line").isNotNull && (col("_df") < minDf),
+              struct(col("ix"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("clean_text"))
+  }
+
   // ---------------------------------------------------- URL canonicalization
 
   /** Canonicalize an absolute URL for dedup keying: lowercase scheme and

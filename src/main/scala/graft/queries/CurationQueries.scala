@@ -264,6 +264,16 @@ object CurationQueries {
     graft.llmops.TextStats.lengthHistogram(t(s, dir, "documents"), "text")
       .orderBy(col("bucket"))
 
+  /** q111: boilerplate-line scrub — every occurrence of a line seen in
+    * 3+ distinct documents is dropped (the C4/RefinedWeb df rule; q73
+    * is the complementary first-occurrence-wins dedup). */
+  def q111(s: SparkSession, dir: String): DataFrame =
+    Curation.scrubBoilerplateLines(
+        t(s, dir, "documents").select(col("doc_id"), linesText.as("t2")),
+        "doc_id", "t2", minDf = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** q110: split-leakage audit — val docs whose token-set fingerprint
     * (q25's near-dup key) also appears on the train side of the q99
     * stratified split: the held-out-set contamination check run before
@@ -303,6 +313,7 @@ object CurationQueries {
     "q103_len_histogram" -> (q103 _),
     "q104_compression" -> (q104 _),
     "q110_split_leakage" -> (q110 _),
+    "q111_boilerplate" -> (q111 _),
     "q96_interleave" -> (q96 _),
     "q97_pivot" -> (q97 _),
     "q91_line_signals" -> (q91 _),
@@ -475,6 +486,23 @@ object CurationQueries {
          | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT)
          |  AS tok_sum
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q111_boilerplate" ->
+      s"""WITH l AS (
+         | SELECT doc_id, string_split($linesSqlExpr, chr(10)) AS ls
+         | FROM documents),
+         |ex AS (
+         | SELECT doc_id, i - 1 AS ix, ls[i] AS line
+         | FROM l, unnest(generate_series(1, len(ls))) t(i)),
+         |fdf AS (
+         | SELECT line, count(DISTINCT doc_id) AS ldf FROM ex GROUP BY line)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN ldf >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_scrubbed,
+         | COALESCE(array_to_string(
+         |  list(ex.line ORDER BY ix) FILTER (WHERE ldf < 3), chr(10)), '')
+         |  AS clean_text
+         |FROM ex JOIN fdf USING (line)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q110_split_leakage" ->
       """WITH r AS (
          | SELECT doc_id, source,

@@ -244,6 +244,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L)._2 === 1L) // shift capped at 13 → 10000 div 8192 = 1
   }
 
+  test("scrubBoilerplateLines: df>=k lines drop everywhere, dups below keep") {
+    val df = Seq(
+      (1L, "banner\nunique one\nrepeat\nrepeat"), // banner df=3; repeat df=1 (dups kept)
+      (2L, "banner\nunique two"),
+      (3L, "banner\nunique three"),
+      (4L, "pair\nonly here"),                    // pair df=2 < 3 -> kept
+      (5L, "pair")
+    ).toDF("id", "text")
+    val out = Curation.scrubBoilerplateLines(df, "id", "text", minDf = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 4L, 1L, "unique one\nrepeat\nrepeat")))
+    assert(out(1) === ((2L, 2L, 1L, "unique two")))
+    assert(out(3) === ((4L, 2L, 0L, "pair\nonly here")))
+    assert(out(4) === ((5L, 1L, 0L, "pair")))
+  }
+
   test("dedupLinesInDoc keeps first occurrence in order") {
     val df = Seq(
       (1L, "a\nb\na\nc\nb"),
