@@ -85,6 +85,56 @@ object Streaming {
       }
       .start()
 
+  /** Watermarked stream-stream interval join — the streaming enrichment
+    * the reference approximates with sharded_join + cache lookups
+    * (`lib/input/sequence.go` sharded path): right-side rows within
+    * `within` of the left row's event time, equi-keyed. Both sides carry
+    * watermarks so Spark bounds the join state and evicts expired rows —
+    * state never grows with the stream, the property that makes this run
+    * forever at 100 TB/day.
+    *
+    * Output carries both sides' columns; disambiguate via the `l`/`r`
+    * aliases (`col("l.key")`). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftDelay: String,
+      rightDelay: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftDelay).alias("l")
+    val r = right.withWatermark(rightTs, rightDelay).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - INTERVAL $within" +
+        s" AND r.$rightTs <= l.$leftTs + INTERVAL $within"))
+  }
+
+  /** Per-key quota across the stream's lifetime (the reference's
+    * rate_limit resource keyed by message content — `lib/ratelimit/`):
+    * the first `limit` rows of each key pass, everything after drops.
+    * flatMapGroupsWithState keeps one counter per key; rows ride through
+    * as JSON payloads so any envelope shape survives the typed hop.
+    * Output: (key, payload) — `from_json` restores the row downstream. */
+  def throttleByKey(df: DataFrame, keyExpr: String, limit: Int): DataFrame = {
+    require(limit > 0, s"limit must be positive, got $limit")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+      graft.blobl.Mapping.envelopeExpr(df, keyExpr)
+        .cast(StringType).as("key"),
+      to_json(struct(col("*"))).as("payload")).as[(String, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer[(String, String)]()
+          rows.foreach { r =>
+            if (n < limit) out += ((key, r._2))
+            n += 1
+          }
+          state.update(n)
+          out.iterator
+      }.toDF("key", "payload")
+  }
+
   /** Stateful named counters (the `cache` incrby / `count()` function
     * semantics) via mapGroupsWithState: running count per key across
     * micro-batches. */

@@ -95,6 +95,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == List(("a", 3L), ("b", 2L)))
   }
 
+  test("stream-stream interval join: equi-key within time bound, state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lms = MemoryStream[(Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = lms.toDF().toDF("k", "lts")
+    val r = rms.toDF().toDF("k", "rts", "tag")
+    val joined = Streaming.intervalJoin(l, r, "k", "lts", "rts",
+        "1 minute", "1 minute", "10 minutes")
+      .select(col("l.k"), col("tag"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    lms.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    rms.addData(
+      (1L, ts("2024-01-01 10:05:00"), "in"),     // +5m -> joins
+      (1L, ts("2024-01-01 10:30:00"), "out"),    // +30m -> outside bound
+      (2L, ts("2024-01-01 09:55:00"), "before")) // -5m -> joins
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT k, tag FROM ssj ORDER BY k").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1))).toList
+    assert(got === List((1L, "in"), (2L, "before")))
+  }
+
+  test("throttleByKey: per-key quota persists across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val env = Envelope.wrapUnordered(
+      ms.toDF().toDF("k", "v"))
+    val out = Streaming.throttleByKey(env, "this.k", limit = 3)
+    val q = out.writeStream.format("memory").queryName("thr")
+      .outputMode("append").start()
+    ms.addData(("a", 1L), ("a", 2L), ("b", 1L)); q.processAllAvailable()
+    ms.addData(("a", 3L), ("a", 4L), ("b", 2L)); q.processAllAvailable()
+    q.stop()
+    val counts = spark.sql("SELECT key, count(*) FROM thr GROUP BY key ORDER BY key")
+      .collect().map(r0 => (r0.getString(0), r0.getLong(1))).toList
+    // a: 4 arrivals, quota 3; b: 2 arrivals, all pass
+    assert(counts === List(("a", 3L), ("b", 2L)))
+    // payload JSON restores the original doc fields
+    val v = spark.sql("SELECT payload FROM thr WHERE key='b'").collect()
+      .map(r0 => r0.getString(0))
+    assert(v.forall(_.contains("\"k\":\"b\"")))
+  }
+
   test("stream registry lifecycle") {
     val reg = new StreamRegistry
     val out = BloblangProc("root.event_id = this.event_id")(eventsStream)
