@@ -76,6 +76,27 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q112: per-source corpus data card — the datasheet row a curation
+    * run publishes per source: volume (docs, token mass), exact-dup rate
+    * (token-set fingerprints, basis points), and language-label health
+    * (stopword-langId disagreements with the declared lang column). One
+    * projection + one groupBy on the source key. */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("source"),
+        TextStats.nTokens(col("text")).cast(LongType).as("_tok"),
+        Dedup.fingerprint(col("text")).as("_fp"),
+        (TextStats.langId(col("text")) =!= col("lang")).as("_mism"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("sum_tokens"),
+        count_distinct(col("_fp")).as("n_unique"),
+        sum(when(col("_mism"), 1L).otherwise(0L)).as("n_lang_mismatch"))
+      .withColumn("dup_rate_bp",
+        expr("(n_docs - n_unique) * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** q109: video-frame sampling plumbing under an oracle — 4 evenly
     * spaced 16-byte payload slices per document (the offset schedule and
     * array-of-binary shape are the real part; a codec worker swaps in
@@ -714,7 +735,8 @@ object LlmQueries {
     "q95_budget_select" -> (q95 _),
     "q98_soft_dedup" -> (q98 _),
     "q105_cluster_sample" -> (q105 _),
-    "q109_frame_sample" -> (q109 _))
+    "q109_frame_sample" -> (q109 _),
+    "q112_data_card" -> (q112 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -1089,6 +1111,31 @@ object LlmQueries {
     "q46_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
     "q105_cluster_sample" -> clusterSampleSql(k = 8, iters = 2, dim = 64,
       keepFracBp = 2500),
+    "q112_data_card" ->
+      """WITH sw AS (
+        | SELECT source, lang, text,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS sw_en,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS sw_de,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['le','la','les','et','est','un','une','pour','dans','que'], t))) AS sw_fr,
+        |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','los','y','es','un','una','para','en','que'], t))) AS sw_es
+        | FROM documents),
+        |g AS (
+        | SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+        |  (CASE
+        |    WHEN sw_en >= sw_de AND sw_en >= sw_fr AND sw_en >= sw_es THEN 'en'
+        |    WHEN sw_de >= sw_fr AND sw_de >= sw_es THEN 'de'
+        |    WHEN sw_fr >= sw_es THEN 'fr'
+        |    ELSE 'es' END) <> lang AS mism
+        | FROM sw)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        | CAST(sum(CASE WHEN mism THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_lang_mismatch,
+        | (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_rate_bp
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q109_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
         | md5(substring(text, CAST(1 + strlen(text) * i // 4 AS BIGINT), 16))
