@@ -51,7 +51,7 @@ object Compiler {
     * Go-style named groups `(?P<n>` rewritten to plain `(` (Java rejects
     * some Go group names) plus the ordered group-name list (None =
     * unnamed). Tracks escapes and character classes. */
-  private[blobl] def captureGroups(pat: String): (String, List[Option[String]]) = {
+  private[graft] def captureGroups(pat: String): (String, List[Option[String]]) = {
     val out = new StringBuilder
     val groups = scala.collection.mutable.ListBuffer[Option[String]]()
     var i = 0

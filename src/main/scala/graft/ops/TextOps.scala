@@ -94,13 +94,27 @@ final case class TextProc(operator: String, arg: String = "", value: String = ""
       case "prepend" => concat(interp, content)
       case "to_upper" => upper(content)
       case "to_lower" => lower(content)
-      case "trim_space" => trim(content)
+      case "trim_space" =>
+        // Go strings.TrimSpace strips the Unicode White_Space set (tabs,
+        // newlines, NBSP…); Spark's trim only strips ' ' — use the exact
+        // property class (ported text_test.go "trim space 3" pins this)
+        regexp_replace(content,
+          "^\\p{IsWhite_Space}+|\\p{IsWhite_Space}+$", "")
       case "trim" => if (arg.isEmpty) trim(content) else trim(content, arg)
       case "replace" =>
         regexp_replace(content,
           lit(java.util.regex.Pattern.quote(arg)),
           regexp_replace(interp, "([\\\\$])", "\\\\$1"))
-      case "replace_regexp" => regexp_replace(content, lit(arg), interp)
+      case "replace_regexp" =>
+        // Go Expand semantics ($name / out-of-range → empty) need the
+        // native expression; a dynamic ${! } replacement value falls back
+        // to regexp_replace (Java $-rules), which dynamic configs accept
+        if (value.contains("${!")) regexp_replace(content, lit(arg), interp)
+        else graft.exprs.GoRegexpExpandExpr.column(content, arg, value,
+          expand = false)
+      case "regexp_expand" =>
+        graft.exprs.GoRegexpExpandExpr.column(content, arg, value,
+          expand = true)
       case "find_regexp" => regexp_extract(content, arg, 0)
       case "strip_html" => regexp_replace(content, "<[^>]*>", "")
       case "quote" =>
