@@ -206,6 +206,128 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast(DoubleType) * scale / 127.0)
 
+  /** Product quantization over int8-quantized embeddings — the memory
+    * layout that makes a 100 TB embedding corpus scannable: after the 4×
+    * int8 cut, each vector collapses to `m` one-byte centroid ids (64
+    * int8 codes → 8 PQ codes here, a further 8×). Queries precompute a
+    * per-subspace lookup table once, and the corpus scan is `m` array
+    * lookups per vector — no original vectors touched (ADC, Jégou et al.
+    * 2011).
+    *
+    * Codebooks are the `ksub` lowest-id vectors' sub-vectors — the same
+    * deterministic seed-training trade as [[Ivf.seedCentroids]] (refine
+    * offline at scale; the search plan is identical), which is what lets
+    * the DuckDB oracle replay encode + ADC exactly. All distances are
+    * integer L2² on the int codes, so the whole structure is bit-exact
+    * across engines by construction.
+    *
+    * Plan shape: codebook rides as an expression-tree literal (tiny);
+    * encode is a pure projection (zero shuffle); the ADC scan broadcasts
+    * the query LUTs and streams the (id, pq-codes) relation — 12 bytes a
+    * row — in one pass; top-k via the two-stage rank. */
+  final case class Pq(m: Int, ksub: Int) {
+
+    /** Deterministic codebook from an int8-quantized relation
+      * (id, codes): sub-vector slices of the `ksub` lowest-id rows.
+      * Collected at the driver — m·ksub·dsub ints. */
+    def codebook(quant: DataFrame, idCol: String = "id",
+        codesCol: String = "codes"): Seq[Seq[Seq[Int]]] = {
+      val seeds = quant.orderBy(col(idCol)).limit(ksub)
+        .select(col(codesCol)).collect()
+        .map(_.getSeq[Int](0))
+      require(seeds.length == ksub, s"need $ksub seed rows, got ${seeds.length}")
+      val dim = seeds.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      (0 until m).map(sub =>
+        seeds.toSeq.map(_.slice(sub * dsub, (sub + 1) * dsub).toSeq))
+    }
+
+    /** Encode a quantized relation to (id, pq) — `pq` is the m-length
+      * centroid-id array. Pure projection. */
+    def encode(quant: DataFrame, cb: Seq[Seq[Seq[Int]]],
+        idCol: String = "id", codesCol: String = "codes"): DataFrame =
+      quant.select(col(idCol).as("vid"),
+        graft.exprs.PqExprs.encode(col(codesCol), cb).as("pq"))
+
+    /** ADC score: integer approximate L2² between a query (via its LUT)
+      * and a corpus row's PQ codes — m lookups. */
+    def adcDist(lut: Column, pq: Column): Column =
+      (0 until m).map(sub =>
+        element_at(lut, element_at(pq, sub + 1) + lit(sub * ksub + 1)))
+        .reduce(_ + _)
+
+    /** ADC top-k: for each query row of `quantQueries`, the k corpus
+      * rows with the smallest ADC distance (ties → lowest vid). Both
+      * inputs are int8-quantized relations (id, codes). Output:
+      * (qid, vid, adc_dist, rnk) — all integers. */
+    def topK(quantQueries: DataFrame, quantCorpus: DataFrame, k: Int,
+        cb: Seq[Seq[Seq[Int]]]): DataFrame = {
+      val codes = encode(quantCorpus, cb)
+      val q = broadcast(quantQueries.select(col("id").as("qid"),
+        graft.exprs.PqExprs.lut(col("codes"), cb).as("_lut")))
+      val sims = codes.crossJoin(q).filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"),
+          adcDist(col("_lut"), col("pq")).as("adc_dist"))
+      val ranked = topKOfSims(
+        sims.select(col("qid"), col("vid"), (-col("adc_dist")).as("sim")), k)
+      ranked.join(sims, Seq("qid", "vid"))
+        .select(col("qid"), col("vid"), col("adc_dist"), col("rnk"))
+    }
+  }
+
+  /** Binary (sign-bit) quantization + Hamming ANN — the coarsest, fastest
+    * filter in the quantization ladder: one bit per dimension (64 dims →
+    * 8 bytes), distance = popcount(xor). The scan reads two longs per
+    * corpus row; survivors are re-ranked by exact cosine on the original
+    * vectors via a skinny id equi-join. Bits are packed into 32-bit words
+    * (not one 64-bit word) so no engine ever evaluates `1<<63` — DuckDB
+    * raises on BIGINT overflow where Spark wraps. */
+  object BinaryQuant {
+    /** Pack dims [word*32, word*32+32) of a float/double array: bit i set
+      * iff the component is >= 0. */
+    private def packWord(vec: Column, word: Int): Column =
+      (0 until 32).map(i =>
+        when(element_at(vec, word * 32 + i + 1) >= 0, lit(1L << i))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+
+    /** (id, b0, b1, …) sign-bit words for a dim-`32·nWords` vector. */
+    def pack(df: DataFrame, idCol: String, vecCol: String,
+        nWords: Int): DataFrame =
+      df.select(col(idCol).as("vid") +:
+        (0 until nWords).map(w => packWord(col(vecCol), w).as(s"b$w")): _*)
+
+    private def hamming(nWords: Int): Column =
+      (0 until nWords).map(w =>
+        bit_count(col(s"b$w").bitwiseXOR(col(s"qb$w"))))
+        .reduce(_ + _)
+
+    /** Hamming-filtered ANN: `nCand` best candidates per query by packed
+      * Hamming distance (ties → lowest vid), then exact cosine re-rank to
+      * top-k on the original vectors. Output: (qid, vid, rnk). */
+    def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+        vecCol: String, k: Int, nCand: Int, nWords: Int): DataFrame = {
+      val c = pack(corpus, idCol, vecCol, nWords)
+      val q = broadcast(pack(queries, idCol, vecCol, nWords)
+        .select(col("vid").as("qid") +:
+          (0 until nWords).map(w => col(s"b$w").as(s"qb$w")): _*))
+      val ham = c.crossJoin(q).filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), hamming(nWords).as("ham"))
+      // Hamming is integer: negate for the sim-desc two-stage top-k.
+      val cand = topKOfSims(
+        ham.select(col("qid"), col("vid"), (-col("ham")).as("sim")), nCand)
+        .select(col("qid"), col("vid"))
+      val qv = broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec")))
+      val cv = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"))
+      val sims = cand.join(cv, "vid").join(qv, "qid")
+        .select(col("qid"), col("vid"),
+          cosine(col("qvec"), col("cvec")).as("sim"))
+      topKOfSims(sims, k)
+    }
+  }
+
   /** Random-hyperplane sign-LSH. `planes(dim, nPlanes, seed)` generates the
     * (deterministic) hyperplane matrix as a literal — broadcast free. */
   def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {

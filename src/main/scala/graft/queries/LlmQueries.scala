@@ -199,6 +199,33 @@ object LlmQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q113: product-quantization ADC top-k — the PQ memory layout (int8
+    * quantize → 8 sub-space codebooks of 16 centroids → 8 one-byte codes
+    * per vector) with asymmetric-distance search: queries precompute an
+    * integer L2² lookup table, the corpus scan reads only the PQ codes.
+    * Every distance is an exact integer, so encode, LUT, and ADC ranks
+    * replay bit-for-bit in DuckDB. */
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val quant = Similarity.quantizeInt8(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+    val pq = Similarity.Pq(m = 8, ksub = 16)
+    val cb = pq.codebook(quant)
+    pq.topK(quant.filter(col("id") < 10), quant, 5, cb)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q114: binary (sign-bit) quantization ANN — 64 dims packed into two
+    * 32-bit words, popcount(xor) Hamming scan to 32 candidates, exact
+    * cosine re-rank to top-5. Candidate selection is pure integer
+    * arithmetic; floats only order the final re-rank (the q36/q40
+    * precedent). */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.BinaryQuant.topK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nCand = 32, nWords = 2)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
     * exact cosine verify (the semantic dedup mode). Oracle replicates
     * the LSH candidate pairs in DuckDB. */
@@ -736,7 +763,9 @@ object LlmQueries {
     "q98_soft_dedup" -> (q98 _),
     "q105_cluster_sample" -> (q105 _),
     "q109_frame_sample" -> (q109 _),
-    "q112_data_card" -> (q112 _))
+    "q112_data_card" -> (q112 _),
+    "q113_pq_adc" -> (q113 _),
+    "q114_binary_ann" -> (q114 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -1136,6 +1165,77 @@ object LlmQueries {
         |  AS n_lang_mismatch,
         | (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_rate_bp
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q113_pq_adc" ->
+      """WITH v AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |qt AS (
+        | SELECT vec_id,
+        |  CASE WHEN list_max(list_transform(ve, x -> abs(x))) = 0
+        |   THEN list_transform(ve, x -> CAST(0 AS BIGINT))
+        |   ELSE list_transform(ve, x -> CAST(floor(
+        |     x / list_max(list_transform(ve, y -> abs(y))) * 127.0 + 0.5)
+        |    AS BIGINT))
+        |  END AS qc
+        | FROM v),
+        |cbs AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qc
+        | FROM (SELECT vec_id, qc FROM qt ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        | SELECT s.m, cbs.j, list_slice(cbs.qc, s.m*8+1, s.m*8+8) AS cv
+        | FROM cbs, (SELECT unnest(range(8)) AS m) s),
+        |dist AS (
+        | SELECT q.vec_id, cb.m, cb.j,
+        |  CAST(list_sum(list_transform(range(8),
+        |    i -> (q.qc[cb.m*8+i+1] - cb.cv[i+1])
+        |       * (q.qc[cb.m*8+i+1] - cb.cv[i+1]))) AS BIGINT) AS d
+        | FROM qt q CROSS JOIN cb),
+        |enc AS (
+        | SELECT vec_id, m, j AS code FROM (
+        |  SELECT vec_id, m, j,
+        |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |adc AS (
+        | SELECT dq.vec_id AS qid, e.vec_id AS vid,
+        |  CAST(sum(dq.d) AS BIGINT) AS adc_dist
+        | FROM enc e JOIN dist dq ON dq.m = e.m AND dq.j = e.code
+        | WHERE dq.vec_id < 10 AND e.vec_id != dq.vec_id
+        | GROUP BY 1, 2)
+        |SELECT qid, vid, adc_dist, rnk FROM (
+        | SELECT qid, vid, adc_dist,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rnk
+        | FROM adc) WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    "q114_binary_ann" ->
+      """WITH v AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |p AS (
+        | SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(32), i ->
+        |    CASE WHEN ve[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i)
+        |         ELSE 0 END)) AS BIGINT) AS b0,
+        |  CAST(list_sum(list_transform(range(32), i ->
+        |    CASE WHEN ve[i+33] >= 0 THEN (CAST(1 AS BIGINT) << i)
+        |         ELSE 0 END)) AS BIGINT) AS b1
+        | FROM v),
+        |ham AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |  bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS hm
+        | FROM p q JOIN p c ON c.vec_id != q.vec_id
+        | WHERE q.vec_id < 10),
+        |cand AS (
+        | SELECT qid, vid FROM (
+        |  SELECT qid, vid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY hm, vid) AS rn
+        |  FROM ham) WHERE rn <= 32),
+        |sims AS (
+        | SELECT cand.qid, cand.vid, list_cosine_similarity(q.ve, c.ve) AS sim
+        | FROM cand JOIN v q ON q.vec_id = cand.qid
+        |  JOIN v c ON c.vec_id = cand.vid)
+        |SELECT qid, vid, rnk FROM (
+        | SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+        | FROM sims) WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "q109_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
         | md5(substring(text, CAST(1 + strlen(text) * i // 4 AS BIGINT), 16))

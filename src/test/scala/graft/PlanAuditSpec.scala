@@ -21,7 +21,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q46_kmeans",      // k=8 centroids broadcast per Lloyd assign
     "q75_embed_outliers",  // same Lloyd assign broadcast as q46
     "q102_recency_weight", // 1-row corpus-max-timestamp broadcast
-    "q105_cluster_sample") // same Lloyd assign broadcast as q46
+    "q105_cluster_sample", // same Lloyd assign broadcast as q46
+    "q113_pq_adc",         // broadcast query LUTs × PQ-code scan (ADC)
+    "q114_binary_ann")     // broadcast query bit-words × packed-bit scan
 
   test("no CartesianProduct anywhere; BNLJ only documented tiny-side crosses") {
     val sf = "/root/testdata/sf0.001"
