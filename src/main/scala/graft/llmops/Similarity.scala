@@ -276,6 +276,61 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ: the composition production vector indexes actually ship —
+    * IVF coarse lists bound the search to `nprobe` clusters, PQ codes
+    * make each list scannable without touching vectors. Search cost is
+    * `nprobe/nlist` of the corpus × m byte-lookups; neither the corpus
+    * vectors nor their codes ever shuffle on anything wider than the
+    * cluster id. Output: (qid, vid, adc_dist, rnk).
+    *
+    * Coarse assignment reuses [[Ivf]]'s deterministic seed centroids
+    * (cosine argmax on the raw vectors); within-list distances are the
+    * integer ADC of [[Pq]] — so the only float in the plan decides list
+    * membership, exactly like q40, and the oracle replays both stages. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int, nprobe: Int,
+      pq: Pq, cb: Seq[Seq[Seq[Int]]]): DataFrame = {
+    val cents = Ivf.seedCentroids(corpus, idCol, vecCol, numCentroids)
+    // (vid, cid) inverted-list membership + (vid, pq-codes): the scan
+    // relation carries 12 bytes of payload per corpus row
+    val assigned = Ivf.assign(corpus, idCol, vecCol, cents)
+      .select(col(idCol).as("vid"), col("cid"))
+    val codes = pq.encode(
+      quantizeInt8(corpus, idCol, vecCol), cb).join(assigned, "vid")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("csim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = q.withColumn("_pr", row_number().over(w))
+      .filter(col("_pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val luts = broadcast(probes
+      .select(col("qid"), col("cid"),
+        graft.exprs.PqExprs.lut(
+          quantizeInt8Codes(col("qvec")), cb).as("_lut")))
+    val sims = luts.join(codes, "cid")
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        pq.adcDist(col("_lut"), col("pq")).as("adc_dist"))
+    val ranked = topKOfSims(
+      sims.select(col("qid"), col("vid"), (-col("adc_dist")).as("sim")), k)
+    ranked.join(sims, Seq("qid", "vid"))
+      .select(col("qid"), col("vid"), col("adc_dist"), col("rnk"))
+  }
+
+  /** The quantizeInt8 code array as a bare Column (same arithmetic),
+    * for call sites that quantize inline rather than materializing the
+    * (id, scale, codes) relation. */
+  def quantizeInt8Codes(vec: Column): Column = {
+    val v = vec.cast(ArrayType(DoubleType))
+    Dedup.bindArray(v, vb =>
+      Dedup.bindArray(array_max(transform(vb, x => abs(x))), scale =>
+        when(scale === 0.0, transform(vb, _ => lit(0)))
+          .otherwise(transform(vb, x =>
+            floor(x / scale * 127.0 + 0.5).cast(IntegerType)))))
+  }
+
   /** Binary (sign-bit) quantization + Hamming ANN — the coarsest, fastest
     * filter in the quantization ladder: one bit per dimension (64 dims →
     * 8 bytes), distance = popcount(xor). The scan reads two longs per

@@ -226,6 +226,20 @@ object LlmQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q115: IVF-PQ — the composed production index: IVF seed-centroid
+    * coarse lists (q40's structure, nprobe=4 of 16) bound the search,
+    * PQ ADC (q113's integer distances) scans the probed lists without
+    * touching vectors. The only float decides list membership. */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val pq = Similarity.Pq(m = 8, ksub = 16)
+    val cb = pq.codebook(quant)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, numCentroids = 16, nprobe = 4, pq, cb)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
     * exact cosine verify (the semantic dedup mode). Oracle replicates
     * the LSH candidate pairs in DuckDB. */
@@ -708,6 +722,40 @@ object LlmQueries {
       s"regexp_replace($acc, '$pat', '[${name.toUpperCase}]', 'g')"
     }
 
+  /** Shared PQ CTE chain (q113 ADC scan, q115 IVF-PQ): int8 quantization
+    * (the q54 arithmetic), 16-seed codebooks per 8-dim subspace, integer
+    * L2² distance relation for every (vector, subspace, centroid), and
+    * the argmin encoding. All BIGINT — replays the Spark kernels exactly. */
+  private val pqCtesSql: String =
+    """v AS (
+      | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |qt AS (
+      | SELECT vec_id,
+      |  CASE WHEN list_max(list_transform(ve, x -> abs(x))) = 0
+      |   THEN list_transform(ve, x -> CAST(0 AS BIGINT))
+      |   ELSE list_transform(ve, x -> CAST(floor(
+      |     x / list_max(list_transform(ve, y -> abs(y))) * 127.0 + 0.5)
+      |    AS BIGINT))
+      |  END AS qc
+      | FROM v),
+      |cbs AS (
+      | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qc
+      | FROM (SELECT vec_id, qc FROM qt ORDER BY vec_id LIMIT 16)),
+      |cb AS (
+      | SELECT s.m, cbs.j, list_slice(cbs.qc, s.m*8+1, s.m*8+8) AS cv
+      | FROM cbs, (SELECT unnest(range(8)) AS m) s),
+      |dist AS (
+      | SELECT q.vec_id, cb.m, cb.j,
+      |  CAST(list_sum(list_transform(range(8),
+      |    i -> (q.qc[cb.m*8+i+1] - cb.cv[i+1])
+      |       * (q.qc[cb.m*8+i+1] - cb.cv[i+1]))) AS BIGINT) AS d
+      | FROM qt q CROSS JOIN cb),
+      |enc AS (
+      | SELECT vec_id, m, j AS code FROM (
+      |  SELECT vec_id, m, j,
+      |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |  FROM dist) WHERE rn = 1)""".stripMargin
+
   private def piiCountSql(key: String): String = {
     val pat = graft.llmops.TextStats.piiPatterns.toMap.apply(key)
     s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT)"
@@ -765,7 +813,8 @@ object LlmQueries {
     "q109_frame_sample" -> (q109 _),
     "q112_data_card" -> (q112 _),
     "q113_pq_adc" -> (q113 _),
-    "q114_binary_ann" -> (q114 _))
+    "q114_binary_ann" -> (q114 _),
+    "q115_ivfpq" -> (q115 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -1166,38 +1215,40 @@ object LlmQueries {
         | (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_rate_bp
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q113_pq_adc" ->
-      """WITH v AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-        |qt AS (
-        | SELECT vec_id,
-        |  CASE WHEN list_max(list_transform(ve, x -> abs(x))) = 0
-        |   THEN list_transform(ve, x -> CAST(0 AS BIGINT))
-        |   ELSE list_transform(ve, x -> CAST(floor(
-        |     x / list_max(list_transform(ve, y -> abs(y))) * 127.0 + 0.5)
-        |    AS BIGINT))
-        |  END AS qc
-        | FROM v),
-        |cbs AS (
-        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qc
-        | FROM (SELECT vec_id, qc FROM qt ORDER BY vec_id LIMIT 16)),
-        |cb AS (
-        | SELECT s.m, cbs.j, list_slice(cbs.qc, s.m*8+1, s.m*8+8) AS cv
-        | FROM cbs, (SELECT unnest(range(8)) AS m) s),
-        |dist AS (
-        | SELECT q.vec_id, cb.m, cb.j,
-        |  CAST(list_sum(list_transform(range(8),
-        |    i -> (q.qc[cb.m*8+i+1] - cb.cv[i+1])
-        |       * (q.qc[cb.m*8+i+1] - cb.cv[i+1]))) AS BIGINT) AS d
-        | FROM qt q CROSS JOIN cb),
-        |enc AS (
-        | SELECT vec_id, m, j AS code FROM (
-        |  SELECT vec_id, m, j,
-        |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-        |  FROM dist) WHERE rn = 1),
+      s"""WITH $pqCtesSql,
         |adc AS (
         | SELECT dq.vec_id AS qid, e.vec_id AS vid,
         |  CAST(sum(dq.d) AS BIGINT) AS adc_dist
         | FROM enc e JOIN dist dq ON dq.m = e.m AND dq.j = e.code
+        | WHERE dq.vec_id < 10 AND e.vec_id != dq.vec_id
+        | GROUP BY 1, 2)
+        |SELECT qid, vid, adc_dist, rnk FROM (
+        | SELECT qid, vid, adc_dist,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rnk
+        | FROM adc) WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    "q115_ivfpq" ->
+      s"""WITH $pqCtesSql,
+        |cents AS (
+        | SELECT vec_id AS ccid, ve AS kvec FROM v ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        | SELECT vec_id AS vid, ccid FROM (
+        |  SELECT c.vec_id, k.ccid,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY list_cosine_similarity(c.ve, k.kvec) DESC, k.ccid) AS rn
+        |  FROM v c CROSS JOIN cents k) WHERE rn = 1),
+        |probes AS (
+        | SELECT qid, ccid FROM (
+        |  SELECT q.vec_id AS qid, k.ccid,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.ve, k.kvec) DESC, k.ccid) AS rn
+        |  FROM v q CROSS JOIN cents k WHERE q.vec_id < 10) WHERE rn <= 4),
+        |adc AS (
+        | SELECT dq.vec_id AS qid, e.vec_id AS vid,
+        |  CAST(sum(dq.d) AS BIGINT) AS adc_dist
+        | FROM enc e JOIN dist dq ON dq.m = e.m AND dq.j = e.code
+        |  JOIN assigned a ON a.vid = e.vec_id
+        |  JOIN probes p ON p.qid = dq.vec_id AND p.ccid = a.ccid
         | WHERE dq.vec_id < 10 AND e.vec_id != dq.vec_id
         | GROUP BY 1, 2)
         |SELECT qid, vid, adc_dist, rnk FROM (

@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q102_recency_weight", // 1-row corpus-max-timestamp broadcast
     "q105_cluster_sample", // same Lloyd assign broadcast as q46
     "q113_pq_adc",         // broadcast query LUTs × PQ-code scan (ADC)
-    "q114_binary_ann")     // broadcast query bit-words × packed-bit scan
+    "q114_binary_ann",     // broadcast query bit-words × packed-bit scan
+    "q115_ivfpq")          // 16 seed centroids broadcast for coarse assign
 
   test("no CartesianProduct anywhere; BNLJ only documented tiny-side crosses") {
     val sf = "/root/testdata/sf0.001"

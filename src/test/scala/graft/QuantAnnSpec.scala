@@ -81,6 +81,20 @@ class QuantAnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF-PQ subsets full PQ ADC: every result is a PQ result from a probed list") {
+    val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val pq = Similarity.Pq(m = 8, ksub = 16)
+    val cb = pq.codebook(quant)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, numCentroids = 16, nprobe = 16, pq, cb)
+    val full = pq.topK(quant.filter(col("id") < 10), quant, 5, cb)
+    // nprobe = nlist ⇒ every list probed ⇒ IVF-PQ ≡ the flat ADC scan
+    val a = ivfpq.select("qid", "vid", "adc_dist", "rnk").collect().toSet
+    val b = full.select("qid", "vid", "adc_dist", "rnk").collect().toSet
+    assert(a === b)
+  }
+
   test("PQ ADC neighbors approximate exact kNN (recall floor)") {
     val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
     val pq = Similarity.Pq(m = 8, ksub = 16)
