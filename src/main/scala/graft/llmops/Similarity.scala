@@ -42,15 +42,18 @@ object Similarity {
     * rank over the ≤ q·P·k survivors. Any true global top-k row has at
     * most k-1 rows above it in its own partition, so it always survives
     * stage one. Ties break on vid in both stages. */
-  private[llmops] def topKOfSims(sims: DataFrame, k: Int): DataFrame = {
+  private[llmops] def topKOfSims(sims: DataFrame, k: Int,
+      keepSim: Boolean = false): DataFrame = {
     val staged = sims.withColumn("_pid", spark_partition_id())
     val w1 = Window.partitionBy(col("qid"), col("_pid"))
       .orderBy(col("sim").desc, col("vid"))
     val local = staged.withColumn("_r", row_number().over(w1))
       .filter(col("_r") <= k).drop("_r", "_pid")
     val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    local.withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
-      .select(col("qid"), col("vid"), col("rnk"))
+    val ranked = local.withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+    if (keepSim) ranked.select(col("qid"), col("vid"), col("sim"), col("rnk"))
+    else ranked.select(col("qid"), col("vid"), col("rnk"))
   }
 
   /** Exact top-k neighbors for each query row.
@@ -268,11 +271,10 @@ object Similarity {
         graft.exprs.PqExprs.lut(col("codes"), cb).as("_lut")))
       val sims = codes.crossJoin(q).filter(col("vid") =!= col("qid"))
         .select(col("qid"), col("vid"),
-          adcDist(col("_lut"), col("pq")).as("adc_dist"))
-      val ranked = topKOfSims(
-        sims.select(col("qid"), col("vid"), (-col("adc_dist")).as("sim")), k)
-      ranked.join(sims, Seq("qid", "vid"))
-        .select(col("qid"), col("vid"), col("adc_dist"), col("rnk"))
+          (-adcDist(col("_lut"), col("pq"))).as("sim"))
+      topKOfSims(sims, k, keepSim = true)
+        .select(col("qid"), col("vid"),
+          (-col("sim")).cast(LongType).as("adc_dist"), col("rnk"))
     }
   }
 
@@ -312,11 +314,10 @@ object Similarity {
     val sims = luts.join(codes, "cid")
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
-        pq.adcDist(col("_lut"), col("pq")).as("adc_dist"))
-    val ranked = topKOfSims(
-      sims.select(col("qid"), col("vid"), (-col("adc_dist")).as("sim")), k)
-    ranked.join(sims, Seq("qid", "vid"))
-      .select(col("qid"), col("vid"), col("adc_dist"), col("rnk"))
+        (-pq.adcDist(col("_lut"), col("pq"))).as("sim"))
+    topKOfSims(sims, k, keepSim = true)
+      .select(col("qid"), col("vid"),
+        (-col("sim")).cast(LongType).as("adc_dist"), col("rnk"))
   }
 
   /** The quantizeInt8 code array as a bare Column (same arithmetic),
