@@ -265,8 +265,15 @@ object Similarity {
       * inputs are int8-quantized relations (id, codes). Output:
       * (qid, vid, adc_dist, rnk) — all integers. */
     def topK(quantQueries: DataFrame, quantCorpus: DataFrame, k: Int,
+        cb: Seq[Seq[Seq[Int]]]): DataFrame =
+      topKWithCodes(quantQueries, encode(quantCorpus, cb), k, cb)
+
+    /** [[topK]] against a precomputed (vid, pq) codes relation — the
+      * search half of the persisted-index split: the corpus is encoded
+      * once ([[writeIndex]]), daily query batches scan only the 12-byte
+      * code rows. */
+    def topKWithCodes(quantQueries: DataFrame, codes: DataFrame, k: Int,
         cb: Seq[Seq[Seq[Int]]]): DataFrame = {
-      val codes = encode(quantCorpus, cb)
       val q = broadcast(quantQueries.select(col("id").as("qid"),
         graft.exprs.PqExprs.lut(col("codes"), cb).as("_lut")))
       val sims = codes.crossJoin(q).filter(col("vid") =!= col("qid"))
@@ -275,6 +282,37 @@ object Similarity {
       topKOfSims(sims, k, keepSim = true)
         .select(col("qid"), col("vid"),
           (-col("sim")).cast(LongType).as("adc_dist"), col("rnk"))
+    }
+
+    /** Persist the PQ index: `<path>/codes` (vid, pq — the whole corpus
+      * at ~12 bytes a row) and `<path>/codebook` (sub, j, cv — m·ksub
+      * tiny rows). Rebuilding the index is the only step that reads the
+      * original vectors; search never does. */
+    def writeIndex(quantCorpus: DataFrame, cb: Seq[Seq[Seq[Int]]],
+        path: String): Unit = {
+      val spark = quantCorpus.sparkSession
+      import spark.implicits._
+      encode(quantCorpus, cb).write.mode("overwrite")
+        .parquet(s"$path/codes")
+      cb.zipWithIndex.flatMap { case (cents, sub) =>
+        cents.zipWithIndex.map { case (cv, j) => (sub, j, cv) }
+      }.toDF("sub", "j", "cv").coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/codebook")
+    }
+
+    /** Load a persisted index: (codebook, codes relation). */
+    def readIndex(spark: org.apache.spark.sql.SparkSession,
+        path: String): (Seq[Seq[Seq[Int]]], DataFrame) = {
+      val cbRows = spark.read.parquet(s"$path/codebook")
+        .select(col("sub"), col("j"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2)))
+      val cb = cbRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (_, rows) => rows.sortBy(_._2).map(_._3.toSeq).toSeq
+      }
+      require(cb.length == m && cb.forall(_.length == ksub),
+        s"index at $path has shape (${cb.length}, ${cb.map(_.length).distinct})" +
+          s", expected ($m, $ksub)")
+      (cb, spark.read.parquet(s"$path/codes"))
     }
   }
 
