@@ -528,4 +528,36 @@ object TextStats {
         expr("sum_bytes * 10000 div sum_words"))
       .withColumn("chars_per_word_bp",
         expr("sum_chars * 10000 div sum_words"))
+
+  /** PMI-proxy collocation mining: corpus bigrams scored by the integer
+    * cross-ratio `c_xy · N · 10000 div (c_x · c_y)` — rank-equivalent to
+    * pointwise mutual information (log is monotone), with no float in
+    * the score, so the top-k replays exactly in an external oracle. The
+    * classic phrase-discovery pass (word2vec's phrase step uses these
+    * counts) run before tokenizer/vocab decisions. `minCount` guards the
+    * low-count PMI explosion.
+    *
+    * Scale: three word-count-shaped aggs (map-side combined) + two
+    * joins keyed by the bigram's words — the unigram relation is
+    * vocabulary-sized, the bigram relation df-floored by `minCount`;
+    * the 1-row total broadcasts. Top-k is TakeOrdered (no full sort).
+    * Output: (bigram, cxy, c1, c2, pmi_bp), score desc / bigram asc. */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(explode(split(col(textCol), " ")).as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val bg = df.select(explode(wordBigramsRaw(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    bg.withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(uni.toDF("w1", "c1"), "w1")
+      .join(uni.toDF("w2", "c2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("cxy"), col("c1"), col("c2"),
+        expr("cxy * n_total * 10000 div (c1 * c2)").as("pmi_bp"))
+      .orderBy(col("pmi_bp").desc, col("bigram"))
+      .limit(k)
+  }
 }

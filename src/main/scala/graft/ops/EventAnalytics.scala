@@ -114,4 +114,33 @@ object EventAnalytics {
         sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .cast("double").as("revenue"))
   }
+
+  /** Markov transition counts between event types along each user's
+    * timeline — the path-analysis statistic behind "what happens next"
+    * flows and session sankeys. Consecutive events (ordered by time,
+    * ties by `tieCol`) contribute one (prev, next) pair; per-source
+    * probabilities are integer basis points (`n · 10000 div` the source
+    * state's outgoing total), replayable exactly by an oracle.
+    *
+    * Plan: one lag window over the user-keyed exchange (fixed per-row
+    * state), then a groupBy on the tiny (prev, next) type matrix; the
+    * probability window partitions the already-tiny relation by source
+    * state. Output: (prev_type, next_type, n, p_bp). */
+  def transitions(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("_tot",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 10000 div _tot").as("p_bp"))
+  }
 }

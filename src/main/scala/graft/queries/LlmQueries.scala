@@ -240,6 +240,13 @@ object LlmQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q116: PMI-proxy collocations — top-100 corpus bigram phrases by
+    * the integer cross-ratio score (count floor 3, ties → bigram asc):
+    * the phrase-discovery pass before tokenizer/vocab decisions. */
+  def q116(s: SparkSession, dir: String): DataFrame =
+    TextStats.collocations(t(s, dir, "documents"), "text",
+      minCount = 3, k = 100)
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
     * exact cosine verify (the semantic dedup mode). Oracle replicates
     * the LSH candidate pairs in DuckDB. */
@@ -814,7 +821,8 @@ object LlmQueries {
     "q112_data_card" -> (q112 _),
     "q113_pq_adc" -> (q113 _),
     "q114_binary_ann" -> (q114 _),
-    "q115_ivfpq" -> (q115 _))
+    "q115_ivfpq" -> (q115 _),
+    "q116_collocations" -> (q116 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -1287,6 +1295,29 @@ object LlmQueries {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
         | FROM sims) WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "q116_collocations" ->
+      """WITH toks AS (
+        | SELECT string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT unnest(t) AS token FROM toks),
+        |uni AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+        | GROUP BY token),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+        |bgc AS (
+        | SELECT bigram, CAST(count(*) AS BIGINT) AS cxy FROM (
+        |  SELECT array_to_string(t[i:i+1], ' ') AS bigram
+        |  FROM toks,
+        |   unnest(generate_series(1, greatest(len(t)-1, 0))) AS s(i))
+        | GROUP BY bigram HAVING count(*) >= 3),
+        |sc AS (
+        | SELECT bigram, cxy, u1.c AS c1, u2.c AS c2,
+        |  CAST(cxy * tot.n_total * 10000 // (u1.c * u2.c) AS BIGINT)
+        |   AS pmi_bp
+        | FROM bgc CROSS JOIN tot
+        |  JOIN uni u1 ON u1.token = string_split(bigram, ' ')[1]
+        |  JOIN uni u2 ON u2.token = string_split(bigram, ' ')[2])
+        |SELECT bigram, cxy, c1, c2, pmi_bp FROM sc
+        |ORDER BY pmi_bp DESC, bigram LIMIT 100""".stripMargin,
     "q109_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
         | md5(substring(text, CAST(1 + strlen(text) * i // 4 AS BIGINT), 16))

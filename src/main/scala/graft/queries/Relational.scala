@@ -197,6 +197,13 @@ object Relational {
         "user_id", "ts", bucketDays = 7)
       .orderBy(col("cohort_date"), col("offset"))
 
+  /** q117: event-type Markov transitions — per-user (prev → next)
+    * counts with basis-point probabilities within each source state. */
+  def q117Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("prev_type"), col("next_type"))
+
   /** q108: last-touch revenue attribution — each purchase credited to
     * the channel (props.k mod 10) of the latest view/click at-or-before
     * it in the user's timeline. */
@@ -215,6 +222,7 @@ object Relational {
     "q106_funnel" -> (q106Funnel _),
     "q107_retention" -> (q107Retention _),
     "q108_attribution" -> (q108Attribution _),
+    "q117_transitions" -> (q117Transitions _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -269,6 +277,22 @@ object Relational {
         | CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q117_transitions" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_ns(ts)//1000 AS tus, event_id, event_type
+        | FROM events),
+        |p AS (
+        | SELECT event_type AS next_type,
+        |  lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+        | FROM o),
+        |tr AS (
+        | SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        | FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |  AS p_bp
+        |FROM tr ORDER BY prev_type, next_type""".stripMargin,
     "q108_attribution" ->
       """WITH u AS (
         | SELECT user_id, epoch_ns(ts)//1000 AS tus, event_id,

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q105_cluster_sample", // same Lloyd assign broadcast as q46
     "q113_pq_adc",         // broadcast query LUTs × PQ-code scan (ADC)
     "q114_binary_ann",     // broadcast query bit-words × packed-bit scan
-    "q115_ivfpq")          // 16 seed centroids broadcast for coarse assign
+    "q115_ivfpq",          // 16 seed centroids broadcast for coarse assign
+    "q116_collocations")   // 1-row corpus-token-total broadcast
 
   test("no CartesianProduct anywhere; BNLJ only documented tiny-side crosses") {
     val sf = "/root/testdata/sf0.001"
