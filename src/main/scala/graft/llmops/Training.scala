@@ -673,4 +673,33 @@ object Training {
 
   def loadCentroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Sequence-length bucketing for padded-batch training: each document
+    * is assigned the smallest configured bucket length ≥ its token count
+    * (longer docs clamp to the largest bucket — the truncation bucket),
+    * then per-bucket batch and padding-waste accounting at batch size
+    * `batch`: padded slot-tokens = ceil(n_docs/batch)·batch·bucket_len,
+    * waste_bp = wasted slot-tokens in basis points. The statistic that
+    * decides bucket boundaries for a training run's dataloader.
+    *
+    * Plan: a pure projection (CASE chain over the constant bucket list)
+    * followed by one tiny groupBy on ≤|buckets| keys — map-side combined,
+    * no data-sized state anywhere. Output ordered by bucket_len. */
+  def paddingBuckets(df: DataFrame, textCol: String,
+      buckets: scala.Seq[Int], batch: Int): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted,
+      "buckets must be ascending")
+    val n = size(split(col(textCol), " ")).cast("long")
+    val bucket = buckets.init.foldRight(lit(buckets.last.toLong)) {
+      (b, acc) => when(n <= b, b.toLong).otherwise(acc)
+    }
+    df.select(bucket.as("bucket_len"),
+        least(n, lit(buckets.last.toLong)).as("kept"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("sum_tokens"))
+      .withColumn("n_batches", expr(s"(n_docs + ${batch - 1}) div $batch"))
+      .withColumn("padded", expr(s"n_batches * $batch * bucket_len"))
+      .withColumn("waste_bp", expr("(padded - sum_tokens) * 10000 div padded"))
+      .orderBy(col("bucket_len"))
+  }
 }

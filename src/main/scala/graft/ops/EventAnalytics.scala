@@ -126,6 +126,57 @@ object EventAnalytics {
     * state), then a groupBy on the tiny (prev, next) type matrix; the
     * probability window partitions the already-tiny relation by source
     * state. Output: (prev_type, next_type, n, p_bp). */
+  /** Rolling exact distinct actives (the DAU/WAU/MAU family): for every
+    * observed day, the count of distinct entities with at least one event
+    * in the trailing `windowDays`-day window ending that day.
+    *
+    * Computed without any range join or per-day rescan: each distinct
+    * (entity, day) pair is exploded to the `windowDays` window-end days
+    * it contributes to (a bounded factor — 7 for WAU), then one distinct
+    * aggregation per window-end day. Shuffles O(actives · window), keyed
+    * by day — skew-free (day cardinality is the calendar), and the
+    * explode factor is a constant, not the data. Window-end days outside
+    * the observed range are dropped by an equi-join against the observed
+    * day relation (calendar-sized, broadcast). */
+  def rollingDistinct(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    val perDay = df.select(to_date(col(tsCol)).as("d"),
+      col(userCol).as("uid")).distinct()
+    val observed = broadcast(perDay.select(col("d").as("day")).distinct())
+    perDay
+      .select(col("uid"), explode(
+        sequence(col("d"), date_add(col("d"), windowDays - 1))).as("day"))
+      .join(observed, "day")
+      .groupBy(col("day"))
+      .agg(count_distinct(col("uid")).as("active_users"))
+  }
+
+  /** Temporal-proximity pairs via the binned interval self-join — the
+    * scale-safe shape for "events within `windowSec` of each other"
+    * when there is NO equi key to co-partition on. Each event lands in
+    * bucket ⌊t/w⌋; the earlier side probes its own and the next bucket,
+    * so every ordered pair with 0 ≤ t_later − t_earlier ≤ w meets in
+    * EXACTLY one equi-join bucket (no dedupe pass needed). Candidate
+    * volume is O(n · bucket density), never O(n²); ties on t order by id.
+    * Output: (type_a, type_b, n_pairs) — earlier event's type first. */
+  def nearbyPairs(df: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, windowSec: Int): DataFrame = {
+    val w = windowSec * 1000000L
+    val ev = df.select(col(idCol).as("id"), col(typeCol).as("et"),
+      unix_micros(col(tsCol)).as("tus"))
+    val probes = ev.select(col("id").as("id_a"), col("et").as("type_a"),
+      col("tus").as("t_a"),
+      explode(array(expr(s"tus div ${w}L"), expr(s"tus div ${w}L + 1"))).as("bkt"))
+    val right = ev.select(col("id").as("id_b"), col("et").as("type_b"),
+      col("tus").as("t_b"), expr(s"tus div ${w}L").as("bkt"))
+    probes.join(right, "bkt")
+      .filter(col("t_b") - col("t_a") <= w &&
+        (col("t_b") > col("t_a") ||
+          (col("t_b") === col("t_a") && col("id_b") > col("id_a"))))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def transitions(df: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))

@@ -305,7 +305,15 @@ object CurationQueries {
         "text", scala.Seq("lang", "source"))
       .orderBy(col("lang"), col("source"))
 
+  /** q122: sequence-length bucketing — per padded-batch bucket (16/32/
+    * 64/96, batch 8) doc counts, kept tokens, batch counts, and padding
+    * waste in basis points; the dataloader-boundary statistic. */
+  def q122(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Training.paddingBuckets(t(s, dir, "documents"), "text",
+      scala.Seq(16, 32, 64, 96), batch = 8)
+
   val queries: Map[String, Q] = Map(
+    "q122_padding_buckets" -> (q122 _),
     "q99_stratified_split" -> (q99 _),
     "q100_epoch_repeat" -> (q100 _),
     "q101_balanced_shards" -> (q101 _),
@@ -425,6 +433,28 @@ object CurationQueries {
     }.mkString(" ") + " ELSE 0 END"
 
   val oracleSql: Map[String, String] = Map(
+    "q122_padding_buckets" ->
+      """WITH n AS (
+        | SELECT len(string_split(text, ' ')) AS nt FROM documents),
+        |b AS (
+        | SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+        |   WHEN nt <= 64 THEN 64 ELSE 96 END AS bucket_len,
+        |  least(nt, 96) AS kept FROM n),
+        |agg AS (
+        | SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS sum_tokens
+        | FROM b GROUP BY bucket_len),
+        |x AS (
+        | SELECT bucket_len, n_docs, sum_tokens,
+        |  CAST((n_docs + 7) // 8 AS BIGINT) AS n_batches FROM agg),
+        |y AS (
+        | SELECT *, CAST(n_batches * 8 * bucket_len AS BIGINT) AS padded
+        | FROM x)
+        |SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs,
+        | sum_tokens, n_batches, padded,
+        | CAST((padded - sum_tokens) * 10000 // padded AS BIGINT)
+        |  AS waste_bp
+        |FROM y ORDER BY bucket_len""".stripMargin,
     "q99_stratified_split" ->
       """WITH r AS (
          | SELECT doc_id, source,

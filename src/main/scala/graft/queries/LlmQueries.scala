@@ -247,6 +247,27 @@ object LlmQueries {
     TextStats.collocations(t(s, dir, "documents"), "text",
       minCount = 3, k = 100)
 
+  /** q118: exact phrase statistics over the positional n-gram index —
+    * doc and occurrence counts for a mixed 2-/3-word phrase set. */
+  def q118(s: SparkSession, dir: String): DataFrame =
+    Index.phraseHits(t(s, dir, "documents"), "doc_id", "text",
+      Seq("hash join", "table scan", "sort merge", "slow hash batch"))
+
+  /** q119: integer-deterministic BM25 top-20 retrieval for the query
+    * {dup, hash, scan} — `dup` is the corpus's one rare term (df 25), so
+    * the idf weighting decides the ranking. */
+  def q119(s: SparkSession, dir: String): DataFrame =
+    Index.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("dup", "hash", "scan"), k = 20)
+      .select(col("did").as("doc_id"), col("score_bp"))
+
+  /** q120: token-commonness score (integer CCNet-style unigram signal):
+    * mean corpus df of each doc's token occurrences, basis points. */
+  def q120(s: SparkSession, dir: String): DataFrame =
+    Index.commonnessBp(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("did").as("doc_id"), col("common_bp"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
     * exact cosine verify (the semantic dedup mode). Oracle replicates
     * the LSH candidate pairs in DuckDB. */
@@ -822,7 +843,10 @@ object LlmQueries {
     "q113_pq_adc" -> (q113 _),
     "q114_binary_ann" -> (q114 _),
     "q115_ivfpq" -> (q115 _),
-    "q116_collocations" -> (q116 _))
+    "q116_collocations" -> (q116 _),
+    "q118_phrase_search" -> (q118 _),
+    "q119_bm25" -> (q119 _),
+    "q120_commonness" -> (q120 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -1318,6 +1342,66 @@ object LlmQueries {
         |  JOIN uni u2 ON u2.token = string_split(bigram, ' ')[2])
         |SELECT bigram, cxy, c1, c2, pmi_bp FROM sc
         |ORDER BY pmi_bp DESC, bigram LIMIT 100""".stripMargin,
+    "q118_phrase_search" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (
+        | SELECT doc_id, array_to_string(t[i:i+1], ' ') AS phrase
+        | FROM toks,
+        |  unnest(generate_series(1, greatest(len(t)-1, 0))) AS s(i)),
+        |g3 AS (
+        | SELECT doc_id, array_to_string(t[i:i+2], ' ') AS phrase
+        | FROM toks,
+        |  unnest(generate_series(1, greatest(len(t)-2, 0))) AS s(i)),
+        |hits AS (
+        | SELECT * FROM g2
+        | WHERE phrase IN ('hash join', 'table scan', 'sort merge')
+        | UNION ALL
+        | SELECT * FROM g3 WHERE phrase = 'slow hash batch')
+        |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_occ
+        |FROM hits GROUP BY phrase ORDER BY phrase""".stripMargin,
+    "q119_bm25" ->
+      """WITH docs AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (
+        | SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |stats AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |occ AS (SELECT doc_id, unnest(t) AS token FROM docs),
+        |tf AS (
+        | SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM occ
+        | WHERE token IN ('dup', 'hash', 'scan') GROUP BY doc_id, token),
+        |dfq AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+        | GROUP BY token),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  (stats.n_docs * 10000 // dfq.df) * tf.tf * 220 //
+        |  (tf.tf * 100 + 120 * (100 - 75 +
+        |    75 * dl.dl * stats.n_docs // stats.total_tokens)) AS s
+        | FROM tf JOIN dfq USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_bp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_bp DESC, doc_id LIMIT 20""".stripMargin,
+    "q120_commonness" ->
+      """WITH docs AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (
+        | SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS token
+        | FROM docs),
+        |dfq AS (
+        | SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        | FROM occ GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT occ.doc_id,
+        | CAST(sum(dfq.df) * 10000 // (occ.dl * n.n_docs) AS BIGINT)
+        |  AS common_bp
+        |FROM occ JOIN dfq USING (token) CROSS JOIN n
+        |GROUP BY occ.doc_id, occ.dl, n.n_docs
+        |ORDER BY occ.doc_id""".stripMargin,
     "q109_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
         | md5(substring(text, CAST(1 + strlen(text) * i // 4 AS BIGINT), 16))

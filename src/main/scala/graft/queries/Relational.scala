@@ -204,6 +204,30 @@ object Relational {
         "user_id", "ts", "event_id", "event_type")
       .orderBy(col("prev_type"), col("next_type"))
 
+  /** q121: rolling 7-day distinct active users per observed day (WAU
+    * curve) — explode-to-window-end contribution, no range join. */
+  def q121RollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.rollingDistinct(t(s, dir, "events"),
+        "user_id", "ts", windowDays = 7)
+      .orderBy(col("day"))
+
+  /** q123: temporal-proximity pairs — ordered event pairs within 30 s of
+    * each other via the binned interval self-join (no equi key, no cross
+    * product), rolled up by (earlier, later) type. */
+  def q123NearbyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.nearbyPairs(t(s, dir, "events"),
+        "event_id", "ts", "event_type", windowSec = 30)
+      .orderBy(col("type_a"), col("type_b"))
+
+  /** q124: KMV bottom-64 sketch estimate of distinct users per event
+    * type, with the exact-count fallback below k. */
+  def q124KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvDistinct(t(s, dir, "events"),
+        "event_type", "user_id", k = 64)
+      .select(col("grp").as("event_type"), col("n_hashes"),
+        col("est_distinct"))
+      .orderBy(col("event_type"))
+
   /** q108: last-touch revenue attribution — each purchase credited to
     * the channel (props.k mod 10) of the latest view/click at-or-before
     * it in the user's timeline. */
@@ -223,6 +247,9 @@ object Relational {
     "q107_retention" -> (q107Retention _),
     "q108_attribution" -> (q108Attribution _),
     "q117_transitions" -> (q117Transitions _),
+    "q121_rolling_active" -> (q121RollingActive _),
+    "q123_nearby_pairs" -> (q123NearbyPairs _),
+    "q124_kmv_distinct" -> (q124KmvDistinct _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -293,6 +320,56 @@ object Relational {
         | CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
         |  AS p_bp
         |FROM tr ORDER BY prev_type, next_type""".stripMargin,
+    "q121_rolling_active" ->
+      """WITH pd AS (
+        | SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |obs AS (SELECT DISTINCT d AS day FROM pd),
+        |contrib AS (
+        | SELECT user_id, CAST(unnest(generate_series(
+        |   CAST(d AS TIMESTAMP),
+        |   CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+        |   INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM pd)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |  AS active_users
+        |FROM contrib JOIN obs USING (day)
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "q123_nearby_pairs" ->
+      """WITH e AS (
+        | SELECT event_id, event_type, epoch_ns(ts)//1000 AS tus
+        | FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM e a JOIN e b
+        | ON b.tus - a.tus BETWEEN 0 AND 30000000
+        | AND (b.tus > a.tus OR (b.tus = a.tus AND b.event_id > a.event_id))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q124_kmv_distinct" ->
+      """WITH h AS (
+        | SELECT DISTINCT event_type,
+        |  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (
+        | SELECT event_type, h,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+        | FROM h),
+        |t AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes,
+        |  max(h) AS h_k
+        | FROM r WHERE rnk <= 64 GROUP BY event_type),
+        |v AS (
+        | SELECT event_type, n_hashes,
+        |  (((((
+        |    (strpos('0123456789abcdef', substr(h_k, 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h_k, 2, 1)) - 1)) * 16 +
+        |    (strpos('0123456789abcdef', substr(h_k, 3, 1)) - 1)) * 16 +
+        |    (strpos('0123456789abcdef', substr(h_k, 4, 1)) - 1)) * 16 +
+        |    (strpos('0123456789abcdef', substr(h_k, 5, 1)) - 1)) * 16 +
+        |    (strpos('0123456789abcdef', substr(h_k, 6, 1)) - 1)) AS hv
+        | FROM t)
+        |SELECT event_type, n_hashes,
+        | CAST(CASE WHEN n_hashes < 64 THEN n_hashes
+        |  ELSE 63 * 16777216 // hv END AS BIGINT) AS est_distinct
+        |FROM v ORDER BY event_type""".stripMargin,
     "q108_attribution" ->
       """WITH u AS (
         | SELECT user_id, epoch_ns(ts)//1000 AS tus, event_id,

@@ -25,7 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q113_pq_adc",         // broadcast query LUTs × PQ-code scan (ADC)
     "q114_binary_ann",     // broadcast query bit-words × packed-bit scan
     "q115_ivfpq",          // 16 seed centroids broadcast for coarse assign
-    "q116_collocations")   // 1-row corpus-token-total broadcast
+    "q116_collocations",   // 1-row corpus-token-total broadcast
+    "q119_bm25",           // 1-row corpus-stats (N, Σdl) broadcast
+    "q120_commonness")     // 1-row corpus-doc-count broadcast
 
   test("no CartesianProduct anywhere; BNLJ only documented tiny-side crosses") {
     val sf = "/root/testdata/sf0.001"
