@@ -83,4 +83,48 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(
       "B" -> (1L, 10.0), "C" -> (1L, 5.5), "NULL" -> (1L, 2.0)))
   }
+
+  test("rollingDistinct: trailing window counts, only observed days emitted") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00")), // same (user, day): counted once
+      (2L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-05 10:00:00")),
+      (3L, ts("2024-01-09 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.rollingDistinct(df, "user_id", "ts", 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // windows: 01-01 {u1}; 01-02 {u1,u2}; 01-05 {u1}; 01-09 {u3}.
+    // 01-03/01-04 (u1,u2 still active) are NOT emitted: no events observed.
+    assert(out === Map(
+      "2024-01-01" -> 1L, "2024-01-02" -> 2L,
+      "2024-01-05" -> 1L, "2024-01-09" -> 1L))
+  }
+
+  test("nearbyPairs: inclusive window bound, each pair counted once, ties by id") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "b", ts("2024-01-01 10:00:05")),  // 5s after e1 (same bucket or next)
+      (3L, "c", ts("2024-01-01 10:00:10")),  // exactly w=10s after e1: inclusive
+      (4L, "a", ts("2024-01-01 10:00:30")),  // 20s after e3: outside
+      (5L, "b", ts("2024-01-01 10:00:30"))   // tie with e4: only (4,5) ordered pair
+    ).toDF("event_id", "event_type", "ts")
+    val out = EventAnalytics.nearbyPairs(df, "event_id", "ts", "event_type", 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (1,2) a-b, (1,3) a-c [exactly 10s], (2,3) b-c, (4,5) a-b tie
+    assert(out === Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("nearbyPairs: bucket-boundary pairs meet exactly once") {
+    // t=9.9s and t=10.1s straddle the w=10s bucket boundary; the probe
+    // explode must find the pair in exactly one bucket (no double count)
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 00:00:09")),
+      (2L, "b", ts("2024-01-01 00:00:11"))
+    ).toDF("event_id", "event_type", "ts")
+    val out = EventAnalytics.nearbyPairs(df, "event_id", "ts", "event_type", 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 1L))
+  }
 }
