@@ -394,6 +394,48 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Asymmetric within-corpus containment pairs — the quote/subset
+    * detector Jaccard misses: a short doc pasted inside a long one has
+    * tiny Jaccard (union is big) but containment ≈ 1 on the short side.
+    *
+    *   contain_bp(a ⊆ b) = |ngrams(a) ∩ ngrams(b)| · 10000 div |ngrams(a)|
+    *
+    * Candidates come from the n-gram equi-join itself (any pair at
+    * threshold ≥ 1/|A| shares an n-gram, so recall is exact by
+    * construction — no sketch involved); the overlap count IS the
+    * aggregation of that join, so the shuffle is keyed by n-gram and
+    * sized O(matching occurrences), never |corpus|². `maxDf` caps
+    * boilerplate n-gram floods at deploy scale (a cap shared by both
+    * sides keeps the measure symmetric-ish but makes recall
+    * approximate — the gate query runs uncapped).
+    *
+    * Output: ordered pairs (id_a, id_b, overlap, contain_bp) with
+    * contain_bp ≥ minContainBp, a ≠ b. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minContainBp: Long = 8000L,
+      maxDf: Option[Int] = None): DataFrame = {
+    val ng = df.select(col(idCol).cast(LongType).as("id"),
+      wordNgrams(col(textCol), n).as("gs"))
+    val sz = ng.select(col("id").as("id_a"), size(col("gs")).cast(LongType).as("na"))
+    val g0 = ng.select(col("id"), explode(col("gs")).as("g"))
+    val g = maxDf match {
+      case Some(m) =>
+        g0.join(g0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= m).drop("df"), "g")
+      case None => g0
+    }
+    g.select(col("id").as("id_a"), col("g"))
+      .join(g.select(col("id").as("id_b"), col("g")), "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(sz, "id_a")
+      .filter(col("na") > 0)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        expr("overlap * 10000 div na").as("contain_bp"))
+      .filter(col("contain_bp") >= minContainBp)
+  }
+
   /** Ensemble near-dup dedup — the production pattern of running SEVERAL
     * detectors and collapsing the union of their verdicts: exact
     * duplicates (md5 of the raw text), MinHash+LSH Jaccard pairs, and

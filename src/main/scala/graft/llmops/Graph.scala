@@ -198,4 +198,40 @@ object Graph {
       .select(col("id").as(idCol), col("cluster_id"), col("_score").as("score"),
         (col("id") === col("keep_id")).as("keep"))
   }
+
+  /** Fixed-iteration integer PageRank (damping 0.85, ranks in basis
+    * points of the uniform mass, base 10000):
+    *
+    *   r₀(v)    = 10000
+    *   rₜ₊₁(v)  = 1500 + 85 · (Σ_{u→v} rₜ(u) div out(u)) div 100
+    *
+    * All-integer, so an external oracle replays every rank bit-exactly;
+    * dangling-node mass is dropped (the standard simplified variant —
+    * documented, deterministic). Each iteration is one equi-join of the
+    * edge list with the rank relation on `src` plus one `dst`-keyed
+    * aggregation — both map-side combined, both co-partitioned on the
+    * same key across iterations, never any driver-side state. `iters`
+    * is a fixed small constant (rank queries want 3–10 sweeps), so the
+    * lineage stays bounded. */
+  def pagerankIter(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "pagerankIter wants 1..20 sweeps")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val withDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    var rank = nodes.withColumn("rank", lit(10000L))
+    for (_ <- 1 to iters) {
+      val inflow = withDeg
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      rank = nodes.join(inflow, scala.Seq("id"), "left")
+        .select(col("id"),
+          (lit(1500L) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank"))
+    }
+    rank
+  }
 }

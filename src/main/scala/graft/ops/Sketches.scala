@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,5 +44,88 @@ object Sketches {
         when(col("n_hashes") < k, col("n_hashes"))
           .otherwise(expr(s"(${k - 1}L * 16777216) div cast(conv(substr(h_k, 1, 6), 16, 10) as bigint)"))
           .as("est_distinct"))
+  }
+
+  /** Row-j position of a value in a width-`w` count-min row: the top 24
+    * bits of md5(j ":" v) mod w. Seeded by the row index, so the d rows
+    * are independent hash functions; 24 bits keeps the arithmetic
+    * replayable in any engine with hex decoding. */
+  private def cmPos(j: Column, v: Column, w: Int): Column =
+    expr("cast(conv(substr(md5(concat(j, ':', v)), 1, 6), 16, 10) as bigint)") % w
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of a value stream:
+    * a d×w counter matrix as a relation (j, pos, cnt). Each occurrence
+    * increments one counter per row j at position hash_j(v) mod w.
+    *
+    * The sketch IS a partial aggregate: building it is a word-count on
+    * (j, pos) — map-side combined, shuffle carries ≤ d·w rows per
+    * partition regardless of stream size — and two sketches merge by
+    * adding counters ((j,pos) union-sum), which is what makes it usable
+    * as incremental state for a 100 TB stream. Estimates are
+    * one-sided: est ≥ true count, overshooting by collision mass. */
+  def countMinSketch(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, "count-min needs d >= 1, w >= 2")
+    df.select(col(valueCol).cast("string").as("v"))
+      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("v"))
+      .select(col("j"), cmPos(col("j"), col("v"), w).as("pos"))
+      .groupBy(col("j"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two count-min sketches of identical (d, w) geometry:
+    * counter-wise sum. */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("j"), col("pos"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query the sketch for each probe value: est = min over the d
+    * rows of the counter at (j, hash_j(v)) — absent counters read 0.
+    * The probe list is query-sized; its positions broadcast against the
+    * ≤ d·w-row sketch. Output: (v, est), probe order by value. */
+  def countMinEstimate(sketch: DataFrame, probes: Seq[String], d: Int,
+      w: Int): DataFrame = {
+    require(probes.nonEmpty, "countMinEstimate needs probes")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val pp = probes.toDF("v")
+      .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("v"), col("j"), cmPos(col("j"), col("v"), w).as("pos"))
+    broadcast(pp).join(sketch, Seq("j", "pos"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .orderBy(col("v"))
+  }
+
+  /** Bloom-prefiltered semi-join — the runtime-filter shape: build a
+    * Bloom filter over the (small) key side with Spark's native
+    * `BloomFilterAggregate` (the same expression AQE's injected runtime
+    * filters use; it is not in the public function registry, so it is
+    * constructed through the Expression↔Column bridge), broadcast the
+    * one-row filter, and drop fact rows that cannot match BEFORE the
+    * shuffle of the exact semi-join. False positives survive the
+    * prefilter and are removed by the real join, so the result is
+    * bit-identical to the plain semi-join — the bloom pass only cuts
+    * shuffled volume (at 100 TB the fact scan discards non-matching
+    * rows at the map side instead of shuffling them).
+    *
+    * The one-row filter broadcast is a deliberate BNLJ (tiny side). */
+  def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bfAgg = GraftBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.expression(dim(dimKey)))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bf = dim.agg(bfAgg.as("__bf"))
+    // might_contain requires a constant/scalar-subquery filter side: the
+    // one-row aggregate goes in as a scalar subquery (executed once,
+    // result inlined into the fact-side predicate — no join in the plan)
+    val pre = fact.where(GraftBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bf.queryExecution.analyzed),
+      new XxHash64(Seq(GraftBridge.expression(fact(factKey)))))))
+    val keys = dim.select(col(dimKey).as("__bk")).distinct()
+    pre.join(keys, pre(factKey) === col("__bk"), "left_semi")
   }
 }

@@ -268,6 +268,26 @@ object LlmQueries {
       .select(col("did").as("doc_id"), col("common_bp"))
       .orderBy(col("doc_id"))
 
+  /** q126: count-min sketch point queries — build the d=4 × w=512
+    * counter matrix over the corpus token stream (a mergeable partial
+    * aggregate), then estimate the frequencies of a fixed probe set,
+    * including one absent token (est 0 unless all 4 rows collide). */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sk = graft.ops.Sketches.countMinSketch(toks, "tok", d = 4, w = 512)
+    graft.ops.Sketches.countMinEstimate(sk,
+      Seq("the", "data", "dup", "hash", "scan", "zzz-absent"), d = 4, w = 512)
+  }
+
+  /** q127: asymmetric containment pairs (quote/subset detection) — doc
+    * a with ≥ 60% of its 5-gram set inside doc b; recall is exact (the
+    * n-gram equi-join is the candidate generator). */
+  def q127(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minContainBp = 6000L)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
     * exact cosine verify (the semantic dedup mode). Oracle replicates
     * the LSH candidate pairs in DuckDB. */
@@ -846,7 +866,9 @@ object LlmQueries {
     "q116_collocations" -> (q116 _),
     "q118_phrase_search" -> (q118 _),
     "q119_bm25" -> (q119 _),
-    "q120_commonness" -> (q120 _))
+    "q120_commonness" -> (q120 _),
+    "q126_count_min" -> (q126 _),
+    "q127_containment" -> (q127 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -923,7 +945,54 @@ object LlmQueries {
        | SELECT r.a, e2.v FROM reach r JOIN e e2 ON e2.u = r.bb),
        |comp AS (SELECT a AS id, least(a, min(bb)) AS comp FROM reach GROUP BY a)""".stripMargin
 
+  /** SQL for the integer value of the first `n` hex chars of `e` (an
+    * md5-string expression) — the engine-portable hex decode used by the
+    * sketch oracles. */
+  private def hexValSql(e: String, n: Int): String =
+    (1 to n).foldLeft("0") { (acc, i) =>
+      s"($acc * 16 + (strpos('0123456789abcdef', substr($e, $i, 1)) - 1))"
+    }
+
   val oracleSql: Map[String, String] = Map(
+    "q126_count_min" -> {
+      val pos = s"${hexValSql("md5(j || ':' || v)", 6)} % 512"
+      s"""WITH occ AS (
+         | SELECT unnest(string_split(text, ' ')) AS v FROM documents),
+         |pos AS (
+         | SELECT j, $pos AS pos
+         | FROM occ, unnest([0, 1, 2, 3]) AS t(j)),
+         |sk AS (
+         | SELECT j, pos, CAST(count(*) AS BIGINT) AS cnt
+         | FROM pos GROUP BY j, pos),
+         |probes AS (
+         | SELECT * FROM (VALUES ('the'), ('data'), ('dup'), ('hash'),
+         |  ('scan'), ('zzz-absent')) AS p(v)),
+         |pp AS (
+         | SELECT v, j, $pos AS pos
+         | FROM probes, unnest([0, 1, 2, 3]) AS t(j))
+         |SELECT v, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
+         |FROM pp LEFT JOIN sk USING (j, pos)
+         |GROUP BY v ORDER BY v""".stripMargin
+    },
+    "q127_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ng AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, greatest(len(t) - 4, 0)),
+        |   i -> array_to_string(t[i:i+4], ' '))) AS gs
+        | FROM toks),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM ng),
+        |sz AS (SELECT doc_id AS id_a, CAST(len(gs) AS BIGINT) AS na FROM ng),
+        |ov AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS overlap
+        | FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, overlap, overlap * 10000 // na AS contain_bp
+        |FROM ov JOIN sz USING (id_a)
+        |WHERE na > 0 AND overlap * 10000 // na >= 6000
+        |ORDER BY id_a, id_b""".stripMargin,
     // q90: brute-force containment — eval is tiny, so eval×train instr
     // is fine single-node; the Spark side must reach the same set through
     // winnowing candidates (recall guarantee makes them equal).

@@ -228,6 +228,47 @@ object Relational {
         col("est_distinct"))
       .orderBy(col("event_type"))
 
+  /** q125: bloom-prefiltered semi-join — lineitem rows kept only for
+    * size-1 parts; the native bloom_filter_agg prefilter drops
+    * non-matching rows before the exact semi-join's shuffle. Result is
+    * bit-identical to the plain semi-join (false positives are removed
+    * by the join); the oracle is that plain semi-join. */
+  def q125BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "part").filter(col("p_size") === 1)
+    graft.ops.Sketches.bloomSemiJoin(t(s, dir, "lineitem"), "l_partkey",
+        dim, "p_partkey", expectedItems = 4096L, numBits = 65536L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q128: Z-order layout audit — Morton-interleave (l_partkey mod 1024,
+    * l_suppkey mod 1024) at 10 bits/dim, bucket by the top 4 z bits, and
+    * report each bucket's (x, y) extents: the bounded-rectangle property
+    * that makes min/max file stats prune on either column. */
+  def q128Zorder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zProfile(
+      t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(1024)).as("x"),
+        pmod(col("l_suppkey"), lit(1024)).as("y")),
+      "x", "y", bits = 10, log2Buckets = 4)
+
+  /** q129: integer PageRank, 3 sweeps, over the symmetrized
+    * customer–supplier trade graph (distinct (o_custkey, l_suppkey)
+    * pairs via orders ⋈ lineitem; supplier ids offset by 1e6 into their
+    * own id space). */
+  def q129Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.llmops.Graph.pagerankIter(e, "src", "dst", iters = 3)
+      .orderBy(col("id"))
+  }
+
   /** q108: last-touch revenue attribution — each purchase credited to
     * the channel (props.k mod 10) of the latest view/click at-or-before
     * it in the user's timeline. */
@@ -250,6 +291,9 @@ object Relational {
     "q121_rolling_active" -> (q121RollingActive _),
     "q123_nearby_pairs" -> (q123NearbyPairs _),
     "q124_kmv_distinct" -> (q124KmvDistinct _),
+    "q125_bloom_join" -> (q125BloomJoin _),
+    "q128_zorder" -> (q128Zorder _),
+    "q129_pagerank" -> (q129Pagerank _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -264,7 +308,57 @@ object Relational {
     "q8_anti_join" -> (q8AntiJoin _),
     "q9_events_agg" -> (q9EventsAgg _))
 
+  /** SQL for the Morton interleave of `bits`-bit x and y (bit i of x at
+    * position 2i, of y at 2i+1) — mirrors [[graft.ops.Layout.zValue]]. */
+  private def zvalSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "q125_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q128_zorder" ->
+      s"""WITH p AS (
+        | SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+        | FROM lineitem),
+        |z AS (
+        | SELECT x, y, (${zvalSql("x", "y", 10)}) >> 16 AS z_bucket FROM p)
+        |SELECT CAST(z_bucket AS BIGINT) AS z_bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+        | CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q129_pagerank" ->
+      """WITH e0 AS (
+        | SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst, src FROM e0),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(10000 AS BIGINT) AS rank FROM nodes),
+        |i1 AS (SELECT e.dst AS id, sum(r0.rank // deg.deg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, 1500 + 85 * COALESCE(inflow, 0) // 100 AS rank
+        |       FROM nodes LEFT JOIN i1 USING (id)),
+        |i2 AS (SELECT e.dst AS id, sum(r1.rank // deg.deg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, 1500 + 85 * COALESCE(inflow, 0) // 100 AS rank
+        |       FROM nodes LEFT JOIN i2 USING (id)),
+        |i3 AS (SELECT e.dst AS id, sum(r2.rank // deg.deg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id, 1500 + 85 * COALESCE(inflow, 0) // 100 AS rank
+        |       FROM nodes LEFT JOIN i3 USING (id))
+        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY id""".stripMargin,
     // Funnel stages replicated as chained filtered min-aggs; all time
     // comparisons on exact epoch micros (the engines' shared precision).
     "q106_funnel" ->

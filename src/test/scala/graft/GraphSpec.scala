@@ -137,6 +137,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq === scala.Seq(("apple", 2L), ("banana", 1L)))
   }
 
+  test("pagerankIter: hand-computed 3-sweep ranks on a 3-node star") {
+    // 1↔2, 3↔2: hub 2 accumulates, leaves drain symmetrically
+    val e = scala.Seq((1L, 2L), (2L, 1L), (3L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = Graph.pagerankIter(e, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 6291L, 2L -> 17415L, 3L -> 6291L))
+  }
+
+  test("pagerankIter: dangling-free symmetric pair is a fixed point") {
+    val e = scala.Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val out = Graph.pagerankIter(e, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 10000L, 2L -> 10000L))
+  }
+
+  test("containmentPairs: short doc quoted in long doc is caught one-way") {
+    val docs = scala.Seq(
+      (1L, "a b c d e f"),                 // 2 distinct 5-grams
+      (2L, "x a b c d e f y"),             // contains both of doc 1's
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = llmops.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 5, minContainBp = 8000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // A⊆B at 100%; B→A is 2/4 = 5000bp (below threshold); doc 3 shares nothing
+    assert(out === Map((1L, 2L) -> 10000L))
+  }
+
   test("gopher flags: keep verdict tracks the documented bounds") {
     val goodText = (scala.Seq.fill(30)("the data and that have with to of be") :+ "tail").mkString(" ")
     val docs = scala.Seq((1L, goodText), (2L, "short text")).toDF("id", "text")

@@ -88,6 +88,53 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("countMin: estimates are one-sided (est >= true count)") {
+    val vals = Seq.fill(40)("a") ++ Seq.fill(7)("b") ++ (1 to 100).map(i => s"n$i")
+    val df = vals.toDF("v")
+    val sk = Sketches.countMinSketch(df, "v", d = 3, w = 16) // tiny w: collisions certain
+    val out = Sketches.countMinEstimate(sk, Seq("a", "b", "absent"), 3, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") >= 40L && out("b") >= 7L && out("absent") >= 0L)
+  }
+
+  test("countMin: merged sketches equal the sketch of the union") {
+    val a = (1 to 50).map(i => s"v${i % 9}").toDF("v")
+    val b = (1 to 30).map(i => s"v${i % 5}").toDF("v")
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinSketch(a, "v", 4, 32),
+      Sketches.countMinSketch(b, "v", 4, 32))
+    val direct = Sketches.countMinSketch(a.unionByName(b), "v", 4, 32)
+    assert(merged.orderBy("j", "pos").collect().map(_.toSeq).toSeq ===
+      direct.orderBy("j", "pos").collect().map(_.toSeq).toSeq)
+  }
+
+  test("bloomSemiJoin: bit-identical to the plain semi-join even with a saturated filter") {
+    val fact = (1 to 500).map(i => (i.toLong, s"r$i")).toDF("k", "payload")
+    val dim = Seq(3L, 7L, 400L, 999L).toDF("dk")
+    // 64 bits for 4 keys: false positives guaranteed; result must not change
+    val out = Sketches.bloomSemiJoin(fact, "k", dim, "dk",
+        expectedItems = 4L, numBits = 64L)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(3L, 7L, 400L))
+  }
+
+  test("zValue: hand-computed Morton interleave; zProfile bounds bucket extents") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((3L, 1L), (2L, 2L)).toDF("x", "y")
+    val z = df.select(graft.ops.Layout.zValue(col("x"), col("y"), 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // z(3,1): x bits {0,1}→pos {0,2}=5, y bit {0}→pos {1}=2 → 7
+    // z(2,2): x bit {1}→pos {2}=4,  y bit {1}→pos {3}=8 → 12
+    assert(z === Seq(7L, 12L))
+    // the z MSB at bits=4 is y's bit 3 (position 7), so a 2-way bucket
+    // split bounds the y extent of each bucket to one half-plane
+    val pts = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val prof = graft.ops.Layout.zProfile(pts, "x", "y", bits = 4, log2Buckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(prof(0L) === (0L, 7L) && prof(1L) === (8L, 15L))
+  }
+
   test("paddingBuckets: clamp to largest bucket; waste accounting") {
     // buckets 4/8, batch 2. docs: len 3, 4, 5, 9 (clamps to 8, kept 8)
     val df = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
