@@ -305,6 +305,28 @@ object CurationQueries {
         "text", scala.Seq("lang", "source"))
       .orderBy(col("lang"), col("source"))
 
+  /** q132: the end-to-end curation pipeline as ONE composed plan —
+    * length gate → exact dedup (md5, keep min id) → token-set
+    * fingerprint dedup → temperature-scaled (τ=0.5) per-source mixture
+    * weights. The point of the gate: the stages compose lazily into a
+    * single Catalyst plan (each dedup is a semi-join against its
+    * keep-set, co-keyed on (key, doc_id)); nothing materializes between
+    * stages. */
+  def q132(s: SparkSession, dir: String): DataFrame = {
+    val kept = t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")).between(20, 5000))
+    def dedup(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+      val keyed = df.withColumn("__k", key)
+      keyed.join(
+        keyed.groupBy(col("__k")).agg(min(col("doc_id")).as("doc_id")),
+        scala.Seq("__k", "doc_id"), "left_semi").drop("__k")
+    }
+    val d2 = dedup(dedup(kept, md5(col("text"))),
+      graft.llmops.Dedup.fingerprint(col("text")))
+    graft.llmops.Training.temperatureWeights(d2, "source", "text")
+      .orderBy(col("source"))
+  }
+
   /** q122: sequence-length bucketing — per padded-batch bucket (16/32/
     * 64/96, batch 8) doc counts, kept tokens, batch counts, and padding
     * waste in basis points; the dataloader-boundary statistic. */
@@ -314,6 +336,7 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
     "q122_padding_buckets" -> (q122 _),
+    "q132_pipeline" -> (q132 _),
     "q99_stratified_split" -> (q99 _),
     "q100_epoch_repeat" -> (q100 _),
     "q101_balanced_shards" -> (q101 _),
@@ -433,6 +456,28 @@ object CurationQueries {
     }.mkString(" ") + " ELSE 0 END"
 
   val oracleSql: Map[String, String] = Map(
+    "q132_pipeline" ->
+      """WITH kept AS (
+        | SELECT * FROM documents
+        | WHERE len(string_split(text, ' ')) BETWEEN 20 AND 5000),
+        |d1 AS (
+        | SELECT * FROM kept WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+        |d2 AS (
+        | SELECT * FROM d1 WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM d1 GROUP BY
+        |   md5(array_to_string(list_sort(list_distinct(
+        |     string_split(text, ' '))), ' ')))),
+        |p AS (
+        | SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        | FROM d2 GROUP BY source),
+        |w AS (SELECT source, tokens,
+        |  CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM p),
+        |tot AS (SELECT SUM(weight) AS tw FROM w)
+        |SELECT source, tokens, weight,
+        | CAST(10000 * weight // tw AS BIGINT) AS share_bp
+        |FROM w, tot ORDER BY source""".stripMargin,
     "q122_padding_buckets" ->
       """WITH n AS (
         | SELECT len(string_split(text, ' ')) AS nt FROM documents),

@@ -269,6 +269,38 @@ object Relational {
       .orderBy(col("id"))
   }
 
+  /** q130: incremental aggregate-state merge — orders split at
+    * 1997-01-01 into a history batch and a delta batch, per-priority
+    * partial states computed independently, merged, finished. The gate
+    * pins merge(state(A), state(B)) == state(A ∪ B): the oracle is the
+    * single-pass aggregate over everything. */
+  def q130IncrementalState(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val o = t(s, dir, "orders")
+    val hist = o.filter(col("o_orderdate") < lit("1997-01-01"))
+    val delta = o.filter(col("o_orderdate") >= lit("1997-01-01"))
+    Incremental.finishState(
+      Incremental.mergeStates(Seq("o_orderpriority"),
+        Incremental.aggState(hist, Seq("o_orderpriority"), "o_totalprice"),
+        Incremental.aggState(delta, Seq("o_orderpriority"), "o_totalprice")),
+      Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q131: salted skew join — lineitem ⋈ supplier with the fact side
+    * fanned over 8 deterministic salts and the dim side replicated 8×.
+    * Row-identical to the plain join (the oracle); salting only spreads
+    * hot keys across reducers. */
+  def q131SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewJoin.saltedJoin(
+        t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        "s_suppkey", salts = 8,
+        saltBy = xxhash64(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("s_nationkey"))
+
   /** q108: last-touch revenue attribution — each purchase credited to
     * the channel (props.k mod 10) of the latest view/click at-or-before
     * it in the user's timeline. */
@@ -294,6 +326,8 @@ object Relational {
     "q125_bloom_join" -> (q125BloomJoin _),
     "q128_zorder" -> (q128Zorder _),
     "q129_pagerank" -> (q129Pagerank _),
+    "q130_incremental_state" -> (q130IncrementalState _),
+    "q131_salted_join" -> (q131SaltedJoin _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -316,6 +350,20 @@ object Relational {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q130_incremental_state" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS mean_v,
+        | min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q131_salted_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q125_bloom_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

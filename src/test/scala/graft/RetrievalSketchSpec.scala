@@ -135,6 +135,40 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(prof(0L) === (0L, 7L) && prof(1L) === (8L, 15L))
   }
 
+  test("incremental state: three-way merge equals single-pass state, any order") {
+    import graft.ops.Incremental
+    val rows = (1 to 300).map(i => (s"k${i % 4}", (i % 17) + 0.25 * (i % 3)))
+    val df = rows.toDF("k", "v")
+    val parts = Seq(df.filter($"v" < 5), df.filter($"v" >= 5 && $"v" < 11),
+      df.filter($"v" >= 11)).map(Incremental.aggState(_, Seq("k"), "v"))
+    val full = Incremental.finishState(
+      Incremental.aggState(df, Seq("k"), "v"), Seq("k"))
+    for (perm <- Seq(parts, parts.reverse)) {
+      val merged = Incremental.finishState(
+        Incremental.mergeStates(Seq("k"), perm: _*), Seq("k"))
+      assert(merged.orderBy("k").collect().map(_.toSeq).toSeq ===
+        full.orderBy("k").collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("saltedJoin: row-identical to the plain join; salts spread a hot key") {
+    import org.apache.spark.sql.functions._
+    val fact = (1 to 400).map(i => (i.toLong, if (i % 4 == 0) 1L else (i % 7).toLong))
+      .toDF("row_id", "k")
+    val dim = (0L to 7L).map(k => (k, s"d$k")).toDF("dk", "payload")
+    val salted = graft.ops.SkewJoin.saltedJoin(fact, "k", dim, "dk",
+      salts = 4, saltBy = xxhash64(col("row_id")))
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+    assert(salted.select("row_id", "k", "dk", "payload")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      plain.select("row_id", "k", "dk", "payload")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // the hot key's rows really do land on >1 salt value
+    val spread = fact.filter($"k" === 1L)
+      .select(pmod(xxhash64(col("row_id")), lit(4L))).distinct().count()
+    assert(spread > 1)
+  }
+
   test("paddingBuckets: clamp to largest bucket; waste accounting") {
     // buckets 4/8, batch 2. docs: len 3, 4, 5, 9 (clamps to 8, kept 8)
     val df = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
