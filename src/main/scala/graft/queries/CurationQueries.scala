@@ -327,6 +327,24 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** q133: mergeable histogram quantiles — per-lang token-length
+    * p50/p90/p99 from two independently-built histogram states (doc_id
+    * parity split) merged then finished; pins merge(hist(A), hist(B))
+    * == hist(A ∪ B) and the integer quantile rule. */
+  def q133(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val docs = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val st = Incremental.mergeHists(scala.Seq("lang"),
+      Incremental.histState(docs.filter(col("doc_id") % 2 === 0),
+        scala.Seq("lang"), col("ntok"), 16L, 64),
+      Incremental.histState(docs.filter(col("doc_id") % 2 === 1),
+        scala.Seq("lang"), col("ntok"), 16L, 64))
+    Incremental.histQuantiles(st, scala.Seq("lang"), 16L,
+        scala.Seq(5000, 9000, 9900))
+      .orderBy(col("lang"), col("q_bp"))
+  }
+
   /** q122: sequence-length bucketing — per padded-batch bucket (16/32/
     * 64/96, batch 8) doc counts, kept tokens, batch counts, and padding
     * waste in basis points; the dataloader-boundary statistic. */
@@ -337,6 +355,7 @@ object CurationQueries {
   val queries: Map[String, Q] = Map(
     "q122_padding_buckets" -> (q122 _),
     "q132_pipeline" -> (q132 _),
+    "q133_hist_quantiles" -> (q133 _),
     "q99_stratified_split" -> (q99 _),
     "q100_epoch_repeat" -> (q100 _),
     "q101_balanced_shards" -> (q101 _),
@@ -456,6 +475,26 @@ object CurationQueries {
     }.mkString(" ") + " ELSE 0 END"
 
   val oracleSql: Map[String, String] = Map(
+    "q133_hist_quantiles" ->
+      """WITH v AS (
+        | SELECT lang,
+        |  least(len(string_split(text, ' ')) // 16, 63) AS bin
+        | FROM documents),
+        |h AS (
+        | SELECT lang, bin, CAST(count(*) AS BIGINT) AS n
+        | FROM v GROUP BY lang, bin),
+        |c AS (
+        | SELECT lang, bin,
+        |  sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |  sum(n) OVER (PARTITION BY lang) AS total
+        | FROM h),
+        |q AS (
+        | SELECT lang, bin, q_bp FROM c,
+        |  unnest([5000, 9000, 9900]) AS t(q_bp)
+        | WHERE cum * 10000 >= q_bp * total)
+        |SELECT lang, CAST(q_bp AS BIGINT) AS q_bp,
+        | CAST(min(bin) * 16 AS BIGINT) AS est
+        |FROM q GROUP BY lang, q_bp ORDER BY lang, q_bp""".stripMargin,
     "q132_pipeline" ->
       """WITH kept AS (
         | SELECT * FROM documents

@@ -169,6 +169,33 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(spread > 1)
   }
 
+  test("histogram state: tail clamps to last bin; quantile picks bin lower bound") {
+    import graft.ops.Incremental
+    import org.apache.spark.sql.functions.col
+    // values 0..9 once each, plus 1000 (clamps to bin 3 at width 4, nBins 4)
+    val df = ((0 to 9) :+ 1000).map(v => ("g", v.toLong)).toDF("k", "v")
+    val st = Incremental.histState(df, Seq("k"), col("v"), 4L, 4)
+    val bins = st.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bins === Map(0L -> 4L, 1L -> 4L, 2L -> 2L, 3L -> 1L))
+    // total 11; p50 rank ceil(5.5)=6 → cum bins: 4, 8 → bin 1 → est 4
+    // p99 rank ceil(10.89)=11 → bin 3 → est 12
+    val q = Incremental.histQuantiles(st, Seq("k"), 4L, Seq(5000, 9900))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(q === Map(5000L -> 4L, 9900L -> 12L))
+  }
+
+  test("histogram state: merged parity splits equal the single-pass histogram") {
+    import graft.ops.Incremental
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 500).map(i => (s"k${i % 3}", (i * 7 % 97).toLong)).toDF("k", "v")
+    val merged = Incremental.mergeHists(Seq("k"),
+      Incremental.histState(df.filter($"v" % 2 === 0), Seq("k"), col("v"), 8L, 16),
+      Incremental.histState(df.filter($"v" % 2 === 1), Seq("k"), col("v"), 8L, 16))
+    val full = Incremental.histState(df, Seq("k"), col("v"), 8L, 16)
+    assert(merged.orderBy("k", "bin").collect().map(_.toSeq).toSeq ===
+      full.orderBy("k", "bin").collect().map(_.toSeq).toSeq)
+  }
+
   test("paddingBuckets: clamp to largest bucket; waste accounting") {
     // buckets 4/8, batch 2. docs: len 3, 4, 5, 9 (clamps to 8, kept 8)
     val df = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
