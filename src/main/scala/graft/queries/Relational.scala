@@ -301,6 +301,38 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("s_nationkey"))
 
+  /** q134: binned range-lookup join — customers classified into balance
+    * tiers by [lo, hi) interval membership through the bin-equi-join
+    * shape (no BNLJ even when the range table can't broadcast). Dollar
+    * values shift by +1000 so binning stays in non-negative `div`
+    * territory. */
+  def q134RangeLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = scala.Seq(
+      (0L, 1000L, "debt"), (1000L, 3000L, "low"),
+      (3000L, 6000L, "mid"), (6000L, 9000L, "high"),
+      (9000L, 11000L, "top")).toDF("lo", "hi", "tier")
+    graft.ops.RangeLookup.rangeLookup(
+        t(s, dir, "customer"),
+        floor(col("c_acctbal")).cast("long") + lit(1000L),
+        tiers, binWidth = 500L)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("tier"))
+  }
+
+  /** q135: unpivot (melt) — the wide→long reshape inverse of q97's
+    * pivot: per-returnflag quantity and price sums melted to
+    * (l_returnflag, metric, value) rows. */
+  def q135Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   /** q108: last-touch revenue attribution — each purchase credited to
     * the channel (props.k mod 10) of the latest view/click at-or-before
     * it in the user's timeline. */
@@ -328,6 +360,8 @@ object Relational {
     "q129_pagerank" -> (q129Pagerank _),
     "q130_incremental_state" -> (q130IncrementalState _),
     "q131_salted_join" -> (q131SaltedJoin _),
+    "q134_range_lookup" -> (q134RangeLookup _),
+    "q135_unpivot" -> (q135Unpivot _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -350,6 +384,30 @@ object Relational {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q134_range_lookup" ->
+      """WITH tiers(lo, hi, tier) AS (VALUES
+        |  (0, 1000, 'debt'), (1000, 3000, 'low'), (3000, 6000, 'mid'),
+        |  (6000, 9000, 'high'), (9000, 11000, 'top')),
+        |v AS (
+        | SELECT c_acctbal,
+        |  CAST(floor(c_acctbal) AS BIGINT) + 1000 AS d FROM customer)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM v JOIN tiers ON d >= lo AND d < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "q135_unpivot" ->
+      """WITH agg AS (
+        | SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_price
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        | SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        | UNION ALL
+        | SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value
+        | FROM agg)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q130_incremental_state" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,

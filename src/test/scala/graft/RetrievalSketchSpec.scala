@@ -196,6 +196,19 @@ class RetrievalSketchSpec extends AnyFunSuite {
       full.orderBy("k", "bin").collect().map(_.toSeq).toSeq)
   }
 
+  test("rangeLookup: [lo, hi) bounds, overlaps multiply, misses drop") {
+    import org.apache.spark.sql.functions.col
+    val fact = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 15L), (5L, 99L))
+      .toDF("id", "v")
+    val ranges = Seq((0L, 10L, "a"), (5L, 20L, "b")).toDF("lo", "hi", "tier")
+    val out = graft.ops.RangeLookup.rangeLookup(fact, col("v"), ranges, 4L)
+      .select("id", "tier").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    // v=0 → a only; v=9 → a and b (overlap); v=10 → b (hi exclusive for a);
+    // v=15 → b; v=99 → no range
+    assert(out === Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (4L, "b")))
+  }
+
   test("paddingBuckets: clamp to largest bucket; waste accounting") {
     // buckets 4/8, batch 2. docs: len 3, 4, 5, 9 (clamps to 8, kept 8)
     val df = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
