@@ -45,10 +45,15 @@ object Index {
     require(phrases.nonEmpty, "phraseHits needs at least one phrase")
     val byLen = phrases.groupBy(_.split(" ").length)
     val grams = byLen.map { case (len, ps) =>
+      // guard: a doc shorter than the phrase emits no n-grams (an
+      // unguarded sequence(1, 0) infers step -1 and reaches slice(_, 0),
+      // which throws at runtime)
       df.select(col(idCol).as("did"), split(col(textCol), " ").as("toks"))
-        .select(col("did"), explode(
-          transform(sequence(lit(1), greatest(size(col("toks")) - lit(len - 1), lit(0))),
-            i => array_join(slice(col("toks"), i, lit(len)), " "))).as("phrase"))
+        .select(col("did"), explode(when(size(col("toks")) >= len,
+          transform(sequence(lit(1), size(col("toks")) - (len - 1)),
+            i => array_join(slice(col("toks"), i, lit(len)), " ")))
+          .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))).as("phrase"))
         .filter(col("phrase").isin(ps: _*))
     }.reduce(_ unionByName _)
     grams.groupBy(col("phrase"))
@@ -83,8 +88,8 @@ object Index {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: scala.Seq[String], k: Int, k1c: Int = 120, bc: Int = 75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    val docs = df.select(col(idCol).as("did"), split(col(textCol), " ").as("toks"))
-      .select(col("did"), size(col("toks")).cast(LongType).as("dl"), col("toks"))
+    val docs = df.select(col(idCol).as("did"),
+      TextStats.nTokens(col(textCol)).as("dl"), split(col(textCol), " ").as("toks"))
     val tf = docs.select(col("did"), col("dl"), explode(col("toks")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("did"), col("dl"), col("token"))
@@ -115,8 +120,8 @@ object Index {
     * vocabulary-sized df relation, then a per-doc sum co-keyed on the
     * document id. 1-row N joins on a constant key, broadcast. */
   def commonnessBp(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val docs = df.select(col(idCol).as("did"), split(col(textCol), " ").as("toks"))
-      .select(col("did"), size(col("toks")).cast(LongType).as("dl"), col("toks"))
+    val docs = df.select(col(idCol).as("did"),
+      TextStats.nTokens(col(textCol)).as("dl"), split(col(textCol), " ").as("toks"))
     val occ = docs.select(col("did"), col("dl"), explode(col("toks")).as("token"))
     val dfreq = occ.groupBy(col("token"))
       .agg(count_distinct(col("did")).as("df"))

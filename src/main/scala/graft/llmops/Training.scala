@@ -689,7 +689,10 @@ object Training {
       buckets: scala.Seq[Int], batch: Int): DataFrame = {
     require(buckets.nonEmpty && buckets == buckets.sorted,
       "buckets must be ascending")
-    val n = size(split(col(textCol), " ")).cast("long")
+    // null text counts as an empty sequence (deterministic across
+    // engines — Spark and DuckDB `least` both skip nulls, so letting a
+    // null length reach the bucket CASE would diverge)
+    val n = coalesce(TextStats.nTokens(col(textCol)), lit(0L))
     val bucket = buckets.init.foldRight(lit(buckets.last.toLong)) {
       (b, acc) => when(n <= b, b.toLong).otherwise(acc)
     }

@@ -34,6 +34,7 @@ object Sketches {
     require(k >= 2, "kmv needs k >= 2")
     val hashed = df.select(col(groupCol).as("grp"),
         md5(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull) // null values: no hash, standard distinct-count semantics
       .distinct()
     val ranked = hashed.withColumn("rnk",
       row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
@@ -66,6 +67,7 @@ object Sketches {
   def countMinSketch(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, "count-min needs d >= 1, w >= 2")
     df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull) // nulls carry no counter
       .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("v"))
       .select(col("j"), cmPos(col("j"), col("v"), w).as("pos"))
       .groupBy(col("j"), col("pos"))

@@ -209,6 +209,33 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(out === Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (4L, "b")))
   }
 
+  test("null/short-input robustness: index, sketches, buckets survive degenerate docs") {
+    val docs = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "xy")).toDF("doc_id", "text")
+    // phrase longer than doc 4 / null doc 2: no crash, no junk grams
+    val ph = Index.phraseHits(docs, "doc_id", "text", Seq("a b c", "xy zz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ph === Map("a b c" -> 1L))
+    // bm25: null-text doc contributes no tokens and no length mass
+    val bm = Index.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bm === Seq(1L))
+    assert(Index.commonnessBp(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L))
+    // sketches: null values carry no state
+    assert(Sketches.kmvDistinct(
+      Seq(("g", "x"), ("g", null.asInstanceOf[String])).toDF("grp", "v"),
+      "grp", "v", 8).collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 1L)))
+    assert(Sketches.countMinSketch(
+      Seq("x", null.asInstanceOf[String]).toDF("v"), "v", 2, 8)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect()(0).getLong(0) === 2L)
+    // padding buckets: null text counts as empty, lands in the smallest bucket
+    val pb = Training.paddingBuckets(docs, "text", Seq(4, 8), batch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pb === Map(4L -> 3L, 8L -> 1L)) // docs 2,3,4 → bucket 4; doc 1 → 8
+  }
+
   test("paddingBuckets: clamp to largest bucket; waste accounting") {
     // buckets 4/8, batch 2. docs: len 3, 4, 5, 9 (clamps to 8, kept 8)
     val df = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
