@@ -617,6 +617,23 @@ object Training {
     * assignment ([[graft.model.Envelope.withGlobalSeq]]) — no global
     * window at any scale.
     * Output: (id, n_tokens, rank, shard). */
+  /** Rendezvous (highest-random-weight) shard assignment: every row
+    * goes to argmax over shards of md5(id ":" shard). The consistent-
+    * sharding property incremental pipelines want: growing n → n+1
+    * shards reassigns only ~1/(n+1) of the corpus (rows move ONLY when
+    * the new shard wins their argmax), where mod-hashing reshuffles
+    * almost everything. Pure projection + a bounded `shards`-way argmax
+    * inside one row — no shuffle at all; ties cannot occur (md5 of
+    * distinct strings). Output: original row + `shard`. */
+  def rendezvousShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "rendezvousShards needs at least one shard")
+    val winner = (0 until nShards).map { s =>
+      struct(md5(concat(col(idCol).cast("string"), lit(":"), lit(s)))
+        .as("h"), lit(s.toLong).as("s"))
+    }.reduce((a, b) => when(a("h") > b("h"), a).otherwise(b))
+    df.withColumn("shard", winner("s"))
+  }
+
   def balancedShards(df: DataFrame, idCol: String, tokensCol: Column,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")

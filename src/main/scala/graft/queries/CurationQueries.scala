@@ -345,6 +345,16 @@ object CurationQueries {
       .orderBy(col("lang"), col("q_bp"))
   }
 
+  /** q136: rendezvous-hash shard profile — consistent HRW assignment of
+    * documents to 8 shards (argmax of md5(id:shard)); per-shard doc and
+    * token mass. */
+  def q136(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Training.rendezvousShards(t(s, dir, "documents"), "doc_id", 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .orderBy(col("shard"))
+
   /** q122: sequence-length bucketing — per padded-batch bucket (16/32/
     * 64/96, batch 8) doc counts, kept tokens, batch counts, and padding
     * waste in basis points; the dataloader-boundary statistic. */
@@ -356,6 +366,7 @@ object CurationQueries {
     "q122_padding_buckets" -> (q122 _),
     "q132_pipeline" -> (q132 _),
     "q133_hist_quantiles" -> (q133 _),
+    "q136_rendezvous" -> (q136 _),
     "q99_stratified_split" -> (q99 _),
     "q100_epoch_repeat" -> (q100 _),
     "q101_balanced_shards" -> (q101 _),
@@ -475,6 +486,17 @@ object CurationQueries {
     }.mkString(" ") + " ELSE 0 END"
 
   val oracleSql: Map[String, String] = Map(
+    "q136_rendezvous" ->
+      """WITH x AS (
+        | SELECT doc_id, text, s, md5(doc_id || ':' || s) AS h
+        | FROM documents, unnest(generate_series(0, 7)) AS t(s)),
+        |a AS (
+        | SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard,
+        |  any_value(text) AS text
+        | FROM x GROUP BY doc_id)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q133_hist_quantiles" ->
       """WITH v AS (
         | SELECT lang,

@@ -236,6 +236,22 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(pb === Map(4L -> 3L, 8L -> 1L)) // docs 2,3,4 → bucket 4; doc 1 → 8
   }
 
+  test("rendezvousShards: adding a shard moves only the new shard's winners") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 2000L).toDF("id")
+    val s8 = Training.rendezvousShards(df, "id", 8)
+      .select(col("id"), col("shard").as("s8"))
+    val s9 = Training.rendezvousShards(df, "id", 9)
+      .select(col("id"), col("shard").as("s9"))
+    val joined = s8.join(s9, "id").collect()
+    val moved = joined.count(r => r.getLong(1) != r.getLong(2))
+    // every moved row must have moved TO the new shard (HRW property)…
+    assert(joined.filter(r => r.getLong(1) != r.getLong(2))
+      .forall(_.getLong(2) == 8L))
+    // …and the moved fraction is ~1/9 (generous band)
+    assert(moved > 2000 / 18 && moved < 2000 / 3, s"moved $moved of 2000")
+  }
+
   test("paddingBuckets: clamp to largest bucket; waste accounting") {
     // buckets 4/8, batch 2. docs: len 3, 4, 5, 9 (clamps to 8, kept 8)
     val df = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),

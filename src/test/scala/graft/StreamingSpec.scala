@@ -268,4 +268,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.getLong(0) > 0 && out.getLong(0) === out.getLong(1))
     assert(out.getLong(2) >= 0L && out.getLong(3) <= 1000000L)
   }
+
+  test("count-min sketch maintains incrementally over a stream (update mode)") {
+    // the sketch is a (j,pos)-keyed partial aggregate, so it runs as a
+    // streaming groupBy unchanged; the final counters must equal the
+    // batch sketch of the same data
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val sk = graft.ops.Sketches.countMinSketch(ms.toDF().toDF("v"), "v", 3, 32)
+    assert(sk.isStreaming)
+    val q = sk.writeStream.format("memory").queryName("s_cm")
+      .outputMode("complete").start()
+    ms.addData("a", "b", "a"); q.processAllAvailable()
+    ms.addData("c", "a"); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT j, pos, cnt FROM s_cm ORDER BY j, pos")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Sketches.countMinSketch(
+        Seq("a", "b", "a", "c", "a").toDF("v"), "v", 3, 32)
+      .orderBy("j", "pos").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
 }
