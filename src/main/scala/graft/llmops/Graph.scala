@@ -216,12 +216,16 @@ object Graph {
   def pagerankIter(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, "pagerankIter wants 1..20 sweeps")
+    // the edge relation feeds 2 joins per sweep — lazily checkpoint it
+    // once so the upstream lineage (often a join+distinct) runs a
+    // single time instead of O(iters) times
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst"))
+      col(dstCol).cast(LongType).as("dst")).localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     val withDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(false)
     var rank = nodes.withColumn("rank", lit(10000L))
     for (_ <- 1 to iters) {
       val inflow = withDeg

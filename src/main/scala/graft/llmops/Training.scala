@@ -627,11 +627,15 @@ object Training {
     * distinct strings). Output: original row + `shard`. */
   def rendezvousShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, "rendezvousShards needs at least one shard")
-    val winner = (0 until nShards).map { s =>
+    // argmax via array_max over (h, s) structs — a when-chain reduce
+    // doubles the expression tree per shard (the winner-so-far repeats
+    // in both the condition and a branch), which blows codegen up
+    // exponentially; the array form stays linear in nShards
+    val winner = array_max(array((0 until nShards).map { s =>
       struct(md5(concat(col(idCol).cast("string"), lit(":"), lit(s)))
         .as("h"), lit(s.toLong).as("s"))
-    }.reduce((a, b) => when(a("h") > b("h"), a).otherwise(b))
-    df.withColumn("shard", winner("s"))
+    }: _*))
+    df.withColumn("shard", winner.getField("s"))
   }
 
   def balancedShards(df: DataFrame, idCol: String, tokensCol: Column,

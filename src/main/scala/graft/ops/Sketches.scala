@@ -47,6 +47,54 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Pairwise distinct-set algebra over KMV sketches: for requested
+    * group pairs (a, b), estimate |A ∪ B| and |A ∩ B| without touching
+    * the raw data beyond the one sketch-building pass.
+    *
+    * Union: bottom-k of the merged hash sets (bottom-k of a union IS
+    * the union sketch), same (k−1)·2²⁴ div h_(k) estimate as
+    * [[kmvDistinct]], exact when the merged set holds < k hashes.
+    * Intersection: the standard ρ-statistic — ρ = |{h ∈ bottom-k(A∪B) :
+    * h ∈ A ∧ h ∈ B}|, est = ρ · est_union div k; exact when the union
+    * sketch is unsaturated (then both sides are complete). Everything
+    * after the per-group sketch pass is sketch-sized (groups · k rows).
+    *
+    * Output: (grp_a, grp_b, est_union, est_intersect), pair order as
+    * requested, one row per pair. */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String, k: Int,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(k >= 2 && pairs.nonEmpty, "kmvSetOps needs k >= 2 and pairs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(groupCol).cast("string").as("grp"),
+        md5(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val sk = hashed.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rnk") <= k).select(col("grp"), col("h"))
+    val p = pairs.toDF("grp_a", "grp_b")
+    val fromA = broadcast(p).join(sk.withColumnRenamed("grp", "grp_a"), "grp_a")
+      .select(col("grp_a"), col("grp_b"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val fromB = broadcast(p).join(sk.withColumnRenamed("grp", "grp_b"), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = fromA.unionByName(fromB)
+      .groupBy(col("grp_a"), col("grp_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h"))))
+      .filter(col("rnk") <= k)
+    merged.groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("h_k"),
+        sum(col("in_a") * col("in_b")).as("rho"))
+      .select(col("grp_a"), col("grp_b"),
+        when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"(${k - 1}L * 16777216) div cast(conv(substr(h_k, 1, 6), 16, 10) as bigint)"))
+          .as("est_union"),
+        when(col("n_u") < k, col("rho"))
+          .otherwise(expr(s"rho * ((${k - 1}L * 16777216) div cast(conv(substr(h_k, 1, 6), 16, 10) as bigint)) div ${k}L"))
+          .as("est_intersect"))
+  }
+
   /** Row-j position of a value in a width-`w` count-min row: the top 24
     * bits of md5(j ":" v) mod w. Seeded by the row index, so the d rows
     * are independent hash functions; 24 bits keeps the arithmetic
@@ -129,5 +177,33 @@ object Sketches {
       new XxHash64(Seq(GraftBridge.expression(fact(factKey)))))))
     val keys = dim.select(col(dimKey).as("__bk")).distinct()
     pre.join(keys, pre(factKey) === col("__bk"), "left_semi")
+  }
+
+  /** Bloom-prefiltered ANTI-join — the decontamination shape: drop fact
+    * rows whose key appears in the (small) blocklist side. The bloom
+    * filter canNOT prefilter the anti side (a false positive would drop
+    * a legitimate row), so it runs inverted: rows the filter rejects
+    * are DEFINITELY clean and bypass the exact join; only
+    * might-contain rows shuffle into the exact anti-join, then the two
+    * streams union. Result is bit-identical to the plain anti-join;
+    * at 100 TB the exact join sees only the bloom-hit sliver. */
+  def bloomAntiJoin(fact: DataFrame, factKey: String, block: DataFrame,
+      blockKey: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bfAgg = GraftBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.expression(block(blockKey)))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bf = block.agg(bfAgg.as("__bf"))
+    val hit = GraftBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bf.queryExecution.analyzed),
+      new XxHash64(Seq(GraftBridge.expression(fact(factKey))))))
+    val clean = fact.where(!hit)
+    val suspect = fact.where(hit)
+    val keys = block.select(col(blockKey).as("__bk")).distinct()
+    clean.unionByName(
+      suspect.join(keys, suspect(factKey) === col("__bk"), "left_anti"))
   }
 }

@@ -288,6 +288,22 @@ object LlmQueries {
         n = 5, minContainBp = 6000L)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q138: bloom-prefiltered decontamination — drop training docs whose
+    * token-set fingerprint matches any eval doc (doc_id % 50 = 0); the
+    * bloom filter routes definitely-clean rows around the exact
+    * anti-join. Result identical to the plain anti-join (the oracle). */
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("fp", Dedup.fingerprint(col("text")))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0).select(col("fp").as("efp"))
+    graft.ops.Sketches.bloomAntiJoin(train, "fp", evalSet, "efp",
+        expectedItems = 4096L, numBits = 65536L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed self-join +
     * exact cosine verify (the semantic dedup mode). Oracle replicates
     * the LSH candidate pairs in DuckDB. */
@@ -868,7 +884,8 @@ object LlmQueries {
     "q119_bm25" -> (q119 _),
     "q120_commonness" -> (q120 _),
     "q126_count_min" -> (q126 _),
-    "q127_containment" -> (q127 _))
+    "q127_containment" -> (q127 _),
+    "q138_bloom_decontaminate" -> (q138 _))
 
   /** q105: cluster-balanced diversity sample — k-means strata (q46's
     * exact trajectory), then keep EXACTLY 25% of every cluster by
@@ -954,6 +971,17 @@ object LlmQueries {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "q138_bloom_decontaminate" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(text, ' '))), ' ')) AS fp
+        | FROM documents),
+        |ev AS (SELECT fp FROM d WHERE doc_id % 50 = 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d
+        |WHERE doc_id % 50 <> 0 AND fp NOT IN (SELECT fp FROM ev)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q126_count_min" -> {
       val pos = s"${hexValSql("md5(j || ':' || v)", 6)} % 512"
       s"""WITH occ AS (

@@ -333,6 +333,16 @@ object Relational {
         Array(col("sum_qty"), col("sum_price")), "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** q137: KMV sketch set algebra — estimated distinct-user union and
+    * intersection for event-type pairs, from bottom-64 sketches alone
+    * (exact when the union sketch is unsaturated). */
+  def q137KmvSetOps(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvSetOps(t(s, dir, "events"),
+        "event_type", "user_id", k = 64,
+        scala.Seq(("click", "view"), ("click", "purchase"),
+          ("signup", "error")))
+      .orderBy(col("grp_a"), col("grp_b"))
+
   /** q108: last-touch revenue attribution — each purchase credited to
     * the channel (props.k mod 10) of the latest view/click at-or-before
     * it in the user's timeline. */
@@ -362,6 +372,7 @@ object Relational {
     "q131_salted_join" -> (q131SaltedJoin _),
     "q134_range_lookup" -> (q134RangeLookup _),
     "q135_unpivot" -> (q135Unpivot _),
+    "q137_kmv_setops" -> (q137KmvSetOps _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -383,7 +394,44 @@ object Relational {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** Integer value of the first `n` hex chars of md5-string expr `e`. */
+  private def hexValSql(e: String, n: Int): String =
+    (1 to n).foldLeft("0") { (acc, i) =>
+      s"($acc * 16 + (strpos('0123456789abcdef', substr($e, $i, 1)) - 1))"
+    }
+
   val oracleSql: Map[String, String] = Map(
+    "q137_kmv_setops" -> {
+      val est = s"(63 * 16777216 // ${hexValSql("h_k", 6)})"
+      s"""WITH pairs(grp_a, grp_b) AS (VALUES
+         |  ('click', 'view'), ('click', 'purchase'), ('signup', 'error')),
+         |h AS (
+         | SELECT DISTINCT event_type AS grp,
+         |  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         |r AS (
+         | SELECT grp, h,
+         |  row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk FROM h),
+         |sk AS (SELECT grp, h FROM r WHERE rnk <= 64),
+         |m0 AS (
+         | SELECT p.grp_a, p.grp_b, s.h,
+         |  max(CASE WHEN s.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a,
+         |  max(CASE WHEN s.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b
+         | FROM pairs p JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b
+         | GROUP BY 1, 2, 3),
+         |m AS (
+         | SELECT *, row_number() OVER (
+         |   PARTITION BY grp_a, grp_b ORDER BY h) AS rnk FROM m0),
+         |a AS (
+         | SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS n_u,
+         |  max(h) AS h_k, CAST(sum(in_a * in_b) AS BIGINT) AS rho
+         | FROM m WHERE rnk <= 64 GROUP BY 1, 2)
+         |SELECT grp_a, grp_b,
+         | CAST(CASE WHEN n_u < 64 THEN n_u ELSE $est END AS BIGINT)
+         |  AS est_union,
+         | CAST(CASE WHEN n_u < 64 THEN rho ELSE rho * $est // 64 END
+         |  AS BIGINT) AS est_intersect
+         |FROM a ORDER BY grp_a, grp_b""".stripMargin
+    },
     "q134_range_lookup" ->
       """WITH tiers(lo, hi, tier) AS (VALUES
         |  (0, 1000, 'debt'), (1000, 3000, 'low'), (3000, 6000, 'mid'),

@@ -252,6 +252,34 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(moved > 2000 / 18 && moved < 2000 / 3, s"moved $moved of 2000")
   }
 
+  test("kmvSetOps: unsaturated sketches give exact union and intersection") {
+    val df = (Seq.tabulate(20)(i => ("a", s"u$i")) ++
+      Seq.tabulate(15)(i => ("b", s"u${i + 10}"))).toDF("g", "v")
+    // A = u0..u19, B = u10..u24: union 25, intersection 10
+    val out = Sketches.kmvSetOps(df, "g", "v", k = 64, Seq(("a", "b")))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((25L, 10L)))
+  }
+
+  test("kmvSetOps: saturated estimates land in a sane band") {
+    val df = ((1 to 3000).map(i => ("a", s"u${i % 1000}")) ++
+      (1 to 3000).map(i => ("b", s"u${500 + (i % 1000)}"))).toDF("g", "v")
+    // |A|=|B|=1000, union 1500, intersection 500
+    val Array(r) = Sketches.kmvSetOps(df, "g", "v", k = 64, Seq(("a", "b"))).collect()
+    val (u, n) = (r.getLong(2), r.getLong(3))
+    assert(u > 900 && u < 2400, s"union estimate $u")
+    assert(n > 150 && n < 1100, s"intersection estimate $n")
+  }
+
+  test("bloomAntiJoin: bit-identical to the plain anti-join, saturated filter") {
+    val fact = (1 to 300).map(i => (i.toLong, s"r$i")).toDF("k", "payload")
+    val block = Seq(5L, 17L, 250L).toDF("bk")
+    val out = Sketches.bloomAntiJoin(fact, "k", block, "bk",
+        expectedItems = 3L, numBits = 64L) // tiny filter: false positives certain
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === (1L to 300L).filterNot(Set(5L, 17L, 250L)))
+  }
+
   test("paddingBuckets: clamp to largest bucket; waste accounting") {
     // buckets 4/8, batch 2. docs: len 3, 4, 5, 9 (clamps to 8, kept 8)
     val df = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
