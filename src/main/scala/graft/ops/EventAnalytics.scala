@@ -177,6 +177,36 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Robust daily-volume spike detection per event type: a day is
+    * anomalous when its count deviates from the type's median by more
+    * than `k` × MAD (median absolute deviation) — the estimator that
+    * doesn't let the outliers it hunts poison the baseline, computed
+    * with the discrete median rule (value at rank ⌈n/2⌉, ties by day)
+    * so every figure is an exact integer any engine reproduces.
+    *
+    * Two window passes partitioned by event type (day-count relation —
+    * calendar × types sized, tiny relative to the event stream; the
+    * only data-sized operation is the first day-count aggregation).
+    * Output: flagged (event_type, day, n, med, mad), day ascending. */
+  def spikeDays(df: DataFrame, typeCol: String, tsCol: String,
+      k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("et"))
+    def discreteMedian(value: Column, tie: Column): Column =
+      // rank ⌈n/2⌉; the /2 stays exact in double (x.0/x.5) so the cast
+      // truncation IS integer division here
+      max(when(row_number().over(w.orderBy(value, tie)).cast("long") ===
+        ((count(lit(1)).over(w) + 1) / 2).cast("long"), value)).over(w)
+    val counts = df.select(col(typeCol).as("et"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("et"), col("day")).agg(count(lit(1)).as("n"))
+    val withMed = counts.withColumn("med", discreteMedian(col("n"), col("day")))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val withMad = withMed.withColumn("mad", discreteMedian(col("dev"), col("day")))
+    withMad.filter(col("dev") > lit(k) * col("mad"))
+      .select(col("et").as("event_type"), col("day"), col("n"),
+        col("med"), col("mad"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def transitions(df: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))

@@ -343,6 +343,13 @@ object Relational {
           ("signup", "error")))
       .orderBy(col("grp_a"), col("grp_b"))
 
+  /** q139: robust daily-volume spike days per event type — median/MAD
+    * outlier rule (k=3) with the discrete-median convention, all
+    * integer. */
+  def q139SpikeDays(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.spikeDays(t(s, dir, "events"),
+      "event_type", "ts", k = 3)
+
   /** q108: last-touch revenue attribution — each purchase credited to
     * the channel (props.k mod 10) of the latest view/click at-or-before
     * it in the user's timeline. */
@@ -373,6 +380,7 @@ object Relational {
     "q134_range_lookup" -> (q134RangeLookup _),
     "q135_unpivot" -> (q135Unpivot _),
     "q137_kmv_setops" -> (q137KmvSetOps _),
+    "q139_spike_days" -> (q139SpikeDays _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -401,6 +409,28 @@ object Relational {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "q139_spike_days" ->
+      """WITH c AS (
+        | SELECT event_type AS et, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |r1 AS (
+        | SELECT *, row_number() OVER (PARTITION BY et ORDER BY n, day) AS rn,
+        |  count(*) OVER (PARTITION BY et) AS m FROM c),
+        |m1 AS (
+        | SELECT *, max(CASE WHEN rn = (m+1)//2 THEN n END)
+        |  OVER (PARTITION BY et) AS med FROM r1),
+        |d AS (SELECT *, abs(n - med) AS dev FROM m1),
+        |r2 AS (
+        | SELECT *, row_number() OVER (PARTITION BY et ORDER BY dev, day)
+        |  AS rn2 FROM d),
+        |m2 AS (
+        | SELECT *, max(CASE WHEN rn2 = (m+1)//2 THEN dev END)
+        |  OVER (PARTITION BY et) AS mad FROM r2)
+        |SELECT et AS event_type, day, n, CAST(med AS BIGINT) AS med,
+        | CAST(mad AS BIGINT) AS mad
+        |FROM m2 WHERE dev > 3 * mad
+        |ORDER BY event_type, day""".stripMargin,
     "q137_kmv_setops" -> {
       val est = s"(63 * 16777216 // ${hexValSql("h_k", 6)})"
       s"""WITH pairs(grp_a, grp_b) AS (VALUES
