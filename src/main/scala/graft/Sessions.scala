@@ -6,10 +6,9 @@ import org.apache.spark.sql.SparkSession
   *
   * - shuffle.partitions sized to local cores (the 100 TB deployment overrides
   *   via spark-submit; AQE coalesces either way).
-  * - UTC session timezone for oracle parity.
-  * - `nanosAsLong`: the driver's `events` table stores TIMESTAMP(NANOS),
-  *   which vanilla Spark refuses to read; we read nanos as long and convert
-  *   in [[Tables]].
+  * - UTC session timezone for oracle parity (and so the TIMESTAMP_NTZ that
+  *   Spark 4.1 surfaces for the driver's TIMESTAMP(NANOS) `events.ts` casts
+  *   exactly to an instant — see [[Tables]]).
   */
 object Sessions {
   def builder(cpus: String): SparkSession.Builder =
@@ -22,7 +21,6 @@ object Sessions {
       // an _error flag, never a query-killing exception (reference
       // `lib/types/interface.go:89-104` error-flag contract).
       .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

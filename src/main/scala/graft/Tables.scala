@@ -10,15 +10,16 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // `events.ts` is parquet TIMESTAMP(NANOS); with
-    // spark.sql.legacy.parquet.nanosAsLong=true it surfaces as nano epoch
-    // longs — convert to a microsecond TimestampType column.
-    // `ts div 1000` (IntegralDivide) — NOT `/` (Divide), which promotes to
-    // double and loses ~256 ns at epoch-nanosecond magnitude, off-by-1µs
-    // against an exact engine.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1 reads it as
+    // TIMESTAMP_NTZ (micros, truncated). Convert to the session-zoned
+    // TimestampType so downstream `unix_micros`/`window` work unchanged —
+    // the session timezone is pinned to UTC (Sessions.scala), so the NTZ
+    // wall-clock IS the instant and the cast is exact.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.to_timestamp_ltz(
+          org.apache.spark.sql.functions.col("ts")))
     else df
   }
 }

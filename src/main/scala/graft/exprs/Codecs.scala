@@ -1,6 +1,5 @@
 package graft.exprs
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
@@ -8,98 +7,16 @@ import org.apache.spark.sql.functions.udf
   * methods (`lib/processor/compress.go:138-146`, `decompress.go`) and the
   * `hash(hmac_*)` method family (`methods_strings.go:683`).
   *
-  * These are UDFs by design: compression is CPU-bound library work with no
-  * Catalyst builtin; a codegen'd Expression would still call the same
-  * library. Everything else in the engine stays UDF-free.
+  * compress/decompress route through [[CodecExpr]] — a native Expression
+  * with per-task pooled Deflater/Inflater (the per-row native-stream
+  * allocation of the earlier UDF pair dominated the q44 roundtrip). The
+  * rarely-hot base85/aes/hmac helpers below remain UDFs.
   */
 object Codecs {
 
-  private def gzipC(b: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(out)
-    gz.write(b); gz.close(); out.toByteArray
-  }
-  private def gzipD(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(b))
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-  private def zlibC(b: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
-    d.setInput(b); d.finish()
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end(); out.toByteArray
-  }
-  private def zlibD(b: Array[Byte]): Array[Byte] = {
-    val i = new java.util.zip.Inflater()
-    i.setInput(b)
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!i.finished()) out.write(buf, 0, i.inflate(buf))
-    i.end(); out.toByteArray
-  }
-  private def flateC(b: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    d.setInput(b); d.finish()
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end(); out.toByteArray
-  }
-  private def flateD(b: Array[Byte]): Array[Byte] = {
-    val i = new java.util.zip.Inflater(true)
-    i.setInput(b)
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!i.finished()) out.write(buf, 0, i.inflate(buf))
-    i.end(); out.toByteArray
-  }
-  private def snappyC(b: Array[Byte]): Array[Byte] = org.xerial.snappy.Snappy.compress(b)
-  private def snappyD(b: Array[Byte]): Array[Byte] = org.xerial.snappy.Snappy.uncompress(b)
-  private def lz4C(b: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    val s = new net.jpountz.lz4.LZ4FrameOutputStream(out)
-    s.write(b); s.close(); out.toByteArray
-  }
-  private def lz4D(b: Array[Byte]): Array[Byte] = {
-    val in = new net.jpountz.lz4.LZ4FrameInputStream(new ByteArrayInputStream(b))
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
+  def compress(c: Column, alg: String): Column = CodecExpr.compress(c, alg)
 
-  private def codec(alg: String, compressing: Boolean): Array[Byte] => Array[Byte] =
-    (alg, compressing) match {
-      case ("gzip", true) => gzipC
-      case ("gzip", false) => gzipD
-      case ("zlib", true) => zlibC
-      case ("zlib", false) => zlibD
-      case ("flate", true) => flateC
-      case ("flate", false) => flateD
-      case ("snappy", true) => snappyC
-      case ("snappy", false) => snappyD
-      case ("lz4", true) => lz4C
-      case ("lz4", false) => lz4D
-      case (o, _) => throw new IllegalArgumentException(s"unknown compression algorithm $o")
-    }
-
-  def compress(c: Column, alg: String): Column = {
-    val f = codec(alg, compressing = true)
-    udf((b: Array[Byte]) => if (b == null) null else f(b)).apply(c)
-  }
-
-  def decompress(c: Column, alg: String): Column = {
-    val f = codec(alg, compressing = false)
-    udf((b: Array[Byte]) => if (b == null) null
-      else try f(b) catch { case _: Exception => null }).apply(c)
-  }
+  def decompress(c: Column, alg: String): Column = CodecExpr.decompress(c, alg)
 
   /** ASCII85 (Go encoding/ascii85 flavor, no <~ ~> frame, 'z' shorthand
     * on encode like Go's Encode). */

@@ -670,10 +670,10 @@ object CurationQueries {
          | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
          | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
          | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
-         | sum(strlen(text)) * 10000 // sum(len(string_split(text, ' ')))
-         |  AS bytes_per_word_bp,
-         | sum(length(text)) * 10000 // sum(len(string_split(text, ' ')))
-         |  AS chars_per_word_bp
+         | CAST(sum(strlen(text)) * 10000 // sum(len(string_split(text, ' ')))
+         |  AS BIGINT) AS bytes_per_word_bp,
+         | CAST(sum(length(text)) * 10000 // sum(len(string_split(text, ' ')))
+         |  AS BIGINT) AS chars_per_word_bp
          |FROM documents GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
     "q96_interleave" ->

@@ -12,9 +12,10 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = Sessions.builder("4").getOrCreate()
   val dir = "/root/testdata/sf0.001"
 
-  // events.ts is TIMESTAMP(NANOS) → read as long under nanosAsLong
+  // events.ts is TIMESTAMP(NANOS) → Spark 4.1 surfaces TIMESTAMP_NTZ
+  // (micros, truncated); the UTC session makes NTZ→LTZ casts exact.
   val eventsSchema = StructType(scala.Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -43,13 +44,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("event-time windowed aggregation with watermark") {
     val env = eventsStream
-    // convert nano-long ts into an event-time timestamp doc field
-    val withTs = BloblangProc(
-      """root = this
-        |root.ets = (this.ts / 1000000000).floor()""".stripMargin)(env)
+    // derive the event-time field from the NTZ timestamp (UTC session);
+    // BloblangProc-on-a-stream composition is covered by the first test
+    val withTs = BloblangProc("root = this")(env)
     val out = Streaming.windowedAgg(
       withTs.withColumn("doc",
-        col("doc").withField("ets", timestamp_seconds(col("doc.ets")))),
+        col("doc").withField("ets", col("doc.ts").cast(TimestampType))),
       tsField = "ets", windowDur = "1 hour", slide = None, delay = "1 hour",
       keyFields = scala.Seq("event_type"),
       aggs = scala.Seq(count(lit(1)).as("n")))
@@ -64,7 +64,7 @@ class StreamingSpec extends AnyFunSuite {
   test("watermarked dedupe drops in-window duplicates") {
     val env = eventsStream
     val withTs = env.withColumn("doc",
-      col("doc").withField("ets", timestamp_seconds((col("doc.ts") / 1000000000L).cast(LongType))))
+      col("doc").withField("ets", col("doc.ts").cast(TimestampType)))
     val dd = Streaming.dedupeWithinWatermark(withTs,
       keyExpr = """this.user_id.string() + ":" + this.event_type""",
       tsField = "ets", delay = "10 days")
@@ -159,7 +159,7 @@ class StreamingSpec extends AnyFunSuite {
   test("sliding + session windows (superset of reference batch policy)") {
     val env = eventsStream
     val withTs = env.withColumn("doc",
-      col("doc").withField("ets", timestamp_seconds((col("doc.ts") / 1000000000L).cast(LongType))))
+      col("doc").withField("ets", col("doc.ts").cast(TimestampType)))
     // sliding: 2h window every 1h
     val sliding = graft.streaming.Streaming.windowedAgg(withTs,
       tsField = "ets", windowDur = "2 hours", slide = Some("1 hour"), delay = "1 hour",
