@@ -61,6 +61,19 @@ object Config {
       val store: graft.ops.CacheOps.CacheStore =
         if (cm.contains("file"))
           new graft.ops.CacheOps.FileCache(str(asMap(cm("file")), "directory"))
+        else if (cm.contains("redis"))
+          // external KV backend (`lib/cache/redis.go`): the client
+          // transport is the RedisClientFactory contract; in this image
+          // it resolves to the in-process fake keyed by URL
+          new graft.ops.RedisCache(graft.ops.FakeRedisFactory(
+            str(asMap(cm("redis")), "url")))
+        else if (cm.contains("memcached"))
+          // memcached is the same external-KV contract (get/set/add/
+          // delete, `lib/cache/memcached.go`) — served by the KV client
+          // under a distinct namespace
+          new graft.ops.RedisCache(graft.ops.FakeRedisFactory(
+            "memcached:" + asMap(cm("memcached")).get("addresses")
+              .map(asList(_).map(_.toString).mkString(",")).getOrElse("local")))
         else new graft.ops.CacheOps.MemoryCache
       graft.ops.CacheOps.Caches.register(label, store)
     }
@@ -239,6 +252,15 @@ object Config {
         region = optStr(conf, "region", "us-east-1"),
         endpoint = optStr(conf, "endpoint"),
         timeoutMs = conf.get("timeout_ms").map(_.toString.toInt).getOrElse(10000))
+      case "redis" => RedisProc(
+        FakeRedisFactory(str(conf, "url")),
+        str(conf, "operator"), str(conf, "key"))
+      case "mongodb" => MongoProc(
+        FakeMongoFactory(str(conf, "url")),
+        str(conf, "database"), str(conf, "collection"),
+        str(conf, "operation"),
+        documentMap = optStr(conf, "document_map"),
+        filterMap = optStr(conf, "filter_map"))
       case "sql" => SqlProc(
         optStr(conf, "driver"),
         conf.get("data_source_name").orElse(conf.get("dsn")).map(_.toString)
