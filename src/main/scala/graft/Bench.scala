@@ -36,6 +36,34 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // No-regression tripwire: compare against the last persisted medians
+    // for this sf and flag >50% slowdowns (would have caught the round-3
+    // q44 UDF regression). Warnings to stderr — the stdout JSON line is
+    // the driver protocol; SPARK_GRAFT_BENCH_STRICT=1 exits 1 (dev loop).
+    val medianPath = java.nio.file.Paths.get(
+      s"BENCH_MEDIANS_${new java.io.File(sfDir).getName}.json")
+    val prior: Map[String, Double] =
+      if (java.nio.file.Files.exists(medianPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(medianPath), "UTF-8")
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val regressions = results.filter { case (name, v) =>
+      v >= 0.3 && prior.get(name).exists(p => p >= 0.1 && v > p * 1.5)
+    }
+    regressions.foreach { case (name, v) =>
+      System.err.println(
+        f"[bench] REGRESSION $name: ${prior(name)}%.2f s -> $v%.2f s (+${(v / prior(name) - 1) * 100}%.0f%%)")
+    }
+    val failed = results.filter(_._2 < 0)
+    failed.foreach { case (name, _) =>
+      System.err.println(s"[bench] FAILED $name (-1)")
+    }
+    java.nio.file.Files.write(medianPath, qs.getBytes("UTF-8"))
     spark.stop()
+    if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") &&
+        (regressions.nonEmpty || failed.nonEmpty))
+      sys.exit(1)
   }
 }

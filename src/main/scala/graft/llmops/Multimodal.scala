@@ -168,6 +168,68 @@ object Multimodal {
     f(payload)
   }
 
+  /** Canonical 24bpp bottom-up BMP built by hand (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + padded pixel rows, deterministic pixel pattern).
+    * Size is exactly `54 + h*((3w+3)/4*4)` — the formula a DuckDB oracle
+    * reproduces — while [[decodeImage]] parses the result with the REAL
+    * javax.imageio reader: construction and decode cross-check each
+    * other (q140 gate). */
+  def encodeBmp(width: Column, height: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (w: Int, h: Int) =>
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val imageSize = rowSize * h
+      val fileSize = 54 + imageSize
+      val bb = java.nio.ByteBuffer.allocate(fileSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+        .putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(imageSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bb.put(((x * 7 + y * 13) % 256).toByte)
+          bb.put(((x * 11 + y * 3) % 256).toByte)
+          bb.put(((x + y) % 256).toByte)
+          x += 1
+        }
+        var p = w * 3
+        while (p < rowSize) { bb.put(0.toByte); p += 1 }
+        y += 1
+      }
+      bb.array()
+    }
+    f(width, height)
+  }
+
+  /** Canonical 44-byte-header mono 16-bit PCM WAV with `frames` samples
+    * (deterministic sawtooth fill). Size is exactly `44 + 2*frames`;
+    * [[decodeAudio]] parses it back with the REAL javax.sound reader
+    * (q141 gate). */
+  def encodeWavPcm(frames: Column, sampleRate: Int = 8000): Column = {
+    val sr = sampleRate
+    val f = org.apache.spark.sql.functions.udf { (n: Int) =>
+      val dataSize = 2 * n
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr).putInt(sr * 2)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var i = 0
+      while (i < n) {
+        bb.putShort((((i * 2731) % 65536) - 32768).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+    f(frames)
+  }
+
   /** Typed metadata schema carried next to every media payload. */
   val metaSchema: StructType = StructType(scala.Seq(
     StructField("n_bytes", LongType),

@@ -109,3 +109,25 @@ final case class HttpProc(
       col("seq").as(Envelope.Seq))
   }
 }
+
+/** `sync_response` processor (`lib/processor/sync_response.go:82` +
+  * `lib/message/roundtrip/result_store.go`): capture the message state
+  * at this pipeline point as the HTTP response for the originating
+  * `http_server` request. The capture rides in the meta map (the
+  * envelope channel that survives every downstream processor's
+  * projection); the control plane's push endpoint reads it after the
+  * pipeline runs and answers the POST with it, while the message itself
+  * continues (possibly further transformed) to the configured output —
+  * exactly the reference's response/output split. */
+final case class SyncResponseProc() extends Processor {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(Envelope.Meta, map_concat(
+      map_filter(col(Envelope.Meta),
+        (k, _) => k =!= SyncResponseProc.MetaKey),
+      map(lit(SyncResponseProc.MetaKey),
+        Envelope.contentOrDoc(df).cast(StringType))))
+}
+
+object SyncResponseProc {
+  val MetaKey = "_sync_response"
+}

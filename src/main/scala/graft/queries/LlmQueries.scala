@@ -76,6 +76,47 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q140: REAL image decode under the oracle. Per document a canonical
+    * BMP is built by hand (dims derived from doc_id, exact size formula)
+    * and parsed back by the REAL javax.imageio reader
+    * ([[Multimodal.decodeImage]]); the DuckDB oracle computes the
+    * expected metadata from first principles — a wrong byte in the
+    * encoder OR a wrong parse in the decoder flips the gate. Retires the
+    * fakeDecode stub from the real-decode path (q31 keeps gating the
+    * payload plumbing). */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val w = (col("doc_id") % 16 + 1).cast(IntegerType)
+    val h = (col("doc_id") % 8 + 1).cast(IntegerType)
+    val payload = Multimodal.encodeBmp(w, h)
+    val meta = Multimodal.decodeImage(payload)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("n_bytes").as("n_bytes"),
+        meta.getField("format").as("format"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q141: REAL audio decode under the oracle — hand-built mono 16-bit
+    * 8 kHz PCM WAV parsed back by the REAL javax.sound reader
+    * ([[Multimodal.decodeAudio]]). duration_ms = frames/8 carries at
+    * most 3 fractional bits, so the double is exact in both engines. */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val frames = (col("doc_id") % 97 + 160).cast(IntegerType)
+    val payload = Multimodal.encodeWavPcm(frames)
+    val meta = Multimodal.decodeAudio(payload)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("n_bytes").as("n_bytes"),
+        meta.getField("format").as("format"),
+        meta.getField("channels").cast(LongType).as("channels"),
+        meta.getField("sample_rate").cast(LongType).as("sample_rate"),
+        meta.getField("frames").as("frames"),
+        meta.getField("duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q112: per-source corpus data card — the datasheet row a curation
     * run publishes per source: volume (docs, token mass), exact-dup rate
     * (token-set fingerprints, basis points), and language-label health
@@ -861,6 +902,8 @@ object LlmQueries {
     "q29_cosine_topk" -> (q29 _),
     "q30_text_quality" -> (q30 _),
     "q31_multimodal_meta" -> (q31 _),
+    "q140_bmp_decode" -> (q140 _),
+    "q141_wav_decode" -> (q141 _),
     "q77_classifier" -> (q77 _),
     "q78_dup_spans" -> (q78 _),
     "q79_backoff" -> (q79 _),
@@ -1942,6 +1985,23 @@ object LlmQueries {
         |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','los','y','es','un','una','para','en','que'], t))) AS sw_es
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q140_bmp_decode" ->
+      """SELECT doc_id,
+        | CAST(54 + (doc_id % 8 + 1) *
+        |   ((( doc_id % 16 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        | 'bmp' AS format,
+        | CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 8 + 1 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q141_wav_decode" ->
+      """SELECT doc_id,
+        | CAST(44 + 2 * (doc_id % 97 + 160) AS BIGINT) AS n_bytes,
+        | 'wav' AS format,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(doc_id % 97 + 160 AS BIGINT) AS frames,
+        | CAST(doc_id % 97 + 160 AS DOUBLE) / 8 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_multimodal_meta" ->
       """SELECT doc_id,
         | strlen(text) AS n_bytes,

@@ -70,6 +70,10 @@ final class ControlPlane(spark: SparkSession,
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val started =
     scala.collection.concurrent.TrieMap[String, (Long, Boolean)]() // id → (t0, streaming)
+  // http_server-input specs: registered at POST /streams/{id}, fed by
+  // POST /streams/{id}{pushPath} (lib/input/http_server.go)
+  private val pushSpecs =
+    scala.collection.concurrent.TrieMap[String, Config.StreamSpec]()
   private val checkpointRoot =
     java.nio.file.Files.createTempDirectory("graft-api-ckpt").toString
 
@@ -117,7 +121,13 @@ final class ControlPlane(spark: SparkSession,
       case ("POST", List("streams", id)) =>
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         val spec = Config.load(body)
-        if (spec.streaming) {
+        if (spec.pushPath.isDefined) {
+          // push input: no data yet — runs per POST to the push path
+          pushSpecs.put(id, spec)
+          started.put(id, (System.currentTimeMillis(), false))
+          respond(ex, 200,
+            s"""{"status":"created","post_path":"/streams/$id${spec.pushPath.get}"}""")
+        } else if (spec.streaming) {
           val q = spec.runStream(spark, s"$checkpointRoot/$id")
           registry.start(id, q)
           started.put(id, (System.currentTimeMillis(), true))
@@ -131,8 +141,29 @@ final class ControlPlane(spark: SparkSession,
           case Some(s) => respond(ex, 200, s)
           case None => respond(ex, 404, """{"error":"stream not found"}""")
         }
+      case ("POST", "streams" :: id :: rest)
+          if pushSpecs.get(id).exists(_.pushPath.contains("/" + rest.mkString("/"))) =>
+        // the push endpoint: body → one staged message → synchronous
+        // pipeline run; a sync_response capture answers the request,
+        // the (possibly further-transformed) message goes to the output
+        val spec = pushSpecs(id)
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        graft.sources.Sources.HttpServerStage.stage(scala.Seq(body))
+        try {
+          val staged = spec.pipeline.foldLeft(spec.input(spark))((d, p) => p(d))
+          import org.apache.spark.sql.functions.{col, element_at, lit}
+          val syncParts = staged.select(element_at(
+              col(graft.model.Envelope.Meta),
+              lit(graft.ops.SyncResponseProc.MetaKey)).as("_s"))
+            .collect().flatMap(r => Option(r.getString(0)))
+          spec.output.write(staged)
+          if (syncParts.nonEmpty)
+            respond(ex, 200, syncParts.mkString("\n"), "application/octet-stream")
+          else respond(ex, 200, """{"received":1}""")
+        } finally graft.sources.Sources.HttpServerStage.clear()
       case ("DELETE", List("streams", id)) =>
         val wasStreaming = registry.stop(id)
+        pushSpecs.remove(id)
         if (started.remove(id).isDefined)
           respond(ex, 200, s"""{"status":"stopped","was_active":$wasStreaming}""")
         else respond(ex, 404, """{"error":"stream not found"}""")

@@ -20,7 +20,10 @@ object Config {
       input: SparkSession => DataFrame,
       pipeline: scala.Seq[Processor],
       output: Sink,
-      streaming: Boolean = false) {
+      streaming: Boolean = false,
+      // http_server-input specs: the POST sub-path the control plane
+      // serves for this stream (reference default "/post")
+      pushPath: Option[String] = None) {
     def run(spark: SparkSession): Unit = {
       require(!streaming, "streaming config: use runStream(spark, checkpoint)")
       if (Tracing.isEnabled) Tracing.attachJobListener(spark)
@@ -104,7 +107,11 @@ object Config {
           asMap(m("spark_format")).get("streaming").forall(_.toString.toBoolean)) ||
         (m.contains("socket") &&
           asMap(m("socket")).get("stream").exists(_.toString.toBoolean)))
-    StreamSpec(input, procs, output, streaming)
+    val pushPath = root.get("input").map(asMap)
+      .flatMap(_.get("http_server")).map(c =>
+        Option(c).map(asMap).flatMap(_.get("path")).map(_.toString)
+          .getOrElse("/post"))
+    StreamSpec(input, procs, output, streaming, pushPath)
   }
 
   // ---------- components ----------
@@ -156,6 +163,10 @@ object Config {
           .map { case (k, v) => k -> v.toString }
         s => Sources.httpClient(s, url, verb, hdrs, codec)
       case "stdin" => s => Sources.stdin(s)
+      case "http_server" =>
+        // push input: bodies staged by the control plane per request
+        // (lib/input/http_server.go); path handled via StreamSpec.pushPath
+        s => Sources.httpServer(s)
       case "socket" =>
         // address "host:port" (lib/input/socket.go); stream: true →
         // Spark's native socket streaming source
@@ -176,6 +187,14 @@ object Config {
           .map { case (k, v) => k -> v.toString }
         val stream = conf.get("streaming").forall(_.toString.toBoolean)
         s => Sources.sparkFormat(s, format, opts, stream)
+      case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
+          "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
+          "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams") =>
+        // broker breadth (lib/input/constructor.go registry): binding is
+        // compiled (and linted) NOW; the transport format resolves at
+        // call time from the deploy-provided connector jar
+        val b = graft.sources.Brokers.input(k, conf)
+        s => graft.sources.Brokers.readStream(s, b)
       case o => throw new IllegalArgumentException(s"config: unknown input kind $o")
     }
   }
@@ -252,6 +271,7 @@ object Config {
         region = optStr(conf, "region", "us-east-1"),
         endpoint = optStr(conf, "endpoint"),
         timeoutMs = conf.get("timeout_ms").map(_.toString.toInt).getOrElse(10000))
+      case "sync_response" => SyncResponseProc()
       case "redis" => RedisProc(
         FakeRedisFactory(str(conf, "url")),
         str(conf, "operator"), str(conf, "key"))
@@ -445,6 +465,10 @@ object Config {
           conf.get("options").map(asMap).getOrElse(Map.empty)
             .map { case (k, v) => k -> v.toString },
           optStr(conf, "mode", "append"))
+      case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
+          "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
+          "amqp" | "nsq" | "pulsar" | "redis_streams") =>
+        Sinks.BrokerSink(graft.sources.Brokers.output(k, conf))
       case o => throw new IllegalArgumentException(s"config: unknown output $o")
     }
   }

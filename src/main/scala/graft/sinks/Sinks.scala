@@ -82,6 +82,16 @@ object Sinks {
       Envelope.unwrap(df).write.format(format).options(options).mode(mode).save()
   }
 
+  /** Broker outputs beyond kafka (`lib/output/constructor.go` registry):
+    * content-or-doc as the wire value through the binding's format,
+    * resolved at write time from the deploy-provided connector jar. */
+  final case class BrokerSink(binding: graft.sources.Brokers.Binding)
+      extends Sink {
+    def write(df: DataFrame): Unit =
+      df.select(Envelope.contentOrDoc(df).as("value"))
+        .write.format(binding.format).options(binding.options).save()
+  }
+
   /** `stdout` (`lib/output/writer/stdout.go`-ish): console. */
   final case class ConsoleSink(n: Int = 20) extends Sink {
     def write(df: DataFrame): Unit = Envelope.unwrap(df).show(n, truncate = false)

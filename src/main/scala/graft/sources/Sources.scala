@@ -294,4 +294,26 @@ object Sources {
       case v => df.filter(col(Envelope.Seq) <= lit(v))
     }
   }
+
+  /** `http_server` input (`lib/input/http_server.go`): messages arrive
+    * as POSTs to the control plane's push endpoint
+    * (`POST /streams/{id}{path}`, path default `/post`). The handler
+    * stages the request bodies here and runs the pipeline synchronously;
+    * this source envelopes whatever is staged for the current run. A
+    * push endpoint is control-plane-sized by design — bulk ingest
+    * belongs to file/kafka/spark_format sources. */
+  object HttpServerStage {
+    private val staged = new java.lang.ThreadLocal[scala.Seq[String]] {
+      override def initialValue(): scala.Seq[String] = scala.Seq.empty
+    }
+    def stage(bodies: scala.Seq[String]): Unit = staged.set(bodies)
+    def peek(): scala.Seq[String] = staged.get()
+    def clear(): Unit = staged.remove()
+  }
+
+  def httpServer(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    linesEnvelope(HttpServerStage.peek().toDF("value"),
+      map(lit("source"), lit("http_server")))
+  }
 }

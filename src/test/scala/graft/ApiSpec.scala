@@ -127,4 +127,45 @@ class ApiSpec extends AnyFunSuite {
       assert(text.contains("# TYPE graft_events_seen_rows gauge"))
     } finally api.stop()
   }
+
+  test("http_server input: push a batch through a pipeline; sync_response answers") {
+    val api = new ControlPlane(spark).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      // register a push-input pipeline: uppercase, capture as the
+      // response, then keep transforming toward the output
+      val (code, created) = http("POST", s"$base/streams/push1",
+        """input:
+          |  http_server:
+          |    path: /post
+          |pipeline:
+          |  processors:
+          |    - bloblang: 'root = content().string().uppercase()'
+          |    - sync_response: {}
+          |    - bloblang: 'root = content().string() + "-stored"'
+          |output:
+          |  drop: {}
+          |""".stripMargin)
+      assert(code == 200 && created.contains("/streams/push1/post"))
+
+      // the POST is answered by the sync_response capture (uppercased),
+      // NOT the post-capture transform
+      val (pCode, pBody) = http("POST", s"$base/streams/push1/post", "hello world")
+      assert(pCode == 200)
+      assert(pBody == "HELLO WORLD")
+
+      // without sync_response the endpoint acks receipt
+      http("POST", s"$base/streams/push2",
+        """input:
+          |  http_server: {}
+          |output:
+          |  drop: {}
+          |""".stripMargin)
+      val (aCode, aBody) = http("POST", s"$base/streams/push2/post", "x")
+      assert(aCode == 200 && aBody.contains("received"))
+
+      // unknown push path → 404
+      assert(http("POST", s"$base/streams/push1/nope", "x")._1 == 404)
+    } finally api.stop()
+  }
 }

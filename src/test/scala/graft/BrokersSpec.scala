@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Envelope
+import graft.sources.Brokers
+
+/** Broker connector breadth: config→option mapping + lint for every
+  * registry kind, and wire→envelope projections over hand-built frames
+  * (the same transport boundary KafkaSpec draws). */
+class BrokersSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+  import spark.implicits._
+
+  test("input bindings: option mapping for every broker kind") {
+    val b1 = Brokers.input("aws_kinesis",
+      Map("stream" -> "events", "region" -> "us-east-1",
+        "start_from_oldest" -> "true"))
+    assert(b1.format == "kinesis" && b1.options("streamName") == "events" &&
+      b1.options("initialPosition") == "earliest")
+
+    val b2 = Brokers.input("aws_sqs",
+      Map("url" -> "https://sqs.us-east-1.amazonaws.com/1/q"))
+    assert(b2.format == "sqs" && b2.options("queueUrl").endsWith("/q"))
+
+    val b3 = Brokers.input("gcp_pubsub",
+      Map("project" -> "p1", "subscription" -> "s1"))
+    assert(b3.options == Map("projectId" -> "p1", "subscriptionId" -> "s1"))
+
+    val urls = new java.util.ArrayList[String]()
+    urls.add("nats://n1:4222"); urls.add("nats://n2:4222")
+    val b4 = Brokers.input("nats", Map("urls" -> urls, "subject" -> "subj",
+      "queue" -> "q"))
+    assert(b4.options("nats.urls") == "nats://n1:4222,nats://n2:4222" &&
+      b4.options("nats.queue") == "q")
+
+    val b5 = Brokers.input("nats_stream", Map("urls" -> urls,
+      "subject" -> "subj", "cluster_id" -> "c", "durable_name" -> "d"))
+    assert(b5.options("nats.cluster.id") == "c" && b5.options("nats.durable") == "d")
+
+    val topics = new java.util.ArrayList[String]()
+    topics.add("t/1")
+    val murls = new java.util.ArrayList[String]()
+    murls.add("tcp://m:1883")
+    val b6 = Brokers.input("mqtt", Map("urls" -> murls, "topics" -> topics,
+      "qos" -> 2, "client_id" -> "cid"))
+    assert(b6.format.contains("MQTTStreamSourceProvider") &&
+      b6.options("QoS") == "2" && b6.options("clientId") == "cid")
+
+    val b7 = Brokers.input("amqp_0_9",
+      Map("url" -> "amqp://guest@localhost:5672/", "queue" -> "jobs"))
+    assert(b7.options("queue") == "jobs")
+
+    val b8 = Brokers.input("amqp_1",
+      Map("url" -> "amqps://h", "source_address" -> "queue:/jobs"))
+    assert(b8.options("sourceAddress") == "queue:/jobs")
+
+    val nsqd = new java.util.ArrayList[String]()
+    nsqd.add("n1:4150")
+    val b9 = Brokers.input("nsq", Map("nsqd_tcp_addresses" -> nsqd,
+      "topic" -> "t", "channel" -> "ch"))
+    assert(b9.options("nsqdTcpAddresses") == "n1:4150" &&
+      b9.options("channel") == "ch")
+
+    val pt = new java.util.ArrayList[String]()
+    pt.add("persistent://public/default/t")
+    val b10 = Brokers.input("pulsar", Map("url" -> "pulsar://h:6650",
+      "topics" -> pt, "subscription_name" -> "sub"))
+    assert(b10.options("service.url") == "pulsar://h:6650" &&
+      b10.options("predefinedSubscription") == "sub")
+
+    val streams = new java.util.ArrayList[String]()
+    streams.add("st1")
+    val b11 = Brokers.input("redis_streams", Map("url" -> "redis://r:6379",
+      "streams" -> streams, "consumer_group" -> "g"))
+    assert(b11.options("stream.keys") == "st1" &&
+      b11.options("stream.group.name") == "g")
+  }
+
+  test("lint: missing required fields throw with the field name") {
+    val e1 = intercept[IllegalArgumentException] {
+      Brokers.input("aws_kinesis", Map.empty) }
+    assert(e1.getMessage.contains("stream"))
+    val e2 = intercept[IllegalArgumentException] {
+      Brokers.input("gcp_pubsub", Map("project" -> "p")) }
+    assert(e2.getMessage.contains("subscription"))
+    val e3 = intercept[IllegalArgumentException] {
+      Brokers.input("nsq", Map("topic" -> "t", "channel" -> "c")) }
+    assert(e3.getMessage.contains("addresses"))
+    val e4 = intercept[IllegalArgumentException] {
+      Brokers.output("pulsar", Map("url" -> "pulsar://h")) }
+    assert(e4.getMessage.contains("topic"))
+  }
+
+  test("config surface lint-accepts each broker input kind and compiles a plan") {
+    val kinds = scala.Seq(
+      "aws_kinesis" -> "    stream: s\n",
+      "aws_sqs" -> "    url: https://sqs/q\n",
+      "gcp_pubsub" -> "    project: p\n    subscription: s\n",
+      "nats" -> "    urls: [nats://h:4222]\n    subject: subj\n",
+      "nats_stream" -> "    urls: [nats://h:4222]\n    subject: subj\n",
+      "nats_jetstream" -> "    urls: [nats://h:4222]\n    subject: subj\n",
+      "mqtt" -> "    urls: [tcp://h:1883]\n    topics: [t]\n",
+      "amqp_0_9" -> "    url: amqp://h\n    queue: q\n",
+      "amqp_1" -> "    url: amqps://h\n    source_address: q\n",
+      "nsq" -> "    nsqd_tcp_addresses: [h:4150]\n    topic: t\n    channel: c\n",
+      "pulsar" -> "    url: pulsar://h:6650\n    topics: [t]\n",
+      "redis_streams" -> "    url: redis://h\n    streams: [s]\n")
+    for ((kind, fields) <- kinds) {
+      val spec = graft.runtime.Config.load(
+        s"input:\n  $kind:\n$fields" +
+          "pipeline:\n  processors:\n    - bloblang: 'root = this'\n" +
+          "output:\n  drop: {}\n")
+      assert(spec.pipeline.size == 1, kind)
+    }
+    // broker output kinds lint too
+    val out = graft.runtime.Config.load(
+      "input:\n  generate:\n    count: 1\n    mapping: 'root.x = 1'\n" +
+        "output:\n  aws_kinesis:\n    stream: s\n    region: r\n")
+    assert(out.output.isInstanceOf[graft.sinks.Sinks.BrokerSink])
+  }
+
+  test("kinesis wire frame → envelope projection") {
+    val wire = scala.Seq(
+      ("payload-a", "events", "pk1", "49590338271490256608559692538361571095921575989136588898",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("data", "streamName", "partitionKey", "sequenceNumber",
+        "approximateArrivalTimestamp")
+      .withColumn("data", col("data").cast(BinaryType))
+    val env = Brokers.kinesisEnvelope(wire)
+    val r = env.select(col(Envelope.Content).cast(StringType),
+      element_at(col(Envelope.Meta), "kinesis_partition_key"),
+      element_at(col(Envelope.Meta), "kinesis_stream")).head()
+    assert(r.getString(0) == "payload-a" && r.getString(1) == "pk1" &&
+      r.getString(2) == "events")
+  }
+
+  test("pulsar wire frame → envelope projection") {
+    val wire = scala.Seq(("m1", "k1", "persistent://t", "id-1",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("value", "__key", "__topic", "__messageId", "__publishTime")
+      .withColumn("value", col("value").cast(BinaryType))
+      .withColumn("__messageId", col("__messageId").cast(BinaryType))
+    val env = Brokers.pulsarEnvelope(wire)
+    val r = env.select(col(Envelope.Doc),
+      element_at(col(Envelope.Meta), "pulsar_key"),
+      element_at(col(Envelope.Meta), "pulsar_topic")).head()
+    assert(r.getString(0) == "m1" && r.getString(1) == "k1" &&
+      r.getString(2) == "persistent://t")
+  }
+
+  test("generic value frame → envelope (sqs/pubsub/nats relays)") {
+    val env = Brokers.valueEnvelope(
+      scala.Seq("m1", "m2").toDF("value"), "aws_sqs")
+    assert(env.select(col(Envelope.Doc)).as[String].collect().sorted.toSeq ==
+      scala.Seq("m1", "m2"))
+    assert(env.select(element_at(col(Envelope.Meta), "source"))
+      .as[String].head() == "aws_sqs")
+    // the envelope schema is canonical
+    assert(env.columns.toSeq == Envelope.envelopeCols)
+  }
+}
