@@ -32,7 +32,10 @@ object Multimodal {
     val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
       if (b == null) null
       else {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCacheImageInputStream, NOT createImageInputStream: the
+        // default factory backs every stream with a DISK cache file —
+        // a temp-file create/delete per row (3.2 s → ~1 s on q140)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(b))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)

@@ -30,6 +30,11 @@ trait RedisClient extends AutoCloseable {
   def delete(key: String): Unit
   /** Full keyspace sweep of string keys (SCAN) — cache snapshot use. */
   def scan(): Iterator[(String, String)]
+  /** List verbs (redis_list input/output, `lib/input/reader/redis_list.go`,
+    * `lib/output/writer/redis_list.go`). */
+  def lpush(key: String, value: String): Unit
+  def rpop(key: String): Option[String]
+  def llen(key: String): Long
   override def close(): Unit = ()
 }
 
@@ -46,6 +51,8 @@ object FakeRedisServer {
     val strings = scala.collection.concurrent.TrieMap[String, String]()
     val sets = scala.collection.concurrent.TrieMap[String,
       scala.collection.concurrent.TrieMap[String, Unit]]()
+    val lists = scala.collection.concurrent.TrieMap[String,
+      java.util.concurrent.ConcurrentLinkedDeque[String]]()
   }
   private val servers = scala.collection.concurrent.TrieMap[String, State]()
   def state(url: String): State = servers.getOrElseUpdate(url, new State)
@@ -79,8 +86,18 @@ final case class FakeRedisFactory(url: String) extends RedisClientFactory {
     def set(key: String, value: String): Unit = s.strings.put(key, value)
     def add(key: String, value: String): Boolean =
       s.strings.putIfAbsent(key, value).isEmpty
-    def delete(key: String): Unit = { s.strings.remove(key); s.sets.remove(key) }
+    def delete(key: String): Unit = {
+      s.strings.remove(key); s.sets.remove(key); s.lists.remove(key)
+      ()
+    }
     def scan(): Iterator[(String, String)] = s.strings.iterator
+    def lpush(key: String, value: String): Unit =
+      s.lists.getOrElseUpdate(key,
+        new java.util.concurrent.ConcurrentLinkedDeque[String]()).addFirst(value)
+    def rpop(key: String): Option[String] =
+      s.lists.get(key).flatMap(d => Option(d.pollLast()))
+    def llen(key: String): Long =
+      s.lists.get(key).map(_.size.toLong).getOrElse(0L)
   }
 }
 
@@ -152,5 +169,19 @@ final class RedisCache(factory: RedisClientFactory) extends CacheOps.CacheStore 
     val client = factory.open()
     try keys.collect().foreach(r => client.delete(r.getString(0)))
     finally client.close()
+  }
+}
+
+/** `redis_list` output: LPUSH each message, one client per partition. */
+final case class RedisListSink(factory: RedisClientFactory, key: String)
+    extends graft.sinks.Sink {
+  def write(df: DataFrame): Unit = {
+    val (fac, k) = (factory, key)
+    df.select(graft.model.Envelope.contentOrDoc(df).cast(StringType).as("v"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val client = fac.open()
+        try rows.foreach(r => client.lpush(k, r.getString(0)))
+        finally client.close()
+      }
   }
 }

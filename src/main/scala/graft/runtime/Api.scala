@@ -49,6 +49,49 @@ object Metrics {
     }
     lines.mkString("", "\n", "\n")
   }
+
+  /** statsd line protocol rendering of the same registry
+    * (`lib/metrics/statsd.go`): one `<prefix>.<obs>.<metric>:<v>|g`
+    * gauge line per value. */
+  def statsdLines(prefix: String = "graft"): scala.Seq[String] =
+    observations.toSeq.sortBy(_._1).flatMap { case (n, o) =>
+      org.apache.spark.sql.GraftBridge.observationValues(o)
+        .toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        v match {
+          case x: java.lang.Number =>
+            Some(s"$prefix.${sanitize(n)}.${sanitize(k)}:${x.doubleValue}|g")
+          case _ => None
+        }
+      }
+    }
+}
+
+/** `metrics: statsd` export (`lib/metrics/statsd.go`): flush the
+  * registry as statsd gauge datagrams on a period. UDP to the
+  * configured address — the standard statsd transport; cloudwatch and
+  * friends deploy by pointing an agent at this (the reference's own
+  * recommended relay shape for sinks without a direct client). */
+final class StatsdExporter(host: String, port: Int,
+    periodMs: Long = 1000, prefix: String = "graft") {
+  @volatile private var running = true
+  private val sock = new java.net.DatagramSocket()
+  private val addr = java.net.InetAddress.getByName(host)
+  private val thread = new Thread(() => {
+    while (running) {
+      flush()
+      try Thread.sleep(periodMs) catch { case _: InterruptedException => }
+    }
+  }, "graft-statsd")
+  thread.setDaemon(true)
+
+  def flush(): Unit =
+    Metrics.statsdLines(prefix).foreach { line =>
+      val b = line.getBytes("UTF-8")
+      sock.send(new java.net.DatagramPacket(b, b.length, addr, port))
+    }
+
+  def start(): StatsdExporter = { thread.start(); this }
+  def stop(): Unit = { running = false; thread.interrupt(); sock.close() }
 }
 
 /** REST control plane over the stream registry — the reference's streams

@@ -57,6 +57,24 @@ object Config {
     root.get("tracer").map(asMap).foreach { t =>
       if (t.contains("none")) Tracing.disable() else Tracing.enable()
     }
+    // metrics section (`lib/metrics/constructor.go:74-84`): prometheus is
+    // always-on via the control plane's /metrics; statsd starts a UDP
+    // gauge flusher. Other sinks (cloudwatch/influx) deploy by pointing
+    // an agent at the statsd/prometheus surface (documented boundary).
+    root.get("metrics").map(asMap).foreach { mm =>
+      mm.get("statsd").map(asMap).foreach { sd =>
+        val addr = str(sd, "address").split(":", 2)
+        require(addr.length == 2, "metrics statsd: address must be host:port")
+        val periodMs = sd.get("flush_period").map(p =>
+          graft.exprs.GoDurationParse.parse(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p.toString))
+            match { case null => 1000L; case n => n / 1000000L })
+          .getOrElse(1000L)
+        new StatsdExporter(addr(0), addr(1).toInt, periodMs,
+          sd.get("prefix").map(_.toString).getOrElse("graft")).start()
+        ()
+      }
+    }
     // cache_resources first: the cache processor resolves labels at compile
     root.get("cache_resources").map(asList).getOrElse(Nil).foreach { c =>
       val cm = asMap(c)
@@ -163,6 +181,23 @@ object Config {
           .map { case (k, v) => k -> v.toString }
         s => Sources.httpClient(s, url, verb, hdrs, codec)
       case "stdin" => s => Sources.stdin(s)
+      case "tcp_server" | "socket_server" =>
+        val addr = str(conf, "address").split(":", 2)
+        require(addr.length == 2, s"$kind input: address must be host:port")
+        val maxConns = conf.get("max_connections").map(_.toString.toInt).getOrElse(1)
+        s => Sources.tcpServer(s, addr(0), addr(1).toInt, maxConns)
+      case "udp_server" =>
+        val addr = str(conf, "address").split(":", 2)
+        require(addr.length == 2, "udp_server input: address must be host:port")
+        val idle = conf.get("idle_timeout_ms").map(_.toString.toInt).getOrElse(1000)
+        s => Sources.udpServer(s, addr(0), addr(1).toInt, idle)
+      case "websocket" =>
+        val url = str(conf, "url")
+        val count = conf.get("count").map(_.toString.toInt).getOrElse(Int.MaxValue)
+        s => Sources.websocket(s, url, count)
+      case "redis_list" =>
+        s => Sources.redisList(s,
+          graft.ops.FakeRedisFactory(str(conf, "url")), str(conf, "key"))
       case "http_server" =>
         // push input: bodies staged by the control plane per request
         // (lib/input/http_server.go); path handled via StreamSpec.pushPath
@@ -422,8 +457,13 @@ object Config {
     val (kind, conf) = one(m, "output")
     kind match {
       case "file" | "files" =>
-        Sinks.FileSink(str(conf, "path"),
-          conf.get("codec").orElse(conf.get("format")).map(_.toString).getOrElse("lines"),
+        val codec = conf.get("codec").orElse(conf.get("format"))
+          .map(_.toString).getOrElse("lines")
+        // writer codecs (internal/codec/writer.go): append / all-bytes /
+        // delim:x are byte-stream shapes, not table formats
+        if (codec == "append" || codec == "all-bytes" || codec.startsWith("delim:"))
+          Sinks.CodecFileSink(str(conf, "path"), codec)
+        else Sinks.FileSink(str(conf, "path"), codec,
           mode = conf.get("mode").map(_.toString).getOrElse("overwrite"))
       case "parquet" => Sinks.FileSink(str(conf, "path"), "parquet")
       case "stdout" => Sinks.ConsoleSink()
@@ -460,6 +500,36 @@ object Config {
             .map { case (k, v) => k -> v.toString })
       case "kafka" =>
         Sinks.KafkaSink(kafkaOutputConfig(conf))
+      case "cache" =>
+        // reference default key is ${!count:items}-${!timestamp_unix_nano};
+        // uuid gives the same per-message uniqueness without envelope deps
+        Sinks.CacheSink(graft.ops.CacheOps.Caches(str(conf, "target")),
+          optStr(conf, "key", "${! uuid_v4() }"))
+      case "sql" =>
+        Sinks.SqlSink(SqlProc(
+          optStr(conf, "driver"),
+          conf.get("data_source_name").orElse(conf.get("dsn")).map(_.toString)
+            .getOrElse(throw new IllegalArgumentException(
+              "config: sql output needs data_source_name")),
+          str(conf, "query"),
+          argsMapping = optStr(conf, "args_mapping")))
+      case "mongodb" =>
+        Sinks.MongoSink(MongoProc(
+          FakeMongoFactory(str(conf, "url")),
+          str(conf, "database"), str(conf, "collection"), "insert-one",
+          documentMap = optStr(conf, "document_map", "root = this")))
+      case "subprocess" =>
+        Sinks.SubprocessSink(str(conf, "name") +: conf.get("args")
+          .map(asList(_).map(_.toString)).getOrElse(Nil))
+      case "socket" | "tcp" | "udp" =>
+        val addr = str(conf, "address").split(":", 2)
+        require(addr.length == 2, s"$kind output: address must be host:port")
+        val network = if (kind == "udp") "udp"
+          else optStr(conf, "network", "tcp")
+        Sinks.SocketSink(addr(0), addr(1).toInt, network)
+      case "redis_list" =>
+        graft.ops.RedisListSink(
+          graft.ops.FakeRedisFactory(str(conf, "url")), str(conf, "key"))
       case "spark_format" =>
         Sinks.SparkFormatSink(str(conf, "format"),
           conf.get("options").map(asMap).getOrElse(Map.empty)

@@ -231,4 +231,125 @@ object Sinks {
       dlq.write(df.filter(col(Envelope.Error).isNotNull))
     }
   }
+
+  /** Writer codecs (`internal/codec/writer.go`): the sink-side symmetry
+    * of §2.7's reader codecs. `lines` and `delim:x` ride Spark's text
+    * writer (custom `lineSep`); `append` concatenates a partition's
+    * messages into one undelimited file per task; `all-bytes` writes one
+    * file per message. The task-side file writes keep every shape fully
+    * parallel — one file per task/message, no driver funnel. */
+  final case class CodecFileSink(path: String, codec: String) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val content = df.select(
+        Envelope.contentOrDoc(df).cast("binary").as("b"))
+      codec match {
+        case "lines" =>
+          content.select(col("b").cast("string").as("value"))
+            .write.mode("overwrite").text(path)
+        case c if c.startsWith("delim:") =>
+          content.select(col("b").cast("string").as("value"))
+            .write.mode("overwrite").option("lineSep", c.substring(6)).text(path)
+        case "append" | "all-bytes" =>
+          val perMessage = codec == "all-bytes"
+          val dir = java.nio.file.Paths.get(path)
+          java.nio.file.Files.createDirectories(dir)
+          val pathStr = path
+          content.foreachPartition {
+            (rows: Iterator[org.apache.spark.sql.Row]) =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              if (perMessage) {
+                var i = 0
+                rows.foreach { r =>
+                  java.nio.file.Files.write(
+                    java.nio.file.Paths.get(pathStr, f"msg-$pid%05d-$i%06d.bin"),
+                    r.getAs[Array[Byte]](0))
+                  i += 1
+                }
+              } else {
+                val out = new java.io.BufferedOutputStream(
+                  java.nio.file.Files.newOutputStream(
+                    java.nio.file.Paths.get(pathStr, f"part-$pid%05d.bin")))
+                try rows.foreach(r => out.write(r.getAs[Array[Byte]](0)))
+                finally out.close()
+              }
+          }
+        case o => throw new IllegalArgumentException(s"unknown writer codec $o")
+      }
+    }
+  }
+
+  /** `cache` output (`lib/output/cache.go`): upsert every message into a
+    * cache resource under an interpolated key. */
+  final case class CacheSink(store: graft.ops.CacheOps.CacheStore,
+      key: String) extends Sink {
+    def write(df: DataFrame): Unit = {
+      graft.ops.CacheOps.CacheProc(store, "set", key)(df)
+      ()
+    }
+  }
+
+  /** `sql` output (insert per message): the SqlProc JDBC path with the
+    * result discarded. */
+  final case class SqlSink(proc: graft.ops.SqlProc) extends Sink {
+    def write(df: DataFrame): Unit = { proc(df).count(); () }
+  }
+
+  /** `mongodb` output (`internal/impl/mongodb/output.go`): insert-one
+    * per message through the collection-client contract. */
+  final case class MongoSink(proc: graft.ops.MongoProc) extends Sink {
+    def write(df: DataFrame): Unit = { proc(df).count(); () }
+  }
+
+  /** `socket`/`tcp` output (`lib/output/writer/socket.go`): one
+    * connection per partition, each message a line. `udp` sends one
+    * datagram per message. */
+  final case class SocketSink(host: String, port: Int,
+      network: String = "tcp") extends Sink {
+    def write(df: DataFrame): Unit = {
+      val (h, p, net) = (host, port, network)
+      df.select(Envelope.contentOrDoc(df).cast("string").as("v"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (net == "udp") {
+            val sock = new java.net.DatagramSocket()
+            try {
+              val addr = java.net.InetAddress.getByName(h)
+              rows.foreach { r =>
+                val b = (r.getString(0) + "\n").getBytes("UTF-8")
+                sock.send(new java.net.DatagramPacket(b, b.length, addr, p))
+              }
+            } finally sock.close()
+          } else {
+            val sock = new java.net.Socket(h, p)
+            try {
+              val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                sock.getOutputStream, "UTF-8"))
+              rows.foreach { r => w.write(r.getString(0)); w.write("\n") }
+              w.flush()
+            } finally sock.close()
+          }
+        }
+    }
+  }
+
+  /** `subprocess` output (`lib/output/subprocess.go`): pipe each
+    * message as a line to a subprocess's stdin, one process per
+    * partition. */
+  final case class SubprocessSink(cmd: scala.Seq[String]) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val c = cmd
+      df.select(Envelope.contentOrDoc(df).cast("string").as("v"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.nonEmpty) {
+            val pb = new ProcessBuilder(c: _*)
+              .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+              .redirectError(ProcessBuilder.Redirect.DISCARD)
+            val proc = pb.start()
+            val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              proc.getOutputStream, "UTF-8"))
+            try rows.foreach { r => w.write(r.getString(0)); w.write("\n") }
+            finally { w.close(); proc.waitFor() }
+          }
+        }
+    }
+  }
 }

@@ -316,4 +316,112 @@ object Sources {
     linesEnvelope(HttpServerStage.peek().toDF("value"),
       map(lit("source"), lit("http_server")))
   }
+
+  /** `tcp_server` / `socket_server` input (`lib/input/socket_server.go`),
+    * batch form: bind, accept connections, read lines until the client
+    * closes; stop after `maxConns` connections (1 = the common
+    * single-feeder case). The accept loop is driver-side — a single
+    * listening socket is inherently serial, same contract as [[socket]];
+    * the distributed path for socket-shaped feeds is [[socketStream]]. */
+  def tcpServer(spark: SparkSession, host: String, port: Int,
+      maxConns: Int = 1, acceptTimeoutMs: Int = 30000): DataFrame = {
+    import spark.implicits._
+    val server = new java.net.ServerSocket(port, 1,
+      java.net.InetAddress.getByName(host))
+    // a feeder that never arrives must fail the read, not hang the job
+    server.setSoTimeout(acceptTimeoutMs)
+    val lines = try {
+      (1 to maxConns).flatMap { _ =>
+        val sock = server.accept()
+        try {
+          val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+            sock.getInputStream, "UTF-8"))
+          Iterator.continually(r.readLine()).takeWhile(_ != null).toSeq
+        } finally sock.close()
+      }
+    } finally server.close()
+    linesEnvelope(lines.toDF("value"),
+      map(lit("source"), lit(s"tcp_server:$host:$port")))
+  }
+
+  /** `udp_server` input (`lib/input/udp_server.go`), batch form: receive
+    * datagrams (one message each) until `idleMs` passes with no packet. */
+  def udpServer(spark: SparkSession, host: String, port: Int,
+      idleMs: Int = 1000, maxBytes: Int = 65536): DataFrame = {
+    import spark.implicits._
+    val sock = new java.net.DatagramSocket(new java.net.InetSocketAddress(host, port))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      sock.setSoTimeout(idleMs)
+      val buf = new Array[Byte](maxBytes)
+      var open = true
+      while (open) {
+        val pkt = new java.net.DatagramPacket(buf, buf.length)
+        try {
+          sock.receive(pkt)
+          out += new String(pkt.getData, pkt.getOffset, pkt.getLength, "UTF-8")
+            .stripLineEnd
+        } catch { case _: java.net.SocketTimeoutException => open = false }
+      }
+    } finally sock.close()
+    linesEnvelope(out.toSeq.toDF("value"),
+      map(lit("source"), lit(s"udp_server:$host:$port")))
+  }
+
+  /** `websocket` input (`lib/input/reader/websocket.go`): connect as a
+    * client (JDK java.net.http.WebSocket), collect text messages until
+    * the server closes or `count` arrive. Driver-side control feed, like
+    * [[httpClient]]. */
+  def websocket(spark: SparkSession, url: String, count: Int = Int.MaxValue,
+      openTimeoutMs: Int = 10000, idleMs: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val collected = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new java.net.http.WebSocket.Listener {
+      private val sb = new StringBuilder
+      override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        sb.append(data)
+        if (last) { collected.put(sb.toString); sb.clear() }
+        ws.request(1)
+        if (collected.size >= count) done.countDown()
+        null
+      }
+      override def onClose(ws: java.net.http.WebSocket, code: Int,
+          reason: String): java.util.concurrent.CompletionStage[_] = {
+        done.countDown(); null
+      }
+    }
+    val ws = java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(openTimeoutMs))
+      .buildAsync(java.net.URI.create(url), listener)
+      .get(openTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    done.await(idleMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
+      .get(1, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Exception => ws.abort() }
+    val msgs = new java.util.ArrayList[String]()
+    collected.drainTo(msgs, count)
+    linesEnvelope(
+      scala.jdk.CollectionConverters.ListHasAsScala(msgs).asScala.toSeq
+        .toDF("value"),
+      map(lit("source"), lit("websocket")))
+  }
+
+  /** `redis_list` input (`lib/input/reader/redis_list.go`), batch form:
+    * drain the list through the KV-client contract (RPOP until empty or
+    * `limit`). Control-sized by contract — bulk replays belong to
+    * redis_streams via the connector binding. */
+  def redisList(spark: SparkSession, factory: graft.ops.RedisClientFactory,
+      key: String, limit: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val client = factory.open()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      var v = client.rpop(key)
+      while (v.isDefined && out.size < limit) { out += v.get; v = client.rpop(key) }
+    } finally client.close()
+    linesEnvelope(out.toSeq.toDF("value"),
+      map(lit("source"), lit(s"redis_list:$key")))
+  }
 }

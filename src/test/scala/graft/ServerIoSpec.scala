@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Envelope
+import graft.ops._
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.runtime.{Config, Metrics, StatsdExporter}
+
+/** Server-push inputs (tcp_server/udp_server), socket/udp outputs,
+  * writer codecs, redis_list roundtrip, cache/sql/mongodb outputs, and
+  * statsd export — all over loopback transports, no egress. */
+class ServerIoSpec extends AnyFunSuite {
+  lazy val spark = Sessions.builder("4").getOrCreate()
+  import spark.implicits._
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  def env(rows: (Long, String)*) = Envelope.wrap(
+    rows.toDF("id", "s"), scala.Seq(col("id")))
+
+  test("tcp_server input reads one connection's lines; SocketSink feeds it") {
+    spark.range(1).count() // force session init BEFORE the feeder's retry window
+    val port = freePort()
+    val feeder = new Thread(() => {
+      var sent = false
+      var attempts = 0
+      while (!sent && attempts < 200) {
+        try {
+          val sock = new java.net.Socket("127.0.0.1", port)
+          val w = new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")
+          w.write("alpha\nbeta\ngamma\n"); w.flush(); sock.close(); sent = true
+        } catch {
+          case _: java.net.ConnectException =>
+            attempts += 1; Thread.sleep(100)
+        }
+      }
+    })
+    feeder.start()
+    val got = Sources.tcpServer(spark, "127.0.0.1", port)
+    assert(got.select(col(Envelope.Doc).cast("string")).as[String]
+      .collect().toSeq == scala.Seq("alpha", "beta", "gamma"))
+    feeder.join()
+  }
+
+  test("udp_server input collects datagrams until idle") {
+    val port = freePort()
+    val feeder = new Thread(() => {
+      Thread.sleep(150)
+      val sock = new java.net.DatagramSocket()
+      val addr = java.net.InetAddress.getByName("127.0.0.1")
+      for (m <- scala.Seq("one", "two")) {
+        val b = m.getBytes("UTF-8")
+        sock.send(new java.net.DatagramPacket(b, b.length, addr, port))
+      }
+      sock.close()
+    })
+    feeder.start()
+    val got = Sources.udpServer(spark, "127.0.0.1", port, idleMs = 800)
+    assert(got.select(col(Envelope.Doc).cast("string")).as[String]
+      .collect().sorted.toSeq == scala.Seq("one", "two"))
+    feeder.join()
+  }
+
+  test("SocketSink (udp) → udp_server roundtrip") {
+    val port = freePort()
+    val sinkThread = new Thread(() => {
+      Thread.sleep(200)
+      Sinks.SocketSink("127.0.0.1", port, "udp").write(
+        env(1L -> "m1", 2L -> "m2")
+          .withColumn(Envelope.Content, col("doc.s").cast("binary")))
+    })
+    sinkThread.start()
+    val got = Sources.udpServer(spark, "127.0.0.1", port, idleMs = 1200)
+    assert(got.count() == 2)
+    sinkThread.join()
+  }
+
+  test("writer codecs: append concatenates, all-bytes one file per message, delim") {
+    val base = java.nio.file.Files.createTempDirectory("graft-wcodec")
+    val e = env(1L -> "aa", 2L -> "bb").coalesce(1)
+      .withColumn(Envelope.Content, col("doc.s").cast("binary"))
+
+    Sinks.CodecFileSink(s"$base/append", "append").write(e)
+    val appended = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$base/append")).toArray.map(_.toString)
+      .filter(_.endsWith(".bin"))
+      .flatMap(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      .mkString
+    assert(appended.sorted == "aabb".sorted)
+
+    Sinks.CodecFileSink(s"$base/ab", "all-bytes").write(e)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/ab"))
+      .toArray.map(_.toString).filter(_.endsWith(".bin")).sorted
+    assert(files.length == 2)
+
+    Sinks.CodecFileSink(s"$base/delim", "delim:|").write(e)
+    val joined = spark.read.option("lineSep", "|").text(s"$base/delim")
+      .as[String].collect().filter(_.nonEmpty).sorted.toSeq
+    assert(joined == scala.Seq("aa", "bb"))
+  }
+
+  test("redis_list: sink LPUSH then input drains in order") {
+    FakeRedisServer.reset("redis://list1")
+    val fac = FakeRedisFactory("redis://list1")
+    RedisListSink(fac, "jobs").write(
+      env(1L -> "j1", 2L -> "j2", 3L -> "j3")
+        .withColumn(Envelope.Content, col("doc.s").cast("binary")))
+    assert(fac.open().llen("jobs") == 3)
+    val got = Sources.redisList(spark, fac, "jobs")
+    // LPUSH + RPOP = FIFO: arrival order preserved per producer
+    assert(got.count() == 3)
+    assert(fac.open().llen("jobs") == 0)
+  }
+
+  test("cache + mongodb outputs write through their resources") {
+    FakeRedisServer.reset("redis://out1")
+    val store = new RedisCache(FakeRedisFactory("redis://out1"))
+    graft.ops.CacheOps.Caches.register("out_kv", store)
+    Sinks.CacheSink(store, "k-${! this.id }").write(env(7L -> "seven"))
+    assert(FakeRedisFactory("redis://out1").open().get("k-7")
+      .exists(_.contains("seven")))
+
+    FakeMongoServer.reset("mongodb://out2", "db", "sunk")
+    val spec = Config.load(
+      """input:
+        |  generate:
+        |    count: 2
+        |    mapping: 'root.n = this.i + 1'
+        |output:
+        |  mongodb:
+        |    url: mongodb://out2
+        |    database: db
+        |    collection: sunk
+        |    document_map: 'root.n = this.n'
+        |""".stripMargin)
+    spec.run(spark)
+    val cli = FakeMongoFactory("mongodb://out2").open("db", "sunk")
+    assert(cli.findOne("""{"n":1}""").isDefined)
+    assert(cli.findOne("""{"n":2}""").isDefined)
+  }
+
+  test("statsd exporter flushes observation gauges over UDP") {
+    Metrics.clear()
+    val obs = Metrics.observation("statsd_seen")
+    spark.range(50).observe(obs, count(lit(1)).as("rows")).collect()
+
+    val recv = new java.net.DatagramSocket(0)
+    recv.setSoTimeout(3000)
+    val exporter = new StatsdExporter("127.0.0.1", recv.getLocalPort,
+      periodMs = 100, prefix = "graft")
+    try {
+      exporter.flush()
+      val buf = new Array[Byte](2048)
+      val pkt = new java.net.DatagramPacket(buf, buf.length)
+      recv.receive(pkt)
+      val line = new String(pkt.getData, 0, pkt.getLength, "UTF-8")
+      assert(line == "graft.statsd_seen.rows:50.0|g")
+    } finally { exporter.stop(); recv.close() }
+  }
+
+  test("config lint: server inputs, writer codecs, statsd, new outputs") {
+    val spec = Config.load(
+      """metrics:
+        |  statsd:
+        |    address: 127.0.0.1:18125
+        |    flush_period: 100ms
+        |input:
+        |  tcp_server:
+        |    address: 127.0.0.1:19999
+        |output:
+        |  file:
+        |    path: /tmp/graft-wc-out
+        |    codec: append
+        |""".stripMargin)
+    assert(spec.output.isInstanceOf[Sinks.CodecFileSink])
+    val spec2 = Config.load(
+      """input:
+        |  redis_list:
+        |    url: redis://lint
+        |    key: q
+        |output:
+        |  socket:
+        |    address: 127.0.0.1:12345
+        |""".stripMargin)
+    assert(spec2.output.isInstanceOf[Sinks.SocketSink])
+    val spec3 = Config.load(
+      """input:
+        |  websocket:
+        |    url: ws://127.0.0.1:1/stream
+        |output:
+        |  subprocess:
+        |    name: cat
+        |""".stripMargin)
+    assert(spec3.output.isInstanceOf[Sinks.SubprocessSink])
+  }
+}
