@@ -386,4 +386,25 @@ object Curation {
         size(col("_kept")).cast(LongType).as("n_kept"),
         array_join(col("_kept"), sep).as("clean_text"))
   }
+
+  /** Dataset version diff — the incremental-curation primitive: given
+    * two snapshots keyed by `idCol` with a content fingerprint, classify
+    * every id as added / removed / changed / unchanged. One full outer
+    * equi-join on the id (co-partitioned shuffle); fingerprints compare
+    * as md5 strings so no text ships through the join. At 100 TB this is
+    * the shape dataset versioning tools run between releases. */
+  def datasetDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      md5(col(textCol).cast(BinaryType)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("id"),
+      md5(col(textCol).cast(BinaryType)).as("new_fp"))
+    o.join(n, scala.Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

@@ -117,6 +117,48 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q142: ANN recall@k evaluation — the eval every approximate index
+    * ships with: |ANN top-k ∩ exact top-k| per query, in basis points.
+    * Composes the two already-gated deterministic structures (q36's
+    * sign-LSH candidates, q29's exact ranking), so the DuckDB oracle
+    * replays BOTH sides and the intersection bit-for-bit. The exact side
+    * broadcasts the query set; the ANN side stays a bucket equi-join —
+    * the recall join itself is k-bounded per query. */
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val ann = q36Lsh.topK(queries, emb, "vec_id", "embedding", 5, probes = 1)
+      .select(col("qid"), col("vid"))
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select(col("qid"), col("vid"))
+    exact.join(ann.withColumn("_hit", lit(1)), scala.Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        expr("n_hits * 10000 div 5").as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
+  /** q143: dataset version diff — old = the documents snapshot, new =
+    * a deterministically derived release (drop md5-bucket 0/1, uppercase
+    * buckets 2/3, append reversed 'f'-bucket docs under shifted ids),
+    * classified by [[Curation.datasetDiff]]'s full-outer fingerprint
+    * join. The oracle derives the same release and diff in SQL. */
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bucket = substring(md5(col("text").cast(BinaryType)), 1, 1)
+    val kept = docs.filter(!bucket.isin("0", "1"))
+      .select(col("doc_id"),
+        when(bucket.isin("2", "3"), upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(bucket === "f")
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        reverse(col("text")).as("text"))
+    val newDf = kept.unionByName(added)
+    Curation.datasetDiff(docs, newDf, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** q112: per-source corpus data card — the datasheet row a curation
     * run publishes per source: volume (docs, token mass), exact-dup rate
     * (token-set fingerprints, basis points), and language-label health
@@ -904,6 +946,8 @@ object LlmQueries {
     "q31_multimodal_meta" -> (q31 _),
     "q140_bmp_decode" -> (q140 _),
     "q141_wav_decode" -> (q141 _),
+    "q142_ann_recall" -> (q142 _),
+    "q143_dataset_diff" -> (q143 _),
     "q77_classifier" -> (q77 _),
     "q78_dup_spans" -> (q78 _),
     "q79_backoff" -> (q79 _),
@@ -1984,6 +2028,46 @@ object LlmQueries {
         |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['le','la','les','et','est','un','une','pour','dans','que'], t))) AS sw_fr,
         |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','los','y','es','un','una','para','en','que'], t))) AS sw_es
         | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q142_ann_recall" ->
+      s"""${annCandSql(q36Lsh, probes = 1, queryPred = "vec_id < 10")},
+         |ann AS (
+         | SELECT qid, vid FROM (
+         |  SELECT qid, vid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+         |  FROM cand)
+         | WHERE rnk <= 5),
+         |ex AS (
+         | SELECT qid, vid FROM (
+         |  SELECT q.qid, c.vid,
+         |   row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY list_cosine_similarity(qv, cv) DESC, vid) AS rnk
+         |  FROM q JOIN c ON c.vid != q.qid)
+         | WHERE rnk <= 5)
+         |SELECT ex.qid,
+         | CAST(count(ann.vid) AS BIGINT) AS n_hits,
+         | CAST(count(ann.vid) * 10000 // 5 AS BIGINT) AS recall_bp
+         |FROM ex LEFT JOIN ann ON ann.qid = ex.qid AND ann.vid = ex.vid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
+    "q143_dataset_diff" ->
+      """WITH old AS (
+        | SELECT doc_id, md5(text) AS old_fp, substr(md5(text),1,1) AS b
+        | FROM documents),
+        |nw AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN b IN ('2','3') THEN upper(text) ELSE text END) AS new_fp
+        | FROM (SELECT doc_id, text, substr(md5(text),1,1) AS b FROM documents)
+        | WHERE b NOT IN ('0','1')
+        | UNION ALL
+        | SELECT doc_id + 1000000, md5(reverse(text))
+        | FROM documents WHERE substr(md5(text),1,1) = 'f')
+        |SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+        | CASE WHEN old.doc_id IS NULL THEN 'added'
+        |      WHEN nw.doc_id IS NULL THEN 'removed'
+        |      WHEN old_fp != new_fp THEN 'changed'
+        |      ELSE 'unchanged' END AS status,
+        | old_fp, new_fp
+        |FROM old FULL JOIN nw ON old.doc_id = nw.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q140_bmp_decode" ->
       """SELECT doc_id,

@@ -98,6 +98,26 @@ object Config {
         else new graft.ops.CacheOps.MemoryCache
       graft.ops.CacheOps.Caches.register(label, store)
     }
+    // `resources:` section (`lib/config/lint.go` surface): named inputs /
+    // outputs / caches usable via the `resource` kinds
+    root.get("resources").map(asMap).foreach { res =>
+      res.get("inputs").map(asMap).getOrElse(Map.empty).foreach {
+        case (label, c) => InputResources.register(label, compileInput(asMap(c)))
+      }
+      res.get("outputs").map(asMap).getOrElse(Map.empty).foreach {
+        case (label, c) =>
+          Sinks.OutputResources.register(label, compileOutput(asMap(c)))
+      }
+      res.get("caches").map(asMap).getOrElse(Map.empty).foreach {
+        case (label, c) =>
+          val cm = asMap(c)
+          val store: graft.ops.CacheOps.CacheStore =
+            if (cm.contains("file"))
+              new graft.ops.CacheOps.FileCache(str(asMap(cm("file")), "directory"))
+            else new graft.ops.CacheOps.MemoryCache
+          graft.ops.CacheOps.Caches.register(label, store)
+      }
+    }
     // rate_limit_resources: named token buckets (local rate limit)
     root.get("rate_limit_resources").map(asList).getOrElse(Nil).foreach { c =>
       val cm = asMap(c)
@@ -202,6 +222,12 @@ object Config {
         // push input: bodies staged by the control plane per request
         // (lib/input/http_server.go); path handled via StreamSpec.pushPath
         s => Sources.httpServer(s)
+      case "inproc" =>
+        val name = m(kind).toString
+        _ => Sinks.Inproc.get(name)
+      case "resource" =>
+        val name = m(kind).toString
+        s => InputResources(name)(s)
       case "socket" =>
         // address "host:port" (lib/input/socket.go); stream: true →
         // Spark's native socket streaming source
@@ -530,6 +556,8 @@ object Config {
       case "redis_list" =>
         graft.ops.RedisListSink(
           graft.ops.FakeRedisFactory(str(conf, "url")), str(conf, "key"))
+      case "inproc" =>
+        Sinks.InprocSink(m(kind).toString)
       case "spark_format" =>
         Sinks.SparkFormatSink(str(conf, "format"),
           conf.get("options").map(asMap).getOrElse(Map.empty)
@@ -611,6 +639,16 @@ object Config {
     case null => Nil
     case o => throw new IllegalArgumentException(s"config: expected list, got $o")
   }
+  /** Named input resources (`input.resource` / `resources.inputs`). */
+  object InputResources {
+    private val inputs =
+      scala.collection.concurrent.TrieMap[String, SparkSession => DataFrame]()
+    def register(name: String, in: SparkSession => DataFrame): Unit =
+      inputs.put(name, in)
+    def apply(name: String): SparkSession => DataFrame = inputs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown input resource $name"))
+  }
+
   private def one(m: Map[String, Any], what: String): (String, Map[String, Any]) = {
     val known = m.filterNot { case (k, _) => k == "label" || k == "processors" }
     require(known.size == 1, s"config: $what must have exactly one component, got ${known.keys}")

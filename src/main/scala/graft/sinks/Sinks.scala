@@ -200,6 +200,24 @@ object Sinks {
     }
   }
 
+  /** `inproc` handoff (`lib/input/inproc.go` / `lib/output/inproc.go`):
+    * pass a message stream between pipelines in the same process. The
+    * Spark-native form hands off the LAZY plan — the downstream pipeline
+    * composes onto the same DataFrame, so Catalyst optimizes across the
+    * boundary and nothing materializes in between (strictly better than
+    * the reference's channel copy). */
+  object Inproc {
+    private val frames = scala.collection.concurrent.TrieMap[String, DataFrame]()
+    def put(name: String, df: DataFrame): Unit = frames.put(name, df)
+    def get(name: String): DataFrame = frames.getOrElse(name,
+      throw new IllegalArgumentException(s"inproc: nothing staged under '$name'"))
+    def clear(): Unit = frames.clear()
+  }
+
+  final case class InprocSink(name: String) extends Sink {
+    def write(df: DataFrame): Unit = Inproc.put(name, df)
+  }
+
   /** Named output resources (`output.resource`). */
   object OutputResources {
     private val sinks = scala.collection.concurrent.TrieMap[String, Sink]()

@@ -199,4 +199,38 @@ class ServerIoSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(spec3.output.isInstanceOf[Sinks.SubprocessSink])
   }
+
+  test("inproc handoff + named input/output resources") {
+    Sinks.Inproc.clear()
+    // pipeline 1 writes to inproc; pipeline 2 reads it via the resource
+    val p1 = Config.load(
+      """resources:
+        |  outputs:
+        |    sink_a:
+        |      inproc: chan1
+        |input:
+        |  generate:
+        |    count: 3
+        |    mapping: 'root.v = this.i * 10'
+        |output:
+        |  resource: sink_a
+        |""".stripMargin)
+    p1.run(spark)
+    val p2 = Config.load(
+      """resources:
+        |  inputs:
+        |    src_a:
+        |      inproc: chan1
+        |input:
+        |  resource: src_a
+        |pipeline:
+        |  processors:
+        |    - bloblang: 'root.v2 = this.v + 1'
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    val out = p2.pipeline.foldLeft(p2.input(spark))((d, pr) => pr(d))
+    assert(out.select(col("doc.v2")).as[Long].collect().sorted.toSeq ==
+      scala.Seq(1L, 11L, 21L))
+  }
 }
