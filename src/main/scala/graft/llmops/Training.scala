@@ -726,4 +726,28 @@ object Training {
       .withColumn("waste_bp", expr("(padded - sum_tokens) * 10000 div padded"))
       .orderBy(col("bucket_len"))
   }
+
+  /** Fill-in-the-middle transformation (PSM order) — the code-model
+    * pretraining op: split each document at two deterministic
+    * id-derived points (prefix 20-49%, middle to 55-79%) and emit
+    * `<PRE>prefix<SUF>suffix<MID>middle`. Pure per-row projection (no
+    * shuffle, codegen'd string ops); the split arithmetic is integer
+    * division so an external engine replays every byte. Returns a
+    * struct (fim, n_pre, n_mid, n_suf). */
+  def fimSplit(text: Column, id: Column): Column = {
+    val len = length(text).cast(LongType)
+    // floor-of-division stays exact: operands ≤ len·79 < 2^53, and a
+    // correctly-rounded double quotient floors to the true integer part
+    val p = floor(len * (pmod(id, lit(30L)) + 20L) / 100L).cast(LongType)
+    val mEnd = floor(len * (pmod(id, lit(25L)) + 55L) / 100L).cast(LongType)
+    val pi = p.cast(IntegerType)
+    val mi = mEnd.cast(IntegerType)
+    val prefix = substring(text, lit(1), pi)
+    val middle = text.substr(pi + 1, mi - pi)
+    val suffix = text.substr(mi + 1, len.cast(IntegerType))
+    struct(
+      concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle).as("fim"),
+      p.as("n_pre"), (mEnd - p).as("n_mid"), (len - mEnd).as("n_suf"))
+  }
 }

@@ -159,6 +159,46 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q144: fill-in-the-middle (PSM) transformation — the code-model
+    * pretraining op ([[Training.fimSplit]]): id-derived deterministic
+    * split points, `<PRE>p<SUF>s<MID>m` re-serialization. Pure per-row
+    * projection; the oracle replays the substring arithmetic. */
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val f = Training.fimSplit(col("text"), col("doc_id"))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(f.getField("fim").cast(BinaryType)).as("fim_md5"),
+        f.getField("n_pre").as("n_pre"),
+        f.getField("n_mid").as("n_mid"),
+        f.getField("n_suf").as("n_suf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q145: chat-template rendering — SFT formatting: each user's events
+    * become `<|type|>props` turns joined in (ts, event_id) order, with
+    * the per-role loss-mask statistic (chars in response-class turns).
+    * One groupBy on the conversation key; the ordered concat is an
+    * array_sort over collected structs (deterministic, no window). */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val turns = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_id"),
+      concat(lit("<|"), col("event_type"), lit("|>"), col("props")).as("turn"),
+      col("event_type"))
+    turns.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("tus"), col("event_id"),
+            col("turn")))),
+          x => x.getField("turn"))).as("_tr"),
+        sum(when(col("event_type").isin("click", "purchase"),
+          length(col("turn")).cast(LongType)).otherwise(0L)).as("mask_chars"))
+      .select(col("user_id"), col("n_turns"),
+        md5(col("_tr").cast(BinaryType)).as("transcript_md5"),
+        length(col("_tr")).cast(LongType).as("n_chars"),
+        col("mask_chars"))
+      .orderBy(col("user_id"))
+  }
+
   /** q112: per-source corpus data card — the datasheet row a curation
     * run publishes per source: volume (docs, token mass), exact-dup rate
     * (token-set fingerprints, basis points), and language-label health
@@ -948,6 +988,8 @@ object LlmQueries {
     "q141_wav_decode" -> (q141 _),
     "q142_ann_recall" -> (q142 _),
     "q143_dataset_diff" -> (q143 _),
+    "q144_fim" -> (q144 _),
+    "q145_chat_render" -> (q145 _),
     "q77_classifier" -> (q77 _),
     "q78_dup_spans" -> (q78 _),
     "q79_backoff" -> (q79 _),
@@ -2029,6 +2071,33 @@ object LlmQueries {
         |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','los','y','es','un','una','para','en','que'], t))) AS sw_es
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q144_fim" ->
+      """WITH f AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  length(text) * (doc_id % 30 + 20) // 100 AS p,
+        |  length(text) * (doc_id % 25 + 55) // 100 AS m
+        | FROM documents)
+        |SELECT doc_id,
+        | md5('<PRE>' || substr(text, 1, p) || '<SUF>' || substr(text, m + 1)
+        |  || '<MID>' || substr(text, p + 1, m - p)) AS fim_md5,
+        | CAST(p AS BIGINT) AS n_pre,
+        | CAST(m - p AS BIGINT) AS n_mid,
+        | CAST(len - m AS BIGINT) AS n_suf
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q145_chat_render" ->
+      """WITH t AS (
+        | SELECT user_id, ts, event_id,
+        |  '<|' || event_type || '|>' || props AS turn, event_type
+        | FROM events)
+        |SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_turns,
+        | md5(string_agg(turn, chr(10) ORDER BY ts, event_id))
+        |  AS transcript_md5,
+        | CAST(length(string_agg(turn, chr(10) ORDER BY ts, event_id))
+        |  AS BIGINT) AS n_chars,
+        | CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+        |  THEN length(turn) ELSE 0 END) AS BIGINT) AS mask_chars
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q142_ann_recall" ->
       s"""${annCandSql(q36Lsh, probes = 1, queryPred = "vec_id < 10")},
          |ann AS (

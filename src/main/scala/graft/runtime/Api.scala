@@ -204,6 +204,22 @@ final class ControlPlane(spark: SparkSession,
             respond(ex, 200, syncParts.mkString("\n"), "application/octet-stream")
           else respond(ex, 200, """{"received":1}""")
         } finally graft.sources.Sources.HttpServerStage.clear()
+      // dynamic-input CRUD (lib/input/dynamic.go REST surface): the
+      // registered YAML fragment becomes a member of the `dynamic` input
+      case ("POST", List("inputs", id)) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        Config.DynamicInputs.set(id, Config.load(
+          if (body.trim.startsWith("input:")) body else s"input:\n" +
+            body.linesIterator.map("  " + _).mkString("\n") +
+            "\noutput:\n  drop: {}\n").input)
+        respond(ex, 200, """{"status":"registered"}""")
+      case ("GET", List("inputs")) =>
+        respond(ex, 200, Config.DynamicInputs.list
+          .map(jsonStr).mkString("[", ",", "]"))
+      case ("DELETE", List("inputs", id)) =>
+        if (Config.DynamicInputs.remove(id))
+          respond(ex, 200, """{"status":"removed"}""")
+        else respond(ex, 404, """{"error":"input not found"}""")
       case ("DELETE", List("streams", id)) =>
         val wasStreaming = registry.stop(id)
         pushSpecs.remove(id)

@@ -237,11 +237,19 @@ object Config {
         val stream = conf.get("stream").exists(_.toString.toBoolean)
         s => if (stream) Sources.socketStream(s, host, port)
              else Sources.socket(s, host, port)
-      case "kafka" =>
+      case "kafka" | "kafka_balanced" =>
+        // kafka_balanced (lib/input/kafka_balanced.go) is v3's
+        // consumer-group variant — Spark's kafka source balances
+        // partitions across tasks natively, so both map identically
         val c = kafkaInputConfig(conf)
         val batch = conf.get("batch").exists(_.toString.toBoolean)
         s => if (batch) graft.sources.Kafka.read(s, c)
              else graft.sources.Kafka.readStream(s, c)
+      case "dynamic" =>
+        // dynamic (lib/input/dynamic.go): REST-managed named input set —
+        // union whatever is registered at plan time (control plane CRUD)
+        val prefix = optStr(conf, "prefix", "")
+        s => DynamicInputs.union(s, prefix)
       case "spark_format" =>
         val format = str(conf, "format")
         val opts = conf.get("options").map(asMap).getOrElse(Map.empty)
@@ -558,6 +566,8 @@ object Config {
           graft.ops.FakeRedisFactory(str(conf, "url")), str(conf, "key"))
       case "inproc" =>
         Sinks.InprocSink(m(kind).toString)
+      case "websocket" =>
+        Sinks.WebsocketSink(str(conf, "url"))
       case "spark_format" =>
         Sinks.SparkFormatSink(str(conf, "format"),
           conf.get("options").map(asMap).getOrElse(Map.empty)
@@ -639,6 +649,26 @@ object Config {
     case null => Nil
     case o => throw new IllegalArgumentException(s"config: expected list, got $o")
   }
+  /** `dynamic` input registry (`lib/input/dynamic.go`): a named,
+    * REST-mutable set of inputs; the dynamic input unions the current
+    * members at plan time. The control plane exposes CRUD at
+    * `/inputs/{id}`. */
+  object DynamicInputs {
+    private val inputs =
+      scala.collection.concurrent.TrieMap[String, SparkSession => DataFrame]()
+    def set(name: String, in: SparkSession => DataFrame): Unit =
+      inputs.put(name, in)
+    def remove(name: String): Boolean = inputs.remove(name).isDefined
+    def list: scala.Seq[String] = inputs.keys.toSeq.sorted
+    def union(s: SparkSession, prefix: String): DataFrame = {
+      val members = inputs.toSeq.sortBy(_._1)
+        .filter { case (n, _) => prefix.isEmpty || n.startsWith(prefix) }
+        .map(_._2(s))
+      require(members.nonEmpty, "dynamic input: no members registered")
+      members.reduce(_.unionByName(_))
+    }
+  }
+
   /** Named input resources (`input.resource` / `resources.inputs`). */
   object InputResources {
     private val inputs =

@@ -349,6 +349,31 @@ object Sinks {
     }
   }
 
+  /** `websocket` output (`lib/output/writer/websocket.go`): one JDK
+    * WebSocket client per partition, one text frame per message. */
+  final case class WebsocketSink(url: String, openTimeoutMs: Int = 10000)
+      extends Sink {
+    def write(df: DataFrame): Unit = {
+      val (u, tmo) = (url, openTimeoutMs)
+      df.select(Envelope.contentOrDoc(df).cast("string").as("v"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.nonEmpty) {
+            val ws = java.net.http.HttpClient.newHttpClient()
+              .newWebSocketBuilder()
+              .connectTimeout(java.time.Duration.ofMillis(tmo))
+              .buildAsync(java.net.URI.create(u),
+                new java.net.http.WebSocket.Listener {})
+              .get(tmo, java.util.concurrent.TimeUnit.MILLISECONDS)
+            try rows.foreach(r =>
+              ws.sendText(r.getString(0), true)
+                .get(tmo, java.util.concurrent.TimeUnit.MILLISECONDS))
+            finally ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
+              .get(tmo, java.util.concurrent.TimeUnit.MILLISECONDS)
+          }
+        }
+    }
+  }
+
   /** `subprocess` output (`lib/output/subprocess.go`): pipe each
     * message as a line to a subprocess's stdin, one process per
     * partition. */

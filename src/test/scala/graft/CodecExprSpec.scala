@@ -77,4 +77,23 @@ class CodecExprSpec extends AnyFunSuite {
       .filter(col("t1") === col("t2")).count()
     assert(n == docs.count())
   }
+
+  test("randomized roundtrip: 200 random payloads, every deflate algorithm") {
+    val rnd = new scala.util.Random(42)
+    val payloads = (0 until 200).map { i =>
+      val n = rnd.nextInt(5000)
+      val b = new Array[Byte](n)
+      // mix of compressible (zero runs) and incompressible payloads
+      if (i % 3 == 0) rnd.nextBytes(b)
+      else java.util.Arrays.fill(b, (i % 7).toByte)
+      b
+    }
+    val df = payloads.toDF("b")
+    for (alg <- scala.Seq("gzip", "zlib", "flate")) {
+      val bad = df.select(col("b"),
+          CodecExpr.decompress(CodecExpr.compress(col("b"), alg), alg).as("r"))
+        .filter(not(col("b") <=> col("r"))).count()
+      assert(bad == 0L, s"alg=$alg")
+    }
+  }
 }

@@ -233,4 +233,44 @@ class ServerIoSpec extends AnyFunSuite {
     assert(out.select(col("doc.v2")).as[Long].collect().sorted.toSeq ==
       scala.Seq(1L, 11L, 21L))
   }
+
+  test("dynamic input: REST-registered members union at plan time") {
+    val api = new graft.runtime.ControlPlane(spark).start()
+    val base = s"http://localhost:${api.boundPort}"
+    def http(method: String, url: String, body: String = null): (Int, String) = {
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      if (body != null) { conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8")) }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+      conn.disconnect(); (code, text)
+    }
+    try {
+      http("POST", s"$base/inputs/gen_a",
+        "generate:\n  count: 2\n  mapping: 'root.v = 1'\n")
+      http("POST", s"$base/inputs/gen_b",
+        "generate:\n  count: 3\n  mapping: 'root.v = 2'\n")
+      assert(http("GET", s"$base/inputs")._2.contains("gen_a"))
+      val spec = Config.load(
+        "input:\n  dynamic: {}\npipeline:\n  processors:\n    - noop: {}\noutput:\n  drop: {}\n")
+      assert(spec.input(spark).count() == 5)
+      assert(http("DELETE", s"$base/inputs/gen_b")._1 == 200)
+      assert(spec.input(spark).count() == 2)
+    } finally {
+      Config.DynamicInputs.remove("gen_a"); Config.DynamicInputs.remove("gen_b")
+      api.stop()
+    }
+  }
+
+  test("websocket output lints; kafka_balanced aliases kafka") {
+    val s1 = Config.load(
+      "input:\n  generate:\n    count: 1\n    mapping: 'root.x = 1'\noutput:\n  websocket:\n    url: ws://127.0.0.1:1/out\n")
+    assert(s1.output.isInstanceOf[Sinks.WebsocketSink])
+    val s2 = Config.load(
+      "input:\n  kafka_balanced:\n    addresses: [h:9092]\n    topics: [t]\n    batch: true\noutput:\n  drop: {}\n")
+    assert(s2.pipeline.isEmpty)
+  }
 }
