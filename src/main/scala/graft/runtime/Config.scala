@@ -258,7 +258,8 @@ object Config {
         s => Sources.sparkFormat(s, format, opts, stream)
       case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
           "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
-          "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams") =>
+          "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams" |
+          "redis_pubsub" | "zmq4" | "nanomsg" | "scalability_protocols") =>
         // broker breadth (lib/input/constructor.go registry): binding is
         // compiled (and linted) NOW; the transport format resolves at
         // call time from the deploy-provided connector jar

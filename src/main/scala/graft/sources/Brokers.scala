@@ -140,6 +140,24 @@ object Brokers {
         s(conf, "url").map("spark.redis.url" -> _) ++
         s(conf, "consumer_group").map("stream.group.name" -> _) ++
         s(conf, "client_id").map("stream.consumer.prefix" -> _))
+    case "redis_pubsub" =>
+      // lib/input/reader/redis_pubsub.go: channels fan-in
+      Binding(kind, "redis", Map(
+        "channels" -> reqList(conf, kind, "channels").mkString(",")) ++
+        s(conf, "url").map("spark.redis.url" -> _))
+    case "zmq4" =>
+      // lib/input/reader/zmq4.go: urls + socket type + subscribe filters
+      Binding(kind, "zeromq", Map(
+        "urls" -> reqList(conf, kind, "urls").mkString(","),
+        "socketType" -> s(conf, "socket_type").getOrElse("PULL")) ++
+        (if (list(conf, "sub_filters").nonEmpty)
+          Map("subFilters" -> list(conf, "sub_filters").mkString(","))
+         else Map.empty))
+    case "nanomsg" | "scalability_protocols" =>
+      // lib/input/reader/scale_proto.go: urls + socket type
+      Binding(kind, "nanomsg", Map(
+        "urls" -> reqList(conf, kind, "urls").mkString(","),
+        "socketType" -> s(conf, "socket_type").getOrElse("PULL")))
     case o => throw new IllegalArgumentException(s"unknown broker input $o")
   }
 
@@ -261,7 +279,8 @@ object Brokers {
     case "pulsar" => pulsarEnvelope(records)
     case "mqtt" => mqttEnvelope(records)
     case "aws_sqs" | "sqs" | "gcp_pubsub" | "amqp_0_9" | "amqp" | "amqp_1" |
-        "nsq" | "nats" | "nats_stream" | "nats_jetstream" =>
+        "nsq" | "nats" | "nats_stream" | "nats_jetstream" | "redis_pubsub" |
+        "zmq4" | "nanomsg" | "scalability_protocols" =>
       valueEnvelope(records, kind)
     case "redis_streams" => valueEnvelope(records, kind, "body")
     case o => throw new IllegalArgumentException(s"unknown broker kind $o")

@@ -160,4 +160,24 @@ class BrokersSpec extends AnyFunSuite {
     // the envelope schema is canonical
     assert(env.columns.toSeq == Envelope.envelopeCols)
   }
+
+  test("redis_pubsub / zmq4 / nanomsg bindings + config lint") {
+    val chans = new java.util.ArrayList[String](); chans.add("ch1")
+    val b1 = Brokers.input("redis_pubsub",
+      Map("url" -> "redis://h", "channels" -> chans))
+    assert(b1.options("channels") == "ch1")
+    val urls = new java.util.ArrayList[String](); urls.add("tcp://h:5555")
+    val b2 = Brokers.input("zmq4", Map("urls" -> urls, "socket_type" -> "SUB"))
+    assert(b2.format == "zeromq" && b2.options("socketType") == "SUB")
+    val b3 = Brokers.input("nanomsg", Map("urls" -> urls))
+    assert(b3.options("socketType") == "PULL")
+    for ((kind, fields) <- scala.Seq(
+        "redis_pubsub" -> "    url: redis://h\n    channels: [c]\n",
+        "zmq4" -> "    urls: [tcp://h:5555]\n",
+        "nanomsg" -> "    urls: [tcp://h:5556]\n")) {
+      val spec = graft.runtime.Config.load(
+        s"input:\n  $kind:\n$fields" + "output:\n  drop: {}\n")
+      assert(spec.streaming || !spec.streaming, kind) // compiled
+    }
+  }
 }
