@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
@@ -197,6 +198,51 @@ object LlmQueries {
         length(col("_tr")).cast(LongType).as("n_chars"),
         col("mask_chars"))
       .orderBy(col("user_id"))
+  }
+
+  /** q146: preference-pair assembly — the RLHF/DPO data op: per user,
+    * the highest-value and lowest-value click become the
+    * (chosen, rejected) tuple (ties broken by event_id; users need ≥2
+    * clicks). Two rankings over ONE user-partitioned window shuffle;
+    * raw parquet doubles pass through untransformed, so both engines
+    * hash bit-identically. */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val clicks = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+    val ranked = clicks.select(col("user_id"), col("event_id"), col("value"),
+      row_number().over(w.orderBy(col("value").desc, col("event_id"))).as("_best"),
+      row_number().over(w.orderBy(col("value").asc, col("event_id"))).as("_worst"),
+      count(lit(1)).over(w).as("_n"))
+    val chosen = ranked.filter(col("_best") === 1 && col("_n") >= 2)
+      .select(col("user_id"), col("event_id").as("chosen_id"),
+        col("value").as("chosen_value"))
+    val rejected = ranked.filter(col("_worst") === 1 && col("_n") >= 2)
+      .select(col("user_id"), col("event_id").as("rejected_id"),
+        col("value").as("rejected_value"))
+    chosen.join(rejected, "user_id").orderBy(col("user_id"))
+  }
+
+  /** q147: structured-output validation rate — the tool-call/JSON-mode
+    * health metric: validate every event's props against a JSON schema
+    * with the engine's REAL draft-07 validator
+    * ([[graft.exprs.Formats.jsonSchemaError]]) and report per-type valid
+    * counts; the oracle replays the k ∈ [0,50] constraint arithmetically,
+    * so a validator bug flips the gate. */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    val schema =
+      """{"type":"object","required":["k"],
+        |"properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}"""
+        .stripMargin
+    t(s, dir, "events").select(col("event_type"),
+        graft.exprs.Formats.jsonSchemaError(col("props"), schema).as("_err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_err").isNull, 1L).otherwise(0L)).as("n_valid"))
+      .select(col("event_type"), col("n"), col("n_valid"),
+        expr("n_valid * 10000 div n").as("valid_bp"))
+      .orderBy(col("event_type"))
   }
 
   /** q112: per-source corpus data card — the datasheet row a curation
@@ -990,6 +1036,8 @@ object LlmQueries {
     "q143_dataset_diff" -> (q143 _),
     "q144_fim" -> (q144 _),
     "q145_chat_render" -> (q145 _),
+    "q146_preference_pairs" -> (q146 _),
+    "q147_schema_validate" -> (q147 _),
     "q77_classifier" -> (q77 _),
     "q78_dup_spans" -> (q78 _),
     "q79_backoff" -> (q79 _),
@@ -2071,6 +2119,35 @@ object LlmQueries {
         |  len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','los','y','es','un','una','para','en','que'], t))) AS sw_es
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q146_preference_pairs" ->
+      """WITH c AS (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY value DESC, event_id) AS best,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY value ASC, event_id) AS worst,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM events WHERE event_type = 'click')
+        |SELECT ch.user_id,
+        | ch.event_id AS chosen_id, ch.value AS chosen_value,
+        | rj.event_id AS rejected_id, rj.value AS rejected_value
+        |FROM (SELECT * FROM c WHERE best = 1 AND n >= 2) ch
+        |JOIN (SELECT * FROM c WHERE worst = 1 AND n >= 2) rj
+        | USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q147_schema_validate" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CASE WHEN json_type(json_extract(props, '$.k')) IN
+        |    ('INTEGER', 'UBIGINT', 'BIGINT')
+        |   AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
+        |   THEN 1 ELSE 0 END AS ok
+        | FROM events)
+        |SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(ok) AS BIGINT) AS n_valid,
+        | CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS valid_bp
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q144_fim" ->
       """WITH f AS (
         | SELECT doc_id, text, length(text) AS len,
