@@ -653,4 +653,69 @@ object Dedup {
         expr("n_shared * 10000 div n_fp").as("dup_bp"))
       .withColumn("flagged", col("dup_bp") >= thresholdBp)
   }
+
+  /** EXACT all-pairs n-gram-Jaccard similarity join via prefix filtering
+    * (the PPJoin family — Xiao et al., WWW'08): every pair of documents
+    * whose distinct word-bigram sets have Jaccard ≥ thresholdBp/10000,
+    * with NO false negatives (the probabilistic LSH paths above trade
+    * recall for speed; this is the exact counterpart you run when recall
+    * must be 1.0 — e.g. legal dedup attestations).
+    *
+    * Prefix-filtering theorem: order every document's n-grams by a global
+    * total order (rarest-first: df asc, gram asc) and keep only the first
+    * p = s − ⌈t·s⌉ + 1 of them; two documents with J ≥ t MUST share a
+    * kept prefix gram. So the candidate join is an equi-join on prefix
+    * grams — rare tokens by construction, tiny buckets — never a cross
+    * product, and the size filter t·sa ≤ sb ≤ sa/t prunes before the
+    * verify. We use p = s − ⌊t·s⌋ + 1 (≥ the required length: only ever
+    * admits extra candidates, never loses one).
+    *
+    * Verification is an integer-exact rational compare
+    * (|∩|·10000 ≥ t_bp·|∪|) — no float threshold edge.
+    *
+    * Scale shape: df aggregate is word-count-shaped (map-side combine);
+    * prefix relation carries O(Σ p_i) rows ≪ corpus grams; the verify
+    * join touches only surviving candidate pairs. Output:
+    * (id_a, id_b, jac_bp), id_a < id_b. */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+      thresholdBp: Int = 7000): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"jaccardJoinExact: thresholdBp must be in (0, 10000], got $thresholdBp")
+    val toks = split(col(textCol), " ")
+    val grams = df.select(col(idCol).as("id"),
+      array_distinct(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val g = grams.select(col("id"), explode(col("grams")).as("gram"))
+    val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    // rarest-first global order, materialized as a sort key the verify
+    // stage never needs (it re-joins the unordered full sets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("gdf"), col("gram"))
+    val prefix = g.join(dfreq, "gram")
+      .withColumn("_r", row_number().over(w))
+      .join(grams.select(col("id"), size(col("grams")).cast(LongType).as("sz")), "id")
+      .filter(col("_r") <= col("sz") - expr(s"$thresholdBp * sz div 10000") + 1)
+      .select(col("gram"), col("id"), col("sz"))
+    val cand = prefix.toDF("gram", "id_a", "sz_a")
+      .join(prefix.toDF("gram", "id_b", "sz_b"), "gram")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * thresholdBp <= col("sz_b") * 10000L &&
+        col("sz_b") * thresholdBp <= col("sz_a") * 10000L)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(grams.toDF("id_a", "g_a"), "id_a")
+      .join(grams.toDF("id_b", "g_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast(LongType).as("inter"),
+        (size(col("g_a")) + size(col("g_b"))).cast(LongType).as("ssum"))
+      .withColumn("uni", col("ssum") - col("inter"))
+      .filter(col("inter") * 10000L >= col("uni") * thresholdBp)
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 10000 div uni").as("jac_bp"))
+  }
 }

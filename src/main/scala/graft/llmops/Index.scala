@@ -134,4 +134,50 @@ object Index {
       .join(nDocs, "_one")
       .select(col("did"), expr("sum_df * 10000 div (dl * n_docs)").as("common_bp"))
   }
+
+  /** Lexical retrieval by distinct-token overlap: for each query document,
+    * the top-k corpus documents ranked by |tokens(q) ∩ tokens(d)| — the
+    * candidate-generation stage of a sparse retriever (a df-weighted score
+    * drops in by joining a df relation here; the overlap count keeps the
+    * gate integer-exact). Self-matches are excluded.
+    *
+    * Plan: the query token set is tiny (|queries| docs) — broadcast, so
+    * the corpus-side posting explode never shuffles for the join; only
+    * matching (qid, did) rows reach the count aggregate, O(hits). At
+    * deploy scale, filter stopwords (df cap) before the join so ubiquitous
+    * tokens don't inflate the hit relation. Output: (qid, vid, rnk). */
+  def overlapTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    def toks(d: DataFrame, as: String) = d.select(col(idCol).as(as),
+      explode(array_distinct(split(col(textCol), " "))).as("token"))
+    val hits = toks(corpus, "vid").join(broadcast(toks(queries, "qid")), "token")
+      .filter(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid")).agg(count(lit(1)).as("ov"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ov").desc, col("vid"))
+    hits.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("vid"), col("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of ranked lists —
+    * the standard hybrid-retrieval combiner (BM25 ⊕ dense ANN). Each list
+    * is (qid, vid, rnk); an entry contributes floor(1000000 / (k0 + rnk))
+    * so scores stay integer-exact for the oracle. Ties break on vid.
+    *
+    * Plan: union of the (small, k-bounded per query) lists → one groupBy
+    * on (qid, vid) → per-query window top-k. Every relation after the
+    * union is O(queries · k · lists) — negligible at any corpus scale;
+    * the cost lives in the upstream retrievers. */
+  def rrfFuse(lists: scala.Seq[DataFrame], k0: Int, topK: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val scored = lists.map(_.select(col("qid"), col("vid"),
+      (lit(1000000L) / (lit(k0.toLong) + col("rnk"))).cast(
+        org.apache.spark.sql.types.LongType).as("s")))
+    val fused = scored.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("vid")).agg(sum(col("s")).as("rrf_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf_bp").desc, col("vid"))
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("qid"), col("vid"), col("rrf_bp"), col("rnk"))
+  }
 }

@@ -140,6 +140,36 @@ object LlmQueries {
       .orderBy(col("qid"))
   }
 
+  /** q148: hybrid retrieval with reciprocal-rank fusion — the RAG-stack
+    * combiner: a lexical list ([[Index.overlapTopK]] distinct-token
+    * overlap, the sparse-retriever candidate stage) fused with the exact
+    * dense list (q29's cosine ranking) by RRF (k0=60). Scores are
+    * floor(1e6/(60+rnk)) sums, integer-exact; the documents/embeddings
+    * tables share the id space, so both retrievers rank the same corpus.
+    * The oracle replays both rankings and the fused sum bit-for-bit. */
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lex = Index.overlapTopK(docs.filter(col("doc_id") < 10), docs,
+      "doc_id", "text", k = 5)
+    val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10),
+      emb, "vec_id", "embedding", k = 5)
+    Index.rrfFuse(scala.Seq(lex, dense), k0 = 60, topK = 5)
+      .select(col("qid"), col("vid"), col("rrf_bp"),
+        col("rnk").cast(LongType).as("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q149: EXACT all-pairs word-bigram-Jaccard join at t=0.7 via prefix
+    * filtering ([[Dedup.jaccardJoinExact]] — PPJoin-style, zero false
+    * negatives by the prefix theorem). The oracle brute-forces ALL pairs,
+    * so any candidate the prefix join dropped would flip the gate — the
+    * exactness claim itself is what's under test. */
+  def q149(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text",
+        thresholdBp = 7000)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** q143: dataset version diff — old = the documents snapshot, new =
     * a deterministically derived release (drop md5-bucket 0/1, uppercase
     * buckets 2/3, append reversed 'f'-bucket docs under shifted ids),
@@ -1038,6 +1068,8 @@ object LlmQueries {
     "q145_chat_render" -> (q145 _),
     "q146_preference_pairs" -> (q146 _),
     "q147_schema_validate" -> (q147 _),
+    "q148_rrf_fusion" -> (q148 _),
+    "q149_jaccard_join" -> (q149 _),
     "q77_classifier" -> (q77 _),
     "q78_dup_spans" -> (q78 _),
     "q79_backoff" -> (q79 _),
@@ -2148,6 +2180,61 @@ object LlmQueries {
         | CAST(sum(ok) AS BIGINT) AS n_valid,
         | CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS valid_bp
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q148_rrf_fusion" ->
+      """WITH qd AS (
+        | SELECT doc_id AS qid, list_distinct(string_split(text, ' ')) AS qt
+        | FROM documents WHERE doc_id < 10),
+        |cd AS (
+        | SELECT doc_id AS vid, list_distinct(string_split(text, ' ')) AS ct
+        | FROM documents),
+        |ov AS (
+        | SELECT qid, vid, len(list_intersect(qt, ct)) AS ov
+        | FROM qd JOIN cd ON vid != qid),
+        |lex AS (
+        | SELECT qid, vid, rnk FROM (
+        |  SELECT qid, vid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY ov DESC, vid) AS rnk
+        |  FROM ov WHERE ov > 0) WHERE rnk <= 5),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |      WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS vid, embedding AS cv FROM embeddings),
+        |dense AS (
+        | SELECT qid, vid, rnk FROM (
+        |  SELECT q.qid, c.vid,
+        |   row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, vid) AS rnk
+        |  FROM q JOIN c ON c.vid != q.qid) WHERE rnk <= 5),
+        |u AS (
+        | SELECT qid, vid, 1000000 // (60 + rnk) AS s FROM lex
+        | UNION ALL
+        | SELECT qid, vid, 1000000 // (60 + rnk) AS s FROM dense),
+        |f AS (
+        | SELECT qid, vid, CAST(sum(s) AS BIGINT) AS rrf_bp
+        | FROM u GROUP BY qid, vid)
+        |SELECT qid, vid, rrf_bp, rnk FROM (
+        | SELECT qid, vid, rrf_bp,
+        |  row_number() OVER (PARTITION BY qid
+        |   ORDER BY rrf_bp DESC, vid) AS rnk
+        | FROM f) WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    "q149_jaccard_join" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([tk[i] || ' ' || tk[i+1]
+        |                 for i in range(1, len(tk))]) AS ts
+        | FROM toks WHERE len(tk) >= 2),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+        |  CAST(len(a.ts) + len(b.ts)
+        |       - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS u
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE len(a.ts) > 0 AND len(b.ts) > 0)
+        |SELECT id_a, id_b, CAST(i * 10000 // u AS BIGINT) AS jac_bp
+        |FROM p WHERE i * 10000 >= 7000 * u
+        |ORDER BY id_a, id_b""".stripMargin,
     "q144_fim" ->
       """WITH f AS (
         | SELECT doc_id, text, length(text) AS len,

@@ -249,4 +249,42 @@ class LlmSpec extends AnyFunSuite {
     // the corpus-internal pair (100,102) must NOT appear
     assert(got == Set((1L, 100L), (1L, 102L)), s"got $got")
   }
+
+  test("jaccardJoinExact: prefix-filtered join == randomized brute force") {
+    import spark.implicits._
+    // 40 docs from a tiny vocabulary so bigram sets genuinely overlap;
+    // seeded RNG keeps the spec deterministic
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 40L).map { i =>
+      val base = Vector.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+      (i, base.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinExact(df, "doc_id", "text", thresholdBp = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force on the driver over all pairs
+    def bigrams(t: String) = t.split(" ").sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")).toSet
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = bigrams(ta); gb = bigrams(tb) if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size.toLong
+      uni = ga.size + gb.size - inter
+      if inter * 10000L >= 5000L * uni
+    } yield (ia, ib, inter * 10000L / uni)).toSet
+    assert(want.nonEmpty, "degenerate spec: brute force found no pairs")
+    assert(got == want, s"prefix join diverged: missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("rrfFuse: hand-computed fusion of two 2-entry lists") {
+    import spark.implicits._
+    val a = scala.Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "vid", "rnk")
+    val b = scala.Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("qid", "vid", "rnk")
+    val got = Index.rrfFuse(scala.Seq(a, b), k0 = 60, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toList
+    // 11: floor(1e6/62)+floor(1e6/61) = 16129+16393 = 32522 (rank 1)
+    // 10: floor(1e6/61) = 16393 (rank 2); 12: floor(1e6/62) = 16129
+    assert(got == List((11L, 32522L, 1), (10L, 16393L, 2), (12L, 16129L, 3)), s"got $got")
+  }
 }
