@@ -10,7 +10,7 @@ import graft.streaming.StreamRegistry
   * Batch observations publish after their action completes; streaming
   * metrics surface through query progress (`/streams/{id}/stats`). */
 object Metrics {
-  private val observations =
+  private[runtime] val observations =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.Observation]()
 
   def observation(name: String): org.apache.spark.sql.Observation =

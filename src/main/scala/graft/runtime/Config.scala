@@ -56,6 +56,19 @@ object Config {
     // spans serve from the control plane's /traces (no agent in image).
     root.get("tracer").map(asMap).foreach { t =>
       if (t.contains("none")) Tracing.disable() else Tracing.enable()
+      // jaeger with an agent_address additionally streams finished spans
+      // to the agent over the REAL thrift-compact UDP wire format
+      // (`lib/tracer/jaeger.go` agent mode); without one, spans stay on
+      // the in-proc /traces surface only.
+      t.get("jaeger").map(asMap).foreach { j =>
+        j.get("agent_address").map(_.toString).foreach { a =>
+          val hp = a.split(":", 2)
+          require(hp.length == 2, "tracer jaeger: agent_address must be host:port")
+          val rep = new JaegerUdpReporter(hp(0), hp(1).toInt,
+            j.get("service_name").map(_.toString).getOrElse("graft"))
+          Tracing.onFlush(spans => { rep.report(spans); () })
+        }
+      }
     }
     // metrics section (`lib/metrics/constructor.go:74-84`): prometheus is
     // always-on via the control plane's /metrics; statsd starts a UDP
@@ -72,6 +85,23 @@ object Config {
           .getOrElse(1000L)
         new StatsdExporter(addr(0), addr(1).toInt, periodMs,
           sd.get("prefix").map(_.toString).getOrElse("graft")).start()
+        ()
+      }
+      // influxdb: line protocol over UDP (`lib/metrics/influxdb.go` UDP
+      // listener shape) — same periodic-flush contract as statsd
+      mm.get("influxdb").map(asMap).foreach { in =>
+        val addr = str(in, "address").split(":", 2)
+        require(addr.length == 2, "metrics influxdb: address must be host:port")
+        new InfluxExporter(addr(0), addr(1).toInt,
+          measurement = in.get("measurement").map(_.toString).getOrElse("graft"))
+          .start()
+        ()
+      }
+      // cloudwatch: EMF JSON to stdout — the egress-free CloudWatch
+      // ingestion path (agent/Lambda log scraping); no SDK client needed
+      mm.get("cloudwatch").map(asMap).foreach { cw =>
+        val ns = cw.get("namespace").map(_.toString).getOrElse("graft")
+        new EmfExporter(ns).start()
         ()
       }
     }

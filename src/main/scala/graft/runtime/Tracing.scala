@@ -40,6 +40,18 @@ object Tracing {
 
   def clear(): Unit = finished.clear()
 
+  // external reporters (e.g. the jaeger UDP agent wire): invoked with a
+  // completed trace's spans whenever a ROOT span finishes
+  private val flushHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[scala.Seq[Span] => Unit]()
+  def onFlush(cb: scala.Seq[Span] => Unit): Unit = flushHooks.add(cb)
+  def clearFlushHooks(): Unit = flushHooks.clear()
+  private def fireFlush(traceId: Long): Unit =
+    if (!flushHooks.isEmpty) {
+      val trace = spans.filter(_.traceId == traceId)
+      flushHooks.forEach(cb => cb(trace))
+    }
+
   private def nowUs: Long = System.nanoTime() / 1000L
 
   /** Record `f` as a span (child of the enclosing span on this thread). */
@@ -57,7 +69,7 @@ object Tracing {
         active.set(active.get.tail)
         s.endUs = nowUs
         finished.add(s)
-        if (parent.isEmpty) lastOpened = None
+        if (parent.isEmpty) { lastOpened = None; fireFlush(s.traceId) }
       }
     }
 
