@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  private case class ImgMeta(n_bytes: Long, format: String,
+  case class ImgMeta(n_bytes: Long, format: String,
       width: java.lang.Long, height: java.lang.Long)
 
   /** Real image metadata via javax.imageio: reads just the header (no
@@ -83,7 +83,7 @@ object Multimodal {
     f(payload)
   }
 
-  private case class AudioMeta(n_bytes: Long, format: String,
+  case class AudioMeta(n_bytes: Long, format: String,
       channels: java.lang.Integer, sample_rate: java.lang.Float,
       frames: java.lang.Long, duration_ms: java.lang.Double)
 

@@ -286,6 +286,18 @@ object Config {
           .map { case (k, v) => k -> v.toString }
         val stream = conf.get("streaming").forall(_.toString.toBoolean)
         s => Sources.sparkFormat(s, format, opts, stream)
+      case k @ ("aws_s3" | "s3" | "gcp_cloud_storage" | "azure_blob_storage" |
+          "hdfs" | "sftp") =>
+        // object-store inputs (lib/input/aws_s3.go, gcp_cloud_storage.go,
+        // azure_blob_storage.go, hdfs.go, sftp.go): Spark reads these
+        // stores natively through Hadoop FileSystem URI schemes, so the
+        // connector config compiles to a path + the SAME codec machinery
+        // as `file` — a list+download loop would fight the scheduler.
+        // `scheme` is overridable (tests use file://); credentials ride
+        // the standard Hadoop conf, not this config.
+        val path = objectStorePath(k, conf)
+        val codec = conf.get("codec").map(_.toString).getOrElse("lines")
+        s => Sources.file(s, path, codec)
       case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
           "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
           "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams" |
@@ -604,6 +616,13 @@ object Config {
           conf.get("options").map(asMap).getOrElse(Map.empty)
             .map { case (k, v) => k -> v.toString },
           optStr(conf, "mode", "append"))
+      case k @ ("aws_s3" | "s3" | "gcp_cloud_storage" | "azure_blob_storage" |
+          "hdfs" | "sftp") =>
+        // object-store outputs: the write side of the URI-scheme mapping
+        // — a per-task parallel file write, never a driver upload loop
+        Sinks.FileSink(objectStorePath(k, conf),
+          conf.get("codec").orElse(conf.get("format")).map(_.toString)
+            .getOrElse("lines"))
       case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
           "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
           "amqp" | "nsq" | "pulsar" | "redis_streams") =>
@@ -708,6 +727,47 @@ object Config {
       inputs.put(name, in)
     def apply(name: String): SparkSession => DataFrame = inputs.getOrElse(name,
       throw new IllegalArgumentException(s"unknown input resource $name"))
+  }
+
+  /** Canonical Hadoop-FileSystem URI for an object-store connector config.
+    * Field names follow the reference per kind (bucket/prefix for s3+gcs,
+    * storage_account+container for azure, directory for hdfs, address+path
+    * for sftp); `scheme` overrides for tests (file://) or alt connectors
+    * (s3n, abfs, wasbs). */
+  def objectStorePath(kind: String, conf: Map[String, Any]): String = {
+    val scheme = conf.get("scheme").map(_.toString).getOrElse(kind match {
+      case "aws_s3" | "s3" => "s3a"
+      case "gcp_cloud_storage" => "gs"
+      case "azure_blob_storage" => "abfss"
+      case "hdfs" => "hdfs"
+      case "sftp" => "sftp"
+      case o => throw new IllegalArgumentException(s"objectStorePath: $o")
+    })
+    def prefix = conf.get("prefix").orElse(conf.get("path")).map(_.toString)
+      .map(p => if (p.startsWith("/")) p else "/" + p).getOrElse("")
+    kind match {
+      case "aws_s3" | "s3" | "gcp_cloud_storage" =>
+        s"$scheme://${str(conf, "bucket")}$prefix"
+      case "azure_blob_storage" =>
+        val container = str(conf, "container")
+        conf.get("storage_account").map(_.toString) match {
+          case Some(acct) if scheme.startsWith("abfs") =>
+            s"$scheme://$container@$acct.dfs.core.windows.net$prefix"
+          case Some(acct) if scheme.startsWith("wasb") =>
+            s"$scheme://$container@$acct.blob.core.windows.net$prefix"
+          case _ => s"$scheme://$container$prefix"
+        }
+      case "hdfs" =>
+        val host = strings(conf, "hosts").headOption.getOrElse("")
+        val dir = str(conf, "directory")
+        s"$scheme://$host${if (dir.startsWith("/")) dir else "/" + dir}"
+      case "sftp" =>
+        val addr = optStr(conf, "address")
+        val p = conf.get("paths").map(asList(_).map(_.toString)).toSeq.flatten
+          .headOption.orElse(conf.get("path").map(_.toString)).getOrElse("")
+        s"$scheme://$addr${if (p.startsWith("/")) p else "/" + p}"
+      case o => throw new IllegalArgumentException(s"objectStorePath: $o")
+    }
   }
 
   private def one(m: Map[String, Any], what: String): (String, Map[String, Any]) = {

@@ -500,4 +500,46 @@ class ConfigSpec extends AnyFunSuite {
     val prom = graft.runtime.Metrics.prometheus
     assert(prom.contains("graft_rows_seen_count 7.0"), prom)
   }
+
+  test("object-store connector configs build canonical Hadoop URIs") {
+    import graft.runtime.Config.objectStorePath
+    assert(objectStorePath("aws_s3",
+      Map("bucket" -> "corpus", "prefix" -> "docs/2026")) ==
+      "s3a://corpus/docs/2026")
+    assert(objectStorePath("gcp_cloud_storage",
+      Map("bucket" -> "corpus")) == "gs://corpus")
+    assert(objectStorePath("azure_blob_storage",
+      Map("storage_account" -> "acct", "container" -> "c",
+        "prefix" -> "p")) == "abfss://c@acct.dfs.core.windows.net/p")
+    assert(objectStorePath("azure_blob_storage",
+      Map("storage_account" -> "acct", "container" -> "c",
+        "scheme" -> "wasbs")) == "wasbs://c@acct.blob.core.windows.net")
+    assert(objectStorePath("hdfs",
+      Map("hosts" -> java.util.List.of("nn:8020"),
+        "directory" -> "/data/in")) == "hdfs://nn:8020/data/in")
+    assert(objectStorePath("sftp",
+      Map("address" -> "host:22",
+        "paths" -> java.util.List.of("/up/file.jsonl"))) ==
+      "sftp://host:22/up/file.jsonl")
+  }
+
+  test("aws_s3 input with file:// scheme override reads through the file codec path") {
+    val dir = Files.createTempDirectory("graft-s3").toString
+    Files.writeString(java.nio.file.Path.of(dir, "a.txt"), "s3row1\ns3row2\n")
+    val out = Files.createTempDirectory("graft-s3out").toString + "/res"
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  aws_s3:
+         |    bucket: $dir
+         |    scheme: file
+         |    codec: lines
+         |output:
+         |  file:
+         |    path: $out
+         |    codec: lines
+         |""".stripMargin)
+    spec.run(spark)
+    val got = spark.read.textFile(out).collect().sorted
+    assert(got.toSeq == scala.Seq("s3row1", "s3row2"))
+  }
 }
