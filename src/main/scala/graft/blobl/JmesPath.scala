@@ -10,7 +10,9 @@ import Ast._
   * Column (no jmespath runtime).
   *
   * Mappings: `a.b[0]` → path+index; `xs[*].f` → map_each; `xs[?a>b]` →
-  * filter; `l | r` → match-rebind (r evaluated with `this` = l);
+  * filter; `xs[]` → flatten projection; `xs[a:b]` → slice; `m.*` →
+  * object-values projection; `!expr` → not; `"quoted ident"` fields;
+  * `l | r` → match-rebind (r evaluated with `this` = l);
   * `length(x)`/`keys`/`values`/`sort`/`join`/`max`/`min`/`sum`/
   * `to_string`/`contains`/`starts_with`/`ends_with`.
   */
@@ -54,17 +56,37 @@ object JmesPath {
       l
     }
     def parseCmp(): Expr = {
-      val l = parseChain()
+      val l = parseNot()
       ws()
       val ops = List("==", "!=", ">=", "<=", ">", "<")
       ops.find(o => s.startsWith(o, i)) match {
-        case Some(o) => i += o.length; BinOp(o, l, parseChain())
+        case Some(o) => i += o.length; BinOp(o, l, parseNot())
         case None => l
       }
     }
 
+    def parseNot(): Expr = {
+      ws()
+      if (peek == '!' && !s.startsWith("!=", i)) { i += 1; Not(parseNot()) }
+      else parseChain()
+    }
+
     private def applySeg(base: Expr): Expr = {
-      val name = ident()
+      ws()
+      if (peek == '*') {
+        // object projection `m.*`: values, then per-element segments
+        i += 1
+        return MethodCall(MethodCall(base, "values", Nil),
+          "map_each", List(Lambda("x", VarRef("x"))))
+      }
+      val name =
+        if (peek == '"') { // quoted identifier
+          i += 1
+          val st = i
+          while (i < s.length && s.charAt(i) != '"') i += 1
+          val v = s.substring(st, i); i += 1
+          v
+        } else ident()
       base match {
         // projection context: apply the segment inside map_each
         case MethodCall(t, "map_each", List(Lambda(p, body))) =>
@@ -79,6 +101,11 @@ object JmesPath {
       if (peek == '*') {
         i += 1; eat(']')
         MethodCall(base, "map_each", List(Lambda("x", VarRef("x"))))
+      } else if (peek == ']') {
+        // flatten projection `xs[]`: one level flatten, then per-element
+        i += 1
+        MethodCall(MethodCall(base, "flatten", Nil),
+          "map_each", List(Lambda("x", VarRef("x"))))
       } else if (peek == '?') {
         // filter: inside the lambda `this` is the element, so field refs
         // in the condition resolve against it directly
@@ -87,12 +114,28 @@ object JmesPath {
         eat(']')
         MethodCall(base, "filter", List(Lambda("it", cond)))
       } else {
-        val neg = tryEat("-")
-        val start = i
-        while (i < s.length && s.charAt(i).isDigit) i += 1
-        val n = s.substring(start, i).toLong * (if (neg) -1 else 1)
-        eat(']')
-        IndexOp(base, LitLong(n))
+        def num(): Option[Long] = {
+          ws()
+          val neg = tryEat("-")
+          val start = i
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          if (i == start) {
+            require(!neg, s"jmespath: expected number at $i in '$s'"); None
+          } else Some(s.substring(start, i).toLong * (if (neg) -1 else 1))
+        }
+        val lo = num()
+        ws()
+        if (peek == ':') {
+          i += 1
+          val hi = num()
+          eat(']')
+          MethodCall(base, "slice",
+            LitLong(lo.getOrElse(0L)) :: hi.map(h => LitLong(h): Expr).toList)
+        } else {
+          eat(']')
+          IndexOp(base, LitLong(lo.getOrElse(throw new IllegalArgumentException(
+            s"jmespath: expected index at $i in '$s'"))))
+        }
       }
     }
 
@@ -127,7 +170,14 @@ object JmesPath {
           while (i < s.length && s.charAt(i) != '\'') i += 1
           val v = s.substring(start, i); i += 1
           LitString(v)
+        case '"' => // quoted identifier (field reference, not a literal)
+          i += 1
+          val start = i
+          while (i < s.length && s.charAt(i) != '"') i += 1
+          val v = s.substring(start, i); i += 1
+          Field(This, v)
         case '@' => i += 1; This
+        case '(' => i += 1; val e = parsePipe(); eat(')'); e
         case '{' => // multi-select hash: {Key: expr, ...}
           i += 1
           val fields = scala.collection.mutable.ListBuffer[(Expr, Expr)]()

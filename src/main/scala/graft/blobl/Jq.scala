@@ -4,27 +4,67 @@ import Ast._
 
 /** jq → Bloblang-AST translator (the `jq` processor,
   * `lib/processor/jq.go`, gojq in the reference). Covers the common
-  * value-level subset — `.a.b` paths, `[n]` indexes, pipes, `//`
-  * alternative, arithmetic/comparisons, object/array construction, and
-  * the frequent builtins (`map`, `map(select(f))`, `length`, `keys`,
-  * `add`, `min`/`max`, `sort`, `unique`, `join`, `tostring`, `tonumber`,
+  * value-level subset — `.a.b` paths, `[n]` indexes, `[a:b]` slices,
+  * pipes, `//` alternative, `if/elif/else/end`, the `?` error-suppress
+  * postfix, string interpolation `"\(expr)"`, arithmetic/comparisons,
+  * object/array construction, and the frequent builtins (`map`,
+  * `map(select(f))`, `length`, `keys`, `add`, `min`/`max`, `sort`,
+  * `sort_by`/`min_by`/`max_by`, `unique`, `join`, `tostring`,
+  * `tonumber`, `tojson`/`fromjson`, `del`, `with_entries`,
   * `ascii_downcase`/`ascii_upcase`, `split`, `ltrimstr`/`rtrimstr`,
-  * `floor`, `fabs`) — by translating onto the Bloblang AST, so the query
-  * compiles to Catalyst Columns with no jq runtime. Generators (`.[]`
-  * fan-out) are out of scope (row-producing; use ops explode).
+  * `floor`, `ceil`, `fabs`) — by translating onto the Bloblang AST, so
+  * the query compiles to Catalyst Columns with no jq runtime.
+  *
+  * The row-producing generator `.xs[]` IS supported as the leading
+  * pipe stage (`.xs[] | f`, `.xs[].a`): `JqProc` compiles the array
+  * expression, `posexplode`s it into one envelope row per element
+  * (reference jq emits one message per generator output), and applies
+  * the rest of the query per element. Generators elsewhere in the
+  * query remain out of scope.
   */
 object Jq {
 
+  private[blobl] val GenMark = "__jq_gen__"
+
   def translate(src: String): Expr = {
-    val p = new P(src.trim)
+    val p = new P(src.trim, allowGen = false)
     val e = p.parsePipe()
     p.ws()
     require(p.i >= p.s.length, s"jq: trailing input at ${p.i} in '$src'")
     e
   }
 
-  private[blobl] final class P(val s: String) {
+  /** Replace the generator marker with `this` (the exploded element). */
+  private[blobl] def subst(e: Expr): Expr = e match {
+    case VarRef(GenMark) => This
+    case Field(b, n) => Field(subst(b), n)
+    case IndexOp(b, ix) => IndexOp(subst(b), subst(ix))
+    case MethodCall(t, n, as) => MethodCall(subst(t), n, as.map(subst))
+    case FnCall(n, as) => FnCall(n, as.map(subst))
+    case BinOp(o, l, r) => BinOp(o, subst(l), subst(r))
+    case Not(x) => Not(subst(x))
+    case Neg(x) => Neg(subst(x))
+    case IfExpr(bs, oe) =>
+      IfExpr(bs.map { case (c, v) => (subst(c), subst(v)) }, oe.map(subst))
+    case MatchExpr(t, cs) =>
+      MatchExpr(subst(t), cs.map { case (c, v) => (c.map(subst), subst(v)) })
+    case Lambda(p, b) => Lambda(p, subst(b))
+    case LitArray(xs) => LitArray(xs.map(subst))
+    case LitObject(fs) =>
+      LitObject(fs.map { case (k, v) => (subst(k), subst(v)) })
+    case SetPath(p, v) => SetPath(p, subst(v))
+    case other => other
+  }
+
+  private[blobl] final class P(val s: String, val allowGen: Boolean) {
     var i = 0
+    /** Set when `.xs[]` was consumed; `genBase` is the array expr. */
+    var genSeen = false
+    var genBase: Expr = This
+    /** Generators are only legal in the leading pipe stage; locked once
+      * a pipe, paren, or constructor opens a non-leading context. */
+    private var genLocked = false
+
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def eat(c: Char): Unit = {
@@ -34,12 +74,21 @@ object Jq {
       ws()
       if (s.startsWith(tok, i)) { i += tok.length; true } else false
     }
+    /** Keyword with a word boundary (so `or` never eats `order`). */
+    def tryWord(w: String): Boolean = {
+      ws()
+      if (s.startsWith(w, i) && (i + w.length >= s.length ||
+          { val c = s.charAt(i + w.length); !c.isLetterOrDigit && c != '_' })) {
+        i += w.length; true
+      } else false
+    }
 
     def parsePipe(): Expr = {
       var l = parseStage()
       ws()
       while (peek == '|' && !s.startsWith("||", i)) {
         i += 1
+        genLocked = true
         l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
       }
       l
@@ -87,12 +136,12 @@ object Jq {
     }
     def parseOr(): Expr = {
       var l = parseAnd()
-      while (tryEat("or")) l = BinOp("||", l, parseAnd())
+      while (tryWord("or")) l = BinOp("||", l, parseAnd())
       l
     }
     def parseAnd(): Expr = {
       var l = parseCmp()
-      while (tryEat("and")) l = BinOp("&&", l, parseCmp())
+      while (tryWord("and")) l = BinOp("&&", l, parseCmp())
       l
     }
     def parseCmp(): Expr = {
@@ -137,16 +186,55 @@ object Jq {
           e = Field(e, ident())
         } else if (peek == '[') {
           i += 1; ws()
-          require(peek != ']', "jq: generator .[] not supported (row-producing)")
-          val neg = tryEat("-")
-          val start = i
-          while (i < s.length && s.charAt(i).isDigit) i += 1
-          val n = s.substring(start, i).toLong * (if (neg) -1 else 1)
-          eat(']')
-          e = IndexOp(e, LitLong(n))
+          e = bracket(e)
+        } else if (peek == '?') {
+          i += 1
+          e = MethodCall(e, "catch", List(LitNull))
         } else go = false
       }
       e
+    }
+
+    /** After the '[': generator `]`, string key `"k"]`, index `n]`, or
+      * slice `a:b]` (either bound optional, negatives from the end). */
+    private def bracket(e: Expr): Expr = {
+      if (peek == ']') {
+        i += 1
+        require(allowGen && !genLocked && !genSeen,
+          "jq: .[] generator only supported as the leading pipe stage")
+        genSeen = true
+        genBase = e
+        VarRef(GenMark)
+      } else if (peek == '"') {
+        i += 1
+        val st = i
+        while (i < s.length && s.charAt(i) != '"') i += 1
+        val k = s.substring(st, i); i += 1
+        eat(']')
+        Field(e, k)
+      } else {
+        def num(): Option[Long] = {
+          ws()
+          val neg = tryEat("-")
+          val st = i
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          if (i == st) { require(!neg, s"jq: expected number at $i in '$s'"); None }
+          else Some(s.substring(st, i).toLong * (if (neg) -1 else 1))
+        }
+        val lo = num()
+        ws()
+        if (peek == ':') {
+          i += 1
+          val hi = num()
+          eat(']')
+          MethodCall(e, "slice",
+            LitLong(lo.getOrElse(0L)) :: hi.map(h => LitLong(h): Expr).toList)
+        } else {
+          eat(']')
+          IndexOp(e, LitLong(lo.getOrElse(
+            throw new IllegalArgumentException(s"jq: expected index at $i in '$s'"))))
+        }
+      }
     }
 
     def parsePrimary(): Expr = {
@@ -159,13 +247,12 @@ object Jq {
           else This
         case '"' =>
           i += 1
-          val start = i
-          while (i < s.length && s.charAt(i) != '"') i += 1
-          val v = s.substring(start, i); i += 1
-          LitString(v)
-        case '(' => i += 1; val e = parsePipe(); eat(')'); e
+          stringLit()
+        case '(' =>
+          i += 1; genLocked = true; val e = parsePipe(); eat(')'); e
         case '[' =>
           i += 1
+          genLocked = true
           val items = scala.collection.mutable.ListBuffer[Expr]()
           ws()
           if (peek != ']') {
@@ -176,6 +263,7 @@ object Jq {
           LitArray(items.toList)
         case '{' =>
           i += 1
+          genLocked = true
           val fields = scala.collection.mutable.ListBuffer[(Expr, Expr)]()
           ws()
           if (peek != '}') {
@@ -184,6 +272,9 @@ object Jq {
           }
           eat('}')
           LitObject(fields.toList)
+        case '-' =>
+          i += 1
+          Neg(parsePostfix())
         case c if c.isDigit =>
           val start = i
           while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
@@ -195,9 +286,72 @@ object Jq {
             case "true" => LitBool(true)
             case "false" => LitBool(false)
             case "null" => LitNull
+            case "if" => parseIf()
             case _ => builtin(name)
           }
         case c => throw new IllegalArgumentException(s"jq: unexpected '$c' at $i in '$s'")
+      }
+    }
+
+    /** `if c then a (elif c2 then b)* (else z)? end`; no else = identity
+      * (jq's if without else passes `.` through unchanged). */
+    private def parseIf(): Expr = {
+      genLocked = true
+      val branches = scala.collection.mutable.ListBuffer[(Expr, Expr)]()
+      val c = parsePipe()
+      require(tryWord("then"), s"jq: expected 'then' at $i in '$s'")
+      branches += ((c, parsePipe()))
+      var els: Expr = This
+      var done = false
+      while (!done) {
+        if (tryWord("elif")) {
+          val c2 = parsePipe()
+          require(tryWord("then"), s"jq: expected 'then' at $i in '$s'")
+          branches += ((c2, parsePipe()))
+        } else if (tryWord("else")) {
+          els = parsePipe()
+          require(tryWord("end"), s"jq: expected 'end' at $i in '$s'")
+          done = true
+        } else {
+          require(tryWord("end"), s"jq: expected 'end' at $i in '$s'")
+          done = true
+        }
+      }
+      IfExpr(branches.toList, Some(els))
+    }
+
+    /** String body after the opening quote: JSON escapes plus jq's
+      * `\(expr)` interpolation (each piece stringified and concatenated). */
+    private def stringLit(): Expr = {
+      val parts = scala.collection.mutable.ListBuffer[Expr]()
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '(' =>
+              i += 2
+              genLocked = true
+              if (sb.nonEmpty) { parts += LitString(sb.toString); sb.clear() }
+              val e = parsePipe()
+              eat(')')
+              parts += MethodCall(e, "string", Nil)
+            case 'n' => sb += '\n'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case '/' => sb += '/'; i += 2
+            case o => sb += o; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      require(i < s.length, s"jq: unterminated string in '$s'")
+      i += 1
+      if (parts.isEmpty) LitString(sb.toString)
+      else {
+        if (sb.nonEmpty) parts += LitString(sb.toString)
+        parts.reduceLeft((a, b) => BinOp("+", a, b))
       }
     }
 
@@ -210,10 +364,13 @@ object Jq {
 
     /** Builtins apply to `this` (the piped value). */
     private def builtin(name: String): Expr = {
-      def arg(): Expr = { eat('('); val e = parsePipe(); eat(')'); e }
+      def arg(): Expr = {
+        eat('('); genLocked = true; val e = parsePipe(); eat(')'); e
+      }
       name match {
         case "length" => MethodCall(This, "length", Nil)
         case "keys" => MethodCall(MethodCall(This, "keys", Nil), "sort", Nil)
+        case "keys_unsorted" => MethodCall(This, "keys", Nil)
         case "add" => MethodCall(This, "sum", Nil)
         case "min" => MethodCall(This, "min", Nil)
         case "max" => MethodCall(This, "max", Nil)
@@ -221,9 +378,13 @@ object Jq {
         case "unique" => MethodCall(MethodCall(This, "unique", Nil), "sort", Nil)
         case "reverse" => MethodCall(This, "reverse", Nil)
         case "floor" => MethodCall(This, "floor", Nil)
+        case "ceil" => MethodCall(This, "ceil", Nil)
+        case "round" => MethodCall(This, "round", Nil)
         case "fabs" => MethodCall(This, "abs", Nil)
         case "tostring" => MethodCall(This, "string", Nil)
         case "tonumber" => MethodCall(This, "number", Nil)
+        case "tojson" => MethodCall(This, "format_json", Nil)
+        case "fromjson" => MethodCall(This, "parse_json", Nil)
         case "ascii_downcase" => MethodCall(This, "lowercase", Nil)
         case "ascii_upcase" => MethodCall(This, "uppercase", Nil)
         case "join" => MethodCall(This, "join", List(arg()))
@@ -235,6 +396,7 @@ object Jq {
         case "contains" => MethodCall(This, "contains", List(arg()))
         case "map" =>
           eat('(')
+          genLocked = true
           ws()
           // map(select(f)) → filter; map(select(f).path) → filter+map;
           // map(f) → map_each
@@ -274,6 +436,34 @@ object Jq {
         case "not" => Not(This)
         case "to_entries" => MethodCall(This, "key_values", Nil)
         case "from_entries" => MethodCall(This, "from_entries", Nil)
+        case "with_entries" =>
+          // to_entries | map(f) | from_entries (jq manual definition)
+          val f = arg()
+          MethodCall(
+            MethodCall(MethodCall(This, "key_values", Nil),
+              "map_each", List(Lambda("x", f))),
+            "from_entries", Nil)
+        case "del" =>
+          // del(.a.b, .c) → without("a.b", "c") (nested paths supported)
+          eat('(')
+          genLocked = true
+          val ps = scala.collection.mutable.ListBuffer[Expr]()
+          var go = true
+          while (go) {
+            ws()
+            val segs = tryParsePurePath()
+            require(segs.nonEmpty, s"jq: del expects a field path at $i in '$s'")
+            ps += LitString(segs.mkString("."))
+            go = tryEat(",")
+          }
+          eat(')')
+          MethodCall(This, "without", ps.toList)
+        case "sort_by" =>
+          MethodCall(This, "sort_by", List(Lambda("x", arg())))
+        case "min_by" =>
+          IndexOp(MethodCall(This, "sort_by", List(Lambda("x", arg()))), LitLong(0))
+        case "max_by" =>
+          IndexOp(MethodCall(This, "sort_by", List(Lambda("x", arg()))), LitLong(-1))
         case "empty" => LitNull
         case "type" => MethodCall(This, "type", Nil)
         case "has" => MethodCall(This, "exists", List(arg()))
@@ -287,6 +477,7 @@ object Jq {
         case "gsub" =>
           // gsub(re; replacement)
           eat('(')
+          genLocked = true
           val re = parsePipe()
           ws(); eat(';'); ws()
           val repl = parsePipe()
@@ -306,13 +497,36 @@ object Jq {
   }
 }
 
-/** `jq` processor: doc := query(doc). */
+/** `jq` processor: doc := query(doc); a leading `.xs[]` generator stage
+  * explodes into one envelope row per element (multi-message output). */
 final case class JqProc(query: String) extends graft.ops.Processor {
   def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.model.Envelope._
-    val result = Compiler.compile(Jq.translate(query), Mapping.envelopeCtx(df))
-    df.select(col(Content), result.col.as(Doc), col(Meta), col(Error),
-      col(BatchId), col(Seq))
+    val p = new Jq.P(query.trim, allowGen = true)
+    val e = p.parsePipe()
+    p.ws()
+    require(p.i >= p.s.length, s"jq: trailing input at ${p.i} in '$query'")
+    if (!p.genSeen) {
+      val result = Compiler.compile(e, Mapping.envelopeCtx(df))
+      df.select(col(Content), result.col.as(Doc), col(Meta), col(Error),
+        col(BatchId), col(Seq))
+    } else {
+      // generator: explode the base array (UnarchiveParts seq convention),
+      // then apply the per-element remainder with `this` = element
+      val base = Compiler.compile(p.genBase, Mapping.envelopeCtx(df))
+      val exploded = df
+        .select(col(Content), posexplode(base.col).as(scala.Seq("_pos", "_e")),
+          col(Meta), col(Error), col(BatchId), col(Seq))
+        .select(col(Content), col("_e").as(Doc), col(Meta), col(Error),
+          col(BatchId), (col(Seq) * 1000000 + col("_pos")).as(Seq))
+      val per = Jq.subst(e)
+      if (per == Ast.This) exploded
+      else {
+        val r = Compiler.compile(per, Mapping.envelopeCtx(exploded))
+        exploded.select(col(Content), r.col.as(Doc), col(Meta), col(Error),
+          col(BatchId), col(Seq))
+      }
+    }
   }
 }

@@ -80,6 +80,25 @@ class JmesPathSpec extends AnyFunSuite {
     assert(run("map(&v, xs)", """{"xs":[{"v":3},{"v":1}]}""") == "[3,1]")
   }
 
+  test("flatten projection, slices, negation, quoted idents, object projection") {
+    // `[]` flattens one level then projects
+    assert(run("xs[].v", """{"xs":[[{"v":1},{"v":2}],[{"v":3}]]}""")
+      == "[1,2,3]")
+    // slices with negative and open bounds
+    assert(run("xs[1:3]", """{"xs":[10,20,30,40]}""") == "[20,30]")
+    assert(run("xs[:2]", """{"xs":[10,20,30]}""") == "[10,20]")
+    assert(run("xs[-2:]", """{"xs":[10,20,30]}""") == "[20,30]")
+    // `!` negation
+    assert(run("!(a > `5`)", """{"a":10}""") == "false")
+    assert(run("!b", """{"b":false}""") == "true")
+    // quoted identifiers at root and as segments
+    assert(run("\"odd name\"", """{"odd name":7}""") == "7")
+    assert(run("a.\"b c\"", """{"a":{"b c":8}}""") == "8")
+    // object projection `.*`
+    assert(run("m.*.v | sort(@)", """{"m":{"a":{"v":2},"b":{"v":1}}}""")
+      == "[1,2]")
+  }
+
   test("reference doc example: cities query (lib/processor/jmespath.go)") {
     assert(run(
       """locations[?state == 'WA'].name | sort(@) | {Cities: join(', ', @)}""",

@@ -96,6 +96,76 @@ class JqSpec extends AnyFunSuite {
     assert(run(""".a.b == 1""", """{"a":{"b":1}}""") == "true")
   }
 
+  test("if/elif/else/end") {
+    assert(run("""if .a > 2 then "big" else "small" end""", """{"a":5}""") == "big")
+    assert(run("""if .a > 2 then "big" else "small" end""", """{"a":1}""") == "small")
+    assert(run("""if .a > 10 then "x" elif .a > 2 then "y" else "z" end""",
+      """{"a":5}""") == "y")
+    // no else = identity (jq passes `.` through)
+    assert(run(""".a | if . > 10 then 0 end""", """{"a":5}""") == "5")
+  }
+
+  test("slices on arrays and strings") {
+    assert(run(".xs[1:3]", """{"xs":[10,20,30,40]}""") == "[20,30]")
+    assert(run(".xs[:2]", """{"xs":[10,20,30]}""") == "[10,20]")
+    assert(run(".xs[1:]", """{"xs":[10,20,30]}""") == "[20,30]")
+    assert(run(".xs[-2:]", """{"xs":[10,20,30]}""") == "[20,30]")
+    assert(run(".s[1:3]", """{"s":"hello"}""") == "el")
+  }
+
+  test("optional '?' suppresses errors to null") {
+    // `number` is double-typed, so the fallback unifies to double
+    assert(run("(.a | tonumber?) // -1", """{"a":"xyz"}""") == "-1.0")
+    assert(run("(.a | tonumber?) // -1", """{"a":"7"}""") == "7.0")
+  }
+
+  test("string interpolation and escapes") {
+    assert(run(""""id-\(.a)-\(.b * 2)"""", """{"a":"x","b":3}""") == "id-x-6")
+    assert(run(""".s | split("\t") | length""", """{"s":"a\tb\tc"}""") == "3")
+  }
+
+  test("new builtins: ceil, tojson/fromjson, del, with_entries, sort_by") {
+    assert(run(".a | ceil", """{"a":1.2}""") == "2")
+    assert(run(".m | tojson", """{"m":{"a":1}}""") == """{"a":1}""")
+    assert(run(""".s | fromjson | .k""", """{"s":"{\"k\":42}"}""") == "42")
+    assert(run("""del(.b)""", """{"a":1,"b":2}""") == """{"a":1}""")
+    assert(run("""del(.a.b, .c)""", """{"a":{"b":1,"k":2},"c":3,"d":4}""")
+      == """{"a":{"k":2},"d":4}""")
+    assert(run(""".m | with_entries({key: .key, value: (.value * 10)})""",
+      """{"m":{"a":1,"b":2}}""") == """{"a":10,"b":20}""")
+    assert(run(""".xs | sort_by(.v) | map(.k) | join("")""",
+      """{"xs":[{"k":"b","v":2},{"k":"a","v":1}]}""") == "ab")
+    assert(run(""".xs | min_by(.v) | .k""",
+      """{"xs":[{"k":"b","v":2},{"k":"a","v":1}]}""") == "a")
+    assert(run(""".xs | max_by(.v) | .k""",
+      """{"xs":[{"k":"b","v":2},{"k":"a","v":1}]}""") == "b")
+    assert(run("""keys_unsorted | length""", """{"b":1,"a":2}""") == "2")
+    assert(run(""".["a b"]""", """{"a b":9}""") == "9")
+  }
+
+  test(".[] generator explodes into one row per element") {
+    import spark.implicits._
+    val env = Envelope.wrapUnordered(jdf("""{"xs":[{"v":1},{"v":2},{"v":3}]}"""))
+    val out = JqProc(".xs[] | .v * 10")(env)
+    assert(out.count() == 3)
+    assert(out.select(col(Envelope.Doc).cast("long")).as[Long].collect().sorted
+      .toSeq == Seq(10L, 20L, 30L))
+    // postfix form .xs[].v
+    val out2 = JqProc(".xs[].v")(env)
+    assert(out2.select(col(Envelope.Doc).cast("long")).as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    // bare generator yields the elements themselves
+    val out3 = JqProc(".xs[]")(env)
+    assert(out3.count() == 3)
+    // seq stays strictly increasing in element order
+    val seqs = out.select(col(Envelope.Seq)).as[Long].collect().toSeq
+    assert(seqs == seqs.sorted)
+    // generator anywhere else is rejected
+    intercept[IllegalArgumentException] {
+      JqProc(".a | .xs[]")(env).collect()
+    }
+  }
+
   test("to_entries / from_entries round trip") {
     assert(run(".m | to_entries", """{"m":{"a":1,"b":2}}""")
       == """[{"key":"a","value":1},{"key":"b","value":2}]""")
