@@ -267,10 +267,12 @@ object Config {
         val stream = conf.get("stream").exists(_.toString.toBoolean)
         s => if (stream) Sources.socketStream(s, host, port)
              else Sources.socket(s, host, port)
-      case "kafka" | "kafka_balanced" =>
-        // kafka_balanced (lib/input/kafka_balanced.go) is v3's
-        // consumer-group variant — Spark's kafka source balances
-        // partitions across tasks natively, so both map identically
+      case "kafka" | "kafka_balanced" | "kafka_cg" | "kafka_parts" =>
+        // kafka_balanced (lib/input/kafka_balanced.go) / kafka_cg are
+        // v3's consumer-group variants and kafka_parts pins explicit
+        // partitions — Spark's kafka source balances partitions across
+        // tasks natively and accepts assign-style partition maps, so
+        // all four map onto the same connector config
         val c = kafkaInputConfig(conf)
         val batch = conf.get("batch").exists(_.toString.toBoolean)
         s => if (batch) graft.sources.Kafka.read(s, c)
@@ -298,10 +300,11 @@ object Config {
         val path = objectStorePath(k, conf)
         val codec = conf.get("codec").map(_.toString).getOrElse("lines")
         s => Sources.file(s, path, codec)
-      case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
-          "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
-          "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams" |
-          "redis_pubsub" | "zmq4" | "nanomsg" | "scalability_protocols") =>
+      case k @ ("aws_kinesis" | "kinesis" | "kinesis_balanced" | "aws_sqs" |
+          "sqs" | "gcp_pubsub" | "nats" | "nats_stream" | "nats_jetstream" |
+          "mqtt" | "amqp_0_9" | "amqp" | "amqp_1" | "nsq" | "pulsar" |
+          "redis_streams" | "redis_pubsub" | "zmq4" | "nanomsg" |
+          "scalability_protocols" | "azure_queue_storage") =>
         // broker breadth (lib/input/constructor.go registry): binding is
         // compiled (and linted) NOW; the transport format resolves at
         // call time from the deploy-provided connector jar
@@ -625,8 +628,20 @@ object Config {
             .getOrElse("lines"))
       case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
           "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
-          "amqp" | "nsq" | "pulsar" | "redis_streams") =>
+          "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams" |
+          "redis_pubsub" | "redis_hash" | "zmq4" | "nanomsg" |
+          "scalability_protocols" | "aws_dynamodb" | "aws_sns" |
+          "aws_kinesis_firehose" | "azure_queue_storage" |
+          "azure_table_storage" | "cassandra" | "elasticsearch") =>
         Sinks.BrokerSink(graft.sources.Brokers.output(k, conf))
+      case "drop_on" =>
+        // lib/output/drop_on.go: wrap a child output, dropping messages
+        // instead of erroring when `error: true` (back_pressure is a
+        // liveness knob the micro-batch engine handles via triggers)
+        val child = compileOutput(asMap(conf("output")))
+        if (conf.get("error").exists(_.toString.toBoolean))
+          Sinks.DropOnError(child)
+        else child
       case o => throw new IllegalArgumentException(s"config: unknown output $o")
     }
   }

@@ -52,7 +52,7 @@ object Brokers {
   /** Input-side binding. Throws IllegalArgumentException on missing
     * required fields — the lint contract ConfigSpec pins. */
   def input(kind: String, conf: Map[String, Any]): Binding = kind match {
-    case "aws_kinesis" | "kinesis" =>
+    case "aws_kinesis" | "kinesis" | "kinesis_balanced" =>
       // lib/input/reader/kinesis.go:27-36
       Binding(kind, "kinesis", Map(
         "streamName" -> req(conf, kind, "stream"),
@@ -158,6 +158,12 @@ object Brokers {
       Binding(kind, "nanomsg", Map(
         "urls" -> reqList(conf, kind, "urls").mkString(","),
         "socketType" -> s(conf, "socket_type").getOrElse("PULL")))
+    case "azure_queue_storage" =>
+      // lib/input/azure_queue_storage.go: storage_account + queue_name
+      Binding(kind, "azure-queue-storage", Map(
+        "storageAccount" -> req(conf, kind, "storage_account"),
+        "queueName" -> req(conf, kind, "queue_name")) ++
+        s(conf, "storage_connection_string").map("connectionString" -> _))
     case o => throw new IllegalArgumentException(s"unknown broker input $o")
   }
 
@@ -202,6 +208,73 @@ object Brokers {
       Binding(kind, "redis", Map(
         "stream.key" -> req(conf, kind, "stream")) ++
         s(conf, "url").map("spark.redis.url" -> _))
+    case "redis_hash" =>
+      // lib/output/writer/redis_hash.go: hash key + field projections
+      Binding(kind, "redis", Map(
+        "table" -> req(conf, kind, "key"),
+        "model" -> "hash") ++
+        s(conf, "url").map("spark.redis.url" -> _))
+    case "redis_pubsub" =>
+      Binding(kind, "redis", Map(
+        "channel" -> req(conf, kind, "channel"),
+        "model" -> "pubsub") ++
+        s(conf, "url").map("spark.redis.url" -> _))
+    case "amqp_1" =>
+      Binding(kind, "amqp10", Map(
+        "url" -> req(conf, kind, "url"),
+        "targetAddress" -> req(conf, kind, "target_address")))
+    case "zmq4" =>
+      Binding(kind, "zeromq", Map(
+        "urls" -> reqList(conf, kind, "urls").mkString(","),
+        "socketType" -> s(conf, "socket_type").getOrElse("PUSH")))
+    case "nanomsg" | "scalability_protocols" =>
+      Binding(kind, "nanomsg", Map(
+        "urls" -> reqList(conf, kind, "urls").mkString(","),
+        "socketType" -> s(conf, "socket_type").getOrElse("PUSH")))
+    case "aws_dynamodb" =>
+      // lib/output/writer/dynamodb.go: table + column projections; the
+      // string/json_map column maps ride as option-encoded projections
+      Binding(kind, "dynamodb", Map(
+        "tableName" -> req(conf, kind, "table")) ++
+        s(conf, "region").map("region" -> _) ++
+        conf.get("string_columns").map(m =>
+          "stringColumns" -> m.asInstanceOf[java.util.Map[String, Any]]
+            .keySet().toArray.mkString(",")))
+    case "aws_sns" =>
+      // lib/output/writer/sns.go: topic_arn
+      Binding(kind, "sns", Map(
+        "topicArn" -> req(conf, kind, "topic_arn")) ++
+        s(conf, "region").map("region" -> _))
+    case "aws_kinesis_firehose" =>
+      // lib/output/writer/kinesis_firehose.go: delivery stream
+      Binding(kind, "kinesis-firehose", Map(
+        "deliveryStreamName" -> req(conf, kind, "stream")) ++
+        s(conf, "region").map("region" -> _))
+    case "azure_queue_storage" =>
+      Binding(kind, "azure-queue-storage", Map(
+        "storageAccount" -> req(conf, kind, "storage_account"),
+        "queueName" -> req(conf, kind, "queue_name")))
+    case "azure_table_storage" =>
+      Binding(kind, "azure-table-storage", Map(
+        "storageAccount" -> req(conf, kind, "storage_account"),
+        "tableName" -> req(conf, kind, "table_name")))
+    case "cassandra" =>
+      // lib/output/cassandra.go: addresses + a prepared query; Spark's
+      // cassandra connector is table-shaped, so the query's keyspace.table
+      // target rides the standard connector options
+      Binding(kind, "org.apache.spark.sql.cassandra", Map(
+        "spark.cassandra.connection.host" ->
+          reqList(conf, kind, "addresses").mkString(",")) ++
+        s(conf, "keyspace").map("keyspace" -> _) ++
+        s(conf, "table").map("table" -> _) ++
+        s(conf, "consistency").map("spark.cassandra.output.consistency.level" -> _))
+    case "elasticsearch" =>
+      // lib/output/writer/elasticsearch.go: urls + index (+ id/type/pipeline)
+      Binding(kind, "es", Map(
+        "es.nodes" -> reqList(conf, kind, "urls").mkString(","),
+        "es.resource" -> req(conf, kind, "index")) ++
+        s(conf, "id").map("es.mapping.id" -> _) ++
+        s(conf, "pipeline").map("es.ingest.pipeline" -> _))
     case o => throw new IllegalArgumentException(s"unknown broker output $o")
   }
 
@@ -275,12 +348,14 @@ object Brokers {
 
   /** Projection dispatch for a binding's wire records. */
   def envelope(kind: String, records: DataFrame): DataFrame = kind match {
-    case "aws_kinesis" | "kinesis" => kinesisEnvelope(records)
+    case "aws_kinesis" | "kinesis" | "kinesis_balanced" =>
+      kinesisEnvelope(records)
     case "pulsar" => pulsarEnvelope(records)
     case "mqtt" => mqttEnvelope(records)
     case "aws_sqs" | "sqs" | "gcp_pubsub" | "amqp_0_9" | "amqp" | "amqp_1" |
         "nsq" | "nats" | "nats_stream" | "nats_jetstream" | "redis_pubsub" |
-        "zmq4" | "nanomsg" | "scalability_protocols" =>
+        "zmq4" | "nanomsg" | "scalability_protocols" |
+        "azure_queue_storage" =>
       valueEnvelope(records, kind)
     case "redis_streams" => valueEnvelope(records, kind, "body")
     case o => throw new IllegalArgumentException(s"unknown broker kind $o")

@@ -180,4 +180,50 @@ class BrokersSpec extends AnyFunSuite {
       assert(spec.streaming || !spec.streaming, kind) // compiled
     }
   }
+
+  test("full-registry parity: remaining reference input/output kinds") {
+    // inputs: aliases + azure queue
+    val b1 = Brokers.input("kinesis_balanced",
+      Map("stream" -> "s1", "region" -> "us-east-1"))
+    assert(b1.format == "kinesis" && b1.options("streamName") == "s1")
+    val b2 = Brokers.input("azure_queue_storage",
+      Map("storage_account" -> "acct", "queue_name" -> "q"))
+    assert(b2.options("storageAccount") == "acct" &&
+      b2.options("queueName") == "q")
+    // outputs: database/cloud sinks
+    val addrs = new java.util.ArrayList[String](); addrs.add("cass1:9042")
+    val o1 = Brokers.output("cassandra",
+      Map("addresses" -> addrs, "keyspace" -> "ks", "table" -> "t"))
+    assert(o1.options("spark.cassandra.connection.host") == "cass1:9042")
+    val urls = new java.util.ArrayList[String](); urls.add("http://es:9200")
+    val o2 = Brokers.output("elasticsearch",
+      Map("urls" -> urls, "index" -> "idx", "id" -> "${!json(\"id\")}"))
+    assert(o2.options("es.resource") == "idx")
+    val o3 = Brokers.output("aws_dynamodb", Map("table" -> "t1"))
+    assert(o3.options("tableName") == "t1")
+    val o4 = Brokers.output("aws_sns", Map("topic_arn" -> "arn:x"))
+    assert(o4.options("topicArn") == "arn:x")
+    val o5 = Brokers.output("aws_kinesis_firehose", Map("stream" -> "fh"))
+    assert(o5.options("deliveryStreamName") == "fh")
+    val o6 = Brokers.output("azure_table_storage",
+      Map("storage_account" -> "acct", "table_name" -> "tbl"))
+    assert(o6.options("tableName") == "tbl")
+    val o7 = Brokers.output("redis_hash", Map("url" -> "redis://h", "key" -> "k"))
+    assert(o7.options("model") == "hash")
+    // config-level: kafka aliases compile; drop_on unwraps its child
+    for (kind <- scala.Seq("kafka_cg", "kafka_parts")) {
+      val spec = graft.runtime.Config.load(
+        s"""input:
+           |  $kind:
+           |    addresses: [b:9092]
+           |    topics: [t]
+           |output:
+           |  drop_on:
+           |    error: true
+           |    output:
+           |      drop: {}
+           |""".stripMargin)
+      assert(spec.streaming || !spec.streaming, kind)
+    }
+  }
 }
