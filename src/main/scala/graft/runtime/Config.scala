@@ -147,6 +147,12 @@ object Config {
             else new graft.ops.CacheOps.MemoryCache
           graft.ops.CacheOps.Caches.register(label, store)
       }
+      // named conditions (lib/condition constructor registry): compiled
+      // to Bloblang check strings NOW so `condition: resource: name`
+      // resolves at use sites
+      res.get("conditions").map(asMap).getOrElse(Map.empty).foreach {
+        case (label, c) => Conditions.resources.put(label, condString(c)); ()
+      }
     }
     // rate_limit_resources: named token buckets (local rate limit)
     root.get("rate_limit_resources").map(asList).getOrElse(Nil).foreach { c =>
@@ -330,6 +336,9 @@ object Config {
       case "split" => B.Split(conf.get("size").map(_.toString.toLong).getOrElse(1L))
       case "merge_json" => B.MergeJson()
       case "sleep" => SleepProc(str(conf, "duration"))
+      // throttle (lib/processor/throttle.go): per-message pacing by
+      // `period` — same per-row pause the sleep processor implements
+      case "throttle" => SleepProc(str(conf, "period"))
       case "cache" => graft.ops.CacheOps.CacheProc(
         graft.ops.CacheOps.Caches(str(conf, "resource")),
         str(conf, "operator"), str(conf, "key"), optStr(conf, "value"))
@@ -794,5 +803,7 @@ object Config {
   private def str(m: Map[String, Any], k: String): String = m.get(k).map(_.toString)
     .getOrElse(throw new IllegalArgumentException(s"config: missing field $k"))
   private def dbl(m: Map[String, Any], k: String): Double = str(m, k).toDouble
-  private def condString(a: Any): String = a.toString
+  // plain strings are Bloblang checks; maps are the reference's
+  // structured v3 condition tree (text/number/json/and/or/...)
+  private def condString(a: Any): String = Conditions.compile(a)
 }
