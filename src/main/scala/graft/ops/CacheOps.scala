@@ -132,6 +132,24 @@ object CacheOps {
     }
   }
 
+  /** `multilevel` cache (`lib/cache/multilevel.go`): reads resolve
+    * through the levels in order (earliest level wins per key); writes
+    * and deletes fan out to every level. */
+  final class MultilevelCache(levels: scala.Seq[CacheStore]) extends CacheStore {
+    require(levels.nonEmpty, "multilevel cache: at least one level")
+    def snapshot(spark: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val all = levels.zipWithIndex
+        .map { case (c, i) => c.snapshot(spark).withColumn("_lvl", lit(i)) }
+        .reduce(_.unionAll(_))
+      val w = Window.partitionBy(col("key")).orderBy(col("_lvl"))
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).select(col("key"), col("value"))
+    }
+    def upsert(pairs: DataFrame): Unit = levels.foreach(_.upsert(pairs))
+    def remove(keys: DataFrame): Unit = levels.foreach(_.remove(keys))
+  }
+
   /** Named cache-resource registry (the YAML `cache_resources` section). */
   object Caches {
     private val stores = scala.collection.concurrent.TrieMap[String, CacheStore]()

@@ -27,10 +27,17 @@ object Metrics {
     o
   }
 
-  def clear(): Unit = observations.clear()
+  def clear(): Unit = { observations.clear(); pathMap = defaultPathMap }
 
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Metric-path mapper (`lib/metrics` whitelist / blacklist / rename /
+    * path_mapping wrappers): applied to the dotted `obs.metric` path
+    * before rendering; None drops the metric. Composed by Config when a
+    * metrics wrapper section is present. */
+  private val defaultPathMap: String => Option[String] = s => Some(s)
+  @volatile var pathMap: String => Option[String] = defaultPathMap
 
   /** Prometheus exposition text of all completed observations. */
   def prometheus: String = {
@@ -41,8 +48,11 @@ object Metrics {
           case x: java.lang.Number => Some(x.doubleValue)
           case _ => None
         }
-        num.map { d =>
-          val metric = s"graft_${sanitize(n)}_${sanitize(k)}"
+        for {
+          d <- num
+          path <- pathMap(s"$n.$k")
+        } yield {
+          val metric = s"graft_${sanitize(path)}"
           s"# TYPE $metric gauge\n$metric $d"
         }
       }
@@ -59,11 +69,43 @@ object Metrics {
         .toSeq.sortBy(_._1).flatMap { case (k, v) =>
         v match {
           case x: java.lang.Number =>
-            Some(s"$prefix.${sanitize(n)}.${sanitize(k)}:${x.doubleValue}|g")
+            pathMap(s"$n.$k").map(p =>
+              s"$prefix.${p.split('.').map(sanitize).mkString(".")}:${x.doubleValue}|g")
           case _ => None
         }
       }
     }
+}
+
+/** `path_mapping` metric-name Bloblang mapper (`lib/metrics/
+  * path_mapping.go`): the mapping runs with `this` = the dotted metric
+  * path; `deleted()` drops the metric. Names are memoized — the
+  * registry is tiny and names are stable, so each distinct path
+  * evaluates its (one-row, local) plan exactly once. */
+final class BloblPathMapper(mapping: String) extends (String => Option[String]) {
+  private val stmts = graft.blobl.Parser.parseMapping(mapping).stmts
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, Option[String]]()
+  def apply(n: String): Option[String] = cache.getOrElseUpdate(n, {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).orNull
+    if (spark == null) Some(n)
+    else {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.StringType
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(n)),
+        org.apache.spark.sql.types.StructType(scala.Seq(
+          org.apache.spark.sql.types.StructField("p", StringType))))
+      val ctx = graft.blobl.Ctx(
+        thisTC = graft.blobl.TC(col("p"), Some(StringType)),
+        meta = None, err = None, content = None,
+        vars = Map.empty, maps = Map.empty, batch = None)
+      val tc = graft.blobl.Mapping.compileMapValue(stmts, ctx)
+      val r = df.select(tc.col.cast("string")).head()
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+  })
 }
 
 /** `metrics: statsd` export (`lib/metrics/statsd.go`): flush the

@@ -74,7 +74,7 @@ object Config {
     // always-on via the control plane's /metrics; statsd starts a UDP
     // gauge flusher. Other sinks (cloudwatch/influx) deploy by pointing
     // an agent at the statsd/prometheus surface (documented boundary).
-    root.get("metrics").map(asMap).foreach { mm =>
+    root.get("metrics").map(asMap).map(unwrapMetrics).foreach { mm =>
       mm.get("statsd").map(asMap).foreach { sd =>
         val addr = str(sd, "address").split(":", 2)
         require(addr.length == 2, "metrics statsd: address must be host:port")
@@ -125,7 +125,13 @@ object Config {
           new graft.ops.RedisCache(graft.ops.FakeRedisFactory(
             "memcached:" + asMap(cm("memcached")).get("addresses")
               .map(asList(_).map(_.toString).mkString(",")).getOrElse("local")))
-        else new graft.ops.CacheOps.MemoryCache
+        else if (cm.contains("multilevel"))
+          // levels are prior-registered cache labels, read-through in
+          // order (lib/cache/multilevel.go)
+          new graft.ops.CacheOps.MultilevelCache(
+            asList(cm("multilevel")).map(l =>
+              graft.ops.CacheOps.Caches(l.toString)))
+        else new graft.ops.CacheOps.MemoryCache // memory | ristretto
       graft.ops.CacheOps.Caches.register(label, store)
     }
     // `resources:` section (`lib/config/lint.go` surface): named inputs /
@@ -751,6 +757,46 @@ object Config {
       inputs.put(name, in)
     def apply(name: String): SparkSession => DataFrame = inputs.getOrElse(name,
       throw new IllegalArgumentException(s"unknown input resource $name"))
+  }
+
+  /** Metrics wrapper peeling (`lib/metrics` whitelist / blacklist /
+    * rename chains + the per-sink `path_mapping` Bloblang field): each
+    * wrapper composes onto `Metrics.pathMap`, and the innermost sink
+    * config is returned for the exporter dispatch. */
+  private def unwrapMetrics(mm: Map[String, Any]): Map[String, Any] = {
+    if (mm.contains("whitelist") || mm.contains("blacklist")) {
+      val allow = mm.contains("whitelist")
+      val c = asMap(mm(if (allow) "whitelist" else "blacklist"))
+      val paths = strings(c, "paths")
+      val pats = strings(c, "patterns").map(_.r)
+      val prev = Metrics.pathMap
+      Metrics.pathMap = n => prev(n).filter { p =>
+        (paths.exists(p.startsWith) ||
+          pats.exists(_.findFirstIn(p).isDefined)) == allow
+      }
+      c.get("child").map(ch => unwrapMetrics(asMap(ch))).getOrElse(Map.empty)
+    } else if (mm.contains("rename")) {
+      val c = asMap(mm("rename"))
+      val rules = c.get("by_regexp").map(asList).getOrElse(Nil).map(asMap)
+        .map(r => (str(r, "pattern").r, str(r, "value")))
+      val prev = Metrics.pathMap
+      Metrics.pathMap = n => prev(n).map(p =>
+        rules.foldLeft(p) { case (acc, (re, v)) => re.replaceAllIn(acc, v) })
+      c.get("child").map(ch => unwrapMetrics(asMap(ch))).getOrElse(Map.empty)
+    } else {
+      // innermost sink: the common `path_mapping` Bloblang field (applies
+      // to the dotted path, `deleted()` drops the metric)
+      mm.values.toSeq.flatMap {
+        case m: java.util.Map[_, _] => asMap(m).get("path_mapping").map(_.toString)
+        case m: Map[_, _] => asMap(m).get("path_mapping").map(_.toString)
+        case _ => None
+      }.headOption.filter(_.nonEmpty).foreach { mapping =>
+        val prev = Metrics.pathMap
+        val mapper = new BloblPathMapper(mapping)
+        Metrics.pathMap = n => prev(n).flatMap(mapper)
+      }
+      mm
+    }
   }
 
   /** Canonical Hadoop-FileSystem URI for an object-store connector config.

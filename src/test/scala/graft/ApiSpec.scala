@@ -128,6 +128,62 @@ class ApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("metrics wrappers: whitelist / blacklist / rename / path_mapping") {
+    Metrics.clear()
+    val obs = Metrics.observation("events_seen")
+    spark.range(10).observe(obs, count(lit(1)).as("rows"),
+      sum(col("id")).as("id_sum")).collect()
+    try {
+      // whitelist by prefix keeps only matching dotted paths
+      Metrics.pathMap = _ => None
+      Metrics.pathMap = s => Some(s)
+      val yamlW =
+        """whitelist:
+          |  paths: [events_seen.rows]
+          |  child:
+          |    prometheus: {}
+          |""".stripMargin
+      graft.runtime.Config.load(
+        "input:\n  generate:\n    count: 1\n    mapping: 'root = {}'\n" +
+        "output:\n  drop: {}\nmetrics:\n" + yamlW.linesIterator.map("  " + _).mkString("\n"))
+      val prom1 = Metrics.prometheus
+      assert(prom1.contains("graft_events_seen_rows"), prom1)
+      assert(!prom1.contains("id_sum"), prom1)
+      // rename by_regexp rewrites the dotted path
+      Metrics.pathMap = s => Some(s)
+      graft.runtime.Config.load(
+        """input:
+          |  generate: {count: 1, mapping: 'root = {}'}
+          |output:
+          |  drop: {}
+          |metrics:
+          |  rename:
+          |    by_regexp:
+          |      - pattern: "^events_seen\\.(.*)$"
+          |        value: "evt.$1"
+          |    child:
+          |      prometheus: {}
+          |""".stripMargin)
+      val prom2 = Metrics.prometheus
+      assert(prom2.contains("graft_evt_rows"), prom2)
+      // path_mapping bloblang: delete id_sum, prefix the rest
+      Metrics.pathMap = s => Some(s)
+      graft.runtime.Config.load(
+        """input:
+          |  generate: {count: 1, mapping: 'root = {}'}
+          |output:
+          |  drop: {}
+          |metrics:
+          |  prometheus:
+          |    path_mapping: |
+          |      root = if this.contains("id_sum") { deleted() } else { "app." + this }
+          |""".stripMargin)
+      val prom3 = Metrics.prometheus
+      assert(prom3.contains("graft_app_events_seen_rows"), prom3)
+      assert(!prom3.contains("id_sum"), prom3)
+    } finally { Metrics.pathMap = s => Some(s) }
+  }
+
   test("http_server input: push a batch through a pipeline; sync_response answers") {
     val api = new ControlPlane(spark).start()
     val base = s"http://localhost:${api.boundPort}"

@@ -78,6 +78,35 @@ class CacheSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("multilevel cache: read-through order, fan-out writes") {
+    import spark.implicits._
+    import graft.ops.CacheOps._
+    val l1 = new MemoryCache
+    val l2 = new MemoryCache
+    l2.upsert(scala.Seq(("k1", "from-l2"), ("k2", "only-l2")).toDF("key", "value"))
+    l1.upsert(scala.Seq(("k1", "from-l1")).toDF("key", "value"))
+    val ml = new MultilevelCache(scala.Seq(l1, l2))
+    val snap = ml.snapshot(spark).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("k1" -> "from-l1", "k2" -> "only-l2"), snap)
+    ml.upsert(scala.Seq(("k3", "v3")).toDF("key", "value"))
+    assert(l1.get("k3").contains("v3") && l2.get("k3").contains("v3"))
+    ml.remove(scala.Seq("k1").toDF("key"))
+    assert(l1.get("k1").isEmpty && l2.get("k1").isEmpty)
+    // config surface: multilevel over two registered labels
+    Caches.register("lv1", new MemoryCache)
+    Caches.register("lv2", new MemoryCache)
+    graft.runtime.Config.load(
+      """input:
+        |  generate: {count: 1, mapping: 'root = {}'}
+        |output:
+        |  drop: {}
+        |cache_resources:
+        |  - label: tiered
+        |    multilevel: [lv1, lv2]
+        |""".stripMargin)
+    assert(Caches("tiered").isInstanceOf[MultilevelCache])
+  }
+
   test("YAML cache_resources + cache/awk/log processors compile") {
     val spec = graft.runtime.Config.load(
       """cache_resources:
