@@ -253,6 +253,91 @@ object Multimodal {
       (lit(240L) + (ascii(substring(h, 3, 1)) % 16).cast(LongType) * 48L).as("height"))
   }
 
+  case class AviMeta(n_bytes: Long, format: String, width: Long,
+      height: Long, total_frames: Long, usec_per_frame: Long,
+      duration_us: Long)
+
+  /** Canonical minimal RIFF AVI: `JUNK`(junk bytes, even-padded per the
+    * RIFF rule) + `LIST hdrl` holding the 56-byte `avih` main header +
+    * an empty `LIST movi`. Size is exactly `108 + junk + (junk & 1)`.
+    * Public container layout (RIFF/AVI is a published format); frames
+    * carry no payload — this is the HEADER-metadata path, the honest
+    * boundary without codec libs in the image. */
+  def encodeAvi(frames: Column, width: Column, height: Column,
+      junk: Column, usecPerFrame: Int = 33333): Column = {
+    val usec = usecPerFrame
+    val f = org.apache.spark.sql.functions.udf { (n: Int, w: Int, h: Int, j: Int) =>
+      val junkPadded = j + (j & 1)
+      val riffSize = 4 + (8 + junkPadded) + 76 + 12
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+        .put("AVI ".getBytes("US-ASCII"))
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(junkPadded)
+      var p = 0
+      while (p < junkPadded) { bb.put(0.toByte); p += 1 }
+      bb.put("LIST".getBytes("US-ASCII")).putInt(68)
+        .put("hdrl".getBytes("US-ASCII"))
+      bb.put("avih".getBytes("US-ASCII")).putInt(56)
+      bb.putInt(usec).putInt(0).putInt(0).putInt(0)
+      bb.putInt(n).putInt(0).putInt(1).putInt(0)
+      bb.putInt(w).putInt(h)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("movi".getBytes("US-ASCII"))
+      bb.array()
+    }
+    f(frames, width, height, junk)
+  }
+
+  /** REAL RIFF/AVI header parse: validates the RIFF+`AVI ` magic, walks
+    * top-level chunks (even-padded) to `LIST hdrl`, then reads the
+    * `avih` main header — width/height/frame count/µs-per-frame. A
+    * wrong chunk walk (e.g. unskipped JUNK) or a wrong field offset
+    * flips the q150 gate. Null for non-AVI payloads. */
+  def decodeAvi(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+        }
+        if (fourcc() != "RIFF") null
+        else {
+          bb.getInt() // riff size
+          if (fourcc() != "AVI ") null
+          else {
+            var meta: AviMeta = null
+            while (meta == null && bb.remaining() >= 8) {
+              val id = fourcc()
+              val size = bb.getInt()
+              if (id == "LIST") {
+                val listType = fourcc()
+                if (listType == "hdrl") {
+                  val sub = fourcc()
+                  val subSize = bb.getInt()
+                  if (sub == "avih" && subSize >= 40) {
+                    val usec = bb.getInt().toLong
+                    bb.getInt(); bb.getInt(); bb.getInt()
+                    val frames = bb.getInt().toLong
+                    bb.getInt(); bb.getInt(); bb.getInt()
+                    val w = bb.getInt().toLong
+                    val h = bb.getInt().toLong
+                    meta = AviMeta(bytes.length.toLong, "avi", w, h,
+                      frames, usec, frames * usec)
+                  }
+                } else bb.position(bb.position() + size - 4 + (size & 1))
+              } else bb.position(bb.position() + size + (size & 1))
+            }
+            meta
+          }
+        }
+      } catch { case _: Exception => null }
+    }
+    f(payload)
+  }
+
   /** Frame sampling stub: n evenly spaced byte-slices of the payload
     * (stands in for video frame extraction; the slicing plumbing — offsets,
     * array-of-binary schema — is the real part). */

@@ -118,6 +118,31 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q150: REAL video-container decode under the oracle — canonical
+    * RIFF/AVI built by hand (variable even-padded JUNK chunk before
+    * `hdrl`, so the parser must actually walk chunks) and parsed back
+    * by the REAL [[Multimodal.decodeAvi]] header reader. Every output
+    * is integer-exact (duration in µs = frames × µs/frame). Retires the
+    * video leg of the fakeDecode stub to header-metadata honesty. */
+  def q150(s: SparkSession, dir: String): DataFrame = {
+    val frames = (col("doc_id") % 120 + 24).cast(IntegerType)
+    val w = (lit(160) + (col("doc_id") % 8) * 16).cast(IntegerType)
+    val h = (lit(120) + (col("doc_id") % 6) * 8).cast(IntegerType)
+    val junk = (col("doc_id") % 32).cast(IntegerType)
+    val payload = Multimodal.encodeAvi(frames, w, h, junk)
+    val meta = Multimodal.decodeAvi(payload)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("n_bytes").as("n_bytes"),
+        meta.getField("format").as("format"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"),
+        meta.getField("total_frames").as("total_frames"),
+        meta.getField("usec_per_frame").as("usec_per_frame"),
+        meta.getField("duration_us").as("duration_us"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q142: ANN recall@k evaluation — the eval every approximate index
     * ships with: |ANN top-k ∩ exact top-k| per query, in basis points.
     * Composes the two already-gated deterministic structures (q36's
@@ -1062,6 +1087,7 @@ object LlmQueries {
     "q31_multimodal_meta" -> (q31 _),
     "q140_bmp_decode" -> (q140 _),
     "q141_wav_decode" -> (q141 _),
+    "q150_avi_decode" -> (q150 _),
     "q142_ann_recall" -> (q142 _),
     "q143_dataset_diff" -> (q143 _),
     "q144_fim" -> (q144 _),
@@ -2318,6 +2344,16 @@ object LlmQueries {
         | CAST(8000 AS BIGINT) AS sample_rate,
         | CAST(doc_id % 97 + 160 AS BIGINT) AS frames,
         | CAST(doc_id % 97 + 160 AS DOUBLE) / 8 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q150_avi_decode" ->
+      """SELECT doc_id,
+        | CAST(108 + (doc_id % 32) + ((doc_id % 32) % 2) AS BIGINT) AS n_bytes,
+        | 'avi' AS format,
+        | CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+        | CAST(120 + (doc_id % 6) * 8 AS BIGINT) AS height,
+        | CAST(doc_id % 120 + 24 AS BIGINT) AS total_frames,
+        | CAST(33333 AS BIGINT) AS usec_per_frame,
+        | CAST((doc_id % 120 + 24) * 33333 AS BIGINT) AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_multimodal_meta" ->
       """SELECT doc_id,

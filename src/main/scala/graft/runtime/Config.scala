@@ -23,7 +23,10 @@ object Config {
       streaming: Boolean = false,
       // http_server-input specs: the POST sub-path the control plane
       // serves for this stream (reference default "/post")
-      pushPath: Option[String] = None) {
+      pushPath: Option[String] = None,
+      // `buffer: memory: batch_policy: period` (lib/buffer/constructor.go):
+      // the micro-batch cadence — maps onto the streaming trigger
+      bufferPeriodMs: Option[Long] = None) {
     def run(spark: SparkSession): Unit = {
       require(!streaming, "streaming config: use runStream(spark, checkpoint)")
       if (Tracing.isEnabled) Tracing.attachJobListener(spark)
@@ -39,11 +42,14 @@ object Config {
     /** Streaming configs (file_stream / generate_stream inputs): the same
       * pipeline on readStream, delivered through one foreachBatch. */
     def runStream(spark: SparkSession, checkpoint: String,
-        trigger: org.apache.spark.sql.streaming.Trigger =
-          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
-        : org.apache.spark.sql.streaming.StreamingQuery =
+        trigger: org.apache.spark.sql.streaming.Trigger = null)
+        : org.apache.spark.sql.streaming.StreamingQuery = {
+      val t = Option(trigger).getOrElse(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          bufferPeriodMs.getOrElse(1000L), java.util.concurrent.TimeUnit.MILLISECONDS))
       graft.streaming.Streaming.run(
-        Pipeline(pipeline)(input(spark)), output, checkpoint, trigger)
+        Pipeline(pipeline)(input(spark)), output, checkpoint, t)
+    }
   }
 
   def load(yaml: String): StreamSpec = {
@@ -191,7 +197,23 @@ object Config {
       .flatMap(_.get("http_server")).map(c =>
         Option(c).map(asMap).flatMap(_.get("path")).map(_.toString)
           .getOrElse("/post"))
-    StreamSpec(input, procs, output, streaming, pushPath)
+    // buffer section (`lib/buffer/constructor.go`): `none` is the
+    // passthrough default; `memory.batch_policy.period` sets the
+    // micro-batch cadence (count/size bounds are admission knobs the
+    // micro-batch engine owns). Unknown kinds are rejected by lint.
+    val bufferPeriod = root.get("buffer").map(asMap).flatMap { b =>
+      require(b.keys.forall(k => k == "none" || k == "memory" || k == "label"),
+        s"config: unknown buffer kind ${b.keys.mkString(",")}")
+      b.get("memory").map(asMap)
+        .flatMap(_.get("batch_policy").map(asMap))
+        .flatMap(_.get("period").map(_.toString))
+        .map(p => graft.exprs.GoDurationParse.parse(
+          org.apache.spark.unsafe.types.UTF8String.fromString(p)) match {
+          case null => 1000L
+          case n => n / 1000000L
+        })
+    }
+    StreamSpec(input, procs, output, streaming, pushPath, bufferPeriod)
   }
 
   // ---------- components ----------

@@ -90,6 +90,53 @@ class ConditionsSpec extends AnyFunSuite {
     assert(Conditions.compile(jm("resource" -> "is_x")).nonEmpty)
   }
 
+  /** Raw-content check (the reference vectors act on content bytes). */
+  def checkRaw(cond: Any, content: String): Boolean = {
+    import spark.implicits._
+    val base = scala.Seq((0L, content)).toDF("id", "s")
+    val env = Envelope.wrap(base, scala.Seq(col("id")))
+      .withColumn(Envelope.Content, col("doc.s").cast("binary"))
+    FilterProc(Conditions.compile(cond))(env).count() == 1L
+  }
+
+  test("reference text_test.go vectors") {
+    def c(op: String, arg: Any) = jm("text" -> jm("operator" -> op, "arg" -> arg))
+    // equals_cs pos/neg, equals case-insensitive 3 rows
+    assert(checkRaw(c("equals_cs", "foo"), "foo"))
+    assert(!checkRaw(c("equals_cs", "foo"), "not foo"))
+    assert(checkRaw(c("equals", "fOo"), "foo"))
+    assert(checkRaw(c("equals", "foo"), "fOo"))
+    assert(!checkRaw(c("equals", "fOo"), "f0o"))
+    // contains_cs / contains
+    assert(checkRaw(c("contains_cs", "foo"), "hello foo world"))
+    assert(!checkRaw(c("contains_cs", "foo"), "hello fOo world"))
+    assert(checkRaw(c("contains", "fOo"), "hello foo world"))
+    // prefix / suffix
+    assert(checkRaw(c("prefix_cs", "foo"), "foo bar"))
+    assert(!checkRaw(c("prefix_cs", "foo"), "Foo bar"))
+    assert(checkRaw(c("prefix", "fOo"), "foo bar"))
+    assert(checkRaw(c("suffix_cs", "bar"), "foo bar"))
+    assert(checkRaw(c("suffix", "BAR"), "foo bar"))
+    // regexp
+    assert(checkRaw(c("regexp_partial", "1[a-z]2"), "hello 1a2 world"))
+    assert(!checkRaw(c("regexp_partial", "1[a-z]2"), "hello 12 world"))
+    assert(checkRaw(c("regexp_exact", "1[a-z]2"), "1a2"))
+    assert(!checkRaw(c("regexp_exact", "1[a-z]2"), "hello 1a2 world"))
+    // enum / contains_any
+    assert(checkRaw(c("enum", jl("b", "c")), "b"))
+    assert(!checkRaw(c("enum", jl("b", "c")), "a"))
+    assert(checkRaw(c("contains_any_cs", jl("foo", "bar")), "zzz bar zzz"))
+    assert(!checkRaw(c("contains_any_cs", jl("foo", "bar")), "zzz BAR zzz"))
+    // is ip
+    assert(checkRaw(c("is", "ip"), "10.1.2.3"))
+    assert(!checkRaw(c("is", "ip"), "not-an-ip"))
+    // number vectors (number_test.go): content parsed as number
+    def n(op: String, arg: Any) = jm("number" -> jm("operator" -> op, "arg" -> arg))
+    assert(checkRaw(n("equals", 7), "7"))
+    assert(checkRaw(n("greater_than", 5), "7.5"))
+    assert(!checkRaw(n("less_than", 5), "7"))
+  }
+
   test("config-level: structured condition in a filter processor") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cond").toString
     java.nio.file.Files.writeString(

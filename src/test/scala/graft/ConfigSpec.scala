@@ -501,6 +501,29 @@ class ConfigSpec extends AnyFunSuite {
     assert(prom.contains("graft_rows_seen_count 7.0"), prom)
   }
 
+  test("buffer section: none accepted, memory batch_policy period maps to trigger") {
+    val spec = graft.runtime.Config.load(
+      """input:
+        |  generate: {count: 1, mapping: 'root = {}'}
+        |buffer:
+        |  memory:
+        |    batch_policy:
+        |      period: 250ms
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    assert(spec.bufferPeriodMs.contains(250L))
+    val none = graft.runtime.Config.load(
+      "input:\n  generate: {count: 1, mapping: 'root = {}'}\n" +
+      "buffer:\n  none: {}\noutput:\n  drop: {}\n")
+    assert(none.bufferPeriodMs.isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.runtime.Config.load(
+        "input:\n  generate: {count: 1, mapping: 'root = {}'}\n" +
+        "buffer:\n  mystery: {}\noutput:\n  drop: {}\n")
+    }
+  }
+
   test("object-store connector configs build canonical Hadoop URIs") {
     import graft.runtime.Config.objectStorePath
     assert(objectStorePath("aws_s3",

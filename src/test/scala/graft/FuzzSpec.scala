@@ -87,6 +87,26 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("printer round-trip: print(translate(jmespath)) re-parses and compiles") {
+    // every jmespath query the suite exercises must survive
+    // AST → Bloblang-source → parse → compile (the condition path)
+    val queries = scala.Seq(
+      "a.b", "a.b[0].c", "people[*].name", "people[?age > `30`].name",
+      "xs[].v", "xs[1:3]", "xs[-2:]", "!(a > `5`)", "m.*.v",
+      "length(people)", "join(', ', tags)", "sort_by(xs, &v)",
+      "min_by(xs, &v)", "max_by(xs, &v)", "map(&v, xs)",
+      "merge(a, b)", "not_null(missing, a)", "avg(xs)",
+      "a > `5` && b == 'x'", "sum([foo.bar, `6`])",
+      "locations[?state == 'WA'].name | sort(@)")
+    for (q <- queries) {
+      val printed = graft.blobl.Printer.print(graft.blobl.JmesPath.translate(q))
+      val reparsed = graft.blobl.Parser.parseQueryString(printed)
+      assert(compiles(s"root = $printed"), s"$q → $printed")
+      // printing the reparsed AST is a fixed point (stable rendering)
+      assert(graft.blobl.Printer.print(reparsed).nonEmpty)
+    }
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error

@@ -186,6 +186,28 @@ class LlmSpec extends AnyFunSuite {
     assert(feat.getLong(3) == n.toLong)
   }
 
+  test("real AVI header encode → decode round trip; junk chunk walked") {
+    import spark.implicits._
+    val df = scala.Seq((1L, 48, 320, 240, 7), (2L, 120, 640, 480, 0))
+      .toDF("id", "frames", "w", "h", "junk")
+    val meta = df.select(col("id"), Multimodal.decodeAvi(
+        Multimodal.encodeAvi(col("frames"), col("w"), col("h"), col("junk")))
+        .as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"),
+        col("m.total_frames"), col("m.n_bytes"), col("m.duration_us"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getString(1) == "avi")
+    assert(meta(1L).getLong(2) == 320L && meta(1L).getLong(3) == 240L)
+    assert(meta(1L).getLong(4) == 48L)
+    assert(meta(1L).getLong(5) == 108L + 8L) // junk 7 → even-padded 8
+    assert(meta(1L).getLong(6) == 48L * 33333L)
+    assert(meta(2L).getLong(5) == 108L)
+    // non-AVI payload → null meta
+    val bad = scala.Seq(Tuple1("not avi".getBytes("UTF-8"))).toDF("p")
+      .select(Multimodal.decodeAvi(col("p")).as("m")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("fakeDecode metadata is deterministic") {
     val m1 = docs.select(Multimodal.fakeDecode(col("text").cast("binary")).as("m"))
       .select("m.width", "m.height", "m.format").collect().toList
