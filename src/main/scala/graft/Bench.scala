@@ -60,7 +60,13 @@ object Bench {
     failed.foreach { case (name, _) =>
       System.err.println(s"[bench] FAILED $name (-1)")
     }
-    java.nio.file.Files.write(medianPath, qs.getBytes("UTF-8"))
+    // Merge into prior medians so a filtered dev run (args given) doesn't
+    // clobber the full-suite history the tripwire compares against.
+    val merged = prior ++ results.filter(_._2 >= 0).toMap
+    val mergedJson = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(medianPath, mergedJson.getBytes("UTF-8"))
     spark.stop()
     if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") &&
         (regressions.nonEmpty || failed.nonEmpty))

@@ -407,4 +407,28 @@ object Curation {
           .otherwise("unchanged").as("status"),
         col("old_fp"), col("new_fp"))
   }
+
+  /** Leakage-safe train/val/test split: the split key is the exact-dup
+    * cluster canonical id (min member id per content fingerprint), not the
+    * document id — so byte-identical copies can never straddle train and
+    * eval (the classic contamination-by-split bug hashSplit alone permits).
+    *
+    * One window min over the content fingerprint (high-cardinality
+    * partition key — scales), then the same deterministic md5-bucket
+    * assignment as [[hashSplit]] applied to the canonical id.
+    *
+    * Output: input columns + `canon_id` + `split`. */
+  def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      splits: scala.Seq[(String, Double)], out: String = "split"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast(BinaryType)))
+    val withCanon = df.withColumn("canon_id", min(col(idCol)).over(w))
+    val h = substring(md5(col("canon_id").cast("string")), 1, 4)
+    val cuts = splitThresholds(splits)
+    val assigned = splits.init.zip(cuts).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cut)) =>
+        when(h < lit(cut), name).otherwise(acc)
+      }
+    withCanon.withColumn(out, assigned)
+  }
 }

@@ -718,4 +718,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         expr("inter * 10000 div uni").as("jac_bp"))
   }
+
+  // ------------------------------------------- corpus-level dedup reports
+
+  /** Source-pair similarity matrix: exact Jaccard over distinct document
+    * fingerprints between every pair of sources — the "how much does crawl
+    * A overlap crawl B" statistic that drives source-mixing decisions.
+    *
+    * Shape for 100 TB: one distinct over (source, fingerprint), a
+    * fingerprint equi-join for intersections (per-fingerprint multiplicity
+    * is bounded by |sources|, so no hot-key blowup is possible), and a
+    * broadcast cross of the tiny distinct-source list so zero-overlap
+    * pairs still appear. Integer basis points — no float drift.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_inter, jaccard_bp), src_a < src_b. */
+  def sourceSimilarity(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val fps = df.select(col(srcCol).as("src"),
+      fingerprint(col(textCol)).as("fp")).distinct()
+    val counts = fps.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = fps.toDF("src_a", "fp")
+      .join(fps.toDF("src_b", "fp2"), col("fp") === col("fp2"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    val pairs = broadcast(counts.toDF("src_a", "n_a"))
+      .crossJoin(broadcast(counts.toDF("src_b", "n_b")))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(inter, scala.Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        expr("n_inter * 10000 div (n_a + n_b - n_inter)").as("jaccard_bp"))
+  }
+
+  /** Per-source exact-dedup impact report: how many docs are duplicate
+    * copies within the source and how many content bytes keep-first dedup
+    * would reclaim. Clusters are within-source (a cross-source copy is
+    * attributed to each source that holds it).
+    *
+    * Pure two-level aggregation — (source, fingerprint) then source — the
+    * map-side-combinable shape. Reclaimed bytes per cluster =
+    * (copies − 1) · min byte_length (token-set fingerprints can match
+    * texts of different lengths, so the keeper is the cheapest copy —
+    * deterministic on both engines).
+    *
+    * Output: (source, n_docs, n_clusters, dup_docs, bytes_total,
+    * bytes_saved). */
+  def dedupImpact(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.select(col(srcCol).as("source"),
+        fingerprint(col(textCol)).as("fp"),
+        octet_length(col(textCol)).cast(LongType).as("blen"))
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("copies"), min(col("blen")).as("blen"))
+      .groupBy("source")
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        (sum(col("copies")) - count(lit(1))).as("dup_docs"),
+        sum(col("copies") * col("blen")).as("bytes_total"),
+        sum((col("copies") - 1L) * col("blen")).as("bytes_saved"))
 }

@@ -391,11 +391,42 @@ object CurationQueries {
     "q71_url_canon" -> (q71 _),
     "q72_split" -> (q72 _),
     "q73_line_dedup" -> (q73 _),
-    "q74_shuffle" -> (q74 _))
+    "q74_shuffle" -> (q74 _),
+    "q151_source_similarity" -> (q151 _),
+    "q152_cluster_safe_split" -> (q152 _),
+    "q153_dedup_impact" -> (q153 _))
 
-  private def q72SplitSql: String = {
+  /** q151: source-pair exact-Jaccard similarity matrix over document
+    * fingerprints — the corpus-overlap statistic behind source mixing. */
+  def q151(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Dedup.sourceSimilarity(t(s, dir, "documents"),
+        "source", "text")
+      .orderBy(col("src_a"), col("src_b"))
+
+  /** q152: leakage-safe split — md5-bucket assignment keyed by the
+    * exact-dup cluster canonical id, so byte-identical copies never
+    * straddle train/eval (contrast q110, which audits the leak q72-style
+    * id-keyed splits permit). */
+  def q152(s: SparkSession, dir: String): DataFrame =
+    Curation.clusterSafeSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", q72Splits)
+      .select(col("doc_id"), col("canon_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** q153: per-source exact-dedup impact — duplicate copies and
+    * reclaimable content bytes, the "what does dedup buy us" report. */
+  def q153(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Dedup.dedupImpact(t(s, dir, "documents"), "source", "text")
+      .orderBy(col("source"))
+
+  private def q72SplitSql: String = splitCaseSql("doc_id")
+
+  /** DuckDB CASE expression replicating [[Curation.hashSplit]]'s md5-bucket
+    * assignment for the q72Splits fractions, keyed by `idExpr`. */
+  private def splitCaseSql(idExpr: String): String = {
     val cuts = Curation.splitThresholds(q72Splits)
-    val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+    val h = s"substr(md5(CAST($idExpr AS VARCHAR)), 1, 4)"
     val whens = q72Splits.init.zip(cuts).map { case ((name, _), cut) =>
       s"WHEN $h < '$cut' THEN '$name'"
     }.mkString(" ")
@@ -893,5 +924,42 @@ object CurationQueries {
         | CAST(row_number() OVER (
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
         |  AS shuffle_rank
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q151_source_similarity" ->
+      """WITH fps AS (
+        | SELECT DISTINCT source AS src,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+        | FROM documents),
+        |cnt AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY src),
+        |inter AS (
+        | SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+        | FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+        | GROUP BY 1, 2)
+        |SELECT ca.src AS src_a, cb.src AS src_b, ca.n AS n_a, cb.n AS n_b,
+        | COALESCE(i.n_inter, 0) AS n_inter,
+        | CAST(COALESCE(i.n_inter, 0) * 10000 // (ca.n + cb.n - COALESCE(i.n_inter, 0)) AS BIGINT)
+        |  AS jaccard_bp
+        |FROM cnt ca JOIN cnt cb ON ca.src < cb.src
+        |LEFT JOIN inter i ON i.src_a = ca.src AND i.src_b = cb.src
+        |ORDER BY src_a, src_b""".stripMargin,
+    "q152_cluster_safe_split" ->
+      s"""WITH c AS (
+         | SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+         | FROM documents)
+         |SELECT doc_id, canon_id, ${splitCaseSql("canon_id")} AS "split"
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q153_dedup_impact" ->
+      """WITH cl AS (
+        | SELECT source,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+        |  CAST(count(*) AS BIGINT) AS copies,
+        |  CAST(min(strlen(text)) AS BIGINT) AS blen
+        | FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(sum(copies) - count(*) AS BIGINT) AS dup_docs,
+        | CAST(sum(copies * blen) AS BIGINT) AS bytes_total,
+        | CAST(sum((copies - 1) * blen) AS BIGINT) AS bytes_saved
+        |FROM cl GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -273,4 +273,47 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getString(3) == "x")
     assert(out(2).getLong(2) == 1L && out(2).getString(3) == "dup")
   }
+
+  test("sourceSimilarity: exact Jaccard per source pair, zero-overlap pairs kept") {
+    // A: {ab, cd}; B: {ab, ef}; C: {zz} — token-set fingerprints
+    val df = Seq(
+      ("A", "a b"), ("A", "c d"), ("B", "b a"), ("B", "e f"), ("C", "z z"))
+      .toDF("source", "text")
+    val out = graft.llmops.Dedup.sourceSimilarity(df, "source", "text")
+      .orderBy("src_a", "src_b").collect()
+    assert(out.length === 3)
+    val ab = out(0) // A-B: inter 1 ("a b" ≡ "b a"), union 3 → 3333 bp
+    assert(ab.getAs[Long]("n_inter") === 1L)
+    assert(ab.getAs[Long]("jaccard_bp") === 3333L)
+    val ac = out(1) // A-C: no overlap, pair still present
+    assert(ac.getAs[Long]("n_inter") === 0L)
+    assert(ac.getAs[Long]("jaccard_bp") === 0L)
+  }
+
+  test("clusterSafeSplit: byte-identical copies always share a split") {
+    val df = (1L to 40L).map(i => (i, if (i % 4 == 0) "dup text" else s"doc $i"))
+      .toDF("doc_id", "text")
+    val out = Curation.clusterSafeSplit(df, "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).collect()
+    val dupSplits = out.filter(_.getAs[String]("text") == "dup text")
+      .map(_.getAs[String]("split")).distinct
+    assert(dupSplits.length === 1) // all copies co-assigned
+    val canon = out.filter(_.getAs[String]("text") == "dup text")
+      .map(_.getAs[Long]("canon_id")).distinct
+    assert(canon === Array(4L)) // min member id is the cluster key
+  }
+
+  test("dedupImpact: dup copies and reclaimed bytes per source") {
+    val df = Seq(
+      ("s1", "same text"), ("s1", "same text"), ("s1", "uniq"),
+      ("s2", "other")).toDF("source", "text")
+    val out = graft.llmops.Dedup.dedupImpact(df, "source", "text")
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") === 3L)
+    assert(s1.getAs[Long]("n_clusters") === 2L)
+    assert(s1.getAs[Long]("dup_docs") === 1L)
+    assert(s1.getAs[Long]("bytes_saved") === 9L) // one "same text" copy
+    assert(out(1).getAs[Long]("dup_docs") === 0L)
+  }
 }

@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q119_bm25",           // 1-row corpus-stats (N, Σdl) broadcast
     "q120_commonness",     // 1-row corpus-doc-count broadcast
     "q142_ann_recall",     // exact side = q29's broadcast query batch
-    "q148_rrf_fusion")     // dense side = q29's broadcast query batch
+    "q148_rrf_fusion",     // dense side = q29's broadcast query batch
+    "q151_source_similarity") // |sources|² cross of per-source counts (tiny)
 
   test("no CartesianProduct anywhere; BNLJ only documented tiny-side crosses") {
     val sf = "/root/testdata/sf0.001"
