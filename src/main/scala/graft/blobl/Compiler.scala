@@ -428,8 +428,11 @@ object Compiler {
           .getOrElse(b), Some(BooleanType))
       case "bytes" => TC(t.col.cast(BinaryType), Some(BinaryType))
       case "type" =>
+        // runtime null wins over the static SQL type (type_helpers.go:
+        // ValueNull) — typeof alone reports the column type for null rows
         val tn = typeof(t.col)
-        TC(when(tn.isin("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"), "number")
+        TC(when(t.col.isNull, "null")
+          .when(tn.isin("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"), "number")
           .when(tn === "string", "string")
           .when(tn === "boolean", "bool")
           .when(tn.startsWith("array"), "array")

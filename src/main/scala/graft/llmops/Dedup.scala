@@ -681,38 +681,70 @@ object Dedup {
       thresholdBp: Int = 7000): DataFrame = {
     require(thresholdBp > 0 && thresholdBp <= 10000,
       s"jaccardJoinExact: thresholdBp must be in (0, 10000], got $thresholdBp")
-    val toks = split(col(textCol), " ")
-    val grams = df.select(col(idCol).as("id"),
-      array_distinct(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType)))).as("grams"))
+    // Repartition by id BEFORE the per-row n-gram work: a small input
+    // (one parquet file → one task) would otherwise run the whole
+    // tokenize serially; hash-by-id also pre-partitions for the sets
+    // groupBy below, so the shuffle is spent once, not wasted. Bigrams
+    // via the shifted-slice zip_with kernel — O(n) per row (the
+    // transform+element_at form re-tokenizes per element, O(n²)).
+    val grams = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .repartition(col("id"))
+      .select(col("id"),
+        array_distinct(TextStats.wordBigramsRaw(col("_t"))).as("grams"))
       .filter(size(col("grams")) > 0)
     val g = grams.select(col("id"), explode(col("grams")).as("gram"))
+    // Dictionary-encode grams to df-ordered long ids (rarest = 0) — the
+    // standard first move of the prefix-filter join literature: the
+    // rarest-first total order becomes plain numeric order, candidate
+    // joins shuffle 8-byte keys instead of strings, and the verify
+    // becomes a sorted-long merge. Global rank via the partitioned
+    // two-pass assignment (range shuffle + zipWithIndex — no
+    // single-partition window); the dictionary is vocabulary-sized.
+    // localCheckpoint BEFORE the rank: withGlobalSeq's range-boundary
+    // sampling and zipWithIndex each re-run their input lineage, and the
+    // input here is the full bigram explode — checkpointing the
+    // vocabulary-sized df table makes that one pass instead of three.
     val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
-    // rarest-first global order, materialized as a sort key the verify
-    // stage never needs (it re-joins the unordered full sets)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("gdf"), col("gram"))
-    val prefix = g.join(dfreq, "gram")
-      .withColumn("_r", row_number().over(w))
-      .join(grams.select(col("id"), size(col("grams")).cast(LongType).as("sz")), "id")
-      .filter(col("_r") <= col("sz") - expr(s"$thresholdBp * sz div 10000") + 1)
-      .select(col("gram"), col("id"), col("sz"))
-    val cand = prefix.toDF("gram", "id_a", "sz_a")
-      .join(prefix.toDF("gram", "id_b", "sz_b"), "gram")
+      .localCheckpoint()
+    val dict = graft.model.Envelope.withGlobalSeq(
+      dfreq, scala.Seq(col("gdf"), col("gram")), "gid")
+    // Per-doc strictly-ascending gid sets. localCheckpoint materializes
+    // the (docs × set) relation once — it feeds the prefix stage and both
+    // verify sides, and keeps the zipWithIndex dictionary from
+    // recomputing per consumer.
+    val sets = g.join(dict.select(col("gram"), col("gid")), "gram")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      .withColumn("sz", size(col("gids")).cast(LongType))
+      .localCheckpoint(false)
+    // Probing prefix: first p = sz − ⌊t·sz⌋ + 1 rarest grams, with
+    // positions for the PPJoin positional filter below.
+    val prefix = sets.select(col("id"), col("sz"),
+      posexplode(expr(
+        s"slice(gids, 1, int(sz - ($thresholdBp * sz div 10000) + 1))")))
+      .toDF("id", "sz", "pos", "gid")
+    // Candidates: prefix equi-join + size filter + positional filter —
+    // a match at 0-based positions (pa, pb) bounds the overlap by
+    // min(sz_a−pa, sz_b−pb), and J ≥ t needs overlap ≥ t(sa+sb)/(1+t).
+    val tBp = lit(thresholdBp.toLong)
+    val cand = prefix.toDF("id_a", "sz_a", "pos_a", "gid")
+      .join(prefix.toDF("id_b", "sz_b", "pos_b", "gid"), "gid")
       .filter(col("id_a") < col("id_b") &&
-        col("sz_a") * thresholdBp <= col("sz_b") * 10000L &&
-        col("sz_b") * thresholdBp <= col("sz_a") * 10000L)
+        col("sz_a") * tBp <= col("sz_b") * 10000L &&
+        col("sz_b") * tBp <= col("sz_a") * 10000L &&
+        least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) *
+          (tBp + 10000L) >= tBp * (col("sz_a") + col("sz_b")))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(grams.toDF("id_a", "g_a"), "id_a")
-      .join(grams.toDF("id_b", "g_b"), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("gids").as("g_a"),
+        col("sz").as("sz_aa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("gids").as("g_b"),
+        col("sz").as("sz_bb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("g_a"), col("g_b"))).cast(LongType).as("inter"),
-        (size(col("g_a")) + size(col("g_b"))).cast(LongType).as("ssum"))
+        graft.exprs.SortedIntersectExpr.column(col("g_a"), col("g_b"))
+          .as("inter"),
+        (col("sz_aa") + col("sz_bb")).as("ssum"))
       .withColumn("uni", col("ssum") - col("inter"))
       .filter(col("inter") * 10000L >= col("uni") * thresholdBp)
       .select(col("id_a"), col("id_b"),

@@ -64,6 +64,19 @@ object Conditions {
         val n = toMap(conf).get("arg").map(_.toString.toLong).getOrElse(100L)
         s"(((batch_index() + 1) % ${n}L) != 0)"
       case "processor_failed" => wrap("errored()", target)
+      case "json_schema" =>
+        // lib/condition/jsonschema.go: boolean = does the doc validate
+        // against the schema (inline `schema` or `schema_path` file)
+        val cm = toMap(conf)
+        val schema = cm.get("schema").map(_.toString).orElse(
+          cm.get("schema_path").map(p => new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+              p.toString.stripPrefix("file://"))), "UTF-8")))
+          .getOrElse(throw new IllegalArgumentException(
+            "json_schema condition: missing schema/schema_path"))
+        // SQL null semantics make `x != null` never-true — test via type()
+        wrap(s"this.json_schema(${quote(schema)}).catch(null).type() != \"null\"",
+          target)
       case "check_field" =>
         val cm = toMap(conf)
         val path = cm.getOrElse("path",

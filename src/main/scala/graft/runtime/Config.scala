@@ -511,7 +511,11 @@ object Config {
       case "parallel" =>
         ForEach(asList(conf.getOrElse("processors", new java.util.ArrayList[Any]()))
           .map(p => compileProcessor(asMap(p))))
-      case "jsonschema" => E.JsonSchema(str(conf, "schema"))
+      case "jsonschema" | "json_schema" =>
+        // registry spelling is json_schema (lib/processor/constructor.go:164)
+        E.JsonSchema(conf.get("schema").map(_.toString).getOrElse(
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+            str(conf, "schema_path").stripPrefix("file://"))), "UTF-8")))
       // --- curation extension processors (no reference equivalent) ---
       case "c4_line_filter" => graft.ops.CurationProcs.C4LineFilterProc(
         optStr(conf, "separator", "\n"),
@@ -657,10 +661,13 @@ object Config {
             .map { case (k, v) => k -> v.toString },
           optStr(conf, "mode", "append"))
       case k @ ("aws_s3" | "s3" | "gcp_cloud_storage" | "azure_blob_storage" |
-          "hdfs" | "sftp") =>
+          "blob_storage" | "hdfs" | "sftp") =>
         // object-store outputs: the write side of the URI-scheme mapping
         // — a per-task parallel file write, never a driver upload loop
-        Sinks.FileSink(objectStorePath(k, conf),
+        // (`blob_storage` is the deprecated alias of azure_blob_storage,
+        // lib/output/constructor.go:170)
+        Sinks.FileSink(objectStorePath(
+            if (k == "blob_storage") "azure_blob_storage" else k, conf),
           conf.get("codec").orElse(conf.get("format")).map(_.toString)
             .getOrElse("lines"))
       case k @ ("aws_kinesis" | "kinesis" | "aws_sqs" | "sqs" | "gcp_pubsub" |
@@ -668,9 +675,18 @@ object Config {
           "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams" |
           "redis_pubsub" | "redis_hash" | "zmq4" | "nanomsg" |
           "scalability_protocols" | "aws_dynamodb" | "aws_sns" |
-          "aws_kinesis_firehose" | "azure_queue_storage" |
-          "azure_table_storage" | "cassandra" | "elasticsearch") =>
-        Sinks.BrokerSink(graft.sources.Brokers.output(k, conf))
+          "aws_kinesis_firehose" | "kinesis_firehose" | "azure_queue_storage" |
+          "azure_table_storage" | "table_storage" | "cassandra" |
+          "elasticsearch") =>
+        // deprecated spellings (lib/output/constructor.go:170,190,215):
+        // blob_storage/table_storage/kinesis_firehose alias the azure_/aws_
+        // forms — normalized before dispatch
+        Sinks.BrokerSink(graft.sources.Brokers.output(
+          k match {
+            case "kinesis_firehose" => "aws_kinesis_firehose"
+            case "table_storage"    => "azure_table_storage"
+            case other              => other
+          }, conf))
       case "drop_on" =>
         // lib/output/drop_on.go: wrap a child output, dropping messages
         // instead of erroring when `error: true` (back_pressure is a

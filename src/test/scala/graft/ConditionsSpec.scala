@@ -137,6 +137,17 @@ class ConditionsSpec extends AnyFunSuite {
     assert(!checkRaw(n("less_than", 5), "7"))
   }
 
+  test("json_schema condition keeps only validating docs") {
+    val schema =
+      """{"type":"object","properties":{"n":{"type":"number"}},"required":["n"]}"""
+    // n stays numeric under inference; {"x":2} fails `required: [n]`
+    // (a wrong-TYPE n would be schema-merged to string for all rows —
+    // the columnar-vs-per-row difference documented in SURVEY §1.3)
+    val rows = scala.Seq("""{"n":1}""", """{"x":2}""")
+    val kept = keep(jm("json_schema" -> jm("schema" -> schema)), rows: _*)
+    assert(kept === scala.Seq("""{"n":1}"""))
+  }
+
   test("config-level: structured condition in a filter processor") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cond").toString
     java.nio.file.Files.writeString(
