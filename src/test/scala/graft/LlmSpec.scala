@@ -272,6 +272,23 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L), (1L, 102L)), s"got $got")
   }
 
+  test("SortedIntersectExpr == array_intersect cardinality on random sorted arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { _ =>
+      def arr() = rnd.shuffle((0L until 50L).toVector)
+        .take(rnd.nextInt(20)).sorted.toArray
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        graft.exprs.SortedIntersectExpr.column(col("a"), col("b")).as("merge"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(col("merge") =!= col("builtin")).count()
+    assert(diff === 0L)
+  }
+
   test("jaccardJoinExact: prefix-filtered join == randomized brute force") {
     import spark.implicits._
     // 40 docs from a tiny vocabulary so bigram sets genuinely overlap;
