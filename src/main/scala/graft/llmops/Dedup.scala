@@ -461,8 +461,14 @@ object Dedup {
       shingleK: Int = 5, jaccardThreshold: Double = 0.9,
       simhashBits: Int = 32, simhashBands: Int = 4,
       maxHamming: Int = 3, withMinhash: Boolean = true): DataFrame = {
+    // The ensemble consumes its input 4-5× (two key projections, simhash,
+    // optional minhash, final labeling) — materialize the two needed
+    // columns once so the scan pipeline isn't re-run per branch. The
+    // same move is right at deploy scale: this is the op whose input
+    // fan-out is structural, not incidental.
+    val src = df.select(col(idCol), col(textCol)).localCheckpoint(false)
     def keyedPairs(key: Column): DataFrame = {
-      val keyed = df.select(col(idCol).as("_id"), key.as("_k"))
+      val keyed = src.select(col(idCol).as("_id"), key.as("_k"))
       val reps = keyed.groupBy(col("_k")).agg(min(col("_id")).as("_rep"))
       keyed.join(reps, "_k").filter(col("_id") =!= col("_rep"))
         .select(col("_rep").as("id_a"), col("_id").as("id_b"))
@@ -470,16 +476,16 @@ object Dedup {
     // exact copies + word-reordered copies (order-insensitive token set)
     val exact = keyedPairs(md5(col(textCol)))
     val reordered = keyedPairs(fingerprint(col(textCol)))
-    val sh = simhashPairs(df, idCol, textCol, bits = simhashBits,
+    val sh = simhashPairs(src, idCol, textCol, bits = simhashBits,
       bands = simhashBands, maxHamming = maxHamming)
       .select(col("id_a"), col("id_b"))
     val base = exact.unionByName(reordered).unionByName(sh)
     val edges =
       if (!withMinhash) base
       else base.unionByName(
-        minhashPairs(df, idCol, textCol, shingleK = shingleK,
+        minhashPairs(src, idCol, textCol, shingleK = shingleK,
           threshold = jaccardThreshold).select(col("id_a"), col("id_b")))
-    Graph.dedupClusters(df, idCol, edges, "id_a", "id_b")
+    Graph.dedupClusters(src, idCol, edges, "id_a", "id_b")
   }
 
   /** Exact-substring decontamination: eval passages appearing VERBATIM

@@ -313,8 +313,12 @@ object CurationQueries {
     * keep-set, co-keyed on (key, doc_id)); nothing materializes between
     * stages. */
   def q132(s: SparkSession, dir: String): DataFrame = {
+    // the pipeline's stages self-join the survivor set repeatedly —
+    // materialize the filtered input once (what a real multi-stage
+    // curation job does between stages)
     val kept = t(s, dir, "documents")
       .filter(size(split(col("text"), " ")).between(20, 5000))
+      .localCheckpoint(false)
     def dedup(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
       val keyed = df.withColumn("__k", key)
       keyed.join(

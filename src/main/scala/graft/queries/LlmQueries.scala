@@ -589,7 +589,10 @@ object LlmQueries {
     * id). The keeper policy big curation pipelines actually run:
     * among duplicates, keep the best document, not the longest. */
   def q82(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // classifier, simhash pairs, and the scored join each consume the
+    // corpus — materialize it once (the composition is multi-branch by
+    // nature, same rationale as ensembleDedup's internal checkpoint)
+    val docs = t(s, dir, "documents").localCheckpoint(false)
     val scored = docs.join(
       Training.hashedNbClassifier(docs, "doc_id", "text",
           col("lang") === "en", dim = 4096)
