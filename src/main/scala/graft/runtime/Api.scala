@@ -136,6 +136,13 @@ final class StatsdExporter(host: String, port: Int,
   def stop(): Unit = { running = false; thread.interrupt(); sock.close() }
 }
 
+/** Library build identity, served at GET /version (`lib/api` version
+  * endpoint analog). */
+object BuildInfo {
+  val version = "0.4.0"
+  val built = "2026-08-14"
+}
+
 /** REST control plane over the stream registry — the reference's streams
   * mode API (`lib/stream/manager/api.go:34-58`):
   *
@@ -188,12 +195,92 @@ final class ControlPlane(spark: SparkSession,
       s"""{"active":$active,"uptime_s":$uptime,"streaming":$streaming}"""
     }
 
+  // original YAML per stream, kept for PATCH-merge restarts
+  private val configsYaml =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Start (or replace) one stream from a YAML body; shared by
+    * POST/PUT/PATCH /streams/{id} and the bulk POST /streams. Returns the
+    * created-response body. */
+  private def startStream(id: String, body: String): String = {
+    stopStream(id)
+    val spec = Config.load(body)
+    configsYaml.put(id, body)
+    if (spec.pushPath.isDefined) {
+      // push input: no data yet — runs per POST to the push path
+      pushSpecs.put(id, spec)
+      started.put(id, (System.currentTimeMillis(), false))
+      s"""{"status":"created","post_path":"/streams/$id${spec.pushPath.get}"}"""
+    } else if (spec.streaming) {
+      val q = spec.runStream(spark, s"$checkpointRoot/$id")
+      registry.start(id, q)
+      started.put(id, (System.currentTimeMillis(), true))
+      """{"status":"created"}"""
+    } else {
+      spec.run(spark)
+      started.put(id, (System.currentTimeMillis(), false))
+      """{"status":"created"}"""
+    }
+  }
+
+  private def stopStream(id: String): Boolean = {
+    val wasStreaming = registry.stop(id)
+    pushSpecs.remove(id)
+    configsYaml.remove(id)
+    started.remove(id).isDefined || wasStreaming
+  }
+
+  /** Endpoint inventory served at GET /endpoints
+    * (`lib/api/api.go` RegisterEndpoint descriptions). */
+  private val endpointDocs: scala.Seq[(String, String)] = scala.Seq(
+    "/ping" -> "Liveness check, returns pong.",
+    "/ready" -> "200 when all active streams are running, else 503.",
+    "/version" -> "Build/version information.",
+    "/endpoints" -> "This listing.",
+    "/metrics" -> "Prometheus text exposition of observed metrics.",
+    "/stats" -> "Alias of /metrics.",
+    "/traces" -> "In-process trace spans as JSON.",
+    "/debug/stack" -> "JVM thread dump (the goroutine-dump analog).",
+    "/streams" -> ("GET: list streams with status/uptime. POST: replace " +
+      "the entire set from a map of id -> config."),
+    "/streams/{id}" -> ("POST create, GET read, PUT replace, PATCH " +
+      "section-merge update, DELETE stop."),
+    "/streams/{id}/stats" -> "Structured metrics for one stream.",
+    "/resources/{type}/{id}" -> ("POST: create or replace a named " +
+      "resource: cache, input, output, processor or rate_limit."),
+    "/inputs" -> "Dynamic-input CRUD (list; POST/DELETE /inputs/{id}).")
+
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     (method, path.split("/").filter(_.nonEmpty).toList) match {
       case ("GET", List("ping")) => respond(ex, 200, "pong", "text/plain")
-      case ("GET", List("ready")) => respond(ex, 200, """{"ready":true}""")
+      case ("GET", List("ready")) =>
+        // 503 when a registered streaming query died (api.go /ready doc:
+        // connected-check over active streams; none active → 200)
+        val dead = started.collect {
+          case (id, (_, true)) if !registry.list.contains(id) => id }
+        if (dead.isEmpty) respond(ex, 200, """{"ready":true}""")
+        else respond(ex, 503, s"""{"ready":false,"dead":${
+          dead.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")}}""")
+      case ("GET", List("version")) =>
+        respond(ex, 200, s"""{"version":"graft-${BuildInfo.version}","built":"${BuildInfo.built}"}""")
+      case ("GET", List("endpoints")) =>
+        respond(ex, 200, endpointDocs.map { case (p, d) =>
+          s"${jsonStr(p)}:${jsonStr(d)}" }.mkString("{", ",", "}"))
+      case ("GET", List("debug", "stack")) =>
+        val sb = new StringBuilder
+        import scala.jdk.CollectionConverters._
+        Thread.getAllStackTraces.asScala.toSeq
+          .sortBy(_._1.getName).foreach { case (t, frames) =>
+            sb.append(s"${t.getName} [${t.getState}]\n")
+            frames.foreach(f => sb.append(s"  at $f\n"))
+          }
+        respond(ex, 200, sb.toString, "text/plain")
+      case ("POST", List("resources", typ, id)) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        Config.registerResource(typ, id, Config.yamlMap(body))
+        respond(ex, 200, """{"status":"registered"}""")
       case ("GET", List("metrics")) | ("GET", List("stats")) =>
         respond(ex, 200, Metrics.prometheus,
           "text/plain; version=0.0.4; charset=utf-8")
@@ -203,24 +290,28 @@ final class ControlPlane(spark: SparkSession,
         val items = started.keys.toSeq.sorted.map(id =>
           s"${jsonStr(id)}:${streamStatus(id).get}")
         respond(ex, 200, items.mkString("{", ",", "}"))
-      case ("POST", List("streams", id)) =>
+      case ("POST", List("streams")) =>
+        // bulk replace (api.go HandleStreamsCRUD POST): body = map of
+        // id -> stream config; the whole running set is swapped
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        val spec = Config.load(body)
-        if (spec.pushPath.isDefined) {
-          // push input: no data yet — runs per POST to the push path
-          pushSpecs.put(id, spec)
-          started.put(id, (System.currentTimeMillis(), false))
-          respond(ex, 200,
-            s"""{"status":"created","post_path":"/streams/$id${spec.pushPath.get}"}""")
-        } else if (spec.streaming) {
-          val q = spec.runStream(spark, s"$checkpointRoot/$id")
-          registry.start(id, q)
-          started.put(id, (System.currentTimeMillis(), true))
-        } else {
-          spec.run(spark)
-          started.put(id, (System.currentTimeMillis(), false))
+        val yaml = new org.yaml.snakeyaml.Yaml()
+        val set = yaml.load[Any](body).asInstanceOf[java.util.Map[String, Any]]
+        started.keys.toSeq.foreach(stopStream)
+        import scala.jdk.CollectionConverters._
+        val results = set.asScala.toSeq.sortBy(_._1).map { case (id, conf) =>
+          s"${jsonStr(id)}:${startStream(id, yaml.dump(conf))}"
         }
-        respond(ex, 200, """{"status":"created"}""")
+        respond(ex, 200, results.mkString("{", ",", "}"))
+      case ("POST" | "PUT", List("streams", id)) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        respond(ex, 200, startStream(id, body))
+      case ("PATCH", List("streams", id)) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        configsYaml.get(id) match {
+          case None => respond(ex, 404, """{"error":"stream not found"}""")
+          case Some(base) =>
+            respond(ex, 200, startStream(id, Config.mergeYaml(base, body)))
+        }
       case ("GET", List("streams", id)) =>
         streamStatus(id) match {
           case Some(s) => respond(ex, 200, s)
@@ -263,9 +354,9 @@ final class ControlPlane(spark: SparkSession,
           respond(ex, 200, """{"status":"removed"}""")
         else respond(ex, 404, """{"error":"input not found"}""")
       case ("DELETE", List("streams", id)) =>
-        val wasStreaming = registry.stop(id)
-        pushSpecs.remove(id)
-        if (started.remove(id).isDefined)
+        val existed = started.contains(id)
+        val wasStreaming = stopStream(id) && existed
+        if (existed)
           respond(ex, 200, s"""{"status":"stopped","was_active":$wasStreaming}""")
         else respond(ex, 404, """{"error":"stream not found"}""")
       case ("GET", List("streams", id, "stats")) =>

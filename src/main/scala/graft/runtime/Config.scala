@@ -114,31 +114,7 @@ object Config {
     // cache_resources first: the cache processor resolves labels at compile
     root.get("cache_resources").map(asList).getOrElse(Nil).foreach { c =>
       val cm = asMap(c)
-      val label = str(cm, "label")
-      val store: graft.ops.CacheOps.CacheStore =
-        if (cm.contains("file"))
-          new graft.ops.CacheOps.FileCache(str(asMap(cm("file")), "directory"))
-        else if (cm.contains("redis"))
-          // external KV backend (`lib/cache/redis.go`): the client
-          // transport is the RedisClientFactory contract; in this image
-          // it resolves to the in-process fake keyed by URL
-          new graft.ops.RedisCache(graft.ops.FakeRedisFactory(
-            str(asMap(cm("redis")), "url")))
-        else if (cm.contains("memcached"))
-          // memcached is the same external-KV contract (get/set/add/
-          // delete, `lib/cache/memcached.go`) — served by the KV client
-          // under a distinct namespace
-          new graft.ops.RedisCache(graft.ops.FakeRedisFactory(
-            "memcached:" + asMap(cm("memcached")).get("addresses")
-              .map(asList(_).map(_.toString).mkString(",")).getOrElse("local")))
-        else if (cm.contains("multilevel"))
-          // levels are prior-registered cache labels, read-through in
-          // order (lib/cache/multilevel.go)
-          new graft.ops.CacheOps.MultilevelCache(
-            asList(cm("multilevel")).map(l =>
-              graft.ops.CacheOps.Caches(l.toString)))
-        else new graft.ops.CacheOps.MemoryCache // memory | ristretto
-      graft.ops.CacheOps.Caches.register(label, store)
+      graft.ops.CacheOps.Caches.register(str(cm, "label"), cacheStoreFrom(cm))
     }
     // `resources:` section (`lib/config/lint.go` surface): named inputs /
     // outputs / caches usable via the `resource` kinds
@@ -152,12 +128,7 @@ object Config {
       }
       res.get("caches").map(asMap).getOrElse(Map.empty).foreach {
         case (label, c) =>
-          val cm = asMap(c)
-          val store: graft.ops.CacheOps.CacheStore =
-            if (cm.contains("file"))
-              new graft.ops.CacheOps.FileCache(str(asMap(cm("file")), "directory"))
-            else new graft.ops.CacheOps.MemoryCache
-          graft.ops.CacheOps.Caches.register(label, store)
+          graft.ops.CacheOps.Caches.register(label, cacheStoreFrom(asMap(c)))
       }
       // named conditions (lib/condition constructor registry): compiled
       // to Bloblang check strings NOW so `condition: resource: name`
@@ -169,15 +140,7 @@ object Config {
     // rate_limit_resources: named token buckets (local rate limit)
     root.get("rate_limit_resources").map(asList).getOrElse(Nil).foreach { c =>
       val cm = asMap(c)
-      val local = cm.get("local").map(asMap).getOrElse(Map.empty)
-      val count = local.get("count").map(_.toString.toDouble).getOrElse(10.0)
-      val interval = local.get("interval").map(_.toString).getOrElse("1s")
-      val intervalSec = {
-        val nanos = graft.exprs.GoDurationParse.parse(
-          org.apache.spark.unsafe.types.UTF8String.fromString(interval))
-        if (nanos == null || nanos <= 0) 1.0 else nanos / 1e9
-      }
-      graft.ops.RateLimits.register(str(cm, "label"), count / intervalSec)
+      graft.ops.RateLimits.register(str(cm, "label"), rateLimitPerSec(cm))
     }
     val input = compileInput(asMap(root.getOrElse("input",
       throw new IllegalArgumentException("config: missing input"))))
@@ -217,6 +180,78 @@ object Config {
   }
 
   // ---------- components ----------
+
+  /** Parse one YAML document into the loosely-typed map the component
+    * compilers take (REST resource bodies). */
+  def yamlMap(body: String): Map[String, Any] =
+    asMap(new Yaml().load[Any](body))
+
+  /** Shallow top-level merge of two YAML documents — the PATCH
+    * /streams/{id} semantics: sections present in the patch replace the
+    * base section wholesale (lib/stream/manager/api.go patch handler
+    * operates on section granularity). */
+  def mergeYaml(base: String, patch: String): String = {
+    val b = new java.util.LinkedHashMap[String, Any]()
+    def put(doc: String): Unit = Option(new Yaml().load[Any](doc)).foreach {
+      case m: java.util.Map[_, _] =>
+        m.forEach((k, v) => b.put(String.valueOf(k), v))
+      case _ => ()
+    }
+    put(base); put(patch)
+    new Yaml().dump(b)
+  }
+
+  /** Cache store from one cache-resource config map (backend key picks
+    * the implementation; unknown/memory/ristretto → in-heap map). */
+  private def cacheStoreFrom(cm: Map[String, Any]): graft.ops.CacheOps.CacheStore =
+    if (cm.contains("file"))
+      new graft.ops.CacheOps.FileCache(str(asMap(cm("file")), "directory"))
+    else if (cm.contains("redis"))
+      // external KV backend (`lib/cache/redis.go`): the client transport
+      // is the RedisClientFactory contract; in this image it resolves to
+      // the in-process fake keyed by URL
+      new graft.ops.RedisCache(graft.ops.FakeRedisFactory(
+        str(asMap(cm("redis")), "url")))
+    else if (cm.contains("memcached"))
+      // memcached is the same external-KV contract (get/set/add/delete,
+      // `lib/cache/memcached.go`) — served under a distinct namespace
+      new graft.ops.RedisCache(graft.ops.FakeRedisFactory(
+        "memcached:" + asMap(cm("memcached")).get("addresses")
+          .map(asList(_).map(_.toString).mkString(",")).getOrElse("local")))
+    else if (cm.contains("multilevel"))
+      // levels are prior-registered cache labels, read-through in order
+      // (lib/cache/multilevel.go)
+      new graft.ops.CacheOps.MultilevelCache(
+        asList(cm("multilevel")).map(l =>
+          graft.ops.CacheOps.Caches(l.toString)))
+    else new graft.ops.CacheOps.MemoryCache // memory | ristretto
+
+  /** tokens/sec of a local rate-limit resource config. */
+  private def rateLimitPerSec(cm: Map[String, Any]): Double = {
+    val local = cm.get("local").map(asMap).getOrElse(Map.empty)
+    val count = local.get("count").map(_.toString.toDouble).getOrElse(10.0)
+    val interval = local.get("interval").map(_.toString).getOrElse("1s")
+    val nanos = graft.exprs.GoDurationParse.parse(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    val intervalSec = if (nanos == null || nanos <= 0) 1.0 else nanos / 1e9
+    count / intervalSec
+  }
+
+  /** REST `/resources/{type}/{id}` (lib/stream/manager/api.go:54): create
+    * or replace a named resource. Types: cache, input, output, processor,
+    * rate_limit. */
+  def registerResource(typ: String, id: String, cm: Map[String, Any]): Unit =
+    typ match {
+      case "cache" =>
+        graft.ops.CacheOps.Caches.register(id, cacheStoreFrom(cm))
+      case "input" => InputResources.register(id, compileInput(cm))
+      case "output" => Sinks.OutputResources.register(id, compileOutput(cm))
+      case "processor" => F.Resources.register(id, compileProcessor(cm))
+      case "rate_limit" =>
+        graft.ops.RateLimits.register(id, rateLimitPerSec(cm))
+      case o => throw new IllegalArgumentException(
+        s"resource type must be cache|input|output|processor|rate_limit, got $o")
+    }
 
   private def compileInput(m: Map[String, Any]): SparkSession => DataFrame = {
     val (kind, conf) = one(m, "input")

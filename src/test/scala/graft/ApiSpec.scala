@@ -68,6 +68,72 @@ class ApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("version, endpoints, stack, resource CRUD, put/patch, bulk set") {
+    val api = new ControlPlane(spark).start()
+    val base = s"http://localhost:${api.boundPort}"
+    val batchCfg =
+      """input:
+        |  generate:
+        |    count: 3
+        |    mapping: "root.i = this.i"
+        |output:
+        |  drop: {}
+        |""".stripMargin
+    def patch(url: String, body: String): Int = {
+      val client = java.net.http.HttpClient.newHttpClient()
+      client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .method("PATCH", java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+    try {
+      assert(http("GET", s"$base/version")._2.contains("graft-"))
+      val eps = http("GET", s"$base/endpoints")._2
+      assert(eps.contains("/resources/{type}/{id}") && eps.contains("/streams/{id}"))
+      assert(http("GET", s"$base/debug/stack")._2.contains("at "))
+
+      // resource CRUD: cache + rate_limit registries observe the POST
+      assert(http("POST", s"$base/resources/cache/api_c1", "memory: {}")._1 == 200)
+      import spark.implicits._
+      val store = graft.ops.CacheOps.Caches("api_c1")
+      store.upsert(Seq(("k", "v")).toDF("key", "value"))
+      assert(store.snapshot(spark).collect().map(r => (r.getString(0), r.getString(1)))
+        .toSeq == Seq(("k", "v")))
+      assert(http("POST", s"$base/resources/rate_limit/api_rl1",
+        "local:\n  count: 5\n  interval: 1s")._1 == 200)
+      assert(graft.ops.RateLimits.configFor("api_rl1") == 5.0)
+      assert(http("POST", s"$base/resources/nope/x", "a: 1")._1 == 400)
+
+      // PUT create-or-replace; PATCH section-merge restart
+      assert(http("PUT", s"$base/streams/pj", batchCfg)._1 == 200)
+      assert(http("GET", s"$base/streams/pj")._1 == 200)
+      assert(patch(s"$base/streams/pj",
+        "output:\n  drop: {}\n") == 200)
+      assert(patch(s"$base/streams/ghost", "output:\n  drop: {}\n") == 404)
+
+      // bulk replace: the whole set becomes {a, b}; pj is gone
+      val (bc, bb) = http("POST", s"$base/streams",
+        s"""a:
+           |  input:
+           |    generate:
+           |      count: 2
+           |      mapping: "root.x = this.i"
+           |  output:
+           |    drop: {}
+           |b:
+           |  input:
+           |    generate:
+           |      count: 2
+           |      mapping: "root.y = this.i"
+           |  output:
+           |    drop: {}
+           |""".stripMargin)
+      assert(bc == 200 && bb.contains("\"a\"") && bb.contains("\"b\""))
+      val list = http("GET", s"$base/streams")._2
+      assert(list.contains("\"a\"") && list.contains("\"b\"") && !list.contains("\"pj\""))
+    } finally api.stop()
+  }
+
   test("tracer: spans per processor + spark jobs, served at /traces") {
     Tracing.clear()
     val spec = Config.load(
