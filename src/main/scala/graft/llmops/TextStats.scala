@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -559,5 +559,37 @@ object TextStats {
         expr("cxy * n_total * 10000 div (c1 * c2)").as("pmi_bp"))
       .orderBy(col("pmi_bp").desc, col("bigram"))
       .limit(k)
+  }
+
+  /** Per-group script/character-class profile: what fraction of content
+    * characters are latin letters / digits / whitespace / other — the
+    * cheap script-mix signal curation pipelines use to catch mislabeled
+    * languages, binary-ish junk, and markup-heavy sources before any
+    * model-based language ID runs.
+    *
+    * Counts are engine-portable: chars-in-class = length(text) −
+    * length(text with the class removed), explicit ASCII classes only (no
+    * locale-dependent POSIX classes). Pure projection + one map-side
+    * combinable aggregation; integer basis points.
+    *
+    * Output: (group, n_docs, n_chars, latin_bp, digit_bp, space_bp,
+    * other_bp). */
+  def scriptProfile(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def inClass(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast(LongType)
+    df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(t).cast(LongType)).as("n_chars"),
+        sum(inClass("[A-Za-z]")).as("_latin"),
+        sum(inClass("[0-9]")).as("_digit"),
+        sum(inClass("[ ]")).as("_space"))
+      .select(col("group"), col("n_docs"), col("n_chars"),
+        expr("_latin * 10000 div n_chars").as("latin_bp"),
+        expr("_digit * 10000 div n_chars").as("digit_bp"),
+        expr("_space * 10000 div n_chars").as("space_bp"),
+        expr("(n_chars - _latin - _digit - _space) * 10000 div n_chars")
+          .as("other_bp"))
   }
 }

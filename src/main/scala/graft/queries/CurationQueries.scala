@@ -398,7 +398,16 @@ object CurationQueries {
     "q74_shuffle" -> (q74 _),
     "q151_source_similarity" -> (q151 _),
     "q152_cluster_safe_split" -> (q152 _),
-    "q153_dedup_impact" -> (q153 _))
+    "q153_dedup_impact" -> (q153 _),
+    "q154_script_profile" -> (q154 _))
+
+  /** q154: per-language script/char-class mix — the cheap mislabeled-
+    * language / junk-source signal (ASCII classes only, engine-portable). */
+  def q154(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.TextStats.scriptProfile(t(s, dir, "documents"),
+        "lang", "text")
+      .withColumnRenamed("group", "lang")
+      .orderBy(col("lang"))
 
   /** q151: source-pair exact-Jaccard similarity matrix over document
     * fingerprints — the corpus-overlap statistic behind source mixing. */
@@ -965,5 +974,20 @@ object CurationQueries {
         | CAST(sum(copies) - count(*) AS BIGINT) AS dup_docs,
         | CAST(sum(copies * blen) AS BIGINT) AS bytes_total,
         | CAST(sum((copies - 1) * blen) AS BIGINT) AS bytes_saved
-        |FROM cl GROUP BY source ORDER BY source""".stripMargin)
+        |FROM cl GROUP BY source ORDER BY source""".stripMargin,
+    "q154_script_profile" ->
+      """WITH c AS (
+        | SELECT lang, length(text) AS n,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS lat,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+        |  length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS spc
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS n_chars,
+        | CAST(sum(lat) * 10000 // sum(n) AS BIGINT) AS latin_bp,
+        | CAST(sum(dig) * 10000 // sum(n) AS BIGINT) AS digit_bp,
+        | CAST(sum(spc) * 10000 // sum(n) AS BIGINT) AS space_bp,
+        | CAST((sum(n) - sum(lat) - sum(dig) - sum(spc)) * 10000 // sum(n) AS BIGINT)
+        |  AS other_bp
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin)
 }
