@@ -224,7 +224,21 @@ object Config {
       new graft.ops.CacheOps.MultilevelCache(
         asList(cm("multilevel")).map(l =>
           graft.ops.CacheOps.Caches(l.toString)))
-    else new graft.ops.CacheOps.MemoryCache // memory | ristretto
+    else if (cm.contains("s3") || cm.contains("dynamodb") ||
+        cm.contains("mongodb")) {
+      // remaining external backends (`lib/cache/constructor.go:82-92`):
+      // the same external-KV contract, namespaced per backend+target so
+      // distinct configs never share state; transport resolves to the
+      // in-process fake in this image (no egress)
+      val (kind, tgt) =
+        if (cm.contains("s3")) ("s3", asMap(cm("s3"))
+          .get("bucket").map(_.toString).getOrElse("default"))
+        else if (cm.contains("dynamodb")) ("dynamodb", asMap(cm("dynamodb"))
+          .get("table").map(_.toString).getOrElse("default"))
+        else ("mongodb", asMap(cm("mongodb"))
+          .get("collection").map(_.toString).getOrElse("default"))
+      new graft.ops.RedisCache(graft.ops.FakeRedisFactory(s"$kind:$tgt"))
+    } else new graft.ops.CacheOps.MemoryCache // memory | ristretto
 
   /** tokens/sec of a local rate-limit resource config. */
   private def rateLimitPerSec(cm: Map[String, Any]): Double = {
