@@ -303,6 +303,26 @@ class CurationSpec extends AnyFunSuite {
     assert(canon === Array(4L)) // min member id is the cluster key
   }
 
+  test("new curation reports survive null/empty text") {
+    val df = Seq(
+      ("s1", "real text here"), ("s1", null), ("s1", ""), ("s2", null))
+      .toDF("source", "text")
+    // none of these may throw; groups with only null/empty text still row
+    val sim = graft.llmops.Dedup.sourceSimilarity(df, "source", "text").collect()
+    assert(sim.length === 1) // one pair s1-s2
+    val imp = graft.llmops.Dedup.dedupImpact(df, "source", "text")
+      .orderBy("source").collect()
+    assert(imp.length === 2)
+    val split = Curation.clusterSafeSplit(
+      df.withColumn("id", monotonically_increasing_id()), "id", "text",
+      Seq("train" -> 0.9, "test" -> 0.1)).collect()
+    assert(split.length === 4)
+    val prof = graft.llmops.TextStats.scriptProfile(df, "source", "text")
+      .orderBy("group").collect()
+    assert(prof.length === 2)
+    assert(prof(0).getAs[Long]("n_docs") === 3L)
+  }
+
   test("dedupImpact: dup copies and reclaimed bytes per source") {
     val df = Seq(
       ("s1", "same text"), ("s1", "same text"), ("s1", "uniq"),
