@@ -71,4 +71,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("column pruning + filter pushdown reach the scan through Tables.parallelize") {
+    // Tables.t inserts a repartitionByRange on small local inputs; this
+    // pins that Catalyst still pushes projection and predicates THROUGH
+    // that exchange to the parquet scan (a regression here would make
+    // every query read every column at deploy scale).
+    val plan = graft.queries.Relational.queries("q1_agg")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no FileScan in q1 plan"))
+    // 7 needed columns + the range key; never the full 16-column lineitem
+    val readCols = "#\\d+".r.findAllIn(
+      scan.substring(scan.indexOf("["), scan.indexOf("]") + 1)).size
+    assert(readCols <= 8, s"scan reads $readCols columns: $scan")
+    assert(scan.contains("l_shipdate") && plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed: $scan")
+  }
 }
