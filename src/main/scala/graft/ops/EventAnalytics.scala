@@ -207,6 +207,44 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Time-series similarity search over per-user daily value series —
+    * histogram-intersection similarity (Σ_day min(a_d, b_d)) of a small
+    * query set of users against the whole population, top-k matches per
+    * query user. The "find accounts behaving like these" primitive
+    * (alarm correlation / cohort expansion / fraud-ring seeds).
+    *
+    * Scale shape: the q29-kNN posture — the query side is tiny and
+    * broadcasts, the population series makes ONE pass keyed by day
+    * (candidate volume = |queries|·|users active that day|, never
+    * users²); per-query top-k is a window over |queries| partitions.
+    * Values aggregate as DECIMAL so every sum is exact and
+    * order-independent (engine-portable — no float drift).
+    *
+    * Output: (query_user, rank, user_id, n_days, inter_s4) — inter
+    * descending, ties by user id; inter_s4 is the DECIMAL(18,4)
+    * intersection scaled ×10⁴ to BIGINT (bit-exact across engines,
+    * where a decimal→double render can differ in the last ulp). */
+  def seriesSimilarityTopK(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, queryPred: Column, k: Int): DataFrame = {
+    val daily = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("v"))
+      .groupBy(col("u"), col("day")).agg(sum(col("v")).as("v"))
+    val q = daily.filter(queryPred)
+      .select(col("u").as("qu"), col("day"), col("v").as("qv"))
+    val scored = broadcast(q).join(daily, "day")
+      .filter(col("u") =!= col("qu"))
+      .groupBy(col("qu"), col("u"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(least(col("qv"), col("v"))).as("inter"))
+    val w = Window.partitionBy(col("qu"))
+      .orderBy(col("inter").desc, col("u"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qu").as("query_user"), col("rank"),
+        col("u").as("user_id"), col("n_days"),
+        (col("inter") * 10000).cast(LongType).as("inter_s4"))
+  }
+
   def transitions(df: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))

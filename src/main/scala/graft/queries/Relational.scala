@@ -190,6 +190,15 @@ object Relational {
         "event_type", scala.Seq("signup", "view", "click", "purchase"))
       .orderBy(col("user_id"))
 
+  /** q155: time-series similarity search — top-5 users whose daily
+    * value series best matches each query user's (histogram
+    * intersection, exact decimal sums; q29's broadcast-query kNN
+    * posture over the event stream). */
+  def q155SeriesSim(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.seriesSimilarityTopK(t(s, dir, "events"),
+        "user_id", "ts", "value", col("u") % 30 === 0, k = 5)
+      .orderBy(col("query_user"), col("rank"))
+
   /** q107: weekly cohort retention triangle — cohort by first active
     * day, activity bucketed in 7-day offsets from it. */
   def q107Retention(s: SparkSession, dir: String): DataFrame =
@@ -381,6 +390,7 @@ object Relational {
     "q135_unpivot" -> (q135Unpivot _),
     "q137_kmv_setops" -> (q137KmvSetOps _),
     "q139_spike_days" -> (q139SpikeDays _),
+    "q155_series_similarity" -> (q155SeriesSim _),
     "q56_sessionize" -> (q56Sessionize _),
     "q33_time_window" -> (q33TimeWindow _),
     "q34_rollup" -> (q34Rollup _),
@@ -409,6 +419,24 @@ object Relational {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "q155_series_similarity" ->
+      """WITH daily AS (
+        | SELECT user_id AS u, CAST(ts AS DATE) AS day,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS v
+        | FROM events GROUP BY 1, 2),
+        |q AS (SELECT u AS qu, day, v AS qv FROM daily WHERE u % 30 = 0),
+        |scored AS (
+        | SELECT qu, d.u, CAST(count(*) AS BIGINT) AS n_days,
+        |  sum(least(qv, d.v)) AS inter
+        | FROM q JOIN daily d USING (day) WHERE d.u <> qu
+        | GROUP BY 1, 2),
+        |rk AS (
+        | SELECT qu, u, n_days, inter,
+        |  row_number() OVER (PARTITION BY qu ORDER BY inter DESC, u) AS rank
+        | FROM scored)
+        |SELECT qu AS query_user, CAST(rank AS BIGINT) AS rank, u AS user_id,
+        | n_days, CAST(inter * 10000 AS BIGINT) AS inter_s4
+        |FROM rk WHERE rank <= 5 ORDER BY query_user, rank""".stripMargin,
     "q139_spike_days" ->
       """WITH c AS (
         | SELECT event_type AS et, CAST(ts AS DATE) AS day,
