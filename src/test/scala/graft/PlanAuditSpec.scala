@@ -87,5 +87,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(readCols <= 8, s"scan reads $readCols columns: $scan")
     assert(scan.contains("l_shipdate") && plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       s"shipdate filter not pushed: $scan")
+    // documents-based kernel: only (doc_id, text) may reach the scan
+    val p50 = graft.queries.LlmQueries.queries("q30_text_quality")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val docScan = p50.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no FileScan in q30 plan"))
+    val cols50 = "#\\d+".r.findAllIn(
+      docScan.substring(docScan.indexOf("["), docScan.indexOf("]") + 1)).size
+    assert(cols50 <= 3, s"q30 documents scan reads $cols50 columns: $docScan")
   }
 }
