@@ -338,6 +338,107 @@ object Multimodal {
     f(payload)
   }
 
+  case class Mp4Meta(n_bytes: Long, brand: String, timescale: Long,
+      duration_units: Long, duration_ms: Long, n_tracks: Long)
+
+  /** Canonical minimal ISO-BMFF (MP4): `ftyp`(major brand isom) +
+    * `free`(junk) + `moov`[`mvhd` v0 + `trak`(free payload) × n].
+    * Box layout per the published ISO/IEC 14496-12 base-media spec —
+    * big-endian sizes, version-0 mvhd carries timescale@offset 12 and
+    * duration@16 inside the box payload. Header-metadata path: tracks
+    * carry no samples. */
+  def encodeMp4(durationUnits: Column, timescale: Column, nTracks: Column,
+      junk: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf {
+      (dur: Long, ts: Int, tracks: Int, j: Int) =>
+        def box(kind: String, payload: Array[Byte]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          bb.putInt(8 + payload.length)
+            .put(kind.getBytes("US-ASCII")).put(payload)
+          bb.array()
+        }
+        val ftyp = box("ftyp", {
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.put("isom".getBytes("US-ASCII")).putInt(512)
+            .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+          bb.array()
+        })
+        val free = box("free", new Array[Byte](j))
+        val mvhd = box("mvhd", {
+          // version/flags, creation, modification, timescale, duration,
+          // rate, volume+pad, reserved, matrix, predefined, next-track
+          val bb = java.nio.ByteBuffer.allocate(100)
+          bb.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur.toInt)
+          bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+          bb.array() // rest zero-filled
+        })
+        val traks = (0 until tracks).toArray
+          .flatMap(_ => box("trak", box("free", Array.emptyByteArray)))
+        val moov = box("moov", mvhd ++ traks)
+        ftyp ++ free ++ moov
+    }
+    f(durationUnits.cast(org.apache.spark.sql.types.LongType),
+      timescale.cast(IntegerType), nTracks.cast(IntegerType),
+      junk.cast(IntegerType))
+  }
+
+  /** REAL ISO-BMFF box walk: validates `ftyp`, skips sibling boxes to
+    * `moov`, reads the version-0 `mvhd` (timescale, duration) and counts
+    * `trak` children. A wrong size walk (32-bit big-endian including the
+    * 8-byte header) or field offset flips the q156 gate. Null for
+    * non-BMFF payloads. duration_ms = units·1000 div timescale (integer,
+    * engine-portable). */
+  def decodeMp4(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+        def fourcc(): String = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+        }
+        var brand: String = null
+        var meta: Mp4Meta = null
+        var bad = false
+        while (!bad && meta == null && bb.remaining() >= 8) {
+          val start = bb.position()
+          val size = bb.getInt()
+          val kind = fourcc()
+          if (size < 8 || start + size > bytes.length) bad = true
+          else kind match {
+            case "ftyp" =>
+              brand = fourcc()
+              bb.position(start + size)
+            case "moov" if brand != null =>
+              // walk children of moov only
+              var ts = 0L; var dur = 0L; var tracks = 0L
+              val end = start + size
+              bb.position(start + 8)
+              while (!bad && bb.position() + 8 <= end) {
+                val cStart = bb.position()
+                val cSize = bb.getInt()
+                val cKind = fourcc()
+                if (cSize < 8 || cStart + cSize > end) bad = true
+                else {
+                  if (cKind == "mvhd") {
+                    bb.getInt(); bb.getInt(); bb.getInt() // ver/flags, times
+                    ts = bb.getInt().toLong
+                    dur = bb.getInt().toLong
+                  } else if (cKind == "trak") tracks += 1
+                  bb.position(cStart + cSize)
+                }
+              }
+              if (!bad && ts > 0)
+                meta = Mp4Meta(bytes.length.toLong, brand, ts, dur,
+                  dur * 1000L / ts, tracks)
+              else bad = true
+            case _ => bb.position(start + size)
+          }
+        }
+        if (bad) null else meta
+      } catch { case _: Exception => null }
+    }
+    f(payload)
+  }
+
   /** Frame sampling stub: n evenly spaced byte-slices of the payload
     * (stands in for video frame extraction; the slicing plumbing — offsets,
     * array-of-binary schema — is the real part). */

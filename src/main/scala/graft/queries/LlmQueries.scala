@@ -143,6 +143,30 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q156: REAL ISO-BMFF (MP4) box-walk decode — `ftyp` brand check,
+    * sibling skip to `moov`, version-0 `mvhd` timescale/duration, `trak`
+    * child count — over deterministically synthesized containers (the
+    * q150 RIFF pattern applied to the other major video container).
+    * Retires more of the video-metadata stub with a pure-JVM parser of
+    * the published ISO/IEC 14496-12 layout. */
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    val units = (col("doc_id") % 9000 + 1200).cast(org.apache.spark.sql.types.LongType)
+    val tscale = (lit(600) + (col("doc_id") % 4) * 200).cast(IntegerType)
+    val tracks = (col("doc_id") % 3 + 1).cast(IntegerType)
+    val junk = (col("doc_id") % 16).cast(IntegerType)
+    val meta = Multimodal.decodeMp4(
+      Multimodal.encodeMp4(units, tscale, tracks, junk))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("n_bytes").as("n_bytes"),
+        meta.getField("brand").as("brand"),
+        meta.getField("timescale").as("timescale"),
+        meta.getField("duration_units").as("duration_units"),
+        meta.getField("duration_ms").as("duration_ms"),
+        meta.getField("n_tracks").as("n_tracks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q142: ANN recall@k evaluation — the eval every approximate index
     * ships with: |ANN top-k ∩ exact top-k| per query, in basis points.
     * Composes the two already-gated deterministic structures (q36's
@@ -1091,6 +1115,7 @@ object LlmQueries {
     "q140_bmp_decode" -> (q140 _),
     "q141_wav_decode" -> (q141 _),
     "q150_avi_decode" -> (q150 _),
+    "q156_mp4_decode" -> (q156 _),
     "q142_ann_recall" -> (q142 _),
     "q143_dataset_diff" -> (q143 _),
     "q144_fim" -> (q144 _),
@@ -2347,6 +2372,16 @@ object LlmQueries {
         | CAST(8000 AS BIGINT) AS sample_rate,
         | CAST(doc_id % 97 + 160 AS BIGINT) AS frames,
         | CAST(doc_id % 97 + 160 AS DOUBLE) / 8 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q156_mp4_decode" ->
+      """SELECT doc_id,
+        | CAST(148 + (doc_id % 16) + 16 * (doc_id % 3 + 1) AS BIGINT) AS n_bytes,
+        | 'isom' AS brand,
+        | CAST(600 + (doc_id % 4) * 200 AS BIGINT) AS timescale,
+        | CAST(doc_id % 9000 + 1200 AS BIGINT) AS duration_units,
+        | CAST((doc_id % 9000 + 1200) * 1000 // (600 + (doc_id % 4) * 200) AS BIGINT)
+        |  AS duration_ms,
+        | CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q150_avi_decode" ->
       """SELECT doc_id,

@@ -208,6 +208,28 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("real MP4 box-walk encode → decode round trip; garbage → null") {
+    import spark.implicits._
+    val df = scala.Seq((1L, 2400L, 600, 2, 5), (2L, 9000L, 1000, 1, 0))
+      .toDF("id", "dur", "ts", "tracks", "junk")
+    val meta = df.select(col("id"), Multimodal.decodeMp4(
+        Multimodal.encodeMp4(col("dur"), col("ts"), col("tracks"), col("junk")))
+        .as("m"))
+      .select(col("id"), col("m.brand"), col("m.timescale"),
+        col("m.duration_units"), col("m.duration_ms"), col("m.n_tracks"),
+        col("m.n_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getString(1) == "isom")
+    assert(meta(1L).getLong(2) == 600L && meta(1L).getLong(3) == 2400L)
+    assert(meta(1L).getLong(4) == 4000L) // 2400 units / 600 = 4 s
+    assert(meta(1L).getLong(5) == 2L)
+    assert(meta(1L).getLong(6) == 148L + 5L + 32L)
+    assert(meta(2L).getLong(4) == 9000L && meta(2L).getLong(5) == 1L)
+    val bad = scala.Seq(Tuple1("notmp4".getBytes("UTF-8"))).toDF("p")
+      .select(Multimodal.decodeMp4(col("p")).as("m")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("fakeDecode metadata is deterministic") {
     val m1 = docs.select(Multimodal.fakeDecode(col("text").cast("binary")).as("m"))
       .select("m.width", "m.height", "m.format").collect().toList
