@@ -439,6 +439,85 @@ object Multimodal {
     f(payload)
   }
 
+  case class Mp3Meta(n_bytes: Long, bitrate_kbps: Long, sample_rate: Long,
+      n_frames: Long, duration_ms: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps by header index) and sample
+    * rates — published in the MPEG-1 audio spec (ISO/IEC 11172-3). */
+  private val mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val mp3Rates = Array(44100, 48000, 32000)
+
+  /** Canonical minimal MP3: ID3v2 tag (10-byte header, syncsafe size =
+    * junk) followed by `n` constant-bitrate MPEG-1 Layer III frames with
+    * zeroed payloads. Frame length = 144000·kbps ∕ sampleRate (integer,
+    * no padding bit). */
+  def encodeMp3(frames: Column, bitrateIdx: Column, rateIdx: Column,
+      junk: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf {
+      (n: Int, br: Int, sr: Int, j: Int) =>
+        val frameLen = 144000 * mp3Bitrates(br) / mp3Rates(sr)
+        val out = java.nio.ByteBuffer.allocate(10 + j + n * frameLen)
+        out.put("ID3".getBytes("US-ASCII")).put(3.toByte).put(0.toByte)
+          .put(0.toByte) // version 2.3, no flags
+        // syncsafe 28-bit size
+        out.put(((j >> 21) & 0x7f).toByte).put(((j >> 14) & 0x7f).toByte)
+          .put(((j >> 7) & 0x7f).toByte).put((j & 0x7f).toByte)
+        out.position(out.position() + j)
+        var i = 0
+        while (i < n) {
+          val p = out.position()
+          // sync(11) version=MPEG1(11) layer=III(01) no-crc(1) → FB
+          out.put(0xff.toByte).put(0xfb.toByte)
+          out.put(((br << 4) | (sr << 2)).toByte).put(0.toByte)
+          out.position(p + frameLen)
+          i += 1
+        }
+        out.array()
+    }
+    f(frames.cast(IntegerType), bitrateIdx.cast(IntegerType),
+      rateIdx.cast(IntegerType), junk.cast(IntegerType))
+  }
+
+  /** REAL MP3 metadata parse: skips the ID3v2 tag via its syncsafe size,
+    * validates the MPEG-1 Layer III sync on the first frame, resolves
+    * bitrate/sample-rate from the published header tables, then walks
+    * constant-length frames to count them. duration_ms =
+    * frames·1152·1000 ∕ sampleRate (1152 samples per Layer III frame).
+    * Null for non-MP3 payloads. */
+  def decodeMp3(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      try {
+        var pos = 0
+        if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+            bytes(2) == '3') {
+          val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+            ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+          pos = 10 + size
+        }
+        if (pos + 4 > bytes.length || (bytes(pos) & 0xff) != 0xff ||
+            (bytes(pos + 1) & 0xfe) != 0xfa) null
+        else {
+          val br = (bytes(pos + 2) >> 4) & 0x0f
+          val sr = (bytes(pos + 2) >> 2) & 0x03
+          if (br == 0 || br == 15 || sr > 2) null
+          else {
+            val kbps = mp3Bitrates(br)
+            val rate = mp3Rates(sr)
+            val frameLen = 144000 * kbps / rate
+            var n = 0L
+            while (pos + 4 <= bytes.length && (bytes(pos) & 0xff) == 0xff) {
+              n += 1; pos += frameLen
+            }
+            Mp3Meta(bytes.length.toLong, kbps.toLong, rate.toLong, n,
+              n * 1152L * 1000L / rate)
+          }
+        }
+      } catch { case _: Exception => null }
+    }
+    f(payload)
+  }
+
   /** Frame sampling stub: n evenly spaced byte-slices of the payload
     * (stands in for video frame extraction; the slicing plumbing — offsets,
     * array-of-binary schema — is the real part). */

@@ -167,6 +167,28 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q157: REAL MP3 (MPEG-1 Layer III) metadata parse — ID3v2 syncsafe
+    * skip, sync-word validation, bitrate/sample-rate header tables,
+    * constant-length frame walk — over deterministically synthesized
+    * audio (the header-table parsing of the published ISO/IEC 11172-3
+    * layout; retires the compressed-audio metadata stub). */
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    val frames = (col("doc_id") % 50 + 10).cast(IntegerType)
+    val brIdx = (col("doc_id") % 14 + 1).cast(IntegerType)
+    val srIdx = (col("doc_id") % 3).cast(IntegerType)
+    val junk = (col("doc_id") % 64).cast(IntegerType)
+    val meta = Multimodal.decodeMp3(
+      Multimodal.encodeMp3(frames, brIdx, srIdx, junk))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("n_bytes").as("n_bytes"),
+        meta.getField("bitrate_kbps").as("bitrate_kbps"),
+        meta.getField("sample_rate").as("sample_rate"),
+        meta.getField("n_frames").as("n_frames"),
+        meta.getField("duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q142: ANN recall@k evaluation — the eval every approximate index
     * ships with: |ANN top-k ∩ exact top-k| per query, in basis points.
     * Composes the two already-gated deterministic structures (q36's
@@ -1116,6 +1138,7 @@ object LlmQueries {
     "q141_wav_decode" -> (q141 _),
     "q150_avi_decode" -> (q150 _),
     "q156_mp4_decode" -> (q156 _),
+    "q157_mp3_decode" -> (q157 _),
     "q142_ann_recall" -> (q142 _),
     "q143_dataset_diff" -> (q143 _),
     "q144_fim" -> (q144 _),
@@ -2373,6 +2396,21 @@ object LlmQueries {
         | CAST(doc_id % 97 + 160 AS BIGINT) AS frames,
         | CAST(doc_id % 97 + 160 AS DOUBLE) / 8 AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q157_mp3_decode" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 + 1 AS INT)] AS kbps,
+        |  ([44100,48000,32000])[CAST(doc_id % 3 + 1 AS INT)] AS rate,
+        |  doc_id % 50 + 10 AS frames,
+        |  doc_id % 64 AS junk
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(10 + junk + frames * (144000 * kbps // rate) AS BIGINT) AS n_bytes,
+        | CAST(kbps AS BIGINT) AS bitrate_kbps,
+        | CAST(rate AS BIGINT) AS sample_rate,
+        | CAST(frames AS BIGINT) AS n_frames,
+        | CAST(frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q156_mp4_decode" ->
       """SELECT doc_id,
         | CAST(148 + (doc_id % 16) + 16 * (doc_id % 3 + 1) AS BIGINT) AS n_bytes,

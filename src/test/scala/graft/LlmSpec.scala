@@ -230,6 +230,27 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("real MP3 frame-walk encode → decode round trip; garbage → null") {
+    import spark.implicits._
+    // 128 kbps @ 44100 Hz → frameLen 417; 320 kbps @ 32000 → 1440
+    val df = scala.Seq((1L, 20, 9, 0, 33), (2L, 5, 14, 2, 0))
+      .toDF("id", "frames", "br", "sr", "junk")
+    val meta = df.select(col("id"), Multimodal.decodeMp3(
+        Multimodal.encodeMp3(col("frames"), col("br"), col("sr"), col("junk")))
+        .as("m"))
+      .select(col("id"), col("m.bitrate_kbps"), col("m.sample_rate"),
+        col("m.n_frames"), col("m.duration_ms"), col("m.n_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getLong(1) == 128L && meta(1L).getLong(2) == 44100L)
+    assert(meta(1L).getLong(3) == 20L)
+    assert(meta(1L).getLong(4) == 20L * 1152L * 1000L / 44100L)
+    assert(meta(1L).getLong(5) == 10L + 33L + 20L * 417L)
+    assert(meta(2L).getLong(1) == 320L && meta(2L).getLong(2) == 32000L)
+    val bad = scala.Seq(Tuple1("garbage!!".getBytes("UTF-8"))).toDF("p")
+      .select(Multimodal.decodeMp3(col("p")).as("m")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("fakeDecode metadata is deterministic") {
     val m1 = docs.select(Multimodal.fakeDecode(col("text").cast("binary")).as("m"))
       .select("m.width", "m.height", "m.format").collect().toList
