@@ -13,11 +13,15 @@ import org.apache.spark.sql.types._
   * re-renders through Graphics2D. AUDIO decode/features are REAL for the
   * containers the JDK parses (WAV/AIFF/AU PCM via `javax.sound.sampled`):
   * [[decodeAudio]] reads the header, [[audioFeatures]] computes RMS/peak/
-  * zero-cross over bounded PCM. Video (and compressed audio like mp3)
-  * would need codec libraries this container lacks, so [[fakeDecode]]
-  * remains as the documented deterministic stand-in there (and for the
-  * synthetic text-payload gate data); swap it for an Arrow-batched
-  * worker or JNI codec without touching the pipeline around it.
+  * zero-cross over bounded PCM. VIDEO/COMPRESSED-AUDIO *metadata* is
+  * REAL via pure-JVM parsers of the published container layouts:
+  * [[decodeAvi]] (RIFF chunk walk), [[decodeMp4]] (ISO-BMFF box walk),
+  * [[decodeMp3]] (MPEG-1 Layer III frame headers + ID3v2 skip). Only
+  * SAMPLE-level video/compressed-audio decode would need codec
+  * libraries this container lacks — [[fakeDecode]] remains as the
+  * documented deterministic stand-in there (and for the synthetic
+  * text-payload gate data); swap it for an Arrow-batched worker or JNI
+  * codec without touching the pipeline around it.
   */
 object Multimodal {
 
