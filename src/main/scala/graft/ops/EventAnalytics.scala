@@ -226,9 +226,11 @@ object EventAnalytics {
     * where a decimal→double render can differ in the last ulp). */
   def seriesSimilarityTopK(df: DataFrame, userCol: String, tsCol: String,
       valueCol: String, queryPred: Column, k: Int): DataFrame = {
+    // the daily series feeds BOTH join sides — materialize it once
     val daily = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
         col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("v"))
       .groupBy(col("u"), col("day")).agg(sum(col("v")).as("v"))
+      .localCheckpoint(false)
     val q = daily.filter(queryPred)
       .select(col("u").as("qu"), col("day"), col("v").as("qv"))
     val scored = broadcast(q).join(daily, "day")
