@@ -41,18 +41,38 @@ object CacheOps {
     StructField("key", StringType), StructField("value", StringType)))
 
   /** `memory` cache backend: driver-held map (small control data). */
-  final class MemoryCache extends CacheStore {
-    private val map = scala.collection.concurrent.TrieMap[String, String]()
-    def snapshot(spark: SparkSession): DataFrame =
+  /** In-heap KV store. `ttlSeconds > 0` gives the reference memory
+    * cache's expiry semantics (`lib/cache/memory.go:92-110`: items older
+    * than the TTL are dead on read and reaped lazily — no timer thread
+    * needed). `clock` is injectable for deterministic specs. */
+  final class MemoryCache(ttlSeconds: Long = 0L,
+      clock: () => Long = () => System.currentTimeMillis()) extends CacheStore {
+    private val map =
+      scala.collection.concurrent.TrieMap[String, (String, Long)]()
+    private def live(e: (String, Long)): Boolean =
+      ttlSeconds <= 0 || clock() - e._2 < ttlSeconds * 1000L
+    private def reap(): Unit =
+      if (ttlSeconds > 0)
+        map.filterNot { case (_, e) => live(e) }.keys.foreach(map.remove)
+    def snapshot(spark: SparkSession): DataFrame = {
+      reap()
       spark.createDataFrame(
         spark.sparkContext.parallelize(
-          map.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }, 1),
+          map.toSeq.collect { case (k, e) if live(e) =>
+            org.apache.spark.sql.Row(k, e._1) }, 1),
         kvSchema)
-    def upsert(pairs: DataFrame): Unit =
-      pairs.collect().foreach(r => map.put(r.getString(0), r.getString(1)))
+    }
+    def upsert(pairs: DataFrame): Unit = {
+      val now = clock()
+      pairs.collect().foreach(r => map.put(r.getString(0), (r.getString(1), now)))
+    }
     def remove(keys: DataFrame): Unit =
       keys.collect().foreach(r => map.remove(r.getString(0)))
-    def get(k: String): Option[String] = map.get(k)
+    def get(k: String): Option[String] = {
+      val e = map.get(k)
+      if (e.exists(live)) e.map(_._1)
+      else { e.foreach(_ => map.remove(k)); None }
+    }
   }
 
   /** `file` cache backend: parquet KV directory with copy-on-write

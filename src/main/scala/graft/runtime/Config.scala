@@ -238,7 +238,11 @@ object Config {
         else ("mongodb", asMap(cm("mongodb"))
           .get("collection").map(_.toString).getOrElse("default"))
       new graft.ops.RedisCache(graft.ops.FakeRedisFactory(s"$kind:$tgt"))
-    } else new graft.ops.CacheOps.MemoryCache // memory | ristretto
+    } else
+      // memory | ristretto; `ttl` seconds per the reference memory cache
+      new graft.ops.CacheOps.MemoryCache(
+        cm.get("memory").map(asMap).flatMap(_.get("ttl"))
+          .map(_.toString.toLong).getOrElse(0L))
 
   /** tokens/sec of a local rate-limit resource config. */
   private def rateLimitPerSec(cm: Map[String, Any]): Double = {

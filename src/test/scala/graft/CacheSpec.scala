@@ -31,6 +31,18 @@ class CacheSpec extends AnyFunSuite {
     assert(byId(3L)._2 == "cache get: key not found")
   }
 
+  test("memory cache TTL: items die after expiry, reads reap them") {
+    var now = 1000L
+    val store = new MemoryCache(ttlSeconds = 60, clock = () => now)
+    CacheProc(store, "set", "k-${! this.id }", "${! this.s }")(env(1L -> "v"))
+    assert(store.get("k-1").contains("v"))
+    now += 59 * 1000L
+    assert(store.get("k-1").contains("v")) // still inside the TTL
+    now += 2 * 1000L
+    assert(store.get("k-1").isEmpty) // expired
+    assert(store.snapshot(spark).count() == 0) // snapshot reaps too
+  }
+
   test("cache add flags existing keys; delete removes (file backend)") {
     val dir = Files.createTempDirectory("graft-cache").toString
     val store = new FileCache(dir)
