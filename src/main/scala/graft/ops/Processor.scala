@@ -148,3 +148,26 @@ final case class DedupeProc(key: String) extends Processor {
     keyed.dropDuplicates("_dedupe_key").drop("_dedupe_key")
   }
 }
+
+/** Cache-backed dedupe (`lib/processor/dedupe.go:53-78`): the reference
+  * form keys a named cache resource so duplicates are dropped ACROSS
+  * batches/runs, not just within one. Batch-local dropDuplicates first,
+  * then a broadcast anti-join against the cache's seen-key snapshot (the
+  * cache is key-sized, not data-sized), then the survivors' keys are
+  * written back. Same at-least-once caveat as the reference: a crash
+  * between write-back and delivery can drop or re-admit a key. */
+final case class CachedDedupeProc(store: CacheOps.CacheStore,
+    key: String) extends Processor {
+  def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val keyed = df.withColumn("_dedupe_key", Blobl.envelopeExpr(df, key))
+      .dropDuplicates("_dedupe_key")
+    val seen = store.snapshot(df.sparkSession)
+      .select(col("key").as("_dedupe_key"))
+    val fresh = keyed.join(broadcast(seen), scala.Seq("_dedupe_key"),
+      "left_anti")
+    store.upsert(fresh.select(col("_dedupe_key").as("key"),
+      lit("1").as("value")))
+    fresh.drop("_dedupe_key")
+  }
+}

@@ -409,7 +409,16 @@ object Config {
       case "noop" => Noop
       case "for_each" | "process_batch" =>
         ForEach(asList(m(kind)).map(p => compileProcessor(asMap(p))))
-      case "dedupe" => DedupeProc(str(conf, "key"))
+      case "dedupe" =>
+        // with a `cache:` resource the reference form dedupes ACROSS
+        // batches/runs (lib/processor/dedupe.go:53); without one it's
+        // batch-local
+        conf.get("cache").map(_.toString) match {
+          case Some(label) =>
+            CachedDedupeProc(graft.ops.CacheOps.Caches(label),
+              str(conf, "key"))
+          case None => DedupeProc(str(conf, "key"))
+        }
       case "sample" => SampleProc(dbl(conf, "retain") / 100.0)
       case "hash_sample" =>
         HashSampleProc(dbl(conf, "retain_min"), dbl(conf, "retain_max"),

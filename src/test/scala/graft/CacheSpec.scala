@@ -43,6 +43,16 @@ class CacheSpec extends AnyFunSuite {
     assert(store.snapshot(spark).count() == 0) // snapshot reaps too
   }
 
+  test("cache-backed dedupe drops repeats ACROSS batches") {
+    val store = new MemoryCache
+    val proc = graft.ops.CachedDedupeProc(store, "this.s")
+    val first = proc(env(1L -> "a", 2L -> "b", 3L -> "a")).count()
+    assert(first == 2) // batch-local dup dropped too
+    val second = proc(env(4L -> "b", 5L -> "c")).count()
+    assert(second == 1) // "b" was seen in the first batch
+    assert(store.get("c").contains("1"))
+  }
+
   test("cache add flags existing keys; delete removes (file backend)") {
     val dir = Files.createTempDirectory("graft-cache").toString
     val store = new FileCache(dir)
