@@ -47,6 +47,30 @@ object BatchOps {
     }
   }
 
+  /** Generic per-processor `parts` scoping (the `PartsFieldSpec` most
+    * deprecated processors carry, e.g. `lib/processor/text.go:41,50`):
+    * the child runs only on parts at the given within-batch indices
+    * (negatives from the end); other parts pass through untouched.
+    * Envelope `seq` keeps the batch order stable across the union. */
+  final case class PartsScoped(indices: scala.Seq[Long],
+      child: Processor) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      if (indices.isEmpty) child(df)
+      else {
+        val w = Window.partitionBy(col(BatchId)).orderBy(col(Seq))
+        val idx = row_number().over(w).cast(LongType) - 1L
+        val n = count(lit(1)).over(Window.partitionBy(col(BatchId)))
+        val resolved = indices.map(i =>
+          if (i >= 0) lit(i) else (n + i).cast(LongType))
+        val tagged = df.withColumn("_idx", idx)
+          .withColumn("_hit", resolved.map(col("_idx") === _).reduce(_ || _))
+        val hit = tagged.filter(col("_hit")).drop("_idx", "_hit")
+        val miss = tagged.filter(!col("_hit")).drop("_idx", "_hit")
+        child(hit).unionByName(miss)
+      }
+    }
+  }
+
   /** Reorder parts within each batch by a Bloblang expression (v4's
     * `sort_parts`; v3 reaches this via batch+Bloblang gymnastics). */
   final case class SortParts(by: String, descending: Boolean = false) extends Processor {

@@ -403,7 +403,17 @@ object Config {
 
   def compileProcessor(m: Map[String, Any]): Processor = {
     val (kind, conf) = one(m, "processor")
-    kind match {
+    // generic `parts` scoping (PartsFieldSpec on the deprecated
+    // processors): run the child on the listed batch indices only.
+    // select_parts/insert_part consume `parts` natively.
+    val partsScope =
+      if (kind == "select_parts" || kind == "insert_part") Nil
+      else conf match {
+        case cm: Map[_, _] => cm.asInstanceOf[Map[String, Any]].get("parts")
+          .map(asList(_).map(_.toString.toLong)).getOrElse(Nil)
+        case _ => Nil
+      }
+    val compiled = kind match {
       case "bloblang" | "mapping" => BloblangProc(m(kind).toString)
       case "filter" => FilterProc(condString(m(kind)))
       case "noop" => Noop
@@ -634,6 +644,7 @@ object Config {
       case "rate_limit" => Noop
       case o => throw new IllegalArgumentException(s"config: unknown processor $o")
     }
+    if (partsScope.isEmpty) compiled else B.PartsScoped(partsScope, compiled)
   }
 
   private def compileOutput(m: Map[String, Any]): Sink = {

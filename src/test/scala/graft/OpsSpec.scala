@@ -28,6 +28,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(col(Envelope.Error).isNotNull).count() == 0)
   }
 
+  test("parts-scoped processor touches only the listed batch indices") {
+    // one batch of 4 parts; child uppercases; scope = first + last
+    val df = env("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}""",
+      """{"id":3,"s":"c"}""", """{"id":4,"s":"d"}""")
+    val out = B.PartsScoped(scala.Seq(0L, -1L),
+      BloblangProc("root = this\nroot.s = this.s.uppercase()"))(df)
+    val got = Envelope.unwrap(out).orderBy("id").collect()
+      .map(r => r.getAs[String]("s")).toList
+    assert(got == List("A", "b", "c", "D"))
+  }
+
   test("while loops until condition fails") {
     val out = F.WhileProc("this.v < 100", scala.Seq(
       BloblangProc("root = this\nroot.v = this.v * 2")), maxLoops = 10)(
