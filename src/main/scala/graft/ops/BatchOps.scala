@@ -22,11 +22,25 @@ object BatchOps {
   /** `split` (`lib/processor/split.go:41-49`): re-batch by count. Global
     * renumbering via the partitioned two-pass assignment (no
     * single-partition window — see Envelope.withGlobalSeq). */
-  final case class Split(size: Long) extends Processor {
+  final case class Split(size: Long, byteSize: Long = 0L) extends Processor {
     def apply(df: DataFrame): DataFrame = {
       val renumbered = graft.model.Envelope.withGlobalSeq(
         df, scala.Seq(col(Seq), col(BatchId)), "_graft_rn")
-      renumbered
+      if (byteSize > 0) {
+        // `byte_size` mode (`lib/processor/split.go:31,42`): batch
+        // boundary every `byteSize` content bytes — the prefix-sum
+        // formulation of the reference's accumulate-and-flush rule
+        // (batches fill to ≥ the limit). Reuses the partitioned two-pass
+        // running sum (range shuffle + broadcast offsets) — no global
+        // window.
+        val bytes = coalesce(octet_length(col(Content)).cast(LongType),
+          octet_length(to_json(col(Doc))).cast(LongType), lit(0L))
+        graft.llmops.Training.packChunks(
+            renumbered, "_graft_rn", bytes, byteSize)
+          .withColumn(BatchId, col("chunk_id"))
+          .withColumn(Seq, col("_graft_rn"))
+          .drop("_graft_rn", "n_tokens", "chunk_id", "chunk_offset")
+      } else renumbered
         .withColumn(BatchId, (col("_graft_rn") / size).cast(LongType))
         .withColumn(Seq, col("_graft_rn"))
         .drop("_graft_rn")

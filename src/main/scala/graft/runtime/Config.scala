@@ -429,11 +429,14 @@ object Config {
               str(conf, "key"))
           case None => DedupeProc(str(conf, "key"))
         }
-      case "sample" => SampleProc(dbl(conf, "retain") / 100.0)
+      case "sample" => SampleProc(dbl(conf, "retain") / 100.0,
+        conf.get("seed").map(_.toString.toLong).getOrElse(42L))
       case "hash_sample" =>
         HashSampleProc(dbl(conf, "retain_min"), dbl(conf, "retain_max"),
           conf.get("key").map(_.toString).getOrElse("content().string()"))
-      case "split" => B.Split(conf.get("size").map(_.toString.toLong).getOrElse(1L))
+      case "split" => B.Split(
+        conf.get("size").map(_.toString.toLong).getOrElse(1L),
+        conf.get("byte_size").map(_.toString.toLong).getOrElse(0L))
       case "merge_json" => B.MergeJson()
       case "sleep" => SleepProc(str(conf, "duration"))
       // throttle (lib/processor/throttle.go): per-message pacing by

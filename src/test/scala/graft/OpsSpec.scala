@@ -28,6 +28,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(col(Envelope.Error).isNotNull).count() == 0)
   }
 
+  test("split by byte_size batches on cumulative content bytes") {
+    import spark.implicits._
+    // contents of 4,4,4,4 bytes; byte_size=8 → batches of 2
+    val df = Envelope.wrap(
+      scala.Seq((1L, "aaaa"), (2L, "bbbb"), (3L, "cccc"), (4L, "dddd"))
+        .toDF("id", "s"), scala.Seq(col("id")))
+      .withColumn(Envelope.Content, col("doc.s").cast("binary"))
+    val out = B.Split(size = 1L, byteSize = 8L)(df)
+    val got = out.select(col("doc.id"), col(Envelope.BatchId)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
   test("parts-scoped processor touches only the listed batch indices") {
     // one batch of 4 parts; child uppercases; scope = first + last
     val df = env("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}""",
