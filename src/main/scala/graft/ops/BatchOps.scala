@@ -47,6 +47,28 @@ object BatchOps {
     }
   }
 
+  /** Re-batch on a Bloblang `check`: the batch-policy flush-on-condition
+    * (`lib/message/batch/policy.go:53-59`) — a batch ends WITH each
+    * matching message. Batch id = count of matches strictly before the
+    * row (exclusive prefix sum of the match indicator, via the
+    * partitioned two-pass running sum — no global window). */
+  final case class SplitOnCheck(check: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val renumbered = graft.model.Envelope.withGlobalSeq(
+        df, scala.Seq(col(Seq), col(BatchId)), "_graft_rn")
+      val flag = when(
+        coalesce(Blobl.envelopeExpr(renumbered, check), lit(false)), 1L)
+        .otherwise(0L)
+      graft.llmops.Training.packChunks(
+          renumbered.withColumn("_graft_flag", flag),
+          "_graft_rn", col("_graft_flag"), 1L)
+        .withColumn(BatchId, col("chunk_id"))
+        .withColumn(Seq, col("_graft_rn"))
+        .drop("_graft_rn", "_graft_flag", "n_tokens", "chunk_id",
+          "chunk_offset")
+    }
+  }
+
   /** `select_parts` (`lib/processor/select_parts.go`): keep parts at the
     * given within-batch indices; negatives count from the end. */
   final case class SelectParts(indices: scala.Seq[Long]) extends Processor {

@@ -652,7 +652,7 @@ object Config {
 
   private def compileOutput(m: Map[String, Any]): Sink = {
     val (kind, conf) = one(m, "output")
-    kind match {
+    val sink = kind match {
       case "file" | "files" =>
         val codec = conf.get("codec").orElse(conf.get("format"))
           .map(_.toString).getOrElse("lines")
@@ -772,6 +772,29 @@ object Config {
           Sinks.DropOnError(child)
         else child
       case o => throw new IllegalArgumentException(s"config: unknown output $o")
+    }
+    // output-level `batching:` (every writer output's Batching field):
+    // count / byte_size / check re-batch + post-batch processors; period
+    // stays a trigger knob
+    conf match {
+      case cm: Map[_, _] =>
+        cm.asInstanceOf[Map[String, Any]].get("batching").map(asMap) match {
+          case Some(b) =>
+            val count = b.get("count").map(_.toString.toLong).getOrElse(0L)
+            val bytes = b.get("byte_size").map(_.toString.toLong).getOrElse(0L)
+            val check = b.get("check").map(_.toString).filter(_.nonEmpty)
+            val post = b.get("processors").map(asList).getOrElse(Nil)
+              .map(p => compileProcessor(asMap(p)))
+            val rebatch: Processor =
+              if (check.isDefined) B.SplitOnCheck(check.get)
+              else if (bytes > 0) B.Split(1L, bytes)
+              else if (count > 1) B.Split(count)
+              else Noop
+            if ((rebatch eq Noop) && post.isEmpty) sink
+            else graft.sinks.BatchedSink(sink, rebatch, post)
+          case None => sink
+        }
+      case _ => sink
     }
   }
 

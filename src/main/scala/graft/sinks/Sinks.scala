@@ -15,6 +15,18 @@ trait Sink extends Serializable {
   def write(df: DataFrame): Unit
 }
 
+/** Output-level `batching:` policy (`lib/message/batch/policy.go` via
+  * every writer output's Batching field): re-batch by count / byte_size /
+  * Bloblang `check` (flush WITH the matching message) before the child
+  * writes; optional post-batch processors run after the re-batch.
+  * `period` is a trigger-cadence knob the micro-batch engine owns. */
+final case class BatchedSink(child: Sink,
+    rebatch: graft.ops.Processor,
+    post: scala.Seq[graft.ops.Processor] = Nil) extends Sink {
+  def write(df: DataFrame): Unit =
+    child.write(post.foldLeft(rebatch(df))((d, p) => p(d)))
+}
+
 object Sinks {
 
   /** `file`/`files`/object-store writers. format ∈ parquet | json | csv |

@@ -41,6 +41,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
 
+  test("split-on-check: batch ends WITH each matching message") {
+    val df = env("""{"id":1,"flush":false}""", """{"id":2,"flush":true}""",
+      """{"id":3,"flush":false}""", """{"id":4,"flush":true}""",
+      """{"id":5,"flush":false}""")
+    val out = B.SplitOnCheck("this.flush")(df)
+    val batches = out.select(col("doc.id"), col(Envelope.BatchId))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(batches == List((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
+  }
+
   test("parts-scoped processor touches only the listed batch indices") {
     // one batch of 4 parts; child uppercases; scope = first + last
     val df = env("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}""",
