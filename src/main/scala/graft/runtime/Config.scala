@@ -271,7 +271,7 @@ object Config {
         s"resource type must be cache|input|output|processor|rate_limit, got $o")
     }
 
-  private def compileInput(m: Map[String, Any]): SparkSession => DataFrame = {
+  private def compileInputBase(m: Map[String, Any]): SparkSession => DataFrame = {
     val (kind, conf) = one(m, "input")
     kind match {
       case "file" | "files" =>
@@ -398,6 +398,32 @@ object Config {
         val b = graft.sources.Brokers.input(k, conf)
         s => graft.sources.Brokers.readStream(s, b)
       case o => throw new IllegalArgumentException(s"config: unknown input kind $o")
+    }
+  }
+
+  private def compileInput(m: Map[String, Any]): SparkSession => DataFrame = {
+    val base = compileInputBase(m)
+    // input-level `batching:` (the Batching field on broker/file inputs):
+    // same count/byte_size/check policy as the output side, applied right
+    // after the source. Streaming inputs keep micro-batch batching.
+    val (_, conf) = one(m, "input")
+    val rebatch: Option[Processor] = conf match {
+      case cm: Map[_, _] =>
+        cm.asInstanceOf[Map[String, Any]].get("batching").map(asMap).map { b =>
+          val count = b.get("count").map(_.toString.toLong).getOrElse(0L)
+          val bytes = b.get("byte_size").map(_.toString.toLong).getOrElse(0L)
+          val check = b.get("check").map(_.toString).filter(_.nonEmpty)
+          if (check.isDefined) B.SplitOnCheck(check.get)
+          else if (bytes > 0) B.Split(1L, bytes)
+          else if (count > 1) B.Split(count)
+          else Noop
+        }
+      case _ => None
+    }
+    rebatch match {
+      case Some(p) if !(p eq Noop) =>
+        s => { val df = base(s); if (df.isStreaming) df else p(df) }
+      case _ => base
     }
   }
 
