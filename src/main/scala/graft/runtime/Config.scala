@@ -682,11 +682,21 @@ object Config {
       case "file" | "files" =>
         val codec = conf.get("codec").orElse(conf.get("format"))
           .map(_.toString).getOrElse("lines")
+        val rawPath = str(conf, "path")
         // writer codecs (internal/codec/writer.go): append / all-bytes /
         // delim:x are byte-stream shapes, not table formats
-        if (codec == "append" || codec == "all-bytes" || codec.startsWith("delim:"))
-          Sinks.CodecFileSink(str(conf, "path"), codec)
-        else Sinks.FileSink(str(conf, "path"), codec,
+        if (rawPath.contains("${!")) {
+          // interpolated path (writer/files.go:51): static dir prefix +
+          // compiled Bloblang relative path
+          val cut = rawPath.lastIndexOf('/', rawPath.indexOf("${!"))
+          val base = if (cut < 0) "." else rawPath.substring(0, cut)
+          Sinks.DynamicPathSink(base,
+            Conditions.interpToExpr(rawPath.substring(cut + 1)), codec,
+            conf.get("mode").map(_.toString).getOrElse("overwrite"))
+        } else if (codec == "append" || codec == "all-bytes" ||
+            codec.startsWith("delim:"))
+          Sinks.CodecFileSink(rawPath, codec)
+        else Sinks.FileSink(rawPath, codec,
           mode = conf.get("mode").map(_.toString).getOrElse("overwrite"))
       case "parquet" => Sinks.FileSink(str(conf, "path"), "parquet")
       case "stdout" => Sinks.ConsoleSink()

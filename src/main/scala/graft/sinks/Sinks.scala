@@ -32,6 +32,27 @@ object Sinks {
   /** `file`/`files`/object-store writers. format ∈ parquet | json | csv |
     * lines. `partitionByMeta` = interpolated-path semantics → directory
     * partitioning (the scalable form of per-message dynamic paths). */
+  /** Interpolated-path file output (`lib/output/writer/files.go:22,51`:
+    * `path` is a Bloblang field expression — per-message dynamic paths).
+    * The relative path compiles to a Column; one write per DISTINCT
+    * resolved path (the distinct set is collect()ed — path cardinality
+    * is config-shaped: topics/dates/severities, not data-sized; for a
+    * high-cardinality key use FileSink's `partitionBy` instead, which is
+    * the Spark-native layout for that shape). */
+  final case class DynamicPathSink(base: String, pathExpr: String,
+      format: String = "lines", mode: String = "overwrite") extends Sink {
+    def write(df: DataFrame): Unit = {
+      val withP = df.withColumn("_graft_path",
+        Blobl.envelopeExpr(df, pathExpr))
+      val paths = withP.select(col("_graft_path")).distinct()
+        .collect().map(_.getString(0))
+      paths.foreach { p =>
+        FileSink(new java.io.File(base, p).getPath, format, Nil, mode)
+          .write(withP.filter(col("_graft_path") === p).drop("_graft_path"))
+      }
+    }
+  }
+
   final case class FileSink(path: String, format: String = "parquet",
       partitionBy: scala.Seq[String] = Nil, mode: String = "overwrite") extends Sink {
     def write(df: DataFrame): Unit = {

@@ -43,6 +43,24 @@ class CacheSpec extends AnyFunSuite {
     assert(store.snapshot(spark).count() == 0) // snapshot reaps too
   }
 
+  test("interpolated output path writes one file set per resolved path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynpath").toString
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  generate:
+         |    count: 4
+         |    mapping: "root.id = this.i\\nroot.sev = if this.i % 2 == 0 { \\"info\\" } else { \\"warn\\" }"
+         |output:
+         |  file:
+         |    path: $dir/$${! this.sev }.jsonl
+         |    codec: json
+         |""".stripMargin)
+    spec.run(spark)
+    val written = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(written.contains("info.jsonl") && written.contains("warn.jsonl"))
+    assert(spark.read.json(s"$dir/info.jsonl").count() == 2)
+  }
+
   test("cache-backed dedupe drops repeats ACROSS batches") {
     val store = new MemoryCache
     val proc = graft.ops.CachedDedupeProc(store, "this.s")
