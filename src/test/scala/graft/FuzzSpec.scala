@@ -107,6 +107,31 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("container decoders never crash on random bytes (null, not exception)") {
+    val spark = Sessions.builder("4").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val blobs = (0 until 200).map { i =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      // seed some with real-looking magics so the walkers go deeper
+      if (i % 5 == 0 && b.length >= 8) {
+        val magic = scala.Seq("RIFF", "ID3", "ftyp").apply(i % 3)
+          .getBytes("ISO-8859-1")
+        System.arraycopy(magic, 0, b, 0, math.min(magic.length, b.length))
+      }
+      Tuple1(b)
+    }
+    val df = blobs.toDF("p")
+    // each must evaluate without throwing; null results are fine
+    val n = df.select(
+      graft.llmops.Multimodal.decodeAvi(col("p")).as("a"),
+      graft.llmops.Multimodal.decodeMp4(col("p")).as("m4"),
+      graft.llmops.Multimodal.decodeMp3(col("p")).as("m3")).count()
+    assert(n == 200L)
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error
