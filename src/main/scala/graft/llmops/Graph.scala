@@ -236,6 +236,10 @@ object Graph {
         .select(col("id"),
           (lit(1500L) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank"))
     }
+    // NOT checkpointed per sweep: measured 25% slower here — the node
+    // relation is small and bounded sweeps (≤20) keep the single deep
+    // plan cheaper than per-sweep materialization overhead (contrast
+    // connectedComponents, whose sweep count is data-dependent)
     rank
   }
 }
