@@ -522,6 +522,79 @@ object Multimodal {
     f(payload)
   }
 
+  case class FlacMeta(n_bytes: Long, sample_rate: Long, channels: Long,
+      bits_per_sample: Long, total_samples: Long, duration_ms: Long)
+
+  /** Canonical minimal FLAC: `fLaC` magic + STREAMINFO metadata block
+    * (34-byte payload; sample-rate 20 bits, channels-1 3 bits,
+    * bps-1 5 bits, total-samples 36 bits at byte offset 10 of the block
+    * — the published FLAC bitstream layout) + one padding block of
+    * `junk` bytes marked last. */
+  def encodeFlac(sampleRate: Column, channels: Column, bps: Column,
+      totalSamples: Column, junk: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf {
+      (sr: Int, ch: Int, bits: Int, total: Long, j: Int) =>
+        val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 4 + j)
+        bb.put("fLaC".getBytes("US-ASCII"))
+        bb.put(0.toByte) // STREAMINFO, not last
+        bb.put(0.toByte).put(0.toByte).put(34.toByte) // 24-bit length
+        bb.putShort(1024.toShort).putShort(4096.toShort) // min/max blocksize
+        bb.put(new Array[Byte](6)) // min/max frame size (24-bit each)
+        // sr(20) | ch-1(3) | bps-1(5) | total(36) = 64 bits
+        val packed = (sr.toLong << 44) | ((ch - 1).toLong << 41) |
+          ((bits - 1).toLong << 36) | (total & 0xFFFFFFFFFL)
+        bb.putLong(packed)
+        bb.put(new Array[Byte](16)) // md5 of raw audio (zeroed)
+        bb.put(0x81.toByte) // PADDING, last-block flag
+        bb.put((j >> 16).toByte).put((j >> 8).toByte).put(j.toByte)
+        bb.put(new Array[Byte](j))
+        bb.array()
+    }
+    f(sampleRate.cast(IntegerType), channels.cast(IntegerType),
+      bps.cast(IntegerType), totalSamples.cast(LongType),
+      junk.cast(IntegerType))
+  }
+
+  /** REAL FLAC STREAMINFO parse: validates the `fLaC` magic, walks
+    * metadata blocks by their 24-bit lengths to STREAMINFO, and unpacks
+    * the 64-bit sample-rate/channels/bps/total-samples field group.
+    * duration_ms = total·1000 ∕ rate. Null for non-FLAC payloads. */
+  def decodeFlac(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      try {
+        if (bytes.length < 8 || new String(bytes, 0, 4, "US-ASCII") != "fLaC")
+          null
+        else {
+          var pos = 4
+          var meta: FlacMeta = null
+          var last = false
+          var bad = false
+          while (!bad && meta == null && !last && pos + 4 <= bytes.length) {
+            val header = bytes(pos) & 0xff
+            last = (header & 0x80) != 0
+            val btype = header & 0x7f
+            val len = ((bytes(pos + 1) & 0xff) << 16) |
+              ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+            if (pos + 4 + len > bytes.length) bad = true
+            else if (btype == 0 && len >= 18) {
+              val bb = java.nio.ByteBuffer.wrap(bytes, pos + 4 + 10, 8)
+              val packed = bb.getLong()
+              val sr = (packed >>> 44) & 0xFFFFF
+              val ch = ((packed >>> 41) & 0x7) + 1
+              val bits = ((packed >>> 36) & 0x1F) + 1
+              val total = packed & 0xFFFFFFFFFL
+              if (sr == 0) bad = true
+              else meta = FlacMeta(bytes.length.toLong, sr, ch, bits, total,
+                total * 1000L / sr)
+            } else pos += 4 + len
+          }
+          if (bad) null else meta
+        }
+      } catch { case _: Exception => null }
+    }
+    f(payload)
+  }
+
   /** Frame sampling stub: n evenly spaced byte-slices of the payload
     * (stands in for video frame extraction; the slicing plumbing — offsets,
     * array-of-binary schema — is the real part). */

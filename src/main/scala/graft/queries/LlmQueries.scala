@@ -189,6 +189,29 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q158: REAL FLAC STREAMINFO parse — magic check, metadata-block
+    * walk by 24-bit lengths, 64-bit field-group unpack (published FLAC
+    * bitstream layout) — completing the audio-container family
+    * (WAV/AIFF/AU via javax.sound, MP3 frame headers, FLAC here). */
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    val sr = (lit(8000) + (col("doc_id") % 6) * 8000).cast(IntegerType)
+    val ch = (col("doc_id") % 2 + 1).cast(IntegerType)
+    val bits = (lit(16) + (col("doc_id") % 2) * 8).cast(IntegerType)
+    val total = (col("doc_id") * 100 + 4410).cast(org.apache.spark.sql.types.LongType)
+    val junk = (col("doc_id") % 32).cast(IntegerType)
+    val meta = Multimodal.decodeFlac(
+      Multimodal.encodeFlac(sr, ch, bits, total, junk))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("n_bytes").as("n_bytes"),
+        meta.getField("sample_rate").as("sample_rate"),
+        meta.getField("channels").as("channels"),
+        meta.getField("bits_per_sample").as("bits_per_sample"),
+        meta.getField("total_samples").as("total_samples"),
+        meta.getField("duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q142: ANN recall@k evaluation — the eval every approximate index
     * ships with: |ANN top-k ∩ exact top-k| per query, in basis points.
     * Composes the two already-gated deterministic structures (q36's
@@ -1139,6 +1162,7 @@ object LlmQueries {
     "q150_avi_decode" -> (q150 _),
     "q156_mp4_decode" -> (q156 _),
     "q157_mp3_decode" -> (q157 _),
+    "q158_flac_decode" -> (q158 _),
     "q142_ann_recall" -> (q142 _),
     "q143_dataset_diff" -> (q143 _),
     "q144_fim" -> (q144 _),
@@ -2395,6 +2419,16 @@ object LlmQueries {
         | CAST(8000 AS BIGINT) AS sample_rate,
         | CAST(doc_id % 97 + 160 AS BIGINT) AS frames,
         | CAST(doc_id % 97 + 160 AS DOUBLE) / 8 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q158_flac_decode" ->
+      """SELECT doc_id,
+        | CAST(46 + (doc_id % 32) AS BIGINT) AS n_bytes,
+        | CAST(8000 + (doc_id % 6) * 8000 AS BIGINT) AS sample_rate,
+        | CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        | CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS bits_per_sample,
+        | CAST(doc_id * 100 + 4410 AS BIGINT) AS total_samples,
+        | CAST((doc_id * 100 + 4410) * 1000 // (8000 + (doc_id % 6) * 8000) AS BIGINT)
+        |  AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q157_mp3_decode" ->
       """WITH p AS (

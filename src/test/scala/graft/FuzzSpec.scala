@@ -128,7 +128,8 @@ class FuzzSpec extends AnyFunSuite {
     val n = df.select(
       graft.llmops.Multimodal.decodeAvi(col("p")).as("a"),
       graft.llmops.Multimodal.decodeMp4(col("p")).as("m4"),
-      graft.llmops.Multimodal.decodeMp3(col("p")).as("m3")).count()
+      graft.llmops.Multimodal.decodeMp3(col("p")).as("m3"),
+      graft.llmops.Multimodal.decodeFlac(col("p")).as("fl")).count()
     assert(n == 200L)
   }
 

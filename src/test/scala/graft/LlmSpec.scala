@@ -251,6 +251,27 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("real FLAC STREAMINFO encode → decode round trip; garbage → null") {
+    import spark.implicits._
+    val df = scala.Seq((1L, 44100, 2, 16, 44100L, 7), (2L, 48000, 1, 24, 96000L, 0))
+      .toDF("id", "sr", "ch", "bits", "total", "junk")
+    val meta = df.select(col("id"), Multimodal.decodeFlac(
+        Multimodal.encodeFlac(col("sr"), col("ch"), col("bits"),
+          col("total"), col("junk"))).as("m"))
+      .select(col("id"), col("m.sample_rate"), col("m.channels"),
+        col("m.bits_per_sample"), col("m.total_samples"),
+        col("m.duration_ms"), col("m.n_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getLong(1) == 44100L && meta(1L).getLong(2) == 2L)
+    assert(meta(1L).getLong(3) == 16L && meta(1L).getLong(4) == 44100L)
+    assert(meta(1L).getLong(5) == 1000L) // exactly one second
+    assert(meta(1L).getLong(6) == 46L + 7L)
+    assert(meta(2L).getLong(5) == 2000L && meta(2L).getLong(3) == 24L)
+    val bad = scala.Seq(Tuple1("fLaX nope".getBytes("UTF-8"))).toDF("p")
+      .select(Multimodal.decodeFlac(col("p")).as("m")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("fakeDecode metadata is deterministic") {
     val m1 = docs.select(Multimodal.fakeDecode(col("text").cast("binary")).as("m"))
       .select("m.width", "m.height", "m.format").collect().toList
