@@ -162,12 +162,19 @@ final case class CachedDedupeProc(store: CacheOps.CacheStore,
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val keyed = df.withColumn("_dedupe_key", Blobl.envelopeExpr(df, key))
       .dropDuplicates("_dedupe_key")
-    val seen = store.snapshot(df.sparkSession)
-      .select(col("key").as("_dedupe_key"))
-    val fresh = keyed.join(broadcast(seen), scala.Seq("_dedupe_key"),
-      "left_anti")
-    store.upsert(fresh.select(col("_dedupe_key").as("key"),
-      lit("1").as("value")))
-    fresh.drop("_dedupe_key")
+    if (df.isStreaming)
+      // streaming: the query's own state store IS the cross-batch seen-key
+      // cache (dropDuplicates state persists across micro-batches); the
+      // external cache contract only applies to batch runs
+      keyed.drop("_dedupe_key")
+    else {
+      val seen = store.snapshot(df.sparkSession)
+        .select(col("key").as("_dedupe_key"))
+      val fresh = keyed.join(broadcast(seen), scala.Seq("_dedupe_key"),
+        "left_anti")
+      store.upsert(fresh.select(col("_dedupe_key").as("key"),
+        lit("1").as("value")))
+      fresh.drop("_dedupe_key")
+    }
   }
 }
