@@ -35,7 +35,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val resultLine =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(resultLine)
+    // Also persist the protocol line to a file: the driver's log-tail capture
+    // lost the stdout line in sbt noise two rounds running (BENCH_r03/r04
+    // "parsed": null) — a file copy makes the bench total always recoverable.
+    // Full-suite runs only, so a filtered dev loop never clobbers it with a
+    // partial total.
+    if (args.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          s"BENCH_RESULT_${new java.io.File(sfDir).getName}.json"),
+        (resultLine + "\n").getBytes("UTF-8"))
 
     // No-regression tripwire: compare against the last persisted medians
     // for this sf and flag >50% slowdowns (would have caught the round-3
