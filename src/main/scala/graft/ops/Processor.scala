@@ -162,19 +162,43 @@ final case class CachedDedupeProc(store: CacheOps.CacheStore,
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val keyed = df.withColumn("_dedupe_key", Blobl.envelopeExpr(df, key))
       .dropDuplicates("_dedupe_key")
-    if (df.isStreaming)
-      // streaming: the query's own state store IS the cross-batch seen-key
-      // cache (dropDuplicates state persists across micro-batches); the
-      // external cache contract only applies to batch runs
-      keyed.drop("_dedupe_key")
-    else {
-      val seen = store.snapshot(df.sparkSession)
-        .select(col("key").as("_dedupe_key"))
+    val seen = store.snapshot(df.sparkSession)
+      .select(col("key").as("_dedupe_key"))
+    if (df.isStreaming) {
+      // Streaming: dropDuplicates state carries the seen-key set across
+      // micro-batches WITHIN this query; the stream-static anti-join below
+      // drops keys other pipelines had already recorded in the shared cache
+      // when this query was planned. Keys THIS stream admits are upserted
+      // back per micro-batch by the sink's foreachBatch (runStream collects
+      // this proc and calls writeBack) so the reference's shared-resource
+      // contract (lib/processor/dedupe.go:32-58) holds across pipelines and
+      // restarts. Remaining (documented) race: keys another pipeline writes
+      // while this stream is mid-run are not consulted — the reference has
+      // the same read-then-write race at batch granularity.
+      keyed.join(broadcast(seen), scala.Seq("_dedupe_key"), "left_anti")
+        .drop("_dedupe_key")
+    } else {
       val fresh = keyed.join(broadcast(seen), scala.Seq("_dedupe_key"),
         "left_anti")
       store.upsert(fresh.select(col("_dedupe_key").as("key"),
         lit("1").as("value")))
       fresh.drop("_dedupe_key")
     }
+  }
+
+  /** Per-micro-batch write-back for streaming runs: upsert the delivered
+    * batch's keys into the named cache. Invoked from the sink-side
+    * foreachBatch (the only place a mid-plan streaming processor can
+    * side-effect). The key expression is re-evaluated on the DELIVERED
+    * envelope shape — exact whenever downstream processors pass the key
+    * fields through (the common case); a downstream rewrite of a key field
+    * would record the rewritten key. */
+  def writeBack(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.lit
+    store.upsert(batch
+      .select(Blobl.envelopeExpr(batch, key).cast("string").as("key"),
+        lit("1").as("value"))
+      .na.drop(scala.Seq("key"))
+      .dropDuplicates("key"))
   }
 }

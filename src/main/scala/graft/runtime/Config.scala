@@ -47,8 +47,15 @@ object Config {
       val t = Option(trigger).getOrElse(
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(
           bufferPeriodMs.getOrElse(1000L), java.util.concurrent.TimeUnit.MILLISECONDS))
+      // Cache-backed dedupe procs anywhere in the pipeline tree need their
+      // per-micro-batch key write-back run at the sink (the shared named
+      // cache is a cross-pipeline resource — lib/processor/dedupe.go:32-58)
+      val dedupes = pipeline.flatMap(collectCachedDedupes)
+      val hook: org.apache.spark.sql.DataFrame => Unit =
+        if (dedupes.isEmpty) _ => ()
+        else batch => dedupes.foreach(_.writeBack(batch))
       graft.streaming.Streaming.run(
-        Pipeline(pipeline)(input(spark)), output, checkpoint, t)
+        Pipeline(pipeline)(input(spark)), output, checkpoint, t, hook)
     }
   }
 
@@ -425,6 +432,23 @@ object Config {
         s => { val df = base(s); if (df.isStreaming) df else p(df) }
       case _ => base
     }
+  }
+
+  /** Walk a processor tree (generic productIterator descent, so every
+    * combinator — Pipeline, ForEach, Switch, Try/Catch, GroupBy, … — is
+    * covered without enumerating them) collecting cache-backed dedupes. */
+  private[runtime] def collectCachedDedupes(p: Processor)
+      : scala.Seq[CachedDedupeProc] = {
+    def walk(x: Any): scala.Seq[CachedDedupeProc] = x match {
+      case d: CachedDedupeProc => scala.Seq(d)
+      case pr: Processor with Product =>
+        pr.productIterator.flatMap(walk).toSeq
+      case it: scala.collection.Iterable[_] => it.flatMap(walk).toSeq
+      case o: Option[_] => o.toSeq.flatMap(walk)
+      case (a, b) => walk(a) ++ walk(b)
+      case _ => Nil
+    }
+    walk(p)
   }
 
   def compileProcessor(m: Map[String, Any]): Processor = {

@@ -75,13 +75,19 @@ object Streaming {
     * count/period flush (`lib/message/batch/policy.go`) becomes trigger
     * interval + per-micro-batch batch_id (foreachBatch assigns it). */
   def run(df: DataFrame, sink: Sink, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      onBatch: DataFrame => Unit = _ => ()): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink.write(batch.withColumn(Envelope.BatchId, lit(id)))
+        // post-delivery hooks (e.g. cache-backed dedupe key write-back):
+        // run AFTER the sink so a write-back never records keys for rows
+        // the sink failed to deliver (same at-least-once posture as the
+        // reference's ack-then-cache-set ordering)
+        onBatch(batch)
       }
       .start()
 

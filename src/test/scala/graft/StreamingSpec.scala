@@ -269,6 +269,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.getLong(2) >= 0L && out.getLong(3) <= 1000000L)
   }
 
+  test("cache-backed dedupe on a stream writes keys back to the shared cache") {
+    // the reference's cache-backed dedupe (lib/processor/dedupe.go:32-58)
+    // keys a SHARED named resource: a batch job run after the stream must
+    // see every key the stream admitted, and the stream must drop keys
+    // already in the cache when it starts
+    val src = Files.createTempDirectory("graft-cdd").toString + "/in"
+    val dst = Files.createTempDirectory("graft-cdd-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-cdd-ck").toString
+    import spark.implicits._
+    scala.Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "pre")).toDF("i", "k")
+      .repartition(1).write.mode("overwrite").parquet(src)
+    val label = s"cdd_${System.nanoTime()}"
+    val store = new graft.ops.CacheOps.MemoryCache
+    store.upsert(scala.Seq(("pre", "1")).toDF("key", "value"))
+    graft.ops.CacheOps.Caches.register(label, store)
+    val spec = graft.runtime.Config.load(
+      s"""input:
+         |  file_stream:
+         |    path: $src
+         |    format: parquet
+         |pipeline:
+         |  processors:
+         |    - dedupe:
+         |        cache: $label
+         |        key: this.k
+         |output:
+         |  file:
+         |    path: $dst
+         |    codec: json
+         |    mode: append
+         |""".stripMargin)
+    val q = spec.runStream(spark, ckpt)
+    q.processAllAvailable(); q.stop()
+    // "pre" dropped (already cached), one of the two "a" rows dropped
+    val out = spark.read.json(dst)
+    assert(out.count() == 2, "stream must drop cached + in-stream dup keys")
+    assert(out.filter(col("k") === "pre").count() == 0)
+    // the shared-resource contract: keys the stream saw are now in the cache
+    assert(store.get("a").isDefined && store.get("b").isDefined)
+    // and a subsequent BATCH run against the same resource drops them
+    val batch = Envelope.wrap(
+      scala.Seq((9L, "a"), (10L, "fresh")).toDF("i", "k"), scala.Seq(col("i")))
+    val survivors = graft.ops.CachedDedupeProc(store, "this.k")(batch)
+    assert(survivors.select(col("doc.k")).collect().map(_.getString(0)).toSeq
+      == scala.Seq("fresh"))
+  }
+
   test("count-min sketch maintains incrementally over a stream (update mode)") {
     // the sketch is a (j,pos)-keyed partial aggregate, so it runs as a
     // streaming groupBy unchanged; the final counters must equal the
