@@ -185,25 +185,47 @@ object Sketches {
     * a legitimate row), so it runs inverted: rows the filter rejects
     * are DEFINITELY clean and bypass the exact join; only
     * might-contain rows shuffle into the exact anti-join, then the two
-    * streams union. Result is bit-identical to the plain anti-join;
-    * at 100 TB the exact join sees only the bloom-hit sliver. */
+    * streams union. Result is bit-identical to the plain anti-join.
+    *
+    * Single-scan: the hit bit is annotated ONCE and the annotated rows
+    * localCheckpoint'd, so the corpus scan and the (often expensive —
+    * q138 hashes a whole-document fingerprint) key computation run
+    * exactly once; the clean majority then reads back locally from the
+    * block manager and never shuffles, while the bloom-hit sliver alone
+    * enters the exact anti-join. Callers should prune fact to the
+    * columns they need BEFORE calling so the materialized width stays
+    * narrow at 100 TB. (A streaming fact can't checkpoint — it falls
+    * back to the two-filter shape, where the per-micro-batch double
+    * scan is over in-memory batches anyway.) */
   def bloomAntiJoin(fact: DataFrame, factKey: String, block: DataFrame,
       blockKey: String, expectedItems: Long = 1000000L,
       numBits: Long = 8L * 1024 * 1024): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // the blocklist feeds BOTH the bloom build and the exact join's key
+    // side — distinct + checkpoint it once so the (possibly expensive)
+    // block subtree is scanned exactly once too
+    val keys0 = block.select(col(blockKey).as("__bk")).distinct()
+    val keys = if (block.isStreaming) keys0 else keys0.localCheckpoint()
     val bfAgg = GraftBridge.column(new BloomFilterAggregate(
-      new XxHash64(Seq(GraftBridge.expression(block(blockKey)))),
+      new XxHash64(Seq(GraftBridge.expression(keys("__bk")))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val bf = block.agg(bfAgg.as("__bf"))
+    val bf = keys.agg(bfAgg.as("__bf"))
     val hit = GraftBridge.column(BloomFilterMightContain(
       ScalarSubquery(bf.queryExecution.analyzed),
       new XxHash64(Seq(GraftBridge.expression(fact(factKey))))))
-    val clean = fact.where(!hit)
-    val suspect = fact.where(hit)
-    val keys = block.select(col(blockKey).as("__bk")).distinct()
-    clean.unionByName(
-      suspect.join(keys, suspect(factKey) === col("__bk"), "left_anti"))
+    if (fact.isStreaming) {
+      val clean = fact.where(!hit)
+      val suspect = fact.where(hit)
+      clean.unionByName(
+        suspect.join(keys, suspect(factKey) === col("__bk"), "left_anti"))
+    } else {
+      val annotated = fact.withColumn("__bloom_hit", hit).localCheckpoint()
+      val clean = annotated.filter(!col("__bloom_hit")).drop("__bloom_hit")
+      val suspect = annotated.filter(col("__bloom_hit")).drop("__bloom_hit")
+      clean.unionByName(
+        suspect.join(keys, suspect(factKey) === col("__bk"), "left_anti"))
+    }
   }
 }

@@ -586,8 +586,15 @@ object LlmQueries {
     * bloom filter routes definitely-clean rows around the exact
     * anti-join. Result identical to the plain anti-join (the oracle). */
   def q138(s: SparkSession, dir: String): DataFrame = {
+    // prune to (source, doc_id, fp) BEFORE the bloom join so the
+    // single-scan annotated materialization never carries `text`, and
+    // materialize the fingerprint projection once — train AND eval both
+    // derive from it, so `documents` is scanned (and the whole-document
+    // fingerprint hashed) exactly once in the entire query
     val docs = t(s, dir, "documents")
-      .withColumn("fp", Dedup.fingerprint(col("text")))
+      .select(col("source"), col("doc_id"),
+        Dedup.fingerprint(col("text")).as("fp"))
+      .localCheckpoint()
     val train = docs.filter(col("doc_id") % 50 =!= 0)
     val evalSet = docs.filter(col("doc_id") % 50 === 0).select(col("fp").as("efp"))
     graft.ops.Sketches.bloomAntiJoin(train, "fp", evalSet, "efp",
