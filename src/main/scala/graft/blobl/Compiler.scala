@@ -14,13 +14,34 @@ final case class CompileError(msg: String) extends RuntimeException(msg)
   * `length` vs `size`, map vs struct access) — the schema-first design that
   * lets everything stay inside whole-stage codegen.
   */
-final case class TC(col: Column, tpe: Option[DataType]) {
+final case class TC(col: Column, tpe: Option[DataType],
+    err: Option[Column] = None) {
   def isString: Boolean = tpe.contains(StringType)
   def isArray: Boolean = tpe.exists(_.isInstanceOf[ArrayType])
   def isMap: Boolean = tpe.exists(_.isInstanceOf[MapType])
   def isStruct: Boolean = tpe.exists(_.isInstanceOf[StructType])
   def isVariant: Boolean = tpe.exists(_.isInstanceOf[VariantType])
   def elemType: Option[DataType] = tpe.collect { case ArrayType(e, _) => e }
+  /** Merge an upstream error condition into this value's error channel
+    * (first error wins, like the reference's short-circuit eval). */
+  def orErr(e: Option[Column]): TC =
+    if (e.isEmpty) this else copy(err = TC.mergeErr(e, err))
+}
+
+object TC {
+  /** The expression-level error channel (reference `Function.Exec`'s
+    * `error` return): a STRING Column that is non-null exactly when the
+    * expression errored — distinct from a legitimate null VALUE, which is
+    * what lets `.catch()` fire on errors only ("json catch 3" vector).
+    * The channel rides beside the value column and costs nothing unless
+    * a `catch`/`or` consumes it (unreferenced Columns never reach the
+    * plan). None = this expression can never error. */
+  def mergeErr(a: Option[Column], b: Option[Column]): Option[Column] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(coalesce(x, y))
+      case (x, None) => x
+      case (None, y) => y
+    }
 }
 
 /** Compilation context: what `this` is, metadata/error columns, `let` vars,
@@ -138,8 +159,8 @@ object Compiler {
       accessField(b, name)
     case IndexOp(base, idx) =>
       indexValue(compile(base, ctx), compile(idx, ctx))
-    case Neg(x) => val c = compile(x, ctx); TC(-c.col, c.tpe)
-    case Not(x) => val c = compile(x, ctx); TC(!c.col, Some(BooleanType))
+    case Neg(x) => val c = compile(x, ctx); TC(-c.col, c.tpe, c.err)
+    case Not(x) => val c = compile(x, ctx); TC(!c.col, Some(BooleanType), c.err)
     case BinOp(op, l, r) => binop(op, l, r, ctx)
     case IfExpr(branches, orElse) =>
       val compiled = branches.map { case (c, v) => (compile(c, ctx).col, compile(v, ctx)) }
@@ -148,7 +169,8 @@ object Compiler {
         case (acc, (c, v)) => acc.when(c, v.col)
       }
       val tpe = (compiled.map(_._2.tpe) ++ elseTC.map(_.tpe)).reduceOption(unify).flatten
-      TC(elseTC.map(e => chain.otherwise(e.col)).getOrElse(chain), tpe)
+      TC(elseTC.map(e => chain.otherwise(e.col)).getOrElse(chain), tpe,
+        branchErr(compiled.map { case (c, v) => (c, v.err) }, elseTC.flatMap(_.err)))
     case MatchExpr(target, cases) =>
       val t = compile(target, ctx)
       val inner = ctx.withThis(t)
@@ -162,7 +184,9 @@ object Compiler {
       val chain = conds.tail.foldLeft(when(conds.head._1, conds.head._2.col)) {
         case (acc, (c, v)) => acc.when(c, v.col)
       }
-      TC(chain, conds.map(_._2.tpe).reduceOption(unify).flatten)
+      TC(chain, conds.map(_._2.tpe).reduceOption(unify).flatten,
+        branchErr(conds.map { case (c, v) => (c, v.err) }, None)
+          .map(e => TC.mergeErr(t.err, Some(e)).get))
     case FnCall(name, args) => function(name, args, ctx)
     case MethodCall(LitString(fmt), "format", args) =>
       // Go fmt verbs: %v prints any value -> map to %s with string cast
@@ -177,6 +201,21 @@ object Compiler {
       val updated = t.tpe.collect { case s: StructType => s }
         .flatMap(setNestedFieldType(_, path, vc.tpe.getOrElse(NullType)))
       TC(t.col.withField(path.mkString("."), vc.col), updated)
+  }
+
+  /** Error channel for a when-chain: only the TAKEN branch's error
+    * matters (reference short-circuit). None if no branch can error. */
+  private def branchErr(branches: scala.Seq[(Column, Option[Column])],
+      orElse: Option[Column]): Option[Column] = {
+    if (branches.forall(_._2.isEmpty) && orElse.isEmpty) None
+    else {
+      val nul = lit(null).cast(StringType)
+      val chain = branches.tail.foldLeft(
+        when(branches.head._1, branches.head._2.getOrElse(nul))) {
+        case (acc, (c, e)) => acc.when(c, e.getOrElse(nul))
+      }
+      Some(orElse.map(chain.otherwise).getOrElse(chain))
+    }
   }
 
   /** Nested-field type update for [[Ast.SetPath]]: None when an
@@ -212,20 +251,42 @@ object Compiler {
         Some(LongType))
     } else {
       val adj = when(i.col >= 0, i.col + 1).otherwise(i.col)
-      TC(element_at(b.col, adj.cast(IntegerType)), b.elemType)
+      // out-of-bounds errors in the reference (methods_structured.go
+      // index) — the error channel lets `.catch(fallback)` fire on OOB
+      // while an in-bounds null element stays a legitimate null
+      val oob = when(b.col.isNotNull &&
+        (i.col >= size(b.col) || i.col < -size(b.col)),
+        lit("index out of bounds"))
+      TC(element_at(b.col, adj.cast(IntegerType)), b.elemType,
+        TC.mergeErr(TC.mergeErr(b.err, i.err), Some(oob)))
     }
   }
 
   def accessField(b: TC, name: String): TC = b.tpe match {
-    case Some(MapType(_, v, _)) => TC(element_at(b.col, lit(name)), Some(v))
+    case Some(MapType(_, v, _)) =>
+      TC(element_at(b.col, lit(name)), Some(v), b.err)
     case Some(_: VariantType) =>
-      TC(try_variant_get(b.col, s"$$.$name", "variant"), Some(VariantType))
+      // The dynamic-document path carries the reference's EXACT error
+      // semantics: a variant distinguishes an absent field (SQL NULL from
+      // try_variant_get) from a present-but-null one (variant-null) —
+      // absent errors ("json catch 3" vs "or json null 2" vectors), while
+      // the present null coerces to SQL null so `or`/`|` coalesce on it.
+      val raw = try_variant_get(b.col, s"$$.$name", "variant")
+      TC(when(is_variant_null(raw), lit(null)).otherwise(raw),
+        Some(VariantType),
+        TC.mergeErr(b.err, Some(when(b.col.isNotNull && raw.isNull,
+          lit(s"field `$name` not found")))))
     case Some(s: StructType) if !s.fieldNames.contains(name) =>
-      // dynamic-document semantics: a missing field is null, not an
-      // analysis error (jq/Bloblang read absent paths as null)
-      TC(lit(null), Some(NullType))
-    case Some(NullType) => TC(lit(null), Some(NullType)) // path through null
-    case _ => TC(b.col.getField(name), fieldType(b.tpe, name))
+      // schema-first: a field absent from the SCHEMA can never exist in
+      // any row — the reference errors on every access, so the error
+      // channel is constant-on (catch always fires, as it would there).
+      // A field present in the schema but null in a row stays a plain
+      // null (documented divergence: structs can't tell absent from null)
+      TC(lit(null), Some(NullType),
+        Some(lit(s"field `$name` not found")))
+    case Some(NullType) =>
+      TC(lit(null), Some(NullType), b.err) // path through null
+    case _ => TC(b.col.getField(name), fieldType(b.tpe, name), b.err)
   }
 
   def accessPath(b: TC, path: scala.Seq[String]): TC =
@@ -235,6 +296,15 @@ object Compiler {
   private def binop(op: String, le: Expr, re: Expr, ctx: Ctx): TC = {
     val l = compile(le, ctx)
     val r = compile(re, ctx)
+    val res = binop0(op, l, r)
+    // `|` (reference coalesce, arithmetic.go:438-446) consumes the LHS
+    // error: it falls back on error OR null, so only the RHS's channel
+    // survives. Every other operator propagates both sides' errors.
+    if (op == "|") res.copy(err = r.err)
+    else res.orErr(TC.mergeErr(l.err, r.err))
+  }
+
+  private def binop0(op: String, l: TC, r: TC): TC = {
     op match {
       case "+" =>
         if (l.isString || r.isString) TC(concat(l.col, r.col), Some(StringType))
@@ -362,6 +432,17 @@ object Compiler {
   }
 
   private def method(t: TC, name: String, args: List[Expr], ctx: Ctx): TC = {
+    val r = method0(t, name, args, ctx)
+    // propagate the target's error channel through the chain — except for
+    // the consumers (catch/or clear it) and the batch-perspective methods
+    // (from/from_all read OTHER rows; a this-row error doesn't apply)
+    name match {
+      case "catch" | "or" | "from" | "from_all" => r
+      case _ => r.orErr(t.err)
+    }
+  }
+
+  private def method0(t: TC, name: String, args: List[Expr], ctx: Ctx): TC = {
     def arg(i: Int): Expr = args.lift(i).getOrElse(
       throw CompileError(s"$name: missing argument $i"))
     def c(i: Int): TC = compile(arg(i), ctx)
@@ -377,7 +458,29 @@ object Compiler {
         val stmts = ctx.maps.getOrElse(litStr(0),
           throw CompileError(s"unknown map ${litStr(0)}"))
         Mapping.compileMapValue(stmts, ctx.withThis(t))
-      case "catch" | "or" => val f = c(0); TC(coalesce(t.col, f.col), unify(t.tpe, f.tpe).orElse(t.tpe))
+      case "catch" =>
+        // reference semantics (methods.go:136-148): the fallback fires on
+        // ERROR only — a legitimate null result propagates ("json catch
+        // 3"). Where the target carries an error channel this is exact;
+        // a channel-less target (schema-typed struct access, where absent
+        // and null are indistinguishable) keeps the documented
+        // null-coalesce approximation.
+        val f = c(0)
+        val fCol = if (t.isVariant && !f.isVariant) f.col.cast(VariantType) else f.col
+        t.err match {
+          case Some(e) =>
+            TC(when(e.isNotNull, fCol).otherwise(t.col),
+              unify(t.tpe, f.tpe).orElse(t.tpe), f.err)
+          case None =>
+            TC(coalesce(t.col, fCol), unify(t.tpe, f.tpe).orElse(t.tpe), f.err)
+        }
+      case "or" =>
+        // reference or (methods.go:466-478): fallback on error OR null.
+        // Errored values always compile to null columns here, so coalesce
+        // covers both; the target's error is consumed.
+        val f = c(0)
+        val fCol = if (t.isVariant && !f.isVariant) f.col.cast(VariantType) else f.col
+        TC(coalesce(t.col, fCol), unify(t.tpe, f.tpe).orElse(t.tpe), f.err)
       case "from" | "from_all" =>
         val (b, s) = ctx.batch.getOrElse(throw CompileError(s"$name needs envelope batch columns"))
         val all = collect_list(t.col).over(
@@ -397,8 +500,8 @@ object Compiler {
       case "not_null" => t
       case "not_empty" =>
         // reference (methods_structured.go:955): empty string/array/object
-        // → error. In the engine's null-propagation error model that maps
-        // to null, so `.catch(fallback)` / pipe-coalesce fire the same way.
+        // → ERROR (not null) — carried on the error channel so `.catch()`
+        // fires on empty while a null input stays a plain null.
         val empty = t.tpe match {
           case Some(StringType) => length(t.col) === 0
           case Some(_: ArrayType) | Some(_: MapType) => size(t.col) === 0
@@ -406,13 +509,18 @@ object Compiler {
           case Some(_: StructType) => lit(false)
           case _ => t.col.cast(StringType).isin("", "[]", "{}")
         }
-        TC(when(empty, lit(null)).otherwise(t.col), t.tpe)
+        TC(when(empty, lit(null)).otherwise(t.col), t.tpe,
+          Some(when(coalesce(empty, lit(false)), lit("value is empty"))))
       case "number" =>
         // optional arg = fallback when the value can't be parsed
-        // (methods.go numberCoerceMethod)
+        // (methods.go numberCoerceMethod); without one, an unparseable
+        // non-null input is an ERROR (catch-able), not a silent null
         val n = t.col.cast(DoubleType)
         TC(args.headOption.map(_ => coalesce(n, c(0).col.cast(DoubleType)))
-          .getOrElse(n), Some(DoubleType))
+          .getOrElse(n), Some(DoubleType),
+          if (args.nonEmpty) None
+          else Some(when(t.col.isNotNull && n.isNull,
+            lit("unable to parse value as number"))))
       case "string" => t.tpe match {
         case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) =>
           TC(to_json(t.col), Some(StringType))
@@ -422,10 +530,13 @@ object Compiler {
       case "int" | "integer" => TC(t.col.cast(LongType), Some(LongType))
       case "bool" =>
         // optional arg = fallback when the value can't be parsed
-        // (methods.go boolMethod)
+        // (methods.go boolMethod); error channel as with number()
         val b = t.col.cast(BooleanType)
         TC(args.headOption.map(_ => coalesce(b, c(0).col.cast(BooleanType)))
-          .getOrElse(b), Some(BooleanType))
+          .getOrElse(b), Some(BooleanType),
+          if (args.nonEmpty) None
+          else Some(when(t.col.isNotNull && b.isNull,
+            lit("unable to parse value as bool"))))
       case "bytes" => TC(t.col.cast(BinaryType), Some(BinaryType))
       case "type" =>
         // runtime null wins over the static SQL type (type_helpers.go:
@@ -660,14 +771,15 @@ object Compiler {
           from_json(concat(lit("["), pre, lit("]")), ArrayType(StringType)),
           1), Some(StringType))
       case "json_schema" =>
-        // validate against a JSON schema subset; invalid → null (pair
-        // with .catch() — the processor form writes the error flag)
+        // validate against a JSON schema subset; a validation failure is
+        // an ERROR carrying the validator's message (reference
+        // jsonschema.go) so `.catch()` distinguishes it from null input
         val asJson = t.tpe match {
           case Some(StringType) => t.col
           case _ => to_json(t.col)
         }
         val err = graft.exprs.Formats.jsonSchemaError(asJson, litStr(0))
-        TC(when(err.isNull, t.col), t.tpe)
+        TC(when(err.isNull, t.col), t.tpe, Some(err))
       case "filepath_join" =>
         // Go filepath.Join cleans the result: collapse duplicate
         // separators, drop any trailing one (methods_strings.go doc
@@ -681,7 +793,14 @@ object Compiler {
         TC(array(
           regexp_extract(t.col, "^(.*/)?", 1),
           regexp_replace(t.col, "^.*/", "")), Some(ArrayType(StringType)))
-      case "parse_json" => TC(parse_json(t.col.cast(StringType)), Some(VariantType))
+      case "parse_json" =>
+        // try-parse: invalid JSON is a catch-able ERROR (reference
+        // parse_json errors), not a hard exception — the uncaught case
+        // degrades to null, matching the engine's error-as-null posture
+        val parsed = try_parse_json(t.col.cast(StringType))
+        TC(parsed, Some(VariantType),
+          Some(when(t.col.isNotNull && parsed.isNull,
+            lit("failed to parse value as JSON"))))
       case "format_json" => TC(to_json(t.col), Some(StringType))
       case "parse_yaml" =>
         TC(parse_json(graft.exprs.Formats.yamlToJson(t.col.cast(StringType))), Some(VariantType))

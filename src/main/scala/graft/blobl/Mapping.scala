@@ -64,8 +64,18 @@ object Mapping {
 
   def envelopeCtx(df: DataFrame): Ctx = {
     import graft.model.Envelope._
+    // `this`/json() carry the reference's parse-error semantics ("json
+    // catch" vectors): when raw content exists but is not valid JSON and
+    // no parsed doc is available, the value is an expression-level ERROR
+    // (so `.catch()` fires) rather than a legitimate null (content `null`
+    // parses to a JSON null and stays null). The condition only reaches
+    // the plan if a catch/or consumes it.
+    val parseErr = when(
+      col(Content).isNotNull && col(Doc).isNull &&
+        try_parse_json(col(Content).cast(StringType)).isNull,
+      lit("unable to parse message as JSON"))
     Ctx(
-      thisTC = TC(col(Doc), Some(df.schema(Doc).dataType)),
+      thisTC = TC(col(Doc), Some(df.schema(Doc).dataType), Some(parseErr)),
       meta = Some(col(Meta)), err = Some(col(Error)), content = Some(col(Content)),
       vars = Map.empty, maps = Map.empty,
       batch = if (df.columns.contains(BatchId)) Some((col(BatchId), col(Seq))) else None)

@@ -43,6 +43,54 @@ class ReferenceVectorsSpec extends AnyFunSuite {
 
   val nil = """{"z":0}""" // dummy input for literal-only mappings
 
+  /** Raw-content query vector (query_method_parser_test.go style): the
+    * content is NOT pre-parsed — `json()` reads it as a dynamic (variant)
+    * document, which carries the reference's exact error-vs-null
+    * semantics. `want` compares the result cast to string (None = SQL
+    * null, matching the Go `null` outputs). */
+  def checkRaw(query: String, content: String, want: Option[String]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = scala.Seq(content).toDF("c").select(
+      col("c").cast(BinaryType).as("content"),
+      try_parse_json(col("c")).as("doc"),
+      map().cast(MapType(StringType, StringType)).as("meta"),
+      lit(null).cast(StringType).as("_error"),
+      lit(0L).as("batch_id"), lit(0L).as("seq"))
+    val got = df.select(Mapping.envelopeExpr(df, query).cast(StringType))
+      .head()
+    val gotS = if (got.isNullAt(0)) None else Some(got.getString(0))
+    assert(gotS == want, s"\nquery: $query\ncontent: $content\ngot: $gotS")
+  }
+
+  test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
+    // "json catch": unparseable content is an error -> fallback
+    checkRaw("""json().catch("nope")""", "this %$#% isnt json", Some("nope"))
+    // "json catch 2": content `null` IS valid JSON -> null propagates
+    checkRaw("""json().catch("nope")""", "null", None)
+    // "json catch 3": foo present with null value -> legitimate null
+    checkRaw("""json("foo").catch("nope")""", """{"foo":null}""", None)
+    // "json catch 4": value present -> value
+    checkRaw("""json("foo").catch("nope")""", """{"foo":"yep"}""", Some("yep"))
+  }
+
+  test("or fires on null AND on missing (query_method_parser_test.go)") {
+    // "or json null": explicit null -> backup
+    checkRaw("""json("foo").or("backup")""", """{"foo":null}""", Some("backup"))
+    // "or json null 2": absent field (an error in the reference) -> backup
+    checkRaw("""json("foo").or("backup")""", """{"bar":"nope"}""", Some("backup"))
+    // "or json null 3": fallback is itself a query
+    checkRaw("""json("foo").or(json("bar"))""", """{"bar":"yep"}""", Some("yep"))
+  }
+
+  test("catch on missing field errors; pipe consumes the error (arithmetic.go coalesce)") {
+    // absent field is an error -> catch fires (unlike present-null above)
+    checkRaw("""json("foo").catch("nope")""", """{"bar":1}""", Some("nope"))
+    // pipe = or: falls back on error or null
+    checkRaw("""json("foo") | "backup"""", """{"foo":null,"bar":"from_bar"}""", Some("backup"))
+    checkRaw("""json("foo") | json("bar")""", """{"foo":null,"bar":"from_bar"}""", Some("from_bar"))
+  }
+
   test("without single / double / nested / combination (methods_test.go)") {
     checkCanon("""root.r = {"a":"first","b":"second"}.without("a")""",
       nil, """{"r":{"b":"second"}}""")
