@@ -292,6 +292,65 @@ object Compiler {
   def accessPath(b: TC, path: scala.Seq[String]): TC =
     path.foldLeft(b)(accessField)
 
+  /** Typed empty array<variant> (slice-of-one trick keeps the element
+    * type without naming it). */
+  private def emptyVariants: Column =
+    slice(array(parse_json(lit("0"))), lit(1), lit(0))
+
+  /** Any value as a variant: atomics cast directly; containers round-trip
+    * through JSON text (Spark has no struct/array/map → variant cast). */
+  private def asVariant(c: Column, t: DataType): Column = t match {
+    case _: VariantType => c
+    case _: StructType | _: ArrayType | _: MapType => parse_json(to_json(c))
+    case NullType => parse_json(lit(null).cast(StringType))
+    case _ => c.cast(VariantType)
+  }
+
+  /** jq `..`/recurse collected: value + all recursive descendants in
+    * pre-order, array<variant>. STATIC schema walk — depth is bounded by
+    * the type, every step stays in whole-stage codegen. Schema-first
+    * caveat (documented): a null struct still contributes its fields'
+    * null leaves, where jq would not descend. */
+  private[blobl] def recurseValues(c: Column, t: DataType): Column = t match {
+    case s: StructType =>
+      s.fields.foldLeft(array(asVariant(c, s))) { (acc, f) =>
+        concat(acc, recurseValues(c.getField(f.name), f.dataType))
+      }
+    case at @ ArrayType(et, _) =>
+      concat(array(asVariant(c, at)),
+        coalesce(flatten(transform(c, x => recurseValues(x, et))), emptyVariants))
+    case mt @ MapType(_, vt, _) =>
+      concat(array(asVariant(c, mt)),
+        coalesce(flatten(transform(map_values(c), x => recurseValues(x, vt))),
+          emptyVariants))
+    case other => array(asVariant(c, other))
+  }
+
+  /** jq `paths` collected: every path (array<variant> of string keys and
+    * long indices) in pre-order, root's empty path excluded. Same static
+    * walk (and null-struct caveat) as recurseValues. */
+  private[blobl] def jsonPaths(c: Column, t: DataType, prefix: Column): Column = {
+    def emptyPaths = slice(array(emptyVariants), lit(1), lit(0))
+    t match {
+      case s: StructType =>
+        s.fields.foldLeft(emptyPaths) { (acc, f) =>
+          val p = concat(prefix, array(lit(f.name).cast(VariantType)))
+          concat(acc, array(p), jsonPaths(c.getField(f.name), f.dataType, p))
+        }
+      case ArrayType(et, _) =>
+        coalesce(flatten(transform(c, (x, ix) => {
+          val p = concat(prefix, array(ix.cast(VariantType)))
+          concat(array(p), jsonPaths(x, et, p))
+        })), emptyPaths)
+      case MapType(_, vt, _) =>
+        coalesce(flatten(transform(map_keys(c), k => {
+          val p = concat(prefix, array(k.cast(VariantType)))
+          concat(array(p), jsonPaths(element_at(c, k), vt, p))
+        })), emptyPaths)
+      case _ => emptyPaths
+    }
+  }
+
   // ---------- operators ----------
   private def binop(op: String, le: Expr, re: Expr, ctx: Ctx): TC = {
     val l = compile(le, ctx)
@@ -890,6 +949,41 @@ object Compiler {
           case o => throw CompileError(s"fold: lambda required, got $o")
         }
         TC(aggregate(t.col, init.col, body), init.tpe)
+      case "fold_scan" =>
+        // fold emitting every intermediate tally (jq `foreach g as $x
+        // (init; upd)` collected): accumulator carries (tally, outs[])
+        val init = c(0)
+        val fn = arg(1)
+        val body: (Column, Column) => Column = (acc, x) => fn match {
+          case Lambda(p, b) =>
+            val bound = struct(acc.as("tally"), x.as("value"))
+            compile(b, ctx.withVar(p, TC(bound, None)).withThis(TC(bound, None))).col
+          case o => throw CompileError(s"fold_scan: lambda required, got $o")
+        }
+        // slice(array(init), 1, 0) = a correctly-TYPED empty array
+        val acc0 = struct(init.col.as("tally"),
+          slice(array(init.col), lit(1), lit(0)).as("outs"))
+        TC(aggregate(t.col, acc0,
+          (acc, x) => {
+            val nt = body(acc.getField("tally"), x)
+            struct(nt.as("tally"),
+              concat(acc.getField("outs"), array(nt)).as("outs"))
+          },
+          acc => acc.getField("outs")), init.tpe.map(ArrayType(_)))
+      case "recurse_values" =>
+        // jq `..` / no-arg recurse, collected: this value and every
+        // recursive descendant (pre-order), as array<variant>. The walk is
+        // STATIC over the schema — bounded depth, whole-stage codegen —
+        // which is what makes it feasible in a columnar plan at all.
+        TC(recurseValues(t.col, t.tpe.getOrElse(StringType)),
+          Some(ArrayType(VariantType)))
+      case "json_paths" =>
+        // jq `paths`, collected: array of paths (each itself an
+        // array<variant> of string keys / long indices), pre-order,
+        // excluding the root's empty path
+        TC(jsonPaths(t.col, t.tpe.getOrElse(StringType),
+          slice(array(parse_json(lit("0"))), lit(1), lit(0))),
+          Some(ArrayType(ArrayType(VariantType))))
       case "index" => indexValue(t, c(0))
       case "keys" => t.tpe match {
         case Some(s: StructType) =>

@@ -19,8 +19,17 @@ import Ast._
   * pipe stage (`.xs[] | f`, `.xs[].a`): `JqProc` compiles the array
   * expression, `posexplode`s it into one envelope row per element
   * (reference jq emits one message per generator output), and applies
-  * the rest of the query per element. Generators elsewhere in the
-  * query remain out of scope.
+  * the rest of the query per element.
+  *
+  * Generator forms elsewhere follow COLLECTED semantics (jq's `[g]`):
+  * `reduce g as $x (init; upd)` / `foreach g as $x (init; upd)` compile
+  * onto Bloblang fold / fold_scan with `.`→accumulator and `$x`→element
+  * substitution; `limit(n; g)` slices the collected array; `..` /
+  * `recurse` and `paths` expand STATICALLY over the schema (bounded
+  * depth, stays in codegen) to array<variant>; `getpath([...])` with a
+  * literal path is static field access. Out of scope: `recurse(f)`
+  * (unbounded iteration), generators in arbitrary value positions,
+  * destructuring.
   */
 object Jq {
 
@@ -64,6 +73,14 @@ object Jq {
     /** Generators are only legal in the leading pipe stage; locked once
       * a pipe, paren, or constructor opens a non-leading context. */
     private var genLocked = false
+    /** Collected-generator mode (reduce/foreach/limit argument positions):
+      * a trailing `[]` yields the array ITSELF — the jq `[g]` collection
+      * semantics — instead of exploding rows. */
+    private var collectGen = false
+    private def collected[A](f: => A): A = {
+      val save = collectGen; collectGen = true
+      try f finally collectGen = save
+    }
 
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
@@ -200,11 +217,14 @@ object Jq {
     private def bracket(e: Expr): Expr = {
       if (peek == ']') {
         i += 1
-        require(allowGen && !genLocked && !genSeen,
-          "jq: .[] generator only supported as the leading pipe stage")
-        genSeen = true
-        genBase = e
-        VarRef(GenMark)
+        if (collectGen) e // collected semantics: the array itself
+        else {
+          require(allowGen && !genLocked && !genSeen,
+            "jq: .[] generator only supported as the leading pipe stage")
+          genSeen = true
+          genBase = e
+          VarRef(GenMark)
+        }
       } else if (peek == '"') {
         i += 1
         val st = i
@@ -240,11 +260,22 @@ object Jq {
     def parsePrimary(): Expr = {
       ws()
       peek match {
+        case '.' if i + 1 < s.length && s.charAt(i + 1) == '.' &&
+            !(i + 2 < s.length && s.charAt(i + 2) == '.') =>
+          // `..` = recurse: all recursive descendants, COLLECTED to an
+          // array (the jq [..] form; see recurse_values in the compiler)
+          i += 2
+          MethodCall(This, "recurse_values", Nil)
         case '.' =>
           i += 1
           if (i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '_'))
             Field(This, ident())
           else This
+        case '$' =>
+          // jq variable reference ($x from `reduce/foreach ... as $x`);
+          // resolved by substitution at the binding site
+          i += 1
+          VarRef("$" + ident())
         case '"' =>
           i += 1
           stringLit()
@@ -260,7 +291,12 @@ object Jq {
             while (tryEat(",")) items += parsePipe()
           }
           eat(']')
-          LitArray(items.toList)
+          items.toList match {
+            // [g] collects a generator; recurse/paths already yield the
+            // collected array, so the brackets are identity
+            case List(g @ MethodCall(_, "recurse_values" | "json_paths" | "fold_scan", _)) => g
+            case xs => LitArray(xs)
+          }
         case '{' =>
           i += 1
           genLocked = true
@@ -287,10 +323,61 @@ object Jq {
             case "false" => LitBool(false)
             case "null" => LitNull
             case "if" => parseIf()
+            case "reduce" => parseReduce(scan = false)
+            case "foreach" => parseReduce(scan = true)
             case _ => builtin(name)
           }
         case c => throw new IllegalArgumentException(s"jq: unexpected '$c' at $i in '$s'")
       }
+    }
+
+    /** `reduce SRC as $x (INIT; UPDATE)` / `foreach SRC as $x (INIT;
+      * UPDATE)` (gojq in `lib/processor/jq.go` embeds the full forms).
+      * SRC parses in collected mode (`.xs[]` = the array), then the pair
+      * compiles onto Bloblang fold / fold_scan: inside UPDATE, `.` is the
+      * accumulator and `$x` the element — substituted to the fold lambda's
+      * {tally, value} binding. foreach emits every intermediate
+      * accumulator (collected to an array). */
+    private def parseReduce(scan: Boolean): Expr = {
+      genLocked = true
+      val src = collected(parsePostfix())
+      require(tryWord("as"), s"jq: expected 'as' at $i in '$s'")
+      ws(); eat('$')
+      val v = "$" + ident()
+      eat('(')
+      val init = parsePipe()
+      ws(); eat(';')
+      val upd = parsePipe()
+      eat(')')
+      val p = "__jq_fold__"
+      val bound = substFold(upd, v, p)
+      MethodCall(src, if (scan) "fold_scan" else "fold",
+        List(init, Lambda(p, bound)))
+    }
+
+    /** In a reduce/foreach UPDATE body: `.` → tally, `$x` → value. Stops
+      * at nested lambdas that rebind `this` (their `.` is their own). */
+    private def substFold(e: Expr, v: String, p: String): Expr = e match {
+      case This => Field(VarRef(p), "tally")
+      case VarRef(`v`) => Field(VarRef(p), "value")
+      case Field(b, n) => Field(substFold(b, v, p), n)
+      case IndexOp(b, ix) => IndexOp(substFold(b, v, p), substFold(ix, v, p))
+      case MethodCall(t, n, as) =>
+        MethodCall(substFold(t, v, p), n, as.map {
+          case l @ Lambda(_, _) => l // inner lambda: its own this-binding
+          case a => substFold(a, v, p)
+        })
+      case FnCall(n, as) => FnCall(n, as.map(substFold(_, v, p)))
+      case BinOp(o, l, r) => BinOp(o, substFold(l, v, p), substFold(r, v, p))
+      case Not(x) => Not(substFold(x, v, p))
+      case Neg(x) => Neg(substFold(x, v, p))
+      case IfExpr(bs, oe) =>
+        IfExpr(bs.map { case (c, b) => (substFold(c, v, p), substFold(b, v, p)) },
+          oe.map(substFold(_, v, p)))
+      case LitArray(xs) => LitArray(xs.map(substFold(_, v, p)))
+      case LitObject(fs) =>
+        LitObject(fs.map { case (k, x) => (substFold(k, v, p), substFold(x, v, p)) })
+      case other => other
     }
 
     /** `if c then a (elif c2 then b)* (else z)? end`; no else = identity
@@ -474,6 +561,40 @@ object Jq {
         case "flatten" => MethodCall(This, "flatten", Nil)
         case "abs" => MethodCall(This, "abs", Nil)
         case "test" => MethodCall(This, "re_match", List(arg()))
+        case "recurse" =>
+          // no-arg recurse ≡ `..` (collected); recurse(f) would need
+          // unbounded iteration — out of the static-plan subset
+          ws()
+          require(peek != '(',
+            "jq: recurse(f) unsupported (static plans need bounded depth); `..`/recurse cover the no-arg form")
+          MethodCall(This, "recurse_values", Nil)
+        case "paths" =>
+          ws()
+          require(peek != '(', "jq: paths(f) filter form unsupported")
+          MethodCall(This, "json_paths", Nil)
+        case "getpath" =>
+          // getpath(["a","b"]) with a literal path array → static access
+          arg() match {
+            case LitArray(items) =>
+              items.foldLeft(This: Expr) {
+                case (acc, LitString(k)) => Field(acc, k)
+                case (acc, LitLong(n)) => IndexOp(acc, LitLong(n))
+                case (_, o) => throw new IllegalArgumentException(
+                  s"jq: getpath segments must be literals, got $o")
+              }
+            case o => throw new IllegalArgumentException(
+              s"jq: getpath expects a literal array, got $o")
+          }
+        case "limit" =>
+          // limit(n; g): first n outputs of g — with collected-generator
+          // semantics, a slice of the collected array
+          eat('(')
+          genLocked = true
+          val n = parsePipe()
+          ws(); eat(';')
+          val g = collected(parsePipe())
+          eat(')')
+          MethodCall(g, "slice", List(LitLong(0), n))
         case "gsub" =>
           // gsub(re; replacement)
           eat('(')

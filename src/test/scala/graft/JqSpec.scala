@@ -172,4 +172,41 @@ class JqSpec extends AnyFunSuite {
     val rt = run(".m | to_entries | from_entries", """{"m":{"a":1,"b":2}}""")
     assert(rt == """{"a":1,"b":2}""" || rt == """{"b":2,"a":1}""", rt)
   }
+
+  test("reduce folds a generator source (gojq query_test.go reduce forms)") {
+    assert(run(".xs | reduce .[] as $x (0; . + $x)", """{"xs":[1,2,3,4]}""") == "10")
+    assert(run("reduce .xs[] as $v (1; . * $v)", """{"xs":[2,3,4]}""") == "24")
+    // accumulator referenced through arithmetic both sides
+    assert(run(".xs | reduce .[] as $x (100; . - $x)", """{"xs":[10,20]}""") == "70")
+  }
+
+  test("foreach emits every intermediate accumulator (collected)") {
+    assert(run("[foreach .xs[] as $x (0; . + $x)]", """{"xs":[1,2,3]}""") == "[1,3,6]")
+    assert(run("foreach .xs[] as $v (1; . * $v)", """{"xs":[2,3,4]}""")
+      == "[2,6,24]")
+  }
+
+  test("recurse/.. collects all descendants pre-order (gojq recurse)") {
+    assert(run("[..]", """{"a":{"b":1}}""")
+      == """[{"a":{"b":1}},{"b":1},1]""")
+    assert(run("[recurse]", """{"xs":[1,2]}""")
+      == """[{"xs":[1,2]},[1,2],1,2]""")
+    // chained: count every value in the document tree (root, .a, .a.b, .c)
+    assert(run(".. | length", """{"a":{"b":1},"c":2}""") == "4")
+  }
+
+  test("paths lists every path, root excluded (gojq paths)") {
+    assert(run("[paths]", """{"a":{"b":1}}""") == """[["a"],["a","b"]]""")
+    assert(run("[paths]", """{"c":[5,6]}""") == """[["c"],["c",0],["c",1]]""")
+  }
+
+  test("getpath with literal path (gojq getpath)") {
+    assert(run("""getpath(["a","b"])""", """{"a":{"b":"x"}}""") == "x")
+    assert(run("""getpath(["xs",1])""", """{"xs":[10,20]}""") == "20")
+  }
+
+  test("limit slices the collected generator (gojq limit)") {
+    assert(run("limit(2; .xs[])", """{"xs":[1,2,3,4]}""") == "[1,2]")
+    assert(run("limit(10; .xs[])", """{"xs":[1,2]}""") == "[1,2]")
+  }
 }
