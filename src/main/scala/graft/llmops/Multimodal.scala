@@ -294,6 +294,96 @@ object Multimodal {
     f(frames, width, height, junk)
   }
 
+  /** RIFF AVI WITH an uncompressed video stream: same layout as
+    * [[encodeAvi]] but the `LIST movi` carries one even-padded `00db`
+    * chunk (uncompressed DIB frame, per the published RIFF/AVI stream
+    * naming: stream 00, db = uncompressed) per frame payload. The frame
+    * BYTES round-trip exactly through [[aviFrames]] — the end-to-end
+    * frame-extraction path with no codec stub. */
+  def encodeAviMovi(frames: Column, width: Column, height: Column,
+      junk: Column, usecPerFrame: Int = 33333): Column = {
+    val usec = usecPerFrame
+    val f = org.apache.spark.sql.functions.udf {
+      (fs: scala.Seq[Array[Byte]], w: Int, h: Int, j: Int) =>
+        val junkPadded = j + (j & 1)
+        val moviPayload = 4 + fs.map(b => 8 + b.length + (b.length & 1)).sum
+        val riffSize = 4 + (8 + junkPadded) + 76 + 8 + moviPayload
+        val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+          .put("AVI ".getBytes("US-ASCII"))
+        bb.put("JUNK".getBytes("US-ASCII")).putInt(junkPadded)
+        var p = 0
+        while (p < junkPadded) { bb.put(0.toByte); p += 1 }
+        bb.put("LIST".getBytes("US-ASCII")).putInt(68)
+          .put("hdrl".getBytes("US-ASCII"))
+        bb.put("avih".getBytes("US-ASCII")).putInt(56)
+        bb.putInt(usec).putInt(0).putInt(0).putInt(0)
+        bb.putInt(fs.length).putInt(0).putInt(1).putInt(0)
+        bb.putInt(w).putInt(h)
+        bb.putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(moviPayload)
+          .put("movi".getBytes("US-ASCII"))
+        fs.foreach { fb =>
+          bb.put("00db".getBytes("US-ASCII")).putInt(fb.length).put(fb)
+          if ((fb.length & 1) == 1) bb.put(0.toByte)
+        }
+        bb.array()
+    }
+    f(frames, width, height, junk)
+  }
+
+  /** REAL frame extraction: walk the RIFF chunks to `LIST movi` and
+    * collect every uncompressed video chunk's payload (`##db` — raw DIB
+    * frames; compressed `##dc` and audio `##wb` chunks are skipped, the
+    * honest no-codec boundary). Chunks are even-padded per the RIFF
+    * rule. Returns array<binary> of frame byte-slices; null when the
+    * payload isn't a RIFF AVI (fuzz-covered never-throw). */
+  def aviFrames(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+        }
+        if (fourcc() != "RIFF") null
+        else {
+          bb.getInt()
+          if (fourcc() != "AVI ") null
+          else {
+            var frames: List[Array[Byte]] = null
+            while (frames == null && bb.remaining() >= 8) {
+              val id = fourcc()
+              val size = bb.getInt()
+              if (id == "LIST" && size >= 4) {
+                val listEnd = bb.position() + size + (size & 1)
+                if (fourcc() == "movi") {
+                  val acc = scala.collection.mutable.ListBuffer[Array[Byte]]()
+                  while (bb.position() + 8 <= listEnd && bb.remaining() >= 8) {
+                    val sub = fourcc()
+                    val subSize = bb.getInt()
+                    if (sub.length == 4 && sub.endsWith("db") &&
+                        sub.take(2).forall(_.isDigit) && subSize >= 0 &&
+                        bb.remaining() >= subSize) {
+                      val fb = new Array[Byte](subSize)
+                      bb.get(fb)
+                      acc += fb
+                      if ((subSize & 1) == 1) bb.get()
+                    } else bb.position(bb.position() + subSize + (subSize & 1))
+                  }
+                  frames = acc.toList
+                } else bb.position(listEnd)
+              } else bb.position(bb.position() + size + (size & 1))
+            }
+            frames
+          }
+        }
+      } catch { case _: Exception => null }
+    }
+    f(payload)
+  }
+
   /** REAL RIFF/AVI header parse: validates the RIFF+`AVI ` magic, walks
     * top-level chunks (even-padded) to `LIST hdrl`, then reads the
     * `avih` main header — width/height/frame count/µs-per-frame. A
@@ -595,14 +685,21 @@ object Multimodal {
     f(payload)
   }
 
-  /** Frame sampling stub: n evenly spaced byte-slices of the payload
-    * (stands in for video frame extraction; the slicing plumbing — offsets,
-    * array-of-binary schema — is the real part). */
+  /** Frame sampling: n evenly spaced frames. For a RIFF/AVI payload the
+    * frames are REAL — extracted from the `movi` stream chunks by
+    * [[aviFrames]] (no codec stub); any other payload falls back to n
+    * evenly spaced 16-byte slices (the generic-bytes plumbing stub, still
+    * the honest boundary for compressed formats without codec libs). */
   def frameSample(payload: Column, n: Int): Column = {
     val len = octet_length(payload)
-    array((0 until n).map { i =>
+    val slices = array((0 until n).map { i =>
       substring(payload, lit(1) + (len * i / n).cast(IntegerType), lit(16))
     }: _*)
+    val real = aviFrames(payload)
+    val m = size(real)
+    val sampled = transform(sequence(lit(0), lit(n - 1)),
+      i => element_at(real, (i * m / n + 1).cast(IntegerType)))
+    when(real.isNotNull && m >= n, sampled).otherwise(slices)
   }
 
   /** Partition a media DataFrame by payload size class so huge payloads

@@ -143,6 +143,30 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q160: REAL end-to-end AVI frame extraction — per document, an
+    * uncompressed-stream RIFF/AVI is built whose `LIST movi` carries one
+    * `00db` chunk per frame (ASCII payloads so the oracle can replay
+    * them), then [[Multimodal.aviFrames]] walks the container back and
+    * the gate hashes every recovered frame. This retires the byte-slice
+    * stub for the uncompressed-video path: the bytes cross a real
+    * container round-trip, chunk padding and all. */
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    val nf = (col("doc_id") % 5 + 2).cast(IntegerType)
+    val frames = transform(sequence(lit(0), nf - 1),
+      i => concat(lit("frame-"), i.cast(StringType),
+        lit("-doc-"), col("doc_id").cast(StringType)).cast(BinaryType))
+    val w = (lit(160) + (col("doc_id") % 8) * 16).cast(IntegerType)
+    val h = (lit(120) + (col("doc_id") % 6) * 8).cast(IntegerType)
+    val junk = (col("doc_id") % 16).cast(IntegerType)
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(Multimodal.aviFrames(
+        Multimodal.encodeAviMovi(frames, w, h, junk))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("frame_i"),
+        md5(col("col")).as("frame_md5"),
+        octet_length(col("col")).cast(LongType).as("n_bytes"))
+      .orderBy(col("doc_id"), col("frame_i"))
+  }
+
   /** q156: REAL ISO-BMFF (MP4) box-walk decode — `ftyp` brand check,
     * sibling skip to `moov`, version-0 `mvhd` timescale/duration, `trak`
     * child count — over deterministically synthesized containers (the
@@ -1167,6 +1191,7 @@ object LlmQueries {
     "q140_bmp_decode" -> (q140 _),
     "q141_wav_decode" -> (q141 _),
     "q150_avi_decode" -> (q150 _),
+    "q160_avi_frames" -> (q160 _),
     "q156_mp4_decode" -> (q156 _),
     "q157_mp3_decode" -> (q157 _),
     "q158_flac_decode" -> (q158 _),
@@ -2462,6 +2487,12 @@ object LlmQueries {
         |  AS duration_ms,
         | CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q160_avi_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
+        | md5('frame-' || i || '-doc-' || doc_id) AS frame_md5,
+        | CAST(length('frame-' || i || '-doc-' || doc_id) AS BIGINT) AS n_bytes
+        |FROM (SELECT doc_id, unnest(range(0, doc_id % 5 + 2)) AS i FROM documents)
+        |ORDER BY doc_id, frame_i""".stripMargin,
     "q150_avi_decode" ->
       """SELECT doc_id,
         | CAST(108 + (doc_id % 32) + ((doc_id % 32) % 2) AS BIGINT) AS n_bytes,

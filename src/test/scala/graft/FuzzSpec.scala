@@ -127,6 +127,7 @@ class FuzzSpec extends AnyFunSuite {
     // each must evaluate without throwing; null results are fine
     val n = df.select(
       graft.llmops.Multimodal.decodeAvi(col("p")).as("a"),
+      graft.llmops.Multimodal.aviFrames(col("p")).as("af"),
       graft.llmops.Multimodal.decodeMp4(col("p")).as("m4"),
       graft.llmops.Multimodal.decodeMp3(col("p")).as("m3"),
       graft.llmops.Multimodal.decodeFlac(col("p")).as("fl")).count()

@@ -208,6 +208,30 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("AVI movi frame extraction round-trips exact bytes; header still parses") {
+    import spark.implicits._
+    // odd-length frames exercise the RIFF even-padding rule both ways
+    val df = scala.Seq(Tuple1(1L)).toDF("id")
+      .select(col("id"), Multimodal.encodeAviMovi(
+        array(lit("abc".getBytes("UTF-8")), lit("defgh".getBytes("UTF-8")),
+          lit("x".getBytes("UTF-8"))),
+        lit(320), lit(240), lit(7)).as("p"))
+    val out = df.select(Multimodal.aviFrames(col("p")).as("fs"),
+      Multimodal.decodeAvi(col("p")).as("m")).head()
+    val frames = out.getSeq[Array[Byte]](0).map(new String(_, "UTF-8"))
+    assert(frames == scala.Seq("abc", "defgh", "x"))
+    // the header walker coexists with the movi payload (frame count real)
+    assert(out.getStruct(1).getAs[Long]("total_frames") == 3L)
+    // frameSample over a real AVI returns container frames, not slices
+    val sampled = df.select(Multimodal.frameSample(col("p"), 3).as("s")).head()
+      .getSeq[Array[Byte]](0).map(new String(_, "UTF-8"))
+    assert(sampled == scala.Seq("abc", "defgh", "x"))
+    // non-AVI payload → null frames, frameSample falls back to slices
+    val bad = scala.Seq(Tuple1("plain old bytes here".getBytes("UTF-8"))).toDF("p")
+    assert(bad.select(Multimodal.aviFrames(col("p"))).head().isNullAt(0))
+    assert(!bad.select(Multimodal.frameSample(col("p"), 2)).head().isNullAt(0))
+  }
+
   test("real MP4 box-walk encode → decode round trip; garbage → null") {
     import spark.implicits._
     val df = scala.Seq((1L, 2400L, 600, 2, 5), (2L, 9000L, 1000, 1, 0))
