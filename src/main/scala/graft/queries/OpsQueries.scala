@@ -241,6 +241,29 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q159: cache-backed dedupe CROSS-RUN — the reference's only dedupe
+    * form (`lib/processor/dedupe.go:32-58`) keys a shared named cache so
+    * duplicates drop across pipeline runs, not just within one. The gate
+    * runs two batches through one CachedDedupeProc: run 1 (doc_id % 7 = 0)
+    * seeds the cache with its keys eagerly; run 2's survivors are exactly
+    * the keys run 1 never saw. The 2-hex-char fingerprint (256 buckets)
+    * forces heavy cross-batch collisions. Oracle replays both runs with
+    * a NOT IN against run 1's key set. */
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      substring(md5(col("text")), 1, 2).as("fp"))
+    val store = new CacheOps.MemoryCache // fresh per invocation (bench reruns)
+    val proc = CachedDedupeProc(store, "this.fp")
+    // run 1: batch-mode apply writes its survivor keys back eagerly
+    proc(Envelope.wrap(docs.filter(col("doc_id") % 7 === 0),
+      scala.Seq(col("doc_id"))))
+    // run 2: a separate batch consulting the same named cache resource
+    proc(Envelope.wrap(docs.filter(col("doc_id") % 7 =!= 0),
+      scala.Seq(col("doc_id"))))
+      .select(col("doc.fp").as("fp"))
+      .orderBy(col("fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q45_awk" -> (q45 _),
     "q44_compress_roundtrip" -> (q44 _),
@@ -249,6 +272,7 @@ object OpsQueries {
     "q38_merge_json" -> (q38 _),
     "q32_generate_agg" -> (q32 _),
     "q13_dedupe" -> (q13 _),
+    "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
     "q16_unarchive_words" -> (q16 _),
@@ -298,6 +322,12 @@ object OpsQueries {
     "q13_dedupe" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q159_cached_dedupe" ->
+      """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS fp FROM documents)
+        |SELECT DISTINCT fp FROM d
+        |WHERE doc_id % 7 <> 0
+        |  AND fp NOT IN (SELECT fp FROM d WHERE doc_id % 7 = 0)
+        |ORDER BY fp""".stripMargin,
     "q14_hash_sample" ->
       """SELECT count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
