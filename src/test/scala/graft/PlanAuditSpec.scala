@@ -72,6 +72,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("plan-shape pins for the bench-drift trio (q57/q58/q96)") {
+    // Round-4 bench flagged these three as 1.6-1.9x over committed
+    // medians; an isolated re-measure at the medians' own commit showed
+    // the SAME times — environment, not a plan regression. These pins
+    // make any FUTURE plan-shape regression (extra exchange, extra scan)
+    // fail structurally instead of surfacing as wall-clock noise.
+    val sf = "/root/testdata/sf0.001"
+    val pinned = Map( // name -> (max exchanges, max parquet scans)
+      "q57_lm_novelty" -> (6, 3),
+      "q58_tfidf" -> (4, 2),
+      "q96_interleave" -> (1, 1))
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    pinned.foreach { case (name, (maxEx, maxScan)) =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // string-level counts: AQE wraps the plan, hiding exchange nodes
+      // from collect() until execution — the printed initial plan is the
+      // stable pre-AQE shape
+      val ex = p.linesIterator.count(_.contains("Exchange "))
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      if (ex > maxEx || scans > maxScan)
+        offenders += s"$name: $ex exchanges (pin $maxEx), $scans scans (pin $maxScan)"
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("column pruning + filter pushdown reach the scan through Tables.parallelize") {
     // Tables.t inserts a repartitionByRange on small local inputs; this
     // pins that Catalyst still pushes projection and predicates THROUGH
