@@ -32,7 +32,13 @@ object BatchOps {
         // formulation of the reference's accumulate-and-flush rule
         // (batches fill to ≥ the limit). Reuses the partitioned two-pass
         // running sum (range shuffle + broadcast offsets) — no global
-        // window.
+        // window. Documented approximation: the chunk id is
+        // floor(global_start / byteSize), i.e. the accumulator never
+        // resets at a flush — after an oversize message subsequent
+        // chunks under-fill and chunk ids may skip, where the reference
+        // resets per flush. Exact parity would need a segmented scan;
+        // the distributed form keeps ids deterministic and order-stable,
+        // which is what the gates pin.
         val bytes = coalesce(octet_length(col(Content)).cast(LongType),
           octet_length(to_json(col(Doc))).cast(LongType), lit(0L))
         graft.llmops.Training.packChunks(
@@ -102,7 +108,15 @@ object BatchOps {
           .withColumn("_hit", resolved.map(col("_idx") === _).reduce(_ || _))
         val hit = tagged.filter(col("_hit")).drop("_idx", "_hit")
         val miss = tagged.filter(!col("_hit")).drop("_idx", "_hit")
-        child(hit).unionByName(miss)
+        val scoped = child(hit)
+        // a schema-changing child (e.g. a mapping adding a doc field) must
+        // fail with a CLEAR error, not a deep AnalysisException from the
+        // union — untouched parts keep the old struct shape by definition
+        require(scoped.schema == miss.schema,
+          s"parts-scoped processor changed the envelope schema " +
+            s"(${scoped.schema.simpleString} vs ${miss.schema.simpleString}); " +
+            "a schema-changing child cannot apply to a subset of a batch")
+        scoped.unionByName(miss)
       }
     }
   }

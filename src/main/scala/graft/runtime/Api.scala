@@ -223,11 +223,14 @@ final class ControlPlane(spark: SparkSession,
     }
   }
 
-  private def stopStream(id: String): Boolean = {
+  /** Returns (existed, wasStreaming): a registered batch stream existed
+    * without ever holding a running StreamingQuery — `was_active` must
+    * report only the latter (an actually-running streaming query). */
+  private def stopStream(id: String): (Boolean, Boolean) = {
     val wasStreaming = registry.stop(id)
     pushSpecs.remove(id)
     configsYaml.remove(id)
-    started.remove(id).isDefined || wasStreaming
+    (started.remove(id).isDefined || wasStreaming, wasStreaming)
   }
 
   /** Endpoint inventory served at GET /endpoints
@@ -354,8 +357,7 @@ final class ControlPlane(spark: SparkSession,
           respond(ex, 200, """{"status":"removed"}""")
         else respond(ex, 404, """{"error":"input not found"}""")
       case ("DELETE", List("streams", id)) =>
-        val existed = started.contains(id)
-        val wasStreaming = stopStream(id) && existed
+        val (existed, wasStreaming) = stopStream(id)
         if (existed)
           respond(ex, 200, s"""{"status":"stopped","was_active":$wasStreaming}""")
         else respond(ex, 404, """{"error":"stream not found"}""")

@@ -16,6 +16,15 @@ import graft.sources.Sources
   */
 object Config {
 
+  /** All YAML text — config files AND REST-supplied bodies — parses
+    * through SafeConstructor: a default-constructed Yaml() instantiates
+    * arbitrary global-tagged classes, an unsafe-deserialization surface
+    * on the /streams and /resources endpoints. A fresh instance per call
+    * (snakeyaml parsers are not thread-safe). */
+  def safeYaml: Yaml = new Yaml(
+    new org.yaml.snakeyaml.constructor.SafeConstructor(
+      new org.yaml.snakeyaml.LoaderOptions()))
+
   final case class StreamSpec(
       input: SparkSession => DataFrame,
       pipeline: scala.Seq[Processor],
@@ -63,7 +72,7 @@ object Config {
     val interpolated = "\\$\\{(\\w+)(?::([^}]*))?\\}".r.replaceAllIn(yaml, m =>
       scala.util.matching.Regex.quoteReplacement(
         sys.env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
-    val root = asMap(new Yaml().load[Any](interpolated))
+    val root = asMap(safeYaml.load[Any](interpolated))
     // tracer section (`lib/tracer/constructor.go`): `none` disables; any
     // configured tracer (jaeger, …) turns on the in-process collector —
     // spans serve from the control plane's /traces (no agent in image).
@@ -191,7 +200,7 @@ object Config {
   /** Parse one YAML document into the loosely-typed map the component
     * compilers take (REST resource bodies). */
   def yamlMap(body: String): Map[String, Any] =
-    asMap(new Yaml().load[Any](body))
+    asMap(safeYaml.load[Any](body))
 
   /** Shallow top-level merge of two YAML documents — the PATCH
     * /streams/{id} semantics: sections present in the patch replace the
@@ -199,7 +208,7 @@ object Config {
     * operates on section granularity). */
   def mergeYaml(base: String, patch: String): String = {
     val b = new java.util.LinkedHashMap[String, Any]()
-    def put(doc: String): Unit = Option(new Yaml().load[Any](doc)).foreach {
+    def put(doc: String): Unit = Option(safeYaml.load[Any](doc)).foreach {
       case m: java.util.Map[_, _] =>
         m.forEach((k, v) => b.put(String.valueOf(k), v))
       case _ => ()

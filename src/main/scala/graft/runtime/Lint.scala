@@ -10,7 +10,7 @@ object Lint {
 
   def lint(yamlText: String): List[String] = {
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val parsed = try Some(new Yaml().load[Any](yamlText))
+    val parsed = try Some(graft.runtime.Config.safeYaml.load[Any](yamlText))
     catch { case e: Exception => errors += s"yaml: ${e.getMessage}"; None }
     parsed.foreach { root =>
       try {

@@ -24,7 +24,7 @@ object TestRunner {
   private lazy val json = new com.fasterxml.jackson.databind.ObjectMapper()
 
   def run(spark: SparkSession, yamlText: String, baseDir: String = "."): List[CaseResult] = {
-    val root = new Yaml().load[Any](yamlText).asInstanceOf[java.util.Map[String, Any]].asScala
+    val root = graft.runtime.Config.safeYaml.load[Any](yamlText).asInstanceOf[java.util.Map[String, Any]].asScala
     val tests = root("tests").asInstanceOf[java.util.List[Any]].asScala.toList
     tests.map(t => runCase(spark, t.asInstanceOf[java.util.Map[String, Any]].asScala.toMap, baseDir))
   }

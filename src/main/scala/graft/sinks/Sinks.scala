@@ -45,9 +45,18 @@ object Sinks {
       val withP = df.withColumn("_graft_path",
         Blobl.envelopeExpr(df, pathExpr))
       val paths = withP.select(col("_graft_path")).distinct()
-        .collect().map(_.getString(0))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      // a null-resolving expression would NPE inside File(base, null), and
+      // a data-derived `../` must never escape the base directory
+      require(!paths.contains(null),
+        s"file output: path expression '$pathExpr' resolved to null")
+      val baseCanon = new java.io.File(base).getCanonicalPath
       paths.foreach { p =>
-        FileSink(new java.io.File(base, p).getPath, format, Nil, mode)
+        val target = new java.io.File(base, p)
+        require(target.getCanonicalPath.startsWith(baseCanon + java.io.File.separator) ||
+            target.getCanonicalPath == baseCanon,
+          s"file output: resolved path '$p' escapes the base directory")
+        FileSink(target.getPath, format, Nil, mode)
           .write(withP.filter(col("_graft_path") === p).drop("_graft_path"))
       }
     }
