@@ -517,6 +517,18 @@ object Compiler {
         val stmts = ctx.maps.getOrElse(litStr(0),
           throw CompileError(s"unknown map ${litStr(0)}"))
         Mapping.compileMapValue(stmts, ctx.withThis(t))
+      case "bloblang" =>
+        // dynamic-mapping method (internal/bloblang/plugins/bloblang.go —
+        // the v3 constructor takes the mapping as a STRING argument, so
+        // the literal case IS the contract): precompile at plan time and
+        // run on the target value as `this` in a pure context — message
+        // functions (content/json/meta/env) are disabled exactly as the
+        // reference's restricted parser context disables them.
+        val prog = Parser.parseMapping(litStr(0))
+        val mapDefs = prog.stmts.collect { case MapDef(n, body) => n -> body }.toMap
+        Mapping.compileMapValue(prog.stmts,
+          Ctx(thisTC = t, meta = None, err = None, content = None,
+            vars = Map.empty, maps = mapDefs, batch = None))
       case "catch" =>
         // reference semantics (methods.go:136-148): the fallback fires on
         // ERROR only — a legitimate null result propagates ("json catch

@@ -63,6 +63,17 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     assert(gotS == want, s"\nquery: $query\ncontent: $content\ngot: $gotS")
   }
 
+  test("bloblang() dynamic-mapping method, literal case (plugins/bloblang.go doc example)") {
+    // root.body = this.body.bloblang(mapping): the mapping runs on the
+    // TARGET value as `this` (pure context)
+    check("""root.body = this.body.bloblang("root.foo = this.foo.uppercase()")""",
+      """{"body":{"foo":"hello world"}}""",
+      """{"body":{"foo":"HELLO WORLD"}}""")
+    // with its own map definition inside the dynamic mapping
+    check("""root.r = this.v.bloblang("map up { root = this.uppercase() }\nroot = this.apply(\"up\")")""",
+      """{"v":"hey"}""", """{"r":"HEY"}""")
+  }
+
   test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
     // "json catch": unparseable content is an error -> fallback
     checkRaw("""json().catch("nope")""", "this %$#% isnt json", Some("nope"))
