@@ -374,6 +374,10 @@ object Jq {
       case IfExpr(bs, oe) =>
         IfExpr(bs.map { case (c, b) => (substFold(c, v, p), substFold(b, v, p)) },
           oe.map(substFold(_, v, p)))
+      case MatchExpr(tgt, cs) =>
+        // pipe stages compile to MatchExpr; only the TARGET sees the
+        // outer bindings — inside the stage `this` is the piped value
+        MatchExpr(substFold(tgt, v, p), cs)
       case LitArray(xs) => LitArray(xs.map(substFold(_, v, p)))
       case LitObject(fs) =>
         LitObject(fs.map { case (k, x) => (substFold(k, v, p), substFold(x, v, p)) })

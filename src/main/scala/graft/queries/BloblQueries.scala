@@ -52,12 +52,41 @@ object BloblQueries {
     m.applyPlain(t(s, dir, "documents")).orderBy(col("doc_id"))
   }
 
+  /** q161: the jq processor under an oracle — object construction,
+    * `reduce g as $x (init; upd)` folding, `limit(n; g)` over a
+    * collected generator, and pipe stages, all compiled through the
+    * jq→Bloblang→Catalyst path (`blobl.Jq`) and replayed by DuckDB's
+    * list functions. Gates the round-5 jq remainder end-to-end. */
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val out = graft.blobl.JqProc(
+      """{id: .doc_id,
+        | n_words: (.words | length),
+        | total_chars: (reduce .words[] as $w (0; . + ($w | length))),
+        | first3: (limit(3; .words[]) | join("-"))}""".stripMargin)(env)
+    out.select(col("doc.id").as("doc_id"),
+        col("doc.n_words").cast(org.apache.spark.sql.types.LongType).as("n_words"),
+        col("doc.total_chars").cast(org.apache.spark.sql.types.LongType).as("total_chars"),
+        col("doc.first3").as("first3"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q161_jq" -> (q161 _),
     "q10_blobl_lineitem" -> (q10 _),
     "q11_blobl_events" -> (q11 _),
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q161_jq" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        | CAST(len(ws) AS BIGINT) AS n_words,
+        | CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS BIGINT) AS total_chars,
+        | array_to_string(ws[1:3], '-') AS first3
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q10_blobl_lineitem" ->
       """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
         | l_extendedprice*(1-l_discount) AS revenue,
