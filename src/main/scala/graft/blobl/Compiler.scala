@@ -400,8 +400,22 @@ object Compiler {
     }
     name match {
       case "json" =>
-        if (args.isEmpty) ctx.thisTC
-        else accessPath(ctx.thisTC, litStr(0).split('.').toSeq.filter(_.nonEmpty))
+        // On a RAW envelope (lines/binary codec: doc is the raw
+        // string/bytes) json() PARSES the content — the reference's
+        // functions.go json() semantics — as a variant document, with
+        // the parse failure on the error channel. Structured envelopes
+        // keep the pre-parsed doc.
+        val base = ctx.thisTC.tpe match {
+          case Some(StringType) | Some(BinaryType) if ctx.content.isDefined =>
+            val c = ctx.content.get
+            val parsed = try_parse_json(c.cast(StringType))
+            TC(parsed, Some(VariantType),
+              Some(when(c.isNotNull && parsed.isNull,
+                lit("unable to parse message as JSON"))))
+          case _ => ctx.thisTC
+        }
+        if (args.isEmpty) base
+        else accessPath(base, litStr(0).split('.').toSeq.filter(_.nonEmpty))
       case "meta" =>
         val m = ctx.meta.getOrElse(throw CompileError("no metadata in this context"))
         if (args.isEmpty) TC(m, Some(MapType(StringType, StringType)))

@@ -74,6 +74,24 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       """{"v":"hey"}""", """{"r":"HEY"}""")
   }
 
+  test("json() on a RAW envelope parses the content (functions.go json semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // lines-codec shape: doc is the raw STRING, content the raw bytes
+    val df = scala.Seq("""{"foo":"yep","n":3}""", """not json at all""")
+      .toDF("c").select(
+        col("c").cast(BinaryType).as("content"),
+        col("c").as("doc"),
+        map().cast(MapType(StringType, StringType)).as("meta"),
+        lit(null).cast(StringType).as("_error"),
+        lit(0L).as("batch_id"), monotonically_increasing_id().as("seq"))
+    val got = df.select(
+      Mapping.envelopeExpr(df, """json("foo").catch("bad")""").cast(StringType).as("foo"),
+      Mapping.envelopeExpr(df, """json("n").catch(-1).number()""").as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == scala.Seq(("yep", 3.0), ("bad", -1.0)))
+  }
+
   test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
     // "json catch": unparseable content is an error -> fallback
     checkRaw("""json().catch("nope")""", "this %$#% isnt json", Some("nope"))
