@@ -599,8 +599,11 @@ object Compiler {
       case "number" =>
         // optional arg = fallback when the value can't be parsed
         // (methods.go numberCoerceMethod); without one, an unparseable
-        // non-null input is an ERROR (catch-able), not a silent null
-        val n = t.col.cast(DoubleType)
+        // non-null input is an ERROR (catch-able), not a silent null.
+        // Variant casts THROW on impossible casts even with ANSI off —
+        // try_cast gives them the same null-on-failure contract.
+        val n = if (t.isVariant) t.col.try_cast(DoubleType)
+                else t.col.cast(DoubleType)
         TC(args.headOption.map(_ => coalesce(n, c(0).col.cast(DoubleType)))
           .getOrElse(n), Some(DoubleType),
           if (args.nonEmpty) None
@@ -612,11 +615,14 @@ object Compiler {
         case Some(_: VariantType) => TC(t.col.cast(StringType), Some(StringType))
         case _ => TC(t.col.cast(StringType), Some(StringType))
       }
-      case "int" | "integer" => TC(t.col.cast(LongType), Some(LongType))
+      case "int" | "integer" =>
+        TC(if (t.isVariant) t.col.try_cast(LongType) else t.col.cast(LongType),
+          Some(LongType))
       case "bool" =>
         // optional arg = fallback when the value can't be parsed
         // (methods.go boolMethod); error channel as with number()
-        val b = t.col.cast(BooleanType)
+        val b = if (t.isVariant) t.col.try_cast(BooleanType)
+                else t.col.cast(BooleanType)
         TC(args.headOption.map(_ => coalesce(b, c(0).col.cast(BooleanType)))
           .getOrElse(b), Some(BooleanType),
           if (args.nonEmpty) None

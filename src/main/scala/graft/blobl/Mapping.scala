@@ -200,7 +200,14 @@ object Mapping {
       r.delete.foreach { d => if (rowLevel) rowDeletes += d }
       errorWrites ++= r.errors
       (r.value, r.delete) match {
-        case (Some(tc), _) => root.assign(segs, tc)
+        case (Some(tc), _) =>
+          // an UNCAUGHT expression error flags the message `_error` (the
+          // reference's ProcessMessage failure path) — the value lands as
+          // null and the row keeps flowing, same posture as throw().
+          // Channels that never fire (e.g. the parse check on a
+          // content-less envelope) constant-fold away.
+          tc.err.foreach(e => errorWrites += ((e.isNotNull, e)))
+          root.assign(segs, tc)
         case (None, Some(_)) if !rowLevel => root.delete(segs)
         case _ => ()
       }

@@ -92,6 +92,29 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     assert(got == scala.Seq(("yep", 3.0), ("bad", -1.0)))
   }
 
+  test("uncaught expression errors flag _error; caught ones don't (ProcessMessage failure path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = scala.Seq("""{"n":"42"}""", """{"n":"not-a-number"}""")
+      .toDF("c").select(
+        col("c").cast(BinaryType).as("content"),
+        try_parse_json(col("c")).as("doc"),
+        map().cast(MapType(StringType, StringType)).as("meta"),
+        lit(null).cast(StringType).as("_error"),
+        lit(0L).as("batch_id"), monotonically_increasing_id().as("seq"))
+    // uncaught: number() failure flags the message, value nulls, row flows
+    val out = Mapping.compile("root.v = this.n.number()").applyEnvelope(df)
+    val rows = out.select(col("doc.v"), col("_error")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(0) == 42.0 && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) != null)
+    // caught: the catch consumes the error — _error stays clear
+    val caught = Mapping.compile("root.v = this.n.number().catch(-1)")
+      .applyEnvelope(df)
+      .select(col("doc.v"), col("_error")).collect()
+    assert(caught(1).getDouble(0) == -1.0 && caught(1).isNullAt(1))
+  }
+
   test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
     // "json catch": unparseable content is an error -> fallback
     checkRaw("""json().catch("nope")""", "this %$#% isnt json", Some("nope"))
