@@ -894,7 +894,10 @@ object Compiler {
             lit("failed to parse value as JSON"))))
       case "format_json" => TC(to_json(t.col), Some(StringType))
       case "parse_yaml" =>
-        TC(parse_json(graft.exprs.Formats.yamlToJson(t.col.cast(StringType))), Some(VariantType))
+        val yj = graft.exprs.Formats.yamlToJson(t.col.cast(StringType))
+        TC(parse_json(yj), Some(VariantType),
+          Some(when(t.col.isNotNull && yj.isNull,
+            lit("failed to parse value as YAML"))))
       case "format_yaml" =>
         val json = t.tpe match {
           case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) => to_json(t.col)
@@ -902,13 +905,25 @@ object Compiler {
         }
         TC(graft.exprs.Formats.jsonToYaml(json), Some(StringType))
       case "parse_xml" =>
-        TC(parse_json(graft.exprs.Formats.xmlToJson(t.col.cast(StringType))), Some(VariantType))
+        val xj = graft.exprs.Formats.xmlToJson(t.col.cast(StringType))
+        TC(parse_json(xj), Some(VariantType),
+          Some(when(t.col.isNotNull && xj.isNull,
+            lit("failed to parse value as XML"))))
       case "parse_duration" =>
-        TC(graft.exprs.GoDurationParse.column(t.col.cast(StringType)), Some(LongType))
+        val d = graft.exprs.GoDurationParse.column(t.col.cast(StringType))
+        TC(d, Some(LongType),
+          Some(when(t.col.isNotNull && d.isNull,
+            lit("failed to parse duration"))))
       case "parse_timestamp" =>
-        TC(to_timestamp(t.col, TimeFormats.goToJava(litStr(0))), Some(TimestampType))
+        val ts = to_timestamp(t.col, TimeFormats.goToJava(litStr(0)))
+        TC(ts, Some(TimestampType),
+          Some(when(t.col.isNotNull && ts.isNull,
+            lit("failed to parse timestamp"))))
       case "parse_timestamp_strptime" =>
-        TC(to_timestamp(t.col, TimeFormats.strftimeToJava(litStr(0))), Some(TimestampType))
+        val ts = to_timestamp(t.col, TimeFormats.strftimeToJava(litStr(0)))
+        TC(ts, Some(TimestampType),
+          Some(when(t.col.isNotNull && ts.isNull,
+            lit("failed to parse timestamp"))))
       case "parse_timestamp_unix" =>
         // no-format form accepts RFC3339 like the reference (Go
         // time.Parse default), not just "yyyy-MM-dd HH:mm:ss"

@@ -115,6 +115,15 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     assert(caught(1).getDouble(0) == -1.0 && caught(1).isNullAt(1))
   }
 
+  test("parse-method failures are catch-able errors (timestamp/duration/yaml)") {
+    check("""root.r = this.z.string().parse_timestamp("2006-01-02").catch("bad")""",
+      nil, """{"r":"bad"}""")
+    check("""root.r = "250ms".parse_duration().catch(-1)""",
+      nil, """{"r":250000000}""")
+    check("""root.r = "not a duration".parse_duration().catch(-1)""",
+      nil, """{"r":-1}""")
+  }
+
   test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
     // "json catch": unparseable content is an error -> fallback
     checkRaw("""json().catch("nope")""", "this %$#% isnt json", Some("nope"))
