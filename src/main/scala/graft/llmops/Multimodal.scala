@@ -685,6 +685,26 @@ object Multimodal {
     f(payload)
   }
 
+  /** 16-bit mono PCM (array<int>) → real FLAC bytes ([[Flac.encode]]:
+    * fixed-predictor frames, rice residuals, CRC-8/CRC-16). */
+  def encodeFlacPcm16(samples: Column, sampleRate: Int = 8000): Column = {
+    val sr = sampleRate
+    val f = org.apache.spark.sql.functions.udf { (s: scala.Seq[Int]) =>
+      if (s == null || s.isEmpty) null else Flac.encode(s.toArray, sr)
+    }
+    f(samples)
+  }
+
+  /** REAL FLAC sample decode ([[Flac.decode]] — fixed-predictor subset):
+    * PCM samples back out of the compressed container, bit-exact. Null
+    * for non-FLAC payloads or subset-external features (LPC/stereo). */
+  def decodeFlacSamples(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      Flac.decode(bytes)
+    }
+    f(payload)
+  }
+
   /** Frame sampling: n evenly spaced frames. For a RIFF/AVI payload the
     * frames are REAL — extracted from the `movi` stream chunks by
     * [[aviFrames]] (no codec stub); any other payload falls back to n

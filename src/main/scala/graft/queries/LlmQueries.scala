@@ -167,6 +167,29 @@ object LlmQueries {
       .orderBy(col("doc_id"), col("frame_i"))
   }
 
+  /** q162: REAL FLAC sample decode — per document, deterministic 16-bit
+    * PCM is compressed through the real fixed-predictor FLAC encoder
+    * (rice residuals, CRC'd frames) and decoded back SAMPLE-exactly by
+    * [[Flac.decode]]; the gate aggregates the recovered PCM and the
+    * oracle replays the generator formula directly. This retires the
+    * sample-decode stub for the lossless-audio path: actual entropy-coded
+    * bits cross the container. */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val n = (col("doc_id") % 300 + 20).cast(IntegerType)
+    val pcm = transform(sequence(lit(0), n - 1),
+      i => ((col("doc_id") * 7 + i * 13) % 256 - 128).cast(IntegerType))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.decodeFlacSamples(
+          Multimodal.encodeFlacPcm16(pcm)).as("pcm"))
+      .select(col("doc_id"),
+        size(col("pcm")).cast(LongType).as("n_samples"),
+        aggregate(col("pcm"), lit(0L), (a, x) => a + x).as("sum_s"),
+        array_min(col("pcm")).cast(LongType).as("min_s"),
+        array_max(col("pcm")).cast(LongType).as("max_s"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q156: REAL ISO-BMFF (MP4) box-walk decode — `ftyp` brand check,
     * sibling skip to `moov`, version-0 `mvhd` timescale/duration, `trak`
     * child count — over deterministically synthesized containers (the
@@ -1192,6 +1215,7 @@ object LlmQueries {
     "q141_wav_decode" -> (q141 _),
     "q150_avi_decode" -> (q150 _),
     "q160_avi_frames" -> (q160 _),
+    "q162_flac_samples" -> (q162 _),
     "q156_mp4_decode" -> (q156 _),
     "q157_mp3_decode" -> (q157 _),
     "q158_flac_decode" -> (q158 _),
@@ -2487,6 +2511,15 @@ object LlmQueries {
         |  AS duration_ms,
         | CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q162_flac_samples" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(range(0, doc_id % 300 + 20)) AS i FROM documents)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum((doc_id*7 + i*13) % 256 - 128) AS BIGINT) AS sum_s,
+        | CAST(min((doc_id*7 + i*13) % 256 - 128) AS BIGINT) AS min_s,
+        | CAST(max((doc_id*7 + i*13) % 256 - 128) AS BIGINT) AS max_s
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q160_avi_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
         | md5('frame-' || i || '-doc-' || doc_id) AS frame_md5,

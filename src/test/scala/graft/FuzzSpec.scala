@@ -130,7 +130,8 @@ class FuzzSpec extends AnyFunSuite {
       graft.llmops.Multimodal.aviFrames(col("p")).as("af"),
       graft.llmops.Multimodal.decodeMp4(col("p")).as("m4"),
       graft.llmops.Multimodal.decodeMp3(col("p")).as("m3"),
-      graft.llmops.Multimodal.decodeFlac(col("p")).as("fl")).count()
+      graft.llmops.Multimodal.decodeFlac(col("p")).as("fl"),
+      graft.llmops.Multimodal.decodeFlacSamples(col("p")).as("fs")).count()
     assert(n == 200L)
   }
 

@@ -232,6 +232,41 @@ class LlmSpec extends AnyFunSuite {
     assert(!bad.select(Multimodal.frameSample(col("p"), 2)).head().isNullAt(0))
   }
 
+  test("FLAC sample codec: bit-exact round trips incl. multi-frame; garbage → null") {
+    val rnd = new scala.util.Random(7)
+    // shapes: short, exactly one block, multi-frame, constant-ish, wild
+    val cases = scala.Seq(
+      Array(42),
+      Array.tabulate(64)(i => ((i % 32) - 16) * 7),
+      Array.tabulate(4096)(i => (i * 31 % 4001) - 2000),
+      Array.tabulate(9000)(i => (i * 13 % 1777) - 888), // 3 frames
+      Array.fill(100)(-12345),
+      Array.tabulate(500)(_ => rnd.nextInt(65536) - 32768))
+    cases.zipWithIndex.foreach { case (pcm, ix) =>
+      val flac = Flac.encode(pcm, 8000)
+      val back = Flac.decode(flac)
+      assert(back != null, s"case $ix decoded null")
+      assert(back.toSeq == pcm.toSeq, s"case $ix not bit-exact")
+      // the STREAMINFO walker agrees on the header fields
+      import spark.implicits._
+      val meta = scala.Seq(Tuple1(flac)).toDF("p")
+        .select(Multimodal.decodeFlac(col("p")).as("m")).head().getStruct(0)
+      assert(meta.getAs[Long]("sample_rate") == 8000L)
+      assert(meta.getAs[Long]("total_samples") == pcm.length.toLong)
+    }
+    // garbage and truncated payloads → null, never an exception
+    assert(Flac.decode("not flac".getBytes("UTF-8")) == null)
+    val good = Flac.encode(Array.tabulate(100)(_ * 3), 8000)
+    (1 until good.length by 7).foreach { cut =>
+      Flac.decode(java.util.Arrays.copyOf(good, cut)) // must not throw
+    }
+    // CRC/bit corruption must not throw either
+    (0 until good.length by 3).foreach { i =>
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x55).toByte
+      Flac.decode(bad) // null or wrong samples, never an exception
+    }
+  }
+
   test("real MP4 box-walk encode → decode round trip; garbage → null") {
     import spark.implicits._
     val df = scala.Seq((1L, 2400L, 600, 2, 5), (2L, 9000L, 1000, 1, 0))
