@@ -75,38 +75,82 @@ object CacheOps {
     }
   }
 
-  /** `file` cache backend: parquet KV directory with copy-on-write
-    * versions (a reader can never observe a half-written store; the
-    * `current` pointer flips atomically). */
+  /** `file` cache backend: parquet KV store with APPEND-DELTA segments
+    * and merge-on-read (the LSM shape). Each upsert/remove writes one
+    * O(batch) segment and appends it to the `current` manifest — a
+    * streaming dedupe's per-micro-batch write-back stays O(batch), not
+    * O(store) (the old copy-on-write rewrite made a long-running stream
+    * quadratic). Readers merge segments last-wins per key (tombstones
+    * for deletes); past [[FileCache.MaxSegments]] the store compacts to
+    * one segment. The manifest flips in a single atomic write, so a
+    * reader can never observe a half-written store. */
   final class FileCache(root: String) extends CacheStore {
     private def fs = java.nio.file.Paths.get(root)
     private def currentPtr = fs.resolve("current")
-    private def currentDir: Option[String] = {
+    private def segments: List[String] =
       if (java.nio.file.Files.exists(currentPtr))
-        Some(new String(java.nio.file.Files.readAllBytes(currentPtr), "UTF-8").trim)
-      else None
-    }
-    def snapshot(spark: SparkSession): DataFrame = currentDir match {
-      case Some(d) => spark.read.parquet(fs.resolve(d).toString)
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kvSchema)
-    }
-    private def writeVersion(df: DataFrame): Unit = {
+        new String(java.nio.file.Files.readAllBytes(currentPtr), "UTF-8")
+          .split("\\s+").filter(_.nonEmpty).toList
+      else Nil
+
+    private def snapshotOf(spark: SparkSession, segs: List[String]): DataFrame =
+      segs match {
+        case Nil => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kvSchema)
+        case ss =>
+          val parts = ss.zipWithIndex.map { case (s, i) =>
+            val df = spark.read.parquet(fs.resolve(s).toString)
+            val d = if (df.columns.contains("_del")) df
+                    else df.withColumn("_del", lit(false)) // pre-delta segment
+            d.withColumn("_seg", lit(i))
+          }
+          // last-wins per key, then drop tombstones: one partial-agg
+          // shuffle on key — the same partitioned shape at any store size
+          parts.reduce(_.unionByName(_))
+            .groupBy(col("key"))
+            .agg(max_by(struct(col("value"), col("_del")), col("_seg")).as("_w"))
+            .filter(!col("_w._del"))
+            .select(col("key"), col("_w.value").as("value"))
+      }
+
+    def snapshot(spark: SparkSession): DataFrame = snapshotOf(spark, segments)
+
+    private def appendSegment(df: DataFrame, del: Boolean): Unit = {
       java.nio.file.Files.createDirectories(fs)
       val v = s"v${System.nanoTime()}"
-      df.write.mode("overwrite").parquet(fs.resolve(v).toString)
-      java.nio.file.Files.write(currentPtr, v.getBytes("UTF-8"))
+      df.withColumn("_del", lit(del))
+        .write.mode("overwrite").parquet(fs.resolve(v).toString)
+      val segs = segments :+ v
+      if (segs.length > FileCache.MaxSegments) {
+        val merged = s"v${System.nanoTime()}m"
+        snapshotOf(df.sparkSession, segs)
+          .withColumn("_del", lit(false))
+          .write.mode("overwrite").parquet(fs.resolve(merged).toString)
+        java.nio.file.Files.write(currentPtr, merged.getBytes("UTF-8"))
+        // best-effort cleanup of superseded segments
+        segs.foreach { s =>
+          try {
+            val dir = fs.resolve(s)
+            java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          } catch { case _: Exception => () }
+        }
+      } else
+        java.nio.file.Files.write(currentPtr, segs.mkString("\n").getBytes("UTF-8"))
     }
-    def upsert(pairs: DataFrame): Unit = {
-      val p = pairs.dropDuplicates("key")
-      val merged = snapshot(p.sparkSession)
-        .join(p.select(col("key")), scala.Seq("key"), "left_anti")
-        .unionByName(p)
-      writeVersion(merged)
-    }
+
+    def upsert(pairs: DataFrame): Unit =
+      appendSegment(pairs.dropDuplicates("key")
+        .select(col("key"), col("value")), del = false)
     def remove(keys: DataFrame): Unit =
-      writeVersion(snapshot(keys.sparkSession)
-        .join(keys.select(col("key")), scala.Seq("key"), "left_anti"))
+      appendSegment(keys.select(col("key"),
+        lit(null).cast(StringType).as("value")).dropDuplicates("key"), del = true)
+  }
+
+  object FileCache {
+    /** Compaction threshold: manifests longer than this merge to one
+      * segment (bounds read amplification at ~16 segment scans). */
+    val MaxSegments = 16
   }
 
   /** The `cache` processor. key/value are Bloblang interpolation strings

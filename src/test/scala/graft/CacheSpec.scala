@@ -90,6 +90,37 @@ class CacheSpec extends AnyFunSuite {
     assert(store.snapshot(spark).collect().map(_.getString(0)).toSeq == scala.Seq("b"))
   }
 
+  test("file cache append-delta: last-wins overwrite, tombstoned delete, compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lsm").toString
+    val store = new FileCache(dir)
+    store.upsert(scala.Seq(("a", "1"), ("b", "1")).toDF("key", "value"))
+    store.upsert(scala.Seq(("a", "2"), ("c", "1")).toDF("key", "value")) // overwrite a
+    store.remove(scala.Seq(Tuple1("b")).toDF("key"))                    // tombstone b
+    val snap = store.snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("a" -> "2", "c" -> "1"))
+    // a re-set after a delete resurrects the key (segment order wins)
+    store.upsert(scala.Seq(("b", "9")).toDF("key", "value"))
+    assert(store.snapshot(spark).filter(col("key") === "b").head().getString(1) == "9")
+    // push past the compaction threshold; contents must be unchanged
+    (0 until FileCache.MaxSegments + 2).foreach { i =>
+      store.upsert(scala.Seq((s"k$i", i.toString)).toDF("key", "value"))
+    }
+    val after = store.snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("a") == "2" && after("b") == "9" && after("k5") == "5")
+    assert(after.size == 3 + FileCache.MaxSegments + 2)
+    // compaction bounds the manifest: never more than MaxSegments + 1
+    // live segments (the merged one plus post-compaction appends)
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current")), "UTF-8").trim
+    val nSegs = manifest.split("\\s+").count(_.nonEmpty)
+    assert(nSegs <= FileCache.MaxSegments + 1,
+      s"manifest not bounded by compaction: $nSegs segments")
+    assert(manifest.contains("m"), "no compacted segment in the manifest")
+  }
+
   test("awk processor (text codec) pipes content through mawk") {
     val e = env(1L -> "hello", 2L -> "world")
       .withColumn(Envelope.Content, col("doc.s").cast("binary"))
