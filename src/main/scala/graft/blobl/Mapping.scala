@@ -247,6 +247,18 @@ object Mapping {
       e: Expr, ctx: Ctx, prev: () => TC, rowLevel: Boolean): AssignResult = {
     if (isDeleted(e)) return AssignResult(None, Some(lit(true)))
     if (isNothing(e)) return AssignResult(None, None)
+    // `x.catch(deleted())` — the reference's documented "delete
+    // non-structured data" idiom (methods.go catch example): when the
+    // target errors the message/field is deleted, otherwise the value
+    // assigns. With no error channel the null-coalesce approximation
+    // applies (delete on null).
+    e match {
+      case MethodCall(target, "catch", List(f)) if isDeleted(f) =>
+        val t = Compiler.compile(target, ctx)
+        val cond = t.err.map(_.isNotNull).getOrElse(t.col.isNull)
+        return AssignResult(Some(t), Some(cond))
+      case _ => ()
+    }
     throwMsg(e).foreach { m =>
       return AssignResult(None, None,
         List((lit(true), Compiler.compile(m, ctx).col.cast("string"))))

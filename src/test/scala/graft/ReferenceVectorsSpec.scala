@@ -124,6 +124,22 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       nil, """{"r":-1}""")
   }
 
+  test("this.catch(deleted()) deletes non-structured messages (methods.go catch example)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = scala.Seq("""{"doc":{"foo":"bar"}}""", """not structured data""")
+      .toDF("c").select(
+        col("c").cast(BinaryType).as("content"),
+        try_parse_json(col("c")).as("doc"),
+        map().cast(MapType(StringType, StringType)).as("meta"),
+        lit(null).cast(StringType).as("_error"),
+        lit(0L).as("batch_id"), monotonically_increasing_id().as("seq"))
+    val out = Mapping.compile("root = this.catch(deleted())").applyEnvelope(df)
+    val kept = out.select(col("doc").cast(StringType)).collect().map(_.getString(0))
+    assert(kept.length == 1 && kept(0).contains("\"foo\":\"bar\""),
+      s"got: ${kept.mkString("; ")}")
+  }
+
   test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
     // "json catch": unparseable content is an error -> fallback
     checkRaw("""json().catch("nope")""", "this %$#% isnt json", Some("nope"))
