@@ -73,13 +73,41 @@ object BloblQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q163: the expression error channel end-to-end — parse_timestamp
+    * failures are catch-able errors (not silent nulls), uncaught ones
+    * flag the message `_error` while the row keeps flowing. One third of
+    * the rows carry an unparseable date; the mapping recovers a caught
+    * fallback AND the uncaught flag, and the oracle replays validity by
+    * formula. */
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "not-a-date")
+        .otherwise("2024-01-15").as("d"))
+    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val out = graft.ops.BloblangProc(
+      """root.doc_id = this.doc_id
+        |root.day = this.d.parse_timestamp("2006-01-02").format_timestamp("2006-01-02").catch("invalid")
+        |root.uncaught = this.d.parse_timestamp("2006-01-02").format_timestamp("2006-01-02")
+        |""".stripMargin)(env)
+    out.select(col("doc.doc_id").as("doc_id"),
+        col("doc.day").as("day"),
+        col(graft.model.Envelope.Error).isNotNull.as("errored"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q163_error_channel" -> (q163 _),
     "q161_jq" -> (q161 _),
     "q10_blobl_lineitem" -> (q10 _),
     "q11_blobl_events" -> (q11 _),
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q163_error_channel" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'invalid' ELSE '2024-01-15' END AS day,
+        | doc_id % 3 = 0 AS errored
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q161_jq" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |SELECT doc_id,
