@@ -103,12 +103,86 @@ object Jq {
     def parsePipe(): Expr = {
       var l = parseStage()
       ws()
+      // `EXPR as PATTERN | REST` (gojq binding incl. destructuring):
+      // `.` is NOT rebound; the bound variables substitute inline into
+      // REST (pure expressions, so duplication is safe)
+      if (tryWord("as")) {
+        val binds = parseBindPattern(l)
+        ws(); eat('|')
+        genLocked = true
+        return substVars(parsePipe(), binds)
+      }
       while (peek == '|' && !s.startsWith("||", i)) {
         i += 1
         genLocked = true
         l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
       }
       l
+    }
+
+    /** `$x`, `[$a, $b, …]`, or `{key: $x, …}` after `as`. */
+    private def parseBindPattern(src: Expr): Map[String, Expr] = {
+      ws()
+      peek match {
+        case '$' => i += 1; Map("$" + ident() -> src)
+        case '[' =>
+          i += 1
+          val out = scala.collection.mutable.Map[String, Expr]()
+          var ix = 0L
+          var go = true
+          while (go) {
+            ws(); eat('$')
+            out += ("$" + ident()) -> IndexOp(src, LitLong(ix))
+            ix += 1
+            go = tryEat(",")
+          }
+          eat(']')
+          out.toMap
+        case '{' =>
+          i += 1
+          val out = scala.collection.mutable.Map[String, Expr]()
+          var go = true
+          while (go) {
+            ws()
+            val k = ident()
+            eat(':'); ws(); eat('$')
+            out += ("$" + ident()) -> Field(src, k)
+            go = tryEat(",")
+          }
+          eat('}')
+          out.toMap
+        case c => throw new IllegalArgumentException(
+          s"jq: expected binding pattern after 'as', got '$c' at $i in '$s'")
+      }
+    }
+
+    /** Inline-substitute bound `$vars` ($-names can't be shadowed by
+      * lambda params, so descending everywhere is safe). */
+    private def substVars(e: Expr, m: Map[String, Expr]): Expr = e match {
+      case VarRef(n) if m.contains(n) => m(n)
+      case Field(b, n) => Field(substVars(b, m), n)
+      case IndexOp(b, ix) => IndexOp(substVars(b, m), substVars(ix, m))
+      case MethodCall(t, n, as) =>
+        MethodCall(substVars(t, m), n, as.map {
+          case Lambda(p, b) => Lambda(p, substVars(b, m))
+          case a => substVars(a, m)
+        })
+      case FnCall(n, as) => FnCall(n, as.map(substVars(_, m)))
+      case BinOp(o, l, r) => BinOp(o, substVars(l, m), substVars(r, m))
+      case Not(x) => Not(substVars(x, m))
+      case Neg(x) => Neg(substVars(x, m))
+      case IfExpr(bs, oe) =>
+        IfExpr(bs.map { case (c, b) => (substVars(c, m), substVars(b, m)) },
+          oe.map(substVars(_, m)))
+      case MatchExpr(tgt, cs) =>
+        MatchExpr(substVars(tgt, m),
+          cs.map { case (p, v) => (p.map(substVars(_, m)), substVars(v, m)) })
+      case Lambda(p, b) => Lambda(p, substVars(b, m))
+      case LitArray(xs) => LitArray(xs.map(substVars(_, m)))
+      case LitObject(fs) =>
+        LitObject(fs.map { case (k, v) => (substVars(k, m), substVars(v, m)) })
+      case SetPath(p, v) => SetPath(p, substVars(v, m))
+      case other => other
     }
 
     /** One pipe stage: a jq path assignment `.a.b = expr`

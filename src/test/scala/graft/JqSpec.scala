@@ -205,6 +205,17 @@ class JqSpec extends AnyFunSuite {
     assert(run("""getpath(["xs",1])""", """{"xs":[10,20]}""") == "20")
   }
 
+  test("as-bindings and destructuring (gojq variable patterns)") {
+    assert(run(""".xs as $v | {first: $v[0], n: ($v | length)}""",
+      """{"xs":[7,8,9]}""") == """{"first":7,"n":3}""")
+    assert(run(""".pair as [$a, $b] | $a + $b""",
+      """{"pair":[20,22]}""") == "42")
+    assert(run(""".o as {x: $x, y: $y} | $x * $y""",
+      """{"o":{"x":6,"y":7}}""") == "42")
+    // `.` is NOT rebound by the binding (gojq semantics)
+    assert(run(""".a as $v | .b + $v""", """{"a":1,"b":2}""") == "3")
+  }
+
   test("limit slices the collected generator (gojq limit)") {
     assert(run("limit(2; .xs[])", """{"xs":[1,2,3,4]}""") == "[1,2]")
     assert(run("limit(10; .xs[])", """{"xs":[1,2]}""") == "[1,2]")
