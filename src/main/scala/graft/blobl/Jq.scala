@@ -27,9 +27,10 @@ import Ast._
   * substitution; `limit(n; g)` slices the collected array; `..` /
   * `recurse` and `paths` expand STATICALLY over the schema (bounded
   * depth, stays in codegen) to array<variant>; `getpath([...])` with a
-  * literal path is static field access. Out of scope: `recurse(f)`
-  * (unbounded iteration), generators in arbitrary value positions,
-  * destructuring.
+  * literal path is static field access; `expr as $x | rest` bindings
+  * (incl. `[$a,$b]` / `{k:$x}` destructuring) substitute inline with
+  * `.` unrebound. Out of scope: `recurse(f)` (unbounded iteration) and
+  * generators in arbitrary value positions.
   */
 object Jq {
 
