@@ -476,6 +476,206 @@ object Multimodal {
       junk.cast(IntegerType))
   }
 
+  /** ISO-BMFF (MP4) WITH a real sample table: `ftyp` + `mdat` carrying
+    * the sample bytes in TWO chunks + `moov/trak/mdia/minf/stbl` holding
+    * the published table layout — `stsd` ('twos' PCM entry), `stts`,
+    * `stsc` (two sample-to-chunk runs so resolution is exercised),
+    * per-sample `stsz`, absolute-offset `stco`. [[mp4Samples]] walks the
+    * tables back and slices `mdat` — the sample bytes round-trip exactly
+    * (the demuxing half of MP4, no codec needed). */
+  def encodeMp4Samples(samples: Column, junk: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf {
+      (fs: scala.Seq[Array[Byte]], j: Int) =>
+        def box(kind: String, payload: Array[Byte]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          bb.putInt(8 + payload.length)
+            .put(kind.getBytes("US-ASCII")).put(payload)
+          bb.array()
+        }
+        val n = fs.length
+        val ftyp = box("ftyp", {
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.put("isom".getBytes("US-ASCII")).putInt(512)
+            .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+          bb.array()
+        })
+        val mdatPayload = fs.toArray.flatten
+        val mdat = box("mdat", mdatPayload)
+        val base = ftyp.length + 8 // absolute offset of the first sample
+        val k = (n + 1) / 2 // first chunk holds ceil(n/2) samples
+        val chunk2Off = base + fs.take(k).map(_.length).sum
+        val stsd = box("stsd", {
+          val bb = java.nio.ByteBuffer.allocate(8 + 36)
+          bb.putInt(0).putInt(1) // ver/flags, entry count
+          bb.putInt(36).put("twos".getBytes("US-ASCII")) // PCM sample entry
+          bb.position(bb.position() + 6).putShort(1) // reserved, data ref
+          bb.putShort(0).putShort(0).putInt(0) // version/revision/vendor
+          bb.putShort(1).putShort(16).putShort(0).putShort(0) // ch/bits/cid/pkt
+          bb.putInt(8000 << 16) // sample rate 16.16
+          bb.array()
+        })
+        val stts = box("stts", {
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putInt(0).putInt(1).putInt(n).putInt(1)
+          bb.array()
+        })
+        val stsc = box("stsc", {
+          val two = n - k > 0
+          val bb = java.nio.ByteBuffer.allocate(8 + (if (two) 24 else 12))
+          bb.putInt(0).putInt(if (two) 2 else 1)
+          bb.putInt(1).putInt(k).putInt(1)
+          if (two) { bb.putInt(2).putInt(n - k).putInt(1) }
+          bb.array()
+        })
+        val stsz = box("stsz", {
+          val bb = java.nio.ByteBuffer.allocate(12 + 4 * n)
+          bb.putInt(0).putInt(0).putInt(n) // per-sample sizes follow
+          fs.foreach(s => bb.putInt(s.length))
+          bb.array()
+        })
+        val stco = box("stco", {
+          val two = n - k > 0
+          val bb = java.nio.ByteBuffer.allocate(8 + (if (two) 8 else 4))
+          bb.putInt(0).putInt(if (two) 2 else 1)
+          bb.putInt(base)
+          if (two) bb.putInt(chunk2Off)
+          bb.array()
+        })
+        val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+        val hdlr = box("hdlr", {
+          val bb = java.nio.ByteBuffer.allocate(24)
+          bb.putInt(0).putInt(0).put("soun".getBytes("US-ASCII"))
+          bb.array()
+        })
+        val mdhd = box("mdhd", {
+          val bb = java.nio.ByteBuffer.allocate(24)
+          bb.putInt(0).putInt(0).putInt(0).putInt(8000).putInt(n)
+          bb.array()
+        })
+        val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", stbl))
+        val mvhd = box("mvhd", {
+          val bb = java.nio.ByteBuffer.allocate(100)
+          bb.putInt(0).putInt(0).putInt(0).putInt(8000).putInt(n)
+          bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+          bb.array()
+        })
+        val moov = box("moov", mvhd ++ box("trak", mdia))
+        ftyp ++ mdat ++ box("free", new Array[Byte](j)) ++ moov
+    }
+    f(samples, junk.cast(IntegerType))
+  }
+
+  /** REAL MP4 sample extraction: walk `moov/trak/mdia/minf/stbl`, read
+    * the per-sample `stsz` sizes (or the uniform-size field), resolve
+    * sample→chunk runs through `stsc`, seek chunks via `stco` (or 64-bit
+    * `co64`), and slice the sample byte-ranges out of the file — the
+    * demuxing half of ISO-BMFF per 14496-12, no codec involved. Returns
+    * array<binary>; null for non-BMFF payloads or missing tables
+    * (fuzz-covered never-throw). */
+  def mp4Samples(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf(
+      (bytes: Array[Byte]) => mp4SamplesBytes(bytes))
+    f(payload)
+  }
+
+  /** Byte-level MP4 sample extraction (object method so the early
+    * returns never become non-local-return closures in the UDF). */
+  private[llmops] def mp4SamplesBytes(bytes: Array[Byte]): Array[Array[Byte]] = {
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        def fourcc(): String = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+        }
+        /** position of the first child / end of the named child box
+          * inside [from, until), or -1. */
+        def findChild(from: Int, until: Int, kind: String): (Int, Int) = {
+          var p = from
+          while (p + 8 <= until) {
+            bb.position(p)
+            val size = bb.getInt()
+            val k = fourcc()
+            if (size < 8 || p + size > until) return (-1, -1)
+            if (k == kind) return (p + 8, p + size)
+            p += size
+          }
+          (-1, -1)
+        }
+        if (bytes.length < 8) return null
+        bb.position(0)
+        bb.getInt()
+        if (fourcc() != "ftyp") return null
+        val (moovFrom, moovTo) = findChild(0, bytes.length, "moov")
+        if (moovFrom < 0) return null
+        val (trakFrom, trakTo) = findChild(moovFrom, moovTo, "trak")
+        if (trakFrom < 0) return null
+        val (mdiaFrom, mdiaTo) = findChild(trakFrom, trakTo, "mdia")
+        if (mdiaFrom < 0) return null
+        val (minfFrom, minfTo) = findChild(mdiaFrom, mdiaTo, "minf")
+        if (minfFrom < 0) return null
+        val (stblFrom, stblTo) = findChild(minfFrom, minfTo, "stbl")
+        if (stblFrom < 0) return null
+        // stsz: sizes
+        val (stszFrom, stszTo) = findChild(stblFrom, stblTo, "stsz")
+        if (stszFrom < 0) return null
+        bb.position(stszFrom)
+        bb.getInt() // ver/flags
+        val uniform = bb.getInt()
+        val nSamples = bb.getInt()
+        if (nSamples < 0 || nSamples > 1000000) return null
+        val sizes = new Array[Int](nSamples)
+        if (uniform != 0) java.util.Arrays.fill(sizes, uniform)
+        else {
+          if (stszFrom + 12 + 4 * nSamples > stszTo) return null
+          var i = 0
+          while (i < nSamples) { sizes(i) = bb.getInt(); i += 1 }
+        }
+        // stco / co64: chunk offsets
+        val (stcoFrom, _) = findChild(stblFrom, stblTo, "stco")
+        val (co64From, _) = findChild(stblFrom, stblTo, "co64")
+        val offsets: Array[Long] =
+          if (stcoFrom >= 0) {
+            bb.position(stcoFrom); bb.getInt()
+            val c = bb.getInt()
+            if (c < 0 || c > 1000000) return null
+            Array.fill(c)(bb.getInt().toLong & 0xffffffffL)
+          } else if (co64From >= 0) {
+            bb.position(co64From); bb.getInt()
+            val c = bb.getInt()
+            if (c < 0 || c > 1000000) return null
+            Array.fill(c)(bb.getLong())
+          } else return null
+        // stsc: sample-to-chunk runs (first_chunk, samples_per_chunk, _)
+        val (stscFrom, _) = findChild(stblFrom, stblTo, "stsc")
+        if (stscFrom < 0) return null
+        bb.position(stscFrom); bb.getInt()
+        val nRuns = bb.getInt()
+        if (nRuns <= 0 || nRuns > 100000) return null
+        val runs = Array.fill(nRuns)((bb.getInt(), bb.getInt(), bb.getInt()))
+        val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]](nSamples)
+        var sample = 0
+        var chunk = 1
+        while (sample < nSamples && chunk <= offsets.length) {
+          // samples-per-chunk = the last run whose first_chunk <= chunk
+          var spc = runs(0)._2
+          var r = 0
+          while (r < nRuns && runs(r)._1 <= chunk) { spc = runs(r)._2; r += 1 }
+          var off = offsets(chunk - 1)
+          var k = 0
+          while (k < spc && sample < nSamples) {
+            val sz = sizes(sample)
+            if (sz < 0 || off < 0 || off + sz > bytes.length) return null
+            out += java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + sz)
+            off += sz
+            sample += 1
+            k += 1
+          }
+          chunk += 1
+        }
+        if (sample < nSamples) return null // tables didn't cover the samples
+        out.toArray
+      } catch { case _: Exception => null }
+  }
+
   /** REAL ISO-BMFF box walk: validates `ftyp`, skips sibling boxes to
     * `moov`, reads the version-0 `mvhd` (timescale, duration) and counts
     * `trak` children. A wrong size walk (32-bit big-endian including the

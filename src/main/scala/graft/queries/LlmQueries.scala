@@ -190,6 +190,27 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q164: REAL MP4 sample extraction — per document an ISO-BMFF file is
+    * built whose `stbl` carries genuine sample tables (two `stsc` runs,
+    * per-sample `stsz`, absolute `stco`) over a two-chunk `mdat`;
+    * [[Multimodal.mp4Samples]] resolves the tables and slices the sample
+    * bytes back out, hashed per sample against the oracle's replay. The
+    * demuxing half of MP4 is now real, mirroring q160's AVI path. */
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val nf = (col("doc_id") % 6 + 2).cast(IntegerType)
+    val samples = transform(sequence(lit(0), nf - 1),
+      i => concat(lit("s"), i.cast(StringType),
+        lit("-d"), col("doc_id").cast(StringType)).cast(BinaryType))
+    val junk = (col("doc_id") % 24).cast(IntegerType)
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(Multimodal.mp4Samples(
+        Multimodal.encodeMp4Samples(samples, junk))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("sample_i"),
+        md5(col("col")).as("sample_md5"),
+        octet_length(col("col")).cast(LongType).as("n_bytes"))
+      .orderBy(col("doc_id"), col("sample_i"))
+  }
+
   /** q156: REAL ISO-BMFF (MP4) box-walk decode — `ftyp` brand check,
     * sibling skip to `moov`, version-0 `mvhd` timescale/duration, `trak`
     * child count — over deterministically synthesized containers (the
@@ -1216,6 +1237,7 @@ object LlmQueries {
     "q150_avi_decode" -> (q150 _),
     "q160_avi_frames" -> (q160 _),
     "q162_flac_samples" -> (q162 _),
+    "q164_mp4_samples" -> (q164 _),
     "q156_mp4_decode" -> (q156 _),
     "q157_mp3_decode" -> (q157 _),
     "q158_flac_decode" -> (q158 _),
@@ -2511,6 +2533,12 @@ object LlmQueries {
         |  AS duration_ms,
         | CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q164_mp4_samples" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS sample_i,
+        | md5('s' || i || '-d' || doc_id) AS sample_md5,
+        | CAST(length('s' || i || '-d' || doc_id) AS BIGINT) AS n_bytes
+        |FROM (SELECT doc_id, unnest(range(0, doc_id % 6 + 2)) AS i FROM documents)
+        |ORDER BY doc_id, sample_i""".stripMargin,
     "q162_flac_samples" ->
       """WITH g AS (
         | SELECT doc_id, unnest(range(0, doc_id % 300 + 20)) AS i FROM documents)

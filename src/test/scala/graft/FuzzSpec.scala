@@ -131,7 +131,8 @@ class FuzzSpec extends AnyFunSuite {
       graft.llmops.Multimodal.decodeMp4(col("p")).as("m4"),
       graft.llmops.Multimodal.decodeMp3(col("p")).as("m3"),
       graft.llmops.Multimodal.decodeFlac(col("p")).as("fl"),
-      graft.llmops.Multimodal.decodeFlacSamples(col("p")).as("fs")).count()
+      graft.llmops.Multimodal.decodeFlacSamples(col("p")).as("fs"),
+      graft.llmops.Multimodal.mp4Samples(col("p")).as("ms")).count()
     assert(n == 200L)
   }
 

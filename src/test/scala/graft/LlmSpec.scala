@@ -267,6 +267,32 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 sample-table extraction round-trips exact bytes across chunk runs") {
+    import spark.implicits._
+    // odd counts exercise the two-run stsc resolution (chunk 1 holds
+    // ceil(n/2) samples, chunk 2 the rest)
+    val df = scala.Seq(Tuple1(1L)).toDF("id").select(
+      Multimodal.encodeMp4Samples(
+        array(lit("aa".getBytes("UTF-8")), lit("bbbb".getBytes("UTF-8")),
+          lit("c".getBytes("UTF-8")), lit("dddddd".getBytes("UTF-8")),
+          lit("e".getBytes("UTF-8"))),
+        lit(5)).as("p"))
+    val got = df.select(Multimodal.mp4Samples(col("p")).as("s")).head()
+      .getSeq[Array[Byte]](0).map(new String(_, "UTF-8"))
+    assert(got == scala.Seq("aa", "bbbb", "c", "dddddd", "e"))
+    // the metadata box-walk still reads the same container
+    val meta = df.select(Multimodal.decodeMp4(col("p")).as("m")).head().getStruct(0)
+    assert(meta.getAs[Long]("n_tracks") == 1L)
+    // single-sample file takes the one-run path
+    val one = scala.Seq(Tuple1(1L)).toDF("id").select(
+      Multimodal.encodeMp4Samples(array(lit("solo".getBytes("UTF-8"))), lit(0)).as("p"))
+    assert(one.select(Multimodal.mp4Samples(col("p"))).head()
+      .getSeq[Array[Byte]](0).map(new String(_, "UTF-8")) == scala.Seq("solo"))
+    // non-BMFF payload → null
+    val bad = scala.Seq(Tuple1("not mp4".getBytes("UTF-8"))).toDF("p")
+    assert(bad.select(Multimodal.mp4Samples(col("p"))).head().isNullAt(0))
+  }
+
   test("real MP4 box-walk encode → decode round trip; garbage → null") {
     import spark.implicits._
     val df = scala.Seq((1L, 2400L, 600, 2, 5), (2L, 9000L, 1000, 1, 0))
