@@ -16,12 +16,18 @@ import org.apache.spark.sql.types._
   * zero-cross over bounded PCM. VIDEO/COMPRESSED-AUDIO *metadata* is
   * REAL via pure-JVM parsers of the published container layouts:
   * [[decodeAvi]] (RIFF chunk walk), [[decodeMp4]] (ISO-BMFF box walk),
-  * [[decodeMp3]] (MPEG-1 Layer III frame headers + ID3v2 skip). Only
-  * SAMPLE-level video/compressed-audio decode would need codec
-  * libraries this container lacks — [[fakeDecode]] remains as the
-  * documented deterministic stand-in there (and for the synthetic
-  * text-payload gate data); swap it for an Arrow-batched worker or JNI
-  * codec without touching the pipeline around it.
+  * [[decodeMp3]] (MPEG-1 Layer III frame headers + ID3v2 skip).
+  *
+  * SAMPLE-level access is REAL wherever the published layout permits it
+  * without a codec library: [[aviFrames]] extracts uncompressed `00db`
+  * video frames from the RIFF `movi` stream, [[mp4Samples]] resolves the
+  * ISO-BMFF `stbl` tables (stsz/stsc/stco/co64) and slices `mdat`, and
+  * [[Flac.decode]] is a from-scratch fixed-predictor FLAC decoder
+  * (rice-coded residuals, CRC'd frames). Only compressed-bitstream
+  * codecs proper (H.26x, MP3 audio synthesis, FLAC LPC) stay out —
+  * [[fakeDecode]] remains as the documented deterministic stand-in for
+  * the synthetic text-payload gate data (q31); swap in an Arrow-batched
+  * worker or JNI codec without touching the pipeline around it.
   */
 object Multimodal {
 
