@@ -818,6 +818,76 @@ object Multimodal {
     f(payload)
   }
 
+  /** MP3 with ASCII-filled frame payloads (replayable by the oracle):
+    * ID3v2(junk) + n MPEG-1 Layer III frames whose 4-byte headers carry
+    * the real bitrate/samplerate indices and whose payloads repeat a
+    * per-frame pattern to the spec frame length (144000·kbps∕rate). */
+  def encodeMp3Filled(frames: Column, bitrateIdx: Column, rateIdx: Column,
+      junk: Column, tag: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf {
+      (n: Int, br: Int, sr: Int, j: Int, tag: String) =>
+        val frameLen = 144000 * mp3Bitrates(br) / mp3Rates(sr)
+        val out = java.nio.ByteBuffer.allocate(10 + j + n * frameLen)
+        out.put('I'.toByte).put('D'.toByte).put('3'.toByte)
+          .put(3.toByte).put(0.toByte).put(0.toByte)
+          .put(((j >> 21) & 0x7f).toByte).put(((j >> 14) & 0x7f).toByte)
+          .put(((j >> 7) & 0x7f).toByte).put((j & 0x7f).toByte)
+        out.position(out.position() + j)
+        (0 until n).foreach { k =>
+          out.put(0xff.toByte).put(0xfa.toByte)
+            .put(((br << 4) | (sr << 2)).toByte).put(0.toByte)
+          val pat = s"f$k-$tag".getBytes("US-ASCII")
+          var p = 0
+          while (p < frameLen - 4) { out.put(pat(p % pat.length)); p += 1 }
+        }
+        out.array()
+    }
+    f(frames.cast(IntegerType), bitrateIdx.cast(IntegerType),
+      rateIdx.cast(IntegerType), junk.cast(IntegerType), tag.cast(StringType))
+  }
+
+  /** REAL MP3 frame extraction (the demux half, like [[aviFrames]] /
+    * [[mp4Samples]]): skip the ID3v2 tag by its syncsafe size, then walk
+    * frames re-reading EACH frame's own header — bitrate index, sample
+    * rate index, and padding bit per frame, so VBR streams slice
+    * correctly — and return the frame byte-ranges (header included).
+    * Null when the payload isn't MPEG-1 Layer III. */
+  def mp3Frames(payload: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf(
+      (bytes: Array[Byte]) => mp3FrameBytes(bytes))
+    f(payload)
+  }
+
+  private[llmops] def mp3FrameBytes(bytes: Array[Byte]): Array[Array[Byte]] = {
+    try {
+      var pos = 0
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3') {
+        val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        pos = 10 + size
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var go = true
+      while (go && pos + 4 <= bytes.length &&
+          (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xfe) == 0xfa) {
+        val br = (bytes(pos + 2) >> 4) & 0x0f
+        val sr = (bytes(pos + 2) >> 2) & 0x03
+        val pad = (bytes(pos + 2) >> 1) & 0x01
+        if (br == 0 || br == 15 || sr > 2) go = false
+        else {
+          val flen = 144000 * mp3Bitrates(br) / mp3Rates(sr) + pad
+          if (pos + flen > bytes.length) go = false
+          else {
+            out += java.util.Arrays.copyOfRange(bytes, pos, pos + flen)
+            pos += flen
+          }
+        }
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch { case _: Exception => null }
+  }
+
   case class FlacMeta(n_bytes: Long, sample_rate: Long, channels: Long,
       bits_per_sample: Long, total_samples: Long, duration_ms: Long)
 

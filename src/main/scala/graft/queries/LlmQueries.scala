@@ -211,6 +211,29 @@ object LlmQueries {
       .orderBy(col("doc_id"), col("sample_i"))
   }
 
+  /** q165: REAL MP3 frame extraction — per document an MPEG-1 Layer III
+    * stream is built whose frame payloads repeat a per-frame ASCII
+    * pattern to the spec frame length (144000·kbps∕rate), then
+    * [[Multimodal.mp3Frames]] walks the stream re-reading every frame's
+    * own header and slices the frames back; the gate hashes each frame's
+    * payload (past the 4-byte header) against the oracle's replay of the
+    * repeat-pattern arithmetic. Completes the demux trio with q160 (AVI)
+    * and q164 (MP4). */
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val n = (col("doc_id") % 4 + 2).cast(IntegerType)
+    val br = (col("doc_id") % 14 + 1).cast(IntegerType)
+    val sr = (col("doc_id") % 3).cast(IntegerType)
+    val junk = (col("doc_id") % 37).cast(IntegerType)
+    val payload = Multimodal.encodeMp3Filled(n, br, sr, junk,
+      concat(lit("d"), col("doc_id").cast(StringType)))
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(Multimodal.mp3Frames(payload)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("frame_i"),
+        md5(substring(col("col"), 5, 1 << 20)).as("payload_md5"),
+        octet_length(col("col")).cast(LongType).as("n_bytes"))
+      .orderBy(col("doc_id"), col("frame_i"))
+  }
+
   /** q156: REAL ISO-BMFF (MP4) box-walk decode — `ftyp` brand check,
     * sibling skip to `moov`, version-0 `mvhd` timescale/duration, `trak`
     * child count — over deterministically synthesized containers (the
@@ -1238,6 +1261,7 @@ object LlmQueries {
     "q160_avi_frames" -> (q160 _),
     "q162_flac_samples" -> (q162 _),
     "q164_mp4_samples" -> (q164 _),
+    "q165_mp3_frames" -> (q165 _),
     "q156_mp4_decode" -> (q156 _),
     "q157_mp3_decode" -> (q157 _),
     "q158_flac_decode" -> (q158 _),
@@ -2533,6 +2557,23 @@ object LlmQueries {
         |  AS duration_ms,
         | CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q165_mp3_frames" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |    CAST(doc_id % 14 + 1 AS INT)) AS kbps,
+        |  list_extract([44100,48000,32000], CAST(doc_id % 3 + 1 AS INT)) AS rate,
+        |  unnest(range(0, doc_id % 4 + 2)) AS i
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id, i, 144000 * kbps // rate AS flen,
+        |  'f' || i || '-d' || doc_id AS pat
+        | FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_i,
+        | md5(substr(repeat(pat, CAST((flen - 4) // length(pat) AS INT) + 1),
+        |   1, CAST(flen - 4 AS INT))) AS payload_md5,
+        | CAST(flen AS BIGINT) AS n_bytes
+        |FROM q ORDER BY doc_id, frame_i""".stripMargin,
     "q164_mp4_samples" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS sample_i,
         | md5('s' || i || '-d' || doc_id) AS sample_md5,

@@ -132,7 +132,8 @@ class FuzzSpec extends AnyFunSuite {
       graft.llmops.Multimodal.decodeMp3(col("p")).as("m3"),
       graft.llmops.Multimodal.decodeFlac(col("p")).as("fl"),
       graft.llmops.Multimodal.decodeFlacSamples(col("p")).as("fs"),
-      graft.llmops.Multimodal.mp4Samples(col("p")).as("ms")).count()
+      graft.llmops.Multimodal.mp4Samples(col("p")).as("ms"),
+      graft.llmops.Multimodal.mp3Frames(col("p")).as("mf")).count()
     assert(n == 200L)
   }
 
