@@ -153,30 +153,7 @@ object Flac {
       headBytes.foreach(b => w2.writeBits(b & 0xffL, 8))
       w2.writeBits(crc8(headBytes, 0, headBytes.length), 8)
       // subframe: FIXED order 1 (order 0 when the block has 1 sample)
-      val order = if (n >= 2) 1 else 0
-      w2.writeBits(0, 1) // pad
-      w2.writeBits(8 + order, 6) // 0b001000 | order
-      w2.writeBits(0, 1) // no wasted bits
-      var i = 0
-      while (i < order) { w2.writeBits(samples(off + i).toLong & 0xffff, 16); i += 1 }
-      // residuals, rice method 0, partition order 0
-      val res = new Array[Int](n - order)
-      i = order
-      while (i < n) {
-        res(i - order) = samples(off + i) - (if (order == 1) samples(off + i - 1) else 0)
-        i += 1
-      }
-      val mean = if (res.isEmpty) 0L else res.map(r => zigzag(r)).sum / math.max(1, res.length)
-      var p = 0
-      while ((1L << (p + 1)) < mean + 1 && p < 14) p += 1
-      w2.writeBits(0, 2) // rice, 4-bit parameters
-      w2.writeBits(0, 4) // partition order 0
-      w2.writeBits(p, 4)
-      res.foreach { r =>
-        val u = zigzag(r)
-        w2.writeUnary((u >>> p).toInt)
-        if (p > 0) w2.writeBits(u & ((1L << p) - 1), p)
-      }
+      writeFixedSubframe(w2, java.util.Arrays.copyOfRange(samples, off, off + n), 16)
       val frameBytes = w2.toBytes // align() pads the final partial byte
       out.write(frameBytes)
       val c16 = crc16(frameBytes, 0, frameBytes.length)
@@ -192,8 +169,78 @@ object Flac {
   private val fixedCoefs: Array[Array[Int]] = Array(
     Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
 
-  /** Decode the fixed-predictor subset. Null when the payload is not
-    * FLAC or uses features outside the subset (LPC, stereo, ≠16-bit). */
+  /** One subframe (CONSTANT / VERBATIM / FIXED 0–4) at `bits` precision
+    * — the side channel of a decorrelated stereo pair reads at bps+1.
+    * Null for LPC (outside the subset). */
+  private def readSubframe(r: BitReader, blockSize: Int, bits: Int): Array[Int] = {
+    if (r.readBits(1) != 0) return null
+    val sfType = r.readBits(6).toInt
+    val wasted = if (r.readBits(1) == 1L) r.readUnary() + 1 else 0
+    val effBits = bits - wasted
+    if (effBits <= 0) return null
+    val block = new Array[Int](blockSize)
+    if (sfType == 0) { // CONSTANT
+      val v = r.readSigned(effBits)
+      java.util.Arrays.fill(block, v << wasted)
+    } else if (sfType == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
+    } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
+      val order = sfType - 8
+      var i = 0
+      while (i < order) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
+      // residual: 2-bit method, 4-bit partition order
+      val method = r.readBits(2).toInt
+      if (method > 1) return null
+      val pBits = if (method == 0) 4 else 5
+      val escape = (1 << pBits) - 1
+      val po = r.readBits(4).toInt
+      val parts = 1 << po
+      if (blockSize % parts != 0) return null
+      var part = 0
+      var idx = order
+      while (part < parts) {
+        val count = blockSize / parts - (if (part == 0) order else 0)
+        val param = r.readBits(pBits).toInt
+        if (param == escape) {
+          val raw = r.readBits(5).toInt
+          var k = 0
+          while (k < count) {
+            block(idx) = if (raw == 0) 0 else r.readSigned(raw)
+            idx += 1; k += 1
+          }
+        } else {
+          var k = 0
+          while (k < count) {
+            val q = r.readUnary()
+            val lo = if (param > 0) r.readBits(param) else 0L
+            block(idx) = unzigzag((q.toLong << param) | lo)
+            idx += 1; k += 1
+          }
+        }
+        part += 1
+      }
+      // reconstruct through the fixed predictor
+      val coefs = fixedCoefs(order)
+      i = order
+      while (i < blockSize) {
+        var pred = 0L
+        var c = 0
+        while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
+        block(i) = (block(i) + pred).toInt
+        i += 1
+      }
+      if (wasted > 0) { i = order; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
+    } else return null // LPC: outside the subset
+    block
+  }
+
+  /** Decode the fixed-predictor subset, mono or stereo (independent and
+    * all three decorrelated assignments — left/side, right/side,
+    * mid/side; the side channel reads at bps+1 per the spec). Stereo
+    * output is interleaved [L0, R0, L1, R1, …]. Null when the payload is
+    * not FLAC or uses features outside the subset (LPC, >2 channels,
+    * ≠16-bit). */
   def decode(bytes: Array[Byte]): Array[Int] = {
     try {
       if (bytes.length < 8 || new String(bytes, 0, 4, "US-ASCII") != "fLaC") return null
@@ -218,10 +265,11 @@ object Flac {
         pos += 4 + len
       }
       if (sr == 0 || total < 0) return null
-      if (ch != 1 || bps != 16) return null // subset boundary
-      val out = new scala.collection.mutable.ArrayBuffer[Int](total.toInt)
+      if (ch > 2 || bps != 16) return null // subset boundary
+      val nCh = ch.toInt
+      val out = new scala.collection.mutable.ArrayBuffer[Int]((total * nCh).toInt)
       val r = new BitReader(bytes, pos)
-      while (out.length < total) {
+      while (out.length < total * nCh) {
         if (r.readBits(14) != 0x3ffe) return null // sync
         r.readBits(1) // reserved
         r.readBits(1) // blocking strategy
@@ -230,7 +278,6 @@ object Flac {
         val chCode = r.readBits(4).toInt
         val ssCode = r.readBits(3).toInt
         r.readBits(1) // reserved
-        if (chCode != 0) return null // mono only
         if (ssCode != 4 && ssCode != 0) return null // 16-bit (or streaminfo)
         // UTF-8 coded frame/sample number
         val first = r.readBits(8).toInt
@@ -255,72 +302,168 @@ object Flac {
           case _ => ()
         }
         r.readBits(8) // header CRC-8 (layout consumed; value not re-verified)
-        // subframe header
-        if (r.readBits(1) != 0) return null
-        val sfType = r.readBits(6).toInt
-        val wasted = if (r.readBits(1) == 1L) r.readUnary() + 1 else 0
-        val effBits = 16 - wasted
-        val block = new Array[Int](blockSize)
-        if (sfType == 0) { // CONSTANT
-          val v = r.readSigned(effBits)
-          java.util.Arrays.fill(block, v << wasted)
-        } else if (sfType == 1) { // VERBATIM
-          var i = 0
-          while (i < blockSize) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
-        } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
-          val order = sfType - 8
-          var i = 0
-          while (i < order) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
-          // residual: 2-bit method, 4-bit partition order
-          val method = r.readBits(2).toInt
-          if (method > 1) return null
-          val pBits = if (method == 0) 4 else 5
-          val escape = (1 << pBits) - 1
-          val po = r.readBits(4).toInt
-          val parts = 1 << po
-          if (blockSize % parts != 0) return null
-          var part = 0
-          var idx = order
-          while (part < parts) {
-            val count = blockSize / parts - (if (part == 0) order else 0)
-            val param = r.readBits(pBits).toInt
-            if (param == escape) {
-              val raw = r.readBits(5).toInt
-              var k = 0
-              while (k < count) {
-                block(idx) = if (raw == 0) 0 else r.readSigned(raw)
-                idx += 1; k += 1
-              }
-            } else {
-              var k = 0
-              while (k < count) {
-                val q = r.readUnary()
-                val lo = if (param > 0) r.readBits(param) else 0L
-                block(idx) = unzigzag((q.toLong << param) | lo)
-                idx += 1; k += 1
-              }
+        val channels: Array[Array[Int]] = chCode match {
+          case c if c <= 7 => // independent, channels = c + 1
+            if (c + 1 != nCh) return null
+            val chans = new Array[Array[Int]](nCh)
+            var k = 0
+            while (k < nCh) {
+              chans(k) = readSubframe(r, blockSize, 16)
+              if (chans(k) == null) return null
+              k += 1
             }
-            part += 1
-          }
-          // reconstruct through the fixed predictor
-          val coefs = fixedCoefs(order)
-          i = order
-          while (i < blockSize) {
-            var pred = 0L
-            var c = 0
-            while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
-            block(i) = (block(i) + pred).toInt
-            i += 1
-          }
-          if (wasted > 0) { i = order; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
-        } else return null // LPC: outside the subset
+            chans
+          case 8 => // left/side: right = left - side
+            if (nCh != 2) return null
+            val l = readSubframe(r, blockSize, 16)
+            val s = readSubframe(r, blockSize, 17)
+            if (l == null || s == null) return null
+            Array(l, Array.tabulate(blockSize)(i => l(i) - s(i)))
+          case 9 => // right/side: left = right + side
+            if (nCh != 2) return null
+            val s = readSubframe(r, blockSize, 17)
+            val rt = readSubframe(r, blockSize, 16)
+            if (s == null || rt == null) return null
+            Array(Array.tabulate(blockSize)(i => rt(i) + s(i)), rt)
+          case 10 => // mid/side (libFLAC reconstruction: restore the
+            // dropped (L+R) LSB from the side's parity)
+            if (nCh != 2) return null
+            val mid = readSubframe(r, blockSize, 16)
+            val s = readSubframe(r, blockSize, 17)
+            if (mid == null || s == null) return null
+            val l = new Array[Int](blockSize)
+            val rt = new Array[Int](blockSize)
+            var i = 0
+            while (i < blockSize) {
+              val m2 = (mid(i) << 1) | (s(i) & 1)
+              l(i) = (m2 + s(i)) >> 1
+              rt(i) = (m2 - s(i)) >> 1
+              i += 1
+            }
+            Array(l, rt)
+          case _ => return null
+        }
         r.align()
         r.readBits(16) // frame CRC-16
-        val take = math.min(blockSize.toLong, total - out.length).toInt
+        val take = math.min(blockSize.toLong, total - out.length / nCh).toInt
         var i = 0
-        while (i < take) { out += block(i); i += 1 }
+        while (i < take) {
+          var k = 0
+          while (k < nCh) { out += channels(k)(i); k += 1 }
+          i += 1
+        }
       }
       out.toArray
     } catch { case _: Exception => null }
+  }
+
+  // ---------- stereo encode ----------
+
+  /** Interleaved 16-bit stereo PCM → FLAC, one frame per ≤4096-sample
+    * block. `assignment`: "independent", "left_side", "right_side", or
+    * "mid_side" — the decorrelated forms write the side channel at 17
+    * bits per the spec. */
+  def encodeStereo(interleaved: Array[Int], sampleRate: Int,
+      assignment: String = "mid_side"): Array[Byte] = {
+    require(interleaved.nonEmpty && interleaved.length % 2 == 0,
+      "stereo encode requires interleaved L/R pairs")
+    val nSamples = interleaved.length / 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BitWriter
+    val maxB = math.min(MaxBlock, math.max(16, nSamples))
+    si.writeBits(maxB, 16); si.writeBits(maxB, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(sampleRate, 20)
+    si.writeBits(1, 3) // channels - 1 (stereo)
+    si.writeBits(15, 5)
+    si.writeBits(nSamples.toLong, 36)
+    si.writeBits(0, 64); si.writeBits(0, 64)
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+
+    val chCode = assignment match {
+      case "independent" => 1
+      case "left_side" => 8
+      case "right_side" => 9
+      case "mid_side" => 10
+      case o => throw new IllegalArgumentException(s"unknown assignment $o")
+    }
+    var off = 0
+    var frameIx = 0
+    while (off < nSamples) {
+      val n = math.min(MaxBlock, nSamples - off)
+      val left = Array.tabulate(n)(i => interleaved(2 * (off + i)))
+      val right = Array.tabulate(n)(i => interleaved(2 * (off + i) + 1))
+      val w = new BitWriter
+      w.writeBits(0x3ffe, 14)
+      w.writeBits(0, 1); w.writeBits(0, 1)
+      w.writeBits(0x7, 4); w.writeBits(0x0, 4)
+      w.writeBits(chCode, 4)
+      w.writeBits(0x4, 3); w.writeBits(0, 1)
+      if (frameIx < 0x80) w.writeBits(frameIx, 8)
+      else {
+        require(frameIx < 0x800, "too many frames for this encoder")
+        w.writeBits(0xc0 | (frameIx >> 6), 8)
+        w.writeBits(0x80 | (frameIx & 0x3f), 8)
+      }
+      w.writeBits(n - 1, 16)
+      val headBytes = w.toBytes
+      val w2 = new BitWriter
+      headBytes.foreach(b => w2.writeBits(b & 0xffL, 8))
+      w2.writeBits(crc8(headBytes, 0, headBytes.length), 8)
+      val subframes: scala.Seq[(Array[Int], Int)] = chCode match {
+        case 1 => scala.Seq((left, 16), (right, 16))
+        case 8 =>
+          scala.Seq((left, 16), (Array.tabulate(n)(i => left(i) - right(i)), 17))
+        case 9 =>
+          scala.Seq((Array.tabulate(n)(i => left(i) - right(i)), 17), (right, 16))
+        case 10 =>
+          scala.Seq((Array.tabulate(n)(i => (left(i) + right(i)) >> 1), 16),
+            (Array.tabulate(n)(i => left(i) - right(i)), 17))
+      }
+      subframes.foreach { case (chan, bits) =>
+        writeFixedSubframe(w2, chan, bits)
+      }
+      val frameBytes = w2.toBytes
+      out.write(frameBytes)
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      off += n
+      frameIx += 1
+    }
+    out.toByteArray
+  }
+
+  /** FIXED order-1 subframe (order 0 for single-sample blocks) with
+    * partition-order-0 rice residuals at `bits` precision. */
+  private def writeFixedSubframe(w2: BitWriter, chan: Array[Int], bits: Int): Unit = {
+    val n = chan.length
+    val order = if (n >= 2) 1 else 0
+    w2.writeBits(0, 1)
+    w2.writeBits(8 + order, 6)
+    w2.writeBits(0, 1)
+    var i = 0
+    while (i < order) {
+      w2.writeBits(chan(i).toLong & ((1L << bits) - 1), bits); i += 1
+    }
+    val res = new Array[Int](n - order)
+    i = order
+    while (i < n) {
+      res(i - order) = chan(i) - (if (order == 1) chan(i - 1) else 0)
+      i += 1
+    }
+    val mean = if (res.isEmpty) 0L else res.map(r => zigzag(r)).sum / math.max(1, res.length)
+    var p = 0
+    while ((1L << (p + 1)) < mean + 1 && p < 14) p += 1
+    w2.writeBits(0, 2)
+    w2.writeBits(0, 4)
+    w2.writeBits(p, 4)
+    res.foreach { r =>
+      val u = zigzag(r)
+      w2.writeUnary((u >>> p).toInt)
+      if (p > 0) w2.writeBits(u & ((1L << p) - 1), p)
+    }
   }
 }

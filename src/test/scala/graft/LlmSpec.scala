@@ -293,6 +293,25 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.select(Multimodal.mp4Samples(col("p"))).head().isNullAt(0))
   }
 
+  test("FLAC stereo: all four channel assignments round-trip bit-exactly") {
+    val rnd = new scala.util.Random(11)
+    val interleaved = Array.tabulate(2 * 700)(i =>
+      if (i % 2 == 0) ((i * 17) % 1201) - 600 else rnd.nextInt(65536) - 32768)
+    for (mode <- scala.Seq("independent", "left_side", "right_side", "mid_side")) {
+      val back = Flac.decode(Flac.encodeStereo(interleaved, 8000, mode))
+      assert(back != null, s"$mode decoded null")
+      assert(back.toSeq == interleaved.toSeq, s"$mode not bit-exact")
+    }
+    // multi-frame stereo (> one 4096-sample block per channel)
+    val long = Array.tabulate(2 * 5000)(i => ((i * 7) % 2001) - 1000)
+    assert(Flac.decode(Flac.encodeStereo(long, 8000, "mid_side")).toSeq
+      == long.toSeq)
+    // extreme values survive the 17-bit side channel
+    val extremes = Array(-32768, 32767, 32767, -32768, 0, 0, -32768, -32768)
+    assert(Flac.decode(Flac.encodeStereo(extremes, 8000, "mid_side")).toSeq
+      == extremes.toSeq)
+  }
+
   test("real MP4 box-walk encode → decode round trip; garbage → null") {
     import spark.implicits._
     val df = scala.Seq((1L, 2400L, 600, 2, 5), (2L, 9000L, 1000, 1, 0))
