@@ -27,6 +27,17 @@ object Sources {
       case "auto" => autoCodec(path)
       case o => o
     }
+    // `<inner>/multipart` (reader.go:35,196): consume the inner codec's
+    // messages and group them into batches; an EMPTY message ends a batch
+    // and is itself dropped (the delimiter). Batch ids ride the same
+    // partitioned prefix-sum as the batch policy — no global window.
+    if (codec.endsWith("/multipart")) {
+      val inner = file(spark, path, codec.stripSuffix("/multipart"), schema, header)
+      val batched = graft.ops.BatchOps.SplitOnCheck(
+        "content().string() == \"\"")(inner)
+      return batched.filter(
+        coalesce(octet_length(col(Envelope.Content)), lit(0)) > 0)
+    }
     codec match {
       case "lines" =>
         val df = spark.read.text(path)

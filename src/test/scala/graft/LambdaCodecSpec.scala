@@ -70,6 +70,22 @@ class LambdaCodecSpec extends AnyFunSuite {
       .collect().sorted.toSeq == scala.Seq("alpha", "beta", "gamma"))
   }
 
+  test("codec lines/multipart batches on empty lines, delimiters dropped") {
+    val dir = Files.createTempDirectory("graft-codec").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/m.txt"),
+      "a1\na2\n\nb1\n\nc1\nc2\nc3".getBytes("UTF-8"))
+    val df = Sources.file(spark, s"$dir/m.txt", "lines/multipart")
+    val rows = df.select(col(Envelope.BatchId),
+        col(Envelope.Content).cast("string"))
+      .as[(Long, String)].collect().sortBy(r => (r._1, r._2))
+    // 3 batches; empty delimiter lines are not messages
+    assert(rows.map(_._2).toSeq == scala.Seq("a1", "a2", "b1", "c1", "c2", "c3"))
+    val byBatch = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byBatch.size == 3)
+    assert(byBatch.values.toSet == Set(
+      scala.Seq("a1", "a2"), scala.Seq("b1"), scala.Seq("c1", "c2", "c3")))
+  }
+
   test("codec chunker:n yields fixed-size chunks") {
     val dir = Files.createTempDirectory("graft-codec").toString
     Files.write(java.nio.file.Paths.get(s"$dir/f.bin"),
