@@ -91,6 +91,61 @@ object Streaming {
       }
       .start()
 
+  /** Streaming NEAR-duplicate dedupe — the streaming face of the
+    * incremental batch-vs-corpus MinHash dedupe (q66): every micro-batch
+    * (1) drops in-batch near-dup pairs (keep-min), (2) LSH-checks the
+    * rest against the ACCUMULATED corpus index (a parquet directory
+    * holding id/text/signature — the corpus lives in storage, not in
+    * bounded streaming state, which is what survives an unbounded
+    * stream), (3) delivers the survivors and appends their rows to the
+    * index. Candidate generation is banded bucket equi-joins throughout;
+    * the corpus text is only touched by the exact-verify join on
+    * surviving candidates — the same 100 TB shape as the batch path.
+    * `idField`/`textField` are doc fields of the envelope stream. */
+  def runNearDupDedupe(df: DataFrame, idField: String, textField: String,
+      indexDir: String, sink: Sink, checkpoint: String,
+      threshold: Double = 0.9, numHashes: Int = 24,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    import graft.llmops.Dedup
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val idC = col(s"${Envelope.Doc}.$idField")
+        val textC = col(s"${Envelope.Doc}.$textField")
+        val plain = batch.select(idC.as("id"), textC.as("text"))
+          .localCheckpoint() // one materialization; reused by 3 plans below
+        // (1) in-batch near-dups: keep the smaller id of each pair
+        val inBatchDrop = Dedup.minhashPairs(plain, "id", "text",
+            numHashes = numHashes, threshold = threshold)
+          .select(greatest(col("id_a"), col("id_b")).as("id")).distinct()
+        val fresh = plain.join(inBatchDrop, scala.Seq("id"), "left_anti")
+        // (2) vs the accumulated corpus index
+        val dir = new java.io.File(indexDir)
+        val survivors =
+          if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty) {
+            val corpus = spark.read.parquet(indexDir)
+            val dups = Dedup.incrementalNearDupWithIndex(
+              fresh, corpus.select(col("id"), col("text")),
+              corpus.drop("text"), "id", "text",
+              numHashes = numHashes, threshold = threshold)
+              .select(col("new_id").as("id")).distinct()
+            fresh.join(dups, scala.Seq("id"), "left_anti").localCheckpoint()
+          } else fresh
+        // (3) deliver + append to the corpus index (id, text, signature)
+        sink.write(batch
+          .join(survivors.select(col("id").as("_sid")),
+            idC === col("_sid"), "left_semi")
+          .withColumn(Envelope.BatchId, lit(id)))
+        Dedup.minhashIndex(survivors, "id", "text", numHashes = numHashes)
+          .join(survivors, scala.Seq("id"))
+          .write.mode("append").parquet(indexDir)
+      }
+      .start()
+  }
+
   /** Watermarked stream-stream interval join — the streaming enrichment
     * the reference approximates with sharded_join + cache lookups
     * (`lib/input/sequence.go` sharded path): right-side rows within

@@ -316,6 +316,37 @@ class StreamingSpec extends AnyFunSuite {
       == scala.Seq("fresh"))
   }
 
+  test("streaming near-dup dedupe: micro-batches check against the accumulated corpus index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("graft-nd-idx").toString + "/index"
+    val out = Files.createTempDirectory("graft-nd-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-nd-ck").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    val ms = MemoryStream[(Long, String)]
+    val env = Envelope.wrapUnordered(ms.toDF().toDF("id", "text"))
+    val q = Streaming.runNearDupDedupe(env, "id", "text", idx,
+      graft.sinks.Sinks.FileSink(out, "json", Nil, "append"), ckpt)
+    // batch 1: two distinct docs + an in-batch near-dup of the first
+    ms.addData((1L, base + "alpha ending"), (2L, "completely different content here"),
+      (3L, base + "alpha endinX"))
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 1 (cross-batch, via the index) + a fresh doc
+    ms.addData((4L, base + "alpha endingZ"), (5L, "another unrelated document"))
+    q.processAllAvailable()
+    q.stop()
+    val delivered = spark.read.json(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 3 dropped in-batch (near-dup of 1); 4 dropped cross-batch
+    assert(delivered == scala.Seq(1L, 2L, 5L), s"delivered: $delivered")
+    // the corpus index accumulated exactly the survivors (id/text/sigs)
+    val indexed = spark.read.parquet(idx)
+    assert(indexed.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == scala.Seq(1L, 2L, 5L))
+    assert(indexed.columns.contains("text") && indexed.columns.count(_.startsWith("m")) >= 16)
+  }
+
   test("count-min sketch maintains incrementally over a stream (update mode)") {
     // the sketch is a (j,pos)-keyed partial aggregate, so it runs as a
     // streaming groupBy unchanged; the final counters must equal the
