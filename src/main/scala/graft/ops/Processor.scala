@@ -139,12 +139,31 @@ final case class MetadataProc(operator: String, key: String, value: String = "")
   }
 }
 
+object DedupeProc {
+  /** The reference's `key` field is an INTERPOLATED string (`${! ... }`,
+    * dedupe.go:80) defaulting to the message contents; a bare Bloblang
+    * expression is accepted as a superset. `hash: xxhash` hashes the
+    * key before comparison (dedupe.go:79) — same distinct set, bounded
+    * key width. */
+  private[ops] def keyColumn(df: DataFrame, key: String, hash: String): Column = {
+    val k =
+      if (key.contains("${")) graft.blobl.Interpolation.column(df, key)
+      else Blobl.envelopeExpr(df, key)
+    hash match {
+      case "none" | "" => k
+      case "xxhash" => xxhash64(k.cast(org.apache.spark.sql.types.StringType))
+      case o => throw new IllegalArgumentException(s"dedupe: unknown hash $o")
+    }
+  }
+}
+
 /** `dedupe` (`lib/processor/dedupe.go:32-58`): drop rows with an
   * already-seen key. Batch mode = dropDuplicates (state = shuffle hash);
   * streaming uses dropDuplicatesWithinWatermark (see graft.streaming). */
-final case class DedupeProc(key: String) extends Processor {
+final case class DedupeProc(key: String, hash: String = "none") extends Processor {
   def apply(df: DataFrame): DataFrame = {
-    val keyed = df.withColumn("_dedupe_key", Blobl.envelopeExpr(df, key))
+    val keyed = df.withColumn("_dedupe_key",
+      DedupeProc.keyColumn(df, key, hash))
     keyed.dropDuplicates("_dedupe_key").drop("_dedupe_key")
   }
 }
@@ -157,10 +176,11 @@ final case class DedupeProc(key: String) extends Processor {
   * written back. Same at-least-once caveat as the reference: a crash
   * between write-back and delivery can drop or re-admit a key. */
 final case class CachedDedupeProc(store: CacheOps.CacheStore,
-    key: String) extends Processor {
+    key: String, hash: String = "none") extends Processor {
   def apply(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    val keyed = df.withColumn("_dedupe_key", Blobl.envelopeExpr(df, key))
+    val keyed = df.withColumn("_dedupe_key",
+        DedupeProc.keyColumn(df, key, hash).cast("string"))
       .dropDuplicates("_dedupe_key")
     val seen = store.snapshot(df.sparkSession)
       .select(col("key").as("_dedupe_key"))
@@ -196,7 +216,7 @@ final case class CachedDedupeProc(store: CacheOps.CacheStore,
   def writeBack(batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions.lit
     store.upsert(batch
-      .select(Blobl.envelopeExpr(batch, key).cast("string").as("key"),
+      .select(DedupeProc.keyColumn(batch, key, hash).cast("string").as("key"),
         lit("1").as("value"))
       .na.drop(scala.Seq("key"))
       .dropDuplicates("key"))

@@ -481,12 +481,18 @@ object Config {
       case "dedupe" =>
         // with a `cache:` resource the reference form dedupes ACROSS
         // batches/runs (lib/processor/dedupe.go:53); without one it's
-        // batch-local
+        // batch-local. `key` is interpolated per the reference (a bare
+        // Bloblang expression also works), defaulting to the message
+        // contents; `hash: xxhash` hashes the key first. `drop_on_err`
+        // is accepted (no cache backend here surfaces read errors —
+        // rows never drop on infrastructure failure, strictly safer).
+        val dKey = conf.get("key").map(_.toString).filter(_.nonEmpty)
+          .getOrElse("content().string()")
+        val dHash = conf.get("hash").map(_.toString).getOrElse("none")
         conf.get("cache").map(_.toString) match {
           case Some(label) =>
-            CachedDedupeProc(graft.ops.CacheOps.Caches(label),
-              str(conf, "key"))
-          case None => DedupeProc(str(conf, "key"))
+            CachedDedupeProc(graft.ops.CacheOps.Caches(label), dKey, dHash)
+          case None => DedupeProc(dKey, dHash)
         }
       case "sample" => SampleProc(dbl(conf, "retain") / 100.0,
         conf.get("seed").map(_.toString.toLong).getOrElse(42L))

@@ -90,6 +90,30 @@ class CacheSpec extends AnyFunSuite {
     assert(store.snapshot(spark).collect().map(_.getString(0)).toSeq == scala.Seq("b"))
   }
 
+  test("dedupe key interpolation, default content key, and xxhash mode (dedupe.go fields)") {
+    import graft.ops.DedupeProc
+    val e = env(1L -> "a", 2L -> "b", 3L -> "a")
+      .withColumn(Envelope.Content, col("doc.s").cast("binary"))
+    // interpolated key (the reference's native form)
+    assert(DedupeProc("${! this.s }")(e).count() == 2)
+    // default key = message contents
+    assert(DedupeProc("content().string()")(e).count() == 2)
+    // hashed key mode keeps the same distinct set
+    assert(DedupeProc("${! this.s }", hash = "xxhash")(e).count() == 2)
+    // YAML form compiles with hash + interpolated key + default key
+    val spec = graft.runtime.Config.load(
+      """input:
+        |  generate: { count: 4, mapping: "root.v = this.i % 2" }
+        |pipeline:
+        |  processors:
+        |    - dedupe:
+        |        key: ${! this.v }
+        |        hash: xxhash
+        |output: { drop: {} }
+        |""".stripMargin)
+    assert(spec.pipeline.nonEmpty)
+  }
+
   test("file cache append-delta: last-wins overwrite, tombstoned delete, compaction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lsm").toString
