@@ -8,12 +8,14 @@ package graft.llmops
   * residuals (with the 5-bit escape), fixed predictors of order 0–4,
   * CONSTANT and VERBATIM subframes, any residual partition order.
   *
-  * Scope (documented): mono, 16-bit, fixed blocking strategy; LPC
-  * subframes and stereo decorrelation return null (the honest boundary —
-  * they are entropy-model-heavy and nothing in the gates emits them).
-  * The encoder emits FIXED order-1 subframes with partition-order-0 rice
-  * residuals, multi-frame for long inputs; decode(encode(x)) == x
-  * bit-exactly (spec-pinned, fuzz-covered).
+  * Decode covers mono and stereo at 16-bit: CONSTANT/VERBATIM subframes,
+  * FIXED predictors 0-4, LPC of any order (precision/shift/coefficient
+  * fields, >>shift reconstruction), and all three stereo decorrelations
+  * (left/side, right/side, mid/side — side at bps+1). Encoders emit
+  * FIXED order-1 (default) or a fractional order-2 LPC subframe, mono or
+  * stereo in any assignment, multi-frame for long inputs;
+  * decode(encode(x)) == x bit-exactly on every path (spec-pinned,
+  * fuzz-covered). Remaining boundary: >2 channels and non-16-bit depths.
   */
 object Flac {
 
@@ -106,7 +108,8 @@ object Flac {
   /** 16-bit mono PCM → FLAC: STREAMINFO + one FIXED-order-1 frame per
     * ≤4096-sample block, rice partition order 0, parameter chosen from
     * the block's mean residual magnitude. */
-  def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+  def encode(samples: Array[Int], sampleRate: Int,
+      subframe: String = "fixed"): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(samples.nonEmpty, "encode requires at least one sample")
     val out = new java.io.ByteArrayOutputStream()
@@ -152,8 +155,11 @@ object Flac {
       val w2 = new BitWriter
       headBytes.foreach(b => w2.writeBits(b & 0xffL, 8))
       w2.writeBits(crc8(headBytes, 0, headBytes.length), 8)
-      // subframe: FIXED order 1 (order 0 when the block has 1 sample)
-      writeFixedSubframe(w2, java.util.Arrays.copyOfRange(samples, off, off + n), 16)
+      // subframe: FIXED order 1 by default (order 0 for 1-sample blocks);
+      // `lpc` exercises the decoder's LPC path with a fractional predictor
+      val chan = java.util.Arrays.copyOfRange(samples, off, off + n)
+      if (subframe == "lpc") writeLpcSubframe(w2, chan, 16)
+      else writeFixedSubframe(w2, chan, 16)
       val frameBytes = w2.toBytes // align() pads the final partial byte
       out.write(frameBytes)
       val c16 = crc16(frameBytes, 0, frameBytes.length)
@@ -169,9 +175,9 @@ object Flac {
   private val fixedCoefs: Array[Array[Int]] = Array(
     Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
 
-  /** One subframe (CONSTANT / VERBATIM / FIXED 0–4) at `bits` precision
-    * — the side channel of a decorrelated stereo pair reads at bps+1.
-    * Null for LPC (outside the subset). */
+  /** One subframe (CONSTANT / VERBATIM / FIXED 0–4 / LPC any order) at
+    * `bits` precision — the side channel of a decorrelated stereo pair
+    * reads at bps+1. */
   private def readSubframe(r: BitReader, blockSize: Int, bits: Int): Array[Int] = {
     if (r.readBits(1) != 0) return null
     val sfType = r.readBits(6).toInt
@@ -231,7 +237,60 @@ object Flac {
         i += 1
       }
       if (wasted > 0) { i = order; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
-    } else return null // LPC: outside the subset
+    } else if (sfType >= 32) { // LPC order 1-32 (RFC 9639 §subframe_lpc)
+      val order = (sfType & 31) + 1
+      var i = 0
+      while (i < order) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
+      val precision = r.readBits(4).toInt + 1
+      if (precision > 15) return null // 1111 is invalid per the spec
+      val shift = {
+        val s5 = r.readBits(5)
+        ((s5 << 59) >> 59).toInt // signed 5-bit
+      }
+      if (shift < 0) return null
+      val coefs = Array.fill(order)(r.readSigned(precision))
+      // residual decode: identical layout to the FIXED path
+      val method = r.readBits(2).toInt
+      if (method > 1) return null
+      val pBits = if (method == 0) 4 else 5
+      val escape = (1 << pBits) - 1
+      val po = r.readBits(4).toInt
+      val parts = 1 << po
+      if (blockSize % parts != 0) return null
+      var part = 0
+      var idx = order
+      while (part < parts) {
+        val count = blockSize / parts - (if (part == 0) order else 0)
+        val param = r.readBits(pBits).toInt
+        if (param == escape) {
+          val raw = r.readBits(5).toInt
+          var k = 0
+          while (k < count) {
+            block(idx) = if (raw == 0) 0 else r.readSigned(raw)
+            idx += 1; k += 1
+          }
+        } else {
+          var k = 0
+          while (k < count) {
+            val q = r.readUnary()
+            val lo = if (param > 0) r.readBits(param) else 0L
+            block(idx) = unzigzag((q.toLong << param) | lo)
+            idx += 1; k += 1
+          }
+        }
+        part += 1
+      }
+      // reconstruct: s[i] = res[i] + (Σ coef_j · s[i-1-j]) >> shift
+      i = order
+      while (i < blockSize) {
+        var pred = 0L
+        var c = 0
+        while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
+        block(i) = (block(i) + (pred >> shift)).toInt
+        i += 1
+      }
+      if (wasted > 0) { i = order; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
+    } else return null
     block
   }
 
@@ -454,6 +513,41 @@ object Flac {
       res(i - order) = chan(i) - (if (order == 1) chan(i - 1) else 0)
       i += 1
     }
+    writeRice(w2, res)
+  }
+
+  /** LPC order-2 subframe with a genuinely fractional quantized
+    * predictor — coefs [3, -1] at shift 1, i.e. ŝ = (3·s₁ − s₂)/2 —
+    * which only the LPC layout can express (exercises the decoder's LPC
+    * path: precision/shift/coefficient fields + >>shift reconstruction).
+    * Blocks shorter than 3 samples fall back to FIXED. */
+  private def writeLpcSubframe(w2: BitWriter, chan: Array[Int], bits: Int): Unit = {
+    val n = chan.length
+    if (n < 3) { writeFixedSubframe(w2, chan, bits); return }
+    val order = 2; val shift = 1; val precision = 4
+    val coefs = Array(3, -1)
+    w2.writeBits(0, 1)
+    w2.writeBits(32 | (order - 1), 6)
+    w2.writeBits(0, 1)
+    var i = 0
+    while (i < order) {
+      w2.writeBits(chan(i).toLong & ((1L << bits) - 1), bits); i += 1
+    }
+    w2.writeBits(precision - 1, 4)
+    w2.writeBits(shift, 5)
+    coefs.foreach(c => w2.writeBits(c.toLong & ((1L << precision) - 1), precision))
+    val res = new Array[Int](n - order)
+    i = order
+    while (i < n) {
+      val pred = (coefs(0).toLong * chan(i - 1) + coefs(1).toLong * chan(i - 2)) >> shift
+      res(i - order) = chan(i) - pred.toInt
+      i += 1
+    }
+    writeRice(w2, res)
+  }
+
+  /** Partition-order-0 rice residuals, parameter from the mean magnitude. */
+  private def writeRice(w2: BitWriter, res: Array[Int]): Unit = {
     val mean = if (res.isEmpty) 0L else res.map(r => zigzag(r)).sum / math.max(1, res.length)
     var p = 0
     while ((1L << (p + 1)) < mean + 1 && p < 14) p += 1

@@ -293,6 +293,19 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.select(Multimodal.mp4Samples(col("p"))).head().isNullAt(0))
   }
 
+  test("FLAC LPC subframes decode: fractional predictor round-trips bit-exactly") {
+    val rnd = new scala.util.Random(13)
+    val cases = scala.Seq(
+      Array.tabulate(300)(i => ((i * 29) % 3001) - 1500),
+      Array.tabulate(5000)(i => ((i * 7) % 997) - 498), // multi-frame LPC
+      Array.fill(64)(rnd.nextInt(65536) - 32768))
+    cases.zipWithIndex.foreach { case (pcm, ix) =>
+      val back = Flac.decode(Flac.encode(pcm, 8000, subframe = "lpc"))
+      assert(back != null, s"lpc case $ix decoded null")
+      assert(back.toSeq == pcm.toSeq, s"lpc case $ix not bit-exact")
+    }
+  }
+
   test("FLAC stereo: all four channel assignments round-trip bit-exactly") {
     val rnd = new scala.util.Random(11)
     val interleaved = Array.tabulate(2 * 700)(i =>
