@@ -120,6 +120,19 @@ object CacheOps {
       val v = s"v${System.nanoTime()}"
       df.withColumn("_del", lit(del))
         .write.mode("overwrite").parquet(fs.resolve(v).toString)
+      // the cache is a SHARED named resource (multiple pipelines may
+      // write concurrently — the streaming dedupe contract): serialize
+      // the read-manifest/append/flip section under an OS file lock so
+      // a concurrent writer can't lose the other's segment
+      val lockCh = java.nio.channels.FileChannel.open(fs.resolve(".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try appendLocked(df, v)
+      finally { lock.release(); lockCh.close() }
+    }
+
+    private def appendLocked(df: DataFrame, v: String): Unit = {
       val segs = segments :+ v
       if (segs.length > FileCache.MaxSegments) {
         val merged = s"v${System.nanoTime()}m"
