@@ -140,7 +140,11 @@ object CacheOps {
           .withColumn("_del", lit(false))
           .write.mode("overwrite").parquet(fs.resolve(merged).toString)
         java.nio.file.Files.write(currentPtr, merged.getBytes("UTF-8"))
-        // best-effort cleanup of superseded segments
+        // best-effort cleanup of superseded segments. Within one writer
+        // the new segment's plan (which read the old ones) has already
+        // executed; the usual vacuum caveat applies only to a DIFFERENT
+        // pipeline scanning concurrently with this compaction — such a
+        // reader should retry (standard non-MVCC store semantics).
         segs.foreach { s =>
           try {
             val dir = fs.resolve(s)
