@@ -204,17 +204,50 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 24, bands: Int = 8,
       rowsPerBand: Int = 3, // P(miss | jac=.9) = (1-.9³)⁸ ≈ 3e-4; noisy-
                             // corpus candidate mass shrinks ~4× vs r=2
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      maxBucket: Int = 1024): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"minhashPairs: bands*rowsPerBand (${bands * rowsPerBand}) exceeds numHashes ($numHashes)")
     // Stage 1 — signature table via the native one-pass expression: a
     // pure projection (the exploded |text|·rows shingle relation never
     // exists, no shuffle). First bands×r columns drive bucketing; ALL
-    // numHashes drive the estimate prefilter.
+    // numHashes drive the estimate prefilter. localCheckpoint: four
+    // consumers (both bucket sides + both prefilter sides) would each
+    // re-run the O(len·numHashes) signature kernel over the corpus —
+    // the 16× scale probe measured that recomputation (with the
+    // broadcast→SMJ regime shift it compounds into super-linear
+    // wall-clock); one narrow materialization makes it one pass.
     val sig = sigTable(df, idCol, textCol, shingleK, numHashes)
-    // Stage 2 — candidates carry ONLY (bucket, id).
+    // Stage 2 — candidates carry ONLY (bucket, id), with a HOT-BUCKET
+    // guard: on templated corpora (boilerplate-heavy web text — and the
+    // probe corpus) a few corpus-common shingles minimize several hash
+    // seeds for most documents, so some band buckets hold THOUSANDS of
+    // members and the self-join goes quadratic in the hot-bucket size
+    // (the 16× scale probe measured 36M candidates for 1k true pairs).
+    // A bucket past `maxBucket` has ~zero discriminative power; a true
+    // pair at jac ≥ 0.9 matches each band w.p. ≈ 0.73, so with 8 bands
+    // losing its hottest bands still finds it through the rest
+    // (P[miss | 2 hot bands] ≈ 0.27⁶ ≈ 4e-4). The guard never fires at
+    // gate scale (hottest sf0.1 bucket ≈ 0.7k).
     val buckets = sigBuckets(sig, bands, rowsPerBand)
-    val cand = buckets.as("x").join(buckets.as("y"), "bucket")
+    // hot detection runs on a 10% DOC sample (deterministic seed), so
+    // the extra signature pass costs a tenth of the corpus; a genuinely
+    // hot bucket (thousands of members) is unmissable in the sample
+    // (Chernoff: P[<32 hits | true 1024] < 1e-9 at 10%), borderline
+    // ones flicker — fine for a heuristic cap. The collected key list
+    // is k-bounded (≤ bands·n/maxBucket).
+    val sampleBuckets = sigBuckets(
+      sigTable(df.sample(0.1, 42), idCol, textCol, shingleK, numHashes),
+      bands, rowsPerBand)
+    val hotKeys: Array[Long] = sampleBuckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > lit(math.max(4, maxBucket / 10)))
+      .select(col("bucket")).limit(100000)
+      .collect().map(_.getLong(0))
+    val cool =
+      if (hotKeys.isEmpty) buckets
+      else buckets.filter(!col("bucket").isInCollection(hotKeys.toSeq))
+    val cand = cool.as("x").join(cool.as("y"), "bucket")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -230,7 +263,8 @@ object Dedup {
     val pre = cand.join(sa, "id_a").join(sb, "id_b")
       .filter(estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
       .select(col("id_a"), col("id_b"))
-    // Stage 4 — exact-Jaccard verification on the survivors only.
+    // Stage 4 — exact-Jaccard verification on the survivors only. The
+    // shingle relation feeds both join sides: materialize once.
     val sh = df.select(col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("shingles"))
     val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
