@@ -8,14 +8,18 @@ package graft.llmops
   * residuals (with the 5-bit escape), fixed predictors of order 0–4,
   * CONSTANT and VERBATIM subframes, any residual partition order.
   *
-  * Decode covers mono and stereo at 16-bit: CONSTANT/VERBATIM subframes,
-  * FIXED predictors 0-4, LPC of any order (precision/shift/coefficient
-  * fields, >>shift reconstruction), and all three stereo decorrelations
-  * (left/side, right/side, mid/side — side at bps+1). Encoders emit
-  * FIXED order-1 (default) or a fractional order-2 LPC subframe, mono or
-  * stereo in any assignment, multi-frame for long inputs;
-  * decode(encode(x)) == x bit-exactly on every path (spec-pinned,
-  * fuzz-covered). Remaining boundary: >2 channels and non-16-bit depths.
+  * Decode covers 1–8 independent channels at any 4–32-bit depth (frame
+  * sample-size codes or STREAMINFO-deferred): CONSTANT/VERBATIM
+  * subframes, FIXED predictors 0-4, LPC of any order
+  * (precision/shift/coefficient fields, >>shift reconstruction),
+  * wasted-bits subframes (reconstruction in the unshifted domain, shift
+  * applied last per libFLAC), and all three stereo decorrelations
+  * (left/side, right/side, mid/side — side at bps+1, so ≤31-bit for
+  * decorrelated frames). Encoders emit FIXED order-1 (default) or a
+  * fractional order-2 LPC subframe — mono/stereo 16-bit via
+  * encode/encodeStereo, any channel count and depth via encodePcm —
+  * multi-frame for long inputs; decode(encode(x)) == x bit-exactly on
+  * every path (spec-pinned, fuzz-covered).
   */
 object Flac {
 
@@ -193,8 +197,11 @@ object Flac {
       while (i < blockSize) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
     } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
       val order = sfType - 8
+      // warmup stays in the unshifted (effBits) domain: prediction and
+      // residual reconstruction run there, and the wasted-bits shift is
+      // applied to ALL samples at the end (RFC 9639 / libFLAC order)
       var i = 0
-      while (i < order) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
+      while (i < order) { block(i) = r.readSigned(effBits); i += 1 }
       // residual: 2-bit method, 4-bit partition order
       val method = r.readBits(2).toInt
       if (method > 1) return null
@@ -236,11 +243,11 @@ object Flac {
         block(i) = (block(i) + pred).toInt
         i += 1
       }
-      if (wasted > 0) { i = order; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
+      if (wasted > 0) { i = 0; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
     } else if (sfType >= 32) { // LPC order 1-32 (RFC 9639 §subframe_lpc)
       val order = (sfType & 31) + 1
       var i = 0
-      while (i < order) { block(i) = r.readSigned(effBits) << wasted; i += 1 }
+      while (i < order) { block(i) = r.readSigned(effBits); i += 1 }
       val precision = r.readBits(4).toInt + 1
       if (precision > 15) return null // 1111 is invalid per the spec
       val shift = {
@@ -289,17 +296,17 @@ object Flac {
         block(i) = (block(i) + (pred >> shift)).toInt
         i += 1
       }
-      if (wasted > 0) { i = order; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
+      if (wasted > 0) { i = 0; while (i < blockSize) { block(i) = block(i) << wasted; i += 1 } }
     } else return null
     block
   }
 
-  /** Decode the fixed-predictor subset, mono or stereo (independent and
-    * all three decorrelated assignments — left/side, right/side,
-    * mid/side; the side channel reads at bps+1 per the spec). Stereo
-    * output is interleaved [L0, R0, L1, R1, …]. Null when the payload is
-    * not FLAC or uses features outside the subset (LPC, >2 channels,
-    * ≠16-bit). */
+  /** Decode to interleaved PCM: 1–8 independent channels at 4–32-bit,
+    * stereo additionally in all three decorrelated assignments
+    * (left/side, right/side, mid/side; the side channel reads at bps+1
+    * per the spec, capping decorrelated depth at 31-bit). Output is
+    * interleaved [c0s0, c1s0, …, c0s1, …]. Null when the payload is not
+    * FLAC or is malformed. */
   def decode(bytes: Array[Byte]): Array[Int] = {
     try {
       if (bytes.length < 8 || new String(bytes, 0, 4, "US-ASCII") != "fLaC") return null
@@ -324,8 +331,9 @@ object Flac {
         pos += 4 + len
       }
       if (sr == 0 || total < 0) return null
-      if (ch > 2 || bps != 16) return null // subset boundary
+      if (ch < 1 || ch > 8 || bps < 4 || bps > 32) return null
       val nCh = ch.toInt
+      val siBits = bps.toInt
       val out = new scala.collection.mutable.ArrayBuffer[Int]((total * nCh).toInt)
       val r = new BitReader(bytes, pos)
       while (out.length < total * nCh) {
@@ -337,7 +345,17 @@ object Flac {
         val chCode = r.readBits(4).toInt
         val ssCode = r.readBits(3).toInt
         r.readBits(1) // reserved
-        if (ssCode != 4 && ssCode != 0) return null // 16-bit (or streaminfo)
+        // frame sample size (RFC 9639 table): 0 defers to STREAMINFO
+        val fBits = ssCode match {
+          case 0 => siBits
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => return null // 3 reserved
+        }
         // UTF-8 coded frame/sample number
         val first = r.readBits(8).toInt
         var cont = 0
@@ -361,34 +379,37 @@ object Flac {
           case _ => ()
         }
         r.readBits(8) // header CRC-8 (layout consumed; value not re-verified)
+        // decorrelated side channels read at fBits+1; Int-backed samples
+        // cap that at 32 (33-bit side ⇒ 32-bit decorrelated unsupported)
+        if (chCode >= 8 && fBits + 1 > 32) return null
         val channels: Array[Array[Int]] = chCode match {
           case c if c <= 7 => // independent, channels = c + 1
             if (c + 1 != nCh) return null
             val chans = new Array[Array[Int]](nCh)
             var k = 0
             while (k < nCh) {
-              chans(k) = readSubframe(r, blockSize, 16)
+              chans(k) = readSubframe(r, blockSize, fBits)
               if (chans(k) == null) return null
               k += 1
             }
             chans
           case 8 => // left/side: right = left - side
             if (nCh != 2) return null
-            val l = readSubframe(r, blockSize, 16)
-            val s = readSubframe(r, blockSize, 17)
+            val l = readSubframe(r, blockSize, fBits)
+            val s = readSubframe(r, blockSize, fBits + 1)
             if (l == null || s == null) return null
             Array(l, Array.tabulate(blockSize)(i => l(i) - s(i)))
           case 9 => // right/side: left = right + side
             if (nCh != 2) return null
-            val s = readSubframe(r, blockSize, 17)
-            val rt = readSubframe(r, blockSize, 16)
+            val s = readSubframe(r, blockSize, fBits + 1)
+            val rt = readSubframe(r, blockSize, fBits)
             if (s == null || rt == null) return null
             Array(Array.tabulate(blockSize)(i => rt(i) + s(i)), rt)
           case 10 => // mid/side (libFLAC reconstruction: restore the
             // dropped (L+R) LSB from the side's parity)
             if (nCh != 2) return null
-            val mid = readSubframe(r, blockSize, 16)
-            val s = readSubframe(r, blockSize, 17)
+            val mid = readSubframe(r, blockSize, fBits)
+            val s = readSubframe(r, blockSize, fBits + 1)
             if (mid == null || s == null) return null
             val l = new Array[Int](blockSize)
             val rt = new Array[Int](blockSize)
@@ -495,11 +516,85 @@ object Flac {
     out.toByteArray
   }
 
+  /** Interleaved PCM at any 4–32-bit depth and 1–8 independent channels →
+    * FLAC (FIXED subframes, one frame per ≤4096-sample block). Depths
+    * with a frame-header code (8/12/16/20/24/32) are written in-frame;
+    * others defer to STREAMINFO via code 0. */
+  def encodePcm(interleaved: Array[Int], sampleRate: Int, channels: Int,
+      bits: Int): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, "channels must be 1-8")
+    require(bits >= 4 && bits <= 32, "bits must be 4-32")
+    require(interleaved.nonEmpty && interleaved.length % channels == 0,
+      "PCM length must be a multiple of the channel count")
+    require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
+    val nSamples = interleaved.length / channels
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BitWriter
+    val maxB = math.min(MaxBlock, math.max(16, nSamples))
+    si.writeBits(maxB, 16); si.writeBits(maxB, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(sampleRate, 20)
+    si.writeBits(channels - 1, 3)
+    si.writeBits(bits - 1, 5)
+    si.writeBits(nSamples.toLong, 36)
+    si.writeBits(0, 64); si.writeBits(0, 64)
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+    val ssCode = bits match {
+      case 8 => 1; case 12 => 2; case 16 => 4
+      case 20 => 5; case 24 => 6; case 32 => 7
+      case _ => 0 // depth carried by STREAMINFO only
+    }
+    var off = 0
+    var frameIx = 0
+    while (off < nSamples) {
+      val n = math.min(MaxBlock, nSamples - off)
+      val w = new BitWriter
+      w.writeBits(0x3ffe, 14)
+      w.writeBits(0, 1); w.writeBits(0, 1)
+      w.writeBits(0x7, 4); w.writeBits(0x0, 4)
+      w.writeBits(channels - 1, 4) // independent assignment
+      w.writeBits(ssCode, 3); w.writeBits(0, 1)
+      if (frameIx < 0x80) w.writeBits(frameIx, 8)
+      else {
+        require(frameIx < 0x800, "too many frames for this encoder")
+        w.writeBits(0xc0 | (frameIx >> 6), 8)
+        w.writeBits(0x80 | (frameIx & 0x3f), 8)
+      }
+      w.writeBits(n - 1, 16)
+      val headBytes = w.toBytes
+      val w2 = new BitWriter
+      headBytes.foreach(b => w2.writeBits(b & 0xffL, 8))
+      w2.writeBits(crc8(headBytes, 0, headBytes.length), 8)
+      var c = 0
+      while (c < channels) {
+        val chan = Array.tabulate(n)(i => interleaved(channels * (off + i) + c))
+        writeFixedSubframe(w2, chan, bits)
+        c += 1
+      }
+      val frameBytes = w2.toBytes
+      out.write(frameBytes)
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      off += n
+      frameIx += 1
+    }
+    out.toByteArray
+  }
+
   /** FIXED order-1 subframe (order 0 for single-sample blocks) with
     * partition-order-0 rice residuals at `bits` precision. */
   private def writeFixedSubframe(w2: BitWriter, chan: Array[Int], bits: Int): Unit = {
     val n = chan.length
-    val order = if (n >= 2) 1 else 0
+    // 32-bit order-1 residuals can need 33 bits (RFC 9639 notes the
+    // widened residual domain); stay at order 0 when any delta overflows
+    val deltasFit = n < 2 || (1 until n).forall { i =>
+      val d = chan(i).toLong - chan(i - 1).toLong
+      d >= Int.MinValue && d <= Int.MaxValue
+    }
+    val order = if (n >= 2 && deltasFit) 1 else 0
     w2.writeBits(0, 1)
     w2.writeBits(8 + order, 6)
     w2.writeBits(0, 1)

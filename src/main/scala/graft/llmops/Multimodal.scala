@@ -22,9 +22,10 @@ import org.apache.spark.sql.types._
   * without a codec library: [[aviFrames]] extracts uncompressed `00db`
   * video frames from the RIFF `movi` stream, [[mp4Samples]] resolves the
   * ISO-BMFF `stbl` tables (stsz/stsc/stco/co64) and slices `mdat`, and
-  * [[Flac.decode]] is a from-scratch fixed-predictor FLAC decoder
-  * (rice-coded residuals, CRC'd frames). Only compressed-bitstream
-  * codecs proper (H.26x, MP3 audio synthesis, FLAC LPC) stay out —
+  * [[Flac.decode]] is a from-scratch FLAC decoder (fixed + LPC
+  * predictors, all stereo decorrelations, 1-8 channels, 4-32-bit,
+  * rice-coded residuals, CRC'd frames). Only compressed-bitstream
+  * codecs proper (H.26x, MP3 audio synthesis) stay out —
   * [[fakeDecode]] remains as the documented deterministic stand-in for
   * the synthetic text-payload gate data (q31); swap in an Arrow-batched
   * worker or JNI codec without touching the pipeline around it.
@@ -971,9 +972,10 @@ object Multimodal {
     f(samples)
   }
 
-  /** REAL FLAC sample decode ([[Flac.decode]] — fixed-predictor subset):
-    * PCM samples back out of the compressed container, bit-exact. Null
-    * for non-FLAC payloads or subset-external features (LPC/stereo). */
+  /** REAL FLAC sample decode ([[Flac.decode]]): interleaved PCM back
+    * out of the compressed container, bit-exact — fixed + LPC
+    * predictors, every stereo decorrelation, 1-8 channels, 4-32-bit.
+    * Null for non-FLAC or malformed payloads. */
   def decodeFlacSamples(payload: Column): Column = {
     val f = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
       Flac.decode(bytes)

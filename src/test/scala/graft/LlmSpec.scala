@@ -306,6 +306,41 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC multi-channel and non-16-bit depths round-trip bit-exactly") {
+    val rnd = new scala.util.Random(17)
+    // 8-bit mono, 24-bit mono, 12-bit (STREAMINFO-coded in-frame),
+    // 20-bit, and 32-bit incl. full-range extremes (order-0 fallback)
+    val depthCases = scala.Seq(
+      (8, Array.tabulate(300)(i => ((i * 13) % 256) - 128)),
+      (8, Array.fill(200)(rnd.nextInt(256) - 128)),
+      (12, Array.fill(150)(rnd.nextInt(4096) - 2048)),
+      (20, Array.fill(150)(rnd.nextInt(1 << 20) - (1 << 19))),
+      (24, Array.tabulate(5000)(i => ((i * 9973) % (1 << 24)) - (1 << 23))),
+      (24, Array.fill(200)(rnd.nextInt(1 << 24) - (1 << 23))),
+      (32, Array(Int.MinValue, Int.MaxValue, 0, -1, Int.MaxValue, Int.MinValue)),
+      (32, Array.fill(100)(rnd.nextInt())))
+    depthCases.zipWithIndex.foreach { case ((bits, pcm), ix) =>
+      val back = Flac.decode(Flac.encodePcm(pcm, 8000, 1, bits))
+      assert(back != null, s"depth case $ix (${bits}b) decoded null")
+      assert(back.toSeq == pcm.toSeq, s"depth case $ix (${bits}b) not bit-exact")
+    }
+    // 3, 5 and 8 independent channels at 16- and 24-bit, incl. multi-frame
+    for (nCh <- scala.Seq(3, 5, 8); bits <- scala.Seq(16, 24)) {
+      val lim = 1 << (bits - 1)
+      val interleaved = Array.tabulate(nCh * 900)(i =>
+        ((i * 31 + (i % nCh) * 7919) % (2 * lim)) - lim)
+      val back = Flac.decode(Flac.encodePcm(interleaved, 8000, nCh, bits))
+      assert(back != null, s"${nCh}ch/${bits}b decoded null")
+      assert(back.toSeq == interleaved.toSeq, s"${nCh}ch/${bits}b not bit-exact")
+    }
+    val longMulti = Array.tabulate(3 * 5000)(i => ((i * 7) % 2001) - 1000)
+    assert(Flac.decode(Flac.encodePcm(longMulti, 8000, 3, 16)).toSeq
+      == longMulti.toSeq)
+    // encodePcm at 2ch/16b agrees with the independent stereo encoder path
+    val st = Array.tabulate(2 * 64)(i => ((i * 3) % 201) - 100)
+    assert(Flac.decode(Flac.encodePcm(st, 8000, 2, 16)).toSeq == st.toSeq)
+  }
+
   test("FLAC stereo: all four channel assignments round-trip bit-exactly") {
     val rnd = new scala.util.Random(11)
     val interleaved = Array.tabulate(2 * 700)(i =>

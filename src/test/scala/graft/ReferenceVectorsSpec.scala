@@ -560,4 +560,60 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       """root.r = {"foo":"hello ! world","bar":"this is ash","baz":"im cool!"}.filter(item -> item.value.contains("!"))""",
       nil, """{"r":{"foo":"hello ! world","baz":"im cool!"}}""")
   }
+
+  /** Hand-built RFC 9639 stream exercising wasted-bits decode — the
+    * in-repo encoder never emits wasted bits, so this is the only
+    * coverage of that path. A FIXED order-1 subframe with wasted=1:
+    * warmup and residuals live in the 15-bit (shifted-down) domain and
+    * the 1-bit shift applies to ALL samples after reconstruction
+    * (libFLAC order) — regression pin for mixing shifted warmup with
+    * unshifted residuals. */
+  test("FLAC wasted-bits subframe decodes to the shifted PCM (RFC 9639)") {
+    import graft.llmops.Flac
+    val pcm = Array(10, 14, 20, 28, 38) // all even → 1 wasted bit legal
+    val eff = pcm.map(_ >> 1) // [5,7,10,14,19]; order-1 residuals [2,3,4,5]
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new Flac.BitWriter
+    si.writeBits(16, 16); si.writeBits(16, 16) // min/max block
+    si.writeBits(0, 24); si.writeBits(0, 24) // frame sizes unknown
+    si.writeBits(8000, 20) // sample rate
+    si.writeBits(0, 3) // channels - 1 (mono)
+    si.writeBits(15, 5) // bps - 1 (16)
+    si.writeBits(pcm.length.toLong, 36)
+    si.writeBits(0, 64); si.writeBits(0, 64) // md5 unset
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+    val w = new Flac.BitWriter
+    w.writeBits(0x3ffe, 14); w.writeBits(0, 2) // sync + reserved/strategy
+    w.writeBits(0x7, 4) // block size: 16-bit at header end
+    w.writeBits(0x0, 4) // sample rate from STREAMINFO
+    w.writeBits(0x0, 4) // mono independent
+    w.writeBits(0x4, 3); w.writeBits(0, 1) // 16-bit + reserved
+    w.writeBits(0, 8) // frame number 0
+    w.writeBits(pcm.length - 1, 16)
+    val head = w.toBytes
+    val w2 = new Flac.BitWriter
+    head.foreach(b => w2.writeBits(b & 0xffL, 8))
+    w2.writeBits(Flac.crc8(head, 0, head.length), 8)
+    w2.writeBits(0, 1) // subframe pad bit
+    w2.writeBits(9, 6) // FIXED order 1
+    w2.writeBits(1, 1); w2.writeUnary(0) // wasted flag, unary(wasted-1=0)
+    w2.writeBits((eff(0).toLong << 49) >>> 49, 15) // warmup at effBits=15
+    w2.writeBits(0, 2) // residual method 0 (rice 4-bit)
+    w2.writeBits(0, 4) // partition order 0
+    w2.writeBits(0, 4) // rice parameter 0 → pure unary zigzag
+    (1 until pcm.length).foreach { i =>
+      val res = eff(i) - eff(i - 1)
+      w2.writeUnary(((res << 1) ^ (res >> 31))) // zigzag, all positive here
+    }
+    val frame = w2.toBytes
+    out.write(frame)
+    val c16 = Flac.crc16(frame, 0, frame.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    val got = Flac.decode(out.toByteArray)
+    assert(got != null && got.toSeq == pcm.toSeq,
+      s"wasted-bits decode: got ${if (got == null) "null" else got.mkString(",")}")
+  }
 }
