@@ -211,12 +211,14 @@ object Dedup {
     // Stage 1 — signature table via the native one-pass expression: a
     // pure projection (the exploded |text|·rows shingle relation never
     // exists, no shuffle). First bands×r columns drive bucketing; ALL
-    // numHashes drive the estimate prefilter. localCheckpoint: four
-    // consumers (both bucket sides + both prefilter sides) would each
-    // re-run the O(len·numHashes) signature kernel over the corpus —
-    // the 16× scale probe measured that recomputation (with the
-    // broadcast→SMJ regime shift it compounds into super-linear
-    // wall-clock); one narrow materialization makes it one pass.
+    // numHashes drive the estimate prefilter. The table is deliberately
+    // LAZY: four consumers (both bucket sides + both prefilter sides)
+    // reference it, but measured head-to-head at sf0.1 an eager
+    // localCheckpoint/persist is 30-60% SLOWER than recompute — the
+    // extra materialization job and the lost source stats outweigh the
+    // kernel, whose broadcast-fed sites the scheduler already overlaps.
+    // ScaleProbe carries the same comparison at 1x/4x/16x so the lazy
+    // choice is re-validated at scale, not assumed (SCALE_r6.json).
     val sig = sigTable(df, idCol, textCol, shingleK, numHashes)
     // Stage 2 — candidates carry ONLY (bucket, id), with a HOT-BUCKET
     // guard: on templated corpora (boilerplate-heavy web text — and the
@@ -264,7 +266,10 @@ object Dedup {
       .filter(estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
       .select(col("id_a"), col("id_b"))
     // Stage 4 — exact-Jaccard verification on the survivors only. The
-    // shingle relation feeds both join sides: materialize once.
+    // shingle relation feeds both join sides as a lazy O(len) projection
+    // (one streamed pass per side): materializing an O(corpus*len)
+    // shingle table in the block manager would cost far more than the
+    // second pass at any scale where it matters.
     val sh = df.select(col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("shingles"))
     val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
