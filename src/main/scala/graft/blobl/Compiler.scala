@@ -163,30 +163,37 @@ object Compiler {
     case Not(x) => val c = compile(x, ctx); TC(!c.col, Some(BooleanType), c.err)
     case BinOp(op, l, r) => binop(op, l, r, ctx)
     case IfExpr(branches, orElse) =>
-      val compiled = branches.map { case (c, v) => (compile(c, ctx).col, compile(v, ctx)) }
+      val compiled = branches.map { case (c, v) => (compile(c, ctx), compile(v, ctx)) }
       val elseTC = orElse.map(compile(_, ctx))
-      val chain = compiled.tail.foldLeft(when(compiled.head._1, compiled.head._2.col)) {
-        case (acc, (c, v)) => acc.when(c, v.col)
+      val chain = compiled.tail.foldLeft(when(compiled.head._1.col, compiled.head._2.col)) {
+        case (acc, (c, v)) => acc.when(c.col, v.col)
       }
       val tpe = (compiled.map(_._2.tpe) ++ elseTC.map(_.tpe)).reduceOption(unify).flatten
       TC(elseTC.map(e => chain.otherwise(e.col)).getOrElse(chain), tpe,
-        branchErr(compiled.map { case (c, v) => (c, v.err) }, elseTC.flatMap(_.err)))
+        branchErr(compiled.map { case (c, v) => (c.err, c.col, v.err) },
+          elseTC.flatMap(_.err)))
     case MatchExpr(target, cases) =>
       val t = compile(target, ctx)
       val inner = ctx.withThis(t)
       val conds = cases.map {
-        case (None, v) => (lit(true), compile(v, inner))
+        case (None, v) => (None: Option[Column], lit(true), compile(v, inner))
         case (Some(pat), v) =>
           val pc = compile(pat, inner)
-          val cond = if (pc.tpe.contains(BooleanType)) pc.col else (t.col === pc.col)
-          (cond, compile(v, inner))
+          // null-safe equality: `match x { null => ... }` matches a null
+          // target in the reference (nulls route like values, === would
+          // fall through on NULL)
+          val cond = if (pc.tpe.contains(BooleanType)) pc.col else (t.col <=> pc.col)
+          (pc.err, cond, compile(v, inner))
       }
-      val chain = conds.tail.foldLeft(when(conds.head._1, conds.head._2.col)) {
-        case (acc, (c, v)) => acc.when(c, v.col)
+      val chain = conds.tail.foldLeft(when(conds.head._2, conds.head._3.col)) {
+        case (acc, (_, c, v)) => acc.when(c, v.col)
       }
-      TC(chain, conds.map(_._2.tpe).reduceOption(unify).flatten,
-        branchErr(conds.map { case (c, v) => (c, v.err) }, None)
-          .map(e => TC.mergeErr(t.err, Some(e)).get))
+      // the target's error merges UNCONDITIONALLY — an errored value
+      // routed through a match must still flag, even when no case
+      // branch can error itself
+      TC(chain, conds.map(_._3.tpe).reduceOption(unify).flatten,
+        TC.mergeErr(t.err,
+          branchErr(conds.map { case (pe, c, v) => (pe, c, v.err) }, None)))
     case FnCall(name, args) => function(name, args, ctx)
     case MethodCall(LitString(fmt), "format", args) =>
       // Go fmt verbs: %v prints any value -> map to %s with string cast
@@ -204,15 +211,21 @@ object Compiler {
   }
 
   /** Error channel for a when-chain: only the TAKEN branch's error
-    * matters (reference short-circuit). None if no branch can error. */
-  private def branchErr(branches: scala.Seq[(Column, Option[Column])],
+    * matters (reference short-circuit), with one addition — a branch's
+    * CONDITION erroring flags before that condition gets to route (the
+    * reference aborts evaluation there). Triples are (condition error,
+    * condition, value error). None if nothing can error. */
+  private def branchErr(
+      branches: scala.Seq[(Option[Column], Column, Option[Column])],
       orElse: Option[Column]): Option[Column] = {
-    if (branches.forall(_._2.isEmpty) && orElse.isEmpty) None
+    if (branches.forall(b => b._1.isEmpty && b._3.isEmpty) && orElse.isEmpty) None
     else {
       val nul = lit(null).cast(StringType)
-      val chain = branches.tail.foldLeft(
-        when(branches.head._1, branches.head._2.getOrElse(nul))) {
-        case (acc, (c, e)) => acc.when(c, e.getOrElse(nul))
+      val pairs = branches.flatMap { case (ce, c, ve) =>
+        ce.map(e => (e.isNotNull, e)).toSeq :+ ((c, ve.getOrElse(nul)))
+      }
+      val chain = pairs.tail.foldLeft(when(pairs.head._1, pairs.head._2)) {
+        case (acc, (c, e)) => acc.when(c, e)
       }
       Some(orElse.map(chain.otherwise).getOrElse(chain))
     }

@@ -115,6 +115,28 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     assert(caught(1).getDouble(0) == -1.0 && caught(1).isNullAt(1))
   }
 
+  test("match/if propagate the target's and condition's error channel") {
+    // an errored target routed through a match whose branches can't
+    // error must still fire catch / flag _error (regression: branchErr
+    // returned None and the target error was dropped)
+    check("""root.r = match this.z.number() { 1 => "one", _ => "other" }.catch("ERR")""",
+      """{"z":"not-a-number"}""", """{"r":"ERR"}""")
+    check("""root.r = match this.z.number() { 1 => "one", _ => "other" }.catch("ERR")""",
+      """{"z":"1"}""", """{"r":"one"}""")
+    // an erroring CASE PATTERN expression flags too (this rebinds to
+    // the match target, so pattern paths go through it)
+    check("""root.r = match this { this.z.number() > 0 => "pos", _ => "other" }.catch("ERR")""",
+      """{"z":"nope"}""", """{"r":"ERR"}""")
+    // if: an erroring condition expression is an expression error
+    check("""root.r = (if this.z.number() > 0 { "pos" } else { "neg" }).catch("ERR")""",
+      """{"z":"oops"}""", """{"r":"ERR"}""")
+    check("""root.r = (if this.z.number() > 0 { "pos" } else { "neg" }).catch("ERR")""",
+      """{"z":"3"}""", """{"r":"pos"}""")
+    // legitimate null target does NOT error (null vs error distinction)
+    check("""root.r = match this.maybe { null => "was-null", _ => "other" }.catch("ERR")""",
+      """{"maybe":null,"z":"x"}""", """{"r":"was-null"}""")
+  }
+
   test("parse-method failures are catch-able errors (timestamp/duration/yaml)") {
     check("""root.r = this.z.string().parse_timestamp("2006-01-02").catch("bad")""",
       nil, """{"r":"bad"}""")
