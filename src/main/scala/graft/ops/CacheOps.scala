@@ -117,7 +117,10 @@ object CacheOps {
 
     private def appendSegment(df: DataFrame, del: Boolean): Unit = {
       java.nio.file.Files.createDirectories(fs)
-      val v = s"v${System.nanoTime()}"
+      // segment names must be unique ACROSS JVMs (the parquet write
+      // happens before the lock): nanoTime alone can collide between
+      // concurrent pipelines, so qualify with pid + a random component
+      val v = FileCache.freshSegmentName()
       df.withColumn("_del", lit(del))
         .write.mode("overwrite").parquet(fs.resolve(v).toString)
       // the cache is a SHARED named resource (multiple pipelines may
@@ -135,26 +138,45 @@ object CacheOps {
     private def appendLocked(df: DataFrame, v: String): Unit = {
       val segs = segments :+ v
       if (segs.length > FileCache.MaxSegments) {
-        val merged = s"v${System.nanoTime()}m"
+        val merged = FileCache.freshSegmentName() + "m"
         snapshotOf(df.sparkSession, segs)
           .withColumn("_del", lit(false))
           .write.mode("overwrite").parquet(fs.resolve(merged).toString)
         java.nio.file.Files.write(currentPtr, merged.getBytes("UTF-8"))
-        // best-effort cleanup of superseded segments. Within one writer
-        // the new segment's plan (which read the old ones) has already
-        // executed; the usual vacuum caveat applies only to a DIFFERENT
-        // pipeline scanning concurrently with this compaction — such a
-        // reader should retry (standard non-MVCC store semantics).
-        segs.foreach { s =>
+        // Superseded segments are NOT deleted inline: a concurrent
+        // pipeline (e.g. a streaming dedupe's stream-static anti-join,
+        // which re-reads the snapshot's parquet paths every micro-batch)
+        // may still hold a plan over them, and an immediate delete turns
+        // that into FileNotFoundException rather than a clean retry.
+        // Instead they go to a timestamped trash manifest; each later
+        // compaction sweeps only entries older than the grace period,
+        // by which point any manifest re-read has moved readers onto
+        // newer segments. (Readers that cache a snapshot plan for LONGER
+        // than the grace period should set
+        // spark.sql.files.ignoreMissingFiles.)
+        val now = System.currentTimeMillis()
+        val oldTrash: List[(Long, String)] =
+          if (java.nio.file.Files.exists(trashPtr))
+            new String(java.nio.file.Files.readAllBytes(trashPtr), "UTF-8")
+              .split("\n").filter(_.contains("\t")).toList
+              .map { l => val t = l.split("\t"); (t(0).toLong, t(1)) }
+          else Nil
+        val (sweep, keep) = oldTrash.partition(_._1 < now - FileCache.TrashGraceMs)
+        sweep.foreach { case (_, s) =>
           try {
             val dir = fs.resolve(s)
             java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
               .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
           } catch { case _: Exception => () }
         }
+        val newTrash = keep ++ segs.map(s => (now, s))
+        java.nio.file.Files.write(trashPtr,
+          newTrash.map { case (t, s) => s"$t\t$s" }.mkString("\n").getBytes("UTF-8"))
       } else
         java.nio.file.Files.write(currentPtr, segs.mkString("\n").getBytes("UTF-8"))
     }
+
+    private def trashPtr = fs.resolve("trash")
 
     def upsert(pairs: DataFrame): Unit =
       appendSegment(pairs.dropDuplicates("key")
@@ -168,6 +190,15 @@ object CacheOps {
     /** Compaction threshold: manifests longer than this merge to one
       * segment (bounds read amplification at ~16 segment scans). */
     val MaxSegments = 16
+
+    /** Deferred-deletion grace for superseded segments (ms): concurrent
+      * readers re-resolve the manifest well within this window. */
+    val TrashGraceMs: Long = 10 * 60 * 1000L
+
+    private val rng = new java.security.SecureRandom()
+    /** Unique across JVMs: time + pid + 32 random bits. */
+    def freshSegmentName(): String =
+      s"v${System.nanoTime()}_${ProcessHandle.current().pid()}_${Integer.toHexString(rng.nextInt())}"
   }
 
   /** The `cache` processor. key/value are Bloblang interpolation strings

@@ -145,6 +145,45 @@ class CacheSpec extends AnyFunSuite {
     assert(manifest.contains("m"), "no compacted segment in the manifest")
   }
 
+  test("file cache compaction defers segment deletion past a grace period") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lsm-trash").toString
+    val store = new FileCache(dir)
+    (0 to FileCache.MaxSegments).foreach { i =>
+      store.upsert(scala.Seq((s"k$i", i.toString)).toDF("key", "value"))
+    }
+    // compaction has happened; superseded segment dirs must STILL exist
+    // (a concurrent reader may hold a plan over them) — they are only
+    // recorded in the trash manifest
+    val trashPath = java.nio.file.Paths.get(dir, "trash")
+    assert(Files.exists(trashPath), "no trash manifest after compaction")
+    val trashed = new String(Files.readAllBytes(trashPath), "UTF-8")
+      .split("\n").filter(_.contains("\t")).map(_.split("\t")(1))
+    assert(trashed.nonEmpty)
+    trashed.foreach { s =>
+      assert(Files.exists(java.nio.file.Paths.get(dir, s)),
+        s"segment $s deleted inline — breaks concurrent readers")
+    }
+    // backdate the trash entries past the grace period, force another
+    // compaction round: now (and only now) they get swept
+    val backdated = new String(Files.readAllBytes(trashPath), "UTF-8")
+      .split("\n").filter(_.contains("\t"))
+      .map { l => val t = l.split("\t"); s"1\t${t(1)}" }.mkString("\n")
+    Files.write(trashPath, backdated.getBytes("UTF-8"))
+    (0 to FileCache.MaxSegments).foreach { i =>
+      store.upsert(scala.Seq((s"x$i", i.toString)).toDF("key", "value"))
+    }
+    trashed.foreach { s =>
+      assert(!Files.exists(java.nio.file.Paths.get(dir, s)),
+        s"expired trash segment $s not swept")
+    }
+    // store contents unaffected throughout
+    val snap = store.snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap("k0") == "0" && snap(s"x${FileCache.MaxSegments}") ==
+      FileCache.MaxSegments.toString)
+  }
+
   test("awk processor (text codec) pipes content through mawk") {
     val e = env(1L -> "hello", 2L -> "world")
       .withColumn(Envelope.Content, col("doc.s").cast("binary"))
