@@ -763,6 +763,17 @@ object Compiler {
             struct(keys.zipWithIndex.map { case (k, i) =>
               x.getField(s"g$i").as(k) }: _*)),
           None)
+      case "re_capture" =>
+        // jq `capture`: NAMED groups only, no "0" full-match key
+        val (pat, groups) = Compiler.captureGroups(litStr(0))
+        val named = groups.zipWithIndex.collect { case (Some(n), i) => (n, i + 1) }
+        if (named.isEmpty) throw CompileError(
+          s"re_capture: pattern '${litStr(0)}' has no named groups")
+        val fields = named.map { case (n, i) =>
+          regexp_extract(t.col, pat, i).as(n)
+        }
+        TC(struct(fields: _*),
+          Some(StructType(named.map { case (n, _) => StructField(n, StringType) })))
       case "re_find_object" =>
         // {“0”: full match, name-or-index: group} (methods_strings.go);
         // Go (?P<n> names rewritten via the shared translator
@@ -1214,6 +1225,13 @@ object Compiler {
         val key = lambda1(arg(0), ctx, t.elemType)
         TC(array_sort(t.col, (a, b) =>
           when(key(a) < key(b), -1).when(key(a) > key(b), 1).otherwise(0)), t.tpe)
+      case "group_by" =>
+        // jq group_by: array of groups of key-equal elements, groups
+        // ordered by key, element order preserved within a group
+        val key = lambda1(arg(0), ctx, t.elemType)
+        val keys = array_sort(array_distinct(transform(t.col, key)))
+        TC(transform(keys, k => filter(t.col, x => key(x) <=> k)),
+          t.tpe.map(ArrayType(_)))
       case "sum" =>
         val zero = t.elemType match {
           case Some(LongType) | Some(IntegerType) => lit(0L)

@@ -12,8 +12,13 @@ import Ast._
   * `sort_by`/`min_by`/`max_by`, `unique`, `join`, `tostring`,
   * `tonumber`, `tojson`/`fromjson`, `del`, `with_entries`,
   * `ascii_downcase`/`ascii_upcase`, `split`, `ltrimstr`/`rtrimstr`,
-  * `floor`, `ceil`, `fabs`) — by translating onto the Bloblang AST, so
-  * the query compiles to Catalyst Columns with no jq runtime.
+  * `floor`, `ceil`, `fabs`, `group_by`, `unique_by`, `range`,
+  * `capture` (named groups), `env`/`$ENV`) — by translating onto the
+  * Bloblang AST, so the query compiles to Catalyst Columns with no jq
+  * runtime. Path update-assignment is supported on ident paths:
+  * `.a.b |= f` (with `.` = the current path value inside f) and the
+  * arithmetic flavors `+= -= *= /= %= //=` (right side sees the root,
+  * as gojq).
   *
   * The row-producing generator `.xs[]` IS supported as the leading
   * pipe stage (`.xs[] | f`, `.xs[].a`): `JqProc` compiles the array
@@ -187,7 +192,10 @@ object Jq {
     }
 
     /** One pipe stage: a jq path assignment `.a.b = expr`
-      * (jq_test.go TestJQMutation) or a plain expression. */
+      * (jq_test.go TestJQMutation), an update-assignment
+      * `.a.b |= f` / `.a += x` (and the -,*,/,%,// flavors), or a plain
+      * expression. In `|= f`, `.` inside f is the CURRENT path value; in
+      * the arithmetic forms the right side sees the root `.` (gojq). */
     def parseStage(): Expr = {
       ws()
       val save = i
@@ -195,14 +203,60 @@ object Jq {
         val segs = tryParsePurePath()
         if (segs.nonEmpty) {
           ws()
+          val pathExpr = segs.foldLeft(This: Expr)(Field(_, _))
           if (peek == '=' && !s.startsWith("==", i)) {
             i += 1
             return SetPath(segs, parseAlt())
+          } else if (s.startsWith("|=", i)) {
+            i += 2
+            genLocked = true
+            return SetPath(segs, substThis(parseAlt(), pathExpr))
+          } else {
+            val upd = List("+=", "-=", "*=", "/=", "%=", "//=")
+              .find(o => s.startsWith(o, i))
+            upd match {
+              case Some(o) =>
+                i += o.length
+                genLocked = true
+                val rhs = parseAlt()
+                val op = o.dropRight(1)
+                return SetPath(segs,
+                  if (op == "//") BinOp("|", pathExpr, rhs)
+                  else BinOp(op, pathExpr, rhs))
+              case None => ()
+            }
           }
         }
         i = save
       }
       parseAlt()
+    }
+
+    /** Replace `.` (This) with `repl` — the `|= f` body where `.` means
+      * the current path value. Stops at lambdas, whose `this` is their
+      * own element binding, and at pipe stages (MatchExpr cases), whose
+      * `this` is the piped value. */
+    private def substThis(e: Expr, repl: Expr): Expr = e match {
+      case This => repl
+      case Field(b, n) => Field(substThis(b, repl), n)
+      case IndexOp(b, ix) => IndexOp(substThis(b, repl), substThis(ix, repl))
+      case MethodCall(t, n, as) =>
+        MethodCall(substThis(t, repl), n, as.map {
+          case l @ Lambda(_, _) => l
+          case a => substThis(a, repl)
+        })
+      case FnCall(n, as) => FnCall(n, as.map(substThis(_, repl)))
+      case BinOp(o, l, r) => BinOp(o, substThis(l, repl), substThis(r, repl))
+      case Not(x) => Not(substThis(x, repl))
+      case Neg(x) => Neg(substThis(x, repl))
+      case IfExpr(bs, oe) =>
+        IfExpr(bs.map { case (c, b) => (substThis(c, repl), substThis(b, repl)) },
+          oe.map(substThis(_, repl)))
+      case MatchExpr(tgt, cs) => MatchExpr(substThis(tgt, repl), cs)
+      case LitArray(xs) => LitArray(xs.map(substThis(_, repl)))
+      case LitObject(fs) =>
+        LitObject(fs.map { case (k, v) => (substThis(k, repl), substThis(v, repl)) })
+      case other => other
     }
 
     /** `.ident(.ident)*` with nothing else — the assignable-path form;
@@ -348,9 +402,11 @@ object Jq {
           else This
         case '$' =>
           // jq variable reference ($x from `reduce/foreach ... as $x`);
-          // resolved by substitution at the binding site
+          // resolved by substitution at the binding site. $ENV is the
+          // environment object (gojq).
           i += 1
-          VarRef("$" + ident())
+          val n = ident()
+          if (n == "ENV") envObject() else VarRef("$" + n)
         case '"' =>
           i += 1
           stringLit()
@@ -367,9 +423,10 @@ object Jq {
           }
           eat(']')
           items.toList match {
-            // [g] collects a generator; recurse/paths already yield the
-            // collected array, so the brackets are identity
+            // [g] collects a generator; recurse/paths/range already
+            // yield the collected array, so the brackets are identity
             case List(g @ MethodCall(_, "recurse_values" | "json_paths" | "fold_scan", _)) => g
+            case List(g @ FnCall("range", _)) => g
             case xs => LitArray(xs)
           }
         case '{' =>
@@ -626,6 +683,35 @@ object Jq {
           MethodCall(This, "without", ps.toList)
         case "sort_by" =>
           MethodCall(This, "sort_by", List(Lambda("x", arg())))
+        case "group_by" =>
+          // groups of key-equal elements ordered by key (jq manual)
+          MethodCall(This, "group_by", List(Lambda("x", arg())))
+        case "unique_by" =>
+          // first element of each group_by group (jq manual definition)
+          MethodCall(MethodCall(This, "group_by", List(Lambda("x", arg()))),
+            "map_each", List(Lambda("g", IndexOp(VarRef("g"), LitLong(0)))))
+        case "range" =>
+          // range(n) = 0..n-1; range(a;b); range(a;b;step) — collected
+          // to the array (generator semantics; Bloblang range is already
+          // stop-exclusive like jq)
+          eat('(')
+          genLocked = true
+          val a0 = parsePipe()
+          ws()
+          val rest = scala.collection.mutable.ListBuffer[Expr]()
+          while (tryEat(";")) rest += parsePipe()
+          eat(')')
+          rest.toList match {
+            case Nil => FnCall("range", List(LitLong(0), a0))
+            case more => FnCall("range", a0 :: more)
+          }
+        case "capture" =>
+          // named groups only, as an object (gojq capture)
+          MethodCall(This, "re_capture", List(arg()))
+        case "env" =>
+          // process environment as an object (gojq env/$ENV); static at
+          // translate time, which is when the reference reads it too
+          envObject()
         case "min_by" =>
           IndexOp(MethodCall(This, "sort_by", List(Lambda("x", arg()))), LitLong(0))
         case "max_by" =>
@@ -686,6 +772,11 @@ object Jq {
         case o => throw new IllegalArgumentException(s"jq: unsupported builtin $o")
       }
     }
+
+    private def envObject(): Expr =
+      LitObject(sys.env.toList.sortBy(_._1).map { case (k, v) =>
+        (LitString(k): Expr, LitString(v): Expr)
+      })
 
     def ident(): String = {
       ws()

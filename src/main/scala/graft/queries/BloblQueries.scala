@@ -54,9 +54,10 @@ object BloblQueries {
 
   /** q161: the jq processor under an oracle — object construction,
     * `reduce g as $x (init; upd)` folding, `limit(n; g)` over a
-    * collected generator, and pipe stages, all compiled through the
-    * jq→Bloblang→Catalyst path (`blobl.Jq`) and replayed by DuckDB's
-    * list functions. Gates the round-5 jq remainder end-to-end. */
+    * collected generator, `group_by`, pipe stages, and the round-6
+    * update-assignments (`|=` with `.` = path value, `+=` with the root
+    * on the right), all compiled through the jq→Bloblang→Catalyst path
+    * (`blobl.Jq`) and replayed by DuckDB's list functions. */
   def q161(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -65,11 +66,15 @@ object BloblQueries {
       """{id: .doc_id,
         | n_words: (.words | length),
         | total_chars: (reduce .words[] as $w (0; . + ($w | length))),
-        | first3: (limit(3; .words[]) | join("-"))}""".stripMargin)(env)
+        | first3: (limit(3; .words[]) | join("-")),
+        | n_len_groups: (.words | group_by(length) | length)}
+        || .n_words |= . * 10
+        || .total_chars += .n_words""".stripMargin)(env)
     out.select(col("doc.id").as("doc_id"),
         col("doc.n_words").cast(org.apache.spark.sql.types.LongType).as("n_words"),
         col("doc.total_chars").cast(org.apache.spark.sql.types.LongType).as("total_chars"),
-        col("doc.first3").as("first3"))
+        col("doc.first3").as("first3"),
+        col("doc.n_len_groups").cast(org.apache.spark.sql.types.LongType).as("n_len_groups"))
       .orderBy(col("doc_id"))
   }
 
@@ -111,9 +116,11 @@ object BloblQueries {
     "q161_jq" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |SELECT doc_id,
-        | CAST(len(ws) AS BIGINT) AS n_words,
-        | CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS BIGINT) AS total_chars,
-        | array_to_string(ws[1:3], '-') AS first3
+        | CAST(len(ws) * 10 AS BIGINT) AS n_words,
+        | CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+        |      + len(ws) * 10 AS BIGINT) AS total_chars,
+        | array_to_string(ws[1:3], '-') AS first3,
+        | CAST(len(list_distinct(list_transform(ws, w -> length(w)))) AS BIGINT) AS n_len_groups
         |FROM d ORDER BY doc_id""".stripMargin,
     "q10_blobl_lineitem" ->
       """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,

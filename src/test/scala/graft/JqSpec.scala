@@ -220,4 +220,61 @@ class JqSpec extends AnyFunSuite {
     assert(run("limit(2; .xs[])", """{"xs":[1,2,3,4]}""") == "[1,2]")
     assert(run("limit(10; .xs[])", """{"xs":[1,2]}""") == "[1,2]")
   }
+
+  test("update-assignment |= applies f to the current path value (gojq)") {
+    assert(run(""".a |= . + 1""", """{"a":5,"b":9}""") == """{"a":6,"b":9}""")
+    assert(run(""".a.b |= . * 2""", """{"a":{"b":21},"c":1}""")
+      == """{"a":{"b":42},"c":1}""")
+    assert(run(""".xs |= map(. + 1)""", """{"xs":[1,2,3]}""")
+      == """{"xs":[2,3,4]}""")
+    assert(run(""".s |= ascii_upcase""", """{"s":"ab"}""") == """{"s":"AB"}""")
+    // chained through a pipe with a plain assignment
+    assert(run(""".a |= . + 1 | .b = .a * 10""", """{"a":1,"b":0}""")
+      == """{"a":2,"b":20}""")
+  }
+
+  test("arithmetic update-assignment += family; rhs sees the root (gojq)") {
+    assert(run(""".a += 10""", """{"a":5}""") == """{"a":15}""")
+    assert(run(""".a -= 1""", """{"a":5}""") == """{"a":4}""")
+    assert(run(""".a *= 3""", """{"a":5}""") == """{"a":15}""")
+    assert(run(""".a /= 2""", """{"a":5}""") == """{"a":2.5}""")
+    assert(run(""".a %= 3""", """{"a":5}""") == """{"a":2}""")
+    // rhs references the ROOT, not the path value
+    assert(run(""".a += .b""", """{"a":5,"b":7}""") == """{"a":12,"b":7}""")
+    // //= keeps an existing value, fills a null one
+    assert(run(""".a //= "filled"""", """{"a":null,"b":1}""")
+      == """{"a":"filled","b":1}""")
+    assert(run(""".a //= "filled"""", """{"a":"kept","b":1}""")
+      == """{"a":"kept","b":1}""")
+  }
+
+  test("group_by / unique_by (jq manual semantics)") {
+    assert(run(""".u | group_by(.k)""",
+      """{"u":[{"k":2,"v":"a"},{"k":1,"v":"b"},{"k":2,"v":"c"}]}""")
+      == """[[{"k":1,"v":"b"}],[{"k":2,"v":"a"},{"k":2,"v":"c"}]]""")
+    assert(run(""".xs | group_by(.)""", """{"xs":[3,1,3,2,1]}""")
+      == "[[1,1],[2],[3,3]]")
+    assert(run(""".xs | unique_by(. % 3)""", """{"xs":[3,1,4,2,6]}""")
+      == "[3,1,2]")
+  }
+
+  test("range builtin, collected (gojq range forms)") {
+    assert(run("range(4)", """{"z":0}""") == "[0,1,2,3]")
+    assert(run("range(2;6)", """{"z":0}""") == "[2,3,4,5]")
+    assert(run("range(0;10;3)", """{"z":0}""") == "[0,3,6,9]")
+    assert(run("[range(3)]", """{"z":0}""") == "[0,1,2]")
+  }
+
+  test("capture with named groups → object (gojq capture)") {
+    assert(run(""".s | capture("(?<user>[a-z]+)@(?<host>[a-z.]+)")""",
+      """{"s":"ab@cd.ef"}""") == """{"user":"ab","host":"cd.ef"}""")
+    assert(run(""".s | capture("(?P<n>[0-9]+)").n""",
+      """{"s":"id-42x"}""") == "42")
+  }
+
+  test("env / $ENV expose the process environment (gojq env)") {
+    val path = sys.env.getOrElse("PATH", "")
+    assert(run("env.PATH", """{"z":0}""") == path)
+    assert(run("$ENV.PATH", """{"z":0}""") == path)
+  }
 }
