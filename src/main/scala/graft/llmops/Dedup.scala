@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -208,74 +209,96 @@ object Dedup {
       maxBucket: Int = 1024): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"minhashPairs: bands*rowsPerBand (${bands * rowsPerBand}) exceeds numHashes ($numHashes)")
-    // Stage 1 — signature table via the native one-pass expression: a
+    // Stage 1 — signature ARRAY via the native one-pass expression: a
     // pure projection (the exploded |text|·rows shingle relation never
-    // exists, no shuffle). First bands×r columns drive bucketing; ALL
-    // numHashes drive the estimate prefilter. The table is deliberately
-    // LAZY: four consumers (both bucket sides + both prefilter sides)
-    // reference it, but measured head-to-head at sf0.1 an eager
-    // localCheckpoint/persist is 30-60% SLOWER than recompute — the
-    // extra materialization job and the lost source stats outweigh the
-    // kernel, whose broadcast-fed sites the scheduler already overlaps.
-    // ScaleProbe carries the same comparison at 1x/4x/16x so the lazy
-    // choice is re-validated at scale, not assumed (SCALE_r6.json).
-    val sig = sigTable(df, idCol, textCol, shingleK, numHashes)
-    // Stage 2 — candidates carry ONLY (bucket, id), with a HOT-BUCKET
-    // guard: on templated corpora (boilerplate-heavy web text — and the
-    // probe corpus) a few corpus-common shingles minimize several hash
-    // seeds for most documents, so some band buckets hold THOUSANDS of
-    // members and the self-join goes quadratic in the hot-bucket size
-    // (the 16× scale probe measured 36M candidates for 1k true pairs).
-    // A bucket past `maxBucket` has ~zero discriminative power; a true
-    // pair at jac ≥ 0.9 matches each band w.p. ≈ 0.73, so with 8 bands
-    // losing its hottest bands still finds it through the rest
-    // (P[miss | 2 hot bands] ≈ 0.27⁶ ≈ 4e-4). The guard never fires at
-    // gate scale (hottest sf0.1 bucket ≈ 0.7k).
-    val buckets = sigBuckets(sig, bands, rowsPerBand)
-    // hot detection runs on a 10% DOC sample (deterministic seed), so
-    // the extra signature pass costs a tenth of the corpus; a genuinely
-    // hot bucket (thousands of members) is unmissable in the sample
-    // (Chernoff: P[<32 hits | true 1024] < 1e-9 at 10%), borderline
-    // ones flicker — fine for a heuristic cap. The collected key list
-    // is k-bounded (≤ bands·n/maxBucket).
-    val sampleBuckets = sigBuckets(
-      sigTable(df.sample(0.1, 42), idCol, textCol, shingleK, numHashes),
-      bands, rowsPerBand)
-    val hotKeys: Array[Long] = sampleBuckets.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > lit(math.max(4, maxBucket / 10)))
-      .select(col("bucket")).limit(100000)
-      .collect().map(_.getLong(0))
-    val cool =
-      if (hotKeys.isEmpty) buckets
-      else buckets.filter(!col("bucket").isInCollection(hotKeys.toSeq))
-    val cand = cool.as("x").join(cool.as("y"), "bucket")
-      .filter(col("x.id") < col("y.id"))
+    // exists, no shuffle). First bands×r elements drive bucketing; ALL
+    // numHashes ride along to drive the estimate prefilter INSIDE the
+    // bucket join (stage 3) — carrying the 24 longs through the bucket
+    // shuffle (~bands·numHashes·8 B/doc, ≪ the text itself) means the
+    // O(len·numHashes) signature kernel is evaluated in exactly ONE
+    // plan site; the old shape re-joined the signature table onto the
+    // candidates from two more scans, so the lazy kernel ran 3-4× over
+    // the corpus (the probe corpus measured 27 s vs 9 s for this shape
+    // at 1×). The bucket self-join's two identical sides share one
+    // exchange (ReusedExchange), so "one plan site" is one real pass.
+    val sigArr = graft.exprs.XxMinhashSigExpr
+      .column(col(textCol), shingleK, numHashes)
+    // two selects so the `_sig` alias (referenced per band) stops
+    // CollapseProject from inlining + re-evaluating the kernel
+    val sig = df.select(col(idCol).as("id"), sigArr.as("_sig"))
+    val bandKey = (b: Int) => xxhash64(
+      lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("_sig"), b * rowsPerBand + r + 1)): _*)
+    val buckets = sig.select(col("id"), col("_sig").as("sig"),
+      explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
+    // Stage 2 — HOT-BUCKET guard: on templated corpora (boilerplate-
+    // heavy web text — and the probe corpus) a few corpus-common
+    // shingles minimize several hash seeds for most documents, so some
+    // band buckets hold THOUSANDS of members and the self-join goes
+    // quadratic in the hot-bucket size (the 16× scale probe measured
+    // 36M candidates for 1k true pairs). A bucket past `maxBucket` has
+    // ~zero discriminative power; a true pair at jac ≥ 0.9 matches each
+    // band w.p. ≈ 0.73, so with 8 bands losing its hottest bands still
+    // finds it through the rest (P[miss | 2 hot bands] ≈ 0.27⁶ ≈ 4e-4).
+    // The guard never fires at gate scale (hottest sf0.1 bucket ≈
+    // 0.7k). The count is EXACT and fully distributed: a count(*)
+    // window partitioned by bucket rides the very exchange the join
+    // needs anyway — no doc sample, no extra kernel pass, no driver
+    // collect (the old sampled guard cost a 10%-corpus signature pass
+    // and a collected key list).
+    val perBucket = Window.partitionBy(col("bucket"))
+    val cool = buckets
+      .withColumn("_n", count(lit(1)).over(perBucket))
+      .filter(col("_n") <= lit(maxBucket)).drop("_n")
+    // Stage 3 — candidate pairs with the estimate prefilter applied
+    // INSIDE the join: signature agreement ≈ Jaccard kills the low-
+    // similarity candidate mass (median pair-jac of a noisy corpus
+    // floods r=2 buckets) before the dedup shuffle or any array work.
+    // Threshold far below the verify threshold so true pairs can't be
+    // lost (Binomial tail ~1e-6). Two deliberate physical choices:
+    // (a) the estimate is a flat codegen'd sum of numHashes element_at
+    //     comparisons — NOT aggregate(zip_with(...)): higher-order
+    //     functions are CodegenFallback and evaluating one interpreted
+    //     lambda per in-bucket pair (millions on a templated corpus)
+    //     measured 3× slower than the whole old multi-scan plan;
+    // (b) SHUFFLE_MERGE pins a sort-merge join so the two identical
+    //     windowed sides share ONE exchange (ReusedExchange) and the
+    //     signature kernel runs once over the corpus — the planner's
+    //     default BroadcastHashJoin builds the right side from its own
+    //     scan, doubling the kernel.
+    val estMatches = (0 until numHashes)
+      .map(i => when(element_at(col("x.sig"), i + 1) ===
+        element_at(col("y.sig"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    val pre = cool.as("x").hint("SHUFFLE_MERGE")
+      .join(cool.as("y").hint("SHUFFLE_MERGE"), "bucket")
+      .filter(col("x.id") < col("y.id") &&
+        estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Stage 3 — estimate prefilter: signature agreement ≈ Jaccard; kills
-    // the low-similarity candidate mass (median pair-jac of a noisy corpus
-    // floods r=2 buckets) before any array work. Threshold far below the
-    // verify threshold so true pairs can't be lost (Binomial tail ~1e-6).
-    val sa = sig.toDF("id_a" +: (0 until numHashes).map(i => s"a$i"): _*)
-    val sb = sig.toDF("id_b" +: (0 until numHashes).map(i => s"b$i"): _*)
-    val estMatches = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val pre = cand.join(sa, "id_a").join(sb, "id_b")
-      .filter(estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
-      .select(col("id_a"), col("id_b"))
     // Stage 4 — exact-Jaccard verification on the survivors only. The
     // shingle relation feeds both join sides as a lazy O(len) projection
     // (one streamed pass per side): materializing an O(corpus*len)
     // shingle table in the block manager would cost far more than the
-    // second pass at any scale where it matters.
+    // second pass at any scale where it matters. Shingles are encoded
+    // once per DOC as sorted xxhash64 longs so the per-PAIR work is a
+    // branch-light sorted-long merge-intersect (same shape as the
+    // PPJoin verify) instead of string-array array_intersect — on a
+    // dense candidate mass (templated corpora: 500k survivors at probe
+    // 1×) the string form cost 54 s vs ~2 s for the merge. |A∩B| over
+    // 64-bit shingle hashes equals the string-set intersection absent
+    // hash collisions (P ≈ |sh|²/2⁶⁴ ≈ 1e-12 per pair), so the jac
+    // value — and the gate hash — is unchanged.
     val sh = df.select(col(idCol).as("id"),
-      charShingles(col(textCol), shingleK).as("shingles"))
+      array_sort(transform(charShingles(col(textCol), shingleK),
+        s => xxhash64(s))).as("shingles"))
     val a = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val inter = graft.exprs.SortedIntersectExpr
+      .column(col("sh_a"), col("sh_b")).cast(DoubleType)
     pre.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("id_a"), col("id_b"),
+        (inter / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
