@@ -28,30 +28,46 @@ object EventAnalytics {
     * the funnel is maximal (a later stage-1 event can never unlock a
     * conversion the earliest one wouldn't).
     *
-    * Plan: one filtered min-agg per stage, chained by equi-joins on the
-    * user key — k tiny aggregates over one co-partitioned exchange;
-    * spill-safe (no collected per-user arrays, unbounded-session-proof).
+    * Plan: ONE scan, ONE shuffle, ONE sort. The event relation is
+    * exchanged on the user key and sorted by time once; each stage j ≥ 2
+    * is a running-min window column over the STRICTLY-PRECEDING range
+    * frame (micros granularity) of the previous stage's qualifying
+    * times — an s_j event at time ts qualifies iff some qualifying
+    * s_{j-1} time lies strictly before ts, which (running mins being
+    * monotone) is exactly `runmin_{j-1} < ts`. The per-user groupBy that
+    * finishes each stage's min rides the same hash partitioning, so at
+    * 100 TB the whole funnel is one I/O pass + one exchange no matter
+    * the stage count (the previous shape re-scanned the source once per
+    * stage). Window state is O(1) per row — no collected per-user event
+    * arrays, unbounded-session-proof.
     * Output: (user, reached ∈ 0..k) for every user seen in the input. */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: scala.Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val user = col(userCol)
-    // stage 1: earliest event of the first type per user
-    var reachedTimes: DataFrame = df.filter(col(typeCol) === stages.head)
-      .groupBy(user.as("u")).agg(min(col(tsCol)).as("t1"))
-    // stage i: earliest event of type i strictly after t(i-1)
+    // materialize the micros key ONCE: every window then orders by the
+    // same attribute, so the stacked Window nodes share a single sort
+    // (fresh per-withColumn expression copies would each get their own
+    // redundant Sort below them)
+    val tsM = col("_ts")
+    val before = Window.partitionBy(user).orderBy(tsM)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // qual(j) = this row's time iff it completes stages 1..j here
+    var withQ = df
+      .withColumn("_ts", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("_q1", when(col(typeCol) === stages.head, tsM))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
-      val next = df.filter(col(typeCol) === st)
-        .join(reachedTimes, user === col("u"))
-        .filter(col(tsCol) > col(s"t$i"))
-        .groupBy(col("u")).agg(min(col(tsCol)).as(s"t${i + 1}"))
-      reachedTimes = reachedTimes.join(next, scala.Seq("u"), "left")
+      withQ = withQ.withColumn(s"_q${i + 1}",
+        when(col(typeCol) === st &&
+          min(col(s"_q$i")).over(before) < tsM, tsM))
     }
-    val users = df.select(user.as("u")).distinct()
     val reached = (stages.indices.map { i =>
       when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)
     }).reduce(_ + _)
-    users.join(reachedTimes, scala.Seq("u"), "left")
+    withQ.groupBy(user.as("u"))
+      .agg(min(col("_q1")).as("t1"),
+        stages.indices.drop(1).map(i =>
+          min(col(s"_q${i + 1}")).as(s"t${i + 1}")): _*)
       .select(col("u").as(userCol), reached.cast(LongType).as("reached"))
   }
 

@@ -82,7 +82,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val pinned = Map( // name -> (max exchanges, max parquet scans)
       "q57_lm_novelty" -> (6, 3),
       "q58_tfidf" -> (4, 2),
-      "q96_interleave" -> (1, 1))
+      "q96_interleave" -> (1, 1),
+      // single-scan funnel: 1 events scan; exchanges = Tables' spread
+      // repartition + ONE hash(user) feeding windows+agg + final sort
+      "q106_funnel" -> (3, 1))
     val offenders = scala.collection.mutable.ListBuffer[String]()
     pinned.foreach { case (name, (maxEx, maxScan)) =>
       val p = SparkEntry.queries(name)(spark, sf)
