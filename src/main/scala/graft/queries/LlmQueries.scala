@@ -2420,6 +2420,15 @@ object LlmQueries {
         |   ORDER BY rrf_bp DESC, vid) AS rnk
         | FROM f) WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    // EXACT oracle, but prefix-filtered like the query under test so it
+    // finishes at sf0.1 (the old all-pairs brute force DNF'd there:
+    // 12.5M pairs × list_intersect > 68 min; this runs ~2.5 min). The
+    // prefix theorem gives zero false negatives under ANY total token
+    // order, so the oracle's (document-frequency, bigram) order needn't
+    // match the query's dictionary encoding — both are exact, and the
+    // independent candidate paths still cross-check each other's
+    // exactness claim: a pair either side's filter wrongly dropped
+    // would flip the gate.
     "q149_jaccard_join" ->
       """WITH toks AS (
         | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -2428,13 +2437,29 @@ object LlmQueries {
         |  list_distinct([tk[i] || ' ' || tk[i+1]
         |                 for i in range(1, len(tk))]) AS ts
         | FROM toks WHERE len(tk) >= 2),
+        |s2 AS (SELECT doc_id, ts, len(ts) AS sz FROM s WHERE len(ts) > 0),
+        |el AS (SELECT doc_id, unnest(ts) AS g, sz FROM s2),
+        |df AS (SELECT g, count(*) AS c FROM el GROUP BY g),
+        |ord AS (
+        | SELECT e.doc_id, e.g, e.sz,
+        |  row_number() OVER (PARTITION BY e.doc_id ORDER BY d.c, e.g)
+        |   AS pos
+        | FROM el e JOIN df d USING (g)),
+        |pref AS (
+        | SELECT doc_id, g, sz, pos FROM ord
+        | WHERE pos <= sz - (7000 * sz + 9999) // 10000 + 1),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+        | WHERE a.sz * 7000 <= b.sz * 10000
+        |   AND b.sz * 7000 <= a.sz * 10000),
         |p AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
-        |  CAST(len(a.ts) + len(b.ts)
-        |       - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS u
-        | FROM s a JOIN s b ON a.doc_id < b.doc_id
-        | WHERE len(a.ts) > 0 AND len(b.ts) > 0)
+        | SELECT id_a, id_b,
+        |  CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS i,
+        |  CAST(x.sz + y.sz - len(list_intersect(x.ts, y.ts)) AS BIGINT)
+        |   AS u
+        | FROM cand JOIN s2 x ON x.doc_id = id_a
+        |  JOIN s2 y ON y.doc_id = id_b)
         |SELECT id_a, id_b, CAST(i * 10000 // u AS BIGINT) AS jac_bp
         |FROM p WHERE i * 10000 >= 7000 * u
         |ORDER BY id_a, id_b""".stripMargin,
