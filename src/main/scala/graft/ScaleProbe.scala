@@ -1,73 +1,193 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-/** Scale-up probe: replicates the sf0.1 documents corpus at 1×/4×/16×
-  * with per-copy word HASHING — every word of copy k becomes
-  * hex(xxhash64(word, k)), so copies share neither tokens nor (beyond
-  * chance) character shingles, while each copy's internal doc-vs-doc
-  * similarity structure stays isomorphic to the base corpus's (same
-  * word ⇒ same hash within a copy). Output pair counts and shuffle
-  * volumes therefore scale ~linearly in the multiplier, and the probe
-  * measures data-volume scaling, not synthetic self-similarity. (A
-  * plain `_k` suffix salt is NOT enough: word-bigram operators
-  * decorrelate but char-shingle MinHash still sees sibling copies as
-  * near-dups through the shared word bodies — the first probe run
-  * caught exactly that as a 1400× pair blowup.) Near-linear wall-clock
-  * growth here is the local evidence behind the 100 TB claims — a
-  * super-linear curve would mean a hidden quadratic (cross join,
-  * unpartitioned window, driver collect) that small-SF gates can't see.
+/** Scale-up probe: replicates the sf0.1 corpora at 1×/4×/16× with
+  * per-copy decorrelating transforms and times the scale-sensitive
+  * operator families end-to-end. Near-linear wall-clock growth here is
+  * the local evidence behind the 100 TB claims — a super-linear curve
+  * means a hidden quadratic (cross join, unpartitioned window, driver
+  * collect, hot LSH bucket) that the fixed-SF correctness gates can't
+  * see. The first probe run caught exactly that: a hot-bucket
+  * candidate-pair blowup in MinHash-LSH on templated text.
   *
-  * Usage: sbt "runMain graft.ScaleProbe [mults...]"; prints one
-  * SCALE line per (operator, multiplier).
+  * Replica construction per family (copies must be *internally*
+  * isomorphic to the base corpus but *mutually* unrelated, or the
+  * probe measures synthetic self-similarity instead of data volume):
+  *  - documents: every word of copy k becomes hex(xxhash64(word, k)),
+  *    so copies share neither tokens nor (beyond chance) character
+  *    shingles, while within-copy doc-vs-doc similarity structure is
+  *    preserved (same word ⇒ same hash within a copy). A plain `_k`
+  *    suffix salt is NOT enough: char-shingle MinHash still sees
+  *    sibling copies as near-dups through the shared word bodies.
+  *  - embeddings: copy k applies a fixed orthogonal transform — a
+  *    circular dimension shift by k plus a murmur3-derived ±1 sign per
+  *    dimension. Orthogonal ⇒ within-copy cosines are bit-identical to
+  *    the base corpus's; distinct transforms ⇒ cross-copy cosines are
+  *    near-random (≪ the 0.4 semdedup threshold).
+  *  - events / graph edges: id-space offset per copy (disjoint users /
+  *    nodes; per-key structure identical).
+  *
+  * Emits one `SCALE <op> mult=<m> rows=<n> t=<s> out=<n>` line per
+  * measurement and writes the aggregate as JSON to SCALE_r6.json (or
+  * `--out <path>`), which ScaleLinearitySpec gates: wall-clock growth
+  * per 4× step must stay ≤ 1.3× linear and pair outputs must not blow
+  * up super-linearly.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [--out path] [mults...]".
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val spark = Sessions.get()
-    import spark.implicits._
-    val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else scala.Seq(1, 4, 16)
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val n0 = base.count()
+  final case class Result(op: String, mult: Int, rowsIn: Long,
+      wallSec: Double, rowsOut: Long)
 
-    def corpus(mult: Int) = (0 until mult).map { k =>
-      base.select((col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+  def main(args: Array[String]): Unit = {
+    val (outPath, mults) = {
+      val i = args.indexOf("--out")
+      if (i >= 0)
+        (args(i + 1), args.patch(i, Nil, 2).toSeq.map(_.toInt))
+      else ("SCALE_r6.json", args.toSeq.map(_.toInt))
+    }
+    val ms = if (mults.nonEmpty) mults else scala.Seq(1, 4, 16)
+    val spark = Sessions.get()
+    val results = run(spark, ms)
+    writeJson(outPath, ms, results)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, mults: scala.Seq[Int]): scala.Seq[Result] = {
+    val sf = "/root/testdata/sf0.1"
+    val docsBase = spark.read.parquet(s"$sf/documents.parquet")
+    val embBase = spark.read.parquet(s"$sf/embeddings.parquet")
+    val evBase = spark.read.parquet(s"$sf/events.parquet")
+    // the q129 trade graph (orders ⋈ lineitem, symmetrized), built once
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val edgesBase = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+
+    val nDocs = docsBase.count()
+    val nEmb = embBase.count()
+    val nEv = evBase.count()
+    val nEdges = edgesBase.count()
+    val dim = embBase.selectExpr("max(size(embedding))").head().getInt(0)
+
+    def docsCorpus(mult: Int) = (0 until mult).map { k =>
+      docsBase.select(
+        (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
         array_join(transform(split(col("text"), " "),
           w => lower(hex(xxhash64(w, lit(k))))), " ").as("text"),
         col("source"))
     }.reduce(_.unionByName(_))
 
+    def embCorpus(mult: Int) = (0 until mult).map { k =>
+      embBase.select(
+        (col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(col("embedding"), (pmod(i + lit(k), lit(dim)) + 1).cast("int")) *
+            when(pmod(hash(i, lit(k)), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).cast(FloatType))
+          .cast(ArrayType(FloatType)).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+
+    def evCorpus(mult: Int) = (0 until mult).map { k =>
+      evBase.select(
+        (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+
+    def edgeCorpus(mult: Int) = (0 until mult).map { k =>
+      edgesBase.select(
+        (col("src") + lit(k.toLong * 100000000L)).as("src"),
+        (col("dst") + lit(k.toLong * 100000000L)).as("dst"))
+    }.reduce(_.unionByName(_))
+
     def time(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
+    def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
+      val (t, n) = time(f)
+      println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n")
+      buf += Result(op, mult, rowsIn, t, n)
     }
 
     mults.foreach { mult =>
-      val dir = s"/tmp/scale_docs_$mult"
-      corpus(mult).repartition(32).write.mode("overwrite").parquet(dir)
-      val docs = spark.read.parquet(dir)
-      docs.count() // warm the page cache
-      val (tJ, nJ) = time {
+      // materialize each replica corpus to parquet so every op reads a
+      // real file source (stats, pushdown) rather than a union plan
+      def mat(df: DataFrame, name: String): DataFrame = {
+        val dir = s"/tmp/scale_${name}_$mult"
+        df.repartition(32).write.mode("overwrite").parquet(dir)
+        val out = spark.read.parquet(dir)
+        out.count() // warm the page cache
+        out
+      }
+      val docs = mat(docsCorpus(mult), "docs")
+      val emb = mat(embCorpus(mult), "emb")
+      val ev = mat(evCorpus(mult), "ev")
+      val edges = mat(edgeCorpus(mult), "edges")
+
+      probe("jaccard_join", mult, nDocs * mult) {
         graft.llmops.Dedup.jaccardJoinExact(docs, "doc_id", "text", 7000).count()
       }
-      println(f"SCALE jaccard_join mult=$mult rows=${n0 * mult} t=$tJ%.2f s out=$nJ")
-      val (tM, nM) = time {
+      probe("minhash_pairs", mult, nDocs * mult) {
         graft.llmops.Dedup.minhashPairs(docs, "doc_id", "text").count()
       }
-      println(f"SCALE minhash_pairs mult=$mult rows=${n0 * mult} t=$tM%.2f s out=$nM")
-      val (tB, nB) = time {
+      probe("cc_dedup", mult, nDocs * mult) {
+        val pairs = graft.llmops.Dedup.simhashPairs(docs, "doc_id", "text",
+          bits = 32, bands = 4, maxHamming = 3)
+        graft.llmops.Graph.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+          .count()
+      }
+      probe("bloom_anti", mult, nDocs * mult) {
         val d2 = docs.select(col("source"), col("doc_id"),
           graft.llmops.Dedup.fingerprint(col("text")).as("fp"))
         val train = d2.filter(col("doc_id") % 50 =!= 0)
-        val ev = d2.filter(col("doc_id") % 50 === 0).select(col("fp").as("efp"))
-        graft.ops.Sketches.bloomAntiJoin(train, "fp", ev, "efp",
+        val evd = d2.filter(col("doc_id") % 50 === 0).select(col("fp").as("efp"))
+        graft.ops.Sketches.bloomAntiJoin(train, "fp", evd, "efp",
           4096L * mult, 65536L * mult).count()
       }
-      println(f"SCALE bloom_anti mult=$mult rows=${n0 * mult} t=$tB%.2f s out=$nB")
-      val (tT, nT) = time {
+      probe("tfidf_topk", mult, nDocs * mult) {
         graft.llmops.TextStats.tfidfTopK(docs, "doc_id", "text", 3).count()
       }
-      println(f"SCALE tfidf_topk mult=$mult rows=${n0 * mult} t=$tT%.2f s out=$nT")
+      probe("semdedup", mult, nEmb * mult) {
+        graft.llmops.Training.semanticDedup(emb, "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.4).count()
+      }
+      probe("sessionize", mult, nEv * mult) {
+        graft.ops.Sessionize.sessions(ev, "user_id", "ts", "6 hours",
+          scala.Seq(sum(col("value")).as("sum_value"))).count()
+      }
+      probe("pagerank", mult, nEdges * mult) {
+        graft.llmops.Graph.pagerankIter(edges, "src", "dst", iters = 3).count()
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    spark.stop()
+    buf.toSeq
+  }
+
+  def writeJson(path: String, mults: scala.Seq[Int],
+      results: scala.Seq[Result]): Unit = {
+    val items = results.map { r =>
+      f"""{"op":"${r.op}","mult":${r.mult},"rows_in":${r.rowsIn},""" +
+        f""""wall_s":${r.wallSec}%.3f,"rows_out":${r.rowsOut}}"""
+    }.mkString(",\n  ")
+    val body =
+      s"""{"sf":"sf0.1","mults":[${mults.mkString(",")}],"results":[\n  $items\n]}\n"""
+    val w = new java.io.PrintWriter(path)
+    try w.print(body) finally w.close()
+    println(s"SCALE_JSON written to $path")
   }
 }

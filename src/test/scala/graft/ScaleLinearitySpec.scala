@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates the committed scale-probe artifact (SCALE_r6.json, produced by
+  * [[ScaleProbe]] on an idle box at sf0.1 × {1,4,16}): wall-clock per 4×
+  * data step must stay within LINEAR_SLACK of linear for every probed
+  * operator family, and pair-emitting operators must not blow up their
+  * output super-linearly. A hidden quadratic (cross join, unpartitioned
+  * window, hot LSH bucket, driver collect) shows up here as a >5.2×
+  * step long before any cluster sees it — the probe's first run caught
+  * exactly that (36M candidates for 1k true pairs in MinHash-LSH).
+  *
+  * The artifact is committed rather than re-measured per test run: the
+  * probe takes minutes at 16× and timing under sbt-test co-scheduling
+  * is meaningless. Re-generate with
+  * `sbt "runMain graft.ScaleProbe"` after touching any probed operator.
+  */
+class ScaleLinearitySpec extends AnyFunSuite {
+  private val LinearSlack = 1.3 // per 4× step: ≤ 1.3 × linear growth
+  // sub-second measurements ride the Spark scheduling floor; a step
+  // FROM a floor-dominated point can't indict the operator
+  private val FloorSec = 1.0
+
+  private case class P(op: String, mult: Int, wall: Double, out: Long)
+
+  private lazy val points: Seq[P] = {
+    val f = new java.io.File("SCALE_r6.json")
+    assert(f.exists, "SCALE_r6.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val rs = root.get("results")
+    (0 until rs.size).map { i =>
+      val r = rs.get(i)
+      P(r.get("op").asText, r.get("mult").asInt,
+        r.get("wall_s").asDouble, r.get("rows_out").asLong)
+    }
+  }
+
+  test("probe covers every scale-sensitive operator family at 1x/4x/16x") {
+    val want = Set("jaccard_join", "minhash_pairs", "cc_dedup", "bloom_anti",
+      "tfidf_topk", "semdedup", "sessionize", "pagerank")
+    val got = points.groupBy(_.op).map { case (op, ps) => op -> ps.map(_.mult).toSet }
+    want.foreach { op =>
+      assert(got.get(op).exists(ms => Set(1, 4, 16).subsetOf(ms)),
+        s"$op missing 1x/4x/16x points in SCALE_r6.json (got ${got.get(op)})")
+    }
+  }
+
+  test("wall-clock growth per 4x step stays near-linear for every operator") {
+    points.groupBy(_.op).foreach { case (op, ps) =>
+      val byMult = ps.sortBy(_.mult)
+      byMult.sliding(2).foreach {
+        case Seq(lo, hi) =>
+          val factor = hi.mult.toDouble / lo.mult
+          val ratio = hi.wall / math.max(lo.wall, 0.01)
+          val allowed = factor * LinearSlack
+          assert(lo.wall < FloorSec || ratio <= allowed,
+            f"$op ${lo.mult}x->${hi.mult}x wall grew $ratio%.2fx " +
+              f"(allowed ${allowed}%.2fx for ${factor}%.0fx data): " +
+              f"${lo.wall}%.2fs -> ${hi.wall}%.2fs — hidden super-linearity")
+        case _ => ()
+      }
+    }
+  }
+
+  test("pair outputs scale near-linearly (no candidate blowup)") {
+    // pair emitters: out should track corpus size, not its square —
+    // cross-copy chance collisions allow modest super-linearity
+    val pairOps = Set("jaccard_join", "minhash_pairs")
+    points.filter(p => pairOps(p.op)).groupBy(_.op).foreach { case (op, ps) =>
+      val byMult = ps.sortBy(_.mult)
+      byMult.sliding(2).foreach {
+        case Seq(lo, hi) =>
+          val factor = hi.mult.toDouble / lo.mult
+          val ratio = hi.out.toDouble / math.max(lo.out, 1L)
+          assert(ratio <= factor * 2.0,
+            f"$op ${lo.mult}x->${hi.mult}x output grew $ratio%.1fx " +
+              f"(${lo.out} -> ${hi.out}) for ${factor}%.0fx data — " +
+              "candidate-generation blowup (hot buckets?)")
+        case _ => ()
+      }
+    }
+  }
+}
