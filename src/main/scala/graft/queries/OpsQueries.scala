@@ -179,6 +179,34 @@ object OpsQueries {
       .orderBy(col("bucket"))
   }
 
+  /** The q13 dedupe pipeline executed as a STREAM — the batch/stream
+    * duality gate: the same Envelope.wrap → DedupeProc → unwrap
+    * composition runs under Structured Streaming (file source split
+    * into 4 files, maxFilesPerTrigger=1 so Trigger.AvailableNow drives
+    * a genuine 4-micro-batch execution with dedupe state carried
+    * ACROSS batches), lands in a parquet sink, and must hash-match the
+    * same DuckDB oracle as the batch run. Only key columns are emitted,
+    * so which duplicate survives per key cannot affect the result. */
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_q166_src").toString
+    val sink = Files.createTempDirectory("graft_q166_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q166_ckpt").toString
+    t(s, dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val out = DedupeProc(
+      """this.user_id.string() + ":" + this.event_type""")(
+      Envelope.wrapUnordered(stream))
+    val q = Envelope.unwrap(out).select(col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** merge_json: deep-merge 50-row batches — scalar leaves collect into
     * seq-ordered arrays (rendered as joined strings for the oracle). */
   def q38(s: SparkSession, dir: String): DataFrame = {
@@ -272,6 +300,7 @@ object OpsQueries {
     "q38_merge_json" -> (q38 _),
     "q32_generate_agg" -> (q32 _),
     "q13_dedupe" -> (q13 _),
+    "q166_stream_dedupe" -> (q166 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -320,6 +349,11 @@ object OpsQueries {
       """SELECT i % 7 AS bucket, CAST(sum(i*i) AS BIGINT) AS sum_sq, count(*) AS n
         |FROM range(1000) t(i) GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q13_dedupe" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    // identical semantics to q13 — the gate's point is that the
+    // STREAMING execution converges to the same answer
+    "q166_stream_dedupe" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "q159_cached_dedupe" ->
