@@ -34,31 +34,120 @@ object Sinks {
     * partitioning (the scalable form of per-message dynamic paths). */
   /** Interpolated-path file output (`lib/output/writer/files.go:22,51`:
     * `path` is a Bloblang field expression — per-message dynamic paths).
-    * The relative path compiles to a Column; one write per DISTINCT
-    * resolved path (the distinct set is collect()ed — path cardinality
-    * is config-shaped: topics/dates/severities, not data-sized; for a
-    * high-cardinality key use FileSink's `partitionBy` instead, which is
-    * the Spark-native layout for that shape). */
+    * The relative path compiles to a Column. Two write regimes, chosen
+    * by the RESOLVED path cardinality (probed with a bounded
+    * `limit(threshold+1)` — never a data-sized collect):
+    *  - ≤ `autoPartitionThreshold` distinct paths (the config-shaped
+    *    case: topics/dates/severities): one write per distinct path,
+    *    preserving the exact per-path directory layout with cheap
+    *    pushdown-friendly filters.
+    *  - above it (a data-shaped key — user ids, sessions): ONE
+    *    partitionBy write (single pass, Spark's native layout for that
+    *    shape) into a temp dir, whose `_graft_path=<escaped>` partition
+    *    directories are then renamed to the same `base/<path>/` layout
+    *    the per-path regime produces — P filtered data passes become
+    *    1 data pass + P metadata renames. */
   final case class DynamicPathSink(base: String, pathExpr: String,
-      format: String = "lines", mode: String = "overwrite") extends Sink {
+      format: String = "lines", mode: String = "overwrite",
+      autoPartitionThreshold: Int = 100) extends Sink {
+
     def write(df: DataFrame): Unit = {
       val withP = df.withColumn("_graft_path",
         Blobl.envelopeExpr(df, pathExpr))
-      val paths = withP.select(col("_graft_path")).distinct()
-        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
       // a null-resolving expression would NPE inside File(base, null), and
       // a data-derived `../` must never escape the base directory
-      require(!paths.contains(null),
+      val probe = withP.select(col("_graft_path")).distinct()
+        .limit(autoPartitionThreshold + 1)
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      require(!probe.contains(null),
         s"file output: path expression '$pathExpr' resolved to null")
-      val baseCanon = new java.io.File(base).getCanonicalPath
+      if (probe.length <= autoPartitionThreshold) writePerPath(withP, probe)
+      else writePartitioned(withP)
+    }
+
+    private def baseCanon = new java.io.File(base).getCanonicalPath
+
+    private def checkInBase(p: String): java.io.File = {
+      val target = new java.io.File(base, p)
+      require(target.getCanonicalPath.startsWith(baseCanon + java.io.File.separator) ||
+          target.getCanonicalPath == baseCanon,
+        s"file output: resolved path '$p' escapes the base directory")
+      target
+    }
+
+    private def writePerPath(withP: DataFrame, paths: Array[String]): Unit =
       paths.foreach { p =>
-        val target = new java.io.File(base, p)
-        require(target.getCanonicalPath.startsWith(baseCanon + java.io.File.separator) ||
-            target.getCanonicalPath == baseCanon,
-          s"file output: resolved path '$p' escapes the base directory")
-        FileSink(target.getPath, format, Nil, mode)
+        FileSink(checkInBase(p).getPath, format, Nil, mode)
           .write(withP.filter(col("_graft_path") === p).drop("_graft_path"))
       }
+
+    private def writePartitioned(withP: DataFrame): Unit = {
+      // null check must now run distributed (the bounded probe can't
+      // prove absence); escape checking happens on the (driver-side,
+      // path-count-sized) partition listing below, same as per-path
+      require(withP.filter(col("_graft_path").isNull).isEmpty,
+        s"file output: path expression '$pathExpr' resolved to null")
+      val tmp = new java.io.File(base,
+        s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        // FileSink's projections (contentOrDoc / unwrap) would drop the
+        // partition column — project inline, keeping `_graft_path`
+        val out = format match {
+          case "lines" => withP.select(
+            Envelope.contentOrDoc(withP).cast("string").as("value"),
+            col("_graft_path"))
+          case _ => withP.select(col(Envelope.Doc + ".*"), col("_graft_path"))
+        }
+        val w = out.write.mode("overwrite").partitionBy("_graft_path")
+        format match {
+          case "parquet" => w.parquet(tmp.getPath)
+          case "json" => w.json(tmp.getPath)
+          case "csv" => w.option("header", true).csv(tmp.getPath)
+          case "lines" => w.text(tmp.getPath)
+          case o => throw new IllegalArgumentException(s"unknown sink format $o")
+        }
+        val parts = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("_graft_path="))
+        parts.foreach { dir =>
+          val p = unescapePartitionValue(
+            dir.getName.stripPrefix("_graft_path="))
+          val target = checkInBase(p)
+          if (target.exists() && mode == "overwrite")
+            deleteRecursively(target)
+          target.getParentFile.mkdirs()
+          if (!dir.renameTo(target)) { // cross-device fallback
+            target.mkdirs()
+            Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(target, f.getName).toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        }
+      } finally deleteRecursively(tmp)
+    }
+
+    /** Inverse of the Hive/Spark partition-path escaping (`%XX` for
+      * reserved chars — the documented external-catalog convention). */
+    private def unescapePartitionValue(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    private def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(); ()
     }
   }
 
