@@ -551,11 +551,60 @@ object Compiler {
         // run on the target value as `this` in a pure context — message
         // functions (content/json/meta/env) are disabled exactly as the
         // reference's restricted parser context disables them.
-        val prog = Parser.parseMapping(litStr(0))
-        val mapDefs = prog.stmts.collect { case MapDef(n, body) => n -> body }.toMap
-        Mapping.compileMapValue(prog.stmts,
-          Ctx(thisTC = t, meta = None, err = None, content = None,
-            vars = Map.empty, maps = mapDefs, batch = None))
+        //
+        // Dynamic dispatch: a mapping CHOSEN among literal alternatives
+        // (if/match over string literals — the realistic per-row shape)
+        // compiles EVERY alternative once and selects by a when-chain on
+        // the dispatch expression, so the "compiled-mapping cache keyed
+        // by distinct mapping strings" lives inside the static plan. A
+        // fully per-row-computed mapping string has no static Catalyst
+        // plan and stays unsupported (clear compile error).
+        def compileMappingLit(src: String): TC = {
+          val prog = Parser.parseMapping(src)
+          val mapDefs = prog.stmts.collect { case MapDef(n, body) => n -> body }.toMap
+          Mapping.compileMapValue(prog.stmts,
+            Ctx(thisTC = t, meta = None, err = None, content = None,
+              vars = Map.empty, maps = mapDefs, batch = None))
+        }
+        arg(0) match {
+          case LitString(s) => compileMappingLit(s)
+          case dyn =>
+            // rewrite the dispatch AST: each string-literal leaf becomes
+            // a 1-based index, so the selector compiles in the OUTER ctx
+            // with the compiler's own if/match semantics (null-safe
+            // match, error channels) fully intact
+            val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+            def rewrite(e: Expr): Expr = e match {
+              case LitString(s) => leaves += s; LitLong(leaves.size.toLong)
+              case IfExpr(bs, oe) =>
+                IfExpr(bs.map { case (cc, v) => (cc, rewrite(v)) },
+                  oe.map(rewrite))
+              case MatchExpr(tg, cs) =>
+                MatchExpr(tg, cs.map { case (p, v) => (p, rewrite(v)) })
+              case other => throw CompileError(
+                "bloblang: the mapping must be a string literal or an " +
+                  "if/match choosing among string literals — a per-row-" +
+                  "computed mapping string cannot compile to a static " +
+                  s"distributed plan (got $other)")
+            }
+            val sel = compile(rewrite(dyn), ctx)
+            val alts = leaves.toList.map(compileMappingLit)
+            val valChain = alts.zipWithIndex.tail
+              .foldLeft(when(sel.col === lit(1), alts.head.col)) {
+                case (acc, (a, i)) => acc.when(sel.col === lit(i + 1), a.col)
+              }
+            val altErr =
+              if (alts.forall(_.err.isEmpty)) None
+              else Some(alts.zipWithIndex
+                .foldLeft(lit(null).cast(StringType)) { case (acc, (a, i)) =>
+                  a.err.map(e =>
+                    when(sel.col === lit(i + 1), e).otherwise(acc))
+                    .getOrElse(acc)
+                })
+            TC(valChain,
+              alts.map(_.tpe).reduceOption(unify).flatten,
+              TC.mergeErr(sel.err, altErr))
+        }
       case "catch" =>
         // reference semantics (methods.go:136-148): the fallback fires on
         // ERROR only — a legitimate null result propagates ("json catch

@@ -74,6 +74,30 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       """{"v":"hey"}""", """{"r":"HEY"}""")
   }
 
+  test("bloblang() dynamic dispatch: if/match over literal mapping alternatives") {
+    // the realistic non-literal shape: the mapping is CHOSEN per row
+    // among literal alternatives — every alternative compiles once, the
+    // dispatch expression selects in-plan
+    val dispatch =
+      """root.r = this.v.bloblang(
+        |  if this.kind == "up" { "root = this.uppercase()" }
+        |  else { "root = this.lowercase()" })""".stripMargin
+    check(dispatch, """{"v":"Hey","kind":"up"}""", """{"r":"HEY"}""")
+    check(dispatch, """{"v":"Hey","kind":"dn"}""", """{"r":"hey"}""")
+    // match form with a fall-through default
+    val m =
+      """root.r = this.v.bloblang(match this.kind {
+        |  "rev" => "root = this.reverse()",
+        |  _ => "root = this" })""".stripMargin
+    check(m, """{"v":"abc","kind":"rev"}""", """{"r":"cba"}""")
+    check(m, """{"v":"abc","kind":"other"}""", """{"r":"abc"}""")
+    // a genuinely per-row-computed mapping string is a compile error
+    val e = intercept[graft.blobl.CompileError] {
+      check("""root.r = this.v.bloblang(this.m)""", nil, "")
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("json() on a RAW envelope parses the content (functions.go json semantics)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
