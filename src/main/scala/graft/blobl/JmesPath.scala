@@ -108,11 +108,14 @@ object JmesPath {
           "map_each", List(Lambda("x", VarRef("x"))))
       } else if (peek == '?') {
         // filter: inside the lambda `this` is the element, so field refs
-        // in the condition resolve against it directly
+        // in the condition resolve against it directly. Filters CREATE a
+        // projection (spec §filter-expressions): wrap in a map_each
+        // identity so trailing segments apply per element
         i += 1
         val cond = parseCmp()
         eat(']')
-        MethodCall(base, "filter", List(Lambda("it", cond)))
+        MethodCall(MethodCall(base, "filter", List(Lambda("it", cond))),
+          "map_each", List(Lambda("x", VarRef("x"))))
       } else {
         def num(): Option[Long] = {
           ws()
@@ -129,8 +132,11 @@ object JmesPath {
           i += 1
           val hi = num()
           eat(']')
-          MethodCall(base, "slice",
-            LitLong(lo.getOrElse(0L)) :: hi.map(h => LitLong(h): Expr).toList)
+          // slices create projections too (spec §slices)
+          MethodCall(
+            MethodCall(base, "slice",
+              LitLong(lo.getOrElse(0L)) :: hi.map(h => LitLong(h): Expr).toList),
+            "map_each", List(Lambda("x", VarRef("x"))))
         } else {
           eat(']')
           IndexOp(base, LitLong(lo.getOrElse(throw new IllegalArgumentException(
@@ -208,7 +214,14 @@ object JmesPath {
 
     private def hashField(): (Expr, Expr) = {
       ws()
-      val k = ident()
+      val k =
+        if (peek == '"') { // quoted key (spec §multiselect-hash)
+          i += 1
+          val st = i
+          while (i < s.length && s.charAt(i) != '"') i += 1
+          val v = s.substring(st, i); i += 1
+          v
+        } else ident()
       eat(':')
       (LitString(k), parsePipe())
     }

@@ -99,6 +99,18 @@ class JmesPathSpec extends AnyFunSuite {
       == "[1,2]")
   }
 
+  test("filter and slice projections continue across segments (spec §projections)") {
+    // filter creates a projection: trailing segments apply per element
+    assert(run("xs[?v > `1`].name.first",
+      """{"xs":[{"v":1,"name":{"first":"a"}},{"v":2,"name":{"first":"b"}},{"v":3,"name":{"first":"c"}}]}""")
+      == """["b","c"]""")
+    // slice creates a projection too
+    assert(run("xs[1:3].v", """{"xs":[{"v":1},{"v":2},{"v":3},{"v":4}]}""")
+      == "[2,3]")
+    // quoted keys in multi-select hashes
+    assert(run("""{"the key": a}""", """{"a":5}""") == """{"the key":5}""")
+  }
+
   test("reference doc example: cities query (lib/processor/jmespath.go)") {
     assert(run(
       """locations[?state == 'WA'].name | sort(@) | {Cities: join(', ', @)}""",
