@@ -170,6 +170,14 @@ object ScaleProbe {
         graft.ops.Sessionize.sessions(ev, "user_id", "ts", "6 hours",
           scala.Seq(sum(col("value")).as("sum_value"))).count()
       }
+      probe("funnel", mult, nEv * mult) {
+        graft.ops.EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+          scala.Seq("signup", "view", "click", "purchase")).count()
+      }
+      probe("retention", mult, nEv * mult) {
+        graft.ops.EventAnalytics.retentionCohorts(ev, "user_id", "ts", 7)
+          .count()
+      }
       probe("pagerank", mult, nEdges * mult) {
         graft.llmops.Graph.pagerankIter(edges, "src", "dst", iters = 3).count()
       }
