@@ -213,6 +213,41 @@ object OpsQueries {
     s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** The q33 tumbling-window aggregation executed as a STREAM — the
+    * stateful half of the duality claim: a streaming groupBy(window)
+    * over the same 4-file source, complete-mode via foreachBatch (each
+    * micro-batch rewrites the full aggregate; the final rewrite IS the
+    * converged answer — append mode would withhold the tail windows
+    * behind the watermark forever on a finite stream). Must hash-match
+    * q33's batch oracle. */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q166_src_${math.abs(dir.hashCode)}")
+    val sink = Files.createTempDirectory("graft_q167_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q167_ckpt").toString
+    if (!new java.io.File(src, "_SUCCESS").exists())
+      t(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(src.toString)
+    val stream = s.readStream.schema(s.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(sink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink).orderBy(col("bucket"))
+  }
+
   /** merge_json: deep-merge 50-row batches — scalar leaves collect into
     * seq-ordered arrays (rendered as joined strings for the oracle). */
   def q38(s: SparkSession, dir: String): DataFrame = {
@@ -307,6 +342,7 @@ object OpsQueries {
     "q32_generate_agg" -> (q32 _),
     "q13_dedupe" -> (q13 _),
     "q166_stream_dedupe" -> (q166 _),
+    "q167_stream_window" -> (q167 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -362,6 +398,12 @@ object OpsQueries {
     "q166_stream_dedupe" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // identical semantics to q33 — streaming windowed-agg convergence
+    "q167_stream_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q159_cached_dedupe" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS fp FROM documents)
         |SELECT DISTINCT fp FROM d
