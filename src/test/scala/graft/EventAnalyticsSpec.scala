@@ -43,6 +43,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L))
   }
 
+  test("funnel: randomized brute-force cross-check (single-scan window plan)") {
+    // the chained strictly-after running-min plan must match the naive
+    // greedy reference on arbitrary event soups, ties and gaps included
+    val rnd = new scala.util.Random(42)
+    val stages = Seq("s1", "s2", "s3", "s4")
+    val types = stages ++ Seq("x", "y")
+    val events = (1 to 2000).map { i =>
+      val u = rnd.nextInt(60).toLong
+      // coarse second grid so same-timestamp ties actually happen
+      val at = ts("2024-01-01 00:00:00").getTime + rnd.nextInt(500) * 1000L
+      (u, types(rnd.nextInt(types.length)), new java.sql.Timestamp(at), i.toLong)
+    }
+    // greedy reference: stage 1 unconstrained, stage j strictly after
+    // the chained min time of stage j-1
+    def brute(evs: Seq[(Long, String, java.sql.Timestamp, Long)]): Map[Long, Long] =
+      evs.groupBy(_._1).map { case (u, es) =>
+        var tPrev: Option[Long] = None
+        var reached = 0L
+        var continue = true
+        stages.foreach { st =>
+          if (continue) {
+            val cand = es.filter(e => e._2 == st &&
+              tPrev.forall(p => e._3.getTime > p))
+            if (cand.nonEmpty) {
+              tPrev = Some(cand.map(_._3.getTime).min); reached += 1
+            } else continue = false
+          }
+        }
+        u -> reached
+      }
+    val df = events.toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === brute(events))
+  }
+
   test("retentionCohorts: 7-day offsets from first active day") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00")), // cohort 01-01, offset 0
