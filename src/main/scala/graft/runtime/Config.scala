@@ -731,7 +731,11 @@ object Config {
           val base = if (cut < 0) "." else rawPath.substring(0, cut)
           Sinks.DynamicPathSink(base,
             Conditions.interpToExpr(rawPath.substring(cut + 1)), codec,
-            conf.get("mode").map(_.toString).getOrElse("overwrite"))
+            conf.get("mode").map(_.toString).getOrElse("overwrite"),
+            // above this many distinct resolved paths the sink switches
+            // to one partitionBy pass + metadata renames (same layout)
+            conf.get("auto_partition_threshold")
+              .map(_.toString.toInt).getOrElse(100))
         } else if (codec == "append" || codec == "all-bytes" ||
             codec.startsWith("delim:"))
           Sinks.CodecFileSink(rawPath, codec)

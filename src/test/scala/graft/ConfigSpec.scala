@@ -34,6 +34,32 @@ class ConfigSpec extends AnyFunSuite {
     assert(lines == 25)
   }
 
+  test("interpolated file path: auto_partition_threshold switches to the partitionBy regime") {
+    val base = Files.createTempDirectory("graft-cfg-dyn").toString
+    val spec = Config.load(
+      s"""input:
+         |  generate:
+         |    count: 40
+         |    mapping: "root.i = this.i"
+         |pipeline:
+         |  processors: []
+         |output:
+         |  file:
+         |    path: "$base/b$${! this.i % 8 }/part"
+         |    codec: lines
+         |    auto_partition_threshold: 3
+         |""".stripMargin)
+    spec.run(spark)
+    // 8 distinct paths > threshold 3 -> one partitionBy pass, renamed to
+    // the identical per-path layout
+    (0 until 8).foreach { k =>
+      val n = spark.read.text(s"$base/b$k/part").count()
+      assert(n == 5, s"b$k/part: $n lines")
+    }
+    assert(!new java.io.File(base).listFiles().exists(
+      _.getName.startsWith("_graft_tmp_")))
+  }
+
   test("switch processors + broker fan_out output") {
     val o1 = Files.createTempDirectory("graft-cfg").toString + "/a"
     val o2 = Files.createTempDirectory("graft-cfg").toString + "/b"
