@@ -532,6 +532,37 @@ class LlmSpec extends AnyFunSuite {
     assert(got == want, s"prefix join diverged: missing=${want -- got} extra=${got -- want}")
   }
 
+  test("minhashPairs: true pairs survive a FIRING hot-bucket guard (vs brute force)") {
+    import spark.implicits._
+    // Templated corpus: every doc = shared boilerplate + unique half, so
+    // bands whose 3 seed-mins all come from boilerplate shingles collide
+    // across ALL docs (bucket of 60 ≫ maxBucket=4 → the guard fires),
+    // while genuine twins still meet through their unique-content bands
+    // (bucket of 2). Brute-force char-shingle Jaccard is the truth.
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Vector.fill(n)(
+      ('a' + rnd.nextInt(26)).toChar.toString * (3 + rnd.nextInt(5))).mkString(" ")
+    val boiler = words(30)
+    val base = (0L until 50L).map(i => (i, s"$boiler ${words(30)}"))
+    // 10 twins: same unique half, one word appended (jac stays ≥ 0.9)
+    val twins = (0L until 10L).map(i => (100L + i, base(i.toInt)._2 + " zz"))
+    val docs = base ++ twins
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(df, "doc_id", "text",
+        threshold = 0.9, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sh(t: String) = t.sliding(5).toSet
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      a = sh(ta); b = sh(tb)
+      inter = (a & b).size.toDouble
+      if inter / (a.size + b.size - inter) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(want.size >= 10, s"degenerate spec: only ${want.size} true pairs")
+    assert(got == want,
+      s"guard lost/invented pairs: missing=${want -- got} extra=${got -- want}")
+  }
+
   test("rrfFuse: hand-computed fusion of two 2-entry lists") {
     import spark.implicits._
     val a = scala.Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "vid", "rnk")
