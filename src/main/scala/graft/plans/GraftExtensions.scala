@@ -73,7 +73,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_normalize",
         "graft_normalize(text, form) - Unicode normalization " +
           "(NFC/NFD/NFKC/NFKD/STRIP_ACCENTS)",
-        args => graft.exprs.UnicodeNormExpr(args(0), strLit(args(1), "form"))))
+        args => graft.exprs.UnicodeNormExpr(args(0), strLit(args(1), "form"))),
+      fn("graft_xxminhash_sig",
+        "graft_xxminhash_sig(text, k, n) - one-pass xxhash64 MinHash " +
+          "signature (the LSH dedup kernel)",
+        args => graft.exprs.XxMinhashSigExpr(args(0),
+          intLit(args(1), "k"), intLit(args(2), "numHashes"))),
+      fn("graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - intersection size of two " +
+          "sorted long arrays (merge, no hashing)",
+        args => graft.exprs.SortedIntersectExpr(args(0), args(1))))
 
   private def strLit(e: Expression, what: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>

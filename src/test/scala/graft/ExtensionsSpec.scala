@@ -32,6 +32,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(5) >= 1)
   }
 
+  test("round-6 kernels: xxminhash signature + sorted-long merge intersect") {
+    val r = spark.sql(
+      """SELECT
+        |  size(graft_xxminhash_sig('hello world hello', 5, 24)) AS n_sig,
+        |  graft_sorted_intersect(array(1L, 3L, 5L, 9L),
+        |                         array(2L, 3L, 5L, 8L, 9L)) AS inter
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 24)
+    assert(r.getLong(1) == 3L) // {3,5,9}
+  }
+
   test("round-3 kernels: simhash, top-bigram-frac, vector-sum aggregate") {
     val r = spark.sql(
       """SELECT
