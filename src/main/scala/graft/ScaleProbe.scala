@@ -98,6 +98,16 @@ object ScaleProbe {
         col("label"))
     }.reduce(_.unionByName(_))
 
+    // plain replicas (id offset only, text UNHASHED): for posting-list
+    // operators (BM25) there is no pair join to decorrelate — shared
+    // vocabulary across copies is exactly the honest scaling (df and
+    // posting lists grow with the corpus)
+    def plainCorpus(mult: Int) = (0 until mult).map { k =>
+      docsBase.select(
+        (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+        col("text"), col("source"))
+    }.reduce(_.unionByName(_))
+
     def evCorpus(mult: Int) = (0 until mult).map { k =>
       evBase.select(
         (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
@@ -135,6 +145,7 @@ object ScaleProbe {
         out
       }
       val docs = mat(docsCorpus(mult), "docs")
+      val plain = mat(plainCorpus(mult), "plain")
       val emb = mat(embCorpus(mult), "emb")
       val ev = mat(evCorpus(mult), "ev")
       val edges = mat(edgeCorpus(mult), "edges")
@@ -165,6 +176,19 @@ object ScaleProbe {
       probe("semdedup", mult, nEmb * mult) {
         graft.llmops.Training.semanticDedup(emb, "vec_id", "embedding",
           k = 8, iters = 2, threshold = 0.4).count()
+      }
+      probe("ann_ivf", mult, nEmb * mult) {
+        // deployment posture: centroid count scales with the corpus so
+        // per-cluster bucket size stays constant; 10 fixed queries —
+        // the corpus-sized cost is the assignment pass, which must
+        // stay linear
+        graft.llmops.Similarity.Ivf.topK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          5, numCentroids = 16 * mult, nprobe = 4).count()
+      }
+      probe("bm25", mult, nDocs * mult) {
+        graft.llmops.Index.bm25TopK(plain, "doc_id", "text",
+          scala.Seq("dup", "hash", "scan"), k = 20).count()
       }
       probe("sessionize", mult, nEv * mult) {
         graft.ops.Sessionize.sessions(ev, "user_id", "ts", "6 hours",

@@ -39,7 +39,7 @@ class ScaleLinearitySpec extends AnyFunSuite {
   test("probe covers every scale-sensitive operator family at 1x/4x/16x") {
     val want = Set("jaccard_join", "minhash_pairs", "cc_dedup", "bloom_anti",
       "tfidf_topk", "semdedup", "sessionize", "pagerank", "funnel",
-      "retention")
+      "retention", "ann_ivf", "bm25")
     val got = points.groupBy(_.op).map { case (op, ps) => op -> ps.map(_.mult).toSet }
     want.foreach { op =>
       assert(got.get(op).exists(ms => Set(1, 4, 16).subsetOf(ms)),
