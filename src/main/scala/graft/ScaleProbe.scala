@@ -43,12 +43,20 @@ object ScaleProbe {
       wallSec: Double, rowsOut: Long)
 
   def main(args: Array[String]): Unit = {
-    val (outPath, mults) = {
-      val i = args.indexOf("--out")
-      if (i >= 0)
-        (args(i + 1), args.patch(i, Nil, 2).toSeq.map(_.toInt))
-      else ("SCALE_r6.json", args.toSeq.map(_.toInt))
+    def usage(msg: String): Nothing = {
+      System.err.println(s"$msg\nusage: graft.ScaleProbe [--out <path>] [mult ...]")
+      sys.exit(2)
     }
+    val (outPath, rest) = {
+      val i = args.indexOf("--out")
+      if (i >= 0) {
+        if (i + 1 >= args.length) usage("--out requires a path argument")
+        (args(i + 1), args.patch(i, Nil, 2).toSeq)
+      } else ("SCALE_r6.json", args.toSeq)
+    }
+    val mults = rest.map(a =>
+      try a.toInt catch { case _: NumberFormatException =>
+        usage(s"multiplier '$a' is not an integer") })
     val ms = if (mults.nonEmpty) mults else scala.Seq(1, 4, 16)
     val spark = Sessions.get()
     val results = run(spark, ms)

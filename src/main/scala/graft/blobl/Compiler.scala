@@ -468,12 +468,17 @@ object Compiler {
           .getOrElse(rand())
         TC((r * lit(Int.MaxValue.toLong)).cast(LongType), Some(LongType))
       case "range" =>
-        val start = compile(arg(0), ctx).col
-        val stop = compile(arg(1), ctx).col
-        val step = args.lift(2).map(compile(_, ctx).col).getOrElse(lit(1L))
-        // Bloblang range excludes stop; sequence() is inclusive.
-        val last = stop - when(step > 0, 1).otherwise(-1)
-        TC(sequence(start.cast(LongType), last.cast(LongType), step.cast(LongType)),
+        val start = compile(arg(0), ctx).col.cast(LongType)
+        val stop = compile(arg(1), ctx).col.cast(LongType)
+        val step = args.lift(2).map(compile(_, ctx).col).getOrElse(lit(1L)).cast(LongType)
+        // Bloblang range excludes stop; sequence() is inclusive — and throws
+        // on inverted boundaries, where range (and jq's range generator)
+        // yields the empty stream. CaseWhen evaluates branches lazily, so the
+        // sequence never runs for empty ranges.
+        val empty = (step > 0 && start >= stop) || (step < 0 && start <= stop)
+        val last = stop - when(step > 0, 1L).otherwise(-1L)
+        TC(when(empty, array().cast(ArrayType(LongType)))
+            .otherwise(sequence(start, last, step)),
           Some(ArrayType(LongType)))
       case "env" =>
         // per-case overrides (test-runner `environment`) win over process env
@@ -498,6 +503,14 @@ object Compiler {
         val c = ctx.countCol.getOrElse(throw CompileError("count() needs envelope context"))
         TC(c, Some(LongType))
       case "var" => ctx.vars.getOrElse(litStr(0), throw CompileError(s"unknown var ${litStr(0)}"))
+      case "throw" =>
+        // NESTED throw (inside a larger expression — jq `error(msg)`):
+        // value is null, the message rides the error channel so `catch`/
+        // `or` consume it and uncaught flows flag `_error`. Assignment-
+        // root throw keeps its dedicated Mapping handling.
+        val m = compile(arg(0), ctx)
+        TC(lit(null), None, TC.mergeErr(m.err,
+          Some(coalesce(m.col.cast(StringType), lit("error")))))
       case other if args.isEmpty =>
         // v3 naked-path shorthand: `root.a = doc.b` ≡ `this.doc.b` (lambda
         // params and let-vars were already resolved above)
@@ -713,6 +726,12 @@ object Compiler {
       case "round" =>
         if (args.isEmpty) TC(round(t.col).cast(LongType), Some(LongType))
         else TC(round(t.col, arg(0).asInstanceOf[LitLong].v.toInt), Some(DoubleType))
+      // jq-parity math tail (gojq math.go); not in the reference Bloblang
+      // method set but harmless extensions of it
+      case "sqrt" => TC(sqrt(t.col), Some(DoubleType))
+      case "exp" => TC(exp(t.col), Some(DoubleType))
+      case "log2" => TC(log2(t.col), Some(DoubleType))
+      case "pow" => TC(pow(t.col, c(0).col), Some(DoubleType))
       case "max" => TC(array_max(t.col), t.elemType)
       case "min" => TC(array_min(t.col), t.elemType)
 
@@ -762,6 +781,28 @@ object Compiler {
         throw CompileError("format: target must be a literal format string")
       case "split" =>
         TC(split(t.col, java.util.regex.Pattern.quote(litStr(0))), Some(ArrayType(StringType)))
+      case "re_split" => // jq splits / split(re; _): delimiter is a REGEX
+        TC(split(t.col, litStr(0)), Some(ArrayType(StringType)))
+      case "re_replace_first" =>
+        // jq `sub`: replace the FIRST match only (re_replace is global) —
+        // locate + substring surgery; replacement group refs unsupported
+        val pat = litStr(0)
+        val pos = regexp_instr(t.col, lit(pat)) // 1-based; 0 = no match
+        val m = regexp_extract(t.col, pat, 0)
+        TC(when(pos === 0, t.col).otherwise(concat(
+            t.col.substr(lit(1), pos - 1),
+            c(1).col,
+            t.col.substr(pos + length(m), length(t.col)))),
+          Some(StringType))
+      case "rindex_of" =>
+        // 0-based LAST occurrence, -1 if absent (Go strings.LastIndex,
+        // mirroring index_of): search the reversed string, translate back
+        // — rindex = len - |sub| - (posInReversed - 1)
+        val sub = litStr(0)
+        val q = instr(reverse(t.col), sub.reverse)
+        TC(when(q === 0, lit(-1L)).otherwise(
+            (length(t.col) - sub.length - (q - 1)).cast(LongType)),
+          Some(LongType))
       case "join" =>
         val d = args.headOption.map {
           case LitString(s) => s
@@ -821,8 +862,14 @@ object Compiler {
         val fields = named.map { case (n, i) =>
           regexp_extract(t.col, pat, i).as(n)
         }
-        TC(struct(fields: _*),
-          Some(StructType(named.map { case (n, _) => StructField(n, StringType) })))
+        // gojq's capture ERRORS on non-matching input (it never fabricates
+        // an all-empty-groups object) — ride the expression error channel
+        // so `catch` fires and uncaught flows flag `_error`
+        val matched = regexp_like(t.col, lit(pat))
+        TC(when(matched, struct(fields: _*)),
+          Some(StructType(named.map { case (n, _) => StructField(n, StringType) })),
+          TC.mergeErr(t.err, Some(when(t.col.isNotNull && !matched,
+            lit(s"capture: no match for pattern")))))
       case "re_find_object" =>
         // {“0”: full match, name-or-index: group} (methods_strings.go);
         // Go (?P<n> names rewritten via the shared translator

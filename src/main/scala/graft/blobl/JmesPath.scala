@@ -158,7 +158,16 @@ object JmesPath {
         } else if (peek == '[') e = bracket(e)
         else done = true
       }
-      e
+      // the map_each-identity is only a parse-time projection marker; when
+      // a SLICE's marker is never consumed by a trailing segment, drop it so
+      // string slices keep compiling to substr (Bloblang slice semantics) —
+      // an identity map_each is a no-op on arrays but an analysis error on
+      // strings
+      e match {
+        case MethodCall(t @ MethodCall(_, "slice", _), "map_each",
+            List(Lambda(p, VarRef(q)))) if p == q => t
+        case other => other
+      }
     }
 
     def parsePrimary(): Expr = {

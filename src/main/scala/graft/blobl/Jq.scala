@@ -13,7 +13,10 @@ import Ast._
   * `tonumber`, `tojson`/`fromjson`, `del`, `with_entries`,
   * `ascii_downcase`/`ascii_upcase`, `split`, `ltrimstr`/`rtrimstr`,
   * `floor`, `ceil`, `fabs`, `group_by`, `unique_by`, `range`,
-  * `capture` (named groups), `env`/`$ENV`) — by translating onto the
+  * `capture` (named groups), `env`/`$ENV`, `sub`/`gsub`, `splits`,
+  * `index`/`rindex`/`inside`, `utf8bytelength`, `sqrt`/`pow`/`exp`/
+  * `log`/`log2`/`log10`, `now`/`todate`/`fromdate`, `error(msg)`,
+  * `setpath` with a literal path) — by translating onto the
   * Bloblang AST, so the query compiles to Catalyst Columns with no jq
   * runtime. Path update-assignment is supported on ident paths:
   * `.a.b |= f` (with `.` = the current path value inside f) and the
@@ -422,11 +425,18 @@ object Jq {
             while (tryEat(",")) items += parsePipe()
           }
           eat(']')
+          // [g] collects a generator; recurse/paths/range/splits already
+          // yield the collected array (possibly at the end of a pipe), so
+          // the brackets are identity
+          def collectedGen(e: Expr): Boolean = e match {
+            case MethodCall(_,
+              "recurse_values" | "json_paths" | "fold_scan" | "re_split", _) => true
+            case FnCall("range", _) => true
+            case MatchExpr(_, List((None, r))) => collectedGen(r)
+            case _ => false
+          }
           items.toList match {
-            // [g] collects a generator; recurse/paths/range already
-            // yield the collected array, so the brackets are identity
-            case List(g @ MethodCall(_, "recurse_values" | "json_paths" | "fold_scan", _)) => g
-            case List(g @ FnCall("range", _)) => g
+            case List(g) if collectedGen(g) => g
             case xs => LitArray(xs)
           }
         case '{' =>
@@ -769,14 +779,94 @@ object Jq {
           val repl = parsePipe()
           eat(')')
           MethodCall(This, "re_replace", List(re, repl))
+        case "sub" =>
+          // sub(re; replacement): FIRST match only
+          eat('(')
+          genLocked = true
+          val re = parsePipe()
+          ws(); eat(';'); ws()
+          val repl = parsePipe()
+          eat(')')
+          MethodCall(This, "re_replace_first", List(re, repl))
+        case "splits" =>
+          // splits(re) generator → collected to the split array
+          MethodCall(This, "re_split", List(arg()))
+        case "index" | "rindex" =>
+          // Bloblang's index_of/rindex_of return -1 when absent (Go
+          // strings.Index); jq yields null — map it here
+          val m = if (name == "index") "index_of" else "rindex_of"
+          val ix = MethodCall(This, m, List(arg()))
+          IfExpr(List((BinOp("==", ix, LitLong(-1)), LitNull)), Some(ix))
+        case "inside" =>
+          // inside(b) ≡ b contains .
+          MethodCall(arg(), "contains", List(This))
+        case "utf8bytelength" =>
+          MethodCall(MethodCall(This, "bytes", Nil), "length", Nil)
+        case "sqrt" => MethodCall(This, "sqrt", Nil)
+        case "exp" => MethodCall(This, "exp", Nil)
+        case "log" => MethodCall(This, "log", Nil)
+        case "log2" => MethodCall(This, "log2", Nil)
+        case "log10" => MethodCall(This, "log10", Nil)
+        case "pow" =>
+          // pow(x; y) — two-arg filter form
+          eat('(')
+          genLocked = true
+          val x = parsePipe()
+          ws(); eat(';'); ws()
+          val y = parsePipe()
+          eat(')')
+          MethodCall(x, "pow", List(y))
+        case "now" =>
+          // seconds since epoch as a float (gojq now)
+          BinOp("/", FnCall("timestamp_unix_nano", Nil),
+            LitLong(1000000000L))
+        case "todate" =>
+          // unix seconds → ISO8601 Z (jq todate)
+          MethodCall(This, "format_timestamp", List(LitString("2006-01-02T15:04:05Z")))
+        case "fromdate" =>
+          MethodCall(This, "parse_timestamp_unix", Nil)
+        case "error" =>
+          // error(msg): catchable via `?` / `//`; uncaught flags `_error`
+          FnCall("throw", List(arg()))
+        case "setpath" =>
+          // setpath([segs]; v) with a LITERAL string path — same machinery
+          // as `.a.b = v`
+          eat('(')
+          genLocked = true
+          val p = parsePipe()
+          ws(); eat(';'); ws()
+          val v = parsePipe()
+          eat(')')
+          p match {
+            case LitArray(items) => SetPath(items.map {
+              case LitString(k) => k
+              case o => throw new IllegalArgumentException(
+                s"jq: setpath segments must be literal strings, got $o")
+            }, v)
+            case o => throw new IllegalArgumentException(
+              s"jq: setpath expects a literal array path, got $o")
+          }
         case o => throw new IllegalArgumentException(s"jq: unsupported builtin $o")
       }
     }
 
-    private def envObject(): Expr =
-      LitObject(sys.env.toList.sortBy(_._1).map { case (k, v) =>
-        (LitString(k): Expr, LitString(v): Expr)
-      })
+    private def envObject(): Expr = {
+      // `env.KEY` / `$ENV.KEY` project ONLY the accessed variable into the
+      // plan — baking the full environment in as literals would expose
+      // every secret (tokens, keys) in df.explain() / the Spark UI SQL tab
+      // and bloat each plan by the env size. Only the explicit bare-object
+      // form (`env` with no key access) keeps gojq's full-object value.
+      ws()
+      if (peek == '.' && i + 1 < s.length &&
+          (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+        i += 1
+        val k = ident()
+        sys.env.get(k).map(LitString(_): Expr).getOrElse(LitNull)
+      } else
+        LitObject(sys.env.toList.sortBy(_._1).map { case (k, v) =>
+          (LitString(k): Expr, LitString(v): Expr)
+        })
+    }
 
     def ident(): String = {
       ws()

@@ -187,20 +187,47 @@ object OpsQueries {
     * ACROSS batches), lands in a parquet sink, and must hash-match the
     * same DuckDB oracle as the batch run. Only key columns are emitted,
     * so which duplicate survives per key cannot affect the result. */
+  /** Stage the events table as a 4-file parquet copy under tmp — input
+    * prep for the streaming gates (q166/q167), not the operator under
+    * test. Cached per (source dir, content fingerprint) so regenerated
+    * test data invalidates the copy instead of gating against a stale
+    * one, and staged ATOMICALLY (unique temp dir + rename) so two
+    * concurrent JVMs can't read each other's half-written copy. */
+  private def stagedEventsSrc(s: SparkSession, dir: String): String = {
+    val files = Option(new java.io.File(dir, "events.parquet").listFiles())
+      .getOrElse(Array.empty)
+    val fp = java.util.Arrays.hashCode(files.sortBy(_.getName)
+      .map(f => (f.getName, f.length, f.lastModified).hashCode()): Array[Int])
+    val src = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q166_src_${math.abs(dir.hashCode)}_${Integer.toHexString(fp)}")
+    if (!new java.io.File(src, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(src.getParent,
+        src.getName + "." + java.util.UUID.randomUUID().toString.take(8))
+      t(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!tmp.renameTo(src)) {
+        // a concurrent JVM staged the same fingerprint first — use theirs
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(tmp)
+        require(new java.io.File(src, "_SUCCESS").exists(),
+          s"q166 staging: concurrent rename lost and $src is incomplete")
+      }
+    }
+    src.toString
+  }
+
   def q166(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    // staging is input prep, not the operator under test: cache the
-    // 4-file split per source dir so bench reruns don't re-write it
-    // (sink + checkpoint stay fresh per run — that IS the streaming job)
-    val src = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_q166_src_${math.abs(dir.hashCode)}")
+    // sink + checkpoint stay fresh per run — that IS the streaming job
+    val src = stagedEventsSrc(s, dir)
     val sink = Files.createTempDirectory("graft_q166_sink").toString
     val ckpt = Files.createTempDirectory("graft_q166_ckpt").toString
-    if (!new java.io.File(src, "_SUCCESS").exists())
-      t(s, dir, "events").repartition(4)
-        .write.mode("overwrite").parquet(src.toString)
-    val stream = s.readStream.schema(s.read.parquet(src.toString).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
     val out = DedupeProc(
       """this.user_id.string() + ":" + this.event_type""")(
       Envelope.wrapUnordered(stream))
@@ -222,15 +249,11 @@ object OpsQueries {
     * q33's batch oracle. */
   def q167(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val src = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_q166_src_${math.abs(dir.hashCode)}")
+    val src = stagedEventsSrc(s, dir)
     val sink = Files.createTempDirectory("graft_q167_sink").toString
     val ckpt = Files.createTempDirectory("graft_q167_ckpt").toString
-    if (!new java.io.File(src, "_SUCCESS").exists())
-      t(s, dir, "events").repartition(4)
-        .write.mode("overwrite").parquet(src.toString)
-    val stream = s.readStream.schema(s.read.parquet(src.toString).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))

@@ -47,6 +47,12 @@ object Sinks {
     *    directories are then renamed to the same `base/<path>/` layout
     *    the per-path regime produces — P filtered data passes become
     *    1 data pass + P metadata renames. */
+  /** Impossible-in-a-real-path value standing in for null in the
+    * partitionBy regime, so the null check rides the single write pass.
+    * \\u0001 is in Spark's partition-escape set (lands as %01 on disk);
+    * \\u0000 is NOT and would fail the write itself. */
+  private val NullPathMarker = "\u0001null"
+
   final case class DynamicPathSink(base: String, pathExpr: String,
       format: String = "lines", mode: String = "overwrite",
       autoPartitionThreshold: Int = 100) extends Sink {
@@ -81,12 +87,14 @@ object Sinks {
           .write(withP.filter(col("_graft_path") === p).drop("_graft_path"))
       }
 
-    private def writePartitioned(withP: DataFrame): Unit = {
-      // null check must now run distributed (the bounded probe can't
-      // prove absence); escape checking happens on the (driver-side,
-      // path-count-sized) partition listing below, same as per-path
-      require(withP.filter(col("_graft_path").isNull).isEmpty,
-        s"file output: path expression '$pathExpr' resolved to null")
+    private def writePartitioned(withP0: DataFrame): Unit = {
+      // single data pass: nulls are tagged with an impossible marker value
+      // and detected from the driver-side partition listing AFTER the write
+      // (a distributed pre-check would cost a full extra pass over the
+      // input). Escape checking happens on the same (path-count-sized)
+      // listing, same as per-path.
+      val withP = withP0.withColumn("_graft_path",
+        coalesce(col("_graft_path"), lit(NullPathMarker)))
       val tmp = new java.io.File(base,
         s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       try {
@@ -108,14 +116,22 @@ object Sinks {
         }
         val parts = Option(tmp.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("_graft_path="))
-        parts.foreach { dir =>
-          val p = unescapePartitionValue(
-            dir.getName.stripPrefix("_graft_path="))
+        val values = parts.map(d =>
+          unescapePartitionValue(d.getName.stripPrefix("_graft_path=")))
+        require(!values.contains(NullPathMarker),
+          s"file output: path expression '$pathExpr' resolved to null")
+        parts.zip(values).foreach { case (dir, raw) =>
+          // Spark stores an empty-string partition value as the Hive
+          // default-partition sentinel; the per-path regime writes "" into
+          // the base directory itself — match that layout (and never
+          // recursively delete base: tmp lives under it)
+          val p = if (raw == "__HIVE_DEFAULT_PARTITION__") "" else raw
           val target = checkInBase(p)
-          if (target.exists() && mode == "overwrite")
+          val isBase = target.getCanonicalPath == baseCanon
+          if (!isBase && target.exists() && mode == "overwrite")
             deleteRecursively(target)
           target.getParentFile.mkdirs()
-          if (!dir.renameTo(target)) { // cross-device fallback
+          if (isBase || !dir.renameTo(target)) { // base / cross-device fallback
             target.mkdirs()
             Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
               java.nio.file.Files.move(f.toPath,

@@ -111,6 +111,15 @@ class JmesPathSpec extends AnyFunSuite {
     assert(run("""{"the key": a}""", """{"a":5}""") == """{"the key":5}""")
   }
 
+  test("slices on STRING values keep Bloblang substr semantics") {
+    // the projection marker is parse-time only: when no segment consumes
+    // it, a slice must still compile for strings (substr), not force an
+    // array transform
+    assert(run("name[0:2]", """{"name":"abcdef"}""") == "ab")
+    assert(run("name[2:]", """{"name":"abcdef"}""") == "cdef")
+    assert(run("name[-2:]", """{"name":"abcdef"}""") == "ef")
+  }
+
   test("reference doc example: cities query (lib/processor/jmespath.go)") {
     assert(run(
       """locations[?state == 'WA'].name | sort(@) | {Cities: join(', ', @)}""",

@@ -265,6 +265,19 @@ class JqSpec extends AnyFunSuite {
     assert(run("[range(3)]", """{"z":0}""") == "[0,1,2]")
   }
 
+  test("empty ranges yield the empty stream, not a sequence error") {
+    // jq/gojq: inverted or zero-length boundaries produce no values;
+    // Spark's sequence() would throw on them, so the compiler must route
+    // around it
+    assert(run("range(0)", """{"z":0}""") == "[]")
+    assert(run("range(2;2)", """{"z":0}""") == "[]")
+    assert(run("range(5;2)", """{"z":0}""") == "[]")
+    assert(run("range(0;5;-1)", """{"z":0}""") == "[]")
+    assert(run("[range(.n)]", """{"n":0}""") == "[]")
+    // descending ranges still work
+    assert(run("range(5;2;-1)", """{"z":0}""") == "[5,4,3]")
+  }
+
   test("capture with named groups → object (gojq capture)") {
     assert(run(""".s | capture("(?<user>[a-z]+)@(?<host>[a-z.]+)")""",
       """{"s":"ab@cd.ef"}""") == """{"user":"ab","host":"cd.ef"}""")
@@ -276,5 +289,69 @@ class JqSpec extends AnyFunSuite {
     val path = sys.env.getOrElse("PATH", "")
     assert(run("env.PATH", """{"z":0}""") == path)
     assert(run("$ENV.PATH", """{"z":0}""") == path)
+    // a missing variable reads null, like gojq
+    assert(run("env.GRAFT_NO_SUCH_VAR_12345", """{"z":0}""") == null)
+  }
+
+  test("env.KEY projects only the accessed variable into the AST") {
+    // baking the full environment in as literals would expose every
+    // secret in df.explain()/the Spark UI — keyed access must translate
+    // to the single value, the bare-object form to the full object
+    import graft.blobl.Ast._
+    assert(graft.blobl.Jq.translate("env.PATH") == LitString(sys.env("PATH")))
+    assert(graft.blobl.Jq.translate("env").isInstanceOf[LitObject])
+  }
+
+  test("sub replaces FIRST match only; gsub replaces all") {
+    assert(run(""".s | sub("o"; "0")""", """{"s":"foo boo"}""") == "f0o boo")
+    assert(run(""".s | gsub("o"; "0")""", """{"s":"foo boo"}""") == "f00 b00")
+    // regex alternation + no-match passthrough
+    assert(run(""".s | sub("[0-9]+"; "#")""", """{"s":"a12b34"}""") == "a#b34")
+    assert(run(""".s | sub("[0-9]+"; "#")""", """{"s":"abc"}""") == "abc")
+  }
+
+  test("splits / index / rindex / inside / utf8bytelength (gojq string tail)") {
+    assert(run("""[.s | splits("[,;] *")]""", """{"s":"a, b;c"}""")
+      == """["a","b","c"]""")
+    assert(run(""".s | index("bc")""", """{"s":"abcbc"}""") == "1")
+    assert(run(""".s | rindex("bc")""", """{"s":"abcbc"}""") == "3")
+    assert(run(""".s | index("zz")""", """{"s":"abc"}""") == null)
+    assert(run(""".s | rindex("zz")""", """{"s":"abc"}""") == null)
+    assert(run(""".s | inside("the string")""", """{"s":"str"}""") == "true")
+    assert(run(""".s | inside("the string")""", """{"s":"xyz"}""") == "false")
+    assert(run(""".s | utf8bytelength""", """{"s":"héllo"}""") == "6")
+  }
+
+  test("math tail: sqrt, pow, exp, log2, log10") {
+    assert(run(".x | sqrt", """{"x":9}""") == "3.0")
+    assert(run("pow(.x; 3)", """{"x":2}""") == "8.0")
+    assert(run(".x | log2", """{"x":8}""") == "3.0")
+    assert(run(".x | log10", """{"x":1000}""") == "3.0")
+    assert(run(".x | exp | log", """{"x":2}""") == "2.0")
+  }
+
+  test("todate / fromdate round the unix-seconds ↔ ISO8601 trip") {
+    assert(run(".t | todate", """{"t":1712345678}""") == "2024-04-05T19:34:38Z")
+    assert(run(".d | fromdate", """{"d":"2024-04-05T19:34:38Z"}""")
+      == "1712345678")
+    assert(run(".t | todate | fromdate", """{"t":1712345678}""") == "1712345678")
+  }
+
+  test("error(msg) is catchable and flags uncaught rows (gojq error)") {
+    assert(run("""(.x | error("boom")) // "caught"""", """{"x":1}""")
+      == "caught")
+  }
+
+  test("setpath with a literal path (gojq setpath)") {
+    assert(run("""setpath(["a","b"]; 42)""", """{"a":{"b":1,"c":2}}""")
+      == """{"a":{"b":42,"c":2}}""")
+  }
+
+  test("capture errors on non-matching input (gojq) instead of fabricating empty groups") {
+    // `//` coalesces on the capture ERROR; matching input is untouched
+    assert(run(""".s | capture("(?<n>[0-9]+)") // {n: "none"} | .n""",
+      """{"s":"no digits here"}""") == "none")
+    assert(run(""".s | capture("(?<n>[0-9]+)") // {n: "none"} | .n""",
+      """{"s":"id-42x"}""") == "42")
   }
 }

@@ -58,6 +58,32 @@ class SinksSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("_graft_tmp_")))
   }
 
+  test("auto-partitionBy regime: empty-string paths land in base itself, like per-path") {
+    // Spark stores "" as __HIVE_DEFAULT_PARTITION__ — the rename step must
+    // map the sentinel back to the base directory, not create a literal
+    // __HIVE_DEFAULT_PARTITION__/ subdir
+    val base = tmpDir()
+    Sinks.DynamicPathSink(base.getPath, "this.p", "lines",
+        autoPartitionThreshold = 3)
+      .write(env(24, i => if (i % 6 == 0) "" else s"t${i % 6}"))
+    assert(!new java.io.File(base, "__HIVE_DEFAULT_PARTITION__").exists())
+    val inBase = lines(base)
+    assert(inBase.size == 4, s"base: ${inBase.size} lines")
+    assert(inBase.forall(_.contains("\"p\":\"\"")))
+    (1 until 6).foreach { k =>
+      assert(lines(new java.io.File(base, s"t$k")).size == 4)
+    }
+  }
+
+  test("auto-partitionBy regime rejects null paths (detected on the single write pass)") {
+    val e = intercept[IllegalArgumentException] {
+      Sinks.DynamicPathSink(tmpDir().getPath, "this.p", "lines",
+          autoPartitionThreshold = 2)
+        .write(env(16, i => if (i % 4 == 0) null else s"ok$i"))
+    }
+    assert(e.getMessage.contains("resolved to null"))
+  }
+
   test("both regimes reject a path escaping the base directory") {
     val e1 = intercept[IllegalArgumentException] {
       Sinks.DynamicPathSink(tmpDir().getPath, "this.p", "lines")
