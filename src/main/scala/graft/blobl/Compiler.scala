@@ -597,8 +597,10 @@ object Compiler {
               case other => throw CompileError(
                 "bloblang: the mapping must be a string literal or an " +
                   "if/match choosing among string literals — a per-row-" +
-                  "computed mapping string cannot compile to a static " +
-                  s"distributed plan (got $other)")
+                  "computed mapping string only compiles when the data " +
+                  "probe can bound its distinct values (non-streaming, " +
+                  "top-level selector, <=32 mappings; see Mapping." +
+                  s"resolveDynamicBloblang) (got $other)")
             }
             val sel = compile(rewrite(dyn), ctx)
             val alts = leaves.toList.map(compileMappingLit)

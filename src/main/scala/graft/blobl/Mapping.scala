@@ -62,6 +62,100 @@ object Mapping {
     Compiler.compile(Parser.parseQueryString(src), envelopeCtx(df)).col
   }
 
+  /** Per-row-computed `bloblang(mapping)` (plugins/bloblang.go dynamic
+    * case): a mapping STRING computed from data has no static Catalyst
+    * plan, but realistic uses draw from a SMALL set of distinct mappings
+    * — resolve them by probing the data (ONE column-pruned distinct
+    * scan, bounded by `limit(MaxDistinct+1)` — never a data-sized
+    * collect), then rewrite the call into the compiler's literal-
+    * alternatives dispatch (an if-chain over the observed strings).
+    * Skipped when the probe can't run (streaming plans, lambda-bound or
+    * let-bound selectors, >MaxDistinct values) — those keep the
+    * compiler's static error. */
+  private val MaxDynamicMappings = 32
+
+  private[blobl] def resolveDynamicBloblang(
+      stmts: List[Stmt], df: DataFrame, ctx: Ctx): List[Stmt] = {
+    def isStatic(e: Expr): Boolean = e match {
+      case LitString(_) => true
+      case IfExpr(bs, oe) => bs.forall(b => isStatic(b._2)) && oe.forall(isStatic)
+      case MatchExpr(_, cs) => cs.forall(c => isStatic(c._2))
+      case _ => false
+    }
+    def probe(dyn: Expr): Option[List[String]] =
+      if (df.isStreaming) None
+      else try {
+        val c = Compiler.compile(dyn, ctx).col
+        val rows = df.select(c.cast(StringType).as("m")).distinct()
+          .limit(MaxDynamicMappings + 1).collect()
+        val lits = rows.toList.flatMap(r => Option(r.getString(0)))
+        if (rows.length > MaxDynamicMappings || lits.isEmpty) None
+        else Some(lits)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def rwE(e: Expr): Expr = e match {
+      case MethodCall(t, "bloblang", List(dyn)) if !isStatic(dyn) =>
+        val tR = rwE(t)
+        val dynR = rwE(dyn)
+        probe(dynR) match {
+          case Some(lits) => MethodCall(tR, "bloblang", List(
+            IfExpr(lits.map(v =>
+              (BinOp("==", dynR, LitString(v)), LitString(v): Expr)), None)))
+          case None => MethodCall(tR, "bloblang", List(dynR))
+        }
+      case MethodCall(t, n, as) => MethodCall(rwE(t), n, as.map(rwE))
+      case FnCall(n, as) => FnCall(n, as.map(rwE))
+      case Field(b, n) => Field(rwE(b), n)
+      case IndexOp(b, ix) => IndexOp(rwE(b), rwE(ix))
+      case BinOp(o, l, r) => BinOp(o, rwE(l), rwE(r))
+      case Not(x) => Not(rwE(x))
+      case Neg(x) => Neg(rwE(x))
+      case IfExpr(bs, oe) =>
+        IfExpr(bs.map { case (c, v) => (rwE(c), rwE(v)) }, oe.map(rwE))
+      case MatchExpr(t, cs) =>
+        MatchExpr(rwE(t), cs.map { case (p, v) => (p.map(rwE), rwE(v)) })
+      case Lambda(p, b) => Lambda(p, rwE(b))
+      case LitArray(xs) => LitArray(xs.map(rwE))
+      case LitObject(fs) =>
+        LitObject(fs.map { case (k, v) => (rwE(k), rwE(v)) })
+      case SetPath(p, v) => SetPath(p, rwE(v))
+      case other => other
+    }
+    def rwS(s: Stmt): Stmt = s match {
+      case Assign(t, v) => Assign(t, rwE(v))
+      case MapDef(n, ss) => MapDef(n, ss.map(rwS))
+      case other => other
+    }
+    // cheap pre-scan: only pay the walk+probe when a dynamic node exists
+    var found = false
+    def scanE(e: Expr): Unit = e match {
+      case MethodCall(t, "bloblang", List(dyn)) =>
+        if (!isStatic(dyn)) found = true else { scanE(t); scanE(dyn) }
+      case MethodCall(t, _, as) => scanE(t); as.foreach(scanE)
+      case FnCall(_, as) => as.foreach(scanE)
+      case Field(b, _) => scanE(b)
+      case IndexOp(b, ix) => scanE(b); scanE(ix)
+      case BinOp(_, l, r) => scanE(l); scanE(r)
+      case Not(x) => scanE(x)
+      case Neg(x) => scanE(x)
+      case IfExpr(bs, oe) =>
+        bs.foreach { case (c, v) => scanE(c); scanE(v) }; oe.foreach(scanE)
+      case MatchExpr(t, cs) =>
+        scanE(t); cs.foreach { case (p, v) => p.foreach(scanE); scanE(v) }
+      case Lambda(_, b) => scanE(b)
+      case LitArray(xs) => xs.foreach(scanE)
+      case LitObject(fs) => fs.foreach { case (k, v) => scanE(k); scanE(v) }
+      case SetPath(_, v) => scanE(v)
+      case _ => ()
+    }
+    def scanS(s: Stmt): Unit = s match {
+      case Assign(_, v) => scanE(v)
+      case MapDef(_, ss) => ss.foreach(scanS)
+      case _ => ()
+    }
+    stmts.foreach(scanS)
+    if (found) stmts.map(rwS) else stmts
+  }
+
   def envelopeCtx(df: DataFrame): Ctx = {
     import graft.model.Envelope._
     // `this`/json() carry the reference's parse-error semantics ("json
@@ -396,7 +490,7 @@ final class CompiledMapping(val program: Program,
     var meta: Column = ctx0.meta.getOrElse(
       map().cast(MapType(StringType, StringType)))
 
-    program.stmts.foreach {
+    Mapping.resolveDynamicBloblang(program.stmts, df, ctx0).foreach {
       case MapDef(_, _) => ()
       case Assign(RootPath(segs), v) =>
         state.assignStmt(segs, v, ctx.copy(rootMeta = Some(meta)))

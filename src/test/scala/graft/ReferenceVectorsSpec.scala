@@ -91,11 +91,27 @@ class ReferenceVectorsSpec extends AnyFunSuite {
         |  _ => "root = this" })""".stripMargin
     check(m, """{"v":"abc","kind":"rev"}""", """{"r":"cba"}""")
     check(m, """{"v":"abc","kind":"other"}""", """{"r":"abc"}""")
-    // a genuinely per-row-computed mapping string is a compile error
+    // a per-row-computed mapping that the data probe can't bound (the
+    // field is absent, so only null mappings exist) is a compile error
     val e = intercept[graft.blobl.CompileError] {
       check("""root.r = this.v.bloblang(this.m)""", nil, "")
     }
     assert(e.getMessage.contains("string literal"))
+  }
+
+  test("bloblang() per-row-computed mapping resolves via the bounded data probe") {
+    // the mapping string comes FROM THE DATA (plugins/bloblang.go fully
+    // dynamic case): the distinct mapping strings are probed (bounded)
+    // and compiled once each, dispatched in-plan
+    import spark.implicits._
+    val df = spark.read.json(spark.createDataset(scala.Seq(
+      """{"v":"Hey","m":"root = this.uppercase()"}""",
+      """{"v":"Hey","m":"root = this.lowercase()"}""",
+      """{"v":"abc","m":"root = this.reverse()"}""")))
+    val out = Mapping.compile("""root.r = this.v.bloblang(this.m)""")
+      .applyPlain(df)
+    assert(out.select("r").collect().map(_.getString(0)).sorted.toList
+      == List("HEY", "cba", "hey"))
   }
 
   test("json() on a RAW envelope parses the content (functions.go json semantics)") {
