@@ -38,10 +38,16 @@ object Ast {
   final case class MatchExpr(target: Expr, cases: List[(Option[Expr], Expr)]) extends Expr
   /** Lambda `param -> body` (argument to map_each/filter/sort_by/...). */
   final case class Lambda(param: String, body: Expr) extends Expr
-  /** `this` with a nested field set: `.a.b = v` as a VALUE expression
-    * (the jq assignment stage — jq_test.go TestJQMutation). The value
-    * compiles against the same `this`. */
-  final case class SetPath(path: List[String], value: Expr) extends Expr
+  /** One segment of an assignable path: a struct field or a literal
+    * array index (0-based, negative = from the end, like jq). */
+  sealed trait PathSeg
+  final case class PField(name: String) extends PathSeg
+  final case class PIndex(idx: Long) extends PathSeg
+
+  /** `this` with a nested path set: `.a.b = v` / `.xs[0].a = v` as a
+    * VALUE expression (the jq assignment stage — jq_test.go
+    * TestJQMutation). The value compiles against the same `this`. */
+  final case class SetPath(path: List[PathSeg], value: Expr) extends Expr
 
   sealed trait Target
   /** `root` / `root.a.b` */

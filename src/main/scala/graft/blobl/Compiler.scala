@@ -205,9 +205,29 @@ object Compiler {
     case SetPath(path, v) =>
       val t = ctx.thisTC
       val vc = compile(v, ctx)
-      val updated = t.tpe.collect { case s: StructType => s }
-        .flatMap(setNestedFieldType(_, path, vc.tpe.getOrElse(NullType)))
-      TC(t.col.withField(path.mkString("."), vc.col), updated)
+      def upd(cur: Column, tpe: Option[DataType], segs: List[PathSeg]): Column =
+        segs match {
+          case Nil => vc.col
+          case PField(n) :: rest =>
+            if (rest.isEmpty) cur.withField(n, vc.col)
+            else {
+              val childT = tpe.collect {
+                case s: StructType if s.fieldNames.contains(n) => s(n).dataType
+              }
+              cur.withField(n, upd(cur.getField(n), childT, rest))
+            }
+          case PIndex(ix) :: rest =>
+            // existing positions only (jq extends short arrays with nulls
+            // — a value-dependent schema a static plan can't express)
+            val elemT = tpe.collect { case ArrayType(e, _) => e }
+            val j =
+              if (ix >= 0) lit(ix.toInt) else size(cur) + lit(ix.toInt)
+            transform(cur, (x, k) =>
+              when(k === j, upd(x, elemT, rest)).otherwise(x))
+        }
+      val updated = t.tpe
+        .flatMap(setNestedPathType(_, path, vc.tpe.getOrElse(NullType)))
+      TC(upd(t.col, t.tpe, path), updated)
   }
 
   /** Error channel for a when-chain: only the TAKEN branch's error
@@ -231,28 +251,33 @@ object Compiler {
     }
   }
 
-  /** Nested-field type update for [[Ast.SetPath]]: None when an
-    * intermediate segment is missing or not a struct (the runtime
-    * withField would fail there anyway — callers keep the untyped TC). */
-  private def setNestedFieldType(s: StructType, path: List[String],
-      leaf: DataType): Option[StructType] = path match {
-    case Nil => Some(s)
-    case h :: Nil =>
-      val f = StructField(h, leaf)
-      Some(
-        if (s.fieldNames.contains(h))
-          StructType(s.fields.map(x => if (x.name == h) f else x))
-        else StructType(s.fields :+ f))
-    case h :: rest =>
-      s.fields.find(_.name == h) match {
-        case Some(StructField(_, inner: StructType, n, m)) =>
-          setNestedFieldType(inner, rest, leaf).map { upd =>
-            StructType(s.fields.map(x =>
-              if (x.name == h) StructField(h, upd, n, m) else x))
-          }
-        case _ => None
+  /** Path type update for [[Ast.SetPath]] over mixed field/index
+    * segments; None when the result type can't be known statically
+    * (missing intermediate, non-struct/array segment, or an index
+    * update that would change the array's element type). */
+  private def setNestedPathType(dt: DataType, path: List[PathSeg],
+      leaf: DataType): Option[DataType] = path match {
+    case Nil => Some(leaf)
+    case PField(h) :: rest => dt match {
+      case s: StructType => s.fields.find(_.name == h) match {
+        case Some(f) => setNestedPathType(f.dataType, rest, leaf).map { u =>
+          StructType(s.fields.map(x =>
+            if (x.name == h) x.copy(dataType = u) else x))
+        }
+        case None if rest.isEmpty =>
+          Some(StructType(s.fields :+ StructField(h, leaf)))
+        case None => None
       }
+      case _ => None
+    }
+    case PIndex(_) :: rest => dt match {
+      case ArrayType(e, n) =>
+        setNestedPathType(e, rest, leaf).filter(_ == e)
+          .map(_ => ArrayType(e, n))
+      case _ => None
+    }
   }
+
 
   /** Index access: 0-based, negative from end (index method + brackets).
     * Maps index by key; binary yields the byte value as a number. */

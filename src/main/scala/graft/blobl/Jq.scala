@@ -18,10 +18,12 @@ import Ast._
   * `log`/`log2`/`log10`, `now`/`todate`/`fromdate`, `error(msg)`,
   * `setpath` with a literal path) — by translating onto the
   * Bloblang AST, so the query compiles to Catalyst Columns with no jq
-  * runtime. Path update-assignment is supported on ident paths:
-  * `.a.b |= f` (with `.` = the current path value inside f) and the
-  * arithmetic flavors `+= -= *= /= %= //=` (right side sees the root,
-  * as gojq).
+  * runtime. Path update-assignment is supported on ident paths with
+  * literal array indexes: `.a.b |= f`, `.xs[0].price = v`, `.xs[-1] += x`
+  * (with `.` = the current path value inside `|= f`; the arithmetic
+  * flavors' right side sees the root, as gojq). Index assignment updates
+  * EXISTING positions; jq's extend-with-nulls on out-of-range indexes is
+  * a value-dependent schema a static plan can't express.
   *
   * The row-producing generator `.xs[]` IS supported as the leading
   * pipe stage (`.xs[] | f`, `.xs[].a`): `JqProc` compiles the array
@@ -206,7 +208,10 @@ object Jq {
         val segs = tryParsePurePath()
         if (segs.nonEmpty) {
           ws()
-          val pathExpr = segs.foldLeft(This: Expr)(Field(_, _))
+          val pathExpr = segs.foldLeft(This: Expr) {
+            case (b, PField(n)) => Field(b, n)
+            case (b, PIndex(ix)) => IndexOp(b, LitLong(ix))
+          }
           if (peek == '=' && !s.startsWith("==", i)) {
             i += 1
             return SetPath(segs, parseAlt())
@@ -262,19 +267,38 @@ object Jq {
       case other => other
     }
 
-    /** `.ident(.ident)*` with nothing else — the assignable-path form;
-      * empty list (caller restores position) when it isn't one. */
-    private def tryParsePurePath(): List[String] = {
-      val segs = List.newBuilder[String]
+    /** `.ident(.ident | [n])*` with nothing else — the assignable-path
+      * form, where `[n]` is a LITERAL integer index (negative = from
+      * the end); empty list (caller restores position) when it isn't
+      * one. */
+    private def tryParsePurePath(): List[PathSeg] = {
+      val segs = List.newBuilder[PathSeg]
       var n = 0
-      while (peek == '.' && i + 1 < s.length &&
-          (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
-        i += 1
-        val st = i
-        while (i < s.length &&
-          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
-        segs += s.substring(st, i)
-        n += 1
+      var go = true
+      while (go) {
+        if (peek == '.' && i + 1 < s.length &&
+            (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+          i += 1
+          val st = i
+          while (i < s.length &&
+            (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+          segs += PField(s.substring(st, i))
+          n += 1
+        } else if (n > 0 && peek == '[') {
+          val save = i
+          i += 1; ws()
+          val neg = tryEat("-")
+          val st = i
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          val digits = i > st
+          ws()
+          if (digits && peek == ']') {
+            val v = s.substring(st, i).toLong * (if (neg) -1 else 1)
+            i += 1
+            segs += PIndex(v)
+            n += 1
+          } else { i = save; go = false }
+        } else go = false
       }
       if (n == 0) Nil else segs.result()
     }
@@ -600,6 +624,30 @@ object Jq {
       def arg(): Expr = {
         eat('('); genLocked = true; val e = parsePipe(); eat(')'); e
       }
+      /** `(a; b; c)` — jq's semicolon-separated argument list. */
+      def argList(): List[Expr] = {
+        eat('('); genLocked = true
+        val as = scala.collection.mutable.ListBuffer(parsePipe())
+        ws()
+        while (peek == ';') { i += 1; ws(); as += parsePipe(); ws() }
+        eat(')')
+        as.toList
+      }
+      /** Apply jq regex flags (i/m/s/x → Java inline flags) by prefixing
+        * the pattern; `g` is handled by the caller (global vs first). */
+      def flagged(re: Expr, flags: String): Expr = {
+        val inline = flags.filter("imsx".contains(_))
+        if (inline.isEmpty) re
+        else re match {
+          case LitString(p) => LitString(s"(?$inline)$p")
+          case e => BinOp("+", LitString(s"(?$inline)"), e)
+        }
+      }
+      def flagStr(e: Expr): String = e match {
+        case LitString(f) => f
+        case o => throw new IllegalArgumentException(
+          s"jq: regex flags must be a string literal, got $o")
+      }
       name match {
         case "length" => MethodCall(This, "length", Nil)
         case "keys" => MethodCall(MethodCall(This, "keys", Nil), "sort", Nil)
@@ -621,7 +669,14 @@ object Jq {
         case "ascii_downcase" => MethodCall(This, "lowercase", Nil)
         case "ascii_upcase" => MethodCall(This, "uppercase", Nil)
         case "join" => MethodCall(This, "join", List(arg()))
-        case "split" => MethodCall(This, "split", List(arg()))
+        case "split" =>
+          // 1-arg split is LITERAL (jq); the 2-arg form is regex+flags
+          argList() match {
+            case List(d) => MethodCall(This, "split", List(d))
+            case List(re, f) =>
+              MethodCall(This, "re_split", List(flagged(re, flagStr(f))))
+            case _ => throw new IllegalArgumentException("jq: split takes 1-2 args")
+          }
         case "ltrimstr" => MethodCall(This, "trim_prefix", List(arg()))
         case "rtrimstr" => MethodCall(This, "trim_suffix", List(arg()))
         case "startswith" => MethodCall(This, "has_prefix", List(arg()))
@@ -686,7 +741,11 @@ object Jq {
             ws()
             val segs = tryParsePurePath()
             require(segs.nonEmpty, s"jq: del expects a field path at $i in '$s'")
-            ps += LitString(segs.mkString("."))
+            ps += LitString(segs.map {
+              case PField(f) => f
+              case PIndex(_) => throw new IllegalArgumentException(
+                "jq: del with an array index is unsupported (field paths only)")
+            }.mkString("."))
             go = tryEat(",")
           }
           eat(')')
@@ -735,7 +794,14 @@ object Jq {
         case "last" => IndexOp(This, LitLong(-1))
         case "flatten" => MethodCall(This, "flatten", Nil)
         case "abs" => MethodCall(This, "abs", Nil)
-        case "test" => MethodCall(This, "re_match", List(arg()))
+        case "test" =>
+          // test(re) / test(re; flags)
+          argList() match {
+            case List(re) => MethodCall(This, "re_match", List(re))
+            case List(re, f) =>
+              MethodCall(This, "re_match", List(flagged(re, flagStr(f))))
+            case _ => throw new IllegalArgumentException("jq: test takes 1-2 args")
+          }
         case "recurse" =>
           // no-arg recurse ≡ `..` (collected); recurse(f) would need
           // unbounded iteration — out of the static-plan subset
@@ -770,27 +836,26 @@ object Jq {
           val g = collected(parsePipe())
           eat(')')
           MethodCall(g, "slice", List(LitLong(0), n))
-        case "gsub" =>
-          // gsub(re; replacement)
-          eat('(')
-          genLocked = true
-          val re = parsePipe()
-          ws(); eat(';'); ws()
-          val repl = parsePipe()
-          eat(')')
-          MethodCall(This, "re_replace", List(re, repl))
-        case "sub" =>
-          // sub(re; replacement): FIRST match only
-          eat('(')
-          genLocked = true
-          val re = parsePipe()
-          ws(); eat(';'); ws()
-          val repl = parsePipe()
-          eat(')')
-          MethodCall(This, "re_replace_first", List(re, repl))
+        case "gsub" | "sub" =>
+          // sub(re; repl[; flags]) replaces the FIRST match, gsub (or the
+          // `g` flag) every match; i/m/s/x flags prefix the pattern
+          val (re0, repl, fl) = argList() match {
+            case List(r, p) => (r, p, "")
+            case List(r, p, f) => (r, p, flagStr(f))
+            case _ => throw new IllegalArgumentException(s"jq: $name takes 2-3 args")
+          }
+          val re = flagged(re0, fl)
+          val global = name == "gsub" || fl.contains('g')
+          MethodCall(This,
+            if (global) "re_replace" else "re_replace_first", List(re, repl))
         case "splits" =>
-          // splits(re) generator → collected to the split array
-          MethodCall(This, "re_split", List(arg()))
+          // splits(re[; flags]) generator → collected to the split array
+          val re = argList() match {
+            case List(r) => r
+            case List(r, f) => flagged(r, flagStr(f))
+            case _ => throw new IllegalArgumentException("jq: splits takes 1-2 args")
+          }
+          MethodCall(This, "re_split", List(re))
         case "index" | "rindex" =>
           // Bloblang's index_of/rindex_of return -1 when absent (Go
           // strings.Index); jq yields null — map it here
@@ -839,9 +904,10 @@ object Jq {
           eat(')')
           p match {
             case LitArray(items) => SetPath(items.map {
-              case LitString(k) => k
+              case LitString(k) => PField(k): PathSeg
+              case LitLong(n) => PIndex(n): PathSeg
               case o => throw new IllegalArgumentException(
-                s"jq: setpath segments must be literal strings, got $o")
+                s"jq: setpath segments must be string/int literals, got $o")
             }, v)
             case o => throw new IllegalArgumentException(
               s"jq: setpath expects a literal array path, got $o")

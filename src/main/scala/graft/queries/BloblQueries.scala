@@ -67,14 +67,20 @@ object BloblQueries {
         | n_words: (.words | length),
         | total_chars: (reduce .words[] as $w (0; . + ($w | length))),
         | first3: (limit(3; .words[]) | join("-")),
-        | n_len_groups: (.words | group_by(length) | length)}
+        | n_len_groups: (.words | group_by(length) | length),
+        | sub1: (.words | join(" ") | sub("[aeiou]"; "_")),
+        | a_ix: (.words | join(" ") | index("a")),
+        | n_vparts: (.words | join(" ") | splits("[aeiou]+") | length)}
         || .n_words |= . * 10
         || .total_chars += .n_words""".stripMargin)(env)
     out.select(col("doc.id").as("doc_id"),
         col("doc.n_words").cast(org.apache.spark.sql.types.LongType).as("n_words"),
         col("doc.total_chars").cast(org.apache.spark.sql.types.LongType).as("total_chars"),
         col("doc.first3").as("first3"),
-        col("doc.n_len_groups").cast(org.apache.spark.sql.types.LongType).as("n_len_groups"))
+        col("doc.n_len_groups").cast(org.apache.spark.sql.types.LongType).as("n_len_groups"),
+        col("doc.sub1").as("sub1"),
+        col("doc.a_ix").cast(org.apache.spark.sql.types.LongType).as("a_ix"),
+        col("doc.n_vparts").cast(org.apache.spark.sql.types.LongType).as("n_vparts"))
       .orderBy(col("doc_id"))
   }
 
@@ -114,13 +120,18 @@ object BloblQueries {
         | doc_id % 3 = 0 AS errored
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q161_jq" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |  array_to_string(string_split(text, ' '), ' ') AS j FROM documents)
         |SELECT doc_id,
         | CAST(len(ws) * 10 AS BIGINT) AS n_words,
         | CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
         |      + len(ws) * 10 AS BIGINT) AS total_chars,
         | array_to_string(ws[1:3], '-') AS first3,
-        | CAST(len(list_distinct(list_transform(ws, w -> length(w)))) AS BIGINT) AS n_len_groups
+        | CAST(len(list_distinct(list_transform(ws, w -> length(w)))) AS BIGINT) AS n_len_groups,
+        | regexp_replace(j, '[aeiou]', '_') AS sub1,
+        | CASE WHEN strpos(j, 'a') = 0 THEN NULL
+        |      ELSE CAST(strpos(j, 'a') - 1 AS BIGINT) END AS a_ix,
+        | CAST(len(string_split_regex(j, '[aeiou]+')) AS BIGINT) AS n_vparts
         |FROM d ORDER BY doc_id""".stripMargin,
     "q10_blobl_lineitem" ->
       """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,

@@ -322,6 +322,18 @@ class JqSpec extends AnyFunSuite {
     assert(run(""".s | utf8bytelength""", """{"s":"héllo"}""") == "6")
   }
 
+  test("regex flags: test(re; \"i\"), sub/gsub flags incl. g, split 2-arg regex") {
+    assert(run(""".s | test("HEY"; "i")""", """{"s":"hey"}""") == "true")
+    assert(run(""".s | test("HEY")""", """{"s":"hey"}""") == "false")
+    // sub with the g flag behaves as gsub; i flag case-folds
+    assert(run(""".s | sub("o"; "0"; "g")""", """{"s":"foo boo"}""") == "f00 b00")
+    assert(run(""".s | sub("O"; "0"; "i")""", """{"s":"foo boo"}""") == "f0o boo")
+    // 2-arg split is REGEX (1-arg stays literal)
+    assert(run(""".s | split("[,;]"; "")""", """{"s":"a,b;c"}""")
+      == """["a","b","c"]""")
+    assert(run(""".s | split(",")""", """{"s":"a,b;c"}""") == """["a","b;c"]""")
+  }
+
   test("math tail: sqrt, pow, exp, log2, log10") {
     assert(run(".x | sqrt", """{"x":9}""") == "3.0")
     assert(run("pow(.x; 3)", """{"x":2}""") == "8.0")
@@ -345,6 +357,24 @@ class JqSpec extends AnyFunSuite {
   test("setpath with a literal path (gojq setpath)") {
     assert(run("""setpath(["a","b"]; 42)""", """{"a":{"b":1,"c":2}}""")
       == """{"a":{"b":42,"c":2}}""")
+    // integer segments address array positions
+    assert(run("""setpath(["xs",1]; 9)""", """{"xs":[1,2,3]}""")
+      == """{"xs":[1,9,3]}""")
+  }
+
+  test("array-index path assignment: .xs[i] = / |= / += (gojq paths)") {
+    assert(run(""".xs[1] = 9""", """{"xs":[1,2,3]}""") == """{"xs":[1,9,3]}""")
+    assert(run(""".xs[-1] = 9""", """{"xs":[1,2,3]}""") == """{"xs":[1,2,9]}""")
+    assert(run(""".xs[0] |= . * 10""", """{"xs":[1,2,3]}""")
+      == """{"xs":[10,2,3]}""")
+    assert(run(""".xs[2] += 5""", """{"xs":[1,2,3]}""") == """{"xs":[1,2,8]}""")
+    // nested: field under an indexed element
+    assert(run(""".items[0].price = 7""",
+      """{"items":[{"price":1},{"price":2}]}""")
+      == """{"items":[{"price":7},{"price":2}]}""")
+    assert(run(""".items[1].price |= . + 100""",
+      """{"items":[{"price":1},{"price":2}]}""")
+      == """{"items":[{"price":1},{"price":102}]}""")
   }
 
   test("capture errors on non-matching input (gojq) instead of fabricating empty groups") {
