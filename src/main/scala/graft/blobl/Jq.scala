@@ -16,7 +16,7 @@ import Ast._
   * `capture` (named groups), `env`/`$ENV`, `sub`/`gsub`, `splits`,
   * `index`/`rindex`/`inside`, `utf8bytelength`, `sqrt`/`pow`/`exp`/
   * `log`/`log2`/`log10`, `now`/`todate`/`fromdate`, `error(msg)`,
-  * `setpath` with a literal path) — by translating onto the
+  * `try f catch g`, `setpath` with a literal path) — by translating onto the
   * Bloblang AST, so the query compiles to Catalyst Columns with no jq
   * runtime. Path update-assignment is supported on ident paths with
   * literal array indexes: `.a.b |= f`, `.xs[0].price = v`, `.xs[-1] += x`
@@ -491,6 +491,14 @@ object Jq {
             case "if" => parseIf()
             case "reduce" => parseReduce(scan = false)
             case "foreach" => parseReduce(scan = true)
+            case "try" =>
+              // `try f catch g` / bare `try f` (≡ f?): f's error routes
+              // to the catch value (g sees the outer scope, not the
+              // error string — the common constant-fallback uses are
+              // exact); bare try maps suppressed output to null, like `?`
+              val body = parsePostfix()
+              if (tryWord("catch")) MethodCall(body, "catch", List(parsePostfix()))
+              else MethodCall(body, "catch", List(LitNull))
             case _ => builtin(name)
           }
         case c => throw new IllegalArgumentException(s"jq: unexpected '$c' at $i in '$s'")

@@ -354,6 +354,15 @@ class JqSpec extends AnyFunSuite {
       == "caught")
   }
 
+  test("try/catch expression form (gojq try)") {
+    // (numbers follow Spark typing: number() is double, so 42 reads 42.0)
+    assert(run("""try (.s | tonumber) catch -1""", """{"s":"42"}""") == "42.0")
+    assert(run("""try (.s | tonumber) catch -1""", """{"s":"abc"}""") == "-1.0")
+    // bare try suppresses the error to null
+    assert(run("""try (.s | tonumber)""", """{"s":"abc"}""") == null)
+    assert(run("""try error("x") catch "fell"""", """{"z":0}""") == "fell")
+  }
+
   test("setpath with a literal path (gojq setpath)") {
     assert(run("""setpath(["a","b"]; 42)""", """{"a":{"b":1,"c":2}}""")
       == """{"a":{"b":42,"c":2}}""")
