@@ -687,6 +687,7 @@ object Jq {
           }
         case "ltrimstr" => MethodCall(This, "trim_prefix", List(arg()))
         case "rtrimstr" => MethodCall(This, "trim_suffix", List(arg()))
+        case "trim" => MethodCall(This, "trim", Nil) // jq 1.8 whitespace trim
         case "startswith" => MethodCall(This, "has_prefix", List(arg()))
         case "endswith" => MethodCall(This, "has_suffix", List(arg()))
         case "contains" => MethodCall(This, "contains", List(arg()))

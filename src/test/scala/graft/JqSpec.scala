@@ -354,6 +354,10 @@ class JqSpec extends AnyFunSuite {
       == "caught")
   }
 
+  test("trim strips surrounding whitespace (jq 1.8)") {
+    assert(run(""".s | trim""", """{"s":"  hey  "}""") == "hey")
+  }
+
   test("try/catch expression form (gojq try)") {
     // (numbers follow Spark typing: number() is double, so 42 reads 42.0)
     assert(run("""try (.s | tonumber) catch -1""", """{"s":"42"}""") == "42.0")
