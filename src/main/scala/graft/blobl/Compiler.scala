@@ -821,6 +821,11 @@ object Compiler {
             c(1).col,
             t.col.substr(pos + length(m), length(t.col)))),
           Some(StringType))
+      case "delete_at" =>
+        // remove ONE array position (jq del(.xs[i])); negative from end
+        val ix = arg(0).asInstanceOf[LitLong].v
+        val j = if (ix >= 0) lit(ix.toInt) else size(t.col) + lit(ix.toInt)
+        TC(filter(t.col, (_, k) => k =!= j), t.tpe)
       case "rindex_of" =>
         // 0-based LAST occurrence, -1 if absent (Go strings.LastIndex,
         // mirroring index_of): search the reversed string, translate back

@@ -741,24 +741,37 @@ object Jq {
               "map_each", List(Lambda("x", f))),
             "from_entries", Nil)
         case "del" =>
-          // del(.a.b, .c) → without("a.b", "c") (nested paths supported)
+          // del(.a.b, .c) → without("a.b", "c") (nested paths supported);
+          // del(.xs[i]) — a single field-prefixed index path — removes
+          // that array position via path-set surgery
           eat('(')
           genLocked = true
-          val ps = scala.collection.mutable.ListBuffer[Expr]()
+          val paths = scala.collection.mutable.ListBuffer[List[PathSeg]]()
           var go = true
           while (go) {
             ws()
             val segs = tryParsePurePath()
             require(segs.nonEmpty, s"jq: del expects a field path at $i in '$s'")
-            ps += LitString(segs.map {
-              case PField(f) => f
-              case PIndex(_) => throw new IllegalArgumentException(
-                "jq: del with an array index is unsupported (field paths only)")
-            }.mkString("."))
+            paths += segs
             go = tryEat(",")
           }
           eat(')')
-          MethodCall(This, "without", ps.toList)
+          if (paths.forall(_.forall(_.isInstanceOf[PField])))
+            MethodCall(This, "without", paths.toList.map(p =>
+              LitString(p.collect { case PField(f) => f }.mkString("."))))
+          else paths.toList match {
+            case List(p) if p.init.forall(_.isInstanceOf[PField]) &&
+                p.last.isInstanceOf[PIndex] =>
+              val prefix = p.init
+              val PIndex(ix) = p.last: @unchecked
+              val arrExpr = prefix.foldLeft(This: Expr) {
+                case (b, PField(n)) => Field(b, n)
+                case (b, PIndex(j)) => IndexOp(b, LitLong(j))
+              }
+              SetPath(prefix, MethodCall(arrExpr, "delete_at", List(LitLong(ix))))
+            case _ => throw new IllegalArgumentException(
+              "jq: del supports field paths, or ONE path ending in an array index")
+          }
         case "sort_by" =>
           MethodCall(This, "sort_by", List(Lambda("x", arg())))
         case "group_by" =>

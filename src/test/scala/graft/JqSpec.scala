@@ -354,6 +354,16 @@ class JqSpec extends AnyFunSuite {
       == "caught")
   }
 
+  test("del with a trailing array index removes that position") {
+    // (spark.read.json field order is alphabetical: k before xs)
+    assert(run("""del(.xs[1])""", """{"xs":[1,2,3],"k":9}""")
+      == """{"k":9,"xs":[1,3]}""")
+    assert(run("""del(.xs[-1])""", """{"xs":[1,2,3],"k":9}""")
+      == """{"k":9,"xs":[1,2]}""")
+    // field-path del unchanged
+    assert(run("""del(.k)""", """{"xs":[1],"k":9}""") == """{"xs":[1]}""")
+  }
+
   test("trim strips surrounding whitespace (jq 1.8)") {
     assert(run(""".s | trim""", """{"s":"  hey  "}""") == "hey")
   }
