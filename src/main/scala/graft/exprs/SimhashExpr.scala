@@ -11,10 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * nibble b of the token hash — exactly the portable scheme of
   * `Dedup.simhashTable` (and its DuckDB oracle), so results are
   * identical while the exploded token relation and its groupBy shuffle
-  * disappear. bits ≤ 32 (one md5 per token covers all bit positions). */
+  * disappear. Bits 32-63 (the standard 64-bit SimHash of Manku et al.,
+  * WWW'07) read nibble b-32 of a second, '#'-salted md5 — still
+  * engine-portable (DuckDB: md5(token || '#')). */
 case class SimhashExpr(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
-  require(bits >= 1 && bits <= 32, "simhash: bits must be in [1, 32]")
+  require(bits >= 1 && bits <= 64, "simhash: bits must be in [1, 64]")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -30,12 +32,19 @@ case class SimhashExpr(child: Expression, bits: Int)
     while (t < toks.length) {
       digest.reset()
       val d = digest.digest(toks(t).getBytes("UTF-8"))
+      val d2 =
+        if (bits > 32) {
+          digest.reset()
+          digest.digest((toks(t) + "#").getBytes("UTF-8"))
+        } else null
       var b = 0
       while (b < bits) {
-        // hex nibble b: high nibble of byte b/2 when b even, else low
+        // hex nibble b: high nibble of byte b/2 when b even, else low;
+        // bits ≥ 32 read the salted digest at nibble b-32
+        val (src, p) = if (b < 32) (d, b) else (d2, b - 32)
         val nib =
-          if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf
-          else d(b >> 1) & 0xf
+          if ((p & 1) == 0) (src(p >> 1) >> 4) & 0xf
+          else src(p >> 1) & 0xf
         if ((nib & 1) == 1) balance(b) += 1 else balance(b) -= 1
         b += 1
       }

@@ -128,15 +128,22 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
 
-  /** SimHash (bitwise majority of token hashes). `bits` ≤ 32 hex nibbles
-    * of md5 are used; bit b is set when the count of tokens whose b-th md5
-    * nibble is odd exceeds half. Hamming-close simhashes ⇒ similar docs. */
+  /** SimHash (bitwise majority of token hashes). Bit b < 32 reads md5
+    * hex nibble b; bits 32-63 read nibble b-32 of the '#'-salted second
+    * digest (the standard 64-bit width of Manku et al., WWW'07). Bit b is
+    * set when the count of tokens whose nibble is odd exceeds half.
+    * Hamming-close simhashes ⇒ similar docs. */
   def simhash(text: Column, bits: Int = 16): Column = {
     val tokens = split(text, " ")
     val oddHex = scala.Seq("1", "3", "5", "7", "9", "b", "d", "f").map(lit(_))
     val bitCols = (0 until bits).map { b =>
+      // bits 32-63 (standard 64-bit SimHash) read the '#'-salted second
+      // digest — same scheme as the native SimhashExpr and the oracle
+      val tokHash = (tok: Column) =>
+        if (b < 32) substring(md5(tok), b + 1, 1)
+        else substring(md5(concat(tok, lit("#"))), b - 31, 1)
       val balance = aggregate(tokens, lit(0L), (acc, tok) =>
-        acc + when(substring(md5(tok), b + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L))
+        acc + when(tokHash(tok).isin(oddHex: _*), 1L).otherwise(-1L))
       when(balance > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

@@ -110,6 +110,46 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash 64-bit: matches the portable two-digest scheme exactly") {
+    // bits 0-31: nibble parity of md5(token); bits 32-63: nibble parity
+    // of md5(token + "#") — replicated here independently
+    def expected(text: String, bits: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bal = new Array[Int](bits)
+      for (tok <- text.split(" ", -1)) {
+        md.reset(); val d1 = md.digest(tok.getBytes("UTF-8"))
+        md.reset(); val d2 = md.digest((tok + "#").getBytes("UTF-8"))
+        for (b <- 0 until bits) {
+          val (src, p) = if (b < 32) (d1, b) else (d2, b - 32)
+          val nib = if ((p & 1) == 0) (src(p >> 1) >> 4) & 0xf else src(p >> 1) & 0xf
+          if ((nib & 1) == 1) bal(b) += 1 else bal(b) -= 1
+        }
+      }
+      (0 until bits).foldLeft(0L)((acc, b) => if (bal(b) > 0) acc | (1L << b) else acc)
+    }
+    import spark.implicits._
+    val texts = scala.Seq("the quick brown fox", "lorem ipsum dolor sit amet", "a")
+    val df = texts.toDF("t")
+    // the slow Column formulation AND the one-pass native expression
+    // both match the independent replica
+    val gotCol = df.select(Dedup.simhash(col("t"), 64).as("h"))
+      .collect().map(_.getLong(0))
+    val gotExpr = df.withColumn("doc_id", monotonically_increasing_id())
+      .transform(d => Dedup.simhashTable(d, "doc_id", "t", 64))
+      .orderBy("id").collect().map(_.getLong(1))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = expected(t, 64)
+      assert(gotCol(i) == want, s"column 64-bit simhash mismatch for '$t'")
+      assert(gotExpr(i) == want, s"expr 64-bit simhash mismatch for '$t'")
+    }
+    // low 32 bits agree with the 32-bit variant (scheme is a prefix)
+    val got32 = df.select(Dedup.simhash(col("t"), 32).as("h"))
+      .collect().map(_.getLong(0))
+    gotCol.zip(got32).foreach { case (h64, h32) =>
+      assert((h64 & 0xffffffffL) == h32)
+    }
+  }
+
   test("multimodal: frame sampling and size repartition plumbing") {
     val media = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
     val frames = media.select(Multimodal.frameSample(col("payload"), 4).as("f"))
