@@ -43,6 +43,13 @@ object LlmQueries {
       .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
 
+  /** 64-bit SimHash (the standard corpus-scale width; bits 32-63 from
+    * the '#'-salted second digest). */
+  def q168(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text", 64)
+      .toDF("doc_id", "simhash")
+      .orderBy(col("doc_id"))
+
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10). */
   def q29(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -1252,6 +1259,7 @@ object LlmQueries {
     "q26_minhash_sig" -> (q26 _),
     "q27_minhash_lsh_pairs" -> (q27 _),
     "q28_simhash" -> (q28 _),
+    "q168_simhash64" -> (q168 _),
     "q29_cosine_topk" -> (q29 _),
     "q30_text_quality" -> (q30 _),
     "q31_multimodal_meta" -> (q31 _),
@@ -1310,7 +1318,10 @@ object LlmQueries {
       .orderBy(col("vec_id"))
 
   private def simhashSumsN(bits: Int) = (0 until bits).map { b =>
-    s"sum(CASE WHEN substr(md5(tok),${b + 1},1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
+    // bits 32-63 read the '#'-salted second digest (SimhashExpr scheme)
+    val nib = if (b < 32) s"substr(md5(tok),${b + 1},1)"
+              else s"substr(md5(tok || '#'),${b - 31},1)"
+    s"sum(CASE WHEN $nib IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$b"
   }.mkString(",\n  ")
   private def simhashCombineN(bits: Int) = (0 until bits).map { b =>
     s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
@@ -2319,6 +2330,15 @@ object LlmQueries {
          |  $simhashSums
          | FROM toks GROUP BY doc_id)
          |SELECT doc_id, $simhashCombine AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+    "q168_simhash64" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bits AS (
+         | SELECT doc_id,
+         |  ${simhashSumsN(64)}
+         | FROM toks GROUP BY doc_id)
+         |SELECT doc_id, ${simhashCombineN(64)} AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
     "q29_cosine_topk" ->
       """WITH sims AS (
