@@ -39,8 +39,14 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * Usage: sbt "runMain graft.ScaleProbe [--out path] [mults...]".
   */
 object ScaleProbe {
+  /** `cross` (pair emitters only, else -1): pairs whose endpoints fall in
+    * DIFFERENT replica copies. Copies are mutually unrelated by
+    * construction, so cross-copy pairs are false collisions — the direct
+    * signature of candidate/metric blowup at scale. Quadratic blowup
+    * would put (m-1)/2 × the within-copy mass in `cross` at m copies;
+    * a healthy emitter keeps it ≈ 0. */
   final case class Result(op: String, mult: Int, rowsIn: Long,
-      wallSec: Double, rowsOut: Long)
+      wallSec: Double, rowsOut: Long, cross: Long = -1L)
 
   def main(args: Array[String]): Unit = {
     def usage(msg: String): Nothing = {
@@ -116,6 +122,24 @@ object ScaleProbe {
         col("text"), col("source"))
     }.reduce(_.unionByName(_))
 
+    // CHARACTER-level decorrelation (winnowing / char-shingle families):
+    // copy k applies a Caesar substitution — a bijection on the alphabet
+    // preserves within-copy shingle structure EXACTLY while cross-copy
+    // 5-grams differ. The hex-hash replica is wrong here: it collapses
+    // text to a 16-symbol alphabet, inflating 5-gram collision density
+    // ~26^5/16^5 ≈ 11× and with it the true shared-passage answer (the
+    // first probe run measured 9.5M pairs at 1× and OOM'd at 16×).
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def charCorpus(mult: Int) = (0 until mult).map { k =>
+      val shift = k % 26
+      val to = alpha.drop(shift) + alpha.take(shift)
+      docsBase.select(
+        (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+        translate(col("text"), alpha + alpha.toUpperCase,
+          to + to.toUpperCase).as("text"),
+        col("source"))
+    }.reduce(_.unionByName(_))
+
     def evCorpus(mult: Int) = (0 until mult).map { k =>
       evBase.select(
         (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
@@ -141,6 +165,22 @@ object ScaleProbe {
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n")
       buf += Result(op, mult, rowsIn, t, n)
     }
+    // pair emitters: one aggregation job returns (total, cross-copy)
+    // together — replica ids are base_id + copy*1e6, so the copy is
+    // recoverable from the pair endpoints
+    def probePairs(op: String, mult: Int, rowsIn: Long)
+        (f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val row = f.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(floor(col("id_a") / 1000000L) =!=
+          floor(col("id_b") / 1000000L), 1L).otherwise(0L)), lit(0L))
+          .as("x")).head()
+      val t = (System.nanoTime() - t0) / 1e9
+      val (n, x) = (row.getLong(0), row.getLong(1))
+      println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n cross=$x")
+      buf += Result(op, mult, rowsIn, t, n, x)
+    }
 
     mults.foreach { mult =>
       // materialize each replica corpus to parquet so every op reads a
@@ -154,15 +194,16 @@ object ScaleProbe {
       }
       val docs = mat(docsCorpus(mult), "docs")
       val plain = mat(plainCorpus(mult), "plain")
+      val chars = mat(charCorpus(mult), "chars")
       val emb = mat(embCorpus(mult), "emb")
       val ev = mat(evCorpus(mult), "ev")
       val edges = mat(edgeCorpus(mult), "edges")
 
-      probe("jaccard_join", mult, nDocs * mult) {
-        graft.llmops.Dedup.jaccardJoinExact(docs, "doc_id", "text", 7000).count()
+      probePairs("jaccard_join", mult, nDocs * mult) {
+        graft.llmops.Dedup.jaccardJoinExact(docs, "doc_id", "text", 7000)
       }
-      probe("minhash_pairs", mult, nDocs * mult) {
-        graft.llmops.Dedup.minhashPairs(docs, "doc_id", "text").count()
+      probePairs("minhash_pairs", mult, nDocs * mult) {
+        graft.llmops.Dedup.minhashPairs(docs, "doc_id", "text")
       }
       probe("cc_dedup", mult, nDocs * mult) {
         val pairs = graft.llmops.Dedup.simhashPairs(docs, "doc_id", "text",
@@ -213,6 +254,47 @@ object ScaleProbe {
       probe("pagerank", mult, nEdges * mult) {
         graft.llmops.Graph.pagerankIter(edges, "src", "dst", iters = 3).count()
       }
+      probePairs("simhash_pairs", mult, nDocs * mult) {
+        // the 64-bit width (salted second digest) at scale. Short docs
+        // are excluded as in practice (Manku et al. §4): with few
+        // tokens the majority bits tie-bias toward 0, so unrelated
+        // short docs across copies genuinely land within Hamming 3.
+        // NOTE: the TOTAL pair count is not gated for growth — a
+        // Hamming-3 count on templated text is hypersensitive to the
+        // per-copy word-hash relabeling (measured per-copy counts at
+        // 4×: 607 / 2141 / 688 / 3023, with ZERO cross-copy pairs), so
+        // the 1× baseline is a single sample of a high-variance
+        // statistic. The blowup signal is `cross`, gated ≈ 0.
+        val longDocs = docs.filter(size(split(col("text"), " ")) >= 16)
+        graft.llmops.Dedup.simhashPairs(longDocs, "doc_id", "text",
+          bits = 64, bands = 8, maxHamming = 3)
+      }
+      probe("embed_neardup", mult, nEmb * mult) {
+        // deployment posture: planes grow with the corpus (log2(mult)
+        // extra) so bucket sizes stay constant, like ann_ivf's centroids
+        val planes = 6 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+        graft.llmops.Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          graft.llmops.Similarity.SignLsh(dim = dim, nPlanes = planes),
+          probes = 1, threshold = 0.9).count()
+      }
+      probePairs("shared_passages", mult, nDocs * mult) {
+        // maxDf tightened from q61's default 1000: on this templated
+        // corpus the default is a 9.5M-pair answer at 1× — correct but
+        // output-dominated, which measures result write-out, not the
+        // join shape. minShared stays at the production default 2 so
+        // the output is non-trivial (~250/copy); like simhash, the
+        // total is relabeling-sensitive (winnowing selection shifts
+        // under the per-copy Caesar bijection), so growth is gated on
+        // `cross` ≈ 0, wall-clock on linearity.
+        graft.llmops.Dedup.sharedPassagePairs(chars, "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = 40)
+      }
+      probe("contamination", mult, nDocs * mult) {
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        val evd = docs.filter(col("doc_id") % 50 === 0)
+        graft.llmops.Dedup.contaminationPairs(train, evd, "doc_id", "text")
+          .count()
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     buf.toSeq
@@ -221,8 +303,9 @@ object ScaleProbe {
   def writeJson(path: String, mults: scala.Seq[Int],
       results: scala.Seq[Result]): Unit = {
     val items = results.map { r =>
+      val cross = if (r.cross >= 0) s""","cross_pairs":${r.cross}""" else ""
       f"""{"op":"${r.op}","mult":${r.mult},"rows_in":${r.rowsIn},""" +
-        f""""wall_s":${r.wallSec}%.3f,"rows_out":${r.rowsOut}}"""
+        f""""wall_s":${r.wallSec}%.3f,"rows_out":${r.rowsOut}$cross}"""
     }.mkString(",\n  ")
     val body =
       s"""{"sf":"sf0.1","mults":[${mults.mkString(",")}],"results":[\n  $items\n]}\n"""

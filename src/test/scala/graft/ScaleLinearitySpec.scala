@@ -22,7 +22,8 @@ class ScaleLinearitySpec extends AnyFunSuite {
   // FROM a floor-dominated point can't indict the operator
   private val FloorSec = 1.0
 
-  private case class P(op: String, mult: Int, wall: Double, out: Long)
+  private case class P(op: String, mult: Int, wall: Double, out: Long,
+      cross: Long)
 
   private lazy val points: Seq[P] = {
     val f = new java.io.File("SCALE_r6.json")
@@ -32,14 +33,16 @@ class ScaleLinearitySpec extends AnyFunSuite {
     (0 until rs.size).map { i =>
       val r = rs.get(i)
       P(r.get("op").asText, r.get("mult").asInt,
-        r.get("wall_s").asDouble, r.get("rows_out").asLong)
+        r.get("wall_s").asDouble, r.get("rows_out").asLong,
+        if (r.has("cross_pairs")) r.get("cross_pairs").asLong else -1L)
     }
   }
 
   test("probe covers every scale-sensitive operator family at 1x/4x/16x") {
     val want = Set("jaccard_join", "minhash_pairs", "cc_dedup", "bloom_anti",
       "tfidf_topk", "semdedup", "sessionize", "pagerank", "funnel",
-      "retention", "ann_ivf", "bm25")
+      "retention", "ann_ivf", "bm25", "simhash_pairs", "embed_neardup",
+      "shared_passages", "contamination")
     val got = points.groupBy(_.op).map { case (op, ps) => op -> ps.map(_.mult).toSet }
     want.foreach { op =>
       assert(got.get(op).exists(ms => Set(1, 4, 16).subsetOf(ms)),
@@ -65,8 +68,12 @@ class ScaleLinearitySpec extends AnyFunSuite {
   }
 
   test("pair outputs scale near-linearly (no candidate blowup)") {
-    // pair emitters: out should track corpus size, not its square —
-    // cross-copy chance collisions allow modest super-linearity
+    // exact-verified emitters only (Jaccard ≥ threshold): their per-copy
+    // pair counts are stable under the replica relabeling, so total
+    // growth is meaningful. Threshold-on-hash emitters (simhash Hamming,
+    // winnowing minShared) are excluded — their totals are hypersensitive
+    // to the per-copy relabeling (measured simhash per-copy counts at
+    // 4×: 607/2141/688/3023) — and gated on cross-copy mass instead.
     val pairOps = Set("jaccard_join", "minhash_pairs")
     points.filter(p => pairOps(p.op)).groupBy(_.op).foreach { case (op, ps) =>
       val byMult = ps.sortBy(_.mult)
@@ -80,6 +87,25 @@ class ScaleLinearitySpec extends AnyFunSuite {
               "candidate-generation blowup (hot buckets?)")
         case _ => ()
       }
+    }
+  }
+
+  test("cross-copy pair mass stays ~zero (no false-collision blowup)") {
+    // replica copies are mutually unrelated by construction, so every
+    // cross-copy pair is a false collision. Quadratic blowup puts
+    // (m-1)/2 × the within-copy mass cross-copy at m copies (7.5× at
+    // 16×); a healthy emitter keeps it ≈ 0. Gate at 5% of total (sharp
+    // against the 88% a quadratic would show) with a tiny absolute
+    // floor for chance collisions on a ~26-symbol alphabet.
+    val pairPoints = points.filter(_.cross >= 0)
+    assert(pairPoints.map(_.op).toSet == Set("jaccard_join",
+      "minhash_pairs", "simhash_pairs", "shared_passages"),
+      s"expected cross_pairs on the four pair emitters, got ${pairPoints.map(_.op).toSet}")
+    pairPoints.filter(_.mult > 1).foreach { p =>
+      val allowed = math.max(16L, (0.05 * p.out).toLong)
+      assert(p.cross <= allowed,
+        s"${p.op} ${p.mult}x: ${p.cross} cross-copy pairs of ${p.out} " +
+          s"total (allowed $allowed) — false-collision blowup")
     }
   }
 }
