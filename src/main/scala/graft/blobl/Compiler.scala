@@ -281,7 +281,12 @@ object Compiler {
 
   /** Index access: 0-based, negative from end (index method + brackets).
     * Maps index by key; binary yields the byte value as a number. */
-  private def indexValue(b: TC, i: TC): TC = {
+  private def indexValue(b0: TC, i: TC): TC = {
+    // variant array target: index as array<variant> (see VariantArrayMethods)
+    val b = if (b0.isVariant)
+      TC(try_variant_get(b0.col, "$", "array<variant>"),
+        Some(ArrayType(VariantType)), b0.err)
+    else b0
     if (b.isMap) TC(element_at(b.col, i.col), fieldType(b.tpe, ""))
     else if (b.tpe.contains(BinaryType)) {
       val adj = when(i.col >= 0, i.col + 1).otherwise(octet_length(b.col) + i.col + 1)
@@ -555,7 +560,20 @@ object Compiler {
     }
   }
 
-  private def method(t: TC, name: String, args: List[Expr], ctx: Ctx): TC = {
+  /** Structured methods that expect an ARRAY target: a variant holding
+    * one feeds them as array<variant> (dynamic-JSON jq: `fromjson |
+    * map(f)`); try-get degrades non-array variants to null, the
+    * engine's error-as-null posture. */
+  private val VariantArrayMethods = Set(
+    "map_each", "filter", "join", "sort", "sort_by", "unique", "reverse",
+    "flatten", "all", "any", "sum", "min", "max", "slice", "group_by",
+    "enumerated", "index_of", "append", "fold", "fold_scan")
+
+  private def method(t0: TC, name: String, args: List[Expr], ctx: Ctx): TC = {
+    val t = if (t0.isVariant && VariantArrayMethods(name))
+      TC(try_variant_get(t0.col, "$", "array<variant>"),
+        Some(ArrayType(VariantType)), t0.err)
+    else t0
     val r = method0(t, name, args, ctx)
     // propagate the target's error channel through the chain — except for
     // the consumers (catch/or clear it) and the batch-perspective methods
@@ -731,6 +749,20 @@ object Compiler {
           else Some(when(t.col.isNotNull && b.isNull,
             lit("unable to parse value as bool"))))
       case "bytes" => TC(t.col.cast(BinaryType), Some(BinaryType))
+      case "type" if t.isVariant =>
+        // variant: the per-row runtime schema, not the static column type
+        // (typeof reports "variant" regardless of content)
+        val sn = schema_of_variant(t.col)
+        TC(when(t.col.isNull || is_variant_null(t.col), "null")
+          .when(sn.startsWith("ARRAY"), "array")
+          .when(sn.startsWith("OBJECT") || sn.startsWith("STRUCT") ||
+            sn.startsWith("MAP"), "object")
+          .when(sn === "STRING", "string")
+          .when(sn.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE",
+            "FLOAT") || sn.startsWith("DECIMAL"), "number")
+          .when(sn === "BOOLEAN", "bool")
+          .when(sn === "BINARY", "bytes")
+          .otherwise("null"), Some(StringType))
       case "type" =>
         // runtime null wins over the static SQL type (type_helpers.go:
         // ValueNull) — typeof alone reports the column type for null rows

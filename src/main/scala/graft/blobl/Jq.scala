@@ -16,7 +16,13 @@ import Ast._
   * `capture` (named groups), `env`/`$ENV`, `sub`/`gsub`, `splits`,
   * `index`/`rindex`/`inside`, `utf8bytelength`, `sqrt`/`pow`/`exp`/
   * `log`/`log2`/`log10`, `now`/`todate`/`fromdate`, `error(msg)`,
-  * `try f catch g`, `setpath` with a literal path) — by translating onto the
+  * `try f catch g`, `setpath` with a literal path, the type filters
+  * `values`/`nulls`/`booleans`/`numbers`/`strings`/`arrays`/`objects`/
+  * `iterables`/`scalars`, format strings `@base64`/`@base64d`/`@uri`/
+  * `@html`/`@json`/`@text`/`@csv`/`@tsv`, `strftime`/`strptime` (with
+  * `mktime`/`gmtime` as timestamp projections so the composed
+  * `strptime(f)|mktime` and `now|gmtime|strftime(f)` idioms are exact),
+  * `first(g)`/`last(g)`/`any(f)`/`all(f)`, `debug`) — by translating onto the
   * Bloblang AST, so the query compiles to Catalyst Columns with no jq
   * runtime. Path update-assignment is supported on ident paths with
   * literal array indexes: `.a.b |= f`, `.xs[0].price = v`, `.xs[-1] += x`
@@ -434,6 +440,43 @@ object Jq {
           i += 1
           val n = ident()
           if (n == "ENV") envObject() else VarRef("$" + n)
+        case '@' =>
+          // jq format strings applied to `.` (`.foo | @base64`). @csv /
+          // @tsv follow the jq escaping spec: numbers plain, strings
+          // double-quoted with `""` (csv) or tab/newline/return/backslash
+          // escapes (tsv).
+          i += 1
+          val fmt = ident()
+          // f sees the element ALREADY stringified (so the escape chain
+          // runs on a string even when elements are variants)
+          def quoteEach(f: Expr => Expr): Expr =
+            MethodCall(This, "map_each", List(Lambda("x",
+              IfExpr(List((BinOp("==", MethodCall(This, "type", Nil),
+                LitString("string")), f(MethodCall(This, "string", Nil)))),
+                Some(MethodCall(This, "string", Nil))))))
+          fmt match {
+            case "base64" => MethodCall(This, "encode", List(LitString("base64")))
+            case "base64d" =>
+              MethodCall(MethodCall(This, "decode", List(LitString("base64"))),
+                "string", Nil)
+            case "uri" => MethodCall(This, "escape_url_query", Nil)
+            case "html" => MethodCall(This, "escape_html", Nil)
+            case "json" => MethodCall(This, "format_json", Nil)
+            case "text" => MethodCall(This, "string", Nil)
+            case "csv" =>
+              MethodCall(quoteEach(x => BinOp("+", BinOp("+", LitString("\""),
+                MethodCall(x, "replace", List(LitString("\""), LitString("\"\"")))),
+                LitString("\""))), "join", List(LitString(",")))
+            case "tsv" =>
+              MethodCall(quoteEach(x =>
+                MethodCall(x, "replace_many", List(LitArray(List(
+                  LitString("\\"), LitString("\\\\"), LitString("\t"),
+                  LitString("\\t"), LitString("\n"), LitString("\\n"),
+                  LitString("\r"), LitString("\\r")))))),
+                "join", List(LitString("\t")))
+            case o => throw new IllegalArgumentException(
+              s"jq: unsupported format string @$o")
+          }
         case '"' =>
           i += 1
           stringLit()
@@ -725,7 +768,15 @@ object Jq {
           } else {
             val body = parsePipe()
             eat(')')
-            MethodCall(This, "map_each", List(Lambda("x", body)))
+            body match {
+              // select-shaped body (select(f), the type filters): jq
+              // drops rejected elements (empty), so compile to filter —
+              // the null approximation only stands OUTSIDE collections
+              case IfExpr(List((cond, This)), Some(LitNull)) =>
+                MethodCall(This, "filter", List(Lambda("x", cond)))
+              case _ =>
+                MethodCall(This, "map_each", List(Lambda("x", body)))
+            }
           }
         case "select" =>
           val cond = arg()
@@ -803,6 +854,44 @@ object Jq {
           // process environment as an object (gojq env/$ENV); static at
           // translate time, which is when the reference reads it too
           envObject()
+        case "values" | "nulls" | "booleans" | "numbers" | "strings" |
+            "arrays" | "objects" | "iterables" | "scalars" =>
+          // jq type filters: select on the value's type, null when the
+          // filter rejects (empty approximated as null, as with select)
+          def ofType(ts: String*): Expr =
+            IfExpr(List((ts.map(t => BinOp("==",
+              MethodCall(This, "type", Nil), LitString(t)): Expr)
+              .reduceLeft(BinOp("||", _, _)), This)), Some(LitNull))
+          name match {
+            // NOT `. != null`: SQL three-valued logic makes that NULL
+            // (falsy) on every row — type() reports "null" reliably
+            case "values" =>
+              IfExpr(List((BinOp("!=", MethodCall(This, "type", Nil),
+                LitString("null")), This)), Some(LitNull))
+            case "nulls" =>
+              IfExpr(List((BinOp("==", MethodCall(This, "type", Nil),
+                LitString("null")), This)), Some(LitNull))
+            case "booleans" => ofType("bool")
+            case "numbers" => ofType("number")
+            case "strings" => ofType("string")
+            case "arrays" => ofType("array")
+            case "objects" => ofType("object")
+            case "iterables" => ofType("array", "object")
+            case _ => ofType("bool", "number", "string") // scalars (non-null)
+          }
+        case "strftime" =>
+          // jq strftime on a timestamp value (epoch seconds or the
+          // gmtime passthrough — see gmtime below)
+          MethodCall(This, "format_timestamp_strftime", List(arg()))
+        case "strptime" =>
+          // jq strptime yields a broken-down time consumed by mktime /
+          // strftime; here it parses straight to a timestamp, and
+          // mktime/gmtime are projections of it — the composed idioms
+          // (`strptime(f)|mktime`, `now|gmtime|strftime(f)`) are exact
+          MethodCall(This, "parse_timestamp_strptime", List(arg()))
+        case "mktime" => MethodCall(This, "format_timestamp_unix", Nil)
+        case "gmtime" => This
+        case "debug" => This // identity; the reference logs to stderr
         case "min_by" =>
           IndexOp(MethodCall(This, "sort_by", List(Lambda("x", arg()))), LitLong(0))
         case "max_by" =>
@@ -810,10 +899,31 @@ object Jq {
         case "empty" => LitNull
         case "type" => MethodCall(This, "type", Nil)
         case "has" => MethodCall(This, "exists", List(arg()))
-        case "any" => MethodCall(This, "any", List(Lambda("x", VarRef("x"))))
-        case "all" => MethodCall(This, "all", List(Lambda("x", VarRef("x"))))
-        case "first" => IndexOp(This, LitLong(0))
-        case "last" => IndexOp(This, LitLong(-1))
+        case "any" =>
+          // any / any(f): disjunction over elements (2-arg generator
+          // form out of scope)
+          ws()
+          if (peek == '(') MethodCall(This, "any", List(Lambda("x", arg())))
+          else MethodCall(This, "any", List(Lambda("x", VarRef("x"))))
+        case "all" =>
+          ws()
+          if (peek == '(') MethodCall(This, "all", List(Lambda("x", arg())))
+          else MethodCall(This, "all", List(Lambda("x", VarRef("x"))))
+        case "first" =>
+          // first / first(g): head of the collected generator output
+          ws()
+          if (peek == '(') {
+            eat('('); genLocked = true
+            val g = collected(parsePipe()); eat(')')
+            IndexOp(g, LitLong(0))
+          } else IndexOp(This, LitLong(0))
+        case "last" =>
+          ws()
+          if (peek == '(') {
+            eat('('); genLocked = true
+            val g = collected(parsePipe()); eat(')')
+            IndexOp(g, LitLong(-1))
+          } else IndexOp(This, LitLong(-1))
         case "flatten" => MethodCall(This, "flatten", Nil)
         case "abs" => MethodCall(This, "abs", Nil)
         case "test" =>

@@ -54,10 +54,12 @@ object BloblQueries {
 
   /** q161: the jq processor under an oracle — object construction,
     * `reduce g as $x (init; upd)` folding, `limit(n; g)` over a
-    * collected generator, `group_by`, pipe stages, and the round-6
+    * collected generator, `group_by`, pipe stages, the round-6
     * update-assignments (`|=` with `.` = path value, `+=` with the root
-    * on the right), all compiled through the jq→Bloblang→Catalyst path
-    * (`blobl.Jq`) and replayed by DuckDB's list functions. */
+    * on the right), and the late-round-6 tail (`@csv`/`@base64` format
+    * strings, `strftime` on an epoch, `first(g)`, `any(f)`), all
+    * compiled through the jq→Bloblang→Catalyst path (`blobl.Jq`) and
+    * replayed by DuckDB's list functions. */
   def q161(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -70,7 +72,11 @@ object BloblQueries {
         | n_len_groups: (.words | group_by(length) | length),
         | sub1: (.words | join(" ") | sub("[aeiou]"; "_")),
         | a_ix: (.words | join(" ") | index("a")),
-        | n_vparts: (.words | join(" ") | splits("[aeiou]+") | length)}
+        | n_vparts: (.words | join(" ") | splits("[aeiou]+") | length),
+        | csv3: (limit(3; .words[]) | @csv),
+        | b64: (first(.words[]) | @base64),
+        | day: (.doc_id * 86400 | strftime("%Y-%m-%d")),
+        | any_an: (.words | any(test("an")))}
         || .n_words |= . * 10
         || .total_chars += .n_words""".stripMargin)(env)
     out.select(col("doc.id").as("doc_id"),
@@ -80,7 +86,11 @@ object BloblQueries {
         col("doc.n_len_groups").cast(org.apache.spark.sql.types.LongType).as("n_len_groups"),
         col("doc.sub1").as("sub1"),
         col("doc.a_ix").cast(org.apache.spark.sql.types.LongType).as("a_ix"),
-        col("doc.n_vparts").cast(org.apache.spark.sql.types.LongType).as("n_vparts"))
+        col("doc.n_vparts").cast(org.apache.spark.sql.types.LongType).as("n_vparts"),
+        col("doc.csv3").as("csv3"),
+        col("doc.b64").as("b64"),
+        col("doc.day").as("day"),
+        col("doc.any_an").cast(org.apache.spark.sql.types.BooleanType).as("any_an"))
       .orderBy(col("doc_id"))
   }
 
@@ -131,7 +141,12 @@ object BloblQueries {
         | regexp_replace(j, '[aeiou]', '_') AS sub1,
         | CASE WHEN strpos(j, 'a') = 0 THEN NULL
         |      ELSE CAST(strpos(j, 'a') - 1 AS BIGINT) END AS a_ix,
-        | CAST(len(string_split_regex(j, '[aeiou]+')) AS BIGINT) AS n_vparts
+        | CAST(len(string_split_regex(j, '[aeiou]+')) AS BIGINT) AS n_vparts,
+        | array_to_string(list_transform(ws[1:3],
+        |   w -> '"' || replace(w, '"', '""') || '"'), ',') AS csv3,
+        | to_base64(encode(ws[1])) AS b64,
+        | strftime(to_timestamp(doc_id * 86400), '%Y-%m-%d') AS day,
+        | len(list_filter(ws, w -> regexp_matches(w, 'an'))) > 0 AS any_an
         |FROM d ORDER BY doc_id""".stripMargin,
     "q10_blobl_lineitem" ->
       """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,

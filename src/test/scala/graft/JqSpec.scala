@@ -407,4 +407,44 @@ class JqSpec extends AnyFunSuite {
     assert(run(""".s | capture("(?<n>[0-9]+)") // {n: "none"} | .n""",
       """{"s":"id-42x"}""") == "42")
   }
+
+  test("type filters: values/strings/numbers/arrays select by type") {
+    assert(run(".a | values", """{"a":5}""") == "5")
+    assert(run(".a | numbers", """{"a":5}""") == "5")
+    assert(run(".a | strings // \"not-str\"", """{"a":5}""") == "not-str")
+    // inside map, rejected elements DROP (jq empty), not null — routed
+    // through fromjson because Spark's JSON schema inference stringifies
+    // mixed-type arrays; the variant path preserves per-element types
+    assert(run(""".s | fromjson | map(strings) | join(",")""",
+      """{"s":"[\"a\",1,\"b\",true]"}""") == "a,b")
+    assert(run(""".s | fromjson | map(numbers) | length""",
+      """{"s":"[\"a\",1,\"b\",2]"}""") == "2")
+  }
+
+  test("format strings: @base64, @base64d, @csv, @tsv, @json, @uri") {
+    assert(run(""".s | @base64""", """{"s":"hello"}""") == "aGVsbG8=")
+    assert(run(""".s | @base64d""", """{"s":"aGVsbG8="}""") == "hello")
+    assert(run(""".s | fromjson | @csv""", """{"s":"[1,\"a,b\",2]"}""")
+      == """1,"a,b",2""")
+    assert(run(""".s | fromjson | @tsv""", """{"s":"[\"a\\tb\",1]"}""")
+      == "a\\tb\t1")
+    assert(run(""".n | @json""", """{"n":{"a":1}}""") == """{"a":1}""")
+    assert(run(""".s | @uri""", """{"s":"a b&c"}""") == "a+b%26c" ||
+      run(""".s | @uri""", """{"s":"a b&c"}""") == "a%20b%26c")
+  }
+
+  test("strptime|mktime and strftime time idioms (gojq)") {
+    assert(run(""".t | strptime("%Y-%m-%dT%H:%M:%SZ") | mktime""",
+      """{"t":"2015-03-05T23:51:47Z"}""") == "1425599507")
+    assert(run(""".e | strftime("%Y-%m-%d")""",
+      """{"e":1425599507}""") == "2015-03-05")
+  }
+
+  test("first(g)/last(g) and any(f)/all(f) argument forms") {
+    assert(run("first(.xs[])", """{"xs":[7,8,9]}""") == "7")
+    assert(run("last(.xs[])", """{"xs":[7,8,9]}""") == "9")
+    assert(run("first(range(3; 9))", """{"xs":[]}""") == "3")
+    assert(run(".xs | any(. > 2)", """{"xs":[1,2,3]}""") == "true")
+    assert(run(".xs | all(. > 2)", """{"xs":[1,2,3]}""") == "false")
+  }
 }
