@@ -945,6 +945,16 @@ object Compiler {
         }
         TC(struct(fields: _*), Some(StructType(keys.map(StructField(_, StringType)))))
       case "reverse" => TC(reverse(t.col), t.tpe)
+      case "to_array" =>
+        // array → unchanged; anything else wraps in a singleton array.
+        // Internal (JMESPath §to_array targets it); resolved on the
+        // STATIC type so the branches never need a common CASE type.
+        if (t.isArray) t
+        else if (t.isVariant) {
+          val arr = try_variant_get(t.col, "$", "array<variant>")
+          TC(when(arr.isNotNull, arr).otherwise(array(t.col)),
+            Some(ArrayType(VariantType)), t.err)
+        } else TC(array(t.col), t.tpe.map(dt => ArrayType(dt): DataType), t.err)
       case "slice" => sliceMethod(t, args, ctx)
       case "hash" =>
         if (litStr(0).startsWith("hmac_"))

@@ -283,6 +283,10 @@ object JmesPath {
         case "max_by" =>
           IndexOp(MethodCall(args.head, "sort_by", List(args(1))), LitLong(-1))
         case "map" => MethodCall(args(1), "map_each", List(args.head))
+        case "to_array" =>
+          // array → unchanged; anything else wraps (spec §to_array) —
+          // resolved on the static type by the compiler method
+          MethodCall(args.head, "to_array", Nil)
         case o => throw new IllegalArgumentException(s"jmespath: unsupported function $o")
       }
     }

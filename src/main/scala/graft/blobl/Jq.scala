@@ -22,7 +22,8 @@ import Ast._
   * `@html`/`@json`/`@text`/`@csv`/`@tsv`, `strftime`/`strptime` (with
   * `mktime`/`gmtime` as timestamp projections so the composed
   * `strptime(f)|mktime` and `now|gmtime|strftime(f)` idioms are exact),
-  * `first(g)`/`last(g)`/`any(f)`/`all(f)`, `debug`) — by translating onto the
+  * `first(g)`/`last(g)`/`any(f)`/`all(f)`, `has`/`in`, `debug`) — by
+  * translating onto the
   * Bloblang AST, so the query compiles to Catalyst Columns with no jq
   * runtime. Path update-assignment is supported on ident paths with
   * literal array indexes: `.a.b |= f`, `.xs[0].price = v`, `.xs[-1] += x`
@@ -665,9 +666,16 @@ object Jq {
 
     private def objField(): (Expr, Expr) = {
       ws()
-      val k = ident()
-      eat(':')
-      (LitString(k), parsePipe())
+      if (peek == '"') { // quoted (possibly interpolated) key
+        i += 1
+        val k = stringLit()
+        eat(':')
+        (k, parsePipe())
+      } else {
+        val k = ident()
+        eat(':')
+        (LitString(k), parsePipe())
+      }
     }
 
     /** Builtins apply to `this` (the piped value). */
@@ -899,6 +907,9 @@ object Jq {
         case "empty" => LitNull
         case "type" => MethodCall(This, "type", Nil)
         case "has" => MethodCall(This, "exists", List(arg()))
+        case "in" =>
+          // has, flipped — keys-contains, since the key is dynamic (`.`)
+          MethodCall(MethodCall(arg(), "keys", Nil), "contains", List(This))
         case "any" =>
           // any / any(f): disjunction over elements (2-arg generator
           // form out of scope)

@@ -68,6 +68,8 @@ class JmesPathSpec extends AnyFunSuite {
     assert(run("avg(xs)", """{"xs":[2,4,6]}""") == "4.0")
     assert(run("merge(a, b)", """{"a":{"x":1},"b":{"y":2}}""")
       == """{"x":1,"y":2}""")
+    assert(run("to_array(a)", """{"a":[1,2]}""") == "[1,2]")
+    assert(run("to_array(a)", """{"a":5}""") == "[5]")
   }
 
   test("expression references: sort_by, min_by, max_by, map") {

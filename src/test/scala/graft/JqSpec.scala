@@ -440,6 +440,11 @@ class JqSpec extends AnyFunSuite {
       """{"e":1425599507}""") == "2015-03-05")
   }
 
+  test("in: key membership, the flipped has") {
+    assert(run(""".k | in({"a": 1, "b": 2})""", """{"k":"a"}""") == "true")
+    assert(run(""".k | in({"a": 1, "b": 2})""", """{"k":"z"}""") == "false")
+  }
+
   test("first(g)/last(g) and any(f)/all(f) argument forms") {
     assert(run("first(.xs[])", """{"xs":[7,8,9]}""") == "7")
     assert(run("last(.xs[])", """{"xs":[7,8,9]}""") == "9")
