@@ -116,9 +116,42 @@ object BloblQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q169: the jmespath processor under an oracle — multiselect-hash,
+    * slice + projection, filter projection `[?expr]`, expression
+    * references (`&`/`@`), negative indexes, and the function set
+    * (length/join/sum/map/sort/contains/to_array), all compiled through
+    * the JMESPath→Bloblang→Catalyst path (`blobl.JmesPath`) and
+    * replayed by DuckDB's list functions. */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val out = graft.blobl.JmesPathProc(
+      """{doc_id: doc_id,
+        | n_words: length(words),
+        | first3: join('-', words[0:3]),
+        | n_long: length(words[?length(@) > `4`]),
+        | total_chars: sum(map(&length(@), words)),
+        | first_sorted: sort(words)[0],
+        | last_word: words[-1],
+        | has_the: contains(words, 'the'),
+        | arr0: to_array(doc_id)[0]}""".stripMargin)(env)
+    out.select(col("doc.doc_id").as("doc_id"),
+        col("doc.n_words").cast(org.apache.spark.sql.types.LongType).as("n_words"),
+        col("doc.first3").as("first3"),
+        col("doc.n_long").cast(org.apache.spark.sql.types.LongType).as("n_long"),
+        col("doc.total_chars").cast(org.apache.spark.sql.types.LongType).as("total_chars"),
+        col("doc.first_sorted").as("first_sorted"),
+        col("doc.last_word").as("last_word"),
+        col("doc.has_the").cast(org.apache.spark.sql.types.BooleanType).as("has_the"),
+        col("doc.arr0").cast(org.apache.spark.sql.types.LongType).as("arr0"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q163_error_channel" -> (q163 _),
     "q161_jq" -> (q161 _),
+    "q169_jmespath" -> (q169 _),
     "q10_blobl_lineitem" -> (q10 _),
     "q11_blobl_events" -> (q11 _),
     "q12_blobl_text" -> (q12 _))
@@ -129,6 +162,18 @@ object BloblQueries {
         | CASE WHEN doc_id % 3 = 0 THEN 'invalid' ELSE '2024-01-15' END AS day,
         | doc_id % 3 = 0 AS errored
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q169_jmespath" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        | CAST(len(ws) AS BIGINT) AS n_words,
+        | array_to_string(ws[1:3], '-') AS first3,
+        | CAST(len(list_filter(ws, w -> len(w) > 4)) AS BIGINT) AS n_long,
+        | CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS total_chars,
+        | list_sort(ws)[1] AS first_sorted,
+        | ws[-1] AS last_word,
+        | list_contains(ws, 'the') AS has_the,
+        | doc_id AS arr0
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q161_jq" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
         |  array_to_string(string_split(text, ' '), ' ') AS j FROM documents)
