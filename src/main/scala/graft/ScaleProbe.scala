@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   *    nodes; per-key structure identical).
   *
   * Emits one `SCALE <op> mult=<m> rows=<n> t=<s> out=<n>` line per
-  * measurement and writes the aggregate as JSON to SCALE_r6.json (or
+  * measurement and writes the aggregate as JSON to SCALE_r7.json (or
   * `--out <path>`), which ScaleLinearitySpec gates: wall-clock growth
   * per 4× step must stay ≤ 1.3× linear and pair outputs must not blow
   * up super-linearly.
@@ -58,7 +58,7 @@ object ScaleProbe {
       if (i >= 0) {
         if (i + 1 >= args.length) usage("--out requires a path argument")
         (args(i + 1), args.patch(i, Nil, 2).toSeq)
-      } else ("SCALE_r6.json", args.toSeq)
+      } else ("SCALE_r7.json", args.toSeq)
     }
     val mults = rest.map(a =>
       try a.toInt catch { case _: NumberFormatException =>
@@ -223,8 +223,14 @@ object ScaleProbe {
         graft.llmops.TextStats.tfidfTopK(docs, "doc_id", "text", 3).count()
       }
       probe("semdedup", mult, nEmb * mult) {
+        // deployment posture (same as ann_ivf's centroids): k grows with
+        // the corpus via auto-k, holding expected cluster size — and so
+        // per-cluster pair work — constant across mults. A fixed k here
+        // is Θ(n²/k): the r6 probe pinned k=8 and measured the quadratic
+        // emerging at the 16× step (2.57× of linear).
         graft.llmops.Training.semanticDedup(emb, "vec_id", "embedding",
-          k = 8, iters = 2, threshold = 0.4).count()
+          k = 0, iters = 2, threshold = 0.4,
+          targetClusterSize = (nEmb / 8).toInt.max(1)).count()
       }
       probe("ann_ivf", mult, nEmb * mult) {
         // deployment posture: centroid count scales with the corpus so

@@ -399,10 +399,11 @@ object Compiler {
     val l = compile(le, ctx)
     val r = compile(re, ctx)
     val res = binop0(op, l, r)
-    // `|` (reference coalesce, arithmetic.go:438-446) consumes the LHS
-    // error: it falls back on error OR null, so only the RHS's channel
-    // survives. Every other operator propagates both sides' errors.
-    if (op == "|") res.copy(err = r.err)
+    // `|` (reference coalesce, arithmetic.go:438-446) and the jq
+    // alternative `//` consume the LHS error: they fall back on error OR
+    // null(/false), so only the RHS's channel survives. Every other
+    // operator propagates both sides' errors.
+    if (op == "|" || op == "//") res.copy(err = r.err)
     else res.orErr(TC.mergeErr(l.err, r.err))
   }
 
@@ -427,6 +428,32 @@ object Compiler {
       // `|` = catch/coalesce: fallback when LHS is null (errors compile to
       // null under permissive eval — reference arithmetic.go:15-53).
       case "|" => TC(coalesce(l.col, r.col), unify(l.tpe, r.tpe).orElse(l.tpe))
+      // jq alternative `//` (also `//=`): falls back on null OR false —
+      // unlike `|`'s null-only coalesce. Boolean LHS tests === false;
+      // variant LHS tests via to_json (which distinguishes boolean false
+      // from the string "false"); any other static type cannot hold a
+      // boolean false, so the null-only coalesce is already exact.
+      case "//" =>
+        val rCol = if (l.isVariant && !r.isVariant) r.col.cast(VariantType) else r.col
+        val falseCond =
+          if (l.tpe.contains(BooleanType)) Some(l.col === lit(false))
+          else if (l.isVariant) Some(to_json(l.col) === lit("false"))
+          else None
+        falseCond match {
+          case Some(fc) =>
+            // a when-chain needs one branch type; a boolean LHS with a
+            // non-boolean fallback (jq is dynamically typed) widens both
+            // sides to string
+            val ut = unify(l.tpe, r.tpe)
+            val (lc, rc, tpe) =
+              if (l.isVariant || ut.isDefined || l.tpe == r.tpe)
+                (l.col, rCol, ut.orElse(l.tpe))
+              else (l.col.cast(StringType), rCol.cast(StringType),
+                Some(StringType): Option[DataType])
+            TC(when(l.col.isNull || fc, rc).otherwise(lc), tpe)
+          case None =>
+            TC(coalesce(l.col, rCol), unify(l.tpe, r.tpe).orElse(l.tpe))
+        }
       case other => throw CompileError(s"unknown operator $other")
     }
   }
@@ -1397,9 +1424,17 @@ object Compiler {
           when(key(a) < key(b), -1).when(key(a) > key(b), 1).otherwise(0)), t.tpe)
       case "group_by" =>
         // jq group_by: array of groups of key-equal elements, groups
-        // ordered by key, element order preserved within a group
+        // ordered by key, element order preserved within a group. jq's
+        // value order puts null FIRST (null < false < true < numbers <
+        // strings) while array_sort's default puts null last — the
+        // comparator special-cases null-first. The cross-TYPE leg of
+        // jq's total order can't arise here: a Catalyst array key has
+        // one static element type.
         val key = lambda1(arg(0), ctx, t.elemType)
-        val keys = array_sort(array_distinct(transform(t.col, key)))
+        val keys = array_sort(array_distinct(transform(t.col, key)),
+          (a, b) => when(a.isNull && b.isNull, 0)
+            .when(a.isNull, -1).when(b.isNull, 1)
+            .when(a < b, -1).when(a > b, 1).otherwise(0))
         TC(transform(keys, k => filter(t.col, x => key(x) <=> k)),
           t.tpe.map(ArrayType(_)))
       case "sum" =>

@@ -235,9 +235,7 @@ object Jq {
                 genLocked = true
                 val rhs = parseAlt()
                 val op = o.dropRight(1)
-                return SetPath(segs,
-                  if (op == "//") BinOp("|", pathExpr, rhs)
-                  else BinOp(op, pathExpr, rhs))
+                return SetPath(segs, BinOp(op, pathExpr, rhs))
               case None => ()
             }
           }
@@ -311,7 +309,9 @@ object Jq {
     }
     def parseAlt(): Expr = { // `a // b`
       var l = parseOr()
-      while (tryEat("//")) l = BinOp("|", l, parseOr())
+      // jq alternative: null OR false falls back (distinct from the
+      // bloblang `|` coalesce, which is null-only — Compiler's `//` case)
+      while (tryEat("//")) l = BinOp("//", l, parseOr())
       l
     }
     def parseOr(): Expr = {
@@ -1063,18 +1063,27 @@ object Jq {
       // `env.KEY` / `$ENV.KEY` project ONLY the accessed variable into the
       // plan — baking the full environment in as literals would expose
       // every secret (tokens, keys) in df.explain() / the Spark UI SQL tab
-      // and bloat each plan by the env size. Only the explicit bare-object
-      // form (`env` with no key access) keeps gojq's full-object value.
+      // and bloat each plan by the env size. The bare-object form (`env`
+      // with no key access) would embed ALL of it, so it is a translate-
+      // time error unless explicitly opted in via the JVM property
+      // -Dgraft.jq.env.bare=true (gojq parity for callers who accept the
+      // plan-visibility trade).
       ws()
       if (peek == '.' && i + 1 < s.length &&
           (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
         i += 1
         val k = ident()
         sys.env.get(k).map(LitString(_): Expr).getOrElse(LitNull)
-      } else
+      } else if (java.lang.Boolean.getBoolean("graft.jq.env.bare"))
         LitObject(sys.env.toList.sortBy(_._1).map { case (k, v) =>
           (LitString(k): Expr, LitString(v): Expr)
         })
+      else
+        throw new IllegalArgumentException(
+          "jq: bare `env`/`$ENV` would bake the entire process environment " +
+            "into the compiled plan (visible in explain()/Spark UI); use " +
+            "`env.KEY` to project a single variable, or opt in with " +
+            "-Dgraft.jq.env.bare=true")
     }
 
     def ident(): String = {

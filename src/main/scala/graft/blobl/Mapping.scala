@@ -99,7 +99,15 @@ object Mapping {
         probe(dynR) match {
           case Some(lits) => MethodCall(tR, "bloblang", List(
             IfExpr(lits.map(v =>
-              (BinOp("==", dynR, LitString(v)), LitString(v): Expr)), None)))
+              (BinOp("==", dynR, LitString(v)), LitString(v): Expr)),
+              // drift guard: a mapping string that appears at EXECUTION
+              // time but was absent from the plan-time probe (data
+              // mutated between probe and run, concurrent writer) must
+              // not silently map to null — the fallback alternative is
+              // itself a literal mapping that throws, so the miss rides
+              // the error channel like any other mapping error
+              Some(LitString(
+                """root = throw("unprobed dynamic mapping value")""")))))
           case None => MethodCall(tR, "bloblang", List(dynR))
         }
       case MethodCall(t, n, as) => MethodCall(rwE(t), n, as.map(rwE))
@@ -194,7 +202,20 @@ object Mapping {
       case Assign(MetaKey(_), _) => () // meta writes inside maps: no-op here
       case MapDef(_, _) => ()
     }
-    state.materialize().getOrElse(TC(lit(null), None))
+    val base = state.materialize().getOrElse(TC(lit(null), None))
+    // throw() inside a nested mapping (map body, bloblang() alternative —
+    // incl. the dynamic-dispatch drift guard) must ride the value's error
+    // channel, not vanish: there is no _error column at this level to
+    // absorb the write, so the enclosing expression's catch/_error
+    // handling is the only route out
+    if (state.errorWrites.isEmpty) base
+    else {
+      val thrown = state.errorWrites.foldLeft(
+          lit(null).cast(StringType): Column) {
+        case (acc, (cond, msg)) => coalesce(acc, when(cond, msg))
+      }
+      TC(base.col, base.tpe, TC.mergeErr(base.err, Some(thrown)))
+    }
   }
 
   // ---------------- output-document state ----------------

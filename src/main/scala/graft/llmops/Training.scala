@@ -475,10 +475,27 @@ object Training {
     * Returns one row per vector: (id, cid, cluster_id, keep) where
     * `cluster_id` is the semantic-duplicate component label (= own id
     * for uniques) and `cid` the k-means shard. Integer ids + a boolean;
-    * the float similarity never reaches the output. */
+    * the float similarity never reaches the output.
+    *
+    * `k <= 0` selects the scale-safe auto posture: k = ceil(n /
+    * targetClusterSize), sized from one column-pruned count of the
+    * corpus. A FIXED k is a latent quadratic — within-cluster pair work
+    * is Θ(n²/k), so a k chosen at sf0.1 silently melts at 100 TB; auto-k
+    * pins expected per-cluster pair work at Θ(targetClusterSize²) per
+    * cluster regardless of corpus size, which is the posture the scale
+    * probe measures. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, threshold: Double): DataFrame = {
-    val (assigned, _) = KMeans.fit(corpus, idCol, vecCol, k, iters)
+      k: Int, iters: Int, threshold: Double,
+      targetClusterSize: Int = 256): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else {
+        require(targetClusterSize > 0,
+          s"targetClusterSize must be positive, got $targetClusterSize")
+        val n = corpus.select(col(idCol)).count()
+        math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+      }
+    val (assigned, _) = KMeans.fit(corpus, idCol, vecCol, kEff, iters)
     val slim = assigned.select(col(idCol).as("id"), col("cid"), col(vecCol).as("v"))
       .localCheckpoint() // k-means trajectory runs once, not per join branch
     val a = slim.select(col("id").as("id_a"), col("cid"), col("v").as("va"))

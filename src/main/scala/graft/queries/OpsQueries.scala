@@ -271,6 +271,124 @@ object OpsQueries {
     s.read.parquet(sink).orderBy(col("bucket"))
   }
 
+  /** Stage the events table as 4 CHRONOLOGICAL parquet files (fixed
+    * week-range cuts over the 2024-01 test corpus, strictly increasing
+    * modification times so FileStreamSource's oldest-first order is
+    * deterministic). Watermarked gates need in-order arrival: the
+    * random 4-way split of [[stagedEventsSrc]] would make every
+    * micro-batch after the first carry rows older than the advancing
+    * watermark, and append-mode late-row dropping would be
+    * nondeterministic. Same fingerprint caching + atomic rename. */
+  private def stagedEventsByTimeSrc(s: SparkSession, dir: String): String = {
+    val files = Option(new java.io.File(dir, "events.parquet").listFiles())
+      .getOrElse(Array.empty)
+    val fp = java.util.Arrays.hashCode(files.sortBy(_.getName)
+      .map(f => (f.getName, f.length, f.lastModified).hashCode()): Array[Int])
+    val src = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q170_src_${math.abs(dir.hashCode)}_${Integer.toHexString(fp)}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    if (!new java.io.File(src, "_READY").exists()) {
+      val tmp = new java.io.File(src.getParent,
+        src.getName + "." + java.util.UUID.randomUUID().toString.take(8))
+      tmp.mkdirs()
+      val ev = t(s, dir, "events")
+      val cuts = scala.Seq("2024-01-09", "2024-01-17", "2024-01-25")
+        .map(d => to_timestamp(lit(d)))
+      val ranges = scala.Seq(
+        col("ts") < cuts(0),
+        col("ts") >= cuts(0) && col("ts") < cuts(1),
+        col("ts") >= cuts(1) && col("ts") < cuts(2),
+        col("ts") >= cuts(2))
+      ranges.zipWithIndex.foreach { case (cond, i) =>
+        val stage = new java.io.File(tmp, s"stage_$i")
+        ev.filter(cond).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = Option(stage.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .getOrElse(sys.error(s"q170 staging: no parquet part in $stage"))
+        val dest = new java.io.File(tmp, f"part-$i%05d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+        rm(stage)
+      }
+      new java.io.File(tmp, "_READY").createNewFile()
+      if (!tmp.renameTo(src)) {
+        rm(tmp) // a concurrent JVM staged the same fingerprint first
+        require(new java.io.File(src, "_READY").exists(),
+          s"q170 staging: concurrent rename lost and $src is incomplete")
+      }
+    }
+    src.toString
+  }
+
+  /** The q33 tumbling-window aggregation as a WATERMARKED APPEND-mode
+    * stream — the superset semantics SURVEY §2.6 adopts, without q167's
+    * complete-mode sidestep: `withWatermark(ts, 30 minutes)` +
+    * outputMode(append) over the chronological 4-file source, so each
+    * micro-batch advances the event-time watermark and CLOSED windows
+    * are emitted incrementally (this is the unbounded-stream scale
+    * shape — state holds only open windows, not the whole history, and
+    * nothing is ever rewritten). Trigger.AvailableNow runs extra
+    * batches after the last data until the final watermark (max ts −
+    * 30 min) has flushed every closed window. Windows still open at
+    * end-of-stream are withheld by definition; the oracle applies the
+    * same cutoff: window end ≤ max(ts) − 30 min. */
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = stagedEventsByTimeSrc(s, dir)
+    val sink = Files.createTempDirectory("graft_q170_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q170_ckpt").toString
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val agg = stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink).orderBy(col("bucket"))
+  }
+
+  /** Native `dropDuplicatesWithinWatermark` — the SURVEY §2.1 dedupe
+    * streaming mapping exercised through Spark's own watermarked
+    * stateful dedupe operator (vs q166, which gates the library's
+    * DedupeProc): state is keyed on (user_id, event_type), carried
+    * across 4 micro-batches, and expired by the event-time watermark.
+    * The 40-day delay exceeds the corpus's 30-day span, so no state
+    * expires and no row arrives late mid-corpus — the converged answer
+    * is exactly DISTINCT(user_id, event_type), which keeps the oracle
+    * exact while the watermark/state machinery runs for real. Only key
+    * columns are emitted, so which duplicate survives is invisible. */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = stagedEventsSrc(s, dir)
+    val sink = Files.createTempDirectory("graft_q171_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q171_ckpt").toString
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val deduped = stream
+      .withWatermark("ts", "40 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = deduped.writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** merge_json: deep-merge 50-row batches — scalar leaves collect into
     * seq-ordered arrays (rendered as joined strings for the oracle). */
   def q38(s: SparkSession, dir: String): DataFrame = {
@@ -366,6 +484,8 @@ object OpsQueries {
     "q13_dedupe" -> (q13 _),
     "q166_stream_dedupe" -> (q166 _),
     "q167_stream_window" -> (q167 _),
+    "q170_stream_watermark_append" -> (q170 _),
+    "q171_stream_drop_dup_watermark" -> (q171 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -427,6 +547,21 @@ object OpsQueries {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // q33 under watermarked APPEND streaming: only windows the final
+    // watermark (max ts - 30 min) has closed are ever emitted — the
+    // oracle applies the same cutoff to the batch aggregate
+    "q170_stream_watermark_append" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1
+        |HAVING bucket + 3600 <= (SELECT epoch(max(ts)) - 1800 FROM events)
+        |ORDER BY bucket""".stripMargin,
+    // dropDuplicatesWithinWatermark with a delay exceeding the corpus
+    // span converges to plain DISTINCT on the key
+    "q171_stream_drop_dup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q159_cached_dedupe" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS fp FROM documents)
         |SELECT DISTINCT fp FROM d

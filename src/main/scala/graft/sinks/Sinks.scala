@@ -50,8 +50,12 @@ object Sinks {
   /** Impossible-in-a-real-path value standing in for null in the
     * partitionBy regime, so the null check rides the single write pass.
     * \\u0001 is in Spark's partition-escape set (lands as %01 on disk);
-    * \\u0000 is NOT and would fail the write itself. */
-  private val NullPathMarker = "\u0001null"
+    * \\u0000 is NOT and would fail the write itself. A per-run UUID
+    * suffix makes collision with a legitimate data-derived path
+    * impossible (the marker value doesn't exist until this write
+    * starts). */
+  private def newNullPathMarker(): String =
+    s"\u0001null-${java.util.UUID.randomUUID().toString.take(8)}"
 
   final case class DynamicPathSink(base: String, pathExpr: String,
       format: String = "lines", mode: String = "overwrite",
@@ -91,10 +95,14 @@ object Sinks {
       // single data pass: nulls are tagged with an impossible marker value
       // and detected from the driver-side partition listing AFTER the write
       // (a distributed pre-check would cost a full extra pass over the
-      // input). Escape checking happens on the same (path-count-sized)
-      // listing, same as per-path.
+      // input). The trade-off: a null produced by a row the bounded
+      // limit-probe didn't see fails LATE — after the full pass has been
+      // written to tmp — but it still fails atomically (tmp is discarded,
+      // nothing lands under base). Escape checking happens on the same
+      // (path-count-sized) listing, same as per-path.
+      val nullPathMarker = newNullPathMarker()
       val withP = withP0.withColumn("_graft_path",
-        coalesce(col("_graft_path"), lit(NullPathMarker)))
+        coalesce(col("_graft_path"), lit(nullPathMarker)))
       val tmp = new java.io.File(base,
         s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       try {
@@ -118,7 +126,7 @@ object Sinks {
           .filter(f => f.isDirectory && f.getName.startsWith("_graft_path="))
         val values = parts.map(d =>
           unescapePartitionValue(d.getName.stripPrefix("_graft_path=")))
-        require(!values.contains(NullPathMarker),
+        require(!values.contains(nullPathMarker),
           s"file output: path expression '$pathExpr' resolved to null")
         parts.zip(values).foreach { case (dir, raw) =>
           // Spark stores an empty-string partition value as the Hive

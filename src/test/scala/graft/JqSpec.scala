@@ -246,6 +246,48 @@ class JqSpec extends AnyFunSuite {
       == """{"a":"filled","b":1}""")
     assert(run(""".a //= "filled"""", """{"a":"kept","b":1}""")
       == """{"a":"kept","b":1}""")
+    // jq's alternative also replaces FALSE (gojq: .a //= 1 on {a:false})
+    assert(run(""".a //= "filled"""", """{"a":false,"b":1}""")
+      == """{"a":"filled","b":1}""")
+  }
+
+  test("// alternative falls back on null OR false, unlike null-only coalesce") {
+    assert(run(""".a // "alt"""", """{"a":null}""") == "alt")
+    assert(run(""".a // "alt"""", """{"a":false}""") == "alt")
+    assert(run(""".a // "alt"""", """{"a":true}""") == "true")
+    // a STRING "false" is truthy in jq — must be kept
+    assert(run(""".a // "alt"""", """{"a":"false"}""") == "false")
+    assert(run(""".a // "alt"""", """{"a":7}""") == "7")
+  }
+
+  test("// alternative on a VARIANT doc distinguishes false from \"false\"") {
+    // raw-content path: the doc is a VARIANT, so the false test must use
+    // the json form (boolean false = `false`, string = `"false"`)
+    import org.apache.spark.sql.types._
+    def runVariant(row: String): String = {
+      import spark.implicits._
+      val df = scala.Seq(row).toDF("c").select(
+        col("c").cast(BinaryType).as("content"),
+        try_parse_json(col("c")).as("doc"),
+        map().cast(MapType(StringType, StringType)).as("meta"),
+        lit(null).cast(StringType).as("_error"),
+        lit(0L).as("batch_id"), lit(0L).as("seq"))
+      JqProc(""".a // "alt"""")(df)
+        .select(to_json(col("doc"))).head().getString(0)
+    }
+    assert(runVariant("""{"a":false}""") == "\"alt\"")
+    assert(runVariant("""{"a":null}""") == "\"alt\"")
+    assert(runVariant("""{"a":"false"}""") == "\"false\"") // kept: truthy
+    assert(runVariant("""{"a":7}""") == "7")
+  }
+
+  test("group_by orders null keys FIRST (jq value order)") {
+    assert(run(""".u | group_by(.k) | map(map(.v))""",
+      """{"u":[{"k":2,"v":"a"},{"k":null,"v":"n"},{"k":1,"v":"b"}]}""")
+      == """[["n"],["b"],["a"]]""")
+    assert(run(""".u | unique_by(.k) | map(.v)""",
+      """{"u":[{"k":2,"v":"a"},{"k":null,"v":"n"},{"k":2,"v":"c"}]}""")
+      == """["n","a"]""")
   }
 
   test("group_by / unique_by (jq manual semantics)") {
@@ -296,10 +338,18 @@ class JqSpec extends AnyFunSuite {
   test("env.KEY projects only the accessed variable into the AST") {
     // baking the full environment in as literals would expose every
     // secret in df.explain()/the Spark UI — keyed access must translate
-    // to the single value, the bare-object form to the full object
+    // to the single value; the bare-object form is a translate-time
+    // error unless -Dgraft.jq.env.bare=true opts in
     import graft.blobl.Ast._
     assert(graft.blobl.Jq.translate("env.PATH") == LitString(sys.env("PATH")))
-    assert(graft.blobl.Jq.translate("env").isInstanceOf[LitObject])
+    val err = intercept[IllegalArgumentException] {
+      graft.blobl.Jq.translate("env")
+    }
+    assert(err.getMessage.contains("env.KEY"))
+    val prop = "graft.jq.env.bare"
+    System.setProperty(prop, "true")
+    try assert(graft.blobl.Jq.translate("env").isInstanceOf[LitObject])
+    finally System.clearProperty(prop)
   }
 
   test("sub replaces FIRST match only; gsub replaces all") {

@@ -114,6 +114,35 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       == List("HEY", "cba", "hey"))
   }
 
+  test("bloblang() dynamic dispatch miss rides the error channel, not silent null") {
+    // the probe rewrite's drift guard: a selector value with no matching
+    // alternative (data mutated between the plan-time probe and
+    // execution) must flag _error — a throwing fallback mapping is the
+    // mechanism, exercised here through an explicit dispatch miss
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = spark.read.json(spark.createDataset(scala.Seq(
+      """{"v":"Hey","kind":"up","seq":0}""",
+      """{"v":"Hey","kind":"DRIFTED","seq":1}""")))
+    val df = base.select(
+      lit(null).cast(BinaryType).as("content"),
+      struct(col("kind"), col("v")).as("doc"),
+      map().cast(MapType(StringType, StringType)).as("meta"),
+      lit(null).cast(StringType).as("_error"),
+      lit(0L).as("batch_id"),
+      col("seq").as("seq"))
+    val out = Mapping.compile(
+      """root.r = this.v.bloblang(
+        |  if this.kind == "up" { "root = this.uppercase()" }
+        |  else { "root = throw(\"unprobed dynamic mapping value\")" })"""
+        .stripMargin).applyEnvelope(df)
+    val rows = out.select(col("doc.r").cast(StringType), col("_error"))
+      .orderBy(col("seq")).collect()
+    assert(rows(0).getString(0) == "HEY" && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) &&
+      rows(1).getString(1).contains("unprobed dynamic mapping value"))
+  }
+
   test("json() on a RAW envelope parses the content (functions.go json semantics)") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -2,10 +2,13 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Gates the committed scale-probe artifact (SCALE_r6.json, produced by
+/** Gates the committed scale-probe artifact (SCALE_r7.json, produced by
   * [[ScaleProbe]] on an idle box at sf0.1 × {1,4,16}): wall-clock per 4×
   * data step must stay within LINEAR_SLACK of linear for every probed
-  * operator family, and pair-emitting operators must not blow up their
+  * operator family, the fitted log-log wall-vs-mult slope must stay ≤
+  * SLOPE_MAX (the trend gate — stepwise slack compounds to 1.69× over
+  * two steps, a regression fit catches the same drift a round earlier),
+  * and pair-emitting operators must not blow up their
   * output super-linearly. A hidden quadratic (cross join, unpartitioned
   * window, hot LSH bucket, driver collect) shows up here as a >5.2×
   * step long before any cluster sees it — the probe's first run caught
@@ -18,6 +21,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ScaleLinearitySpec extends AnyFunSuite {
   private val LinearSlack = 1.3 // per 4× step: ≤ 1.3 × linear growth
+  private val SlopeMax = 1.15 // log-log wall-vs-mult regression slope cap
   // sub-second measurements ride the Spark scheduling floor; a step
   // FROM a floor-dominated point can't indict the operator
   private val FloorSec = 1.0
@@ -26,8 +30,8 @@ class ScaleLinearitySpec extends AnyFunSuite {
       cross: Long)
 
   private lazy val points: Seq[P] = {
-    val f = new java.io.File("SCALE_r6.json")
-    assert(f.exists, "SCALE_r6.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
+    val f = new java.io.File("SCALE_r7.json")
+    assert(f.exists, "SCALE_r7.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     val rs = root.get("results")
     (0 until rs.size).map { i =>
@@ -63,6 +67,31 @@ class ScaleLinearitySpec extends AnyFunSuite {
               f"(allowed ${allowed}%.2fx for ${factor}%.0fx data): " +
               f"${lo.wall}%.2fs -> ${hi.wall}%.2fs — hidden super-linearity")
         case _ => ()
+      }
+    }
+  }
+
+  test("log-log wall-vs-mult slope stays <= 1.15 (trend gate)") {
+    // Stepwise 1.3× slack compounds (1.69× over two 4× steps); a least-
+    // squares fit of ln(wall) on ln(mult) across ALL points above the
+    // scheduling floor bounds the TREND instead, catching an emerging
+    // quadratic (slope → 2) a round earlier at the same probe cost.
+    // Points under FloorSec are excluded — they measure the scheduler,
+    // not the operator — and a fit needs ≥ 2 usable points.
+    points.groupBy(_.op).foreach { case (op, ps) =>
+      val usable = ps.sortBy(_.mult).filter(_.wall >= FloorSec)
+      if (usable.size >= 2) {
+        val xs = usable.map(p => math.log(p.mult.toDouble))
+        val ys = usable.map(p => math.log(p.wall))
+        val xm = xs.sum / xs.size
+        val ym = ys.sum / ys.size
+        val cov = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+        val varX = xs.map(x => (x - xm) * (x - xm)).sum
+        val slope = cov / varX
+        assert(slope <= SlopeMax,
+          f"$op log-log slope $slope%.3f > $SlopeMax (walls " +
+            usable.map(p => f"${p.mult}x=${p.wall}%.2fs").mkString(", ") +
+            ") — super-linear trend")
       }
     }
   }

@@ -270,6 +270,35 @@ class TrainingSpec extends AnyFunSuite {
     assert(byId(20L) == (20L, true))
   }
 
+  test("semanticDedup auto-k: k<=0 sizes k from n/targetClusterSize") {
+    def v(base: Int, jit: Float) = {
+      val a = Array.fill(4)(0f); a(base) = 1f; a((base + 1) % 4) += jit; a
+    }
+    // 12 vectors in 4 orthogonal families of 3 near-identical copies
+    // each; ids interleave (id % 4 = family) so the deterministic
+    // lowest-id k-means seeds land one per family
+    val rows = for (b <- 0 until 4; j <- 0 until 3)
+      yield ((j * 4 + b).toLong, v(b, 0.001f * (j + 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    // targetClusterSize=3 → auto-k = ceil(12/3) = 4: each family gets its
+    // own shard and collapses to one keeper
+    val out = Training.semanticDedup(df, "vec_id", "embedding",
+        k = 0, iters = 3, threshold = 0.99, targetClusterSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 12)
+    assert(out.count(_._3) == 4) // one keeper per family
+    // keepers are the min id of their component, components match families
+    for ((id, cluster, keep) <- out) {
+      assert(cluster == id % 4)
+      assert(keep == (id == cluster))
+    }
+    // same explicit k gives the identical result (auto-k is just sizing)
+    val exp = Training.semanticDedup(df, "vec_id", "embedding",
+        k = 4, iters = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out.toSet == exp)
+  }
+
   test("mixtureRates solves target weights under an epoch cap") {
     import graft.llmops.Training
     val rates = Training.mixtureRates(
