@@ -408,21 +408,55 @@ object Compiler {
   }
 
   private def binop0(op: String, l: TC, r: TC): TC = {
+    // comparisons against a VARIANT operand: Spark defines no ordering on
+    // VariantType, so cast the variant side to the other side's static
+    // type (try-get: a type mismatch degrades to null, the engine's
+    // error-as-null posture) — this is what lets dynamic-JSON predicates
+    // like `.kind == "up"` or recurse conditions like `. > 1` compile
+    def cmp(f: (Column, Column) => Column): TC = {
+      val (lc, rc) =
+        if (l.isVariant && !r.isVariant)
+          (try_variant_get(l.col, "$",
+            r.tpe.filterNot(_ == NullType).map(_.sql).getOrElse("string")), r.col)
+        else if (r.isVariant && !l.isVariant)
+          (l.col, try_variant_get(r.col, "$",
+            l.tpe.filterNot(_ == NullType).map(_.sql).getOrElse("string")))
+        else (l.col, r.col)
+      TC(f(lc, rc), Some(BooleanType))
+    }
+    // equality with a null LITERAL is a null CHECK (reference dynamic
+    // semantics; SQL's null-propagating = would yield null, never true) —
+    // variant targets also treat an encoded variant null as null
+    def isNullish(x: TC): Column =
+      if (x.isVariant) x.col.isNull || is_variant_null(x.col) else x.col.isNull
+    if (r.tpe.contains(NullType) && (op == "==" || op == "!="))
+      return TC(if (op == "==") isNullish(l) else !isNullish(l), Some(BooleanType))
+    if (l.tpe.contains(NullType) && (op == "==" || op == "!="))
+      return TC(if (op == "==") isNullish(r) else !isNullish(r), Some(BooleanType))
+    // arithmetic with a VARIANT operand: same try-get coercion to the
+    // typed side (recurse steps like `. * 2` run on variant elements)
+    val (la, ra) =
+      if (!Set("+", "-", "*", "/", "%")(op)) (l, r)
+      else if (l.isVariant && !r.isVariant && r.tpe.exists(_ != NullType))
+        (TC(try_variant_get(l.col, "$", r.tpe.get.sql), r.tpe, l.err), r)
+      else if (r.isVariant && !l.isVariant && l.tpe.exists(_ != NullType))
+        (l, TC(try_variant_get(r.col, "$", l.tpe.get.sql), l.tpe, r.err))
+      else (l, r)
     op match {
       case "+" =>
-        if (l.isString || r.isString) TC(concat(l.col, r.col), Some(StringType))
-        else if (l.isArray && r.isArray) TC(concat(l.col, r.col), l.tpe)
-        else TC(l.col + r.col, unify(l.tpe, r.tpe))
-      case "-" => TC(l.col - r.col, unify(l.tpe, r.tpe))
-      case "*" => TC(l.col * r.col, unify(l.tpe, r.tpe))
-      case "/" => TC(l.col / r.col, Some(DoubleType))
-      case "%" => TC(l.col % r.col, unify(l.tpe, r.tpe))
-      case "==" => TC(l.col === r.col, Some(BooleanType))
-      case "!=" => TC(l.col =!= r.col, Some(BooleanType))
-      case ">" => TC(l.col > r.col, Some(BooleanType))
-      case "<" => TC(l.col < r.col, Some(BooleanType))
-      case ">=" => TC(l.col >= r.col, Some(BooleanType))
-      case "<=" => TC(l.col <= r.col, Some(BooleanType))
+        if (la.isString || ra.isString) TC(concat(la.col, ra.col), Some(StringType))
+        else if (la.isArray && ra.isArray) TC(concat(la.col, ra.col), la.tpe)
+        else TC(la.col + ra.col, unify(la.tpe, ra.tpe))
+      case "-" => TC(la.col - ra.col, unify(la.tpe, ra.tpe))
+      case "*" => TC(la.col * ra.col, unify(la.tpe, ra.tpe))
+      case "/" => TC(la.col / ra.col, Some(DoubleType))
+      case "%" => TC(la.col % ra.col, unify(la.tpe, ra.tpe))
+      case "==" => cmp(_ === _)
+      case "!=" => cmp(_ =!= _)
+      case ">" => cmp(_ > _)
+      case "<" => cmp(_ < _)
+      case ">=" => cmp(_ >= _)
+      case "<=" => cmp(_ <= _)
       case "&&" => TC(l.col && r.col, Some(BooleanType))
       case "||" => TC(l.col || r.col, Some(BooleanType))
       // `|` = catch/coalesce: fallback when LHS is null (errors compile to
@@ -1238,6 +1272,70 @@ object Compiler {
               concat(acc.getField("outs"), array(nt)).as("outs"))
           },
           acc => acc.getField("outs")), init.tpe.map(ArrayType(_)))
+      case "recurse_apply" =>
+        // jq `recurse(f)` / `recurse(f; cond)`, collected, with an
+        // explicit DEPTH CAP (the gojq definition is unbounded iteration,
+        // which a static plan can't express): levels are array<variant>
+        // frontiers — L0 = [.], L(k+1) = cond-filtered outputs of f over
+        // Lk — and the result is the pre-order concat L0..Lcap. One more
+        // expansion past the cap decides convergence: a non-empty
+        // L(cap+1) rides the error channel instead of silently
+        // truncating. The whole iteration is ONE `aggregate` over
+        // sequence(1, cap+1) so f appears once in the plan (a per-level
+        // unrolling would double the expression tree per level).
+        // args: (f-lambda, LitBool(f is a generator), cond-lambda | null,
+        // LitLong(cap)); scalar-f branches terminate on a null output
+        // (gojq would recurse on null forever — the cap error would be
+        // the only outcome, so termination is the useful divergence).
+        val genF = args(1) match {
+          case LitBool(b) => b
+          case o => throw CompileError(s"recurse_apply: bool flag expected, got $o")
+        }
+        val cap = args(3) match {
+          case LitLong(n) if n > 0 && n <= 64 => n.toInt
+          case o => throw CompileError(s"recurse_apply: depth cap in 1..64 expected, got $o")
+        }
+        def fOut(x: Column): Column = {
+          val tc = arg(0) match {
+            case Lambda(p, body) =>
+              val xe = TC(x, Some(VariantType))
+              compile(body, ctx.withVar(p, xe).withThis(xe))
+            case o => throw CompileError(s"recurse_apply: f lambda expected, got $o")
+          }
+          asVariant(tc.col, tc.tpe.getOrElse(VariantType))
+        }
+        def expand(x: Column): Column =
+          if (genF)
+            coalesce(try_variant_get(fOut(x), "$", "array<variant>"),
+              emptyVariants)
+          else filter(array(fOut(x)),
+            v => !(v.isNull || is_variant_null(v)))
+        def keep(arr: Column): Column = args(2) match {
+          case LitNull => arr
+          case Lambda(p, body) => filter(arr, x => {
+            val xe = TC(x, Some(VariantType))
+            val c = compile(body, ctx.withVar(p, xe).withThis(xe))
+            coalesce(c.col.cast(BooleanType), lit(false))
+          })
+          case o => throw CompileError(s"recurse_apply: cond lambda expected, got $o")
+        }
+        val rootV = asVariant(t.col, t.tpe.getOrElse(StringType))
+        val state = aggregate(
+          sequence(lit(1), lit(cap + 1)),
+          struct(array(rootV).as("acc"), array(rootV).as("frontier")),
+          (st, i) => {
+            val next = keep(coalesce(
+              flatten(transform(st.getField("frontier"), expand(_))),
+              emptyVariants))
+            struct(
+              when(i <= cap, concat(st.getField("acc"), next))
+                .otherwise(st.getField("acc")).as("acc"),
+              next.as("frontier"))
+          })
+        val overflow = when(size(state.getField("frontier")) > 0,
+          lit(s"recurse: depth cap $cap exceeded with the frontier still live"))
+        TC(state.getField("acc"), Some(ArrayType(VariantType)),
+          TC.mergeErr(t.err, Some(overflow)))
       case "recurse_values" =>
         // jq `..` / no-arg recurse, collected: this value and every
         // recursive descendant (pre-order), as array<variant>. The walk is

@@ -46,8 +46,17 @@ import Ast._
   * depth, stays in codegen) to array<variant>; `getpath([...])` with a
   * literal path is static field access; `expr as $x | rest` bindings
   * (incl. `[$a,$b]` / `{k:$x}` destructuring) substitute inline with
-  * `.` unrebound. Out of scope: `recurse(f)` (unbounded iteration) and
-  * generators in arbitrary value positions.
+  * `.` unrebound; `recurse(f)` / `recurse(f; cond)` compile onto a
+  * bounded level-expansion (default depth cap 16, overridable via an
+  * extra literal-int argument; a frontier still live past the cap
+  * errors instead of silently truncating — gojq's unbounded iteration
+  * is the boundary; a null scalar-f output ends its branch where gojq
+  * would recurse on null forever). Out of scope: generators in
+  * arbitrary value positions and `.[]`-on-objects as the recurse body.
+  *
+  * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
+  * value order); the cross-TYPE leg of jq's total order cannot arise
+  * on a statically-typed key column.
   */
 object Jq {
 
@@ -95,6 +104,10 @@ object Jq {
       * a trailing `[]` yields the array ITSELF — the jq `[g]` collection
       * semantics — instead of exploding rows. */
     private var collectGen = false
+    /** Set when a collected parse consumed a trailing `[]` — recurse(f)
+      * uses it to decide whether f emits MANY outputs per value (flatten
+      * the level) or one. */
+    private var collectSawGen = false
     private def collected[A](f: => A): A = {
       val save = collectGen; collectGen = true
       try f finally collectGen = save
@@ -380,7 +393,7 @@ object Jq {
     private def bracket(e: Expr): Expr = {
       if (peek == ']') {
         i += 1
-        if (collectGen) e // collected semantics: the array itself
+        if (collectGen) { collectSawGen = true; e } // collected: the array itself
         else {
           require(allowGen && !genLocked && !genSeen,
             "jq: .[] generator only supported as the leading pipe stage")
@@ -498,7 +511,8 @@ object Jq {
           // the brackets are identity
           def collectedGen(e: Expr): Boolean = e match {
             case MethodCall(_,
-              "recurse_values" | "json_paths" | "fold_scan" | "re_split", _) => true
+              "recurse_values" | "recurse_apply" | "json_paths" |
+              "fold_scan" | "re_split", _) => true
             case FnCall("range", _) => true
             case MatchExpr(_, List((None, r))) => collectedGen(r)
             case _ => false
@@ -946,12 +960,41 @@ object Jq {
             case _ => throw new IllegalArgumentException("jq: test takes 1-2 args")
           }
         case "recurse" =>
-          // no-arg recurse ≡ `..` (collected); recurse(f) would need
-          // unbounded iteration — out of the static-plan subset
+          // no-arg recurse ≡ `..` (collected, static schema walk);
+          // recurse(f) / recurse(f; cond) compile onto the bounded
+          // recurse_apply machinery: levels expand to an explicit depth
+          // cap (default 16; an extra literal-int argument overrides it,
+          // e.g. recurse(.next; . != null; 32)) and a frontier still
+          // live past the cap errors instead of silently truncating —
+          // gojq's unbounded iteration is the documented boundary.
+          // `.[]`-on-objects as f is out of scope (use `..`).
           ws()
-          require(peek != '(',
-            "jq: recurse(f) unsupported (static plans need bounded depth); `..`/recurse cover the no-arg form")
-          MethodCall(This, "recurse_values", Nil)
+          if (peek != '(') MethodCall(This, "recurse_values", Nil)
+          else {
+            eat('(')
+            genLocked = true
+            val sawBefore = collectSawGen
+            collectSawGen = false
+            val f = collected(parsePipe())
+            val fWasGen = collectSawGen
+            collectSawGen = sawBefore || collectSawGen
+            ws()
+            val cond = if (tryEat(";")) Some(parsePipe()) else None
+            ws()
+            val cap = if (tryEat(";")) {
+              val c = parsePipe()
+              c match {
+                case LitLong(n) => n
+                case o => throw new IllegalArgumentException(
+                  s"jq: recurse depth cap must be an integer literal, got $o")
+              }
+            } else 16L
+            eat(')')
+            MethodCall(This, "recurse_apply", List(
+              Lambda("x", f), LitBool(fWasGen),
+              cond.map(Lambda("x", _): Expr).getOrElse(LitNull),
+              LitLong(cap)))
+          }
         case "paths" =>
           ws()
           require(peek != '(', "jq: paths(f) filter form unsupported")
@@ -1106,9 +1149,18 @@ final case class JqProc(query: String) extends graft.ops.Processor {
     val e = p.parsePipe()
     p.ws()
     require(p.i >= p.s.length, s"jq: trailing input at ${p.i} in '$query'")
+    // uncaught expression errors (error(msg), recurse depth cap, …) take
+    // the reference failure path: the value nulls, `_error` flags
+    def errOut(value: org.apache.spark.sql.Column,
+        err: Option[org.apache.spark.sql.Column]) = err match {
+      case Some(ec) => (when(ec.isNotNull, lit(null)).otherwise(value),
+        coalesce(col(Error), ec))
+      case None => (value, col(Error))
+    }
     if (!p.genSeen) {
       val result = Compiler.compile(e, Mapping.envelopeCtx(df))
-      df.select(col(Content), result.col.as(Doc), col(Meta), col(Error),
+      val (v, errC) = errOut(result.col, result.err)
+      df.select(col(Content), v.as(Doc), col(Meta), errC.as(Error),
         col(BatchId), col(Seq))
     } else {
       // generator: explode the base array (UnarchiveParts seq convention),
@@ -1123,7 +1175,8 @@ final case class JqProc(query: String) extends graft.ops.Processor {
       if (per == Ast.This) exploded
       else {
         val r = Compiler.compile(per, Mapping.envelopeCtx(exploded))
-        exploded.select(col(Content), r.col.as(Doc), col(Meta), col(Error),
+        val (v, errC) = errOut(r.col, r.err)
+        exploded.select(col(Content), v.as(Doc), col(Meta), errC.as(Error),
           col(BatchId), col(Seq))
       }
     }

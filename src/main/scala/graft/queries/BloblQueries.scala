@@ -76,6 +76,7 @@ object BloblQueries {
         | csv3: (limit(3; .words[]) | @csv),
         | b64: (first(.words[]) | @base64),
         | day: (.doc_id * 86400 | strftime("%Y-%m-%d")),
+        | n_dbl: ([.doc_id + 2 | recurse(. * 2; . < 500)] | length),
         | any_an: (.words | any(test("an")))}
         || .n_words |= . * 10
         || .total_chars += .n_words""".stripMargin)(env)
@@ -90,6 +91,7 @@ object BloblQueries {
         col("doc.csv3").as("csv3"),
         col("doc.b64").as("b64"),
         col("doc.day").as("day"),
+        col("doc.n_dbl").cast(org.apache.spark.sql.types.LongType).as("n_dbl"),
         col("doc.any_an").cast(org.apache.spark.sql.types.BooleanType).as("any_an"))
       .orderBy(col("doc_id"))
   }
@@ -191,6 +193,8 @@ object BloblQueries {
         |   w -> '"' || replace(w, '"', '""') || '"'), ',') AS csv3,
         | to_base64(encode(ws[1])) AS b64,
         | strftime(to_timestamp(doc_id * 86400), '%Y-%m-%d') AS day,
+        | CAST(1 + len(list_filter(generate_series(1, 16),
+        |   g -> (doc_id + 2) * (1 << g) < 500)) AS BIGINT) AS n_dbl,
         | len(list_filter(ws, w -> regexp_matches(w, 'an'))) > 0 AS any_an
         |FROM d ORDER BY doc_id""".stripMargin,
     "q10_blobl_lineitem" ->

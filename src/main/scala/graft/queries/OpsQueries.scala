@@ -389,6 +389,49 @@ object OpsQueries {
     s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** STREAM-STREAM inner equi-join with an event-time range condition —
+    * the last §2.6 streaming shape without a gate: click→purchase
+    * attribution (same user, purchase within 1 hour of the click) as
+    * two watermarked streams over the chronological 4-file source.
+    * Spark keeps join state only inside the declared time bound (the
+    * range condition + both watermarks let it evict a click once the
+    * purchase-side watermark passes click.ts + 1 h — the property that
+    * makes this run unbounded at scale), and the inner join emits each
+    * qualifying pair exactly once. The oracle is the equivalent batch
+    * interval join. */
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = stagedEventsByTimeSrc(s, dir)
+    val sink = Files.createTempDirectory("graft_q172_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q172_ckpt").toString
+    val schema = s.read.parquet(src).schema
+    def stream() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val clicks = stream()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = stream()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** merge_json: deep-merge 50-row batches — scalar leaves collect into
     * seq-ordered arrays (rendered as joined strings for the oracle). */
   def q38(s: SparkSession, dir: String): DataFrame = {
@@ -486,6 +529,7 @@ object OpsQueries {
     "q167_stream_window" -> (q167 _),
     "q170_stream_watermark_append" -> (q170 _),
     "q171_stream_drop_dup_watermark" -> (q171 _),
+    "q172_stream_stream_join" -> (q172 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -562,6 +606,14 @@ object OpsQueries {
     "q171_stream_drop_dup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // stream-stream interval join == the batch interval join
+    "q172_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
     "q159_cached_dedupe" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS fp FROM documents)
         |SELECT DISTINCT fp FROM d

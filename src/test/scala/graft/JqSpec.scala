@@ -195,6 +195,39 @@ class JqSpec extends AnyFunSuite {
     assert(run(".. | length", """{"a":{"b":1},"c":2}""") == "4")
   }
 
+  test("recurse(f) walks a tree via a generator f (bounded depth)") {
+    // classic tree walk: every node via .children[], pre-order by level
+    val tree =
+      """{"v":1,"children":[{"v":2,"children":[{"v":4,"children":[]}]},
+        |{"v":3,"children":[]}]}""".stripMargin.replace("\n", "")
+    assert(run("recurse(.children[]) | map(.v)", tree) == "[1,2,3,4]")
+    // linked-list walk via a scalar f: null output terminates the branch
+    assert(run("recurse(.next) | map(.v)",
+      """{"v":1,"next":{"v":2,"next":{"v":3,"next":null}}}""")
+      == "[1,2,3]")
+  }
+
+  test("recurse(f; cond) iterates while cond holds (gojq numeric idiom)") {
+    assert(run("[.n | recurse(. * 2; . < 40)]", """{"n":3}""")
+      == "[3,6,12,24]")
+    // the initial value is emitted unconditionally (gojq definition)
+    assert(run("[.n | recurse(. * 2; . < 1)]", """{"n":5}""") == "[5]")
+  }
+
+  test("recurse(f) past the depth cap errors instead of truncating") {
+    // a walk that never converges (no cond, +1 forever) leaves the
+    // frontier live after the default 16 levels: the row takes the
+    // error path (value nulls, _error flags) instead of silently
+    // truncating the output
+    val env = Envelope.wrapUnordered(jdf("""{"n":1}"""))
+    val out = JqProc("[.n | recurse(. + 1)] | length")(env)
+    val row = out.select(col(Envelope.Doc), col(Envelope.Error)).head()
+    assert(row.isNullAt(0) && row.getString(1).contains("depth cap"))
+    // an explicit cap extension bounds a known-deep walk
+    assert(run("[.n | recurse(. * 2; . < 100000; 32)] | length",
+      """{"n":1}""") == "17")
+  }
+
   test("paths lists every path, root excluded (gojq paths)") {
     assert(run("[paths]", """{"a":{"b":1}}""") == """[["a"],["a","b"]]""")
     assert(run("[paths]", """{"c":[5,6]}""") == """[["c"],["c",0],["c",1]]""")
