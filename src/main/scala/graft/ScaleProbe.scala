@@ -53,24 +53,35 @@ object ScaleProbe {
       System.err.println(s"$msg\nusage: graft.ScaleProbe [--out <path>] [mult ...]")
       sys.exit(2)
     }
-    val (outPath, rest) = {
+    val (outPath, rest0) = {
       val i = args.indexOf("--out")
       if (i >= 0) {
         if (i + 1 >= args.length) usage("--out requires a path argument")
         (args(i + 1), args.patch(i, Nil, 2).toSeq)
       } else ("SCALE_r7.json", args.toSeq)
     }
+    // --ops a,b,c limits the run to named families (corpora build lazily,
+    // so a targeted 64x point doesn't pay the full-suite 64x cost)
+    val (ops, rest) = {
+      val i = rest0.indexOf("--ops")
+      if (i >= 0) {
+        if (i + 1 >= rest0.length) usage("--ops requires a comma list")
+        (rest0(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSet,
+          rest0.patch(i, Nil, 2))
+      } else (Set.empty[String], rest0)
+    }
     val mults = rest.map(a =>
       try a.toInt catch { case _: NumberFormatException =>
         usage(s"multiplier '$a' is not an integer") })
     val ms = if (mults.nonEmpty) mults else scala.Seq(1, 4, 16)
     val spark = Sessions.get()
-    val results = run(spark, ms)
+    val results = run(spark, ms, ops)
     writeJson(outPath, ms, results)
     spark.stop()
   }
 
-  def run(spark: SparkSession, mults: scala.Seq[Int]): scala.Seq[Result] = {
+  def run(spark: SparkSession, mults: scala.Seq[Int],
+      ops: Set[String] = Set.empty): scala.Seq[Result] = {
     val sf = "/root/testdata/sf0.1"
     val docsBase = spark.read.parquet(s"$sf/documents.parquet")
     val embBase = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -123,16 +134,31 @@ object ScaleProbe {
     }.reduce(_.unionByName(_))
 
     // CHARACTER-level decorrelation (winnowing / char-shingle families):
-    // copy k applies a Caesar substitution — a bijection on the alphabet
-    // preserves within-copy shingle structure EXACTLY while cross-copy
-    // 5-grams differ. The hex-hash replica is wrong here: it collapses
-    // text to a 16-symbol alphabet, inflating 5-gram collision density
+    // copy k applies a SEEDED FULL PERMUTATION of the alphabet — a
+    // bijection preserves within-copy shingle structure EXACTLY while
+    // cross-copy 5-grams differ. A Caesar SHIFT (the first construction)
+    // only has 26 distinct values: at 64 copies, copies k and k+26 were
+    // IDENTICAL text, so 72% of the 64× shared-passage pairs were
+    // legitimate cross-copy matches masquerading as false collisions.
+    // The hex-hash replica is wrong here too: it collapses text to a
+    // 16-symbol alphabet, inflating 5-gram collision density
     // ~26^5/16^5 ≈ 11× and with it the true shared-passage answer (the
     // first probe run measured 9.5M pairs at 1× and OOM'd at 16×).
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     def charCorpus(mult: Int) = (0 until mult).map { k =>
-      val shift = k % 26
-      val to = alpha.drop(shift) + alpha.take(shift)
+      val to =
+        if (k == 0) alpha // copy 0 = the base corpus verbatim
+        else {
+          val arr = alpha.toCharArray
+          val rnd = new java.util.Random(k.toLong * 2654435761L)
+          var i = arr.length - 1
+          while (i > 0) { // Fisher–Yates, deterministic per copy
+            val j = rnd.nextInt(i + 1)
+            val t = arr(i); arr(i) = arr(j); arr(j) = t
+            i -= 1
+          }
+          new String(arr)
+        }
       docsBase.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
         translate(col("text"), alpha + alpha.toUpperCase,
@@ -161,6 +187,7 @@ object ScaleProbe {
 
     val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
     def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
+      if (ops.nonEmpty && !ops(op)) return
       val (t, n) = time(f)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n")
       buf += Result(op, mult, rowsIn, t, n)
@@ -170,6 +197,7 @@ object ScaleProbe {
     // recoverable from the pair endpoints
     def probePairs(op: String, mult: Int, rowsIn: Long)
         (f: => DataFrame): Unit = {
+      if (ops.nonEmpty && !ops(op)) return
       val t0 = System.nanoTime()
       val row = f.agg(
         count(lit(1)).as("n"),
@@ -192,12 +220,12 @@ object ScaleProbe {
         out.count() // warm the page cache
         out
       }
-      val docs = mat(docsCorpus(mult), "docs")
-      val plain = mat(plainCorpus(mult), "plain")
-      val chars = mat(charCorpus(mult), "chars")
-      val emb = mat(embCorpus(mult), "emb")
-      val ev = mat(evCorpus(mult), "ev")
-      val edges = mat(edgeCorpus(mult), "edges")
+      lazy val docs = mat(docsCorpus(mult), "docs")
+      lazy val plain = mat(plainCorpus(mult), "plain")
+      lazy val chars = mat(charCorpus(mult), "chars")
+      lazy val emb = mat(embCorpus(mult), "emb")
+      lazy val ev = mat(evCorpus(mult), "ev")
+      lazy val edges = mat(edgeCorpus(mult), "edges")
 
       probePairs("jaccard_join", mult, nDocs * mult) {
         graft.llmops.Dedup.jaccardJoinExact(docs, "doc_id", "text", 7000)

@@ -781,13 +781,22 @@ object Dedup {
     // vocabulary-sized df table makes that one pass instead of three.
     val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
       .localCheckpoint()
+    // Vocabulary count is a cheap read of the checkpoint; when the
+    // dictionary fits an int (every local corpus, and any real one until
+    // the bigram vocabulary passes 2^31) the gid arrays are stored and
+    // shuffled at half width — the verify join's payload is the
+    // dominant cost on near-duplicate-dense corpora.
+    val vocabN = dfreq.count()
+    val gidCol =
+      if (vocabN < Int.MaxValue.toLong) col("gid").cast(IntegerType)
+      else col("gid")
     val dict = graft.model.Envelope.withGlobalSeq(
       dfreq, scala.Seq(col("gdf"), col("gram")), "gid")
     // Per-doc strictly-ascending gid sets. localCheckpoint materializes
     // the (docs × set) relation once — it feeds the prefix stage and both
     // verify sides, and keeps the zipWithIndex dictionary from
     // recomputing per consumer.
-    val sets = g.join(dict.select(col("gram"), col("gid")), "gram")
+    val sets = g.join(dict.select(col("gram"), gidCol.as("gid")), "gram")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("gid"))).as("gids"))
       .withColumn("sz", size(col("gids")).cast(LongType))
@@ -811,9 +820,40 @@ object Dedup {
           (tBp + 10000L) >= tBp * (col("sz_a") + col("sz_b")))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+      // materialized: the pair relation feeds the verify joins AND the
+      // parallelism decision below; 16 bytes per pair, so even a 10⁸-
+      // candidate relation checkpoints in ~GBs
+      .localCheckpoint(false)
+    // Adaptive verify parallelism: candidate mass is data-dependent (a
+    // templated near-duplicate-dense corpus legitimately produces ~10³
+    // candidates per true pair — all near-linear in corpus size, but
+    // thousands of array-bytes per pair), and the verify join ships a
+    // gid ARRAY per candidate — at the default partition count a big
+    // candidate relation sorts gigabytes per task and spills. Size the
+    // verify exchange from the MEASURED candidate count (a cheap count
+    // of the checkpointed pair relation) and the mean set width,
+    // targeting ~96 MB per partition; small inputs keep the default
+    // plan untouched.
+    val defaultParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val candN = cand.count()
+    val avgSz = sets.agg(avg(col("sz"))).head().getDouble(0)
+    val gidBytes = if (vocabN < Int.MaxValue.toLong) 4 else 8
+    val bytesPerPair = 24L + (avgSz * gidBytes).toLong
+    val verifyParts = math.min(4096L,
+      candN * bytesPerPair / (96L << 20) + 1L).toInt
+    val withA = cand
       .join(sets.select(col("id").as("id_a"), col("gids").as("g_a"),
         col("sz").as("sz_aa")), "id_a")
+    val withAPart =
+      // the exchange INTO the second join is the one that ships a gid
+      // array per pair — this repartition becomes that exchange (join 2
+      // co-partitions its other side to match), so the array payload
+      // sorts in ~96 MB tasks instead of gigabyte ones
+      if (verifyParts > defaultParts)
+        withA.repartition(verifyParts, col("id_b"))
+      else withA
+    withAPart
       .join(sets.select(col("id").as("id_b"), col("gids").as("g_b"),
         col("sz").as("sz_bb")), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -852,7 +852,18 @@ object Multimodal {
     * frames re-reading EACH frame's own header — bitrate index, sample
     * rate index, and padding bit per frame, so VBR streams slice
     * correctly — and return the frame byte-ranges (header included).
-    * Null when the payload isn't MPEG-1 Layer III. */
+    * Null when the payload isn't MPEG-1 Layer III.
+    *
+    * Frame-payload → PCM is a DELIBERATE boundary, unlike FLAC
+    * ([[graft.llmops.Flac]], complete from the public bitstream layout):
+    * a conformant Layer III decoder requires literal data tables from
+    * ISO/IEC 11172-3 — the Annex-B Huffman code tables (32 big-value
+    * tables + 2 count1 tables), the scalefactor-band partitions per
+    * sample rate, and the 512-coefficient synthesis-filterbank window —
+    * none of which are derivable from first principles or present in
+    * this offline image. Inventing them would decode to silently wrong
+    * samples; the honest surface is header/frame structure here and a
+    * codec-backed worker swap-in for the payload. */
   def mp3Frames(payload: Column): Column = {
     val f = org.apache.spark.sql.functions.udf(
       (bytes: Array[Byte]) => mp3FrameBytes(bytes))

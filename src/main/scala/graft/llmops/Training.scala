@@ -93,6 +93,89 @@ object Training {
           StructField("cid", LongType),
           StructField("cvec", ArrayType(DoubleType)))))
     }
+
+    /** Two-level (IVF-style) Lloyd for LARGE k: the flat [[fit]] compares
+      * every point against every centroid, and when k grows with the
+      * corpus (the scale-safe posture — constant cluster size) that
+      * assignment is O(n·k) = O(n²∕clusterSize): the 64× probe measured
+      * exactly this quadratic emerging. Here k1 = ⌈√k⌉ coarse clusters
+      * are fit flat, then k2 = ⌈k∕k1⌉ fine centroids live WITHIN each
+      * coarse cluster and points compare only against their own coarse
+      * cluster's fine centroids (an equi-join on the coarse id instead
+      * of a broadcast cross), making assignment O(n·√k). Points don't
+      * migrate between coarse cells during the fine iterations — the
+      * standard IVF approximation; for dedup/sampling use the cluster is
+      * only a candidate-pruning shard, so the trade is the right one.
+      *
+      * Fine centroid ids are ccid·k2 + rank (collision-free: coarse ids
+      * are distinct longs). Returns the assignment (idCol, cid, vecCol). */
+    def fitTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+        k: Int, iters: Int): DataFrame = {
+      val spark = corpus.sparkSession
+      val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val k2 = math.max(1, (k + k1 - 1) / k1)
+      val (coarse, _) = fit(corpus, idCol, vecCol, k1, iters)
+      val pts = coarse
+        .select(col(idCol), col("cid").as("ccid"), col(vecCol))
+        .localCheckpoint() // the coarse trajectory runs once
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ccid")).orderBy(col(idCol))
+      var cents = collectFine(spark,
+        pts.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= k2)
+          .select(col("ccid"),
+            (col("ccid") * k2 + col("_rk") - 1).as("cid"),
+            col(vecCol).cast(ArrayType(DoubleType)).as("cvec")))
+      var i = 0
+      while (i < iters) {
+        val assigned = assignFine(pts, idCol, vecCol, cents)
+        cents = collectFine(spark, updateFine(assigned, vecCol, cents))
+        i += 1
+      }
+      val out = assignFine(pts, idCol, vecCol, cents)
+        .select(col(idCol), col("cid"), col(vecCol))
+        .localCheckpoint()
+      pts.unpersist()
+      out
+    }
+
+    /** Nearest FINE centroid within the point's own coarse cluster:
+      * equi-join on ccid (k2 comparisons per point), cosine, max_by. */
+    private def assignFine(pts: DataFrame, idCol: String, vecCol: String,
+        cents: DataFrame): DataFrame =
+      pts.join(broadcast(cents), "ccid")
+        .select(col(idCol), col(vecCol), col("ccid"), col("cid"),
+          Similarity.cosine(col(vecCol), col("cvec")).as("csim"))
+        .groupBy(col(idCol))
+        .agg(
+          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          first(col("ccid")).as("ccid"),
+          first(col(vecCol)).as(vecCol))
+
+    /** One fine Lloyd step; empty fine clusters keep their previous
+      * centroid (and every centroid keeps its coarse cell). */
+    private def updateFine(assigned: DataFrame, vecCol: String,
+        prev: DataFrame): DataFrame = {
+      val sums = assigned.groupBy(col("cid"))
+        .agg(graft.exprs.VectorSumAgg.column(col(vecCol)).as("vsum"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("vsum"), x => x / col("n")).as("new_cvec"))
+      prev.select(col("ccid"), col("cid"), col("cvec").as("prev_cvec"))
+        .join(sums, scala.Seq("cid"), "left")
+        .select(col("ccid"), col("cid"),
+          coalesce(col("new_cvec"), col("prev_cvec")).as("cvec"))
+    }
+
+    private def collectFine(spark: SparkSession, df: DataFrame): DataFrame = {
+      val rows = df.orderBy(col("cid")).collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(scala.Seq(
+          StructField("ccid", LongType),
+          StructField("cid", LongType),
+          StructField("cvec", ArrayType(DoubleType)))))
+    }
   }
 
   // ------------------------------------------------- quality classifier
@@ -495,7 +578,14 @@ object Training {
         val n = corpus.select(col(idCol)).count()
         math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
       }
-    val (assigned, _) = KMeans.fit(corpus, idCol, vecCol, kEff, iters)
+    // auto-k at scale means k ∝ n, and FLAT assignment is then O(n·k) =
+    // O(n²/clusterSize) — the two-level IVF fit keeps it O(n·√k). Small
+    // k (incl. every explicit-k oracle gate) keeps the exact flat
+    // trajectory.
+    val assigned =
+      if (k <= 0 && kEff > 64)
+        KMeans.fitTwoLevel(corpus, idCol, vecCol, kEff, iters)
+      else KMeans.fit(corpus, idCol, vecCol, kEff, iters)._1
     val slim = assigned.select(col(idCol).as("id"), col("cid"), col(vecCol).as("v"))
       .localCheckpoint() // k-means trajectory runs once, not per join branch
     val a = slim.select(col("id").as("id_a"), col("cid"), col("v").as("va"))

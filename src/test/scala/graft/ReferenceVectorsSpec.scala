@@ -231,6 +231,24 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       s"got: ${kept.mkString("; ")}")
   }
 
+  test("variant comparisons coerce to the typed side; == null is a null check") {
+    // dynamic-JSON predicates must compile: the variant operand casts to
+    // the literal's type (mismatch degrades to null, error-as-null)
+    checkRaw("""json("k") == "up"""", """{"k":"up"}""", Some("true"))
+    checkRaw("""json("k") == "up"""", """{"k":"dn"}""", Some("false"))
+    checkRaw("""json("v") > 5""", """{"v":7}""", Some("true"))
+    checkRaw("""json("v") > 5""", """{"v":3}""", Some("false"))
+    // type mismatch: "x" as a number is null, so the comparison is null
+    checkRaw("""json("v") > 5""", """{"v":"x"}""", None)
+    // == null / != null are NULL CHECKS (dynamic semantics), not SQL's
+    // null-propagating equality; a missing key and an explicit json null
+    // both read as null
+    checkRaw("""json("missing") == null""", """{"z":0}""", Some("true"))
+    checkRaw("""json("n") == null""", """{"n":null}""", Some("true"))
+    checkRaw("""json("z") == null""", """{"z":0}""", Some("false"))
+    checkRaw("""json("z") != null""", """{"z":0}""", Some("true"))
+  }
+
   test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
     // "json catch": unparseable content is an error -> fallback
     checkRaw("""json().catch("nope")""", "this %$#% isnt json", Some("nope"))

@@ -29,9 +29,7 @@ class ScaleLinearitySpec extends AnyFunSuite {
   private case class P(op: String, mult: Int, wall: Double, out: Long,
       cross: Long)
 
-  private lazy val points: Seq[P] = {
-    val f = new java.io.File("SCALE_r7.json")
-    assert(f.exists, "SCALE_r7.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
+  private def readPoints(f: java.io.File): Seq[P] = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     val rs = root.get("results")
     (0 until rs.size).map { i =>
@@ -40,6 +38,16 @@ class ScaleLinearitySpec extends AnyFunSuite {
         r.get("wall_s").asDouble, r.get("rows_out").asLong,
         if (r.has("cross_pairs")) r.get("cross_pairs").asLong else -1L)
     }
+  }
+
+  private lazy val points: Seq[P] = {
+    val f = new java.io.File("SCALE_r7.json")
+    assert(f.exists, "SCALE_r7.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
+    // the worst-growing families carry an extra 64× point (probed with
+    // --ops so the full suite doesn't pay 64× corpus cost); merging it
+    // here puts the deeper tail under the same step + slope gates
+    val f64 = new java.io.File("SCALE_r7_64x.json")
+    readPoints(f) ++ (if (f64.exists) readPoints(f64) else Seq.empty)
   }
 
   test("probe covers every scale-sensitive operator family at 1x/4x/16x") {
@@ -61,7 +69,14 @@ class ScaleLinearitySpec extends AnyFunSuite {
         case Seq(lo, hi) =>
           val factor = hi.mult.toDouble / lo.mult
           val ratio = hi.wall / math.max(lo.wall, 0.01)
-          val allowed = factor * LinearSlack
+          // 64× points come from targeted --ops runs on this shared-host
+          // box, where repeat runs of IDENTICAL code measured 140→300 s
+          // (±2×); the tight slack would gate machine noise, so the 64×
+          // step gets 2.5× and the trend is held by the slope gate +
+          // the structural gates (pair counts, cross-copy mass), which
+          // are noise-free
+          val slack = if (hi.mult >= 64) 2.5 else LinearSlack
+          val allowed = factor * slack
           assert(lo.wall < FloorSec || ratio <= allowed,
             f"$op ${lo.mult}x->${hi.mult}x wall grew $ratio%.2fx " +
               f"(allowed ${allowed}%.2fx for ${factor}%.0fx data): " +
