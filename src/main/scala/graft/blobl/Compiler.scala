@@ -371,26 +371,60 @@ object Compiler {
 
   /** jq `paths` collected: every path (array<variant> of string keys and
     * long indices) in pre-order, root's empty path excluded. Same static
-    * walk (and null-struct caveat) as recurseValues. */
-  private[blobl] def jsonPaths(c: Column, t: DataType, prefix: Column): Column = {
+    * walk (and null-struct caveat) as recurseValues. `keep` filters by
+    * the TYPE of the value at each path — the jq `paths(f)` form with a
+    * type-filter f (`paths(numbers)`, `leaf_paths`, …), which is exactly
+    * what a schema-directed walk can decide statically. */
+  private[blobl] def jsonPaths(c: Column, t: DataType, prefix: Column,
+      keep: DataType => Boolean = _ => true): Column = {
     def emptyPaths = slice(array(emptyVariants), lit(1), lit(0))
+    def emit(p: Column, dt: DataType): Column =
+      if (keep(dt)) array(p) else emptyPaths
     t match {
       case s: StructType =>
         s.fields.foldLeft(emptyPaths) { (acc, f) =>
           val p = concat(prefix, array(lit(f.name).cast(VariantType)))
-          concat(acc, array(p), jsonPaths(c.getField(f.name), f.dataType, p))
+          concat(acc, emit(p, f.dataType),
+            jsonPaths(c.getField(f.name), f.dataType, p, keep))
         }
       case ArrayType(et, _) =>
         coalesce(flatten(transform(c, (x, ix) => {
           val p = concat(prefix, array(ix.cast(VariantType)))
-          concat(array(p), jsonPaths(x, et, p))
+          concat(emit(p, et), jsonPaths(x, et, p, keep))
         })), emptyPaths)
       case MapType(_, vt, _) =>
         coalesce(flatten(transform(map_keys(c), k => {
           val p = concat(prefix, array(k.cast(VariantType)))
-          concat(array(p), jsonPaths(element_at(c, k), vt, p))
+          concat(emit(p, vt), jsonPaths(element_at(c, k), vt, p, keep))
         })), emptyPaths)
       case _ => emptyPaths
+    }
+  }
+
+  /** Type predicate for the jq `paths(type-filter)` / `leaf_paths`
+    * family, over STATIC schema types. */
+  private[blobl] def pathTypeFilter(kind: String): DataType => Boolean = {
+    def isNumber(t: DataType) = t match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    def isIterable(t: DataType) = t match {
+      case _: ArrayType | _: StructType | _: MapType => true
+      case _ => false
+    }
+    kind match {
+      case "values" => _ => true
+      case "numbers" => isNumber
+      case "strings" => _ == StringType
+      case "booleans" => _ == BooleanType
+      case "nulls" => _ == NullType
+      case "arrays" => { case _: ArrayType => true; case _ => false }
+      case "objects" =>
+        { case _: StructType | _: MapType => true; case _ => false }
+      case "iterables" => isIterable
+      case "scalars" | "leaf" => t => !isIterable(t)
+      case o => throw CompileError(
+        s"paths: unsupported filter '$o' (type filters + leaf_paths only)")
     }
   }
 
@@ -956,6 +990,11 @@ object Compiler {
         }
         TC(out, Some(StringType))
       case "re_match" => TC(regexp_like(t.col, c(0).col), Some(BooleanType))
+      case "re_scan" =>
+        // jq scan(re), collected: every match of re, in order (full-match
+        // strings; jq's capture-group array flavor is out of scope)
+        TC(regexp_extract_all(t.col, c(0).col, lit(0)),
+          Some(ArrayType(StringType)))
       case "re_replace" => TC(regexp_replace(t.col, litStr(0), litStr(1)), Some(StringType))
       case "re_find_all" => TC(regexp_extract_all(t.col, lit(litStr(0)), lit(0)), Some(ArrayType(StringType)))
       case "re_find_all_submatch" =>
@@ -1336,6 +1375,64 @@ object Compiler {
           lit(s"recurse: depth cap $cap exceeded with the frontier still live"))
         TC(state.getField("acc"), Some(ArrayType(VariantType)),
           TC.mergeErr(t.err, Some(overflow)))
+      case "iterate_until" | "iterate_while" =>
+        // jq `until(cond; f)` / `while(cond; f)` on the same bounded-
+        // iteration machinery as recurse_apply (ONE aggregate over
+        // sequence(1, cap), f and cond appear once in the plan).
+        // until: apply f while cond is FALSE, return the first value
+        // satisfying cond — still unsatisfied past the cap errors.
+        // while: emit values while cond HOLDS (collected array), stop at
+        // the first failure — still alive past the cap errors.
+        // args: (cond-lambda, f-lambda, LitLong(cap)); scalar f only.
+        val isUntil = name == "iterate_until"
+        def lam(i: Int): Column => Column = args(i) match {
+          case Lambda(p, body) => (x: Column) => {
+            val xe = TC(x, Some(VariantType))
+            val tc = compile(body, ctx.withVar(p, xe).withThis(xe))
+            if (i == 0) coalesce(tc.col.cast(BooleanType), lit(false))
+            else asVariant(tc.col, tc.tpe.getOrElse(VariantType))
+          }
+          case o => throw CompileError(s"$name: lambda expected, got $o")
+        }
+        val condF = lam(0)
+        val stepF = lam(1)
+        val cap = args(2) match {
+          case LitLong(n) if n > 0 && n <= 1024 => n.toInt
+          case o => throw CompileError(s"$name: iteration cap in 1..1024 expected, got $o")
+        }
+        val rootV = asVariant(t.col, t.tpe.getOrElse(StringType))
+        if (isUntil) {
+          val state = aggregate(
+            sequence(lit(1), lit(cap)),
+            struct(rootV.as("cur")),
+            (st, _) => {
+              val cur = st.getField("cur")
+              struct(when(condF(cur), cur).otherwise(stepF(cur)).as("cur"))
+            })
+          val cur = state.getField("cur")
+          val overflow = when(!condF(cur),
+            lit(s"until: not satisfied within $cap iterations"))
+          TC(cur, Some(VariantType), TC.mergeErr(t.err, Some(overflow)))
+        } else {
+          val state = aggregate(
+            sequence(lit(1), lit(cap)),
+            struct(emptyVariants.as("acc"), rootV.as("cur"),
+              lit(true).as("alive")),
+            (st, _) => {
+              val cur = st.getField("cur")
+              val alive = st.getField("alive") && condF(cur)
+              struct(
+                when(alive, concat(st.getField("acc"), array(cur)))
+                  .otherwise(st.getField("acc")).as("acc"),
+                when(alive, stepF(cur)).otherwise(cur).as("cur"),
+                alive.as("alive"))
+            })
+          val overflow = when(
+            state.getField("alive") && condF(state.getField("cur")),
+            lit(s"while: still alive past $cap iterations"))
+          TC(state.getField("acc"), Some(ArrayType(VariantType)),
+            TC.mergeErr(t.err, Some(overflow)))
+        }
       case "recurse_values" =>
         // jq `..` / no-arg recurse, collected: this value and every
         // recursive descendant (pre-order), as array<variant>. The walk is
@@ -1344,11 +1441,18 @@ object Compiler {
         TC(recurseValues(t.col, t.tpe.getOrElse(StringType)),
           Some(ArrayType(VariantType)))
       case "json_paths" =>
-        // jq `paths`, collected: array of paths (each itself an
-        // array<variant> of string keys / long indices), pre-order,
-        // excluding the root's empty path
+        // jq `paths` / `paths(type-filter)` / `leaf_paths`, collected:
+        // array of paths (each itself an array<variant> of string keys /
+        // long indices), pre-order, excluding the root's empty path; an
+        // optional literal filter keeps only paths whose value has that
+        // (static) type
+        val keep = args match {
+          case Nil => (_: DataType) => true
+          case List(LitString(kind)) => pathTypeFilter(kind)
+          case o => throw CompileError(s"json_paths: literal filter expected, got $o")
+        }
         TC(jsonPaths(t.col, t.tpe.getOrElse(StringType),
-          slice(array(parse_json(lit("0"))), lit(1), lit(0))),
+          slice(array(parse_json(lit("0"))), lit(1), lit(0)), keep),
           Some(ArrayType(ArrayType(VariantType))))
       case "index" => indexValue(t, c(0))
       case "keys" => t.tpe match {

@@ -42,7 +42,8 @@ import Ast._
   * `reduce g as $x (init; upd)` / `foreach g as $x (init; upd)` compile
   * onto Bloblang fold / fold_scan with `.`→accumulator and `$x`→element
   * substitution; `limit(n; g)` slices the collected array; `..` /
-  * `recurse` and `paths` expand STATICALLY over the schema (bounded
+  * `recurse` and `paths` (incl. `paths(type-filter)` / `leaf_paths`)
+  * expand STATICALLY over the schema (bounded
   * depth, stays in codegen) to array<variant>; `getpath([...])` with a
   * literal path is static field access; `expr as $x | rest` bindings
   * (incl. `[$a,$b]` / `{k:$x}` destructuring) substitute inline with
@@ -51,8 +52,11 @@ import Ast._
   * extra literal-int argument; a frontier still live past the cap
   * errors instead of silently truncating — gojq's unbounded iteration
   * is the boundary; a null scalar-f output ends its branch where gojq
-  * would recurse on null forever). Out of scope: generators in
-  * arbitrary value positions and `.[]`-on-objects as the recurse body.
+  * would recurse on null forever); `until(cond; f)` / `while(cond; f)`
+  * ride the same bounded-iteration machinery (default cap 64,
+  * literal-int override ≤1024, error past the cap). Out of scope:
+  * generators in arbitrary value positions and `.[]`-on-objects as the
+  * recurse body.
   *
   * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
   * value order); the cross-TYPE leg of jq's total order cannot arise
@@ -511,8 +515,8 @@ object Jq {
           // the brackets are identity
           def collectedGen(e: Expr): Boolean = e match {
             case MethodCall(_,
-              "recurse_values" | "recurse_apply" | "json_paths" |
-              "fold_scan" | "re_split", _) => true
+              "recurse_values" | "recurse_apply" | "iterate_while" |
+              "json_paths" | "fold_scan" | "re_split" | "re_scan", _) => true
             case FnCall("range", _) => true
             case MatchExpr(_, List((None, r))) => collectedGen(r)
             case _ => false
@@ -734,7 +738,7 @@ object Jq {
         case "floor" => MethodCall(This, "floor", Nil)
         case "ceil" => MethodCall(This, "ceil", Nil)
         case "round" => MethodCall(This, "round", Nil)
-        case "fabs" => MethodCall(This, "abs", Nil)
+        case "fabs" | "abs" => MethodCall(This, "abs", Nil) // abs: jq 1.7
         case "tostring" => MethodCall(This, "string", Nil)
         case "tonumber" => MethodCall(This, "number", Nil)
         case "tojson" => MethodCall(This, "format_json", Nil)
@@ -959,6 +963,26 @@ object Jq {
               MethodCall(This, "re_match", List(flagged(re, flagStr(f))))
             case _ => throw new IllegalArgumentException("jq: test takes 1-2 args")
           }
+        case "until" | "while" =>
+          // until(cond; f) / while(cond; f): bounded iteration on the
+          // recurse_apply machinery (default cap 64; an extra literal-
+          // int argument raises it to ≤1024; past the cap the row
+          // errors instead of silently truncating)
+          eat('(')
+          genLocked = true
+          val cond = parsePipe()
+          ws(); eat(';')
+          val f = parsePipe()
+          ws()
+          val cap = if (tryEat(";")) parsePipe() match {
+            case LitLong(n) => n
+            case o => throw new IllegalArgumentException(
+              s"jq: $name iteration cap must be an integer literal, got $o")
+          } else 64L
+          eat(')')
+          MethodCall(This,
+            if (name == "until") "iterate_until" else "iterate_while",
+            List(Lambda("x", cond), Lambda("x", f), LitLong(cap)))
         case "recurse" =>
           // no-arg recurse ≡ `..` (collected, static schema walk);
           // recurse(f) / recurse(f; cond) compile onto the bounded
@@ -996,9 +1020,21 @@ object Jq {
               LitLong(cap)))
           }
         case "paths" =>
+          // paths / paths(type-filter): the filter forms a static schema
+          // walk can decide (numbers/strings/booleans/arrays/objects/
+          // scalars/iterables/values); arbitrary predicate filters stay
+          // out of scope
           ws()
-          require(peek != '(', "jq: paths(f) filter form unsupported")
-          MethodCall(This, "json_paths", Nil)
+          if (peek != '(') MethodCall(This, "json_paths", Nil)
+          else {
+            eat('(')
+            val kind = ident()
+            eat(')')
+            MethodCall(This, "json_paths", List(LitString(kind)))
+          }
+        case "leaf_paths" =>
+          // leaf_paths ≡ paths(scalars) (jq manual definition)
+          MethodCall(This, "json_paths", List(LitString("scalars")))
         case "getpath" =>
           // getpath(["a","b"]) with a literal path array → static access
           arg() match {
@@ -1042,6 +1078,16 @@ object Jq {
             case _ => throw new IllegalArgumentException("jq: splits takes 1-2 args")
           }
           MethodCall(This, "re_split", List(re))
+        case "scan" =>
+          // scan(re[; flags]) generator → collected to the array of
+          // full-match strings (jq's capture-group array flavor — a
+          // value-dependent shape — stays out of scope)
+          val re = argList() match {
+            case List(r) => r
+            case List(r, f) => flagged(r, flagStr(f))
+            case _ => throw new IllegalArgumentException("jq: scan takes 1-2 args")
+          }
+          MethodCall(This, "re_scan", List(re))
         case "index" | "rindex" =>
           // Bloblang's index_of/rindex_of return -1 when absent (Go
           // strings.Index); jq yields null — map it here

@@ -77,6 +77,9 @@ object BloblQueries {
         | b64: (first(.words[]) | @base64),
         | day: (.doc_id * 86400 | strftime("%Y-%m-%d")),
         | n_dbl: ([.doc_id + 2 | recurse(. * 2; . < 500)] | length),
+        | n_scan: ([.words | join(" ") | scan("[a-z]+")] | length),
+        | until3: (.doc_id + 2 | until(. > 999; . * 3)),
+        | n_leafp: ([leaf_paths] | length),
         | any_an: (.words | any(test("an")))}
         || .n_words |= . * 10
         || .total_chars += .n_words""".stripMargin)(env)
@@ -92,6 +95,9 @@ object BloblQueries {
         col("doc.b64").as("b64"),
         col("doc.day").as("day"),
         col("doc.n_dbl").cast(org.apache.spark.sql.types.LongType).as("n_dbl"),
+        col("doc.n_scan").cast(org.apache.spark.sql.types.LongType).as("n_scan"),
+        col("doc.until3").cast(org.apache.spark.sql.types.LongType).as("until3"),
+        col("doc.n_leafp").cast(org.apache.spark.sql.types.LongType).as("n_leafp"),
         col("doc.any_an").cast(org.apache.spark.sql.types.BooleanType).as("any_an"))
       .orderBy(col("doc_id"))
   }
@@ -195,6 +201,10 @@ object BloblQueries {
         | strftime(to_timestamp(doc_id * 86400), '%Y-%m-%d') AS day,
         | CAST(1 + len(list_filter(generate_series(1, 16),
         |   g -> (doc_id + 2) * (1 << g) < 500)) AS BIGINT) AS n_dbl,
+        | CAST(len(regexp_extract_all(j, '[a-z]+')) AS BIGINT) AS n_scan,
+        | CAST(list_min(list_filter(list_transform(generate_series(0, 12),
+        |   g -> (doc_id + 2) * (3 ** g)), x -> x > 999)) AS BIGINT) AS until3,
+        | CAST(1 + len(ws) AS BIGINT) AS n_leafp,
         | len(list_filter(ws, w -> regexp_matches(w, 'an'))) > 0 AS any_an
         |FROM d ORDER BY doc_id""".stripMargin,
     "q10_blobl_lineitem" ->

@@ -214,6 +214,23 @@ class JqSpec extends AnyFunSuite {
     assert(run("[.n | recurse(. * 2; . < 1)]", """{"n":5}""") == "[5]")
   }
 
+  test("until / while iterate with a bounded cap (gojq numeric idioms)") {
+    // until returns the FIRST value satisfying cond
+    assert(run(".n | until(. > 100; . * 2)", """{"n":3}""") == "192")
+    assert(run(".n | until(. > 100; . * 2)", """{"n":500}""") == "500")
+    // while emits values while cond HOLDS, collected
+    assert(run("[.n | while(. < 40; . * 2)]", """{"n":3}""") == "[3,6,12,24]")
+    assert(run("[.n | while(. < 1; . * 2)]", """{"n":5}""") == "[]")
+    // still-unsatisfied past the cap rides the error channel
+    val env = Envelope.wrapUnordered(jdf("""{"n":1}"""))
+    val out = JqProc(".n | until(. < 0; . + 1)")(env)
+    val row = out.select(col(Envelope.Doc), col(Envelope.Error)).head()
+    assert(row.isNullAt(0) && row.getString(1).contains("until"))
+    // explicit cap extension for a deep but converging walk
+    assert(run(".n | until(. > 100000; . * 2; 128)", """{"n":1}""")
+      == "131072")
+  }
+
   test("recurse(f) past the depth cap errors instead of truncating") {
     // a walk that never converges (no cond, +1 forever) leaves the
     // frontier live after the default 16 levels: the row takes the
@@ -226,6 +243,18 @@ class JqSpec extends AnyFunSuite {
     // an explicit cap extension bounds a known-deep walk
     assert(run("[.n | recurse(. * 2; . < 100000; 32)] | length",
       """{"n":1}""") == "17")
+  }
+
+  test("paths(type-filter) / leaf_paths keep typed paths only") {
+    assert(run("[paths(numbers)]", """{"a":{"b":1},"s":"x"}""")
+      == """[["a","b"]]""")
+    assert(run("[paths(strings)]", """{"a":{"b":1},"s":"x"}""")
+      == """[["s"]]""")
+    assert(run("[leaf_paths]", """{"a":{"b":1},"s":"x"}""")
+      == """[["a","b"],["s"]]""")
+    assert(run("[paths(objects)]", """{"a":{"b":1},"s":"x"}""")
+      == """[["a"]]""")
+    assert(run("[paths(arrays)]", """{"c":[5,6]}""") == """[["c"]]""")
   }
 
   test("paths lists every path, root excluded (gojq paths)") {
@@ -391,6 +420,14 @@ class JqSpec extends AnyFunSuite {
     // regex alternation + no-match passthrough
     assert(run(""".s | sub("[0-9]+"; "#")""", """{"s":"a12b34"}""") == "a#b34")
     assert(run(""".s | sub("[0-9]+"; "#")""", """{"s":"abc"}""") == "abc")
+  }
+
+  test("scan(re) collects every match in order (gojq scan)") {
+    assert(run("""[.s | scan("[0-9]+")]""", """{"s":"a12b3c456"}""")
+      == """["12","3","456"]""")
+    assert(run("""[.s | scan("z+")]""", """{"s":"abc"}""") == "[]")
+    assert(run("""[.s | scan("AB"; "i")] | length""", """{"s":"ab AB aB"}""")
+      == "3")
   }
 
   test("splits / index / rindex / inside / utf8bytelength (gojq string tail)") {
