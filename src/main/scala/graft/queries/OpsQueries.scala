@@ -220,6 +220,21 @@ object OpsQueries {
     src.toString
   }
 
+  /** Stateful-streaming gates run with a state-sized shuffle-partition
+    * count: every stateful operator keeps state-store instances per
+    * shuffle partition (a stream-stream join keeps FOUR per partition),
+    * each committing files every micro-batch — at the batch-oriented
+    * default (32) that file churn dominates the gates' wall time (q172
+    * measured 18 s → 4 s). State partitioning is a per-checkpoint
+    * deployment knob sized to state VOLUME, not to batch parallelism;
+    * 8 fits these corpora comfortably. Fresh checkpoints per run, so
+    * the session default is restored right after the query. */
+  private def withStateParts[A](s: SparkSession)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def q166(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     // sink + checkpoint stay fresh per run — that IS the streaming job
@@ -231,12 +246,14 @@ object OpsQueries {
     val out = DedupeProc(
       """this.user_id.string() + ":" + this.event_type""")(
       Envelope.wrapUnordered(stream))
-    val q = Envelope.unwrap(out).select(col("user_id"), col("event_type"))
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = Envelope.unwrap(out).select(col("user_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
   }
 
@@ -259,15 +276,17 @@ object OpsQueries {
       .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(sink)
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(sink)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sink).orderBy(col("bucket"))
   }
 
@@ -350,12 +369,14 @@ object OpsQueries {
       .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream.format("parquet")
-      .outputMode("append")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sink).orderBy(col("bucket"))
   }
 
@@ -380,12 +401,14 @@ object OpsQueries {
       .withWatermark("ts", "40 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    val q = deduped.writeStream.format("parquet")
-      .outputMode("append")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
   }
 
@@ -405,8 +428,13 @@ object OpsQueries {
     val sink = Files.createTempDirectory("graft_q172_sink").toString
     val ckpt = Files.createTempDirectory("graft_q172_ckpt").toString
     val schema = s.read.parquet(src).schema
+    // 2 files per trigger (vs 1 in the single-source gates): the join
+    // still carries state ACROSS micro-batches — the chronological cut
+    // at Jan 17 puts click→purchase pairs on both sides of the batch
+    // boundary — while halving the per-micro-batch state-store setup,
+    // which dominates a dual-source stateful join's fixed cost
     def stream() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
+      .option("maxFilesPerTrigger", 2).parquet(src)
     val clicks = stream()
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -422,12 +450,14 @@ object OpsQueries {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("click_id"), col("purchase_id"))
-    val q = joined.writeStream.format("parquet")
-      .outputMode("append")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sink)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
