@@ -449,7 +449,12 @@ object Compiler {
     // like `.kind == "up"` or recurse conditions like `. > 1` compile
     def cmp(f: (Column, Column) => Column): TC = {
       val (lc, rc) =
-        if (l.isVariant && !r.isVariant)
+        if (l.isVariant && r.isVariant && (op == "==" || op == "!="))
+          // variant-to-variant equality: compare the canonical json form
+          // (type-strict — false ≠ "false"; objects compare in their
+          // stored key order, the documented static approximation)
+          (to_json(l.col), to_json(r.col))
+        else if (l.isVariant && !r.isVariant)
           (try_variant_get(l.col, "$",
             r.tpe.filterNot(_ == NullType).map(_.sql).getOrElse("string")), r.col)
         else if (r.isVariant && !l.isVariant)
@@ -990,6 +995,20 @@ object Compiler {
         }
         TC(out, Some(StringType))
       case "re_match" => TC(regexp_like(t.col, c(0).col), Some(BooleanType))
+      case "transpose" =>
+        // jq transpose: array-of-arrays transposed, rows padded with null
+        // to the longest row (element_at past the end is null under
+        // permissive eval); [] and all-empty-rows stay []. A non-nested
+        // static element type can only lawfully hold [] — empty result.
+        t.elemType match {
+          case Some(_: ArrayType) =>
+            val m = array_max(transform(t.col, r => size(r)))
+            TC(when(size(t.col) === 0 || m <= 0, slice(t.col, lit(1), lit(0)))
+              .otherwise(transform(sequence(lit(0), m - lit(1)),
+                i => transform(t.col, row => element_at(row, i + lit(1))))),
+              t.tpe)
+          case _ => TC(slice(t.col, lit(1), lit(0)), t.tpe)
+        }
       case "re_scan" =>
         // jq scan(re), collected: every match of re, in order (full-match
         // strings; jq's capture-group array flavor is out of scope)

@@ -808,6 +808,7 @@ object Jq {
           val cond = arg()
           IfExpr(List((cond, This)), Some(LitNull))
         case "not" => Not(This)
+        case "transpose" => MethodCall(This, "transpose", Nil)
         case "to_entries" => MethodCall(This, "key_values", Nil)
         case "from_entries" => MethodCall(This, "from_entries", Nil)
         case "with_entries" =>

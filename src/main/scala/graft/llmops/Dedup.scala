@@ -837,7 +837,8 @@ object Dedup {
     val defaultParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val candN = cand.count()
-    val avgSz = sets.agg(avg(col("sz"))).head().getDouble(0)
+    val avgRow = sets.agg(avg(col("sz"))).head()
+    val avgSz = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
     val gidBytes = if (vocabN < Int.MaxValue.toLong) 4 else 8
     val bytesPerPair = 24L + (avgSz * gidBytes).toLong
     val verifyParts = math.min(4096L,

@@ -422,6 +422,14 @@ class JqSpec extends AnyFunSuite {
     assert(run(""".s | sub("[0-9]+"; "#")""", """{"s":"abc"}""") == "abc")
   }
 
+  test("transpose pads ragged rows with null (jq transpose)") {
+    assert(run(".xs | transpose", """{"xs":[[1,2],[3,4],[5,6]]}""")
+      == "[[1,3,5],[2,4,6]]")
+    assert(run(".xs | transpose", """{"xs":[[1,2,3],[4]]}""")
+      == "[[1,4],[2,null],[3,null]]")
+    assert(run(".xs | transpose", """{"xs":[]}""") == "[]")
+  }
+
   test("scan(re) collects every match in order (gojq scan)") {
     assert(run("""[.s | scan("[0-9]+")]""", """{"s":"a12b3c456"}""")
       == """["12","3","456"]""")

@@ -247,6 +247,14 @@ class ReferenceVectorsSpec extends AnyFunSuite {
     checkRaw("""json("n") == null""", """{"n":null}""", Some("true"))
     checkRaw("""json("z") == null""", """{"z":0}""", Some("false"))
     checkRaw("""json("z") != null""", """{"z":0}""", Some("true"))
+    // variant-to-variant equality via the canonical json form: type-
+    // strict (false ≠ "false"), deep for scalars/arrays
+    checkRaw("""json("a") == json("b")""", """{"a":7,"b":7}""", Some("true"))
+    checkRaw("""json("a") == json("b")""", """{"a":7,"b":8}""", Some("false"))
+    checkRaw("""json("a") != json("b")""", """{"a":false,"b":"false"}""",
+      Some("true"))
+    checkRaw("""json("a") == json("b")""", """{"a":[1,2],"b":[1,2]}""",
+      Some("true"))
   }
 
   test("json catch 1-4: catch fires on parse error, NOT on legitimate null (query_method_parser_test.go)") {
