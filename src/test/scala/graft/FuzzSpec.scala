@@ -137,6 +137,63 @@ class FuzzSpec extends AnyFunSuite {
     assert(n == 200L)
   }
 
+  test("jq bounded iteration matches a reference interpreter on random affine walks") {
+    // recurse(f; cond) / until / while over f(x) = a·x + b, cond x < L:
+    // closed-form enough to interpret in-test, random enough to probe
+    // the aggregate machinery's branch logic (emit-first semantics,
+    // cond placement, cap handling)
+    lazy val spark = Sessions.builder("4").getOrCreate()
+    import org.apache.spark.sql.functions._
+    import graft.model.Envelope
+    import graft.blobl.JqProc
+    val rnd = new scala.util.Random(271828)
+    def runJq(q: String, v: Long): String = {
+      import spark.implicits._
+      val df = spark.read.json(spark.createDataset(scala.Seq(s"""{"v":$v}""")))
+      val out = JqProc(q)(Envelope.wrapUnordered(df))
+      val docCol = out.schema(Envelope.Doc).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => to_json(col(Envelope.Doc))
+        case _ => col(Envelope.Doc).cast("string")
+      }
+      val r = out.select(docCol, col(Envelope.Error)).head()
+      if (!r.isNullAt(1)) "ERR" else r.getString(0)
+    }
+    (1 to 25).foreach { _ =>
+      val a = 2 + rnd.nextInt(3) // 2..4
+      val b = rnd.nextInt(5)
+      val lim = 10 + rnd.nextInt(2000)
+      val v0 = 1 + rnd.nextInt(20)
+      def step(x: Long) = a * x + b
+      // reference: recurse emits v0 then cond-filtered iterates
+      val recRef = {
+        val buf = scala.collection.mutable.ArrayBuffer[Long](v0)
+        var x = step(v0)
+        var depth = 0
+        while (x < lim && depth < 16) { buf += x; x = step(x); depth += 1 }
+        if (x < lim) "ERR" else buf.mkString("[", ",", "]")
+      }
+      assert(runJq(s"[.v | recurse(. * $a + $b; . < $lim)]", v0) == recRef,
+        s"recurse a=$a b=$b lim=$lim v0=$v0")
+      // until: first iterate ≥ lim (cap 64 is never the binder here)
+      val untilRef = {
+        var x = v0.toLong
+        while (x < lim) x = step(x)
+        x.toString
+      }
+      assert(runJq(s".v | until(. >= $lim; . * $a + $b)", v0) == untilRef,
+        s"until a=$a b=$b lim=$lim v0=$v0")
+      // while: iterates strictly below lim, possibly empty
+      val whileRef = {
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        var x = v0.toLong
+        while (x < lim && buf.length <= 64) { buf += x; x = step(x) }
+        buf.mkString("[", ",", "]")
+      }
+      assert(runJq(s"[.v | while(. < $lim; . * $a + $b)]", v0) == whileRef,
+        s"while a=$a b=$b lim=$lim v0=$v0")
+    }
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error
