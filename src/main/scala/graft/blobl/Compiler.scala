@@ -1456,23 +1456,36 @@ object Compiler {
         // jq `..` / no-arg recurse, collected: this value and every
         // recursive descendant (pre-order), as array<variant>. The walk is
         // STATIC over the schema — bounded depth, whole-stage codegen —
-        // which is what makes it feasible in a columnar plan at all.
-        TC(recurseValues(t.col, t.tpe.getOrElse(StringType)),
-          Some(ArrayType(VariantType)))
+        // which is what makes it feasible in a columnar plan at all; a
+        // VARIANT target (dynamic JSON: `fromjson | ..`) instead gets a
+        // true runtime walk of the binary variant.
+        if (t.isVariant)
+          TC(graft.exprs.VariantWalkExpr.values(t.col),
+            Some(ArrayType(VariantType)))
+        else
+          TC(recurseValues(t.col, t.tpe.getOrElse(StringType)),
+            Some(ArrayType(VariantType)))
       case "json_paths" =>
         // jq `paths` / `paths(type-filter)` / `leaf_paths`, collected:
         // array of paths (each itself an array<variant> of string keys /
         // long indices), pre-order, excluding the root's empty path; an
         // optional literal filter keeps only paths whose value has that
         // (static) type
-        val keep = args match {
-          case Nil => (_: DataType) => true
-          case List(LitString(kind)) => pathTypeFilter(kind)
+        val kind = args match {
+          case Nil => "values"
+          case List(LitString(k)) => k
           case o => throw CompileError(s"json_paths: literal filter expected, got $o")
         }
-        TC(jsonPaths(t.col, t.tpe.getOrElse(StringType),
-          slice(array(parse_json(lit("0"))), lit(1), lit(0)), keep),
-          Some(ArrayType(ArrayType(VariantType))))
+        if (t.isVariant)
+          // dynamic JSON: runtime walk of the binary variant (the static
+          // type filter has nothing to inspect there)
+          TC(graft.exprs.VariantWalkExpr.paths(t.col, kind),
+            Some(ArrayType(ArrayType(VariantType))))
+        else
+          TC(jsonPaths(t.col, t.tpe.getOrElse(StringType),
+            slice(array(parse_json(lit("0"))), lit(1), lit(0)),
+            pathTypeFilter(kind)),
+            Some(ArrayType(ArrayType(VariantType))))
       case "index" => indexValue(t, c(0))
       case "keys" => t.tpe match {
         case Some(s: StructType) =>

@@ -44,7 +44,10 @@ import Ast._
   * substitution; `limit(n; g)` slices the collected array; `..` /
   * `recurse` and `paths` (incl. `paths(type-filter)` / `leaf_paths`)
   * expand STATICALLY over the schema (bounded
-  * depth, stays in codegen) to array<variant>; `getpath([...])` with a
+  * depth, stays in codegen) to array<variant> — and on a VARIANT
+  * document (raw-content `fromjson | ..`) run a true runtime walk of
+  * the binary variant ([[graft.exprs.VariantWalkExpr]], type filters
+  * applied per-node at runtime); `getpath([...])` with a
   * literal path is static field access; `expr as $x | rest` bindings
   * (incl. `[$a,$b]` / `{k:$x}` destructuring) substitute inline with
   * `.` unrebound; `recurse(f)` / `recurse(f; cond)` compile onto a

@@ -257,6 +257,34 @@ class JqSpec extends AnyFunSuite {
     assert(run("[paths(arrays)]", """{"c":[5,6]}""") == """[["c"]]""")
   }
 
+  test(".. / recurse / paths walk DYNAMIC (variant) documents at runtime") {
+    // raw-content pipelines parse to VARIANT — the static schema walk
+    // can't see inside, so these run the runtime binary-variant walk
+    import org.apache.spark.sql.types._
+    def runVariant(q: String, row: String): String = {
+      import spark.implicits._
+      val df = scala.Seq(row).toDF("c").select(
+        col("c").cast(BinaryType).as("content"),
+        try_parse_json(col("c")).as("doc"),
+        map().cast(MapType(StringType, StringType)).as("meta"),
+        lit(null).cast(StringType).as("_error"),
+        lit(0L).as("batch_id"), lit(0L).as("seq"))
+      JqProc(q)(df).select(to_json(col("doc"))).head().getString(0)
+    }
+    assert(runVariant("[..]", """{"a":{"b":1}}""")
+      == """[{"a":{"b":1}},{"b":1},1]""")
+    assert(runVariant("[recurse]", """{"xs":[1,2]}""")
+      == """[{"xs":[1,2]},[1,2],1,2]""")
+    assert(runVariant("[paths]", """{"a":{"b":1}}""")
+      == """[["a"],["a","b"]]""")
+    assert(runVariant("[paths]", """{"c":[5,6]}""")
+      == """[["c"],["c",0],["c",1]]""")
+    assert(runVariant("[paths(numbers)]", """{"a":{"b":1},"s":"x"}""")
+      == """[["a","b"]]""")
+    assert(runVariant("[leaf_paths]", """{"a":{"b":1},"s":"x"}""")
+      == """[["a","b"],["s"]]""")
+  }
+
   test("paths lists every path, root excluded (gojq paths)") {
     assert(run("[paths]", """{"a":{"b":1}}""") == """[["a"],["a","b"]]""")
     assert(run("[paths]", """{"c":[5,6]}""") == """[["c"],["c",0],["c",1]]""")
