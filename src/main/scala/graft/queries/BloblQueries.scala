@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, MapType, StringType}
 import graft.Tables.t
 import graft.blobl.Mapping
 
@@ -102,6 +103,41 @@ object BloblQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q173: the RUNTIME variant walk under an oracle — a per-row JSON
+    * document (id + first-3-words array + nested meta object) is parsed
+    * to a VARIANT and jq's `..` / `paths` / `paths(numbers)` /
+    * `leaf_paths` walk it at runtime (the static schema walk can't see
+    * inside a variant). The counts are pure structure arithmetic the
+    * oracle replays from the word count: nv = 5 + min(3, n_words)
+    * (root, id, the w3 array + its elements, m, m.n), np = nv − 1,
+    * nnum = 2 (id, m.n), nleaf = 2 + min(3, n_words). */
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.Envelope
+    val docs = t(s, dir, "documents")
+    val jsonCol = to_json(struct(
+      col("doc_id").as("id"),
+      slice(split(col("text"), " "), 1, 3).as("w3"),
+      struct(length(col("text")).as("n")).as("m")))
+    val env = docs.select(
+      jsonCol.cast(BinaryType).as(Envelope.Content),
+      try_parse_json(jsonCol).as(Envelope.Doc),
+      map().cast(MapType(StringType, StringType)).as(Envelope.Meta),
+      lit(null).cast(StringType).as(Envelope.Error),
+      lit(0L).as(Envelope.BatchId),
+      col("doc_id").as(Envelope.Seq))
+    val out = graft.blobl.JqProc(
+      """{nv: ([..] | length),
+        | np: ([paths] | length),
+        | nnum: ([paths(numbers)] | length),
+        | nleaf: ([leaf_paths] | length)}""".stripMargin)(env)
+    out.select(col(Envelope.Seq).as("doc_id"),
+        col("doc.nv").cast(LongType).as("nv"),
+        col("doc.np").cast(LongType).as("np"),
+        col("doc.nnum").cast(LongType).as("nnum"),
+        col("doc.nleaf").cast(LongType).as("nleaf"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q163: the expression error channel end-to-end — parse_timestamp
     * failures are catch-able errors (not silent nulls), uncaught ones
     * flag the message `_error` while the row keeps flowing. One third of
@@ -160,11 +196,21 @@ object BloblQueries {
     "q163_error_channel" -> (q163 _),
     "q161_jq" -> (q161 _),
     "q169_jmespath" -> (q169 _),
+    "q173_variant_walk" -> (q173 _),
     "q10_blobl_lineitem" -> (q10 _),
     "q11_blobl_events" -> (q11 _),
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q173_variant_walk" ->
+      """WITH d AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS nw FROM documents)
+        |SELECT doc_id,
+        | CAST(5 + least(nw, 3) AS BIGINT) AS nv,
+        | CAST(4 + least(nw, 3) AS BIGINT) AS np,
+        | CAST(2 AS BIGINT) AS nnum,
+        | CAST(2 + least(nw, 3) AS BIGINT) AS nleaf
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q163_error_channel" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'invalid' ELSE '2024-01-15' END AS day,
