@@ -1009,6 +1009,27 @@ object Compiler {
               t.tpe)
           case _ => TC(slice(t.col, lit(1), lit(0)), t.tpe)
         }
+      case "format_sh" =>
+        // jq @sh: strings single-quoted POSIX-style (embedded ' becomes
+        // '\''), numbers plain, arrays space-joined — dispatched on the
+        // STATIC type; a variant value branches at runtime (both branch
+        // results are strings, so the when-chain type-checks)
+        def shq(c: Column): Column = concat(lit("'"),
+          replace(c.cast(StringType), lit("'"), lit("'\\''")), lit("'"))
+        def shOne(c: Column, tpe: Option[DataType]): Column = tpe match {
+          case Some(StringType) => shq(c)
+          case Some(_: VariantType) =>
+            when(schema_of_variant(c) === "STRING", shq(c))
+              .otherwise(c.cast(StringType))
+          case _ => c.cast(StringType)
+        }
+        t.tpe match {
+          case Some(ArrayType(et, _)) =>
+            TC(array_join(
+              transform(t.col, x => shOne(x, Some(et))), " "),
+              Some(StringType))
+          case other => TC(shOne(t.col, other), Some(StringType))
+        }
       case "re_scan" =>
         // jq scan(re), collected: every match of re, in order (full-match
         // strings; jq's capture-group array flavor is out of scope)

@@ -19,7 +19,7 @@ import Ast._
   * `try f catch g`, `setpath` with a literal path, the type filters
   * `values`/`nulls`/`booleans`/`numbers`/`strings`/`arrays`/`objects`/
   * `iterables`/`scalars`, format strings `@base64`/`@base64d`/`@uri`/
-  * `@html`/`@json`/`@text`/`@csv`/`@tsv`, `strftime`/`strptime` (with
+  * `@html`/`@json`/`@text`/`@csv`/`@tsv`/`@sh`, `strftime`/`strptime` (with
   * `mktime`/`gmtime` as timestamp projections so the composed
   * `strptime(f)|mktime` and `now|gmtime|strftime(f)` idioms are exact),
   * `first(g)`/`last(g)`/`any(f)`/`all(f)`, `has`/`in`, `debug`) — by
@@ -495,6 +495,13 @@ object Jq {
                   LitString("\\t"), LitString("\n"), LitString("\\n"),
                   LitString("\r"), LitString("\\r")))))),
                 "join", List(LitString("\t")))
+            case "sh" =>
+              // POSIX shell single-quoting (jq @sh): strings 'quoted'
+              // with embedded ' as '\''; numbers plain; arrays
+              // space-joined. Type dispatch is static, so it lives in
+              // the compiler (an if-over-types would compile unreached
+              // branches against the wrong static type).
+              MethodCall(This, "format_sh", Nil)
             case o => throw new IllegalArgumentException(
               s"jq: unsupported format string @$o")
           }

@@ -450,6 +450,13 @@ class JqSpec extends AnyFunSuite {
     assert(run(""".s | sub("[0-9]+"; "#")""", """{"s":"abc"}""") == "abc")
   }
 
+  test("@sh quotes strings POSIX-style, numbers plain, arrays joined") {
+    assert(run(""".s | @sh""", """{"s":"a b"}""") == "'a b'")
+    assert(run(""".s | @sh""", """{"s":"it's"}""") == "'it'\\''s'")
+    assert(run(""".n | @sh""", """{"n":7}""") == "7")
+    assert(run(""".xs | @sh""", """{"xs":["a b","c"]}""") == "'a b' 'c'")
+  }
+
   test("transpose pads ragged rows with null (jq transpose)") {
     assert(run(".xs | transpose", """{"xs":[[1,2],[3,4],[5,6]]}""")
       == "[[1,3,5],[2,4,6]]")
