@@ -111,7 +111,6 @@ object Training {
       * are distinct longs). Returns the assignment (idCol, cid, vecCol). */
     def fitTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
         k: Int, iters: Int): DataFrame = {
-      val spark = corpus.sparkSession
       val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       val k2 = math.max(1, (k + k1 - 1) / k1)
       val (coarse, _) = fit(corpus, idCol, vecCol, k1, iters)
@@ -120,30 +119,49 @@ object Training {
         .localCheckpoint() // the coarse trajectory runs once
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("ccid")).orderBy(col(idCol))
-      var cents = collectFine(spark,
-        pts.withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") <= k2)
-          .select(col("ccid"),
-            (col("ccid") * k2 + col("_rk") - 1).as("cid"),
-            col(vecCol).cast(ArrayType(DoubleType)).as("cvec")))
+      // The fine-centroid relation STAYS distributed: under the auto-k
+      // posture k grows with the corpus (k = n / clusterSize), so
+      // collecting or broadcasting all k centroids is linear-in-corpus
+      // driver state — at n ~ 1e10, ~4e7 centroids × dim doubles is tens
+      // of GB on the driver. localCheckpoint truncates the lineage
+      // between Lloyd iterations exactly like a collect would, but the
+      // k·dim doubles live in executor blocks, never on the driver.
+      var cents = pts.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= k2)
+        .select(col("ccid"),
+          (col("ccid") * k2 + col("_rk") - 1).as("cid"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("cvec"))
+        .localCheckpoint()
       var i = 0
       while (i < iters) {
-        val assigned = assignFine(pts, idCol, vecCol, cents)
-        cents = collectFine(spark, updateFine(assigned, vecCol, cents))
+        val assigned = assignFine(pts, idCol, vecCol, cents, k)
+        val next = updateFine(assigned, vecCol, cents).localCheckpoint()
+        cents.unpersist()
+        cents = next
         i += 1
       }
-      val out = assignFine(pts, idCol, vecCol, cents)
+      val out = assignFine(pts, idCol, vecCol, cents, k)
         .select(col(idCol), col("cid"), col(vecCol))
         .localCheckpoint()
+      cents.unpersist()
       pts.unpersist()
       out
     }
 
+    /** Broadcasting the fine centroids is only safe while k·dim stays
+      * executor-memory-sized; 32k centroids × ~1 KB ≈ 32 MB is
+      * comfortably under the broadcast ceiling. Above the cap the ccid
+      * equi-join shuffles both sides instead — the shape that holds when
+      * k is corpus-proportional (auto-k). */
+    private val BroadcastKCap = 32768
+
     /** Nearest FINE centroid within the point's own coarse cluster:
-      * equi-join on ccid (k2 comparisons per point), cosine, max_by. */
+      * equi-join on ccid (k2 comparisons per point), cosine, max_by.
+      * Small k broadcasts the centroid side; large k shuffles it. */
     private def assignFine(pts: DataFrame, idCol: String, vecCol: String,
-        cents: DataFrame): DataFrame =
-      pts.join(broadcast(cents), "ccid")
+        cents: DataFrame, k: Int): DataFrame = {
+      val centSide = if (k <= BroadcastKCap) broadcast(cents) else cents
+      pts.join(centSide, "ccid")
         .select(col(idCol), col(vecCol), col("ccid"), col("cid"),
           Similarity.cosine(col(vecCol), col("cvec")).as("csim"))
         .groupBy(col(idCol))
@@ -151,6 +169,7 @@ object Training {
           max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
           first(col("ccid")).as("ccid"),
           first(col(vecCol)).as(vecCol))
+    }
 
     /** One fine Lloyd step; empty fine clusters keep their previous
       * centroid (and every centroid keeps its coarse cell). */
@@ -167,15 +186,6 @@ object Training {
           coalesce(col("new_cvec"), col("prev_cvec")).as("cvec"))
     }
 
-    private def collectFine(spark: SparkSession, df: DataFrame): DataFrame = {
-      val rows = df.orderBy(col("cid")).collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        StructType(scala.Seq(
-          StructField("ccid", LongType),
-          StructField("cid", LongType),
-          StructField("cvec", ArrayType(DoubleType)))))
-    }
   }
 
   // ------------------------------------------------- quality classifier
