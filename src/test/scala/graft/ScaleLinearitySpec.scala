@@ -2,17 +2,20 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Gates the committed scale-probe artifact (SCALE_r7.json, produced by
+/** Gates the committed scale-probe artifact (SCALE_r8.json, produced by
   * [[ScaleProbe]] on an idle box at sf0.1 × {1,4,16}): wall-clock per 4×
   * data step must stay within LINEAR_SLACK of linear for every probed
   * operator family, the fitted log-log wall-vs-mult slope must stay ≤
   * SLOPE_MAX (the trend gate — stepwise slack compounds to 1.69× over
   * two steps, a regression fit catches the same drift a round earlier),
-  * and pair-emitting operators must not blow up their
-  * output super-linearly. A hidden quadratic (cross join, unpartitioned
-  * window, hot LSH bucket, driver collect) shows up here as a >5.2×
-  * step long before any cluster sees it — the probe's first run caught
-  * exactly that (36M candidates for 1k true pairs in MinHash-LSH).
+  * pair-emitting operators must not blow up their output super-linearly,
+  * and measured SHUFFLE BYTES must grow near-linearly (the noise-free
+  * signal: wall-clock on this shared host wobbles ±2× between identical
+  * runs, byte counters don't). A hidden quadratic (cross join,
+  * unpartitioned window, hot LSH bucket, driver collect) shows up here
+  * as a >5.2× step long before any cluster sees it — the probe's first
+  * run caught exactly that (36M candidates for 1k true pairs in
+  * MinHash-LSH).
   *
   * The artifact is committed rather than re-measured per test run: the
   * probe takes minutes at 16× and timing under sbt-test co-scheduling
@@ -27,7 +30,7 @@ class ScaleLinearitySpec extends AnyFunSuite {
   private val FloorSec = 1.0
 
   private case class P(op: String, mult: Int, wall: Double, out: Long,
-      cross: Long)
+      cross: Long, shuffle: Long, spill: Long)
 
   private def readPoints(f: java.io.File): Seq[P] = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
@@ -36,29 +39,54 @@ class ScaleLinearitySpec extends AnyFunSuite {
       val r = rs.get(i)
       P(r.get("op").asText, r.get("mult").asInt,
         r.get("wall_s").asDouble, r.get("rows_out").asLong,
-        if (r.has("cross_pairs")) r.get("cross_pairs").asLong else -1L)
+        if (r.has("cross_pairs")) r.get("cross_pairs").asLong else -1L,
+        if (r.has("shuffle_bytes")) r.get("shuffle_bytes").asLong else -1L,
+        if (r.has("spill_bytes")) r.get("spill_bytes").asLong else -1L)
     }
   }
 
   private lazy val points: Seq[P] = {
-    val f = new java.io.File("SCALE_r7.json")
-    assert(f.exists, "SCALE_r7.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
+    val f = new java.io.File("SCALE_r8.json")
+    assert(f.exists, "SCALE_r8.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
     // the worst-growing families carry an extra 64× point (probed with
     // --ops so the full suite doesn't pay 64× corpus cost); merging it
     // here puts the deeper tail under the same step + slope gates
-    val f64 = new java.io.File("SCALE_r7_64x.json")
+    val f64 = new java.io.File("SCALE_r8_64x.json")
     readPoints(f) ++ (if (f64.exists) readPoints(f64) else Seq.empty)
   }
 
   test("probe covers every scale-sensitive operator family at 1x/4x/16x") {
     val want = Set("jaccard_join", "minhash_pairs", "cc_dedup", "bloom_anti",
-      "tfidf_topk", "semdedup", "sessionize", "pagerank", "funnel",
-      "retention", "ann_ivf", "bm25", "simhash_pairs", "embed_neardup",
-      "shared_passages", "contamination")
+      "tfidf_topk", "semdedup", "kmeans_largek", "sessionize", "pagerank",
+      "funnel", "retention", "ann_ivf", "bm25", "simhash_pairs",
+      "embed_neardup", "shared_passages", "contamination")
     val got = points.groupBy(_.op).map { case (op, ps) => op -> ps.map(_.mult).toSet }
     want.foreach { op =>
       assert(got.get(op).exists(ms => Set(1, 4, 16).subsetOf(ms)),
-        s"$op missing 1x/4x/16x points in SCALE_r6.json (got ${got.get(op)})")
+        s"$op missing 1x/4x/16x points in SCALE_r8.json (got ${got.get(op)})")
+    }
+  }
+
+  test("shuffle bytes grow near-linearly (the noise-free scale signal)") {
+    // Wall-clock on this shared host wobbles ±2× between runs of
+    // identical code; the bytes a plan exchanges don't. A quadratic
+    // candidate blowup or a join that stops pruning shows up here as
+    // super-linear byte growth with zero timing noise. Slack 2.0 covers
+    // content-dependent variation (bucket skew, AQE plan switches at
+    // small scale); steps whose base is under 64 MB are excluded — tiny
+    // shuffles are dominated by per-partition fixed overheads.
+    val FloorBytes = 64L << 20
+    points.filter(_.shuffle >= 0).groupBy(_.op).foreach { case (op, ps) =>
+      ps.sortBy(_.mult).sliding(2).foreach {
+        case Seq(lo, hi) =>
+          val factor = hi.mult.toDouble / lo.mult
+          val ratio = hi.shuffle.toDouble / math.max(lo.shuffle, 1L)
+          assert(lo.shuffle < FloorBytes || ratio <= factor * 2.0,
+            f"$op ${lo.mult}x->${hi.mult}x shuffle bytes grew $ratio%.2fx " +
+              f"(${lo.shuffle} -> ${hi.shuffle}) for ${factor}%.0fx data — " +
+              "super-linear exchange volume")
+        case _ => ()
+      }
     }
   }
 
@@ -138,18 +166,29 @@ class ScaleLinearitySpec extends AnyFunSuite {
     // replica copies are mutually unrelated by construction, so every
     // cross-copy pair is a false collision. Quadratic blowup puts
     // (m-1)/2 × the within-copy mass cross-copy at m copies (7.5× at
-    // 16×); a healthy emitter keeps it ≈ 0. Gate at 5% of total (sharp
-    // against the 88% a quadratic would show) with a tiny absolute
-    // floor for chance collisions on a ~26-symbol alphabet.
+    // 16×, 31.5× at 64×); a healthy emitter keeps it ≈ 0. Gate as a
+    // FRACTION — ≤ 0.5% of total (sharp against the 88%+ a quadratic
+    // would show) — with a tiny absolute floor for birthday-level
+    // chance collisions: winnowing selects ~n_shingles/w fingerprints
+    // per copy from a 26^k 5-gram space, so at 64 copies a handful of
+    // cross-copy fingerprint coincidences clearing minShared=2 is the
+    // expected residual (the 64× point measures 21 of 11,270 = 0.19%),
+    // not a candidate-blowup signature, which would be thousands-fold.
+    // r8 spot-decode of the 21: every one is a GENUINE identical
+    // 5-gram across copies — space-heavy grams of single-letter words
+    // ("u u d", "s p s", "t y i"), which the per-copy alphabet
+    // bijection maps into a small (26³) birthday space; each pair
+    // shares exactly minShared=2 such grams. Real shared substrings of
+    // the replica construction, not emitter false positives.
     val pairPoints = points.filter(_.cross >= 0)
     assert(pairPoints.map(_.op).toSet == Set("jaccard_join",
       "minhash_pairs", "simhash_pairs", "shared_passages"),
       s"expected cross_pairs on the four pair emitters, got ${pairPoints.map(_.op).toSet}")
     pairPoints.filter(_.mult > 1).foreach { p =>
-      val allowed = math.max(16L, (0.05 * p.out).toLong)
+      val allowed = math.max(16L, (0.005 * p.out).toLong)
       assert(p.cross <= allowed,
         s"${p.op} ${p.mult}x: ${p.cross} cross-copy pairs of ${p.out} " +
-          s"total (allowed $allowed) — false-collision blowup")
+          s"total (allowed $allowed = max(16, 0.5%)) — false-collision blowup")
     }
   }
 }
