@@ -1,0 +1,73 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Position-wise agreement count of two equal-length long arrays — the
+  * MinHash signature-agreement estimate (#{i : a[i] == b[i]}), evaluated
+  * per candidate pair inside the LSH bucket join.
+  *
+  * A native expression with real codegen, NOT a sum of n
+  * `when(element_at(a,i) === element_at(b,i), 1)` terms: at n = 128 that
+  * sum exceeds the generated-method size limits, whole-stage codegen
+  * falls back to interpreted eval, and the estimate costs ~128 boxed
+  * calls per in-bucket pair — the r8 probe measured the prefilter stage
+  * at 355 s over 41.7M pairs (the whole operator's wall), vs seconds for
+  * this loop. Cites reference lib/processor/dedupe.go only for WHAT is
+  * deduped; the estimate/verify split is the standard LSH design. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agree requires two array<bigint> children, got " +
+          s"${lt.simpleString(10)} and ${rt.simpleString(10)}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (xs.getLong(i) == ys.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreeExpr {
+  def column(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(SigAgreeExpr(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+}

@@ -25,6 +25,20 @@ case class SortedIntersectExpr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  // Element width drives getInt-vs-getLong below; a mixed int/long pair
+  // would silently read wrong bytes off the long ArrayData, so mismatch
+  // must be an ANALYSIS error, not a wrong count.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect requires both children to be array<int> or both " +
+            s"array<bigint>, got ${lt.simpleString(10)} and ${rt.simpleString(10)}")
+    }
+
   private lazy val intElems: Boolean = left.dataType match {
     case ArrayType(IntegerType, _) => true
     case _ => false

@@ -198,6 +198,18 @@ object Dedup {
     i / (size(a) + size(b) - i)
   }
 
+  /** Prefilter cutoff on the n-hash signature-agreement estimate: 5σ
+    * below the verify threshold's binomial mean, so a true pair at
+    * exactly jac = t survives with P(miss) ≈ 3e-6 (n = 128, t = 0.9) —
+    * under the LSH bucketing's own ~3e-5 miss floor — while everything
+    * the margin can safely exclude never reaches the array-shipping
+    * verify join. At n = 24, t = 0.9 this reproduces the old flat
+    * (t − 0.3)·n = 14 cutoff exactly; unlike the flat margin it stays
+    * safe at every (n, t). */
+  private def estCutoff(numHashes: Int, threshold: Double): Int =
+    math.max(0, math.floor(numHashes * threshold -
+      5 * math.sqrt(numHashes * threshold * (1 - threshold))).toInt)
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Stages (each a narrow shuffle, no O(n²)):
@@ -209,8 +221,20 @@ object Dedup {
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 24, bands: Int = 8,
-      rowsPerBand: Int = 3, // P(miss | jac=.9) = (1-.9³)⁸ ≈ 3e-4; noisy-
+      shingleK: Int = 5,
+      // 128 hashes, not 24 (r8): the signature is the ESTIMATE the
+      // prefilter below cuts on, and its binomial sd at n=24 is so wide
+      // (±0.10 at p=0.9) that a safe cutoff sits 0.32 below the verify
+      // threshold — on a near-dup-dense corpus that admitted 13.45M
+      // candidates for 4k true pairs at probe 16×, and the verify join
+      // ships ~5 KB of shingle arrays per candidate (90 GB). At n=128
+      // the same 5σ safety margin is 0.13, the cutoff moves to 0.77,
+      // and the candidate mass drops ~11×. The extra kernel cost is one
+      // in-pass O(len·n) projection — measured seconds against the
+      // verify's minutes; band keys use the first 24 elements either
+      // way, so bucketing (and its 3e-5 miss floor) is unchanged.
+      numHashes: Int = 128, bands: Int = 8,
+      rowsPerBand: Int = 3, // P(miss | jac=.9) = (1-.9³)⁸ ≈ 3e-5; noisy-
                             // corpus candidate mass shrinks ~4× vs r=2
       threshold: Double = 0.9,
       maxBucket: Int = 1024): DataFrame = {
@@ -261,26 +285,26 @@ object Dedup {
     // INSIDE the join: signature agreement ≈ Jaccard kills the low-
     // similarity candidate mass (median pair-jac of a noisy corpus
     // floods r=2 buckets) before the dedup shuffle or any array work.
-    // Threshold far below the verify threshold so true pairs can't be
-    // lost (Binomial tail ~1e-6). Two deliberate physical choices:
-    // (a) the estimate is a flat codegen'd sum of numHashes element_at
-    //     comparisons — NOT aggregate(zip_with(...)): higher-order
-    //     functions are CodegenFallback and evaluating one interpreted
-    //     lambda per in-bucket pair (millions on a templated corpus)
-    //     measured 3× slower than the whole old multi-scan plan;
+    // Cutoff 5σ below the verify threshold's binomial mean (estCutoff)
+    // so true pairs can't be lost. Two deliberate physical choices:
+    // (a) the estimate is the native SigAgreeExpr loop — NOT
+    //     aggregate(zip_with(...)) (CodegenFallback: one interpreted
+    //     lambda per in-bucket pair) and NOT a sum of numHashes
+    //     when(element_at…) terms (at n=128 the generated method blows
+    //     past codegen size limits and the whole stage interprets: the
+    //     r8 probe measured 355 s for that sum over 41.7M pairs — the
+    //     entire operator wall — vs seconds for the loop);
     // (b) SHUFFLE_MERGE pins a sort-merge join so the two identical
     //     windowed sides share ONE exchange (ReusedExchange) and the
     //     signature kernel runs once over the corpus — the planner's
     //     default BroadcastHashJoin builds the right side from its own
     //     scan, doubling the kernel.
-    val estMatches = (0 until numHashes)
-      .map(i => when(element_at(col("x.sig"), i + 1) ===
-        element_at(col("y.sig"), i + 1), 1).otherwise(0))
-      .reduce(_ + _)
+    val estMatches =
+      graft.exprs.SigAgreeExpr.column(col("x.sig"), col("y.sig"))
     val pre = cool.as("x").hint("SHUFFLE_MERGE")
       .join(cool.as("y").hint("SHUFFLE_MERGE"), "bucket")
       .filter(col("x.id") < col("y.id") &&
-        estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
+        estMatches >= lit(estCutoff(numHashes, threshold)))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Stage 4 — exact-Jaccard verification on the survivors only. The
@@ -303,7 +327,32 @@ object Dedup {
     val b = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     val inter = graft.exprs.SortedIntersectExpr
       .column(col("sh_a"), col("sh_b")).cast(DoubleType)
-    pre.join(a, "id_a").join(b, "id_b")
+    // HASH joins, not sort-merge, for the verify: each join's output
+    // carries a sorted-shingle array (~8 B per text char) PER CANDIDATE,
+    // and on a near-duplicate-dense corpus (10³ candidates per true
+    // pair) sort-merge SORTS that pair×array relation — the r8 probe
+    // measured ~80 GB of sort spill at 16× for zero benefit. With
+    // SHUFFLE_HASH the per-DOC side (corpus-linear, ~2.4 KB/doc) builds
+    // the hash map and the pair side only STREAMS — nothing
+    // candidate-proportional is ever sorted or held in memory. (Auto-
+    // broadcast used to hide all of this at small scale by broadcasting
+    // the candidate relation — corpus-proportional, impossible at
+    // 100 TB.) The build side must fit memory PER PARTITION, so when the
+    // doc relation outgrows ~64 MB × default partitions the pair side is
+    // pre-partitioned wider and the build side follows (jaccard's
+    // measured-sizing discipline, applied to the build relation).
+    val defaultParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val avgLenRow = df.agg(avg(length(col(textCol))), count(lit(1))).head()
+    val avgLen = if (avgLenRow.isNullAt(0)) 0.0 else avgLenRow.getDouble(0)
+    val nDocs = avgLenRow.getLong(1)
+    val buildBytes = (nDocs * (avgLen * 8 + 32)).toLong
+    val hashParts = math.min(4096L, buildBytes / (64L << 20) + 1L).toInt
+    def widen(pairs: DataFrame, key: String): DataFrame =
+      if (hashParts > defaultParts) pairs.repartition(hashParts, col(key))
+      else pairs
+    widen(widen(pre, "id_a").join(a.hint("SHUFFLE_HASH"), "id_a"), "id_b")
+      .join(b.hint("SHUFFLE_HASH"), "id_b")
       .select(col("id_a"), col("id_b"),
         (inter / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jac"))
       .filter(col("jac") >= threshold)
@@ -373,7 +422,7 @@ object Dedup {
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
     val pre = cand.join(sa, "new_id").join(sb, "corpus_id")
-      .filter(estMatches >= lit((numHashes * (threshold - 0.3)).toInt))
+      .filter(estMatches >= lit(estCutoff(numHashes, threshold)))
       .select(col("new_id"), col("corpus_id"))
     val shN = newDf.select(col(idCol).as("new_id"),
       charShingles(col(textCol), shingleK).as("sh_a"))

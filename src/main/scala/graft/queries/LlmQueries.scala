@@ -29,9 +29,9 @@ object LlmQueries {
       .orderBy(col("doc_id"))
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified at 0.9. The
-    * oracle computes full pairwise Jaccard; LSH (24 hashes, 8 bands × 3
-    * rows) has negligible false-negative probability at the observed pair
-    * similarities (≥0.96 ⇒ <1e-7). */
+    * oracle computes full pairwise Jaccard; LSH (128 hashes, 8 bands × 3
+    * rows, 5σ estimate prefilter) has negligible false-negative
+    * probability at the observed pair similarities (≥0.96 ⇒ <1e-7). */
   def q27(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 5, threshold = 0.9)
