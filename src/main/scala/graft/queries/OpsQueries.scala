@@ -227,12 +227,19 @@ object OpsQueries {
     * default (32) that file churn dominates the gates' wall time (q172
     * measured 18 s → 4 s). State partitioning is a per-checkpoint
     * deployment knob sized to state VOLUME, not to batch parallelism;
-    * 8 fits these corpora comfortably. Fresh checkpoints per run, so
-    * the session default is restored right after the query. */
-  private def withStateParts[A](s: SparkSession)(f: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    * 8 fits these corpora comfortably. The override lives on a FORKED
+    * session (`newSession()`: own SQLConf seeded from the builder-level
+    * SparkConf — which carries UTC/ANSI/AQE — with shared SparkContext,
+    * catalog and cache), so concurrent queries on the shared session
+    * never observe the 8-partition setting and the helper is reentrant —
+    * a set/restore on the global conf would race with any parallel gate
+    * (r7 advisor). The streaming read and start MUST happen against the
+    * fork: state partitioning is fixed from the session conf at first
+    * checkpoint. */
+  private def withStateParts[A](s: SparkSession)(f: SparkSession => A): A = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    f(s2)
   }
 
   def q166(s: SparkSession, dir: String): DataFrame = {
@@ -241,12 +248,12 @@ object OpsQueries {
     val src = stagedEventsSrc(s, dir)
     val sink = Files.createTempDirectory("graft_q166_sink").toString
     val ckpt = Files.createTempDirectory("graft_q166_ckpt").toString
-    val stream = s.readStream.schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-    val out = DedupeProc(
-      """this.user_id.string() + ":" + this.event_type""")(
-      Envelope.wrapUnordered(stream))
-    withStateParts(s) {
+    withStateParts(s) { ss =>
+      val stream = ss.readStream.schema(ss.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val out = DedupeProc(
+        """this.user_id.string() + ":" + this.event_type""")(
+        Envelope.wrapUnordered(stream))
       val q = Envelope.unwrap(out).select(col("user_id"), col("event_type"))
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -269,14 +276,14 @@ object OpsQueries {
     val src = stagedEventsSrc(s, dir)
     val sink = Files.createTempDirectory("graft_q167_sink").toString
     val ckpt = Files.createTempDirectory("graft_q167_ckpt").toString
-    val stream = s.readStream.schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-    val agg = stream
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
-      .select(unix_timestamp(col("window.start")).as("bucket"),
-        col("n"), col("sum_value"))
-    withStateParts(s) {
+    withStateParts(s) { ss =>
+      val stream = ss.readStream.schema(ss.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket"),
+          col("n"), col("sum_value"))
       val q = agg.writeStream
         .outputMode("complete")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -361,15 +368,15 @@ object OpsQueries {
     val src = stagedEventsByTimeSrc(s, dir)
     val sink = Files.createTempDirectory("graft_q170_sink").toString
     val ckpt = Files.createTempDirectory("graft_q170_ckpt").toString
-    val stream = s.readStream.schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-    val agg = stream
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
-      .select(unix_timestamp(col("window.start")).as("bucket"),
-        col("n"), col("sum_value"))
-    withStateParts(s) {
+    withStateParts(s) { ss =>
+      val stream = ss.readStream.schema(ss.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val agg = stream
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket"),
+          col("n"), col("sum_value"))
       val q = agg.writeStream.format("parquet")
         .outputMode("append")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -395,13 +402,13 @@ object OpsQueries {
     val src = stagedEventsSrc(s, dir)
     val sink = Files.createTempDirectory("graft_q171_sink").toString
     val ckpt = Files.createTempDirectory("graft_q171_ckpt").toString
-    val stream = s.readStream.schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-    val deduped = stream
-      .withWatermark("ts", "40 days")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-    withStateParts(s) {
+    withStateParts(s) { ss =>
+      val stream = ss.readStream.schema(ss.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val deduped = stream
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
       val q = deduped.writeStream.format("parquet")
         .outputMode("append")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -433,24 +440,74 @@ object OpsQueries {
     // at Jan 17 puts click→purchase pairs on both sides of the batch
     // boundary — while halving the per-micro-batch state-store setup,
     // which dominates a dual-source stateful join's fixed cost
-    def stream() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 2).parquet(src)
-    val clicks = stream()
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "30 minutes")
-    val purchases = stream()
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "30 minutes")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"))
-    withStateParts(s) {
+    withStateParts(s) { ss =>
+      def stream() = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+      val clicks = stream()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val purchases = stream()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+      val q = joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sink)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** LEFT-OUTER stream-stream interval join — the eviction-emits-null
+    * semantics q172's inner join doesn't exercise: a click with no
+    * purchase within 1 h emits its null-matched row ONLY when the
+    * watermark evicts it from join state (the subtle stateful shape —
+    * matched rows emit as they join, unmatched rows emit late, on state
+    * removal). Clicks still in state at end-of-stream — those whose
+    * match window the final watermark never passed — are withheld by
+    * definition; the oracle applies the same cutoff: an unmatched click
+    * appears iff click_ts + 1 h < final watermark, where the final
+    * watermark is min(max click_ts, max purchase_ts) − 30 min (the
+    * global watermark is the min across both inputs). click_ts rides
+    * along in the output so the cutoff is auditable on both sides. */
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = stagedEventsByTimeSrc(s, dir)
+    val sink = Files.createTempDirectory("graft_q174_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q174_ckpt").toString
+    val schema = s.read.parquet(src).schema
+    withStateParts(s) { ss =>
+      def stream() = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+      val clicks = stream()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val purchases = stream()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_epoch"),
+          col("purchase_id"))
       val q = joined.writeStream.format("parquet")
         .outputMode("append")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -560,6 +617,7 @@ object OpsQueries {
     "q170_stream_watermark_append" -> (q170 _),
     "q171_stream_drop_dup_watermark" -> (q171 _),
     "q172_stream_stream_join" -> (q172 _),
+    "q174_stream_outer_join" -> (q174 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -644,6 +702,28 @@ object OpsQueries {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
+    // left-outer stream-stream join: matched pairs always emit; an
+    // UNMATCHED click emits (null purchase) only once the final global
+    // watermark — min(max click ts, max purchase ts) − 30 min — has
+    // passed the end of its match window (click_ts + 1 h)
+    "q174_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     wm AS (SELECT least((SELECT max(click_ts) FROM c),
+        |                         (SELECT max(purchase_ts) FROM p))
+        |                   - INTERVAL 30 MINUTE AS w)
+        |SELECT c.user_id, c.click_id,
+        |       CAST(floor(epoch(c.click_ts)) AS BIGINT) AS click_epoch,
+        |       p.purchase_id
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        |WHERE p.purchase_id IS NOT NULL
+        |   OR c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "q159_cached_dedupe" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS fp FROM documents)
         |SELECT DISTINCT fp FROM d
