@@ -504,13 +504,18 @@ object Compiler {
       // jq alternative `//` (also `//=`): falls back on null OR false —
       // unlike `|`'s null-only coalesce. Boolean LHS tests === false;
       // variant LHS tests via to_json (which distinguishes boolean false
-      // from the string "false"); any other static type cannot hold a
-      // boolean false, so the null-only coalesce is already exact.
+      // from the string "false") and must ALSO treat a variant-encoded
+      // JSON null as falsy — a variant null is not SQL null (the `.isNull`
+      // arm misses it; e.g. root `. // x` on a null document, array
+      // elements, recurse outputs), yet jq's `null // b` is `b`; any
+      // other static type cannot hold a boolean false, so the null-only
+      // coalesce is already exact.
       case "//" =>
         val rCol = if (l.isVariant && !r.isVariant) r.col.cast(VariantType) else r.col
         val falseCond =
           if (l.tpe.contains(BooleanType)) Some(l.col === lit(false))
-          else if (l.isVariant) Some(to_json(l.col) === lit("false"))
+          else if (l.isVariant)
+            Some(is_variant_null(l.col) || to_json(l.col) === lit("false"))
           else None
         falseCond match {
           case Some(fc) =>

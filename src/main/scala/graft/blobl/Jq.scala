@@ -113,11 +113,22 @@ object Jq {
     private var collectGen = false
     /** Set when a collected parse consumed a trailing `[]` — recurse(f)
       * uses it to decide whether f emits MANY outputs per value (flatten
-      * the level) or one. */
+      * the level) or one. SCOPED per [[collected]] call: a nested
+      * collected parse inside f (first/limit/reduce bodies) must not
+      * leak its own `[]` consumption into the enclosing scope's
+      * generator detection — `recurse(first(.children[]))` has a SCALAR
+      * body even though `first` consumed a `[]` internally. */
     private var collectSawGen = false
+    /** The saw-gen flag of the most recent [[collected]] parse — read it
+      * immediately after the call; the global is restored on exit. */
+    private var lastCollectedSawGen = false
     private def collected[A](f: => A): A = {
-      val save = collectGen; collectGen = true
-      try f finally collectGen = save
+      val saveGen = collectGen; val saveSaw = collectSawGen
+      collectGen = true; collectSawGen = false
+      try f finally {
+        lastCollectedSawGen = collectSawGen
+        collectGen = saveGen; collectSawGen = saveSaw
+      }
     }
 
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
@@ -153,7 +164,22 @@ object Jq {
       while (peek == '|' && !s.startsWith("||", i)) {
         i += 1
         genLocked = true
-        l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
+        if (collectGen && collectSawGen) {
+          // Inside a collected scope, a prior stage's trailing `[]` made
+          // the current value the ARRAY of the generator's outputs, so a
+          // later pipe stage MAPS over its elements — jq's `.xs[] | f`
+          // under collection ([g], limit/first/last args, reduce
+          // sources). The stage body uses `this` for the element, same
+          // contract as map(f). Nested generators (`.xs[] | .ys[]`)
+          // stay the documented boundary.
+          val sawOuter = collectSawGen
+          collectSawGen = false
+          val stage = parseStage()
+          if (collectSawGen) throw new IllegalArgumentException(
+            s"jq: nested generators in a collected pipe are not supported ('$s')")
+          collectSawGen = sawOuter
+          l = MethodCall(l, "map_each", List(Lambda("x", stage)))
+        } else l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
       }
       l
     }
@@ -513,16 +539,22 @@ object Jq {
         case '[' =>
           i += 1
           genLocked = true
+          // items parse in COLLECTED mode: `[.xs[] | f]` is jq's
+          // generator-collection form — the trailing `[]` yields the
+          // array and later stages map (parsePipe) — so the bracketed
+          // value IS the collected array and the brackets are identity
           val items = scala.collection.mutable.ListBuffer[Expr]()
+          val itemGen = scala.collection.mutable.ListBuffer[Boolean]()
           ws()
           if (peek != ']') {
-            items += parsePipe()
-            while (tryEat(",")) items += parsePipe()
+            items += collected(parsePipe()); itemGen += lastCollectedSawGen
+            while (tryEat(",")) {
+              items += collected(parsePipe()); itemGen += lastCollectedSawGen
+            }
           }
           eat(']')
-          // [g] collects a generator; recurse/paths/range/splits already
-          // yield the collected array (possibly at the end of a pipe), so
-          // the brackets are identity
+          // recurse/paths/range/splits already yield the collected array
+          // (possibly at the end of a pipe) — brackets identity for them
           def collectedGen(e: Expr): Boolean = e match {
             case MethodCall(_,
               "recurse_values" | "recurse_apply" | "iterate_while" |
@@ -532,7 +564,10 @@ object Jq {
             case _ => false
           }
           items.toList match {
-            case List(g) if collectedGen(g) => g
+            case List(g) if itemGen.head || collectedGen(g) => g
+            case xs if itemGen.exists(identity) =>
+              throw new IllegalArgumentException(
+                s"jq: a generator among multiple array items is not supported ('$s')")
             case xs => LitArray(xs)
           }
         case '{' =>
@@ -597,6 +632,9 @@ object Jq {
       eat(')')
       val p = "__jq_fold__"
       val bound = substFold(upd, v, p)
+      // foreach emits every intermediate accumulator — a generator from
+      // the enclosing collected scope's perspective; reduce emits one
+      if (scan && collectGen) collectSawGen = true
       MethodCall(src, if (scan) "fold_scan" else "fold",
         List(init, Lambda(p, bound)))
     }
@@ -1008,11 +1046,8 @@ object Jq {
           else {
             eat('(')
             genLocked = true
-            val sawBefore = collectSawGen
-            collectSawGen = false
             val f = collected(parsePipe())
-            val fWasGen = collectSawGen
-            collectSawGen = sawBefore || collectSawGen
+            val fWasGen = lastCollectedSawGen
             ws()
             val cond = if (tryEat(";")) Some(parsePipe()) else None
             ws()
@@ -1068,6 +1103,11 @@ object Jq {
           ws(); eat(';')
           val g = collected(parsePipe())
           eat(')')
+          // limit(n; g) is itself a generator (emits up to n outputs):
+          // inside an enclosing collected scope — e.g. as a recurse(f)
+          // body — its slice output is a LEVEL of many children, so the
+          // inner generator-ness propagates outward
+          if (collectGen && lastCollectedSawGen) collectSawGen = true
           MethodCall(g, "slice", List(LitLong(0), n))
         case "gsub" | "sub" =>
           // sub(re; repl[; flags]) replaces the FIRST match, gsub (or the

@@ -81,6 +81,8 @@ object BloblQueries {
         | n_scan: ([.words | join(" ") | scan("[a-z]+")] | length),
         | until3: (.doc_id + 2 | until(. > 999; . * 3)),
         | n_leafp: ([leaf_paths] | length),
+        | sum_lens: ([.words[] | length] | add),
+        | up3: ([limit(3; .words[]) | ascii_upcase] | join("-")),
         | any_an: (.words | any(test("an")))}
         || .n_words |= . * 10
         || .total_chars += .n_words""".stripMargin)(env)
@@ -99,6 +101,8 @@ object BloblQueries {
         col("doc.n_scan").cast(org.apache.spark.sql.types.LongType).as("n_scan"),
         col("doc.until3").cast(org.apache.spark.sql.types.LongType).as("until3"),
         col("doc.n_leafp").cast(org.apache.spark.sql.types.LongType).as("n_leafp"),
+        col("doc.sum_lens").cast(org.apache.spark.sql.types.LongType).as("sum_lens"),
+        col("doc.up3").as("up3"),
         col("doc.any_an").cast(org.apache.spark.sql.types.BooleanType).as("any_an"))
       .orderBy(col("doc_id"))
   }
@@ -251,6 +255,8 @@ object BloblQueries {
         | CAST(list_min(list_filter(list_transform(generate_series(0, 12),
         |   g -> (doc_id + 2) * (3 ** g)), x -> x > 999)) AS BIGINT) AS until3,
         | CAST(1 + len(ws) AS BIGINT) AS n_leafp,
+        | CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS BIGINT) AS sum_lens,
+        | array_to_string(list_transform(ws[1:3], w -> upper(w)), '-') AS up3,
         | len(list_filter(ws, w -> regexp_matches(w, 'an'))) > 0 AS any_an
         |FROM d ORDER BY doc_id""".stripMargin,
     "q10_blobl_lineitem" ->

@@ -311,6 +311,31 @@ class JqSpec extends AnyFunSuite {
     assert(run("limit(10; .xs[])", """{"xs":[1,2]}""") == "[1,2]")
   }
 
+  test("generators in value positions: [g] collects, pipes map (r8)") {
+    // [.xs[] | f]: the canonical jq collect-a-generator form
+    assert(run("[.xs[] | . * 2]", """{"xs":[1,2,3]}""") == "[2,4,6]")
+    assert(run("[.xs[]]", """{"xs":[5,6]}""") == "[5,6]")
+    assert(run("""[.locs[] | .name]""",
+      """{"locs":[{"name":"a"},{"name":"b"}]}""") == """["a","b"]""")
+    // nested in an object value — the {a: [.xs[] | f]} class
+    assert(run("""{doubled: [.xs[] | . + 1], n: (.xs | length)}""",
+      """{"xs":[1,2]}""") == """{"doubled":[2,3],"n":2}""")
+    // multi-stage mapping after the generator
+    assert(run("""[.xs[] | .v | . * 10]""",
+      """{"xs":[{"v":1},{"v":2}]}""") == "[10,20]")
+    // pipes map inside other collected positions too
+    assert(run("first(.xs[] | . * 3)", """{"xs":[7,8]}""") == "21")
+    assert(run("limit(2; .xs[] | . + 1)", """{"xs":[1,2,3]}""") == "[2,3]")
+    // [limit(...)] brackets are identity on an already-collected value
+    assert(run("[limit(2; .xs[])]", """{"xs":[1,2,3]}""") == "[1,2]")
+    // scalar bodies with an INNER collected parse stay scalars: first's
+    // [] must not leak generator-ness to the enclosing recurse (r7
+    // advisor — the walk silently stopped at the root, length 1, before)
+    assert(run("recurse(first(.kids[]); . != null) | length",
+      """{"n":1,"kids":[{"n":2,"kids":[{"n":3,"kids":[]}]}]}""")
+      == "3")
+  }
+
   test("update-assignment |= applies f to the current path value (gojq)") {
     assert(run(""".a |= . + 1""", """{"a":5,"b":9}""") == """{"a":6,"b":9}""")
     assert(run(""".a.b |= . * 2""", """{"a":{"b":21},"c":1}""")
