@@ -899,7 +899,14 @@ object Dedup {
       // the exchange INTO the second join is the one that ships a gid
       // array per pair — this repartition becomes that exchange (join 2
       // co-partitions its other side to match), so the array payload
-      // sorts in ~96 MB tasks instead of gigabyte ones
+      // sorts in ~96 MB tasks instead of gigabyte ones. Sort-merge is
+      // the MEASURED right strategy here, unlike minhashPairs' verify:
+      // r8 A/B at the 64× probe point — SMJ 172 s / 22 GB shuffled /
+      // 44 GB sort spill vs SHUFFLE_HASH 254 s / 58 GB / 55 GB. The gid
+      // payload is ~60 B/pair (word bigrams), so the sort is cheap and
+      // exchange reuse dominates; minhash's 2.4 KB char-shingle payload
+      // inverted that trade (and there the real win was collapsing the
+      // candidate mass, not the join strategy).
       if (verifyParts > defaultParts)
         withA.repartition(verifyParts, col("id_b"))
       else withA
