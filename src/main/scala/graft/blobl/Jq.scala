@@ -57,9 +57,14 @@ import Ast._
   * is the boundary; a null scalar-f output ends its branch where gojq
   * would recurse on null forever); `until(cond; f)` / `while(cond; f)`
   * ride the same bounded-iteration machinery (default cap 64,
-  * literal-int override ≤1024, error past the cap). Out of scope:
-  * generators in arbitrary value positions and `.[]`-on-objects as the
-  * recurse body.
+  * literal-int override ≤1024, error past the cap); `[.xs[] | f]`
+  * collects a generator in any VALUE position (array items parse in
+  * collected mode and pipe stages after the generator MAP over its
+  * outputs — so `{a: [.xs[] | f]}`, `first(.xs[] | f)`,
+  * `limit(n; .xs[] | f)` all compile). Out of scope: BARE generators
+  * in value positions (`{a: .xs[]}` — per-row output cardinality has
+  * no static plan), nested generators (`.xs[] | .ys[]`), and
+  * `.[]`-on-objects as the recurse body.
   *
   * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
   * value order); the cross-TYPE leg of jq's total order cannot arise

@@ -9,11 +9,19 @@ import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass xxhash64 MinHash signature (the fast internal-LSH flavor):
-  * distinct character k-grams → per-seed xx64 minima, one tight loop per
-  * row. Replaces the explode + groupBy-min table build — the exploded
-  * shingle relation (|text|·rows) never exists, so the signature stage
-  * becomes a pure projection with no shuffle. Seeds are the xx64 seed
-  * parameter (0..n-1): independent hash functions at any width. */
+  * distinct character k-grams → per-seed minima, one tight loop per row.
+  * Replaces the explode + groupBy-min table build — the exploded shingle
+  * relation (|text|·rows) never exists, so the signature stage becomes a
+  * pure projection with no shuffle.
+  *
+  * Each gram is xxhash64'd ONCE; the per-seed hash is a splitmix64-style
+  * finalizer over (h ⊕ seed·φ64) — the standard one-hash + universal-
+  * rehash MinHash construction (the finalizer is a full-avalanche 64-bit
+  * mixer, so the seeds behave as independent hash functions for minima
+  * purposes). At the r8 default of 128 hashes this replaces 128 full
+  * xxhash evaluations per gram with one hash plus 128 six-op mixes —
+  * the signature kernel is the per-DOCUMENT cost every dedup query pays
+  * before any join, so its constant matters at any corpus size. */
 case class XxMinhashSigExpr(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType)
@@ -32,11 +40,16 @@ case class XxMinhashSigExpr(child: Expression, k: Int, numHashes: Int)
       if (seen.add(gram)) {
         any = true
         val bytes = gram.getBytes("UTF-8")
+        val h0 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 0L)
         var seed = 0
         while (seed < numHashes) {
-          val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-            bytes.length, seed.toLong)
-          if (h < mins(seed)) mins(seed) = h
+          // splitmix64 finalizer over (h0 ⊕ seed·φ64)
+          var x = h0 ^ (seed.toLong * 0x9E3779B97F4A7C15L)
+          x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+          x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+          x ^= (x >>> 31)
+          if (x < mins(seed)) mins(seed) = x
           seed += 1
         }
       }

@@ -194,6 +194,46 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("jq value-position generators match a reference on random arrays (r8)") {
+    // [.xs[] | a·x + b], first/limit over mapped generators, and object
+    // values collecting a generator — cross-checked against plain Scala
+    // map/take on random int arrays
+    lazy val spark = Sessions.builder("4").getOrCreate()
+    import org.apache.spark.sql.functions._
+    import graft.model.Envelope
+    import graft.blobl.JqProc
+    val rnd = new scala.util.Random(314159)
+    def runJq(q: String, xs: scala.Seq[Int]): String = {
+      import spark.implicits._
+      val df = spark.read.json(
+        spark.createDataset(scala.Seq(s"""{"xs":${xs.mkString("[", ",", "]")}}""")))
+      val out = JqProc(q)(Envelope.wrapUnordered(df))
+      val docCol = out.schema(Envelope.Doc).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType => to_json(col(Envelope.Doc))
+        case _ => col(Envelope.Doc).cast("string")
+      }
+      out.select(docCol).head().getString(0)
+    }
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(8)
+      val xs = scala.Seq.fill(n)(rnd.nextInt(100))
+      val a = 1 + rnd.nextInt(5)
+      val b = rnd.nextInt(9)
+      val k = 1 + rnd.nextInt(n + 2)
+      val mapped = xs.map(x => a * x + b)
+      assert(runJq(s"[.xs[] | . * $a + $b]", xs) ==
+        mapped.mkString("[", ",", "]"), s"collect a=$a b=$b xs=$xs")
+      assert(runJq(s"first(.xs[] | . * $a + $b)", xs) ==
+        mapped.head.toString, s"first a=$a b=$b xs=$xs")
+      assert(runJq(s"limit($k; .xs[] | . + $b)", xs) ==
+        xs.map(_ + b).take(k).mkString("[", ",", "]"), s"limit k=$k xs=$xs")
+      assert(runJq(s"{m: [.xs[] | . * $a], n: (.xs | length)}", xs) ==
+        s"""{"m":${xs.map(_ * a).mkString("[", ",", "]")},"n":$n}""",
+        s"object a=$a xs=$xs")
+    }
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error
