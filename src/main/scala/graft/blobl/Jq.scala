@@ -61,10 +61,14 @@ import Ast._
   * collects a generator in any VALUE position (array items parse in
   * collected mode and pipe stages after the generator MAP over its
   * outputs — so `{a: [.xs[] | f]}`, `first(.xs[] | f)`,
-  * `limit(n; .xs[] | f)` all compile). Out of scope: BARE generators
-  * in value positions (`{a: .xs[]}` — per-row output cardinality has
-  * no static plan), nested generators (`.xs[] | .ys[]`), and
-  * `.[]`-on-objects as the recurse body.
+  * `limit(n; .xs[] | f)` all compile), and NESTED generators flatten
+  * (`[.xs[] | .ys[]]` — each mapped element's array concatenates, jq's
+  * stream semantics); `recurse(.[])` routes to the same walk as `..`
+  * (gojq defines recurse ≡ recurse(.[]?), which iterates object values
+  * too — recurse_apply's generator arm only flattens arrays). Out of
+  * scope: BARE generators in value positions (`{a: .xs[]}` — per-row
+  * output cardinality has no static plan) and `.[]` over OBJECT values
+  * in other generator positions (array iteration only).
   *
   * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
   * value order); the cross-TYPE leg of jq's total order cannot arise
@@ -175,15 +179,17 @@ object Jq {
           // later pipe stage MAPS over its elements — jq's `.xs[] | f`
           // under collection ([g], limit/first/last args, reduce
           // sources). The stage body uses `this` for the element, same
-          // contract as map(f). Nested generators (`.xs[] | .ys[]`)
-          // stay the documented boundary.
+          // contract as map(f). A NESTED generator stage
+          // (`.xs[] | .ys[]`) yields one array per element; flattening
+          // the mapped output is exactly jq's stream concatenation, and
+          // the saw-gen flag stays up so further stages keep mapping.
           val sawOuter = collectSawGen
           collectSawGen = false
           val stage = parseStage()
-          if (collectSawGen) throw new IllegalArgumentException(
-            s"jq: nested generators in a collected pipe are not supported ('$s')")
+          val stageWasGen = collectSawGen
           collectSawGen = sawOuter
-          l = MethodCall(l, "map_each", List(Lambda("x", stage)))
+          val mapped = MethodCall(l, "map_each", List(Lambda("x", stage)))
+          l = if (stageWasGen) MethodCall(mapped, "flatten", Nil) else mapped
         } else l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
       }
       l
@@ -1065,7 +1071,15 @@ object Jq {
               }
             } else 16L
             eat(')')
-            MethodCall(This, "recurse_apply", List(
+            // recurse(.[]) IS jq's default recurse (gojq defines
+            // recurse ≡ recurse(.[]?)): the bare-iterate body walks
+            // object values AND array elements, which is exactly the
+            // static/variant walk behind `..` — recurse_apply's
+            // generator arm only flattens ARRAYS, so route the bare
+            // form there instead of leaving it a boundary
+            if (fWasGen && f == This && cond.isEmpty)
+              MethodCall(This, "recurse_values", Nil)
+            else MethodCall(This, "recurse_apply", List(
               Lambda("x", f), LitBool(fWasGen),
               cond.map(Lambda("x", _): Expr).getOrElse(LitNull),
               LitLong(cap)))

@@ -328,6 +328,17 @@ class JqSpec extends AnyFunSuite {
     assert(run("limit(2; .xs[] | . + 1)", """{"xs":[1,2,3]}""") == "[2,3]")
     // [limit(...)] brackets are identity on an already-collected value
     assert(run("[limit(2; .xs[])]", """{"xs":[1,2,3]}""") == "[1,2]")
+    // nested generators flatten (jq stream concatenation)
+    assert(run("[.xs[] | .ys[]]",
+      """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == "[1,2,3]")
+    assert(run("[.xs[] | .ys[] | . * 2]",
+      """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == "[2,4,6]")
+    assert(run("limit(2; .xs[] | .ys[])",
+      """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == "[1,2]")
+    // recurse(.[]) == jq's default recurse == `..` (walks object values)
+    assert(run("[recurse(.[])] | length",
+      """{"a":{"b":[1,2]},"c":3}""") ==
+      run("[..] | length", """{"a":{"b":[1,2]},"c":3}"""))
     // scalar bodies with an INNER collected parse stay scalars: first's
     // [] must not leak generator-ness to the enclosing recurse (r7
     // advisor — the walk silently stopped at the root, length 1, before)
