@@ -30,7 +30,7 @@ case class SigAgreeExpr(left: Expression, right: Expression)
         TypeCheckResult.TypeCheckSuccess
       case (lt, rt) => TypeCheckResult.TypeCheckFailure(
         s"sig_agree requires two array<bigint> children, got " +
-          s"${lt.simpleString(10)} and ${rt.simpleString(10)}")
+          s"${lt.catalogString} and ${rt.catalogString}")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -36,7 +36,7 @@ case class SortedIntersectExpr(left: Expression, right: Expression)
       case (lt, rt) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"sorted_intersect requires both children to be array<int> or both " +
-            s"array<bigint>, got ${lt.simpleString(10)} and ${rt.simpleString(10)}")
+            s"array<bigint>, got ${lt.catalogString} and ${rt.catalogString}")
     }
 
   private lazy val intElems: Boolean = left.dataType match {

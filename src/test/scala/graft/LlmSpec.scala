@@ -545,6 +545,48 @@ class LlmSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("SortedIntersectExpr rejects mixed int/long array children at analysis time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // an int/long mismatch silently read wrong bytes off the long
+    // ArrayData before r8 — it must be an analysis error, never a count
+    val df = scala.Seq((Array(1, 2, 3), Array(1L, 2L))).toDF("ia", "lb")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.exprs.SortedIntersectExpr.column(col("ia"), col("lb")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("sorted_intersect"))
+  }
+
+  test("SigAgreeExpr codegen == interpreted == Scala reference on random signatures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(130)
+      val a = Array.fill(n)(rnd.nextLong() % 7) // small range → real agreements
+      // b shares a's prefix with per-position noise
+      val b = a.map(x => if (rnd.nextBoolean()) x else rnd.nextLong() % 7)
+      (a, b, a.zip(b).count { case (x, y) => x == y })
+    }
+    val df = rows.toDF("a", "b", "want")
+    // DataFrame path exercises doGenCode (whole-stage codegen on)
+    val badCg = df.select(
+        graft.exprs.SigAgreeExpr.column(col("a"), col("b")).as("got"),
+        col("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(badCg === 0L)
+    // interpreted path (nullSafeEval) directly
+    rows.take(50).foreach { case (a, b, want) =>
+      val e = graft.exprs.SigAgreeExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+      assert(e.eval(null) == want)
+    }
+  }
+
   test("jaccardJoinExact: prefix-filtered join == randomized brute force") {
     import spark.implicits._
     // 40 docs from a tiny vocabulary so bigram sets genuinely overlap;
