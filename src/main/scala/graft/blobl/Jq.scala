@@ -65,10 +65,14 @@ import Ast._
   * (`[.xs[] | .ys[]]` — each mapped element's array concatenates, jq's
   * stream semantics); `recurse(.[])` routes to the same walk as `..`
   * (gojq defines recurse ≡ recurse(.[]?), which iterates object values
-  * too — recurse_apply's generator arm only flattens arrays). Out of
-  * scope: BARE generators in value positions (`{a: .xs[]}` — per-row
-  * output cardinality has no static plan) and `.[]` over OBJECT values
-  * in other generator positions (array iteration only).
+  * too — recurse_apply's generator arm only flattens arrays); a BARE
+  * generator in a leading-position object value (`{a: .xs[]}`) emits
+  * one object per element via the explode machinery. Out of scope:
+  * ROOT references beside a bare generator (`{a: .xs[], b: .n}` — a
+  * typed error: post-explode `.` is the element; jq reads the root),
+  * multiple bare generators in one constructor (jq's cartesian), and
+  * `.[]` over OBJECT values in non-recurse generator positions (array
+  * iteration only).
   *
   * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
   * value order); the cross-TYPE leg of jq's total order cannot arise
@@ -106,6 +110,35 @@ object Jq {
       LitObject(fs.map { case (k, v) => (subst(k), subst(v)) })
     case SetPath(p, v) => SetPath(p, subst(v))
     case other => other
+  }
+
+  /** True when the expression reads the ROOT document (a bare `this`
+    * outside rebound scopes) — used to reject programs that mix a bare
+    * generator with root references (`{a: .xs[], b: .n}`): after the
+    * generator explode, `this` is the ELEMENT, so such a reference
+    * would silently misbind. MatchExpr case bodies and Lambda bodies
+    * rebind `this` and are not descended. */
+  private[blobl] def usesRootThis(e: Expr): Boolean = e match {
+    case This => true
+    case Field(b, _) => usesRootThis(b)
+    case IndexOp(b, ix) => usesRootThis(b) || usesRootThis(ix)
+    case MethodCall(t, _, as) => usesRootThis(t) || as.exists {
+      case Lambda(_, _) => false
+      case a => usesRootThis(a)
+    }
+    case FnCall(_, as) => as.exists(usesRootThis)
+    case BinOp(_, l, r) => usesRootThis(l) || usesRootThis(r)
+    case Not(x) => usesRootThis(x)
+    case Neg(x) => usesRootThis(x)
+    case IfExpr(bs, oe) =>
+      bs.exists { case (c, v) => usesRootThis(c) || usesRootThis(v) } ||
+        oe.exists(usesRootThis)
+    case MatchExpr(t, _) => usesRootThis(t)
+    case LitArray(xs) => xs.exists(usesRootThis)
+    case LitObject(fs) =>
+      fs.exists { case (k, v) => usesRootThis(k) || usesRootThis(v) }
+    case SetPath(_, v) => usesRootThis(v)
+    case _ => false
   }
 
   private[blobl] final class P(val s: String, val allowGen: Boolean) {
@@ -583,7 +616,15 @@ object Jq {
           }
         case '{' =>
           i += 1
-          genLocked = true
+          // genLocked is INHERITED, not forced: a bare generator in a
+          // leading-position object VALUE (`{a: .xs[]}`) is jq's
+          // one-output-object-per-element form, and the explode
+          // machinery already substitutes the element everywhere the
+          // marker appears — so `{a: elem}`, `{a: {b: elem}}` etc. ride
+          // it directly. Root references BESIDE the generator
+          // (`{a: .xs[], b: .n}` — b must read the ROOT) are rejected
+          // at JqProc with a typed error (usesRootThis): in the
+          // exploded frame they would silently bind to the element.
           val fields = scala.collection.mutable.ListBuffer[(Expr, Expr)]()
           ws()
           if (peek != '}') {
@@ -1281,6 +1322,10 @@ final case class JqProc(query: String) extends graft.ops.Processor {
     } else {
       // generator: explode the base array (UnarchiveParts seq convention),
       // then apply the per-element remainder with `this` = element
+      require(!Jq.usesRootThis(e),
+        s"jq: root references alongside a bare generator are not supported " +
+          s"(after the explode `.` is the element; collect with [...] " +
+          s"instead) in '$query'")
       val base = Compiler.compile(p.genBase, Mapping.envelopeCtx(df))
       val exploded = df
         .select(col(Content), posexplode(base.col).as(scala.Seq("_pos", "_e")),

@@ -347,6 +347,25 @@ class JqSpec extends AnyFunSuite {
       == "3")
   }
 
+  test("bare generator in an object value emits one object per element (r8)") {
+    def runAll(query: String, row: String): Seq[String] = {
+      val env = Envelope.wrapUnordered(jdf(row))
+      val out = JqProc(query)(env)
+      out.orderBy(col(Envelope.Seq))
+        .select(to_json(col(Envelope.Doc))).collect().map(_.getString(0)).toSeq
+    }
+    assert(runAll("{a: .xs[]}", """{"xs":[1,2,3]}""") ==
+      Seq("""{"a":1}""", """{"a":2}""", """{"a":3}"""))
+    assert(runAll("{w: {v: .xs[]}, k: 9}", """{"xs":[5,6]}""") ==
+      Seq("""{"w":{"v":5},"k":9}""", """{"w":{"v":6},"k":9}"""))
+    // a sibling ROOT reference beside the generator must be a typed
+    // error, not a silent element-misbind
+    val ex = intercept[IllegalArgumentException] {
+      runAll("{a: .xs[], b: .n}", """{"xs":[1],"n":7}""")
+    }
+    assert(ex.getMessage.contains("root references"))
+  }
+
   test("update-assignment |= applies f to the current path value (gojq)") {
     assert(run(""".a |= . + 1""", """{"a":5,"b":9}""") == """{"a":6,"b":9}""")
     assert(run(""".a.b |= . * 2""", """{"a":{"b":21},"c":1}""")
