@@ -67,12 +67,14 @@ import Ast._
   * (gojq defines recurse ≡ recurse(.[]?), which iterates object values
   * too — recurse_apply's generator arm only flattens arrays); a BARE
   * generator in a leading-position object value (`{a: .xs[]}`) emits
-  * one object per element via the explode machinery. Out of scope:
-  * ROOT references beside a bare generator (`{a: .xs[], b: .n}` — a
-  * typed error: post-explode `.` is the element; jq reads the root),
-  * multiple bare generators in one constructor (jq's cartesian), and
-  * `.[]` over OBJECT values in non-recurse generator positions (array
-  * iteration only).
+  * one object per element via the explode machinery, and a LEADING
+  * `.o[]` on an OBJECT iterates its values (struct → field values in
+  * schema order, map → values, variant → array-else-object at
+  * runtime). Out of scope: ROOT references beside a bare generator
+  * (`{a: .xs[], b: .n}` — a typed error: post-explode `.` is the
+  * element; jq reads the root), multiple bare generators in one
+  * constructor (jq's cartesian), and `.[]`-on-objects in COLLECTED
+  * positions (`[.o[]]`, reduce sources — array iteration only there).
   *
   * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
   * value order); the cross-TYPE leg of jq's total order cannot arise
@@ -1327,8 +1329,26 @@ final case class JqProc(query: String) extends graft.ops.Processor {
           s"(after the explode `.` is the element; collect with [...] " +
           s"instead) in '$query'")
       val base = Compiler.compile(p.genBase, Mapping.envelopeCtx(df))
+      // `.[]` iterates ARRAYS element-wise; on OBJECTS jq iterates the
+      // VALUES — a struct becomes the array of its field values (schema
+      // order = jq's insertion order), a map its values, and a VARIANT
+      // document tries the array shape first, then the object's values,
+      // at runtime (r8; `.obj[]` as the leading generator was the last
+      // `.[]`-on-objects boundary)
+      val baseArr = base.tpe match {
+        case Some(st: org.apache.spark.sql.types.StructType) =>
+          array(st.fieldNames.map(f => base.col.getField(f)
+            .cast(org.apache.spark.sql.types.VariantType)): _*)
+        case Some(_: org.apache.spark.sql.types.MapType) =>
+          map_values(base.col)
+        case Some(org.apache.spark.sql.types.VariantType) =>
+          coalesce(
+            try_variant_get(base.col, "$", "array<variant>"),
+            map_values(try_variant_get(base.col, "$", "map<string, variant>")))
+        case _ => base.col
+      }
       val exploded = df
-        .select(col(Content), posexplode(base.col).as(scala.Seq("_pos", "_e")),
+        .select(col(Content), posexplode(baseArr).as(scala.Seq("_pos", "_e")),
           col(Meta), col(Error), col(BatchId), col(Seq))
         .select(col(Content), col("_e").as(Doc), col(Meta), col(Error),
           col(BatchId), (col(Seq) * 1000000 + col("_pos")).as(Seq))

@@ -351,8 +351,16 @@ class JqSpec extends AnyFunSuite {
     def runAll(query: String, row: String): Seq[String] = {
       val env = Envelope.wrapUnordered(jdf(row))
       val out = JqProc(query)(env)
+      val docCol = out.schema(Envelope.Doc).dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             org.apache.spark.sql.types.VariantType =>
+          to_json(col(Envelope.Doc))
+        case _ => col(Envelope.Doc).cast("string")
+      }
       out.orderBy(col(Envelope.Seq))
-        .select(to_json(col(Envelope.Doc))).collect().map(_.getString(0)).toSeq
+        .select(docCol).collect().map(_.getString(0)).toSeq
     }
     assert(runAll("{a: .xs[]}", """{"xs":[1,2,3]}""") ==
       Seq("""{"a":1}""", """{"a":2}""", """{"a":3}"""))
@@ -364,6 +372,10 @@ class JqSpec extends AnyFunSuite {
       runAll("{a: .xs[], b: .n}", """{"xs":[1],"n":7}""")
     }
     assert(ex.getMessage.contains("root references"))
+    // `.[]` on an OBJECT iterates its VALUES (jq), schema order
+    assert(runAll(".o[]", """{"o":{"a":1,"b":2}}""") == Seq("1", "2"))
+    assert(runAll(".o[] | . * 10", """{"o":{"a":1,"b":2}}""") ==
+      Seq("10", "20"))
   }
 
   test("update-assignment |= applies f to the current path value (gojq)") {
