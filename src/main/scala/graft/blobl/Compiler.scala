@@ -1537,6 +1537,34 @@ object Compiler {
         case Some(MapType(_, v, _)) => TC(map_values(t.col), Some(ArrayType(v)))
         case _ => TC(map_values(t.col), None)
       }
+      // jq's `.[]` under collected semantics (internal marker emitted by
+      // the jq bracket parser): arrays pass through untouched — the
+      // collected value IS the array — while OBJECTS iterate their
+      // VALUES (struct → field array in schema order = jq's insertion
+      // order, map → values, variant → array shape first then object
+      // values at runtime), so `[.o[]]`, `reduce .o[] as $x (…)` and
+      // `recurse(.kids[])` behave identically on arrays and objects
+      case "jq_iter_values" => t.tpe match {
+        case Some(_: ArrayType) => t
+        case Some(s: StructType) =>
+          // homogeneous objects iterate as a TYPED array (folds and
+          // arithmetic keep working); heterogeneous ones go variant
+          val ftypes = s.fields.map(_.dataType).distinct
+          if (ftypes.length == 1 && ftypes.head != VariantType)
+            TC(array(s.fieldNames.map(t.col.getField).toIndexedSeq: _*),
+              Some(ArrayType(ftypes.head)), t.err)
+          else TC(array(s.fieldNames.map(f =>
+            t.col.getField(f).cast(VariantType)).toIndexedSeq: _*),
+            Some(ArrayType(VariantType)), t.err)
+        case Some(MapType(_, v, _)) =>
+          TC(map_values(t.col), Some(ArrayType(v)), t.err)
+        case Some(VariantType) =>
+          TC(coalesce(
+            try_variant_get(t.col, "$", "array<variant>"),
+            map_values(try_variant_get(t.col, "$", "map<string, variant>"))),
+            Some(ArrayType(VariantType)), t.err)
+        case _ => t // untyped: assume array (pre-r8 behavior)
+      }
       case "map_each" =>
         if (t.isMap) TC(transform_values(t.col, (k, v) =>
           lambda1(arg(0), ctx, None)(struct(k.as("key"), v.as("value")))), None)

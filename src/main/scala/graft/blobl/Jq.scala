@@ -67,14 +67,18 @@ import Ast._
   * (gojq defines recurse ≡ recurse(.[]?), which iterates object values
   * too — recurse_apply's generator arm only flattens arrays); a BARE
   * generator in a leading-position object value (`{a: .xs[]}`) emits
-  * one object per element via the explode machinery, and a LEADING
-  * `.o[]` on an OBJECT iterates its values (struct → field values in
-  * schema order, map → values, variant → array-else-object at
-  * runtime). Out of scope: ROOT references beside a bare generator
+  * one object per element via the explode machinery, and `.[]` on an
+  * OBJECT iterates its values EVERYWHERE — leading position (struct →
+  * field values in schema order, map → values, variant →
+  * array-else-object at runtime) and collected positions (`[.o[]]`,
+  * reduce sources, recurse bodies — the `jq_iter_values` marker
+  * type-dispatches at compile; homogeneous objects yield a typed
+  * array so folds/arithmetic stay native). Out of scope — exactly the
+  * forms whose cardinality/row-binding cannot exist in a static
+  * per-row plan: ROOT references beside a bare generator
   * (`{a: .xs[], b: .n}` — a typed error: post-explode `.` is the
-  * element; jq reads the root), multiple bare generators in one
-  * constructor (jq's cartesian), and `.[]`-on-objects in COLLECTED
-  * positions (`[.o[]]`, reduce sources — array iteration only there).
+  * element; jq reads the root) and multiple bare generators in one
+  * constructor (jq's cartesian).
   *
   * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
   * value order); the cross-TYPE leg of jq's total order cannot arise
@@ -472,7 +476,13 @@ object Jq {
     private def bracket(e: Expr): Expr = {
       if (peek == ']') {
         i += 1
-        if (collectGen) { collectSawGen = true; e } // collected: the array itself
+        if (collectGen) {
+          // collected: the value itself — wrapped in the iter-values
+          // marker so OBJECT bases iterate their values like arrays
+          // (compile-time type dispatch in the Compiler)
+          collectSawGen = true
+          MethodCall(e, "jq_iter_values", Nil)
+        }
         else {
           require(allowGen && !genLocked && !genSeen,
             "jq: .[] generator only supported as the leading pipe stage")
@@ -1120,7 +1130,8 @@ object Jq {
             // static/variant walk behind `..` — recurse_apply's
             // generator arm only flattens ARRAYS, so route the bare
             // form there instead of leaving it a boundary
-            if (fWasGen && f == This && cond.isEmpty)
+            if (fWasGen && f == MethodCall(This, "jq_iter_values", Nil) &&
+                cond.isEmpty)
               MethodCall(This, "recurse_values", Nil)
             else MethodCall(This, "recurse_apply", List(
               Lambda("x", f), LitBool(fWasGen),

@@ -378,6 +378,16 @@ class JqSpec extends AnyFunSuite {
       Seq("10", "20"))
   }
 
+  test("collected .o[] iterates object values too (r8)") {
+    assert(run("[.o[]]", """{"o":{"a":1,"b":2}}""") == "[1,2]")
+    assert(run("[.o[] | . + 1]", """{"o":{"a":1,"b":2}}""") == "[2,3]")
+    assert(run("reduce .o[] as $x (0; . + $x)",
+      """{"o":{"a":3,"b":4}}""") == "7")
+    assert(run("first(.o[])", """{"o":{"a":9,"b":2}}""") == "9")
+    // arrays unchanged through the same marker
+    assert(run("[.xs[]]", """{"xs":[5,6]}""") == "[5,6]")
+  }
+
   test("update-assignment |= applies f to the current path value (gojq)") {
     assert(run(""".a |= . + 1""", """{"a":5,"b":9}""") == """{"a":6,"b":9}""")
     assert(run(""".a.b |= . * 2""", """{"a":{"b":21},"c":1}""")
