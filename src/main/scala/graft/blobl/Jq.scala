@@ -227,8 +227,19 @@ object Jq {
           val stage = parseStage()
           val stageWasGen = collectSawGen
           collectSawGen = sawOuter
-          val mapped = MethodCall(l, "map_each", List(Lambda("x", stage)))
-          l = if (stageWasGen) MethodCall(mapped, "flatten", Nil) else mapped
+          l = stage match {
+            // select-shaped stage (select(f), the type filters): jq
+            // DROPS rejected elements (empty), so compile to filter —
+            // map_each's if/null approximation would emit nulls into
+            // the collected stream ([.xs[] | select(. > 2)] on [1,2,3]
+            // must be [3], not [null,null,3]; first(.xs[] | select(f))
+            // must skip failing elements, not return null).
+            case IfExpr(List((cond, This)), Some(LitNull)) =>
+              MethodCall(l, "filter", List(Lambda("x", cond)))
+            case _ =>
+              val mapped = MethodCall(l, "map_each", List(Lambda("x", stage)))
+              if (stageWasGen) MethodCall(mapped, "flatten", Nil) else mapped
+          }
         } else l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
       }
       l

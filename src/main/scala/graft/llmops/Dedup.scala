@@ -390,8 +390,31 @@ object Dedup {
     * passes it to [[incrementalNearDupWithIndex]] and never re-runs the
     * signature expression over the old corpus. */
   def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 24): DataFrame =
-    sigTable(corpus, idCol, textCol, shingleK, numHashes)
+      shingleK: Int = 5, numHashes: Int = 24): DataFrame = {
+    val sig = sigTable(corpus, idCol, textCol, shingleK, numHashes)
+    // Version-stamp the index (column metadata on `id` — persisted in
+    // the parquet footer's Spark schema and restored on read): the
+    // signature algorithm is part of the on-disk contract, and a stale
+    // index joined against new-batch signatures yields near-zero band
+    // collisions — every near-duplicate silently missed. The stamp makes
+    // that a loud error instead (checked in incrementalNearDupWithIndex).
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(IndexVersionKey, indexVersionTag(shingleK, numHashes))
+      .build()
+    sig.select((col("id").as("id", md) +:
+      (0 until numHashes).map(i => col(s"m$i"))): _*)
+  }
+
+  /** Metadata key carrying the minhash-index version stamp. */
+  val IndexVersionKey = "graft.minhash.index_version"
+
+  /** Algorithm+params tag for the persistable minhash index. The
+    * algorithm component MUST change whenever [[graft.exprs.XxMinhashSigExpr]]
+    * changes its hash family (r8 moved per-seed xxhash64 → one-hash +
+    * splitmix64 seed mixing, which changed every signature value — any
+    * index persisted before that is silently incompatible). */
+  def indexVersionTag(shingleK: Int, numHashes: Int): String =
+    s"xx64-splitmix64-v2;k=$shingleK;n=$numHashes"
 
   def incrementalNearDup(newDf: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
@@ -410,6 +433,23 @@ object Dedup {
       rowsPerBand: Int = 3, threshold: Double = 0.9): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"incrementalNearDup: bands*rowsPerBand exceeds numHashes ($numHashes)")
+    // Refuse a stale/foreign index LOUDLY: signatures from a different
+    // hash family or different (k, n) never collide with this batch's,
+    // so every near-duplicate would be silently missed.
+    val expect = indexVersionTag(shingleK, numHashes)
+    val idField = corpusIndex.schema.fields.find(_.name == "id").getOrElse(
+      throw new IllegalArgumentException(
+        "incrementalNearDupWithIndex: corpus index has no `id` column — " +
+        "build it with Dedup.minhashIndex"))
+    val got = if (idField.metadata.contains(IndexVersionKey))
+      Some(idField.metadata.getString(IndexVersionKey)) else None
+    require(got.contains(expect),
+      s"incrementalNearDupWithIndex: corpus index version ${got.getOrElse(
+        "<unversioned — built before the r9 version stamp, or not by " +
+        "Dedup.minhashIndex>")} does not match this build's $expect; " +
+      "rebuild the index with Dedup.minhashIndex (a mismatched index " +
+      "yields near-zero band collisions and silently misses every " +
+      "near-duplicate)")
     val nSig = sigTable(newDf, idCol, textCol, shingleK, numHashes)
     val cSig = corpusIndex
     val cand = sigBuckets(nSig, bands, rowsPerBand).toDF("new_id", "bucket")

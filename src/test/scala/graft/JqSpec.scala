@@ -347,6 +347,29 @@ class JqSpec extends AnyFunSuite {
       == "3")
   }
 
+  test("select inside a collected pipe DROPS rejected elements (r9)") {
+    // jq: [.xs[] | select(. > 2)] on [1,2,3] is [3], never [null,null,3]
+    assert(run("[.xs[] | select(. > 2)]", """{"xs":[1,2,3]}""") == "[3]")
+    assert(run("[.xs[] | select(. > 2) | . * 10]",
+      """{"xs":[1,2,3,4]}""") == "[30,40]")
+    // first takes the first PASSING element, not null for a failing head
+    assert(run("first(.xs[] | select(. > 1))", """{"xs":[1,2,3]}""") == "2")
+    assert(run("last(.xs[] | select(. < 3))", """{"xs":[1,2,3]}""") == "2")
+    // limit counts passing elements only (jq: first n outputs of g)
+    assert(run("limit(2; .xs[] | select(. != 2))",
+      """{"xs":[1,2,3,4]}""") == "[1,3]")
+    // select after a prior mapped stage
+    assert(run("[.xs[] | . + 1 | select(. > 2)]",
+      """{"xs":[1,2,3]}""") == "[3,4]")
+    // type filters are select-shaped and must also drop (variant path
+    // via fromjson — JSON inference stringifies mixed-type arrays)
+    assert(run("""[.s | fromjson | .[] | numbers]""",
+      """{"s":"[1,\"a\",2]"}""") == "[1,2]")
+    // object-value position (the {a: [g]} class)
+    assert(run("""{big: [.xs[] | select(. > 1)]}""",
+      """{"xs":[1,2,3]}""") == """{"big":[2,3]}""")
+  }
+
   test("bare generator in an object value emits one object per element (r8)") {
     def runAll(query: String, row: String): Seq[String] = {
       val env = Envelope.wrapUnordered(jdf(row))

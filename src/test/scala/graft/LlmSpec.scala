@@ -509,6 +509,33 @@ class LlmSpec extends AnyFunSuite {
     assert(viaIndex == direct && viaIndex == Set((1L, 100L)))
   }
 
+  test("incrementalNearDup: stale or unversioned index fails LOUDLY (r9)") {
+    import spark.implicits._
+    val corpus = scala.Seq((100L, "some corpus text here")).toDF("doc_id", "text")
+    val fresh = scala.Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    // params mismatch: index built at n=24, query asks n=32
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupWithIndex(fresh, corpus, idx,
+        "doc_id", "text", numHashes = 32, bands = 8, rowsPerBand = 4)
+    }
+    assert(e1.getMessage.contains("rebuild"))
+    // unversioned (pre-r9 persisted, or hand-built) index: also loud —
+    // strip the metadata the way an old parquet file would present it
+    val stripped = idx.select((col("id")
+      .as("id", org.apache.spark.sql.types.Metadata.empty) +:
+      (0 until 24).map(i => col(s"m$i"))): _*)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupWithIndex(fresh, corpus, stripped,
+        "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("unversioned"))
+    // the stamp survives a parquet round trip (covered above) and a
+    // matching index passes
+    assert(Dedup.incrementalNearDupWithIndex(fresh, corpus, idx,
+      "doc_id", "text").count() == 1)
+  }
+
   test("incrementalNearDup: planted copy found, cross-side only") {
     import spark.implicits._
     val corpusText = "the quick brown fox jumps over the lazy dog again and again today"
