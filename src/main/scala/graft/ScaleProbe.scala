@@ -51,29 +51,44 @@ object ScaleProbe {
     * a healthy emitter keeps it ≈ 0. */
   final case class Result(op: String, mult: Int, rowsIn: Long,
       wallSec: Double, rowsOut: Long, cross: Long = -1L,
-      shuffleBytes: Long = -1L, spillBytes: Long = -1L)
+      shuffleBytes: Long = -1L, spillBytes: Long = -1L,
+      shuffleRead: Long = -1L, shuffleWrite: Long = -1L,
+      retriedTasks: Long = -1L)
 
-  /** Accumulates task-level shuffle/spill byte counters across jobs.
-    * Shuffle bytes = read + write (≈ 2× the exchanged data — constant
-    * factor, so linearity gates are unaffected). Listener delivery is
+  /** Task-level counters across jobs. READ and WRITE shuffle bytes are
+    * tracked separately (r9): write bytes are what the plan PRODUCES
+    * (one copy per exchange — the honest data-growth signal); read
+    * bytes additionally count every RE-read — AQE skew-split
+    * replication of the non-skewed side, retry re-reads under spill
+    * pressure — so a linear write curve with a super-linear read curve
+    * localizes the growth to re-reads, not plan shape.
+    * `shuffleBytes` (read+write) is kept for the standing byte gates.
+    * [[retried]] counts non-first task attempts — nonzero means wall
+    * and read numbers carry retry inflation. Listener delivery is
     * async; [[drain]] polls until the counters go quiet. */
   private final class MetricsListener
       extends org.apache.spark.scheduler.SparkListener {
-    private val shuffle = new java.util.concurrent.atomic.AtomicLong
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
     private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val retried = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
-        shuffle.addAndGet(
-          m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
+      if (e.taskInfo != null && e.taskInfo.attemptNumber > 0)
+        retried.incrementAndGet()
+      ()
     }
-    def snapshot(): (Long, Long) = (shuffle.get, spill.get)
+    def snapshot(): (Long, Long, Long, Long) =
+      (read.get, write.get, spill.get, retried.get)
     /** Wait for the listener bus to finish delivering the just-ended
       * jobs' task events: poll until two consecutive reads agree. */
-    def drain(): (Long, Long) = {
+    def drain(): (Long, Long, Long, Long) = {
       var prev = snapshot()
       var quiet = false
       val deadline = System.nanoTime() + 3000000000L
@@ -85,6 +100,44 @@ object ScaleProbe {
       }
       prev
     }
+  }
+
+  /** Per-node SQL-metric attribution (r9, VERDICT r8 #1): walk the
+    * EXECUTED adaptive plan of a just-run action and print one line per
+    * exchange/sort/join/aggregate node with its byte- and row-valued
+    * metrics, so a super-linear aggregate byte curve can be pinned to
+    * the specific exchange that grows. Read-only on internals
+    * (AdaptiveSparkPlanExec.executedPlan / QueryStageExec.plan). */
+  private def dumpPlanMetrics(op: String, mult: Int,
+      df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      if (!seen.add(p)) return
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+        case q: QueryStageExec => walk(q.plan, depth)
+        case _ =>
+          val name = p.nodeName
+          if (name.contains("Exchange") || name.contains("Sort") ||
+              name.contains("Join") || name.contains("Aggregate") ||
+              name.contains("Checkpoint")) {
+            val ms = p.metrics.toSeq
+              .filter { case (k, m) =>
+                m.value > 0 && (m.metricType == "size" ||
+                  k == "numOutputRows" || k.contains("records")) }
+              .sortBy(_._1)
+              .map { case (k, m) => s"$k=${m.value}" }
+            if (ms.nonEmpty)
+              println(s"ATTR $op mult=$mult d=$depth $name " +
+                s"[${p.simpleStringWithNodeId().take(120)}] ${ms.mkString(" ")}")
+          }
+          p.children.foreach(walk(_, depth + 1))
+      }
+    }
+    walk(df.queryExecution.executedPlan, 0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,7 +154,7 @@ object ScaleProbe {
     }
     // --ops a,b,c limits the run to named families (corpora build lazily,
     // so a targeted 64x point doesn't pay the full-suite 64x cost)
-    val (ops, rest) = {
+    val (ops, rest1) = {
       val i = rest0.indexOf("--ops")
       if (i >= 0) {
         if (i + 1 >= rest0.length) usage("--ops requires a comma list")
@@ -109,18 +162,24 @@ object ScaleProbe {
           rest0.patch(i, Nil, 2))
       } else (Set.empty[String], rest0)
     }
+    // --attr: after each pair probe, dump per-node SQL metrics of the
+    // executed plan (exchange-level byte attribution)
+    val (attr, rest) = {
+      val i = rest1.indexOf("--attr")
+      if (i >= 0) (true, rest1.patch(i, Nil, 1)) else (false, rest1)
+    }
     val mults = rest.map(a =>
       try a.toInt catch { case _: NumberFormatException =>
         usage(s"multiplier '$a' is not an integer") })
     val ms = if (mults.nonEmpty) mults else scala.Seq(1, 4, 16)
     val spark = Sessions.get()
-    val results = run(spark, ms, ops)
+    val results = run(spark, ms, ops, attr)
     writeJson(outPath, ms, results)
     spark.stop()
   }
 
   def run(spark: SparkSession, mults: scala.Seq[Int],
-      ops: Set[String] = Set.empty): scala.Seq[Result] = {
+      ops: Set[String] = Set.empty, attr: Boolean = false): scala.Seq[Result] = {
     // Measure the SCALE plan at every mult: with auto-broadcast on, AQE
     // broadcasts corpus-sized relations that happen to fit at small
     // mults (e.g. the jaccard verify's per-doc gid sets at ≤4× — 8 MB)
@@ -241,12 +300,15 @@ object ScaleProbe {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
     def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (sh0, sp0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0) = metrics.drain()
       val (t, n) = time(f)
-      val (sh1, sp1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1) = metrics.drain()
+      val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n " +
-        f"shuffle=${sh1 - sh0} spill=${sp1 - sp0}")
-      buf += Result(op, mult, rowsIn, t, n, -1L, sh1 - sh0, sp1 - sp0)
+        f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
+        f"retried=${rt1 - rt0}")
+      buf += Result(op, mult, rowsIn, t, n, -1L, rd + wr, sp1 - sp0,
+        rd, wr, rt1 - rt0)
     }
     // pair emitters: one aggregation job returns (total, cross-copy)
     // together — replica ids are base_id + copy*1e6, so the copy is
@@ -254,19 +316,24 @@ object ScaleProbe {
     def probePairs(op: String, mult: Int, rowsIn: Long)
         (f: => DataFrame): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (sh0, sp0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0) = metrics.drain()
       val t0 = System.nanoTime()
-      val row = f.agg(
+      val aggDf = f.agg(
         count(lit(1)).as("n"),
         coalesce(sum(when(floor(col("id_a") / 1000000L) =!=
           floor(col("id_b") / 1000000L), 1L).otherwise(0L)), lit(0L))
-          .as("x")).head()
+          .as("x"))
+      val row = aggDf.head()
       val t = (System.nanoTime() - t0) / 1e9
       val (n, x) = (row.getLong(0), row.getLong(1))
-      val (sh1, sp1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1) = metrics.drain()
+      val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n cross=$x " +
-        f"shuffle=${sh1 - sh0} spill=${sp1 - sp0}")
-      buf += Result(op, mult, rowsIn, t, n, x, sh1 - sh0, sp1 - sp0)
+        f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
+        f"retried=${rt1 - rt0}")
+      if (attr) dumpPlanMetrics(op, mult, aggDf)
+      buf += Result(op, mult, rowsIn, t, n, x, rd + wr, sp1 - sp0,
+        rd, wr, rt1 - rt0)
     }
 
     mults.foreach { mult =>
@@ -415,7 +482,9 @@ object ScaleProbe {
       val cross = if (r.cross >= 0) s""","cross_pairs":${r.cross}""" else ""
       val bytes =
         if (r.shuffleBytes >= 0)
-          s""","shuffle_bytes":${r.shuffleBytes},"spill_bytes":${r.spillBytes}"""
+          s""","shuffle_bytes":${r.shuffleBytes},"spill_bytes":${r.spillBytes}""" +
+          s""","shuffle_read":${r.shuffleRead},"shuffle_write":${r.shuffleWrite}""" +
+          s""","retried_tasks":${r.retriedTasks}"""
         else ""
       f"""{"op":"${r.op}","mult":${r.mult},"rows_in":${r.rowsIn},""" +
         f""""wall_s":${r.wallSec}%.3f,"rows_out":${r.rowsOut}$cross$bytes}"""

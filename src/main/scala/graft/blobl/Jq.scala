@@ -73,12 +73,13 @@ import Ast._
   * array-else-object at runtime) and collected positions (`[.o[]]`,
   * reduce sources, recurse bodies — the `jq_iter_values` marker
   * type-dispatches at compile; homogeneous objects yield a typed
-  * array so folds/arithmetic stay native). Out of scope — exactly the
-  * forms whose cardinality/row-binding cannot exist in a static
-  * per-row plan: ROOT references beside a bare generator
-  * (`{a: .xs[], b: .n}` — a typed error: post-explode `.` is the
-  * element; jq reads the root) and multiple bare generators in one
-  * constructor (jq's cartesian).
+  * array so folds/arithmetic stay native). Bare generators bind their
+  * element as a context VARIABLE over a row-preserving explode (r9) —
+  * so root references beside a generator ({a: .xs[], b: .n}) read the
+  * pre-explode row, multiple bare generators ({a: .xs[], b: .ys[]})
+  * are sequential explodes = jq's cartesian (first varies slowest,
+  * incl. the dependent `.xs[].ys[]` form), and a generator among
+  * array items ([.a, .xs[], .b]) is segment concatenation.
   *
   * Ordering note: `group_by`/`unique_by` sort null keys FIRST (jq's
   * value order); the cross-TYPE leg of jq's total order cannot arise
@@ -86,7 +87,11 @@ import Ast._
   */
 object Jq {
 
-  private[blobl] val GenMark = "__jq_gen__"
+  /** Context-variable name binding the k-th bare generator's element
+    * (JqProc explodes each base and binds the element column here, so
+    * root `this` stays the ROOT document — `{a: .xs[], b: .n}` binds
+    * `b` against the pre-explode row, jq's semantics). */
+  private[blobl] def genMarker(k: Int): String = s"__jq_gen_$k"
 
   def translate(src: String): Expr = {
     val p = new P(src.trim, allowGen = false)
@@ -96,62 +101,17 @@ object Jq {
     e
   }
 
-  /** Replace the generator marker with `this` (the exploded element). */
-  private[blobl] def subst(e: Expr): Expr = e match {
-    case VarRef(GenMark) => This
-    case Field(b, n) => Field(subst(b), n)
-    case IndexOp(b, ix) => IndexOp(subst(b), subst(ix))
-    case MethodCall(t, n, as) => MethodCall(subst(t), n, as.map(subst))
-    case FnCall(n, as) => FnCall(n, as.map(subst))
-    case BinOp(o, l, r) => BinOp(o, subst(l), subst(r))
-    case Not(x) => Not(subst(x))
-    case Neg(x) => Neg(subst(x))
-    case IfExpr(bs, oe) =>
-      IfExpr(bs.map { case (c, v) => (subst(c), subst(v)) }, oe.map(subst))
-    case MatchExpr(t, cs) =>
-      MatchExpr(subst(t), cs.map { case (c, v) => (c.map(subst), subst(v)) })
-    case Lambda(p, b) => Lambda(p, subst(b))
-    case LitArray(xs) => LitArray(xs.map(subst))
-    case LitObject(fs) =>
-      LitObject(fs.map { case (k, v) => (subst(k), subst(v)) })
-    case SetPath(p, v) => SetPath(p, subst(v))
-    case other => other
-  }
-
-  /** True when the expression reads the ROOT document (a bare `this`
-    * outside rebound scopes) — used to reject programs that mix a bare
-    * generator with root references (`{a: .xs[], b: .n}`): after the
-    * generator explode, `this` is the ELEMENT, so such a reference
-    * would silently misbind. MatchExpr case bodies and Lambda bodies
-    * rebind `this` and are not descended. */
-  private[blobl] def usesRootThis(e: Expr): Boolean = e match {
-    case This => true
-    case Field(b, _) => usesRootThis(b)
-    case IndexOp(b, ix) => usesRootThis(b) || usesRootThis(ix)
-    case MethodCall(t, _, as) => usesRootThis(t) || as.exists {
-      case Lambda(_, _) => false
-      case a => usesRootThis(a)
-    }
-    case FnCall(_, as) => as.exists(usesRootThis)
-    case BinOp(_, l, r) => usesRootThis(l) || usesRootThis(r)
-    case Not(x) => usesRootThis(x)
-    case Neg(x) => usesRootThis(x)
-    case IfExpr(bs, oe) =>
-      bs.exists { case (c, v) => usesRootThis(c) || usesRootThis(v) } ||
-        oe.exists(usesRootThis)
-    case MatchExpr(t, _) => usesRootThis(t)
-    case LitArray(xs) => xs.exists(usesRootThis)
-    case LitObject(fs) =>
-      fs.exists { case (k, v) => usesRootThis(k) || usesRootThis(v) }
-    case SetPath(_, v) => usesRootThis(v)
-    case _ => false
-  }
-
   private[blobl] final class P(val s: String, val allowGen: Boolean) {
     var i = 0
-    /** Set when `.xs[]` was consumed; `genBase` is the array expr. */
-    var genSeen = false
-    var genBase: Expr = This
+    /** Bases of the bare generators consumed in the leading pipe stage,
+      * in source order; the k-th generator's outputs substitute for
+      * `VarRef(genMarker(k))` in the expression. Multiple bare
+      * generators are jq's CARTESIAN (first varies slowest) — JqProc
+      * compiles them as sequential explodes. A base may itself
+      * reference an EARLIER marker (`.xs[].ys[]` — the dependent
+      * nested-iteration form). */
+    val genBases = scala.collection.mutable.ListBuffer[Expr]()
+    def genSeen: Boolean = genBases.nonEmpty
     /** Generators are only legal in the leading pipe stage; locked once
       * a pipe, paren, or constructor opens a non-leading context. */
     private var genLocked = false
@@ -495,11 +455,10 @@ object Jq {
           MethodCall(e, "jq_iter_values", Nil)
         }
         else {
-          require(allowGen && !genLocked && !genSeen,
-            "jq: .[] generator only supported as the leading pipe stage")
-          genSeen = true
-          genBase = e
-          VarRef(GenMark)
+          require(allowGen && !genLocked,
+            "jq: .[] generator only supported in the leading pipe stage")
+          genBases += e
+          VarRef(genMarker(genBases.length - 1))
         }
       } else if (peek == '"') {
         i += 1
@@ -632,9 +591,15 @@ object Jq {
           }
           items.toList match {
             case List(g) if itemGen.head || collectedGen(g) => g
-            case xs if itemGen.exists(identity) =>
-              throw new IllegalArgumentException(
-                s"jq: a generator among multiple array items is not supported ('$s')")
+            case xs if itemGen.exists(identity) ||
+                xs.exists(collectedGen) =>
+              // mixed items: jq's stream concatenation — [.a, .xs[], .b]
+              // = [a] ++ xs ++ [b]. Generator items are already the
+              // collected array; scalars wrap as one-element segments.
+              val segs = xs.zip(itemGen).map { case (it, g) =>
+                if (g || collectedGen(it)) it else LitArray(List(it))
+              }
+              MethodCall(LitArray(segs), "flatten", Nil)
             case xs => LitArray(xs)
           }
         case '{' =>
@@ -1078,7 +1043,6 @@ object Jq {
             IndexOp(g, LitLong(-1))
           } else IndexOp(This, LitLong(-1))
         case "flatten" => MethodCall(This, "flatten", Nil)
-        case "abs" => MethodCall(This, "abs", Nil)
         case "test" =>
           // test(re) / test(re; flags)
           argList() match {
@@ -1344,44 +1308,52 @@ final case class JqProc(query: String) extends graft.ops.Processor {
       df.select(col(Content), v.as(Doc), col(Meta), errC.as(Error),
         col(BatchId), col(Seq))
     } else {
-      // generator: explode the base array (UnarchiveParts seq convention),
-      // then apply the per-element remainder with `this` = element
-      require(!Jq.usesRootThis(e),
-        s"jq: root references alongside a bare generator are not supported " +
-          s"(after the explode `.` is the element; collect with [...] " +
-          s"instead) in '$query'")
-      val base = Compiler.compile(p.genBase, Mapping.envelopeCtx(df))
-      // `.[]` iterates ARRAYS element-wise; on OBJECTS jq iterates the
-      // VALUES — a struct becomes the array of its field values (schema
-      // order = jq's insertion order), a map its values, and a VARIANT
-      // document tries the array shape first, then the object's values,
-      // at runtime (r8; `.obj[]` as the leading generator was the last
-      // `.[]`-on-objects boundary)
-      val baseArr = base.tpe match {
-        case Some(st: org.apache.spark.sql.types.StructType) =>
-          array(st.fieldNames.map(f => base.col.getField(f)
-            .cast(org.apache.spark.sql.types.VariantType)): _*)
-        case Some(_: org.apache.spark.sql.types.MapType) =>
-          map_values(base.col)
-        case Some(org.apache.spark.sql.types.VariantType) =>
-          coalesce(
-            try_variant_get(base.col, "$", "array<variant>"),
-            map_values(try_variant_get(base.col, "$", "map<string, variant>")))
-        case _ => base.col
+      // Generators: explode each base in source order (UnarchiveParts
+      // seq convention), binding the k-th element as a context VARIABLE
+      // so `this` stays the ROOT document throughout — root references
+      // beside a generator ({a: .xs[], b: .n}) bind b against the
+      // pre-explode row (Spark's explode preserves sibling columns),
+      // and multiple bare generators become sequential explodes: jq's
+      // cartesian, first generator varying slowest. A base may
+      // reference an EARLIER marker (.xs[].ys[] — the dependent form).
+      var frame = df
+      var vars = Map.empty[String, TC]
+      for ((bexpr, k) <- p.genBases.toList.zipWithIndex) {
+        val ctx = vars.foldLeft(Mapping.envelopeCtx(frame)) {
+          case (c, (n, tc)) => c.withVar(n, tc)
+        }
+        val base = Compiler.compile(bexpr, ctx)
+        // `.[]` iterates ARRAYS element-wise; on OBJECTS jq iterates
+        // the VALUES — a struct becomes the array of its field values
+        // (schema order = jq's insertion order), a map its values, and
+        // a VARIANT document tries the array shape first, then the
+        // object's values, at runtime
+        val baseArr = base.tpe match {
+          case Some(st: org.apache.spark.sql.types.StructType) =>
+            array(st.fieldNames.map(f => base.col.getField(f)
+              .cast(org.apache.spark.sql.types.VariantType)): _*)
+          case Some(_: org.apache.spark.sql.types.MapType) =>
+            map_values(base.col)
+          case Some(org.apache.spark.sql.types.VariantType) =>
+            coalesce(
+              try_variant_get(base.col, "$", "array<variant>"),
+              map_values(try_variant_get(base.col, "$", "map<string, variant>")))
+          case _ => base.col
+        }
+        frame = frame
+          .select(col("*"), posexplode(baseArr).as(scala.Seq("_pos", s"_g$k")))
+          .withColumn(Seq, col(Seq) * 1000000 + col("_pos"))
+          .drop("_pos")
+        vars += Jq.genMarker(k) ->
+          TC(col(s"_g$k"), Some(frame.schema(s"_g$k").dataType))
       }
-      val exploded = df
-        .select(col(Content), posexplode(baseArr).as(scala.Seq("_pos", "_e")),
-          col(Meta), col(Error), col(BatchId), col(Seq))
-        .select(col(Content), col("_e").as(Doc), col(Meta), col(Error),
-          col(BatchId), (col(Seq) * 1000000 + col("_pos")).as(Seq))
-      val per = Jq.subst(e)
-      if (per == Ast.This) exploded
-      else {
-        val r = Compiler.compile(per, Mapping.envelopeCtx(exploded))
-        val (v, errC) = errOut(r.col, r.err)
-        exploded.select(col(Content), v.as(Doc), col(Meta), errC.as(Error),
-          col(BatchId), col(Seq))
+      val ctx = vars.foldLeft(Mapping.envelopeCtx(frame)) {
+        case (c, (n, tc)) => c.withVar(n, tc)
       }
+      val r = Compiler.compile(e, ctx)
+      val (v, errC) = errOut(r.col, r.err)
+      frame.select(col(Content), v.as(Doc), col(Meta), errC.as(Error),
+        col(BatchId), col(Seq))
     }
   }
 }

@@ -196,7 +196,32 @@ object BloblQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q176: jq's row-generating forms under an oracle — a sibling ROOT
+    * reference beside a bare generator ({…, b: .n} reads the
+    * pre-explode row) and TWO bare generators in one constructor (jq's
+    * cartesian, first varies slowest), compiled as sequential
+    * sibling-preserving explodes with the elements bound as context
+    * variables (r9; both were typed-error boundaries before). DuckDB
+    * replays with two unnest stages. */
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      slice(split(col("text"), " "), 1, 2).as("w2"),
+      array(col("lang"), col("source")).as("tags"),
+      length(col("text")).as("nchars"))
+    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val out = graft.blobl.JqProc(
+      "{id: .doc_id, w: .w2[], t: .tags[], n: .nchars}")(env)
+    out.select(
+        col("doc.id").cast(org.apache.spark.sql.types.LongType).as("id"),
+        col("doc.w").as("w"),
+        col("doc.t").as("t"),
+        col("doc.n").cast(org.apache.spark.sql.types.LongType).as("n"))
+      .orderBy(col("id"), col("w"), col("t"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_jq_generators" -> (q176 _),
     "q163_error_channel" -> (q163 _),
     "q161_jq" -> (q161 _),
     "q169_jmespath" -> (q169 _),
@@ -206,6 +231,13 @@ object BloblQueries {
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q176_jq_generators" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ')[1:2] AS w2,
+        |  [lang, source] AS tags, length(text) AS nchars FROM documents),
+        |e1 AS (SELECT doc_id, nchars, tags, unnest(w2) AS w FROM b),
+        |e2 AS (SELECT doc_id, nchars, w, unnest(tags) AS t FROM e1)
+        |SELECT doc_id AS id, w, t, CAST(nchars AS BIGINT) AS n
+        |FROM e2 ORDER BY id, w, t""".stripMargin,
     "q173_variant_walk" ->
       """WITH d AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS nw FROM documents)

@@ -519,6 +519,63 @@ object OpsQueries {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** q175: checkpoint RECOVERY — the production-critical property the
+    * other streaming gates never exercise: a stateful query STOPPED
+    * mid-stream and RESTARTED from the same checkpoint must continue
+    * exactly-once. Phase 1 runs q170's watermarked windowed aggregation
+    * over only the first 2 chronological files (2 micro-batches,
+    * AvailableNow terminates, leaving OPEN windows — everything within
+    * 30 min of phase 1's max ts — plus the advanced watermark in the
+    * state store); the remaining 2 files then land in the source dir
+    * and phase 2 restarts against the SAME checkpoint. If state or
+    * watermark recovery were broken, the phase-1 trailing windows would
+    * re-emit, emit empty, or never flush — any of which fails the
+    * hash against q170's uninterrupted-batch oracle. The parquet sink's
+    * metadata log supplies the sink half of exactly-once (only
+    * committed batches are read back). */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val full = stagedEventsByTimeSrc(s, dir)
+    val src = Files.createTempDirectory("graft_q175_src").toString
+    val sink = Files.createTempDirectory("graft_q175_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q175_ckpt").toString
+    val parts = Option(new java.io.File(full).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length == 4, s"q175: expected 4 staged files in $full")
+    def stage(f: java.io.File): Unit = {
+      // COPY_ATTRIBUTES keeps the staged strictly-increasing mod times,
+      // so FileStreamSource's oldest-first order stays deterministic
+      Files.copy(f.toPath, Paths.get(src, f.getName),
+        StandardCopyOption.COPY_ATTRIBUTES)
+      ()
+    }
+    val schema = s.read.parquet(full).schema
+    def runToTermination(ss: SparkSession): Unit = {
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val agg = stream
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket"),
+          col("n"), col("sum_value"))
+      val q = agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    withStateParts(s) { ss =>
+      parts.take(2).foreach(stage)
+      runToTermination(ss) // phase 1: stops with open windows in state
+      parts.drop(2).foreach(stage)
+      runToTermination(ss) // phase 2: restart from the SAME checkpoint
+    }
+    s.read.parquet(sink).orderBy(col("bucket"))
+  }
+
   /** merge_json: deep-merge 50-row batches — scalar leaves collect into
     * seq-ordered arrays (rendered as joined strings for the oracle). */
   def q38(s: SparkSession, dir: String): DataFrame = {
@@ -618,6 +675,7 @@ object OpsQueries {
     "q171_stream_drop_dup_watermark" -> (q171 _),
     "q172_stream_stream_join" -> (q172 _),
     "q174_stream_outer_join" -> (q174 _),
+    "q175_stream_ckpt_recovery" -> (q175 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -683,6 +741,15 @@ object OpsQueries {
     // watermark (max ts - 30 min) has closed are ever emitted — the
     // oracle applies the same cutoff to the batch aggregate
     "q170_stream_watermark_append" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1
+        |HAVING bucket + 3600 <= (SELECT epoch(max(ts)) - 1800 FROM events)
+        |ORDER BY bucket""".stripMargin,
+    // stop/restart from the same checkpoint == the uninterrupted run:
+    // q170's oracle verbatim (exactly-once state continuation)
+    "q175_stream_ckpt_recovery" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

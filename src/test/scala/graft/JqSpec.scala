@@ -389,16 +389,47 @@ class JqSpec extends AnyFunSuite {
       Seq("""{"a":1}""", """{"a":2}""", """{"a":3}"""))
     assert(runAll("{w: {v: .xs[]}, k: 9}", """{"xs":[5,6]}""") ==
       Seq("""{"w":{"v":5},"k":9}""", """{"w":{"v":6},"k":9}"""))
-    // a sibling ROOT reference beside the generator must be a typed
-    // error, not a silent element-misbind
-    val ex = intercept[IllegalArgumentException] {
-      runAll("{a: .xs[], b: .n}", """{"xs":[1],"n":7}""")
-    }
-    assert(ex.getMessage.contains("root references"))
     // `.[]` on an OBJECT iterates its VALUES (jq), schema order
     assert(runAll(".o[]", """{"o":{"a":1,"b":2}}""") == Seq("1", "2"))
     assert(runAll(".o[] | . * 10", """{"o":{"a":1,"b":2}}""") ==
       Seq("10", "20"))
+  }
+
+  test("root refs beside a generator and generator cartesians (r9)") {
+    def runAll(query: String, row: String): Seq[String] = {
+      val env = Envelope.wrapUnordered(jdf(row))
+      val out = JqProc(query)(env)
+      val docCol = out.schema(Envelope.Doc).dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             org.apache.spark.sql.types.VariantType =>
+          to_json(col(Envelope.Doc))
+        case _ => col(Envelope.Doc).cast("string")
+      }
+      out.orderBy(col(Envelope.Seq))
+        .select(docCol).collect().map(_.getString(0)).toSeq
+    }
+    // sibling ROOT reference beside the generator reads the
+    // pre-explode row (jq: {a: .xs[], b: .n} on each element)
+    assert(runAll("{a: .xs[], b: .n}", """{"xs":[1,2],"n":7}""") ==
+      Seq("""{"a":1,"b":7}""", """{"a":2,"b":7}"""))
+    // root ref in arithmetic with the element
+    assert(runAll(".xs[] + .n", """{"xs":[1,2],"n":10}""") ==
+      Seq("11", "12"))
+    // two bare generators: jq's cartesian, first varies slowest
+    assert(runAll("{a: .xs[], b: .ys[]}",
+      """{"xs":[1,2],"ys":[3,4]}""") ==
+      Seq("""{"a":1,"b":3}""", """{"a":1,"b":4}""",
+          """{"a":2,"b":3}""", """{"a":2,"b":4}"""))
+    // dependent nested iteration: .xs[].ys[]
+    assert(runAll(".xs[].ys[]",
+      """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == Seq("1", "2", "3"))
+    assert(runAll(".xs[].ys[] * 10",
+      """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == Seq("10", "20", "30"))
+    // generator among array items is segment concatenation (jq)
+    assert(run("[.a, .xs[], .b]", """{"a":0,"xs":[1,2],"b":9}""")
+      == "[0,1,2,9]")
   }
 
   test("collected .o[] iterates object values too (r8)") {
