@@ -71,6 +71,27 @@ object Bench {
       v >= 0.3 && prior.get(name).exists(p =>
         p >= 0.1 && v > p * 1.5 && v - p > 0.5)
 
+    // All-time per-query FLOOR (min ever measured on an uncontended
+    // run), pinned in its own file: the rolling-median tripwire above
+    // absorbs slow creep (each round's slightly-slower median merges
+    // into the history and becomes the next round's baseline — a
+    // sub-second query can triple across rounds without ever clearing
+    // the +0.5 s bar in one step). Comparing against the pinned floor
+    // keeps cross-ROUND creep visible. Warn-only, never strict-fails:
+    // machine-state floor shifts (r7's bisect-confirmed class) would
+    // otherwise fail builds on unchanged code.
+    val floorPath = java.nio.file.Paths.get(
+      s"BENCH_FLOORS_${new java.io.File(sfDir).getName}.json")
+    val floors: Map[String, Double] =
+      if (java.nio.file.Files.exists(floorPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    def isCreep(name: String, v: Double): Boolean =
+      v >= 0.3 && floors.get(name).exists(f =>
+        f >= 0.05 && v > f * 2.0 && v - f > 0.4)
+
     // Suspects re-run once AFTER the full sweep (minutes past the original
     // window, so transient co-scheduling decorrelates; the re-run load is
     // recorded alongside). The better of (median, re-run) is REPORTED —
@@ -115,6 +136,13 @@ object Bench {
         System.err.println(
           f"[bench] transient: $name median ${measured.toMap.apply(name)}%.2f s re-ran at $v%.2f s -- not flagged")
     }
+    results.filter { case (n, v) => v >= 0 && isCreep(n, v) }
+      .foreach { case (name, v) =>
+        System.err.println(
+          f"[bench] creep: $name all-time floor ${floors(name)}%.2f s -> " +
+            f"$v%.2f s (x${v / floors(name)}%.1f across rounds; " +
+            "median tripwire can't see slow drift — check the plan)")
+      }
     val failed = results.filter(_._2 < 0)
     failed.foreach { case (name, _) =>
       System.err.println(s"[bench] FAILED $name (-1)")
@@ -134,6 +162,17 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(medianPath, mergedJson.getBytes("UTF-8"))
+      // floors only ever ratchet DOWN (min-merge) — the pinned
+      // creep baseline, immune to the median history's drift
+      val mergedFloors = (floors.keySet ++ measured.map(_._1)).flatMap { k =>
+        val cands = floors.get(k).toSeq ++
+          measured.toMap.get(k).filter(_ >= 0).toSeq
+        if (cands.isEmpty) None else Some(k -> cands.min)
+      }.toMap
+      val floorsJson = mergedFloors.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(floorPath, floorsJson.getBytes("UTF-8"))
     }
     spark.stop()
     if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") &&

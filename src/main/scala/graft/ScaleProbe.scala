@@ -102,6 +102,34 @@ object ScaleProbe {
     }
   }
 
+  /** Per-STAGE byte attribution (r9, VERDICT r8 #1): the operators under
+    * probe run INTERNAL actions (localCheckpoint materializations,
+    * sizing counts) whose query plans are gone by the final action, so
+    * plan-walking alone can't attribute their bytes — a stage listener
+    * can: every stage's name carries the action's callsite
+    * ("count at Dedup.scala:920"), and its accumulated task metrics
+    * carry the bytes. One ATTRSTAGE line per completed stage with
+    * nonzero shuffle/spill. */
+  private final class StageAttrListener
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var tag: String = ""
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      if (tag.nonEmpty) {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        if (m != null) {
+          val rd = m.shuffleReadMetrics.totalBytesRead
+          val wr = m.shuffleWriteMetrics.bytesWritten
+          val sp = m.memoryBytesSpilled + m.diskBytesSpilled
+          if (rd > 0 || wr > 0 || sp > 0)
+            println(s"ATTRSTAGE $tag stage=${si.stageId} tasks=${si.numTasks} " +
+              s"read=$rd write=$wr spill=$sp name=${si.name.takeWhile(_ != '\n')}")
+        }
+      }
+    }
+  }
+
   /** Per-node SQL-metric attribution (r9, VERDICT r8 #1): walk the
     * EXECUTED adaptive plan of a just-run action and print one line per
     * exchange/sort/join/aggregate node with its byte- and row-valued
@@ -296,6 +324,8 @@ object ScaleProbe {
 
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    val stageAttr = new StageAttrListener
+    if (attr) spark.sparkContext.addSparkListener(stageAttr)
 
     val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
     def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
@@ -317,6 +347,7 @@ object ScaleProbe {
         (f: => DataFrame): Unit = {
       if (ops.nonEmpty && !ops(op)) return
       val (rd0, wr0, sp0, rt0) = metrics.drain()
+      if (attr) stageAttr.tag = s"$op mult=$mult"
       val t0 = System.nanoTime()
       val aggDf = f.agg(
         count(lit(1)).as("n"),
@@ -331,7 +362,7 @@ object ScaleProbe {
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n cross=$x " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
         f"retried=${rt1 - rt0}")
-      if (attr) dumpPlanMetrics(op, mult, aggDf)
+      if (attr) { stageAttr.tag = ""; dumpPlanMetrics(op, mult, aggDf) }
       buf += Result(op, mult, rowsIn, t, n, x, rd + wr, sp1 - sp0,
         rd, wr, rt1 - rt0)
     }

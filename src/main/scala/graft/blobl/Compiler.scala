@@ -1547,17 +1547,24 @@ object Compiler {
       case "jq_iter_values" => t.tpe match {
         case Some(_: ArrayType) => t
         case Some(s: StructType) =>
-          // homogeneous objects iterate as a TYPED array (folds and
-          // arithmetic keep working); heterogeneous ones go variant
+          // gojq iterates object values in SORTED-key order (JSON
+          // schema inference happens to sort field names, but structs
+          // from parquet/explicit schemas don't — r9 advisor); sort
+          // here so `.o[]` matches the reference on any source.
+          // Homogeneous objects iterate as a TYPED array (folds and
+          // arithmetic keep working); heterogeneous ones go variant.
+          val names = s.fieldNames.sorted.toIndexedSeq
           val ftypes = s.fields.map(_.dataType).distinct
           if (ftypes.length == 1 && ftypes.head != VariantType)
-            TC(array(s.fieldNames.map(t.col.getField).toIndexedSeq: _*),
+            TC(array(names.map(t.col.getField): _*),
               Some(ArrayType(ftypes.head)), t.err)
-          else TC(array(s.fieldNames.map(f =>
-            t.col.getField(f).cast(VariantType)).toIndexedSeq: _*),
+          else TC(array(names.map(f =>
+            t.col.getField(f).cast(VariantType)): _*),
             Some(ArrayType(VariantType)), t.err)
         case Some(MapType(_, v, _)) =>
-          TC(map_values(t.col), Some(ArrayType(v)), t.err)
+          // maps iterate value-by-sorted-key too (gojq object order)
+          TC(transform(array_sort(map_keys(t.col)),
+            k => element_at(t.col, k)), Some(ArrayType(v)), t.err)
         case Some(VariantType) =>
           TC(coalesce(
             try_variant_get(t.col, "$", "array<variant>"),

@@ -1324,16 +1324,16 @@ final case class JqProc(query: String) extends graft.ops.Processor {
         }
         val base = Compiler.compile(bexpr, ctx)
         // `.[]` iterates ARRAYS element-wise; on OBJECTS jq iterates
-        // the VALUES — a struct becomes the array of its field values
-        // (schema order = jq's insertion order), a map its values, and
-        // a VARIANT document tries the array shape first, then the
-        // object's values, at runtime
+        // the VALUES in SORTED-key order (gojq), and a VARIANT
+        // document tries the array shape first, then the object's
+        // values, at runtime
         val baseArr = base.tpe match {
           case Some(st: org.apache.spark.sql.types.StructType) =>
-            array(st.fieldNames.map(f => base.col.getField(f)
+            array(st.fieldNames.sorted.map(f => base.col.getField(f)
               .cast(org.apache.spark.sql.types.VariantType)): _*)
           case Some(_: org.apache.spark.sql.types.MapType) =>
-            map_values(base.col)
+            transform(array_sort(map_keys(base.col)),
+              k => element_at(base.col, k))
           case Some(org.apache.spark.sql.types.VariantType) =>
             coalesce(
               try_variant_get(base.col, "$", "array<variant>"),

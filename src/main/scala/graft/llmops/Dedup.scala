@@ -343,11 +343,25 @@ object Dedup {
     // measured-sizing discipline, applied to the build relation).
     val defaultParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val avgLenRow = df.agg(avg(length(col(textCol))), count(lit(1))).head()
-    val avgLen = if (avgLenRow.isNullAt(0)) 0.0 else avgLenRow.getDouble(0)
-    val nDocs = avgLenRow.getLong(1)
-    val buildBytes = (nDocs * (avgLen * 8 + 32)).toLong
-    val hashParts = math.min(4096L, buildBytes / (64L << 20) + 1L).toInt
+    // The sizing scan (avg text length × row count) is an EXTRA pass
+    // over the text column, paid at plan-construction time — gate it
+    // behind Catalyst's free size estimate: shingle-hash build rows
+    // are ≲ 8 B/char ≈ 8× the raw text, and parquet compresses text
+    // ≲ 4×, so when 32× the estimated input bytes can't reach the
+    // widening cap the scan would only confirm hashParts ≤
+    // defaultParts — skip it (r9 advisor; small inputs and
+    // never-executed plans pay nothing).
+    val capBytes = (64L << 20) * defaultParts.toLong
+    val estInput = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hashParts =
+      if (estInput * 32 < capBytes) defaultParts
+      else {
+        val avgLenRow = df.agg(avg(length(col(textCol))), count(lit(1))).head()
+        val avgLen = if (avgLenRow.isNullAt(0)) 0.0 else avgLenRow.getDouble(0)
+        val nDocs = avgLenRow.getLong(1)
+        val buildBytes = (nDocs * (avgLen * 8 + 32)).toLong
+        math.min(4096L, buildBytes / (64L << 20) + 1L).toInt
+      }
     def widen(pairs: DataFrame, key: String): DataFrame =
       if (hashParts > defaultParts) pairs.repartition(hashParts, col(key))
       else pairs

@@ -432,6 +432,30 @@ class JqSpec extends AnyFunSuite {
       == "[0,1,2,9]")
   }
 
+  test("object values iterate in SORTED-key order on non-alphabetical schemas (r9)") {
+    import spark.implicits._
+    // JSON inference sorts field names, masking order bugs — build the
+    // struct with a deliberately non-alphabetical field order instead
+    val df = scala.Seq(1).toDF("x").select(
+      struct(lit(9L).as("z"), lit(1L).as("a"), lit(5L).as("m")).as("o"))
+    val env = Envelope.wrapUnordered(df)
+    // collected position
+    val c = JqProc("[.o[]]")(env)
+    assert(c.select(to_json(col(Envelope.Doc))).head().getString(0)
+      == "[1,5,9]")
+    // leading-generator position
+    val g = JqProc(".o[]")(env)
+    assert(g.orderBy(col(Envelope.Seq))
+      .select(col(Envelope.Doc).cast("string"))
+      .collect().map(_.getString(0)).toSeq == scala.Seq("1", "5", "9"))
+    // map values too
+    val dfm = scala.Seq(1).toDF("x").select(
+      map(lit("z"), lit(9L), lit("a"), lit(1L)).as("o"))
+    val cm = JqProc("[.o[]]")(Envelope.wrapUnordered(dfm))
+    assert(cm.select(to_json(col(Envelope.Doc))).head().getString(0)
+      == "[1,9]")
+  }
+
   test("collected .o[] iterates object values too (r8)") {
     assert(run("[.o[]]", """{"o":{"a":1,"b":2}}""") == "[1,2]")
     assert(run("[.o[] | . + 1]", """{"o":{"a":1,"b":2}}""") == "[2,3]")
