@@ -53,7 +53,7 @@ object ScaleProbe {
       wallSec: Double, rowsOut: Long, cross: Long = -1L,
       shuffleBytes: Long = -1L, spillBytes: Long = -1L,
       shuffleRead: Long = -1L, shuffleWrite: Long = -1L,
-      retriedTasks: Long = -1L)
+      retriedTasks: Long = -1L, shuffleRecords: Long = -1L)
 
   /** Task-level counters across jobs. READ and WRITE shuffle bytes are
     * tracked separately (r9): write bytes are what the plan PRODUCES
@@ -72,6 +72,7 @@ object ScaleProbe {
     private val write = new java.util.concurrent.atomic.AtomicLong
     private val spill = new java.util.concurrent.atomic.AtomicLong
     private val retried = new java.util.concurrent.atomic.AtomicLong
+    private val records = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
@@ -79,16 +80,22 @@ object ScaleProbe {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        // WRITTEN records: the compression-free data-growth signal —
+        // compressed bytes conflate codec adjacency (r9: jaccard's
+        // verify exchange compressed 20× at 32 partitions but only 9×
+        // at 205, turning exactly-linear records into a 1.76×-of-
+        // linear byte curve)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
       if (e.taskInfo != null && e.taskInfo.attemptNumber > 0)
         retried.incrementAndGet()
       ()
     }
-    def snapshot(): (Long, Long, Long, Long) =
-      (read.get, write.get, spill.get, retried.get)
+    def snapshot(): (Long, Long, Long, Long, Long) =
+      (read.get, write.get, spill.get, retried.get, records.get)
     /** Wait for the listener bus to finish delivering the just-ended
       * jobs' task events: poll until two consecutive reads agree. */
-    def drain(): (Long, Long, Long, Long) = {
+    def drain(): (Long, Long, Long, Long, Long) = {
       var prev = snapshot()
       var quiet = false
       val deadline = System.nanoTime() + 3000000000L
@@ -122,9 +129,11 @@ object ScaleProbe {
           val rd = m.shuffleReadMetrics.totalBytesRead
           val wr = m.shuffleWriteMetrics.bytesWritten
           val sp = m.memoryBytesSpilled + m.diskBytesSpilled
+          val rc = m.shuffleWriteMetrics.recordsWritten
           if (rd > 0 || wr > 0 || sp > 0)
             println(s"ATTRSTAGE $tag stage=${si.stageId} tasks=${si.numTasks} " +
-              s"read=$rd write=$wr spill=$sp name=${si.name.takeWhile(_ != '\n')}")
+              s"read=$rd write=$wr spill=$sp records=$rc " +
+              s"name=${si.name.takeWhile(_ != '\n')}")
         }
       }
     }
@@ -330,15 +339,15 @@ object ScaleProbe {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
     def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (rd0, wr0, sp0, rt0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0, rc0) = metrics.drain()
       val (t, n) = time(f)
-      val (rd1, wr1, sp1, rt1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1, rc1) = metrics.drain()
       val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
-        f"retried=${rt1 - rt0}")
+        f"retried=${rt1 - rt0} records=${rc1 - rc0}")
       buf += Result(op, mult, rowsIn, t, n, -1L, rd + wr, sp1 - sp0,
-        rd, wr, rt1 - rt0)
+        rd, wr, rt1 - rt0, rc1 - rc0)
     }
     // pair emitters: one aggregation job returns (total, cross-copy)
     // together — replica ids are base_id + copy*1e6, so the copy is
@@ -346,7 +355,7 @@ object ScaleProbe {
     def probePairs(op: String, mult: Int, rowsIn: Long)
         (f: => DataFrame): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (rd0, wr0, sp0, rt0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0, rc0) = metrics.drain()
       if (attr) stageAttr.tag = s"$op mult=$mult"
       val t0 = System.nanoTime()
       val aggDf = f.agg(
@@ -357,14 +366,14 @@ object ScaleProbe {
       val row = aggDf.head()
       val t = (System.nanoTime() - t0) / 1e9
       val (n, x) = (row.getLong(0), row.getLong(1))
-      val (rd1, wr1, sp1, rt1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1, rc1) = metrics.drain()
       val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n cross=$x " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
-        f"retried=${rt1 - rt0}")
+        f"retried=${rt1 - rt0} records=${rc1 - rc0}")
       if (attr) { stageAttr.tag = ""; dumpPlanMetrics(op, mult, aggDf) }
       buf += Result(op, mult, rowsIn, t, n, x, rd + wr, sp1 - sp0,
-        rd, wr, rt1 - rt0)
+        rd, wr, rt1 - rt0, rc1 - rc0)
     }
 
     mults.foreach { mult =>
@@ -515,7 +524,7 @@ object ScaleProbe {
         if (r.shuffleBytes >= 0)
           s""","shuffle_bytes":${r.shuffleBytes},"spill_bytes":${r.spillBytes}""" +
           s""","shuffle_read":${r.shuffleRead},"shuffle_write":${r.shuffleWrite}""" +
-          s""","retried_tasks":${r.retriedTasks}"""
+          s""","retried_tasks":${r.retriedTasks},"shuffle_records":${r.shuffleRecords}"""
         else ""
       f"""{"op":"${r.op}","mult":${r.mult},"rows_in":${r.rowsIn},""" +
         f""""wall_s":${r.wallSec}%.3f,"rows_out":${r.rowsOut}$cross$bytes}"""

@@ -903,6 +903,14 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("gid"))).as("gids"))
       .withColumn("sz", size(col("gids")).cast(LongType))
+      // 256-bit gid bitmap (4 longs; bucket = gid mod 256) for the
+      // exact-safe intersection UPPER BOUND below — the PPJoin-family
+      // bitmap/suffix filter. Stays in codegen (HOF aggregate).
+      .withColumn("bm", expr(
+        """aggregate(gids, array_repeat(0L, 4),
+          |  (acc, g) -> zip_with(acc, sequence(0, 3),
+          |    (a, i) -> a | if((pmod(g, 256) div 64) = i,
+          |                    shiftleft(1L, int(pmod(g, 64))), 0L)))""".stripMargin))
       .localCheckpoint(false)
     // Probing prefix: first p = sz − ⌊t·sz⌋ + 1 rarest grams, with
     // positions for the PPJoin positional filter below.
@@ -940,13 +948,51 @@ object Dedup {
     val defaultParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val candN = cand.count()
+    // BITMAP PREFILTER (r9) — the r8 probe's stage-level byte
+    // attribution showed the array-carrying verify exchange owned the
+    // whole super-linear byte step AND all 44 GB of spill at 64×
+    // (118M candidates × ~600 B of uncompressed gid-array row each;
+    // candidates themselves exactly linear, ~7,200 false candidates
+    // per true pair). So prune candidates BEFORE any array attaches,
+    // with an exact-safe intersection upper bound from the 256-bit gid
+    // bitmaps: every bucket set in A but not in B holds ≥1 A-element
+    // that cannot be in B, hence
+    //   |A∩B| ≤ sz_a − popcount(bm_a & ~bm_b)   (and symmetrically),
+    // so dropping pairs whose bound can't reach the threshold loses no
+    // true pair (the PPJoin-family bitmap/suffix filter). The bitmap
+    // joins still ship ~56 B per candidate — 10× lighter than arrays —
+    // and the survivors that reach the array verify are output-sized.
+    val bmParts = math.min(4096L,
+      candN * 88L / (96L << 20) + 1L).toInt
+    val narrowA = sets.select(col("id").as("id_a"), col("sz").as("sz_a2"),
+      col("bm").as("bm_a"))
+    val narrowB = sets.select(col("id").as("id_b"), col("sz").as("sz_b2"),
+      col("bm").as("bm_b"))
+    // Join strategy A/B at the 64× probe point (r9): SMJ 87 s / 8.8 GB
+    // shuffled vs SHUFFLE_HASH 87 s / 15.0 GB — same wall, 70% more
+    // bytes hashed (the hash probe's output order compresses worse and
+    // exchanges don't reuse), and both zero-spill. Default SMJ wins on
+    // the noise-free signal.
+    val candBm0 = cand.join(narrowA, "id_a")
+    val candBm1 =
+      if (bmParts > defaultParts) candBm0.repartition(bmParts, col("id_b"))
+      else candBm0
+    def notIn(x: String, y: String) = expr(
+      s"aggregate(zip_with($x, $y, (x, y) -> bit_count(x & ~y)), 0, (s, v) -> s + v)")
+    val strong = candBm1.join(narrowB, "id_b")
+      .filter(least(col("sz_a2") - notIn("bm_a", "bm_b"),
+          col("sz_b2") - notIn("bm_b", "bm_a")) * (tBp + 10000L) >=
+        tBp * (col("sz_a2") + col("sz_b2")))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false)
+    val strongN = strong.count()
     val avgRow = sets.agg(avg(col("sz"))).head()
     val avgSz = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
     val gidBytes = if (vocabN < Int.MaxValue.toLong) 4 else 8
     val bytesPerPair = 24L + (avgSz * gidBytes).toLong
     val verifyParts = math.min(4096L,
-      candN * bytesPerPair / (96L << 20) + 1L).toInt
-    val withA = cand
+      strongN * bytesPerPair / (96L << 20) + 1L).toInt
+    val withA = strong
       .join(sets.select(col("id").as("id_a"), col("gids").as("g_a"),
         col("sz").as("sz_aa")), "id_a")
     val withAPart =

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Gates the committed scale-probe artifact (SCALE_r8.json, produced by
+/** Gates the committed scale-probe artifact (SCALE_r9.json, produced by
   * [[ScaleProbe]] on an idle box at sf0.1 × {1,4,16}): wall-clock per 4×
   * data step must stay within LINEAR_SLACK of linear for every probed
   * operator family, the fitted log-log wall-vs-mult slope must stay ≤
@@ -30,7 +30,7 @@ class ScaleLinearitySpec extends AnyFunSuite {
   private val FloorSec = 1.0
 
   private case class P(op: String, mult: Int, wall: Double, out: Long,
-      cross: Long, shuffle: Long, spill: Long) {
+      cross: Long, shuffle: Long, spill: Long, records: Long) {
     /** A point that SPILLS more than it SHUFFLES is memory-thrash-bound
       * on this single box: its wall measures disk/GC pressure and its
       * run-to-run variance, not plan growth (jaccard 64× measured
@@ -50,17 +50,18 @@ class ScaleLinearitySpec extends AnyFunSuite {
         r.get("wall_s").asDouble, r.get("rows_out").asLong,
         if (r.has("cross_pairs")) r.get("cross_pairs").asLong else -1L,
         if (r.has("shuffle_bytes")) r.get("shuffle_bytes").asLong else -1L,
-        if (r.has("spill_bytes")) r.get("spill_bytes").asLong else -1L)
+        if (r.has("spill_bytes")) r.get("spill_bytes").asLong else -1L,
+        if (r.has("shuffle_records")) r.get("shuffle_records").asLong else -1L)
     }
   }
 
   private lazy val points: Seq[P] = {
-    val f = new java.io.File("SCALE_r8.json")
-    assert(f.exists, "SCALE_r8.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
+    val f = new java.io.File("SCALE_r9.json")
+    assert(f.exists, "SCALE_r9.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
     // the worst-growing families carry an extra 64× point (probed with
     // --ops so the full suite doesn't pay 64× corpus cost); merging it
     // here puts the deeper tail under the same step + slope gates
-    val f64 = new java.io.File("SCALE_r8_64x.json")
+    val f64 = new java.io.File("SCALE_r9_64x.json")
     readPoints(f) ++ (if (f64.exists) readPoints(f64) else Seq.empty)
   }
 
@@ -72,7 +73,66 @@ class ScaleLinearitySpec extends AnyFunSuite {
     val got = points.groupBy(_.op).map { case (op, ps) => op -> ps.map(_.mult).toSet }
     want.foreach { op =>
       assert(got.get(op).exists(ms => Set(1, 4, 16).subsetOf(ms)),
-        s"$op missing 1x/4x/16x points in SCALE_r8.json (got ${got.get(op)})")
+        s"$op missing 1x/4x/16x points in SCALE_r9.json (got ${got.get(op)})")
+    }
+  }
+
+  test("shuffle RECORDS grow near-linearly (compression- and noise-free)") {
+    // Written shuffle records are the cleanest data-growth signal:
+    // immune to wall noise AND to codec adjacency (r9: jaccard's
+    // verify exchange compressed 20× at 32 output partitions but 9× at
+    // 205, so exactly-linear records read as a 1.76×-of-linear BYTE
+    // step — the r8 verdict's one unexplained signal). Tighter slack
+    // than the byte gate: 1.5× per step, floor 1M records.
+    val FloorRecords = 1000000L
+    points.filter(_.records >= 0).groupBy(_.op).foreach { case (op, ps) =>
+      ps.sortBy(_.mult).sliding(2).foreach {
+        case Seq(lo, hi) =>
+          val factor = hi.mult.toDouble / lo.mult
+          val ratio = hi.records.toDouble / math.max(lo.records, 1L)
+          assert(lo.records < FloorRecords || ratio <= factor * 1.5,
+            f"$op ${lo.mult}x->${hi.mult}x shuffle records grew $ratio%.2fx " +
+              f"(${lo.records} -> ${hi.records}) for ${factor}%.0fx data — " +
+              "super-linear exchange row count")
+        case _ => ()
+      }
+    }
+  }
+
+  test("log-log byte and record slopes stay bounded (byte-trend gate)") {
+    // Mirrors the wall slope gate (VERDICT r8 #1): per-step slack
+    // compounds, a regression fit bounds the TREND. Records get the
+    // wall's 1.15 cap (they are exact row counts); compressed bytes get
+    // 1.3 — partition-count codec-adjacency effects legitimately bend
+    // the byte curve (measured 2.3× bytes/record on identical data at
+    // 205 vs 32 partitions) while a real quadratic pushes the slope
+    // toward 2 regardless.
+    val FloorBytes = 64L << 20
+    def slope(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val xm = xs.sum / xs.size
+      val ym = ys.sum / ys.size
+      val cov = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+      cov / xs.map(x => (x - xm) * (x - xm)).sum
+    }
+    points.groupBy(_.op).foreach { case (op, ps) =>
+      val byBytes = ps.sortBy(_.mult).filter(p => p.shuffle >= FloorBytes)
+      if (byBytes.size >= 3) {
+        val s = slope(byBytes.map(p => math.log(p.mult.toDouble)),
+          byBytes.map(p => math.log(p.shuffle.toDouble)))
+        assert(s <= 1.3,
+          f"$op log-log shuffle-BYTE slope $s%.3f > 1.3 (" +
+            byBytes.map(p => s"${p.mult}x=${p.shuffle}").mkString(", ") +
+            ") — super-linear byte trend")
+      }
+      val byRec = ps.sortBy(_.mult).filter(p => p.records >= 1000000L)
+      if (byRec.size >= 3) {
+        val s = slope(byRec.map(p => math.log(p.mult.toDouble)),
+          byRec.map(p => math.log(p.records.toDouble)))
+        assert(s <= 1.15,
+          f"$op log-log shuffle-RECORD slope $s%.3f > 1.15 (" +
+            byRec.map(p => s"${p.mult}x=${p.records}").mkString(", ") +
+            ") — super-linear row-count trend")
+      }
     }
   }
 
