@@ -171,8 +171,30 @@ object Jq {
       }
       while (peek == '|' && !s.startsWith("||", i)) {
         i += 1
+        val wasUnlocked = !genLocked && allowGen && !collectGen
         genLocked = true
-        if (collectGen && collectSawGen) {
+        if (wasUnlocked) {
+          // TOP-LEVEL pipe in explode mode: later stages may also carry
+          // bare generators (`.xs[] | .ys[]` — jq iterates ys of each
+          // x). `.` inside the stage is the prior pipe value, so any
+          // base registered during this stage has its root `this`
+          // substituted with the accumulated expression (rebinding-
+          // scope-aware, like `|=`); the stage itself rebinds through
+          // the usual MatchExpr. Nested contexts lock as usual within
+          // the stage; the lock is restored so stage k+1 keeps the
+          // privilege.
+          val nBefore = genBases.length
+          val accBefore = l
+          genLocked = false
+          val stage = parseStage()
+          genLocked = false
+          var j = nBefore
+          while (j < genBases.length) {
+            genBases(j) = substThis(genBases(j), accBefore)
+            j += 1
+          }
+          l = MatchExpr(accBefore, List((None, stage)))
+        } else if (collectGen && collectSawGen) {
           // Inside a collected scope, a prior stage's trailing `[]` made
           // the current value the ARRAY of the generator's outputs, so a
           // later pipe stage MAPS over its elements — jq's `.xs[] | f`

@@ -160,9 +160,11 @@ class JqSpec extends AnyFunSuite {
     // seq stays strictly increasing in element order
     val seqs = out.select(col(Envelope.Seq)).as[Long].collect().toSeq
     assert(seqs == seqs.sorted)
-    // generator anywhere else is rejected
+    // generators in later pipe stages are supported since r9 (see the
+    // "root refs beside a generator" test); inside genuinely locked
+    // contexts (parens) they still reject
     intercept[IllegalArgumentException] {
-      JqProc(".a | .xs[]")(env).collect()
+      JqProc("(.xs[]) | .v")(env).collect()
     }
   }
 
@@ -427,6 +429,17 @@ class JqSpec extends AnyFunSuite {
       """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == Seq("1", "2", "3"))
     assert(runAll(".xs[].ys[] * 10",
       """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == Seq("10", "20", "30"))
+    // generators in LATER pipe stages: `.` is the prior pipe value
+    assert(runAll(".xs[] | .ys[]",
+      """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == Seq("1", "2", "3"))
+    assert(runAll(".xs[] | .ys[] | . + 1",
+      """{"xs":[{"ys":[1,2]},{"ys":[3]}]}""") == Seq("2", "3", "4"))
+    assert(runAll(".a | .xs[]",
+      """{"a":{"xs":[5,6]}}""") == Seq("5", "6"))
+    // stage with a generator AND a plain ref to the same pipe value
+    assert(runAll(".xs[] | {w: .ys[], n: .n}",
+      """{"xs":[{"ys":[1,2],"n":7},{"ys":[3],"n":8}]}""") ==
+      Seq("""{"w":1,"n":7}""", """{"w":2,"n":7}""", """{"w":3,"n":8}"""))
     // generator among array items is segment concatenation (jq)
     assert(run("[.a, .xs[], .b]", """{"a":0,"xs":[1,2],"b":9}""")
       == "[0,1,2,9]")
