@@ -103,17 +103,19 @@ object Jq {
 
   private[blobl] final class P(val s: String, val allowGen: Boolean) {
     var i = 0
-    /** Bases of the bare generators consumed in the leading pipe stage,
+    /** Bases of the bare generators consumed in TOP-LEVEL pipe stages,
       * in source order; the k-th generator's outputs substitute for
       * `VarRef(genMarker(k))` in the expression. Multiple bare
       * generators are jq's CARTESIAN (first varies slowest) — JqProc
       * compiles them as sequential explodes. A base may itself
-      * reference an EARLIER marker (`.xs[].ys[]` — the dependent
-      * nested-iteration form). */
+      * reference an EARLIER marker (`.xs[].ys[]` dependent iteration)
+      * or the prior pipe value (`.xs[] | .ys[]` — substituted at parse,
+      * see parsePipe). */
     val genBases = scala.collection.mutable.ListBuffer[Expr]()
     def genSeen: Boolean = genBases.nonEmpty
-    /** Generators are only legal in the leading pipe stage; locked once
-      * a pipe, paren, or constructor opens a non-leading context. */
+    /** Generators are only legal in TOP-LEVEL pipe stages; locked once
+      * a paren or array constructor opens a nested context (parsePipe
+      * restores the lock between top-level stages). */
     private var genLocked = false
     /** Collected-generator mode (reduce/foreach/limit argument positions):
       * a trailing `[]` yields the array ITSELF — the jq `[g]` collection
@@ -478,7 +480,8 @@ object Jq {
         }
         else {
           require(allowGen && !genLocked,
-            "jq: .[] generator only supported in the leading pipe stage")
+            "jq: .[] generator only supported in top-level pipe stages " +
+              "(collect with [...] inside nested contexts)")
           genBases += e
           VarRef(genMarker(genBases.length - 1))
         }
