@@ -234,6 +234,60 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("jq explode forms match a reference on random nested docs (r9)") {
+    // Root refs beside a bare generator, two-generator cartesians,
+    // later-stage generators, and select under explode — cross-checked
+    // against plain Scala for-comprehensions on random nested docs.
+    lazy val spark = Sessions.builder("4").getOrCreate()
+    import org.apache.spark.sql.functions._
+    import graft.model.Envelope
+    import graft.blobl.JqProc
+    val rnd = new scala.util.Random(2718281)
+    def runRows(q: String, doc: String): scala.Seq[String] = {
+      import spark.implicits._
+      val df = spark.read.json(spark.createDataset(scala.Seq(doc)))
+      val out = JqProc(q)(Envelope.wrapUnordered(df))
+      val docCol = out.schema(Envelope.Doc).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.VariantType =>
+          to_json(col(Envelope.Doc))
+        case _ => col(Envelope.Doc).cast("string")
+      }
+      out.orderBy(col(Envelope.Seq)).select(docCol)
+        .collect().toIndexedSeq.map(_.getString(0))
+    }
+    (1 to 15).foreach { _ =>
+      val nx = 1 + rnd.nextInt(5)
+      val ny = 1 + rnd.nextInt(4)
+      val xs = scala.Seq.fill(nx)(rnd.nextInt(50))
+      val ys = scala.Seq.fill(ny)(rnd.nextInt(50))
+      val nv = rnd.nextInt(100)
+      val c = 1 + rnd.nextInt(40)
+      val doc =
+        s"""{"xs":${xs.mkString("[", ",", "]")},"ys":${ys
+          .mkString("[", ",", "]")},"n":$nv}"""
+      // root ref beside a generator
+      assert(runRows("{a: .xs[], b: .n}", doc) ==
+        xs.map(x => s"""{"a":$x,"b":$nv}"""), s"rootref $doc")
+      // generator + root arithmetic
+      assert(runRows(".xs[] + .n", doc) ==
+        xs.map(x => (x + nv).toString), s"rootarith $doc")
+      // cartesian: first generator varies slowest
+      assert(runRows("{a: .xs[], b: .ys[]}", doc) ==
+        (for (x <- xs; y <- ys) yield s"""{"a":$x,"b":$y}"""), s"cart $doc")
+      // select drops, never nulls, under explode and collection
+      assert(runRows(s"[.xs[] | select(. > $c)]", doc) ==
+        scala.Seq(xs.filter(_ > c).mkString("[", ",", "]")), s"sel $doc")
+      // later-stage generator over a nested doc
+      val nested =
+        s"""{"zs":[${xs.map(x => s"""{"ws":${ys.map(_ + x)
+          .mkString("[", ",", "]")}}""").mkString(",")}]}"""
+      assert(runRows(".zs[] | .ws[]", nested) ==
+        (for (x <- xs; y <- ys) yield (y + x).toString), s"late $nested")
+    }
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error
