@@ -1359,6 +1359,12 @@ final case class JqProc(query: String) extends graft.ops.Processor {
           case Some(_: org.apache.spark.sql.types.MapType) =>
             transform(array_sort(map_keys(base.col)),
               k => element_at(base.col, k))
+          case Some(org.apache.spark.sql.types.NullType) =>
+            // statically-absent base (`.missing[]` / `.missing[]?`):
+            // iterating null is jq's empty stream — zero rows, not a
+            // posexplode(NULL) analysis error
+            lit(null).cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.VariantType))
           case Some(org.apache.spark.sql.types.VariantType) =>
             coalesce(
               try_variant_get(base.col, "$", "array<variant>"),

@@ -443,6 +443,9 @@ class JqSpec extends AnyFunSuite {
     // generator among array items is segment concatenation (jq)
     assert(run("[.a, .xs[], .b]", """{"a":0,"xs":[1,2],"b":9}""")
       == "[0,1,2,9]")
+    // iterating a statically-absent field is the empty stream
+    assert(runAll(".missing[]?", """{"xs":[1]}""").isEmpty)
+    assert(runAll(".missing[]", """{"xs":[1]}""").isEmpty)
   }
 
   test("object values iterate in SORTED-key order on non-alphabetical schemas (r9)") {
