@@ -340,8 +340,10 @@ object ScaleProbe {
     def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
       if (ops.nonEmpty && !ops(op)) return
       val (rd0, wr0, sp0, rt0, rc0) = metrics.drain()
+      if (attr) stageAttr.tag = s"$op mult=$mult"
       val (t, n) = time(f)
       val (rd1, wr1, sp1, rt1, rc1) = metrics.drain()
+      if (attr) stageAttr.tag = ""
       val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
@@ -392,6 +394,25 @@ object ScaleProbe {
       lazy val emb = mat(embCorpus(mult), "emb")
       lazy val ev = mat(evCorpus(mult), "ev")
       lazy val edges = mat(edgeCorpus(mult), "edges")
+      // Force corpus materialization OUTSIDE any probe's counter
+      // window: mat()'s write+read bytes otherwise attribute to
+      // whichever enabled family touches the lazy val FIRST — a
+      // LINEAR offset that doesn't corrupt within-run gates, but makes
+      // rows incomparable ACROSS runs with different --ops sets (r9:
+      // cc_dedup's committed 256× row carried the mat bytes its 64×
+      // row didn't, reading as a fake 1.87×-of-linear step; the
+      // cc-only bytes are exactly linear).
+      locally {
+        def need(fs: String*) = fs.exists(f => ops.isEmpty || ops(f))
+        if (need("jaccard_join", "minhash_pairs", "cc_dedup", "bloom_anti",
+          "tfidf_topk", "simhash_pairs", "contamination")) { docs; () }
+        if (need("bm25")) { plain; () }
+        if (need("shared_passages")) { chars; () }
+        if (need("semdedup", "kmeans_largek", "ann_ivf", "embed_neardup"))
+          { emb; () }
+        if (need("sessionize", "funnel", "retention")) { ev; () }
+        if (need("pagerank")) { edges; () }
+      }
 
       probePairs("jaccard_join", mult, nDocs * mult) {
         graft.llmops.Dedup.jaccardJoinExact(docs, "doc_id", "text", 7000)
