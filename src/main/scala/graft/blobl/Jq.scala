@@ -34,9 +34,15 @@ import Ast._
   *
   * The row-producing generator `.xs[]` IS supported as the leading
   * pipe stage (`.xs[] | f`, `.xs[].a`): `JqProc` compiles the array
-  * expression, `posexplode`s it into one envelope row per element
-  * (reference jq emits one message per generator output), and applies
-  * the rest of the query per element.
+  * expression, `posexplode`s it into one envelope row per element,
+  * and applies the rest of the query per element. (The reference's jq
+  * processor collects MULTIPLE outputs into one part as a JSON array
+  * — `lib/processor/jq.go` SetJSON(emitted) — and DROPS the part on
+  * zero outputs; row emission is this engine's deliberate superset —
+  * per-output rows parallelize downstream at 100 TB where an
+  * array-in-one-part cannot — and the zero-output DROP is matched:
+  * bare `empty` and top-level `select` filter rows out, and an empty
+  * generator stream explodes to zero rows.)
   *
   * Generator forms elsewhere follow COLLECTED semantics (jq's `[g]`):
   * `reduce g as $x (init; upd)` / `foreach g as $x (init; upd)` compile
@@ -1328,7 +1334,31 @@ final case class JqProc(query: String) extends graft.ops.Processor {
       case None => (value, col(Error))
     }
     if (!p.genSeen) {
-      val result = Compiler.compile(e, Mapping.envelopeCtx(df))
+      // Zero jq outputs DROP the part (lib/processor/jq.go: an empty
+      // emitted list returns `false, nil` — the message is removed,
+      // not nulled). Match it for the shapes a static plan can see:
+      // a bare `empty` program drops every row, and a TOP-LEVEL
+      // select (alone, or as the final pipe stage) filters rows out
+      // instead of emitting null docs.
+      if (query.trim == "empty") return df.filter(lit(false))
+      val ctx0 = Mapping.envelopeCtx(df)
+      e match {
+        // `select(f)` alone: value unchanged, row dropped on reject
+        case IfExpr(List((cond, Ast.This)), Some(Ast.LitNull)) =>
+          return df.filter(Compiler.compile(cond, ctx0).col)
+        // `expr | select(f)` — the trailing-select chain: the
+        // condition sees expr's value; survivors carry that value
+        case MatchExpr(tgt,
+            List((None, IfExpr(List((cond, Ast.This)), Some(Ast.LitNull))))) =>
+          val t = Compiler.compile(tgt, ctx0)
+          val c = Compiler.compile(cond, ctx0.withThis(t))
+          val (v, errC) = errOut(t.col, t.err)
+          return df.filter(c.col)
+            .select(col(Content), v.as(Doc), col(Meta), errC.as(Error),
+              col(BatchId), col(Seq))
+        case _ => ()
+      }
+      val result = Compiler.compile(e, ctx0)
       val (v, errC) = errOut(result.col, result.err)
       df.select(col(Content), v.as(Doc), col(Meta), errC.as(Error),
         col(BatchId), col(Seq))

@@ -448,6 +448,23 @@ class JqSpec extends AnyFunSuite {
     assert(runAll(".missing[]", """{"xs":[1]}""").isEmpty)
   }
 
+  test("zero jq outputs DROP the row, as the reference does (r9)") {
+    import spark.implicits._
+    // lib/processor/jq.go: an empty emitted list removes the part
+    val docs = scala.Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("id", "v")
+    val env = Envelope.wrapUnordered(docs)
+    // bare empty: every row dropped
+    assert(JqProc("empty")(env).count() == 0)
+    // top-level select: rejected rows dropped, survivors unchanged
+    val sel = JqProc("select(.v > 10)")(env)
+    assert(sel.select(col("doc.id")).as[Long].collect().sorted.toSeq
+      == scala.Seq(2L, 3L))
+    // trailing select after a pipe: condition sees the piped value
+    val sel2 = JqProc(".v | select(. > 10)")(env)
+    assert(sel2.select(col(Envelope.Doc).cast("long")).as[Long]
+      .collect().sorted.toSeq == scala.Seq(15L, 25L))
+  }
+
   test("object values iterate in SORTED-key order on non-alphabetical schemas (r9)") {
     import spark.implicits._
     // JSON inference sorts field names, masking order bugs — build the
