@@ -165,7 +165,13 @@ object Jq {
       } else false
     }
 
+    /** True only for the OUTERMOST parsePipe call (the program's own
+      * pipe); nested calls (parens, collected args) consume it. */
+    private var inTop = true
+
     def parsePipe(): Expr = {
+      val top = inTop && allowGen && !collectGen
+      inTop = false
       var l = parseStage()
       ws()
       // `EXPR as PATTERN | REST` (gojq binding incl. destructuring):
@@ -179,9 +185,8 @@ object Jq {
       }
       while (peek == '|' && !s.startsWith("||", i)) {
         i += 1
-        val wasUnlocked = !genLocked && allowGen && !collectGen
         genLocked = true
-        if (wasUnlocked) {
+        if (top) {
           // TOP-LEVEL pipe in explode mode: later stages may also carry
           // bare generators (`.xs[] | .ys[]` — jq iterates ys of each
           // x). `.` inside the stage is the prior pipe value, so any
@@ -1317,10 +1322,20 @@ object Jq {
 
 /** `jq` processor: doc := query(doc); a leading `.xs[]` generator stage
   * explodes into one envelope row per element (multi-message output). */
-final case class JqProc(query: String) extends graft.ops.Processor {
+final case class JqProc(query: String, raw: Boolean = false)
+    extends graft.ops.Processor {
   def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.model.Envelope._
+    // `raw: true` (JQConfig.Raw, jq.go getPartValue): `.` is the part's
+    // raw CONTENT string, not the parsed document
+    def baseCtx(frame: org.apache.spark.sql.DataFrame): Ctx = {
+      val c = Mapping.envelopeCtx(frame)
+      if (raw) c.copy(thisTC = TC(col(Content).cast(
+        org.apache.spark.sql.types.StringType),
+        Some(org.apache.spark.sql.types.StringType)))
+      else c
+    }
     val p = new Jq.P(query.trim, allowGen = true)
     val e = p.parsePipe()
     p.ws()
@@ -1341,7 +1356,7 @@ final case class JqProc(query: String) extends graft.ops.Processor {
       // select (alone, or as the final pipe stage) filters rows out
       // instead of emitting null docs.
       if (query.trim == "empty") return df.filter(lit(false))
-      val ctx0 = Mapping.envelopeCtx(df)
+      val ctx0 = baseCtx(df)
       e match {
         // `select(f)` alone: value unchanged, row dropped on reject
         case IfExpr(List((cond, Ast.This)), Some(Ast.LitNull)) =>
@@ -1374,7 +1389,7 @@ final case class JqProc(query: String) extends graft.ops.Processor {
       var frame = df
       var vars = Map.empty[String, TC]
       for ((bexpr, k) <- p.genBases.toList.zipWithIndex) {
-        val ctx = vars.foldLeft(Mapping.envelopeCtx(frame)) {
+        val ctx = vars.foldLeft(baseCtx(frame)) {
           case (c, (n, tc)) => c.withVar(n, tc)
         }
         val base = Compiler.compile(bexpr, ctx)
@@ -1408,7 +1423,7 @@ final case class JqProc(query: String) extends graft.ops.Processor {
         vars += Jq.genMarker(k) ->
           TC(col(s"_g$k"), Some(frame.schema(s"_g$k").dataType))
       }
-      val ctx = vars.foldLeft(Mapping.envelopeCtx(frame)) {
+      val ctx = vars.foldLeft(baseCtx(frame)) {
         case (c, (n, tc)) => c.withVar(n, tc)
       }
       val r = Compiler.compile(e, ctx)

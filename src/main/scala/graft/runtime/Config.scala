@@ -597,7 +597,8 @@ object Config {
       case "text" => TextProc(str(conf, "operator"),
         optStr(conf, "arg"), optStr(conf, "value"))
       case "jmespath" => graft.blobl.JmesPathProc(str(conf, "query"))
-      case "jq" => graft.blobl.JqProc(str(conf, "query"))
+      case "jq" => graft.blobl.JqProc(str(conf, "query"),
+        raw = conf.get("raw").exists(_.toString.toBoolean))
       case "filter_parts" => FilterProc(condString(conf("check")))
       case "hash" =>
         ContentProc(s"""content().hash("${str(conf, "algorithm")}")""")

@@ -448,6 +448,27 @@ class JqSpec extends AnyFunSuite {
     assert(runAll(".missing[]", """{"xs":[1]}""").isEmpty)
   }
 
+  test("raw: true binds `.` to the raw content string (JQConfig.Raw)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // raw content part (not valid JSON — exactly the case raw exists for)
+    val env = scala.Seq("hello world").toDF("s").select(
+      col("s").cast(BinaryType).as(Envelope.Content),
+      lit(null).cast(StringType).as(Envelope.Doc),
+      map().cast(MapType(StringType, StringType)).as(Envelope.Meta),
+      lit(null).cast(StringType).as(Envelope.Error),
+      lit(0L).as(Envelope.BatchId),
+      lit(0L).as(Envelope.Seq))
+    val out = JqProc("ascii_upcase", raw = true)(env)
+    assert(out.select(col(Envelope.Doc).cast("string")).head().getString(0)
+      == "HELLO WORLD")
+    // and the explode path: raw string split, exploded in stage 2
+    val out2 = JqProc("""split(" ") | .[]""", raw = true)(env)
+    assert(out2.orderBy(col(Envelope.Seq))
+      .select(col(Envelope.Doc).cast("string"))
+      .collect().map(_.getString(0)).toSeq == scala.Seq("hello", "world"))
+  }
+
   test("zero jq outputs DROP the row, as the reference does (r9)") {
     import spark.implicits._
     // lib/processor/jq.go: an empty emitted list removes the part
