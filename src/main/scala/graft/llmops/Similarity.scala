@@ -120,17 +120,33 @@ object Similarity {
     * tiny) + max_by partial aggregation; search is a cluster-id equi-join.
     * The corpus never shuffles by anything wider than its cluster id. */
   object Ivf {
-    /** Assign each row its nearest centroid id (cosine, ties → lowest). */
+    /** Assign each row its nearest centroid id (cosine, ties → lowest).
+      *
+      * The centroid set is the CONSTANT-SIZE coarse quantizer (the same
+      * boundedness contract as the PQ codebooks), so it embeds as a
+      * typed literal and the argmax is a per-row array fold — map-only,
+      * zero shuffle, no row explosion. The previous shape
+      * (broadcast-cross to n×k rows + max_by aggregation) looked
+      * shuffle-free too, but max_by is a TypedImperativeAggregate:
+      * past the ObjectHashAggregate fallback threshold it re-SORTED
+      * the whole exploded relation, each row carrying the full
+      * embedding — the r9 probe measured 38.8 GB of sort spill against
+      * 160 MB of shuffle at 64× (128k vecs × 1024 centroids). */
     def assign(df: DataFrame, idCol: String, vecCol: String,
-        centroids: DataFrame): DataFrame =
-      df.select(col(idCol), col(vecCol))
-        .crossJoin(broadcast(centroids))
-        .select(col(idCol), col(vecCol), col("cid"),
-          cosine(col(vecCol), col("cvec")).as("csim"))
-        .groupBy(col(idCol))
-        .agg(
-          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-          first(col(vecCol)).as(vecCol))
+        centroids: DataFrame): DataFrame = {
+      val cents: scala.Seq[(Long, scala.Seq[Float])] =
+        centroids.select(col("cid").cast(LongType),
+            col("cvec").cast(ArrayType(FloatType)))
+          .collect().toIndexedSeq
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).toIndexedSeq: scala.Seq[Float]))
+      val scored = transform(typedLit(cents), c =>
+        struct(cosine(col(vecCol), c.getField("_2")).as("csim"),
+          (-c.getField("_1")).as("ncid")))
+      df.select(col(idCol),
+        (-array_max(scored).getField("ncid")).as("cid"),
+        col(vecCol))
+    }
 
     /** Deterministic seed centroids: the `numCentroids` lowest-id vectors. */
     def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
