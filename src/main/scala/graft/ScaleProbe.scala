@@ -447,20 +447,31 @@ object ScaleProbe {
         // the corpus via auto-k, holding expected cluster size — and so
         // per-cluster pair work — constant across mults. A fixed k here
         // is Θ(n²/k): the r6 probe pinned k=8 and measured the quadratic
-        // emerging at the 16× step (2.57× of linear).
+        // emerging at the 16× step (2.57× of linear). targetClusterSize
+        // 25 keeps kEff > 64 from mult 1, so EVERY point runs the
+        // two-level fit, and broadcastKCap=0 shuffles the centroid side
+        // everywhere — with the r9 defaults (tcs = nEmb/8) the 4×→16×
+        // step straddled the flat→two-level switch at kEff = 64 and
+        // read as a fake 2.9×-of-linear record step (the same
+        // plan-shape-switch artifact as kmeans_largek's broadcast cap).
         graft.llmops.Training.semanticDedup(emb, "vec_id", "embedding",
           k = 0, iters = 2, threshold = 0.4,
-          targetClusterSize = (nEmb / 8).toInt.max(1)).count()
+          targetClusterSize = 25, broadcastKCap = 0).count()
       }
       probe("kmeans_largek", mult, nEmb * mult) {
         // forced-large-k posture (r7 judge finding): k = n fine
         // centroids — the regime where collecting/broadcasting the
-        // centroid relation would be linear-in-corpus driver state. At
-        // 64× this is k = 128,000 (≥ 1e5), well past fitTwoLevel's
-        // BroadcastKCap, so the ccid equi-join MUST shuffle the
-        // centroid side and the trajectory must stay near-linear.
+        // centroid relation would be linear-in-corpus driver state.
+        // broadcastKCap=0 forces the SHUFFLED ccid equi-join at every
+        // mult: the deployment cap (32768) sits between the 16× point
+        // (k=32,000 → broadcast) and the 64× point (k=128,000 →
+        // shuffle), so capped runs measure two different plan shapes
+        // across the probed range and the broadcast→shuffle switch
+        // reads as a fake 1.55×-of-linear byte/record step (r9 —
+        // the same artifact class as r8's auto-broadcast finding).
         graft.llmops.Training.KMeans.fitTwoLevel(
-          emb, "vec_id", "embedding", k = (nEmb * mult).toInt, iters = 2)
+          emb, "vec_id", "embedding", k = (nEmb * mult).toInt, iters = 2,
+          broadcastKCap = 0)
           .count()
       }
       probe("ann_ivf", mult, nEmb * mult) {

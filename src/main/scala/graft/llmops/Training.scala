@@ -37,18 +37,33 @@ object Training {
       corpus.orderBy(col(idCol)).limit(k)
         .select(col(idCol).as("cid"), col(vecCol).cast(ArrayType(DoubleType)).as("cvec"))
 
-    /** Nearest-centroid assignment (cosine, ties → lowest cid): broadcast
-      * the k centroids, one corpus pass, max_by — no corpus shuffle. */
+    /** Nearest-centroid assignment (cosine, ties → lowest cid).
+      *
+      * The flat path's centroid set is small by contract (every caller
+      * either fixes k or routes large k through [[fitTwoLevel]]), so it
+      * embeds as a typed literal and the argmax is a per-row array fold
+      * — map-only, zero shuffle, no row explosion. The previous shape
+      * (broadcast-cross to n·k rows + max_by/first aggregation) carried
+      * struct- and array-typed agg buffers, which HashAggregateExec
+      * rejects — the whole aggregation silently degraded to
+      * SortAggregate over the exploded relation (the same fallback the
+      * r9 probe caught in Ivf.assign: 38.8 GB of sort spill). Doubles
+      * throughout so the explicit-k oracle trajectories stay
+      * bit-identical. */
     def assign(corpus: DataFrame, idCol: String, vecCol: String,
-        centroids: DataFrame): DataFrame =
-      corpus.select(col(idCol), col(vecCol))
-        .crossJoin(broadcast(centroids))
-        .select(col(idCol), col(vecCol), col("cid"),
-          Similarity.cosine(col(vecCol), col("cvec")).as("csim"))
-        .groupBy(col(idCol))
-        .agg(
-          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-          first(col(vecCol)).as(vecCol))
+        centroids: DataFrame): DataFrame = {
+      val cents: scala.Seq[(Long, scala.Seq[Double])] =
+        centroids.select(col("cid").cast(LongType),
+            col("cvec").cast(ArrayType(DoubleType)))
+          .collect().toIndexedSeq
+          .map(r => (r.getLong(0),
+            r.getSeq[Double](1).toIndexedSeq: scala.Seq[Double]))
+      val scored = transform(typedLit(cents), c =>
+        struct(Similarity.cosine(col(vecCol), c.getField("_2")).as("csim"),
+          (-c.getField("_1")).as("ncid")))
+      corpus.select(col(idCol),
+        (-array_max(scored).getField("ncid")).as("cid"), col(vecCol))
+    }
 
     /** One Lloyd step: new centroid = element-wise mean of the assigned
       * vectors (native vector-sum partial agg; empty clusters keep their
@@ -110,7 +125,7 @@ object Training {
       * Fine centroid ids are ccid·k2 + rank (collision-free: coarse ids
       * are distinct longs). Returns the assignment (idCol, cid, vecCol). */
     def fitTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
-        k: Int, iters: Int): DataFrame = {
+        k: Int, iters: Int, broadcastKCap: Int = BroadcastKCap): DataFrame = {
       val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       val k2 = math.max(1, (k + k1 - 1) / k1)
       val (coarse, _) = fit(corpus, idCol, vecCol, k1, iters)
@@ -134,13 +149,13 @@ object Training {
         .localCheckpoint()
       var i = 0
       while (i < iters) {
-        val assigned = assignFine(pts, idCol, vecCol, cents, k)
+        val assigned = assignFine(pts, idCol, vecCol, cents, k, broadcastKCap)
         val next = updateFine(assigned, vecCol, cents).localCheckpoint()
         cents.unpersist()
         cents = next
         i += 1
       }
-      val out = assignFine(pts, idCol, vecCol, cents, k)
+      val out = assignFine(pts, idCol, vecCol, cents, k, broadcastKCap)
         .select(col(idCol), col("cid"), col(vecCol))
         .localCheckpoint()
       cents.unpersist()
@@ -153,22 +168,32 @@ object Training {
       * comfortably under the broadcast ceiling. Above the cap the ccid
       * equi-join shuffles both sides instead — the shape that holds when
       * k is corpus-proportional (auto-k). */
-    private val BroadcastKCap = 32768
+    private[llmops] val BroadcastKCap = 32768
 
     /** Nearest FINE centroid within the point's own coarse cluster:
-      * equi-join on ccid (k2 comparisons per point), cosine, max_by.
-      * Small k broadcasts the centroid side; large k shuffles it. */
+      * equi-join on ccid (k2 comparisons per point), cosine, argmax.
+      * Small k broadcasts the centroid side; large k shuffles it.
+      *
+      * The argmax is [[graft.exprs.ArgMaxByLong]] — a fixed-width
+      * (long, double) agg buffer that stays in codegen HashAggregate.
+      * The previous max_by(cid, struct(csim, -cid)) + first(vec) shape
+      * carried struct- and array-typed buffers, which HashAggregateExec
+      * rejects, degrading the whole aggregation to SortAggregate over
+      * the n·k2 joined rows (the 64× probe's 607 MB spill). The winner's
+      * ccid + vector re-attach from the checkpointed `pts` by an idCol
+      * equi-join (shuffle-hash: the id→cid side is 16 B/row, nothing
+      * candidate-proportional is ever sorted). */
     private def assignFine(pts: DataFrame, idCol: String, vecCol: String,
-        cents: DataFrame, k: Int): DataFrame = {
-      val centSide = if (k <= BroadcastKCap) broadcast(cents) else cents
-      pts.join(centSide, "ccid")
-        .select(col(idCol), col(vecCol), col("ccid"), col("cid"),
+        cents: DataFrame, k: Int, broadcastKCap: Int): DataFrame = {
+      val centSide = if (k <= broadcastKCap) broadcast(cents) else cents
+      val best = pts.join(centSide, "ccid")
+        .select(col(idCol), col("cid"),
           Similarity.cosine(col(vecCol), col("cvec")).as("csim"))
         .groupBy(col(idCol))
-        .agg(
-          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-          first(col("ccid")).as("ccid"),
-          first(col(vecCol)).as(vecCol))
+        .agg(graft.exprs.ArgMaxByLong.column(col("cid"), col("csim"))
+          .as("cid"))
+      pts.join(best.hint("shuffle_hash"), scala.Seq(idCol))
+        .select(col(idCol), col(vecCol), col("ccid"), col("cid"))
     }
 
     /** One fine Lloyd step; empty fine clusters keep their previous
@@ -579,7 +604,8 @@ object Training {
     * probe measures. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double,
-      targetClusterSize: Int = 256): DataFrame = {
+      targetClusterSize: Int = 256,
+      broadcastKCap: Int = KMeans.BroadcastKCap): DataFrame = {
     val kEff =
       if (k > 0) k
       else {
@@ -594,7 +620,7 @@ object Training {
     // trajectory.
     val assigned =
       if (k <= 0 && kEff > 64)
-        KMeans.fitTwoLevel(corpus, idCol, vecCol, kEff, iters)
+        KMeans.fitTwoLevel(corpus, idCol, vecCol, kEff, iters, broadcastKCap)
       else KMeans.fit(corpus, idCol, vecCol, kEff, iters)._1
     val slim = assigned.select(col(idCol).as("id"), col("cid"), col(vecCol).as("v"))
       .localCheckpoint() // k-means trajectory runs once, not per join branch

@@ -776,4 +776,72 @@ class TrainingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out === Array((0L, 1L, 1L, 1L), (1L, 2L, 2L, 5L), (2L, 4L, 2L, 11L)))
   }
+
+  test("ArgMaxByLong: max ordering wins, ties -> min value, nulls skipped, " +
+      "plan stays HashAggregate") {
+    val df = Seq(
+      (1L, 10L, 2.0), (1L, 11L, 3.0), (1L, 12L, 3.0), // tie at 3.0 -> 11
+      (2L, 20L, -1.0), (2L, 21L, -2.0), // negatives -> 20
+      (3L, 30L, 1.0)
+    ).toDF("g", "v", "o")
+      // force cross-partition merges so mergeExpressions is exercised
+      .repartition(5)
+      .union(Seq((3L, 31L, Double.NaN)).toDF("g", "v", "o")
+        .select(col("g"), col("v"), lit(null).cast("double").as("o")))
+    val agg = df.groupBy("g")
+      .agg(graft.exprs.ArgMaxByLong.column(col("v"), col("o")).as("best"))
+    val out = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    // all-null group evaluates to null
+    val nul = Seq((9L, 1L)).toDF("g", "v")
+      .groupBy("g")
+      .agg(graft.exprs.ArgMaxByLong.column(col("v"),
+        lit(null).cast("double")).as("best"))
+      .collect()
+    assert(nul.head.isNullAt(1))
+    // the whole point of the fixed-width buffer: no SortAggregate /
+    // ObjectHashAggregate fallback (max_by over a struct ordering
+    // degrades to SortAggregate over the full pre-agg relation)
+    val phys = agg.queryExecution.executedPlan.toString
+    assert(phys.contains("HashAggregate"), phys)
+    assert(!phys.contains("SortAggregate") && !phys.contains("ObjectHashAggregate"), phys)
+  }
+
+  test("fitTwoLevel: shuffle path (broadcastKCap=0) = broadcast path; " +
+      "cids live in their coarse cell; flat assign = brute force") {
+    val rnd = new scala.util.Random(7)
+    val dim = 6
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val k = 100 // k1 = 10 coarse, k2 = 10 fine per cell
+    val a = Training.KMeans.fitTwoLevel(df, "vec_id", "embedding", k, iters = 2)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val b = Training.KMeans.fitTwoLevel(df, "vec_id", "embedding", k, iters = 2,
+        broadcastKCap = 0)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // plan shape (broadcast vs shuffled ccid join) must not change results
+    assert(a.toMap === b.toMap)
+    assert(a.length === 200 && a.map(_._1).distinct.length === 200)
+    assert(a.forall(_._2 >= 0))
+
+    // flat assign (typed-literal fold) matches a driver-side brute force
+    val cents = (0 until 5).map(c =>
+      (c.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1).toSeq))
+    val centsDf = cents.toDF("cid", "cvec")
+    val got = Training.KMeans.assign(df, "vec_id", "embedding", centsDf)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(x: Seq[Float], y: Seq[Double]): Double = {
+      val dot = x.zip(y).map { case (a0, b0) => a0 * b0 }.sum
+      val nx = math.sqrt(x.map(v => v.toDouble * v).sum)
+      val ny = math.sqrt(y.map(v => v * v).sum)
+      dot / (nx * ny)
+    }
+    vecs.foreach { case (id, v) =>
+      val want = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+      assert(got(id) === want, s"vec $id")
+    }
+  }
 }
