@@ -1321,8 +1321,16 @@ object Jq {
 }
 
 /** `jq` processor: doc := query(doc); a leading `.xs[]` generator stage
-  * explodes into one envelope row per element (multi-message output). */
-final case class JqProc(query: String, raw: Boolean = false)
+  * explodes into one envelope row per element (multi-message output).
+  *
+  * `wrap = true` selects the reference's exact PART semantics instead
+  * (lib/processor/jq.go:231-248): zero outputs drop the part, one
+  * output replaces it, MULTIPLE outputs become a single part holding
+  * the JSON array of all of them — never more rows out than in. The
+  * default (row-per-output) is the documented Spark-native superset:
+  * downstream operators see a relation, not an array blob. */
+final case class JqProc(query: String, raw: Boolean = false,
+    wrap: Boolean = false)
     extends graft.ops.Processor {
   def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1336,10 +1344,6 @@ final case class JqProc(query: String, raw: Boolean = false)
         Some(org.apache.spark.sql.types.StringType)))
       else c
     }
-    val p = new Jq.P(query.trim, allowGen = true)
-    val e = p.parsePipe()
-    p.ws()
-    require(p.i >= p.s.length, s"jq: trailing input at ${p.i} in '$query'")
     // uncaught expression errors (error(msg), recurse depth cap, …) take
     // the reference failure path: the value nulls, `_error` flags
     def errOut(value: org.apache.spark.sql.Column,
@@ -1348,6 +1352,36 @@ final case class JqProc(query: String, raw: Boolean = false)
         coalesce(col(Error), ec))
       case None => (value, col(Error))
     }
+    if (this.wrap) {
+      // Reference PART semantics (jq.go:231-248): collect every output
+      // of the program per part via the collected form `[query]` — the
+      // machinery that already handles generators, select-filters and
+      // stream commas (so top-level `.a, .b`, which the row-emitting
+      // path rejects, works here) — then 0 outputs drop the part, 1
+      // output unwraps, >1 stay the array. Variant-typed doc so both
+      // arms share a column type. Query errors keep the row with a
+      // null doc + _error flag, same as the row path.
+      if (query.trim == "empty") return df.filter(lit(false))
+      val pw = new Jq.P(s"[${query.trim}]", allowGen = true)
+      val ew = pw.parsePipe()
+      pw.ws()
+      require(pw.i >= pw.s.length,
+        s"jq: trailing input at ${pw.i - 1} in '$query'")
+      val ctxW = baseCtx(df)
+      val r = Compiler.compile(ew, ctxW)
+      val (v, errC) = errOut(r.col, r.err)
+      val vt = org.apache.spark.sql.types.VariantType
+      val doc = when(size(v) === 1, element_at(v, 1).cast(vt))
+        .otherwise(v.cast(vt))
+      return df
+        .filter(v.isNull || size(v) > 0)
+        .select(col(Content), doc.as(Doc), col(Meta), errC.as(Error),
+          col(BatchId), col(Seq))
+    }
+    val p = new Jq.P(query.trim, allowGen = true)
+    val e = p.parsePipe()
+    p.ws()
+    require(p.i >= p.s.length, s"jq: trailing input at ${p.i} in '$query'")
     if (!p.genSeen) {
       // Zero jq outputs DROP the part (lib/processor/jq.go: an empty
       // emitted list returns `false, nil` — the message is removed,

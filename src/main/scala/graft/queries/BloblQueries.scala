@@ -220,7 +220,35 @@ object BloblQueries {
       .orderBy(col("id"), col("w"), col("t"))
   }
 
+  /** q177: jq processor `wrap` mode — the reference's exact PART
+    * semantics (lib/processor/jq.go:231-248): the program's outputs
+    * collect per part, then ZERO outputs drop the part, ONE replaces it
+    * unwrapped, SEVERAL become a single array part. The program keeps
+    * the ≥5-char words among each document's first two, so all three
+    * arms occur across the corpus (and `wrap` also admits jq's
+    * top-level stream comma, which the row-emitting default rejects).
+    * DuckDB replays with list_filter + a size CASE over to_json. */
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.Envelope
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      slice(split(col("text"), " "), 1, 2).as("w2"))
+    val env = docs.select(
+      lit(null).cast(BinaryType).as(Envelope.Content),
+      struct(col("doc_id"), col("w2")).as(Envelope.Doc),
+      map().cast(MapType(StringType, StringType)).as(Envelope.Meta),
+      lit(null).cast(StringType).as(Envelope.Error),
+      lit(0L).as(Envelope.BatchId),
+      col("doc_id").as(Envelope.Seq))
+    val out = graft.blobl.JqProc(".w2[] | select(length >= 5)",
+      wrap = true)(env)
+    out.select(col(Envelope.Seq).as("doc_id"),
+        to_json(col(Envelope.Doc)).as("picks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_jq_wrap" -> (q177 _),
     "q176_jq_generators" -> (q176 _),
     "q163_error_channel" -> (q163 _),
     "q161_jq" -> (q161 _),
@@ -231,6 +259,13 @@ object BloblQueries {
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q177_jq_wrap" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' ')[1:2],
+        |              w -> length(w) >= 5) AS ws FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN len(ws) = 1 THEN to_json(ws[1]) ELSE to_json(ws) END AS picks
+        |FROM b WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin,
     "q176_jq_generators" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ')[1:2] AS w2,
         |  [lang, source] AS tags, length(text) AS nchars FROM documents),

@@ -598,7 +598,11 @@ object Config {
         optStr(conf, "arg"), optStr(conf, "value"))
       case "jmespath" => graft.blobl.JmesPathProc(str(conf, "query"))
       case "jq" => graft.blobl.JqProc(str(conf, "query"),
-        raw = conf.get("raw").exists(_.toString.toBoolean))
+        raw = conf.get("raw").exists(_.toString.toBoolean),
+        // extension field: `wrap: true` selects the reference's exact
+        // part semantics (multi-output -> one array part, zero -> drop)
+        // instead of the default row-per-output superset
+        wrap = conf.get("wrap").exists(_.toString.toBoolean))
       case "filter_parts" => FilterProc(condString(conf("check")))
       case "hash" =>
         ContentProc(s"""content().hash("${str(conf, "algorithm")}")""")

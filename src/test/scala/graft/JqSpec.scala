@@ -168,6 +168,37 @@ class JqSpec extends AnyFunSuite {
     }
   }
 
+  test("wrap mode: reference part semantics (jq.go 0->drop, 1->value, " +
+      ">1->array)") {
+    import spark.implicits._
+    def runWrap(q: String, row: String): Seq[String] = {
+      val out = JqProc(q, wrap = true)(Envelope.wrapUnordered(jdf(row)))
+      out.select(to_json(col(Envelope.Doc))).as[String].collect().toSeq
+    }
+    // multiple outputs -> ONE part holding the array
+    assert(runWrap(".xs[]", """{"xs":[1,2,3]}""") == Seq("[1,2,3]"))
+    assert(runWrap(".xs[] | .v * 10",
+      """{"xs":[{"v":1},{"v":2}]}""") == Seq("[10,20]"))
+    // top-level stream comma (rejected by the row-emitting path) is
+    // exactly gojq's multi-output: one array part
+    assert(runWrap(".a, .b", """{"a":1,"b":2}""") == Seq("[1,2]"))
+    // a single output replaces the part unwrapped
+    assert(runWrap(".a", """{"a":5}""") == Seq("5"))
+    assert(runWrap(".xs[]", """{"xs":[7]}""") == Seq("7"))
+    assert(runWrap(".xs[] | select(. > 2)", """{"xs":[1,2,3]}""") == Seq("3"))
+    // zero outputs DROP the part
+    assert(runWrap(".xs[]", """{"xs":[]}""").isEmpty)
+    assert(runWrap("empty", """{"a":1}""").isEmpty)
+    assert(runWrap(".xs[] | select(. > 99)", """{"xs":[1,2,3]}""").isEmpty)
+    // row count never exceeds input: two input docs, one drops
+    val env2 = Envelope.wrapUnordered(
+      jdf("""{"xs":[1,2]}""", """{"xs":[]}"""))
+    assert(JqProc(".xs[]", wrap = true)(env2).count() == 1)
+    // wrap=false default unchanged: rows out
+    assert(JqProc(".xs[]")(Envelope.wrapUnordered(
+      jdf("""{"xs":[1,2,3]}"""))).count() == 3)
+  }
+
   test("to_entries / from_entries round trip") {
     assert(run(".m | to_entries", """{"m":{"a":1,"b":2}}""")
       == """[{"key":"a","value":1},{"key":"b","value":2}]""")
