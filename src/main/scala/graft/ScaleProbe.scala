@@ -53,7 +53,8 @@ object ScaleProbe {
       wallSec: Double, rowsOut: Long, cross: Long = -1L,
       shuffleBytes: Long = -1L, spillBytes: Long = -1L,
       shuffleRead: Long = -1L, shuffleWrite: Long = -1L,
-      retriedTasks: Long = -1L, shuffleRecords: Long = -1L)
+      retriedTasks: Long = -1L, shuffleRecords: Long = -1L,
+      spillDisk: Long = -1L)
 
   /** Task-level counters across jobs. READ and WRITE shuffle bytes are
     * tracked separately (r9): write bytes are what the plan PRODUCES
@@ -71,6 +72,7 @@ object ScaleProbe {
     private val read = new java.util.concurrent.atomic.AtomicLong
     private val write = new java.util.concurrent.atomic.AtomicLong
     private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val spillDisk = new java.util.concurrent.atomic.AtomicLong
     private val retried = new java.util.concurrent.atomic.AtomicLong
     private val records = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
@@ -79,7 +81,16 @@ object ScaleProbe {
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        // memoryBytesSpilled is an ACCOUNTING metric — the estimated
+        // in-memory size of data at the moment it spills, counted per
+        // spill pass — so the legacy sum wildly overstates disk
+        // pressure whenever an exchange targets >200 partitions (the
+        // sort-based shuffle writer's passes all count: r9 measured
+        // 94.6 GB "spill" on a stage that WROTE 2.47 GB). spillDisk is
+        // the serialized bytes that actually hit disk — the honest
+        // memory-thrash signal the wall-exclusion rule keys on.
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
         // WRITTEN records: the compression-free data-growth signal —
         // compressed bytes conflate codec adjacency (r9: jaccard's
         // verify exchange compressed 20× at 32 partitions but only 9×
@@ -91,11 +102,12 @@ object ScaleProbe {
         retried.incrementAndGet()
       ()
     }
-    def snapshot(): (Long, Long, Long, Long, Long) =
-      (read.get, write.get, spill.get, retried.get, records.get)
+    def snapshot(): (Long, Long, Long, Long, Long, Long) =
+      (read.get, write.get, spill.get, retried.get, records.get,
+        spillDisk.get)
     /** Wait for the listener bus to finish delivering the just-ended
       * jobs' task events: poll until two consecutive reads agree. */
-    def drain(): (Long, Long, Long, Long, Long) = {
+    def drain(): (Long, Long, Long, Long, Long, Long) = {
       var prev = snapshot()
       var quiet = false
       val deadline = System.nanoTime() + 3000000000L
@@ -129,10 +141,11 @@ object ScaleProbe {
           val rd = m.shuffleReadMetrics.totalBytesRead
           val wr = m.shuffleWriteMetrics.bytesWritten
           val sp = m.memoryBytesSpilled + m.diskBytesSpilled
+          val sd = m.diskBytesSpilled
           val rc = m.shuffleWriteMetrics.recordsWritten
           if (rd > 0 || wr > 0 || sp > 0)
             println(s"ATTRSTAGE $tag stage=${si.stageId} tasks=${si.numTasks} " +
-              s"read=$rd write=$wr spill=$sp records=$rc " +
+              s"read=$rd write=$wr spill=$sp spill_disk=$sd records=$rc " +
               s"name=${si.name.takeWhile(_ != '\n')}")
         }
       }
@@ -339,17 +352,25 @@ object ScaleProbe {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
     def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (rd0, wr0, sp0, rt0, rc0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0, rc0, sd0) = metrics.drain()
       if (attr) stageAttr.tag = s"$op mult=$mult"
       val (t, n) = time(f)
-      val (rd1, wr1, sp1, rt1, rc1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1, rc1, sd1) = metrics.drain()
       if (attr) stageAttr.tag = ""
       val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
-        f"retried=${rt1 - rt0} records=${rc1 - rc0}")
+        f"retried=${rt1 - rt0} records=${rc1 - rc0} spill_disk=${sd1 - sd0}")
       buf += Result(op, mult, rowsIn, t, n, -1L, rd + wr, sp1 - sp0,
-        rd, wr, rt1 - rt0, rc1 - rc0)
+        rd, wr, rt1 - rt0, rc1 - rc0, sd1 - sd0)
+      // leaked localCheckpoint blocks from one family otherwise inflate
+      // the NEXT family's wall via block-manager memory pressure (the
+      // same effect Bench guards per-query); metrics are drained above,
+      // so the cleanup never pollutes the counters. BLOCKING: the async
+      // form left blocks alive into the next family — the r9 256× full
+      // run OOM'd at family 13 (AGGREGATE_OUT_OF_MEMORY) under the
+      // residue of twelve prior corpora.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // pair emitters: one aggregation job returns (total, cross-copy)
     // together — replica ids are base_id + copy*1e6, so the copy is
@@ -357,7 +378,7 @@ object ScaleProbe {
     def probePairs(op: String, mult: Int, rowsIn: Long)
         (f: => DataFrame): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (rd0, wr0, sp0, rt0, rc0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0, rc0, sd0) = metrics.drain()
       if (attr) stageAttr.tag = s"$op mult=$mult"
       val t0 = System.nanoTime()
       val aggDf = f.agg(
@@ -368,14 +389,15 @@ object ScaleProbe {
       val row = aggDf.head()
       val t = (System.nanoTime() - t0) / 1e9
       val (n, x) = (row.getLong(0), row.getLong(1))
-      val (rd1, wr1, sp1, rt1, rc1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1, rc1, sd1) = metrics.drain()
       val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n cross=$x " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
-        f"retried=${rt1 - rt0} records=${rc1 - rc0}")
+        f"retried=${rt1 - rt0} records=${rc1 - rc0} spill_disk=${sd1 - sd0}")
       if (attr) { stageAttr.tag = ""; dumpPlanMetrics(op, mult, aggDf) }
       buf += Result(op, mult, rowsIn, t, n, x, rd + wr, sp1 - sp0,
-        rd, wr, rt1 - rt0, rc1 - rc0)
+        rd, wr, rt1 - rt0, rc1 - rc0, sd1 - sd0)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
     mults.foreach { mult =>
@@ -478,10 +500,16 @@ object ScaleProbe {
         // deployment posture: centroid count scales with the corpus so
         // per-cluster bucket size stays constant; 10 fixed queries —
         // the corpus-sized cost is the assignment pass, which must
-        // stay linear
+        // stay linear. twoLevelKCap=0 forces the TWO-LEVEL assignment
+        // at every mult (the 100 TB shape — flat assignment is O(n·k)
+        // = quadratic under this posture: the r9 256× probe measured
+        // its wall at 11.6× per 4× of data before the two-level path
+        // existed, 146.6 s → 6.4 s after), so no mult measures a
+        // different plan than its neighbours.
         graft.llmops.Similarity.Ivf.topK(
           emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-          5, numCentroids = 16 * mult, nprobe = 4).count()
+          5, numCentroids = 16 * mult, nprobe = 4,
+          twoLevelKCap = 0).count()
       }
       probe("bm25", mult, nDocs * mult) {
         graft.llmops.Index.bm25TopK(plain, "doc_id", "text",
@@ -556,7 +584,8 @@ object ScaleProbe {
         if (r.shuffleBytes >= 0)
           s""","shuffle_bytes":${r.shuffleBytes},"spill_bytes":${r.spillBytes}""" +
           s""","shuffle_read":${r.shuffleRead},"shuffle_write":${r.shuffleWrite}""" +
-          s""","retried_tasks":${r.retriedTasks},"shuffle_records":${r.shuffleRecords}"""
+          s""","retried_tasks":${r.retriedTasks},"shuffle_records":${r.shuffleRecords}""" +
+          (if (r.spillDisk >= 0) s""","spill_disk":${r.spillDisk}""" else "")
         else ""
       f"""{"op":"${r.op}","mult":${r.mult},"rows_in":${r.rowsIn},""" +
         f""""wall_s":${r.wallSec}%.3f,"rows_out":${r.rowsOut}$cross$bytes}"""

@@ -922,7 +922,27 @@ object Dedup {
     // a match at 0-based positions (pa, pb) bounds the overlap by
     // min(sz_a−pa, sz_b−pb), and J ≥ t needs overlap ≥ t(sa+sb)/(1+t).
     val tBp = lit(thresholdBp.toLong)
-    val cand = prefix.toDF("id_a", "sz_a", "pos_a", "gid")
+    val defaultParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // The PRE-dedup pair mass is computable BEFORE the join from the
+    // prefix bucket histogram — Σ_g c_g·(c_g−1)/2 is an exact upper
+    // bound on the id_a<id_b equi-join output (the size/positional
+    // filters only remove pairs) — so the dedup aggregation can be
+    // partition-sized ahead of time. Without this the dedup ran at the
+    // default partition count over the FULL pre-dedup relation (the
+    // per-pair partial aggregation barely combines — near-unique
+    // keys), and the r9 256× attribution measured its two stages
+    // sorting 468M pairs in 32 tasks: 84 GB of the point's spill.
+    // Pre-partitioning by the dedup keys makes the aggregation reuse
+    // the exchange (no second shuffle); ~48 B per in-flight hash entry
+    // targets ~96 MB of aggregation state per task.
+    val pairEstRow = prefix.groupBy(col("gid"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("p")).head()
+    val pairEst = if (pairEstRow.isNullAt(0)) 0L else pairEstRow.getLong(0)
+    val dedupParts = math.min(4096L,
+      pairEst * 48L / (96L << 20) + 1L).toInt
+    val joinedPairs = prefix.toDF("id_a", "sz_a", "pos_a", "gid")
       .join(prefix.toDF("id_b", "sz_b", "pos_b", "gid"), "gid")
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") * tBp <= col("sz_b") * 10000L &&
@@ -930,6 +950,11 @@ object Dedup {
         least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) *
           (tBp + 10000L) >= tBp * (col("sz_a") + col("sz_b")))
       .select(col("id_a"), col("id_b"))
+    val joinedSized =
+      if (dedupParts > defaultParts)
+        joinedPairs.repartition(dedupParts, col("id_a"), col("id_b"))
+      else joinedPairs
+    val cand = joinedSized
       .dropDuplicates("id_a", "id_b")
       // materialized: the pair relation feeds the verify joins AND the
       // parallelism decision below; 16 bytes per pair, so even a 10⁸-
@@ -945,8 +970,6 @@ object Dedup {
     // of the checkpointed pair relation) and the mean set width,
     // targeting ~96 MB per partition; small inputs keep the default
     // plan untouched.
-    val defaultParts =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val candN = cand.count()
     // BITMAP PREFILTER (r9) — the r8 probe's stage-level byte
     // attribution showed the array-carrying verify exchange owned the
@@ -960,8 +983,16 @@ object Dedup {
     //   |A∩B| ≤ sz_a − popcount(bm_a & ~bm_b)   (and symmetrically),
     // so dropping pairs whose bound can't reach the threshold loses no
     // true pair (the PPJoin-family bitmap/suffix filter). The bitmap
-    // joins still ship ~56 B per candidate — 10× lighter than arrays —
-    // and the survivors that reach the array verify are output-sized.
+    // joins still ship ~56 B per candidate — 10× lighter than arrays.
+    // How much the bound prunes is CORPUS-DEPENDENT: random non-dup
+    // candidates prove out cheaply, but near-threshold pairs (J just
+    // under t) are information-theoretically unprunable without the
+    // arrays, and on a template-dense corpus most false candidates are
+    // exactly that — the 256× probe measured strongN = 360M of candN =
+    // 468M (77% pass). So the verify stays candidate-proportional in
+    // the worst case and EVERY exchange below carries measured-count
+    // partition sizing; the bitmap's job is the cheap wins plus
+    // narrowing the rows that must travel.
     val bmParts = math.min(4096L,
       candN * 88L / (96L << 20) + 1L).toInt
     val narrowA = sets.select(col("id").as("id_a"), col("sz").as("sz_a2"),
@@ -973,7 +1004,16 @@ object Dedup {
     // bytes hashed (the hash probe's output order compresses worse and
     // exchanges don't reuse), and both zero-spill. Default SMJ wins on
     // the noise-free signal.
-    val candBm0 = cand.join(narrowA, "id_a")
+    // BOTH bitmap joins are candidate-proportional sorts — size BOTH
+    // exchanges (r9 256× attribution: with only the id_b side widened,
+    // the id_a join's SMJ sorted all 468M pairs at the 32 default
+    // partitions — 14.6M rows/task — and spilled 44.7 GB; the id_b
+    // join another 39.3 GB. Every candidate-proportional exchange
+    // needs the measured-count sizing, not just the last one.)
+    val candSized =
+      if (bmParts > defaultParts) cand.repartition(bmParts, col("id_a"))
+      else cand
+    val candBm0 = candSized.join(narrowA, "id_a")
     val candBm1 =
       if (bmParts > defaultParts) candBm0.repartition(bmParts, col("id_b"))
       else candBm0
@@ -992,7 +1032,16 @@ object Dedup {
     val bytesPerPair = 24L + (avgSz * gidBytes).toLong
     val verifyParts = math.min(4096L,
       strongN * bytesPerPair / (96L << 20) + 1L).toInt
-    val withA = strong
+    // The id_a verify join is survivor-proportional too (the bitmap
+    // bound cannot prune near-threshold pairs — on a template-dense
+    // corpus most candidates ARE near-threshold, so strongN stays a
+    // large fraction of candN and this sort needs the same sizing as
+    // the id_b exchange below; unsized it spilled 64.4 GB at 256×).
+    val strongSized =
+      if (verifyParts > defaultParts)
+        strong.repartition(verifyParts, col("id_a"))
+      else strong
+    val withA = strongSized
       .join(sets.select(col("id").as("id_a"), col("gids").as("g_a"),
         col("sz").as("sz_aa")), "id_a")
     val withAPart =

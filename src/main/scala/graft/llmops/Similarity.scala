@@ -134,18 +134,68 @@ object Similarity {
       * 160 MB of shuffle at 64× (128k vecs × 1024 centroids). */
     def assign(df: DataFrame, idCol: String, vecCol: String,
         centroids: DataFrame): DataFrame = {
-      val cents: scala.Seq[(Long, scala.Seq[Float])] =
-        centroids.select(col("cid").cast(LongType),
-            col("cvec").cast(ArrayType(FloatType)))
-          .collect().toIndexedSeq
-          .map(r => (r.getLong(0),
-            r.getSeq[Float](1).toIndexedSeq: scala.Seq[Float]))
-      val scored = transform(typedLit(cents), c =>
-        struct(cosine(col(vecCol), c.getField("_2")).as("csim"),
-          (-c.getField("_1")).as("ncid")))
+      val cents = collectCentroidLit(centroids)
       df.select(col(idCol),
-        (-array_max(scored).getField("ncid")).as("cid"),
+        nearestCidLit(col(vecCol), cents).as("cid"),
         col(vecCol))
+    }
+
+    private def collectCentroidLit(
+        centroids: DataFrame): scala.Seq[(Long, scala.Seq[Float])] =
+      centroids.select(col("cid").cast(LongType),
+          col("cvec").cast(ArrayType(FloatType)))
+        .collect().toIndexedSeq
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).toIndexedSeq: scala.Seq[Float]))
+
+    /** Per-row argmax fold over a centroid literal (cosine, ties →
+      * lowest cid) — map-only, zero shuffle, no row explosion. */
+    private def nearestCidLit(vec: Column,
+        cents: scala.Seq[(Long, scala.Seq[Float])]): Column = {
+      val scored = transform(typedLit(cents), c =>
+        struct(cosine(vec, c.getField("_2")).as("csim"),
+          (-c.getField("_1")).as("ncid")))
+      -array_max(scored).getField("ncid")
+    }
+
+    /** Above this the coarse quantizer stops being a literal: the flat
+      * assignment is O(n·k) compute with a k·dim driver literal, and
+      * under the scale posture k ∝ corpus that is a latent QUADRATIC —
+      * the r9 256× probe measured its wall at 11.6× per 4× of data
+      * (12.6 s → 146.6 s) with perfectly linear bytes: pure CPU, the
+      * worst kind of scale defect because no byte counter sees it. */
+    private[graft] val TwoLevelKCap = 2048
+
+    /** Two-level assignment for LARGE k (the IMI/hierarchical-quantizer
+      * move, same shape as KMeans.fitTwoLevel): the √k lowest-cid
+      * centroids act as super-cells; centroids group under their
+      * nearest super (map-only over the DISTRIBUTED centroid relation —
+      * only the √k supers ever collect to the driver), points find
+      * their nearest super by the same literal fold, and the exact
+      * argmax runs WITHIN the super via an scid equi-join — O(n·√k)
+      * compute, fixed-width ArgMaxByLong buffers, nothing
+      * centroid-proportional on the driver. Points near super-cell
+      * boundaries may land in a neighbouring list — the standard IVF
+      * approximation, amortized by nprobe on the query side. */
+    private[graft] def assignTwoLevel(df: DataFrame, idCol: String,
+        vecCol: String, centroids: DataFrame, k: Int): DataFrame = {
+      val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val supers = collectCentroidLit(
+        centroids.orderBy(col("cid")).limit(k1))
+      val centsS = centroids
+        .select(nearestCidLit(col("cvec"), supers).as("scid"),
+          col("cid"), col("cvec"))
+      val ptsS = df.select(col(idCol), col(vecCol),
+        nearestCidLit(col(vecCol), supers).as("scid"))
+      val best = ptsS.join(centsS, "scid")
+        .select(col(idCol), col("cid"),
+          cosine(col(vecCol), col("cvec")).as("csim"))
+        .groupBy(col(idCol))
+        .agg(graft.exprs.ArgMaxByLong.column(col("cid"), col("csim"))
+          .as("cid"))
+      df.select(col(idCol), col(vecCol))
+        .join(best.hint("shuffle_hash"), scala.Seq(idCol))
+        .select(col(idCol), col("cid"), col(vecCol))
     }
 
     /** Deterministic seed centroids: the `numCentroids` lowest-id vectors. */
@@ -158,14 +208,25 @@ object Similarity {
       * exact re-rank candidates. Output (qid, vid, rnk). */
     def topK(queries: DataFrame, corpus: DataFrame,
         idCol: String, vecCol: String, k: Int,
-        numCentroids: Int, nprobe: Int): DataFrame = {
+        numCentroids: Int, nprobe: Int,
+        twoLevelKCap: Int = TwoLevelKCap): DataFrame = {
       val cents = seedCentroids(corpus, idCol, vecCol, numCentroids)
-      val corpusAssigned = assign(corpus, idCol, vecCol, cents)
-        .select(col(idCol).as("vid"), col(vecCol).as("cvec_full"), col("cid"))
-      val qSims = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-        .crossJoin(broadcast(cents))
-        .select(col("qid"), col("qvec"), col("cid"),
-          cosine(col("qvec"), col("cvec")).as("csim"))
+      val corpusAssigned =
+        (if (numCentroids <= twoLevelKCap)
+          assign(corpus, idCol, vecCol, cents)
+        else assignTwoLevel(corpus, idCol, vecCol, cents, numCentroids))
+          .select(col(idCol).as("vid"), col(vecCol).as("cvec_full"),
+            col("cid"))
+      // Query-side centroid scoring: identical ranking either way, but
+      // above the cap the BROADCAST flips — the centroid relation is
+      // corpus-proportional under the scale posture, so it stays
+      // distributed and the (small) query side broadcasts instead.
+      val qCols = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      val qSims =
+        (if (numCentroids <= twoLevelKCap) qCols.crossJoin(broadcast(cents))
+        else cents.crossJoin(broadcast(qCols)))
+          .select(col("qid"), col("qvec"), col("cid"),
+            cosine(col("qvec"), col("cvec")).as("csim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
       val probes = qSims.withColumn("_pr", row_number().over(w))
         .filter(col("_pr") <= nprobe)

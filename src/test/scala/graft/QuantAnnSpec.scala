@@ -123,4 +123,54 @@ class QuantAnnSpec extends AnyFunSuite {
     // that ADC ranks are correlated with true distance, not noise
     assert(recall >= 0.2, s"recall $recall")
   }
+
+  test("two-level IVF assignment: within-super argmax, plan stays " +
+      "HashAggregate, topK recall holds at large k") {
+    val corpus = emb.limit(400)
+    val cents = Similarity.Ivf.seedCentroids(corpus, "vec_id", "embedding", 64)
+    val two = Similarity.Ivf.assignTwoLevel(
+        corpus, "vec_id", "embedding", cents, 64)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.size === 400)
+    // exact local replication of the definition: nearest of the √k
+    // lowest-cid supers, then argmax cosine among the centroids of
+    // that super (ties -> lowest cid)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val cz = cents.orderBy(col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq)
+    val supers = cz.take(8) // k1 = ceil(sqrt(64)) = 8 lowest-cid
+    def nearest(v: Seq[Float], cs: Seq[(Long, Seq[Float])]): Long =
+      cs.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }._1
+    val superOf = cz.map { case (c, cv) => c -> nearest(cv, supers) }.toMap
+    corpus.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      val id = r.getLong(0); val v = r.getSeq[Float](1).toIndexedSeq
+      val s = nearest(v, supers)
+      val want = nearest(v, cz.filter(c => superOf(c._1) == s))
+      assert(two(id) === want, s"vec $id: got ${two(id)}, want $want")
+    }
+    // no SortAggregate fallback in the within-super argmax
+    val plan = Similarity.Ivf.assignTwoLevel(
+      corpus, "vec_id", "embedding", cents, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      plan)
+    // end-to-end: forcing the two-level path (cap exceeded) still finds
+    // true neighbours — recall vs exact brute force stays above floor
+    val qs = corpus.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.Ivf.topK(qs, corpus, "vec_id", "embedding",
+        k = 5, numCentroids = Similarity.Ivf.TwoLevelKCap + 64, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = (exact & approx).size.toDouble / exact.size
+    assert(rec >= 0.2, s"two-level recall $rec")
+  }
 }

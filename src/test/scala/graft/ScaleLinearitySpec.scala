@@ -30,15 +30,27 @@ class ScaleLinearitySpec extends AnyFunSuite {
   private val FloorSec = 1.0
 
   private case class P(op: String, mult: Int, wall: Double, out: Long,
-      cross: Long, shuffle: Long, spill: Long, records: Long) {
+      cross: Long, shuffle: Long, spill: Long, records: Long,
+      spillDisk: Long) {
     /** A point that SPILLS more than it SHUFFLES is memory-thrash-bound
       * on this single box: its wall measures disk/GC pressure and its
       * run-to-run variance, not plan growth (jaccard 64× measured
       * 168→256 s across four runs of identical code while its byte
       * counters reproduced to five digits). Wall gates skip such
       * points; the noise-free BYTE gates, pair-output gates, and
-      * cross-copy gates still cover them in full. */
-    def spillBound: Boolean = spill >= 0 && shuffle >= 0 && spill > shuffle
+      * cross-copy gates still cover them in full.
+      *
+      * Rows that carry `spill_disk` (r9 late) key the exclusion on the
+      * bytes that actually HIT DISK: the legacy `spill_bytes` sums
+      * memoryBytesSpilled, an accounting metric counted per spill pass
+      * at in-memory width — any exchange targeting >200 partitions
+      * runs the sort-based shuffle writer and inflates it wildly
+      * (measured: 94.6 GB "spill" on a stage that wrote 2.47 GB, with
+      * ~2 GB touching disk). Older rows without the field keep the
+      * legacy rule. */
+    def spillBound: Boolean =
+      if (spillDisk >= 0) shuffle >= 0 && spillDisk > shuffle
+      else spill >= 0 && shuffle >= 0 && spill > shuffle
   }
 
   private def readPoints(f: java.io.File): Seq[P] = {
@@ -51,7 +63,8 @@ class ScaleLinearitySpec extends AnyFunSuite {
         if (r.has("cross_pairs")) r.get("cross_pairs").asLong else -1L,
         if (r.has("shuffle_bytes")) r.get("shuffle_bytes").asLong else -1L,
         if (r.has("spill_bytes")) r.get("spill_bytes").asLong else -1L,
-        if (r.has("shuffle_records")) r.get("shuffle_records").asLong else -1L)
+        if (r.has("shuffle_records")) r.get("shuffle_records").asLong else -1L,
+        if (r.has("spill_disk")) r.get("spill_disk").asLong else -1L)
     }
   }
 
