@@ -105,6 +105,69 @@ object Compiler {
     (out.result(), groups.toList)
   }
 
+  /** Fold jq `type`-dispatch against a statically-known type name:
+    * `MethodCall(This, "type")` becomes the literal name, ==/!= and
+    * boolean connectives over the folded literals reduce, and IfExpr
+    * branches whose condition decided statically are PRUNED — so
+    * `walk(if type == "object" then f else . end)` compiles, per schema
+    * node, only the branch that node's type selects (the other branches
+    * would not type-check against it). Scope-aware: descends where `.`
+    * stays the same value, but NOT into lambda bodies or MatchExpr
+    * cases (pipe stages), whose `.` is rebound — `.x | type` inside a
+    * branch still compiles normally. */
+  private[blobl] def foldTypeDispatch(e: Expr, typeName: String): Expr = {
+    def fold(e: Expr): Expr = e match {
+      case MethodCall(This, "type", Nil) => LitString(typeName)
+      case MethodCall(tgt, n, as) =>
+        MethodCall(fold(tgt), n, as.map {
+          case l: Lambda => l // rebinds `.`
+          case a => fold(a)
+        })
+      case Field(b, n) => Field(fold(b), n)
+      case IndexOp(b, ix) => IndexOp(fold(b), fold(ix))
+      case FnCall(n, as) => FnCall(n, as.map(fold))
+      case Neg(x) => Neg(fold(x))
+      case Not(x) => fold(x) match {
+        case LitBool(b) => LitBool(!b)
+        case fx => Not(fx)
+      }
+      case BinOp(op, l, r) => (op, fold(l), fold(r)) match {
+        case ("==", LitString(a), LitString(b)) => LitBool(a == b)
+        case ("!=", LitString(a), LitString(b)) => LitBool(a != b)
+        case ("||" | "or", LitBool(true), _) => LitBool(true)
+        case ("||" | "or", LitBool(false), rr) => rr
+        case ("||" | "or", ll, LitBool(false)) => ll
+        case ("&&" | "and", LitBool(false), _) => LitBool(false)
+        case ("&&" | "and", LitBool(true), rr) => rr
+        case ("&&" | "and", ll, LitBool(true)) => ll
+        case (o, fl, fr) => BinOp(o, fl, fr)
+      }
+      case LitArray(xs) => LitArray(xs.map(fold))
+      case LitObject(fs) =>
+        LitObject(fs.map { case (k, v) => (fold(k), fold(v)) })
+      case MatchExpr(tgt, cs) => MatchExpr(fold(tgt), cs) // stages rebind
+      case IfExpr(branches, orElse) =>
+        val fe = orElse.map(fold)
+        val kept = scala.collection.mutable.ListBuffer[(Expr, Expr)]()
+        var decided: Option[Expr] = None
+        branches.foreach { case (c0, v0) =>
+          if (decided.isEmpty) fold(c0) match {
+            case LitBool(true) => decided = Some(fold(v0))
+            case LitBool(false) => ()
+            case fc => kept += ((fc, fold(v0)))
+          }
+        }
+        (kept.toList, decided) match {
+          case (Nil, Some(v)) => v
+          case (ks, Some(v)) => IfExpr(ks, Some(v))
+          case (Nil, None) => fe.getOrElse(LitNull)
+          case (ks, None) => IfExpr(ks, fe)
+        }
+      case other => other
+    }
+    fold(e)
+  }
+
   /** `deleted()` appearing as a branch value (valid inside map_each
     * lambdas and whole-assignment if/match positions). */
   private def isDeletedCall(e: Expr): Boolean = e match {
@@ -896,6 +959,44 @@ object Compiler {
       case "exp" => TC(exp(t.col), Some(DoubleType))
       case "log2" => TC(log2(t.col), Some(DoubleType))
       case "pow" => TC(pow(t.col, c(0).col), Some(DoubleType))
+      // jq C-math tail (gojq math.go binds libm 1:1) — like sqrt/pow
+      // above, harmless extensions of the reference method set
+      case "sin" => TC(sin(t.col), Some(DoubleType))
+      case "cos" => TC(cos(t.col), Some(DoubleType))
+      case "tan" => TC(tan(t.col), Some(DoubleType))
+      case "asin" => TC(asin(t.col), Some(DoubleType))
+      case "acos" => TC(acos(t.col), Some(DoubleType))
+      case "atan" => TC(atan(t.col), Some(DoubleType))
+      case "sinh" => TC(sinh(t.col), Some(DoubleType))
+      case "cosh" => TC(cosh(t.col), Some(DoubleType))
+      case "tanh" => TC(tanh(t.col), Some(DoubleType))
+      case "cbrt" => TC(cbrt(t.col), Some(DoubleType))
+      case "exp2" => TC(pow(lit(2d), t.col), Some(DoubleType))
+      case "exp10" => TC(pow(lit(10d), t.col), Some(DoubleType))
+      case "rint" => TC(rint(t.col), Some(DoubleType))
+      case "atan2" => TC(atan2(t.col, c(0).col), Some(DoubleType)) // (y; x)
+      case "trunc" =>
+        // toward zero, integral result (jq numbers don't distinguish)
+        TC(when(t.col >= 0, floor(t.col)).otherwise(ceil(t.col)), Some(LongType))
+      case "logb" =>
+        TC(floor(log2(abs(t.col))).cast(DoubleType), Some(DoubleType))
+      case "significand" =>
+        // x / 2^logb(x): sign preserved, |m| in [1,2); significand(0)=0
+        TC(when(t.col === 0, lit(0d)).otherwise(
+          t.col / pow(lit(2d), floor(log2(abs(t.col))))), Some(DoubleType))
+      case "is_nan" =>
+        // NOT `. != .`: Spark treats NaN as equal to NaN
+        TC(isnan(t.col.cast(DoubleType)), Some(BooleanType))
+      case "is_infinite" =>
+        val d = t.col.cast(DoubleType)
+        TC(d === lit(Double.PositiveInfinity) ||
+          d === lit(Double.NegativeInfinity), Some(BooleanType))
+      case "is_normal" =>
+        // finite, not NaN, not zero, not subnormal (C fpclassify NORMAL)
+        val d = t.col.cast(DoubleType)
+        TC(!isnan(d) && d =!= lit(Double.PositiveInfinity) &&
+          d =!= lit(Double.NegativeInfinity) && d =!= lit(0d) &&
+          abs(d) >= lit(java.lang.Double.MIN_NORMAL), Some(BooleanType))
       case "max" => TC(array_max(t.col), t.elemType)
       case "min" => TC(array_min(t.col), t.elemType)
 
@@ -1478,6 +1579,164 @@ object Compiler {
           TC(state.getField("acc"), Some(ArrayType(VariantType)),
             TC.mergeErr(t.err, Some(overflow)))
         }
+      case "repeat_apply" =>
+        // jq repeat(f), bounded: ., f(.), f(f(.)), … to at most cap
+        // outputs. gojq's generator is unbounded — `limit(n; repeat(f))`
+        // is the canonical use and slices this collected expansion, so
+        // hitting the cap truncates SILENTLY (unlike recurse_apply's
+        // live-frontier error: truncation here is the contract, not a
+        // lossy surprise). A null f-output ends the stream (the same
+        // scalar-arm divergence recurse_apply documents).
+        // args: (f-lambda, LitLong(cap)).
+        val rCap = args(1) match {
+          case LitLong(n) if n > 0 && n <= 1024 => n.toInt
+          case o => throw CompileError(s"repeat_apply: cap in 1..1024 expected, got $o")
+        }
+        def rStep(x: Column): Column = arg(0) match {
+          case Lambda(p, body) =>
+            val xe = TC(x, Some(VariantType))
+            val tc = compile(body, ctx.withVar(p, xe).withThis(xe))
+            asVariant(tc.col, tc.tpe.getOrElse(VariantType))
+          case o => throw CompileError(s"repeat_apply: f lambda expected, got $o")
+        }
+        val rRoot = asVariant(t.col, t.tpe.getOrElse(StringType))
+        if (rCap == 1) TC(array(rRoot), Some(ArrayType(VariantType)), t.err)
+        else {
+          val state = aggregate(
+            sequence(lit(1), lit(rCap - 1)),
+            struct(array(rRoot).as("acc"), rRoot.as("cur"),
+              lit(true).as("alive")),
+            (st, _) => {
+              val next = rStep(st.getField("cur"))
+              val alive = st.getField("alive") &&
+                !(next.isNull || is_variant_null(next))
+              struct(
+                when(alive, concat(st.getField("acc"), array(next)))
+                  .otherwise(st.getField("acc")).as("acc"),
+                when(alive, next).otherwise(st.getField("cur")).as("cur"),
+                alive.as("alive"))
+            })
+          TC(state.getField("acc"), Some(ArrayType(VariantType)), t.err)
+        }
+      case "walk_apply" =>
+        // jq walk(f): f applied to every value, bottom-up. The recursion
+        // expands STATICALLY over the schema (the `..`/recurse_values
+        // posture), and f's `type`-dispatch — the canonical
+        // `walk(if type == "object" then … else . end)` idiom — is
+        // FOLDED per node at compile time ([[Compiler.foldTypeDispatch]]):
+        // each schema node compiles only the branch its static type
+        // selects, so the other branches never have to type-check
+        // against it. A VARIANT document has no static schema to walk —
+        // typed error (parse to a typed document first).
+        val wLam = arg(0) match {
+          case l: Lambda => l
+          case o => throw CompileError(s"walk_apply: f lambda expected, got $o")
+        }
+        def typeName(tpe: Option[DataType]): String = tpe match {
+          case Some(_: ArrayType) => "array"
+          case Some(_: StructType) | Some(_: MapType) => "object"
+          case Some(StringType) => "string"
+          case Some(BooleanType) => "bool"
+          case Some(ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType) | Some(_: DecimalType) => "number"
+          case Some(BinaryType) => "bytes"
+          case _ => "null"
+        }
+        def applyF(x: TC): TC = {
+          val folded = Compiler.foldTypeDispatch(wLam.body, typeName(x.tpe))
+          compile(folded, ctx.withVar(wLam.param, x).withThis(x))
+        }
+        def walkNode(x: TC): TC = x.tpe match {
+          case Some(_: VariantType) => throw CompileError(
+            "walk: variant documents have no static schema to walk")
+          case Some(st: StructType) =>
+            val kids = st.fields.toList.map { f =>
+              (f.name, walkNode(TC(x.col.getField(f.name), Some(f.dataType))))
+            }
+            applyF(TC(struct(kids.map { case (n, w) => w.col.as(n) }: _*),
+              Some(StructType(kids.map { case (n, w) =>
+                StructField(n, w.tpe.getOrElse(NullType)) }))))
+          case Some(MapType(kt, vt, _)) =>
+            var out: Option[DataType] = Some(vt)
+            val col = transform_values(x.col, (_, v) => {
+              val w = walkNode(TC(v, Some(vt))); out = w.tpe; w.col
+            })
+            applyF(TC(col, Some(MapType(kt, out.getOrElse(NullType)))))
+          case Some(ArrayType(et, _)) =>
+            var out: Option[DataType] = Some(et)
+            val col = transform(x.col, e => {
+              val w = walkNode(TC(e, Some(et))); out = w.tpe; w.col
+            })
+            applyF(TC(col, Some(ArrayType(out.getOrElse(NullType)))))
+          case _ => applyF(x)
+        }
+        walkNode(TC(t.col, t.tpe))
+      case "jq_match" =>
+        // jq match(re): match objects {offset, length, string, captures}
+        // with CODEPOINT offsets (gojq); always the all-matches array —
+        // the translate layer takes [0] for the non-global form. Go
+        // (?P<n> names rewritten via the shared translator.
+        val (mPat, mGroups) = Compiler.captureGroups(litStr(0))
+        val mGlobal = arg(1) match {
+          case LitBool(b) => b
+          case o => throw CompileError(s"jq_match: bool flag expected, got $o")
+        }
+        val capT = StructType(scala.Seq(
+          StructField("offset", LongType), StructField("length", LongType),
+          StructField("string", StringType), StructField("name", StringType)))
+        TC(graft.exprs.JqStrings.matchAllCol(
+          t.col.cast(StringType), mPat, mGroups, mGlobal),
+          Some(ArrayType(StructType(scala.Seq(
+            StructField("offset", LongType), StructField("length", LongType),
+            StructField("string", StringType),
+            StructField("captures", ArrayType(capT)))))))
+      case "indices" =>
+        // jq indices(s): string/substring → codepoint start indices
+        // (overlapping, gojq scans by one); array/scalar → positions of
+        // equal elements; array/array → subarray start positions.
+        // Dispatched on the STATIC input type.
+        val emptyLongs = slice(array(lit(0L)), lit(1), lit(0))
+        t.tpe match {
+          case Some(ArrayType(_, _)) =>
+            val needle = c(0)
+            needle.tpe match {
+              case Some(ArrayType(_, _)) =>
+                val nlen = size(needle.col)
+                TC(when(nlen === 0 || size(t.col) < nlen, emptyLongs)
+                  .otherwise(filter(
+                    sequence(lit(0L), (size(t.col) - nlen).cast(LongType)),
+                    i => slice(t.col, (i + 1).cast(IntegerType), nlen)
+                      === needle.col)),
+                  Some(ArrayType(LongType)))
+              case _ =>
+                TC(when(size(t.col) === 0, emptyLongs)
+                  .otherwise(filter(
+                    sequence(lit(0L), size(t.col).cast(LongType) - 1L),
+                    i => element_at(t.col, (i + 1).cast(IntegerType))
+                      <=> needle.col)),
+                  Some(ArrayType(LongType)))
+            }
+          case _ =>
+            TC(graft.exprs.JqStrings.strIndicesCol(
+              t.col.cast(StringType), c(0).col.cast(StringType)),
+              Some(ArrayType(LongType)))
+        }
+      case "str_explode" =>
+        // jq explode: string → array of codepoints
+        TC(graft.exprs.JqStrings.explodeCol(t.col.cast(StringType)),
+          Some(ArrayType(LongType)))
+      case "str_implode" =>
+        TC(graft.exprs.JqStrings.implodeCol(
+          t.col.cast(ArrayType(LongType))), Some(StringType))
+      case "jq_base32" =>
+        // gojq @base32 (RFC 4648 + padding) — a jq-only scheme; the
+        // reference encode processor is exactly base64/hex/ascii85/z85
+        // (encode.go:98-104), so this stays OFF the `encode` method
+        TC(graft.exprs.JqStrings.base32EncodeCol(t.col.cast(BinaryType)),
+          Some(StringType))
+      case "jq_base32d" =>
+        TC(graft.exprs.JqStrings.base32DecodeCol(t.col.cast(StringType))
+          .cast(StringType), Some(StringType))
       case "recurse_values" =>
         // jq `..` / no-arg recurse, collected: this value and every
         // recursive descendant (pre-order), as array<variant>. The walk is

@@ -22,7 +22,19 @@ import Ast._
   * `@html`/`@json`/`@text`/`@csv`/`@tsv`/`@sh`, `strftime`/`strptime` (with
   * `mktime`/`gmtime` as timestamp projections so the composed
   * `strptime(f)|mktime` and `now|gmtime|strftime(f)` idioms are exact),
-  * `first(g)`/`last(g)`/`any(f)`/`all(f)`, `has`/`in`, `debug`) — by
+  * `first(g)`/`last(g)`/`any(f)`/`all(f)`, `has`/`in`, `debug`,
+  * and — r9 tail — user `def`s (inline macro expansion; filter and
+  * `$value` params; recursion is the typed-error boundary), `walk(f)`
+  * (static schema expansion with per-node `type`-dispatch folding),
+  * `match(re[; flags])` match objects with codepoint offsets,
+  * `indices` (string/substring, array/element, array/subarray),
+  * `explode`/`implode`, `delpaths`, `pick` (jq 1.7, field paths),
+  * `repeat(f)` (bounded like until/while; `limit(n; repeat(f))` slices),
+  * `toarray`, `todateiso8601`/`fromdateiso8601`, `isnan`/`isinfinite`/
+  * `isnormal`/`infinite`/`nan`, the C-math tail (`sin`..`tanh`, `cbrt`,
+  * `exp2`/`exp10`, `trunc`, `rint`/`nearbyint`, `logb`, `significand`,
+  * `atan2(y;x)`), `@base32`/`@base32d`, `$__loc__`, `halt`/`halt_error`,
+  * scientific-notation number literals) — by
   * translating onto the
   * Bloblang AST, so the query compiles to Catalyst Columns with no jq
   * runtime. Path update-assignment is supported on ident paths with
@@ -170,6 +182,8 @@ object Jq {
     private var inTop = true
 
     def parsePipe(): Expr = {
+      ws()
+      while (tryWord("def")) parseDef()
       val top = inTop && allowGen && !collectGen
       inTop = false
       var l = parseStage()
@@ -238,6 +252,87 @@ object Jq {
         } else l = MatchExpr(l, List((None, parseStage()))) // rebind `this`
       }
       l
+    }
+
+    /** User `def name(a; $b): body;` definitions (the reference embeds
+      * full gojq, jq.go, which supports them): INLINE macro expansion.
+      * Filter params are call-by-name and every expression here is pure,
+      * so substituting the argument AST at each use site is exact — the
+      * body parses eagerly with params bound to placeholder variables,
+      * and a call substitutes the argument expressions ([[substVars]]).
+      * A value param `$x` also exposes the filter name `x` (jq defines
+      * `def f($x): E` as `def f(x): x as $x | E`). Defs are legal at the
+      * start of any pipe expression (so `(def f: …; expr)` scopes
+      * naturally); visibility is forward-global per program, and
+      * redefinition (incl. shadowing a builtin) takes the latest —
+      * jq's lexical-from-here-on scope, minus nested shadow restore.
+      * Boundaries (typed errors): RECURSIVE defs can't unfold into a
+      * static per-row plan, and def bodies are expressions — a bare
+      * row-generator body (`def f: .xs[];`) hits the standing
+      * generators-only-in-top-level-stages error. */
+    private val defs =
+      scala.collection.mutable.Map[String, (List[String], Expr)]()
+    private val defStack = scala.collection.mutable.Set[String]()
+    private var paramScope: Set[String] = Set.empty
+    private[blobl] def defParamMarker(n: String): String = "$__defp_" + n
+
+    private def parseDef(): Unit = {
+      ws()
+      val name = ident()
+      val params = scala.collection.mutable.ListBuffer[String]()
+      ws()
+      if (peek == '(') {
+        i += 1
+        var go = true
+        while (go) {
+          ws()
+          val isVal = tryEat("$")
+          params += (if (isVal) "$" else "") + ident()
+          go = tryEat(";")
+        }
+        eat(')')
+      }
+      eat(':')
+      val savedTop = inTop; inTop = false
+      val savedLock = genLocked; genLocked = true
+      val savedScope = paramScope
+      paramScope = paramScope ++ params.map(_.stripPrefix("$"))
+      defStack += name
+      val body =
+        try parsePipe()
+        finally {
+          inTop = savedTop; genLocked = savedLock
+          paramScope = savedScope; defStack -= name
+        }
+      eat(';')
+      defs(name) = (params.toList, body)
+    }
+
+    /** Inline a user def at its call site: parse `(a1; a2)` argument
+      * expressions (in the CALLER's scope) and substitute them for the
+      * body's parameter placeholders. */
+    private def callDef(name: String): Expr = {
+      val (params, body) = defs(name)
+      val args: List[Expr] =
+        if (params.isEmpty) Nil
+        else {
+          eat('(')
+          val savedLock = genLocked; genLocked = true
+          val as = scala.collection.mutable.ListBuffer(parsePipe())
+          ws()
+          while (peek == ';') { i += 1; as += parsePipe(); ws() }
+          eat(')')
+          genLocked = savedLock
+          require(as.length == params.length,
+            s"jq: $name expects ${params.length} argument(s), got ${as.length}")
+          as.toList
+        }
+      val m = params.zip(args).flatMap { case (p, a) =>
+        if (p.startsWith("$"))
+          List(p -> a, defParamMarker(p.stripPrefix("$")) -> a)
+        else List(defParamMarker(p) -> a)
+      }.toMap
+      if (m.isEmpty) body else substVars(body, m)
     }
 
     /** `$x`, `[$a, $b, …]`, or `{key: $x, …}` after `as`. */
@@ -548,7 +643,14 @@ object Jq {
           // environment object (gojq).
           i += 1
           val n = ident()
-          if (n == "ENV") envObject() else VarRef("$" + n)
+          if (n == "ENV") envObject()
+          else if (n == "__loc__")
+            // gojq $__loc__: {file, line} of the call site — one-line
+            // inline programs, so the constant is exact
+            LitObject(List(
+              (LitString("file"), LitString("<stdin>")),
+              (LitString("line"), LitLong(1L))))
+          else VarRef("$" + n)
         case '@' =>
           // jq format strings applied to `.` (`.foo | @base64`). @csv /
           // @tsv follow the jq escaping spec: numbers plain, strings
@@ -568,6 +670,14 @@ object Jq {
             case "base64d" =>
               MethodCall(MethodCall(This, "decode", List(LitString("base64"))),
                 "string", Nil)
+            case "base32" =>
+              // gojq @base32 (Go encoding/base32, RFC 4648 + padding) —
+              // a jq-only scheme: the reference encode PROCESSOR has
+              // exactly base64/hex/ascii85/z85 (encode.go:98-104), so
+              // this routes through a dedicated method, not `encode`
+              MethodCall(This, "jq_base32", Nil)
+            case "base32d" =>
+              MethodCall(This, "jq_base32d", Nil)
             case "uri" => MethodCall(This, "escape_url_query", Nil)
             case "html" => MethodCall(This, "escape_html", Nil)
             case "json" => MethodCall(This, "format_json", Nil)
@@ -620,7 +730,8 @@ object Jq {
           def collectedGen(e: Expr): Boolean = e match {
             case MethodCall(_,
               "recurse_values" | "recurse_apply" | "iterate_while" |
-              "json_paths" | "fold_scan" | "re_split" | "re_scan", _) => true
+              "json_paths" | "fold_scan" | "re_split" | "re_scan" |
+              "repeat_apply" | "jq_match", _) => true
             case FnCall("range", _) => true
             case MatchExpr(_, List((None, r))) => collectedGen(r)
             case _ => false
@@ -642,13 +753,11 @@ object Jq {
           i += 1
           // genLocked is INHERITED, not forced: a bare generator in a
           // leading-position object VALUE (`{a: .xs[]}`) is jq's
-          // one-output-object-per-element form, and the explode
-          // machinery already substitutes the element everywhere the
-          // marker appears — so `{a: elem}`, `{a: {b: elem}}` etc. ride
-          // it directly. Root references BESIDE the generator
-          // (`{a: .xs[], b: .n}` — b must read the ROOT) are rejected
-          // at JqProc with a typed error (usesRootThis): in the
-          // exploded frame they would silently bind to the element.
+          // one-output-object-per-element form. Generator elements bind
+          // as context VARIABLES over row-preserving explodes (r9), so
+          // root references beside the generator (`{a: .xs[], b: .n}`)
+          // read the pre-explode row, and multiple bare generators are
+          // sequential explodes — jq's cartesian.
           val fields = scala.collection.mutable.ListBuffer[(Expr, Expr)]()
           ws()
           if (peek != '}') {
@@ -663,8 +772,19 @@ object Jq {
         case c if c.isDigit =>
           val start = i
           while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+          // scientific notation (1e308, 2.5E-3) — JSON number grammar
+          if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+            val save = i
+            i += 1
+            if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+            if (i < s.length && s.charAt(i).isDigit)
+              while (i < s.length && s.charAt(i).isDigit) i += 1
+            else i = save // not an exponent (e.g. `3 end`)
+          }
           val raw = s.substring(start, i)
-          if (raw.contains('.')) LitDouble(raw.toDouble) else LitLong(raw.toLong)
+          if (raw.contains('.') || raw.contains('e') || raw.contains('E'))
+            LitDouble(raw.toDouble)
+          else LitLong(raw.toLong)
         case c if c.isLetter || c == '_' =>
           val name = ident()
           name match {
@@ -682,6 +802,13 @@ object Jq {
               val body = parsePostfix()
               if (tryWord("catch")) MethodCall(body, "catch", List(parsePostfix()))
               else MethodCall(body, "catch", List(LitNull))
+            // user defs: params shadow defs, defs shadow builtins (jq)
+            case n if paramScope.contains(n) => VarRef(defParamMarker(n))
+            case n if defs.contains(n) => callDef(n)
+            case n if defStack.contains(n) =>
+              throw new IllegalArgumentException(
+                s"jq: recursive def '$n' cannot unfold into a static plan " +
+                  "(use reduce/until/recurse with a depth cap)")
             case _ => builtin(name)
           }
         case c => throw new IllegalArgumentException(s"jq: unexpected '$c' at $i in '$s'")
@@ -817,6 +944,28 @@ object Jq {
         val k = ident()
         eat(':')
         (LitString(k), parsePipe())
+      }
+    }
+
+    /** Shared tail of `del(...)` / `delpaths([...])`: all-field paths
+      * compose onto `without`; one path ending in an array index is
+      * path-set surgery via delete_at. */
+    private def delFromSegs(paths: List[List[PathSeg]]): Expr = {
+      if (paths.forall(_.forall(_.isInstanceOf[PField])))
+        MethodCall(This, "without", paths.map(p =>
+          LitString(p.collect { case PField(f) => f }.mkString("."))))
+      else paths match {
+        case List(p) if p.init.forall(_.isInstanceOf[PField]) &&
+            p.last.isInstanceOf[PIndex] =>
+          val prefix = p.init
+          val PIndex(ix) = p.last: @unchecked
+          val arrExpr = prefix.foldLeft(This: Expr) {
+            case (b, PField(n)) => Field(b, n)
+            case (b, PIndex(j)) => IndexOp(b, LitLong(j))
+          }
+          SetPath(prefix, MethodCall(arrExpr, "delete_at", List(LitLong(ix))))
+        case _ => throw new IllegalArgumentException(
+          "jq: del/delpaths supports field paths, or ONE path ending in an array index")
       }
     }
 
@@ -958,22 +1107,7 @@ object Jq {
             go = tryEat(",")
           }
           eat(')')
-          if (paths.forall(_.forall(_.isInstanceOf[PField])))
-            MethodCall(This, "without", paths.toList.map(p =>
-              LitString(p.collect { case PField(f) => f }.mkString("."))))
-          else paths.toList match {
-            case List(p) if p.init.forall(_.isInstanceOf[PField]) &&
-                p.last.isInstanceOf[PIndex] =>
-              val prefix = p.init
-              val PIndex(ix) = p.last: @unchecked
-              val arrExpr = prefix.foldLeft(This: Expr) {
-                case (b, PField(n)) => Field(b, n)
-                case (b, PIndex(j)) => IndexOp(b, LitLong(j))
-              }
-              SetPath(prefix, MethodCall(arrExpr, "delete_at", List(LitLong(ix))))
-            case _ => throw new IllegalArgumentException(
-              "jq: del supports field paths, or ONE path ending in an array index")
-          }
+          delFromSegs(paths.toList)
         case "sort_by" =>
           MethodCall(This, "sort_by", List(Lambda("x", arg())))
         case "group_by" =>
@@ -1279,6 +1413,130 @@ object Jq {
             case o => throw new IllegalArgumentException(
               s"jq: setpath expects a literal array path, got $o")
           }
+        case "delpaths" =>
+          // delpaths([["a","b"],["c"]]) — literal path arrays, composed
+          // on the same machinery as del
+          arg() match {
+            case LitArray(paths) => delFromSegs(paths.map {
+              case LitArray(items) => items.map {
+                case LitString(k) => PField(k): PathSeg
+                case LitLong(n) => PIndex(n): PathSeg
+                case o => throw new IllegalArgumentException(
+                  s"jq: delpaths segments must be string/int literals, got $o")
+              }
+              case o => throw new IllegalArgumentException(
+                s"jq: delpaths expects literal path arrays, got $o")
+            })
+            case o => throw new IllegalArgumentException(
+              s"jq: delpaths expects a literal array of paths, got $o")
+          }
+        case "match" =>
+          // match(re[; flags]): match objects {offset, length, string,
+          // captures} with codepoint offsets (gojq); the `g` flag emits
+          // every match (an array under collected semantics), otherwise
+          // the first (null when no match — the select convention)
+          val (re, fl) = argList() match {
+            case List(r) => (r, "")
+            case List(r, f) => (r, flagStr(f))
+            case _ => throw new IllegalArgumentException("jq: match takes 1-2 args")
+          }
+          val all = MethodCall(This, "jq_match",
+            List(flagged(re, fl), LitBool(true)))
+          if (fl.contains('g')) {
+            if (collectGen) collectSawGen = true // generator: many matches
+            all
+          } else IndexOp(all, LitLong(0))
+        case "indices" =>
+          // indices(s): string/substring → codepoint start indices;
+          // array/scalar → element positions; array/array → subarray
+          // starts (type-dispatched statically in the compiler)
+          MethodCall(This, "indices", List(arg()))
+        case "explode" => MethodCall(This, "str_explode", Nil)
+        case "implode" => MethodCall(This, "str_implode", Nil)
+        case "walk" =>
+          // walk(f): f applied to every value bottom-up; the recursion
+          // expands statically over the schema and f's `type`-dispatch
+          // folds per node (see walk_apply in the compiler)
+          MethodCall(This, "walk_apply", List(Lambda("x", arg())))
+        case "repeat" =>
+          // repeat(f): ., f(.), f(f(.)), … — gojq's unbounded generator,
+          // bounded here (default cap 64, literal-int override ≤1024);
+          // `limit(n; repeat(f))` is the canonical form and slices the
+          // collected expansion, so the cap truncates silently (see
+          // repeat_apply)
+          eat('(')
+          genLocked = true
+          val f = parsePipe()
+          ws()
+          val cap = if (tryEat(";")) parsePipe() match {
+            case LitLong(n) => n
+            case o => throw new IllegalArgumentException(
+              s"jq: repeat cap must be an integer literal, got $o")
+          } else 64L
+          eat(')')
+          if (collectGen) collectSawGen = true // generator semantics
+          MethodCall(This, "repeat_apply", List(Lambda("x", f), LitLong(cap)))
+        case "pick" =>
+          // pick(.a.b, .c) — jq 1.7: project ONLY the given field paths
+          // (array-index picks are a value-dependent shape — out of scope)
+          eat('(')
+          genLocked = true
+          val paths = scala.collection.mutable.ListBuffer[List[String]]()
+          var go = true
+          while (go) {
+            ws()
+            val segs = tryParsePurePath()
+            require(segs.nonEmpty && segs.forall(_.isInstanceOf[PField]),
+              s"jq: pick expects field paths at $i in '$s'")
+            paths += segs.collect { case PField(f) => f }
+            go = tryEat(",")
+          }
+          eat(')')
+          def build(prefix: Expr, ps: List[List[String]]): Expr = {
+            val heads = ps.map(_.head).distinct
+            LitObject(heads.map { h =>
+              val subs = ps.filter(_.head == h).map(_.tail)
+              val fieldE = Field(prefix, h)
+              val v = if (subs.exists(_.isEmpty)) fieldE
+                else build(fieldE, subs)
+              (LitString(h): Expr, v)
+            })
+          }
+          build(This, paths.toList)
+        case "isnan" => MethodCall(This, "is_nan", Nil)
+        case "isinfinite" => MethodCall(This, "is_infinite", Nil)
+        case "isnormal" => MethodCall(This, "is_normal", Nil)
+        case "infinite" => LitDouble(Double.PositiveInfinity)
+        case "nan" => LitDouble(Double.NaN)
+        case "sin" | "cos" | "tan" | "asin" | "acos" | "atan" | "sinh" |
+            "cosh" | "tanh" | "cbrt" | "exp2" | "exp10" | "trunc" |
+            "rint" | "nearbyint" | "logb" | "significand" =>
+          // C-math tail (gojq math.go binds libm 1:1)
+          MethodCall(This,
+            if (name == "nearbyint") "rint" else name, Nil)
+        case "atan2" =>
+          // atan2(y; x) — C argument order
+          eat('(')
+          genLocked = true
+          val y = parsePipe()
+          ws(); eat(';'); ws()
+          val x = parsePipe()
+          eat(')')
+          MethodCall(y, "atan2", List(x))
+        case "toarray" =>
+          // jq 1.7.1: array unchanged, anything else wraps as [.]
+          MethodCall(This, "to_array", Nil)
+        case "todateiso8601" =>
+          MethodCall(This, "format_timestamp", List(LitString("2006-01-02T15:04:05Z")))
+        case "fromdateiso8601" => MethodCall(This, "parse_timestamp_unix", Nil)
+        case "halt_error" =>
+          // halt_error stops gojq with the input as the message; in a
+          // per-row plan the error channel is the analogue (catchable
+          // like error(msg), flags `_error` uncaught)
+          ws()
+          if (peek == '(') { arg(); () } // exit code: no process to stop
+          FnCall("throw", List(MethodCall(This, "string", Nil)))
+        case "halt" => FnCall("throw", List(LitString("halt")))
         case o => throw new IllegalArgumentException(s"jq: unsupported builtin $o")
       }
     }

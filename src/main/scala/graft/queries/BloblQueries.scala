@@ -247,7 +247,54 @@ object BloblQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q178: the round-9 jq builtin tail under an oracle — user `def`s
+    * (inline macro expansion), `walk(f)` with static type dispatch,
+    * `match` objects (string/offset/g-flag count), `indices`,
+    * `explode`/`implode` codepoint round-trips, `delpaths`, `pick`
+    * (jq 1.7), and `repeat(f)` under `limit` — all compiled through the
+    * jq→Bloblang→Catalyst path and replayed by DuckDB string/list
+    * functions. */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      element_at(ws, 1).as("w1"),
+      element_at(ws, 2).as("w2"),
+      length(col("text")).as("nchars"),
+      col("text"))
+    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val out = graft.blobl.JqProc(
+      """def norm: ascii_downcase;
+        |{id: .doc_id,
+        | nrm: (.w1 | norm),
+        | wob: ({a: .w1, b: {c: .w2}}
+        |        | walk(if type == "string" then ascii_upcase else . end)),
+        | vrun: (.w1 | match("[aeiou]+") | .string),
+        | voff: (.w1 | match("[aeiou]+") | .offset),
+        | nv: (.w1 | [match("[aeiou]+"; "g")] | length),
+        | nsp: (.text | indices(" ") | length),
+        | csr: (.w1 | explode | map(. + 1) | implode),
+        | ab: ({a: .nchars, b: .doc_id, c: .w1} | delpaths([["c"]]) | .a + .b),
+        | pk: ({x: {y: .doc_id}, z: .w1} | pick(.x.y) | .x.y),
+        | rep: (.doc_id + 1 | [limit(5; repeat(. * 2))] | map(tonumber) | add)}""".stripMargin)(env)
+    out.select(
+        col("doc.id").cast(LongType).as("id"),
+        col("doc.nrm").as("nrm"),
+        col("doc.wob.a").as("wa"),
+        col("doc.wob.b.c").as("wc"),
+        col("doc.vrun").as("vrun"),
+        col("doc.voff").cast(LongType).as("voff"),
+        col("doc.nv").cast(LongType).as("nv"),
+        col("doc.nsp").cast(LongType).as("nsp"),
+        col("doc.csr").as("csr"),
+        col("doc.ab").cast(LongType).as("ab"),
+        col("doc.pk").cast(LongType).as("pk"),
+        col("doc.rep").cast(LongType).as("rep"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_jq_deftail" -> (q178 _),
     "q177_jq_wrap" -> (q177 _),
     "q176_jq_generators" -> (q176 _),
     "q163_error_channel" -> (q163 _),
@@ -259,6 +306,27 @@ object BloblQueries {
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q178_jq_deftail" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS nchars,
+        |  string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, text, nchars, ws[1] AS w1, ws[2] AS w2 FROM d)
+        |SELECT doc_id AS id,
+        | lower(w1) AS nrm,
+        | upper(w1) AS wa,
+        | upper(w2) AS wc,
+        | CASE WHEN regexp_matches(w1, '[aeiou]+')
+        |      THEN regexp_extract(w1, '[aeiou]+') ELSE NULL END AS vrun,
+        | CASE WHEN regexp_matches(w1, '[aeiou]+')
+        |      THEN CAST(strpos(w1, regexp_extract(w1, '[aeiou]+')) - 1 AS BIGINT)
+        |      ELSE NULL END AS voff,
+        | CAST(len(regexp_extract_all(w1, '[aeiou]+')) AS BIGINT) AS nv,
+        | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS nsp,
+        | array_to_string(list_transform(generate_series(1, length(w1)),
+        |   i -> chr(ord(w1[i]) + 1)), '') AS csr,
+        | CAST(nchars + doc_id AS BIGINT) AS ab,
+        | CAST(doc_id AS BIGINT) AS pk,
+        | CAST(31 * (doc_id + 1) AS BIGINT) AS rep
+        |FROM b ORDER BY id""".stripMargin,
     "q177_jq_wrap" ->
       """WITH b AS (SELECT doc_id,
         |  list_filter(string_split(text, ' ')[1:2],

@@ -855,4 +855,118 @@ class JqSpec extends AnyFunSuite {
     assert(run(".xs | any(. > 2)", """{"xs":[1,2,3]}""") == "true")
     assert(run(".xs | all(. > 2)", """{"xs":[1,2,3]}""") == "false")
   }
+
+  test("def: user functions inline — zero-arity, filter params, $ params") {
+    assert(run("def double: . * 2; .n | double", """{"n":5}""") == "10")
+    assert(run("def add2(a; b): a + b; add2(.x; .y)",
+      """{"x":1,"y":2}""") == "3")
+    // $ params bind the value AND expose the filter name (jq manual:
+    // def f($x): E ≡ def f(x): x as $x | E)
+    assert(run("def sq($v): $v * $v; sq(.n)", """{"n":3}""") == "9")
+    assert(run("def f($v): $v + v; f(.n)", """{"n":3}""") == "6")
+    // call-by-name: the param filter re-evaluates against f's input
+    assert(run("def heads(f): map(f); .xs | heads(.a)",
+      """{"xs":[{"a":1},{"a":2}]}""") == "[1,2]")
+    // defs chain (later bodies see earlier defs) and scope in parens
+    assert(run("def inc: . + 1; def inc2: inc | inc; .n | inc2",
+      """{"n":5}""") == "7")
+    assert(run("(def three: 3; three) + .n", """{"n":1}""") == "4")
+    // defs shadow builtins, params shadow defs
+    assert(run("def length: 42; .s | length", """{"s":"abc"}""") == "42")
+    // recursion is a typed error, not a hang
+    val err = intercept[IllegalArgumentException] {
+      run("def f: f; .n | f", """{"n":1}""")
+    }
+    assert(err.getMessage.contains("recursive def"))
+  }
+
+  test("$__loc__, delpaths, pick") {
+    assert(run("$__loc__", """{"n":1}""")
+      == """{"file":"<stdin>","line":1}""")
+    assert(run("""delpaths([["a","b"],["c"]])""",
+      """{"a":{"b":1,"k":2},"c":3,"d":4}""")
+      == """{"a":{"k":2},"d":4}""")
+    assert(run("pick(.a.b, .c)",
+      """{"a":{"b":1,"z":9},"c":2,"d":3}""") == """{"a":{"b":1},"c":2}""")
+  }
+
+  test("match: offsets/lengths in codepoints, captures, g flag") {
+    assert(run(""".s | match("l+") | .offset""", """{"s":"hello"}""") == "2")
+    assert(run(""".s | match("l+") | .string""", """{"s":"hello"}""") == "ll")
+    // codepoint offsets past a non-BMP char (🙂 is 2 UTF-16 units)
+    assert(run(""".s | match("b") | .offset""", """{"s":"a🙂b"}""") == "2")
+    assert(run(""".s | [match("a."; "g") | .string] | join(",")""",
+      """{"s":"axayaz"}""") == "ax,ay,az")
+    assert(run(""".s | match("(?<w>l+)o") | .captures[0].name""",
+      """{"s":"hello"}""") == "w")
+    assert(run(""".s | match("(?<w>l+)o") | .captures[0].offset""",
+      """{"s":"hello"}""") == "2")
+  }
+
+  test("indices: string substring, array element, array subarray") {
+    assert(run(""".s | indices(", ")""", """{"s":"a,b, cd, efg, hij"}""")
+      == "[3,7,12]")
+    assert(run(""".xs | indices(1)""", """{"xs":[0,1,2,1,3,1,4]}""")
+      == "[1,3,5]")
+    assert(run(""".xs | indices([1,2])""",
+      """{"xs":[0,1,2,3,1,4,2,5,1,2,6,7]}""") == "[1,8]")
+    assert(run(""".s | indices("zz")""", """{"s":"abc"}""") == "[]")
+  }
+
+  test("explode/implode: codepoint round-trips") {
+    assert(run(".s | explode", """{"s":"AB"}""") == "[65,66]")
+    assert(run(".cps | implode", """{"cps":[72,105]}""") == "Hi")
+    assert(run(".s | explode | implode", """{"s":"héλ🙂"}""") == "héλ🙂")
+    assert(run(".s | explode | length", """{"s":"a🙂b"}""") == "3")
+  }
+
+  test("walk: bottom-up transform with static type dispatch") {
+    assert(run(
+      """walk(if type == "string" then ascii_downcase else . end)""",
+      """{"a":"FOO","b":{"c":"BAR","n":1},"xs":["X","Y"]}""")
+      == """{"a":"foo","b":{"c":"bar","n":1},"xs":["x","y"]}""")
+    assert(run(
+      """walk(if type == "number" then . + 1 else . end)""",
+      """{"n":1,"b":{"m":2},"xs":[3,4]}""")
+      == """{"b":{"m":3},"n":2,"xs":[4,5]}""" ||
+      run(
+        """walk(if type == "number" then . + 1 else . end)""",
+        """{"n":1,"b":{"m":2},"xs":[3,4]}""")
+        == """{"n":2,"b":{"m":3},"xs":[4,5]}""")
+  }
+
+  test("repeat: bounded generator sliced by limit") {
+    assert(run(".n | limit(4; repeat(. * 2))", """{"n":1}""")
+      == "[1,2,4,8]")
+    assert(run(".n | [limit(3; repeat(. + 10))]",
+      """{"n":0}""") == "[0,10,20]")
+  }
+
+  test("math tail: exp2/exp10/trunc/cbrt/atan2, nan/infinite classifiers") {
+    assert(run(".n | exp2", """{"n":3}""") == "8.0")
+    assert(run(".n | exp10", """{"n":2}""") == "100.0")
+    assert(run(".n | trunc", """{"n":3.7}""") == "3")
+    assert(run(".n | trunc", """{"n":-3.7}""") == "-3")
+    assert(run(".n | cbrt", """{"n":27}""") == "3.0")
+    assert(run("atan2(.y; .x) * 4", """{"y":1,"x":1}""")
+      .startsWith("3.14159"))
+    assert(run(".n | isnan", """{"n":1.5}""") == "false")
+    assert(run("nan | isnan", """{"n":1}""") == "true")
+    assert(run("infinite | isinfinite", """{"n":1}""") == "true")
+    assert(run(".n | isinfinite", """{"n":1.5}""") == "false")
+    assert(run(".n | isnormal", """{"n":1.5}""") == "true")
+    assert(run("infinite > 1e308", """{"n":1}""") == "true")
+    assert(run(".n | logb", """{"n":8}""") == "3.0")
+  }
+
+  test("toarray, @base32/@base32d, halt_error") {
+    assert(run(".n | toarray", """{"n":5}""") == "[5]")
+    assert(run(".xs | toarray", """{"xs":[1,2]}""") == "[1,2]")
+    assert(run(".s | @base32", """{"s":"hi"}""") == "NBUQ====")
+    assert(run(".s | @base32 | @base32d", """{"s":"hello-32"}""")
+      == "hello-32")
+    // halt_error rides the error channel: catchable like error(msg)
+    assert(run("""(.s | halt_error)? // "caught"""", """{"s":"boom"}""")
+      == "caught")
+  }
 }
