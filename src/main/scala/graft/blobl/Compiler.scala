@@ -1728,6 +1728,22 @@ object Compiler {
       case "str_implode" =>
         TC(graft.exprs.JqStrings.implodeCol(
           t.col.cast(ArrayType(LongType))), Some(StringType))
+      case "combinations" =>
+        // jq combinations: cartesian product of the input's inner arrays
+        // ([[1,2],[3,4]] → [1,3],[1,4],[2,3],[2,4]), collected. ONE
+        // aggregate over the outer array — acc starts as the single
+        // empty combination (so [] yields [[]], the empty product, as
+        // jq does) and each inner array multiplies it out; the typed
+        // empty partial comes from slicing the flattened input.
+        t.tpe match {
+          case Some(ArrayType(ArrayType(_, _), _)) =>
+            val emptyCombo = slice(flatten(t.col), lit(1), lit(0))
+            TC(aggregate(t.col, array(emptyCombo),
+              (acc, arr) => flatten(transform(acc,
+                p => transform(arr, e => concat(p, array(e)))))), t.tpe)
+          case o => throw CompileError(
+            s"combinations: array-of-arrays input required, got $o")
+        }
       case "jq_base32" =>
         // gojq @base32 (RFC 4648 + padding) — a jq-only scheme; the
         // reference encode processor is exactly base64/hex/ascii85/z85

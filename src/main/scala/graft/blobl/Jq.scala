@@ -731,7 +731,7 @@ object Jq {
             case MethodCall(_,
               "recurse_values" | "recurse_apply" | "iterate_while" |
               "json_paths" | "fold_scan" | "re_split" | "re_scan" |
-              "repeat_apply" | "jq_match", _) => true
+              "repeat_apply" | "jq_match" | "combinations", _) => true
             case FnCall("range", _) => true
             case MatchExpr(_, List((None, r))) => collectedGen(r)
             case _ => false
@@ -1526,6 +1526,11 @@ object Jq {
         case "toarray" =>
           // jq 1.7.1: array unchanged, anything else wraps as [.]
           MethodCall(This, "to_array", Nil)
+        case "combinations" =>
+          // combinations: cartesian product of the input's inner arrays,
+          // collected (jq emits one array per combination)
+          if (collectGen) collectSawGen = true
+          MethodCall(This, "combinations", Nil)
         case "todateiso8601" =>
           MethodCall(This, "format_timestamp", List(LitString("2006-01-02T15:04:05Z")))
         case "fromdateiso8601" => MethodCall(This, "parse_timestamp_unix", Nil)

@@ -519,6 +519,59 @@ object OpsQueries {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** q179: FULL-outer stream-stream interval join — the both-sides
+    * eviction shape q174's left-outer doesn't exercise: unmatched
+    * PURCHASES also emit their null-click rows on state eviction, with
+    * a DIFFERENT cutoff than clicks (asymmetric, from the interval
+    * condition): a click holds state until the watermark passes
+    * click_ts + 1 h (future purchases up to an hour later could still
+    * match), while a purchase only awaits clicks with click_ts ≤
+    * purchase_ts, so it evicts as soon as the watermark passes
+    * purchase_ts itself. The oracle applies both cutoffs against the
+    * final watermark min(max click_ts, max purchase_ts) − 30 min;
+    * matched rows always emit (strict `<` on both boundaries —
+    * confirmed, the q174 adjudication). */
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = stagedEventsByTimeSrc(s, dir)
+    val sink = Files.createTempDirectory("graft_q179_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q179_ckpt").toString
+    val schema = s.read.parquet(src).schema
+    withStateParts(s) { ss =>
+      def stream() = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+      val clicks = stream()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val purchases = stream()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+        .select(
+          coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+          col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_epoch"),
+          col("purchase_id"),
+          unix_timestamp(col("purchase_ts")).as("purchase_epoch"))
+      val q = joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sink)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** q175: checkpoint RECOVERY — the production-critical property the
     * other streaming gates never exercise: a stateful query STOPPED
     * mid-stream and RESTARTED from the same checkpoint must continue
@@ -676,6 +729,7 @@ object OpsQueries {
     "q172_stream_stream_join" -> (q172 _),
     "q174_stream_outer_join" -> (q174 _),
     "q175_stream_ckpt_recovery" -> (q175 _),
+    "q179_stream_full_outer" -> (q179 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -773,6 +827,28 @@ object OpsQueries {
     // UNMATCHED click emits (null purchase) only once the final global
     // watermark — min(max click ts, max purchase ts) − 30 min — has
     // passed the end of its match window (click_ts + 1 h)
+    "q179_stream_full_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     wm AS (SELECT least((SELECT max(click_ts) FROM c),
+        |                         (SELECT max(purchase_ts) FROM p))
+        |                   - INTERVAL 30 MINUTE AS w)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id, c.click_id,
+        |       CAST(floor(epoch(c.click_ts)) AS BIGINT) AS click_epoch,
+        |       p.purchase_id,
+        |       CAST(floor(epoch(p.purchase_ts)) AS BIGINT) AS purchase_epoch
+        |FROM c FULL JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        |WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+        |   OR (p.purchase_id IS NULL
+        |       AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
+        |   OR (c.click_id IS NULL
+        |       AND p.purchase_ts < (SELECT w FROM wm))
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     "q174_stream_outer_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
         |           FROM events WHERE event_type = 'click'),

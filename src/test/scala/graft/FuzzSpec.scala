@@ -288,6 +288,62 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("jq walk and user defs match a reference on random nested docs (r9)") {
+    // walk(f)'s static type-dispatch folding and def inlining,
+    // cross-checked against a recursive Scala transform on random
+    // {strings, numbers, nested object, number array} docs. JSON
+    // inference sorts keys, so the reference renders sorted too.
+    lazy val spark = Sessions.builder("4").getOrCreate()
+    import org.apache.spark.sql.functions._
+    import graft.model.Envelope
+    import graft.blobl.JqProc
+    val rnd = new scala.util.Random(1618033)
+    def runOne(q: String, doc: String): String = {
+      import spark.implicits._
+      val df = spark.read.json(spark.createDataset(scala.Seq(doc)))
+      val out = JqProc(q)(Envelope.wrapUnordered(df))
+      val docCol = out.schema(Envelope.Doc).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType =>
+          to_json(col(Envelope.Doc))
+        case _ => col(Envelope.Doc).cast("string")
+      }
+      out.select(docCol).head().getString(0)
+    }
+    def word(): String = scala.Seq.fill(2 + rnd.nextInt(5))(
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 15).foreach { _ =>
+      val s1 = word(); val s2 = word()
+      val n1 = rnd.nextInt(90); val n2 = rnd.nextInt(90)
+      val xs = scala.Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(50))
+      val a = 1 + rnd.nextInt(5); val b = rnd.nextInt(9)
+      val doc = s"""{"s":"$s1","n":$n1,"o":{"t":"$s2","m":$n2},""" +
+        s""""xs":${xs.mkString("[", ",", "]")}}"""
+      // walk uppercases every string at every depth
+      assert(runOne(
+        """walk(if type == "string" then ascii_upcase else . end)""",
+        doc) ==
+        s"""{"n":$n1,"o":{"m":$n2,"t":"${s2.toUpperCase}"},""" +
+          s""""s":"${s1.toUpperCase}","xs":${xs.mkString("[", ",", "]")}}""",
+        s"walk-str $doc")
+      // walk maps every number, incl. array elements, at every depth
+      assert(runOne(
+        s"""walk(if type == "number" then . * $a + $b else . end)""",
+        doc) ==
+        s"""{"n":${n1 * a + b},"o":{"m":${n2 * a + b},"t":"$s2"},""" +
+          s""""s":"$s1","xs":${xs.map(_ * a + b)
+            .mkString("[", ",", "]")}}""",
+        s"walk-num a=$a b=$b $doc")
+      // def inlining: zero-arity, filter param over a generator, $ param
+      assert(runOne(s"def f: . * $a + $b; .n | f", doc) ==
+        (n1 * a + b).toString, s"def0 $doc")
+      assert(runOne(s"def m(g): [.xs[] | g]; m(. + $b)", doc) ==
+        xs.map(_ + b).mkString("[", ",", "]"), s"defg $doc")
+      assert(runOne(s"def p($$v): $$v * $a; p(.o.m) + p(.n)", doc) ==
+        (n2 * a + n1 * a).toString, s"defv $doc")
+    }
+  }
+
   test("deeply nested expressions fail gracefully, not with stack overflow") {
     // kilo-deep parens/paths — a recursive-descent parser either parses
     // them or reports a bounded error

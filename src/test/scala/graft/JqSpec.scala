@@ -959,6 +959,15 @@ class JqSpec extends AnyFunSuite {
     assert(run(".n | logb", """{"n":8}""") == "3.0")
   }
 
+  test("combinations: cartesian of inner arrays") {
+    assert(run("[.xss | combinations]", """{"xss":[[1,2],[3,4]]}""")
+      == "[[1,3],[1,4],[2,3],[2,4]]")
+    assert(run(".xss | combinations | length",
+      """{"xss":[[1,2],[3,4],[5]]}""") == "4")
+    assert(run("[.xss | combinations]", """{"xss":[[1,2],[],[5]]}""")
+      == "[]")
+  }
+
   test("toarray, @base32/@base32d, halt_error") {
     assert(run(".n | toarray", """{"n":5}""") == "[5]")
     assert(run(".xs | toarray", """{"xs":[1,2]}""") == "[1,2]")
