@@ -984,6 +984,37 @@ object Compiler {
         // x / 2^logb(x): sign preserved, |m| in [1,2); significand(0)=0
         TC(when(t.col === 0, lit(0d)).otherwise(
           t.col / pow(lit(2d), floor(log2(abs(t.col))))), Some(DoubleType))
+      case "expm1" => TC(expm1(t.col), Some(DoubleType))
+      case "log1p" => TC(log1p(t.col), Some(DoubleType))
+      // gamma family + the exotic two/three-arg libm tail: cold jq
+      // surface, exact-semantics UDFs (graft.exprs.JqMath) — the JVM
+      // has no libm gamma, and C fmin/drem/copysign NaN/zero-sign
+      // edges aren't worth a when()-chain in a never-hot path
+      case "lgamma" => TC(graft.exprs.JqMath.lgamma(t.col.cast(DoubleType)),
+        Some(DoubleType))
+      case "tgamma" => TC(graft.exprs.JqMath.tgamma(t.col.cast(DoubleType)),
+        Some(DoubleType))
+      case "frexp" => TC(graft.exprs.JqMath.frexp(t.col.cast(DoubleType)),
+        Some(ArrayType(DoubleType)))
+      case "modf" => TC(graft.exprs.JqMath.modf(t.col.cast(DoubleType)),
+        Some(ArrayType(DoubleType)))
+      case "drem" => TC(graft.exprs.JqMath.dremU(t.col.cast(DoubleType),
+        c(0).col.cast(DoubleType)), Some(DoubleType))
+      case "ldexp" => TC(graft.exprs.JqMath.ldexpU(t.col.cast(DoubleType),
+        c(0).col.cast(DoubleType)), Some(DoubleType))
+      case "nextafter" => TC(graft.exprs.JqMath.nextafterU(
+        t.col.cast(DoubleType), c(0).col.cast(DoubleType)), Some(DoubleType))
+      case "copysign" => TC(graft.exprs.JqMath.copysignU(
+        t.col.cast(DoubleType), c(0).col.cast(DoubleType)), Some(DoubleType))
+      case "fmin" => TC(graft.exprs.JqMath.fminU(t.col.cast(DoubleType),
+        c(0).col.cast(DoubleType)), Some(DoubleType))
+      case "fmax" => TC(graft.exprs.JqMath.fmaxU(t.col.cast(DoubleType),
+        c(0).col.cast(DoubleType)), Some(DoubleType))
+      case "fdim" => TC(graft.exprs.JqMath.fdimU(t.col.cast(DoubleType),
+        c(0).col.cast(DoubleType)), Some(DoubleType))
+      case "fma" => TC(graft.exprs.JqMath.fmaU(t.col.cast(DoubleType),
+        c(0).col.cast(DoubleType), c(1).col.cast(DoubleType)),
+        Some(DoubleType))
       case "is_nan" =>
         // NOT `. != .`: Spark treats NaN as equal to NaN
         TC(isnan(t.col.cast(DoubleType)), Some(BooleanType))

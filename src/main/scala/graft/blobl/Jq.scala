@@ -31,10 +31,19 @@ import Ast._
   * `explode`/`implode`, `delpaths`, `pick` (jq 1.7, field paths),
   * `repeat(f)` (bounded like until/while; `limit(n; repeat(f))` slices),
   * `toarray`, `todateiso8601`/`fromdateiso8601`, `isnan`/`isinfinite`/
-  * `isnormal`/`infinite`/`nan`, the C-math tail (`sin`..`tanh`, `cbrt`,
-  * `exp2`/`exp10`, `trunc`, `rint`/`nearbyint`, `logb`, `significand`,
-  * `atan2(y;x)`), `@base32`/`@base32d`, `$__loc__`, `halt`/`halt_error`,
-  * scientific-notation number literals) — by
+  * `isnormal`/`infinite`/`nan`, the FULL C-math tail (`sin`..`tanh`,
+  * `cbrt`, `exp2`/`exp10`/`pow10`, `trunc`, `rint`/`nearbyint`, `logb`,
+  * `significand`, `expm1`/`log1p`, `gamma`/`lgamma`/`lgamma_r`/`tgamma`
+  * (Lanczos), `frexp`/`modf`, `atan2(y;x)`, `drem`, `ldexp`/`scalb`/
+  * `scalbln`, `nextafter`/`nexttoward`, `copysign`, `fmin`/`fmax`/
+  * `fdim`, `fma`), `nth(n)`/`nth(n; g)`, `localtime`/`strflocaltime`
+  * (UTC session — ≡ gmtime/strftime, documented), `stderr`,
+  * `input_line_number` (0 — no input iterator, matching the reference's
+  * gojq compile options), `$metadata` (the part metadata variable,
+  * jq.go:114-116), `@base32`/`@base32d`, `$__loc__`,
+  * `halt`/`halt_error`, scientific-notation number literals;
+  * `input`/`inputs` are a translate-time typed error — the reference
+  * compiles gojq without WithInputIter, so they fail there too — by
   * translating onto the
   * Bloblang AST, so the query compiles to Catalyst Columns with no jq
   * runtime. Path update-assignment is supported on ident paths with
@@ -1176,7 +1185,23 @@ object Jq {
           MethodCall(This, "parse_timestamp_strptime", List(arg()))
         case "mktime" => MethodCall(This, "format_timestamp_unix", Nil)
         case "gmtime" => This
+        // the session timezone is pinned UTC, so local time IS gmtime;
+        // divergence from a TZ-set jq process is documented, not silent
+        case "localtime" => This
+        case "strflocaltime" =>
+          MethodCall(This, "format_timestamp_strftime", List(arg()))
         case "debug" => This // identity; the reference logs to stderr
+        case "stderr" => This // identity; the reference writes to stderr
+        case "input" | "inputs" =>
+          // the reference compiles gojq WITHOUT an input iterator
+          // (jq.go:114-116 — jqCompileOptions has no WithInputIter), so
+          // input/inputs error at runtime there; surface it at
+          // translate time instead of silently emitting nothing
+          throw new IllegalArgumentException(
+            "jq: input/inputs is not available — the jq processor runs " +
+              "one document per part with no input iterator " +
+              "(lib/processor/jq.go compiles gojq without WithInputIter)")
+        case "input_line_number" => LitLong(0) // gojq: 0 without an iterator
         case "min_by" =>
           IndexOp(MethodCall(This, "sort_by", List(Lambda("x", arg()))), LitLong(0))
         case "max_by" =>
@@ -1523,6 +1548,55 @@ object Jq {
           val x = parsePipe()
           eat(')')
           MethodCall(y, "atan2", List(x))
+        case "expm1" | "log1p" | "gamma" | "lgamma" | "lgamma_r" |
+            "tgamma" | "frexp" | "modf" | "pow10" =>
+          // rest of the libm 0-arity tail (gojq math.go): `gamma` and
+          // `lgamma_r` are lgamma aliases (log|Γ|, the libm tradition
+          // jq inherits); pow10 ≡ exp10; frexp/modf return two-element
+          // arrays ([mantissa, exp] / [frac, int])
+          MethodCall(This, name match {
+            case "gamma" | "lgamma_r" => "lgamma"
+            case "pow10" => "exp10"
+            case n => n
+          }, Nil)
+        case "drem" | "ldexp" | "scalb" | "scalbln" | "nextafter" |
+            "nexttoward" | "copysign" | "fmin" | "fmax" | "fdim" =>
+          // two-arg libm tail — C argument order like atan2; scalb(ln)
+          // ≡ ldexp and nexttoward ≡ nextafter at double precision
+          eat('(')
+          genLocked = true
+          val a = parsePipe()
+          ws(); eat(';'); ws()
+          val b = parsePipe()
+          eat(')')
+          MethodCall(a, name match {
+            case "scalb" | "scalbln" => "ldexp"
+            case "nexttoward" => "nextafter"
+            case n => n
+          }, List(b))
+        case "fma" =>
+          // fma(a; b; c) = a*b + c, fused (Math.fma)
+          eat('(')
+          genLocked = true
+          val a = parsePipe()
+          ws(); eat(';'); ws()
+          val b = parsePipe()
+          ws(); eat(';'); ws()
+          val cc = parsePipe()
+          eat(')')
+          MethodCall(a, "fma", List(b, cc))
+        case "nth" =>
+          // nth(n) ≡ .[n]; nth(n; g) indexes the collected generator
+          // stream (like first/last, a short stream yields null where
+          // jq yields empty — the standing collected-form divergence)
+          eat('(')
+          genLocked = true
+          val n0 = parsePipe()
+          ws()
+          val r = if (tryEat(";")) { ws(); IndexOp(collected(parsePipe()), n0) }
+          else IndexOp(This, n0)
+          eat(')')
+          r
         case "toarray" =>
           // jq 1.7.1: array unchanged, anything else wraps as [.]
           MethodCall(This, "to_array", Nil)
@@ -1601,7 +1675,11 @@ final case class JqProc(query: String, raw: Boolean = false,
     // `raw: true` (JQConfig.Raw, jq.go getPartValue): `.` is the part's
     // raw CONTENT string, not the parsed document
     def baseCtx(frame: org.apache.spark.sql.DataFrame): Ctx = {
-      val c = Mapping.envelopeCtx(frame)
+      // `$metadata` is bound to the part's metadata object, exactly the
+      // reference's gojq variable (jq.go:114-116 WithVariables +
+      // :210-213 code.Run(in, metadata))
+      val c = Mapping.envelopeCtx(frame).withVar("$metadata",
+        TC(col(Meta), Some(frame.schema(Meta).dataType)))
       if (raw) c.copy(thisTC = TC(col(Content).cast(
         org.apache.spark.sql.types.StringType),
         Some(org.apache.spark.sql.types.StringType)))

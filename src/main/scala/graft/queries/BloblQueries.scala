@@ -293,7 +293,52 @@ object BloblQueries {
       .orderBy(col("id"))
   }
 
+  /** q180: the jq C-math tail + nth under an oracle — gamma family
+    * (DuckDB has native gamma/lgamma to check the Lanczos
+    * approximation), expm1/log1p, ldexp, copysign, fmin/fmax/fdim,
+    * fma, modf, nth(n) and nth(n; g). Floats round(2) on both sides
+    * (the standing float-compare rule). */
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("nchars"),
+      col("text"))
+    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val out = graft.blobl.JqProc(
+      """{id: .doc_id,
+        | lg: (.nchars | lgamma),
+        | tg: ((.doc_id % 6) + 2 | tgamma),
+        | e1: (.nchars | log1p),
+        | x1: ((.doc_id % 5) | expm1),
+        | ld: ldexp(.doc_id % 7; 3),
+        | cs: copysign(.nchars; -1),
+        | fm: fmin(.nchars; .doc_id),
+        | fx: fmax(.nchars; .doc_id),
+        | fd: fdim(.nchars; .doc_id),
+        | fa: fma(.doc_id % 10; 3; 1),
+        | md: (.nchars / 2.5 | modf | .[1]),
+        | nt: (.text | split(" ") | nth(1)),
+        | ng: nth(0; .text | split(" ") | .[] | ascii_upcase)}""".stripMargin)(env)
+    out.select(
+        col("doc.id").cast(LongType).as("id"),
+        round(col("doc.lg"), 2).as("lg"),
+        round(col("doc.tg"), 2).as("tg"),
+        round(col("doc.e1"), 2).as("e1"),
+        round(col("doc.x1"), 2).as("x1"),
+        round(col("doc.ld"), 2).as("ld"),
+        round(col("doc.cs"), 2).as("cs"),
+        round(col("doc.fm"), 2).as("fm"),
+        round(col("doc.fx"), 2).as("fx"),
+        round(col("doc.fd"), 2).as("fd"),
+        round(col("doc.fa"), 2).as("fa"),
+        round(col("doc.md"), 2).as("md"),
+        col("doc.nt").as("nt"),
+        col("doc.ng").as("ng"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_jq_mathtail" -> (q180 _),
     "q178_jq_deftail" -> (q178 _),
     "q177_jq_wrap" -> (q177 _),
     "q176_jq_generators" -> (q176 _),
@@ -306,6 +351,25 @@ object BloblQueries {
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q180_jq_mathtail" ->
+      """WITH b AS (SELECT doc_id, length(text) AS nchars, text
+        |FROM documents)
+        |SELECT doc_id AS id,
+        | round(lgamma(nchars), 2) AS lg,
+        | round(gamma((doc_id % 6) + 2), 2) AS tg,
+        | round(ln(1 + nchars), 2) AS e1,
+        | round(exp(doc_id % 5) - 1, 2) AS x1,
+        | round((doc_id % 7) * 8.0, 2) AS ld,
+        | round(-nchars, 2) AS cs,
+        | round(least(nchars, doc_id) * 1.0, 2) AS fm,
+        | round(greatest(nchars, doc_id) * 1.0, 2) AS fx,
+        | round(CASE WHEN nchars > doc_id THEN nchars - doc_id
+        |            ELSE 0 END * 1.0, 2) AS fd,
+        | round((doc_id % 10) * 3.0 + 1, 2) AS fa,
+        | round(trunc(nchars / 2.5), 2) AS md,
+        | string_split(text, ' ')[2] AS nt,
+        | upper(string_split(text, ' ')[1]) AS ng
+        |FROM b ORDER BY id""".stripMargin,
     "q178_jq_deftail" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS nchars,
         |  string_split(text, ' ') AS ws FROM documents),

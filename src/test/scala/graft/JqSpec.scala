@@ -968,6 +968,61 @@ class JqSpec extends AnyFunSuite {
       == "[]")
   }
 
+  test("math tail r9: gamma family, frexp/modf, two-arg libm, fma") {
+    assert(run(".n | expm1", """{"n":0}""") == "0.0")
+    assert(run(".n | log1p", """{"n":0}""") == "0.0")
+    // Γ(5) = 24; gamma ≡ lgamma (log|Γ|) per libm tradition
+    assert(run(".n | tgamma | round", """{"n":5}""") == "24")
+    assert(run(".n | gamma | exp | round", """{"n":5}""") == "24")
+    assert(run(".n | lgamma", """{"n":1}""") == "0.0")
+    assert(run(".n | frexp", """{"n":10}""") == "[0.625,4.0]")
+    assert(run(".n | frexp", """{"n":0}""") == "[0.0,0.0]")
+    assert(run(".n | modf", """{"n":10.5}""") == "[0.5,10.0]")
+    assert(run(".n | modf", """{"n":-3.25}""") == "[-0.25,-3.0]")
+    assert(run("drem(.a; .b)", """{"a":5,"b":3}""") == "-1.0")
+    assert(run("ldexp(.a; .b)", """{"a":3,"b":2}""") == "12.0")
+    assert(run("scalb(.a; .b)", """{"a":1,"b":10}""") == "1024.0")
+    assert(run("nextafter(.a; .b)", """{"a":1,"b":2}""")
+      == "1.0000000000000002")
+    assert(run("copysign(.a; .b)", """{"a":3,"b":-1}""") == "-3.0")
+    assert(run("fmin(.a; .b)", """{"a":3,"b":-1}""") == "-1.0")
+    assert(run("fmax(.a; nan)", """{"a":3}""") == "3.0") // C fmin/fmax skip NaN
+    assert(run("fdim(.a; .b)", """{"a":5,"b":3}""") == "2.0")
+    assert(run("fdim(.b; .a)", """{"a":5,"b":3}""") == "0.0")
+    assert(run("fma(.a; .b; .c)", """{"a":2,"b":3,"c":4}""") == "10.0")
+    assert(run(".n | pow10", """{"n":3}""") == "1000.0")
+  }
+
+  test("nth, localtime/strflocaltime, stderr, input_line_number") {
+    assert(run(".xs | nth(1)", """{"xs":[10,20,30]}""") == "20")
+    assert(run("nth(2; .xs[] | . * 10)", """{"xs":[1,2,3]}""") == "30")
+    // UTC session: localtime ≡ gmtime, strflocaltime ≡ strftime
+    assert(run(""".t | localtime | strflocaltime("%Y-%m-%d")""",
+      """{"t":86400}""") == "1970-01-02")
+    assert(run(".n | stderr", """{"n":7}""") == "7")
+    assert(run("input_line_number", """{"n":1}""") == "0")
+    // input/inputs: typed error (the reference's gojq compiles without
+    // an input iterator — jq.go:114-116)
+    val e = intercept[IllegalArgumentException] {
+      run("[inputs]", """{"n":1}""")
+    }
+    assert(e.getMessage.contains("input iterator"))
+  }
+
+  test("$metadata: the reference's part-metadata variable") {
+    import org.apache.spark.sql.types.StringType
+    val env0 = Envelope.wrapUnordered(jdf("""{"n":7}"""))
+    val env = env0.withColumn(Envelope.Meta,
+      map(lit("topic"), lit("alpha"), lit("src"), lit("k1")))
+    val out = JqProc("""{n: .n, t: $metadata.topic, s: $metadata.src}""")(env)
+    assert(out.select(to_json(col(Envelope.Doc))).head().getString(0)
+      == """{"n":7,"t":"alpha","s":"k1"}""")
+    // whole-object form
+    val out2 = JqProc("""$metadata | length""")(env)
+    assert(out2.select(col(Envelope.Doc).cast(StringType)).head().getString(0)
+      == "2")
+  }
+
   test("toarray, @base32/@base32d, halt_error") {
     assert(run(".n | toarray", """{"n":5}""") == "[5]")
     assert(run(".xs | toarray", """{"xs":[1,2]}""") == "[1,2]")
