@@ -629,6 +629,43 @@ object OpsQueries {
     s.read.parquet(sink).orderBy(col("bucket"))
   }
 
+  /** SESSION-WINDOW aggregation as a watermarked APPEND stream — the
+    * one stateful-aggregation shape q166–q179 don't cover: dynamic-gap
+    * `session_window(ts, 6 hours)` per user over the chronological
+    * 4-file source. Spark merges overlapping per-event windows
+    * [ts, ts+gap) into sessions (a session breaks when the next event
+    * is ≥ gap after the previous one) and emits a session only once
+    * the event-time watermark passes its end (last event ts + gap) —
+    * state holds open sessions only, the unbounded-stream scale shape.
+    * Sessions still open at end-of-stream are withheld by definition;
+    * the oracle is the batch gaps-and-islands rollup with the same
+    * cutoff (session end ≤ max ts − 30 min). */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = stagedEventsByTimeSrc(s, dir)
+    val sink = Files.createTempDirectory("graft_q181_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q181_ckpt").toString
+    withStateParts(s) { ss =>
+      val stream = ss.readStream.schema(ss.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val agg = stream
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("sess_start"),
+          unix_timestamp(col("session_window.end")).as("sess_end"),
+          col("n"), col("sum_value"))
+      val q = agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sink).orderBy(col("user_id"), col("sess_start"))
+  }
+
   /** merge_json: deep-merge 50-row batches — scalar leaves collect into
     * seq-ordered arrays (rendered as joined strings for the oracle). */
   def q38(s: SparkSession, dir: String): DataFrame = {
@@ -730,6 +767,7 @@ object OpsQueries {
     "q174_stream_outer_join" -> (q174 _),
     "q175_stream_ckpt_recovery" -> (q175 _),
     "q179_stream_full_outer" -> (q179 _),
+    "q181_stream_session" -> (q181 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -801,6 +839,29 @@ object OpsQueries {
         |FROM events GROUP BY 1
         |HAVING bucket + 3600 <= (SELECT epoch(max(ts)) - 1800 FROM events)
         |ORDER BY bucket""".stripMargin,
+    // streaming session windows: batch gaps-and-islands (a session
+    // breaks when the next event is >= 6 h after the previous), with
+    // the append-mode cutoff — only sessions the final watermark
+    // (max ts - 30 min) has closed are ever emitted
+    "q181_stream_session" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts >= lag(ts) OVER w + INTERVAL 6 HOUR
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |i AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+        |sess AS (SELECT user_id, sid,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  CAST(floor(epoch(max(ts))) + 21600 AS BIGINT) AS sess_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, sess_start, sess_end, n, sum_value FROM sess
+        |WHERE sess_end <= (SELECT CAST(epoch(max(ts)) AS BIGINT) - 1800
+        |                   FROM events)
+        |ORDER BY user_id, sess_start""".stripMargin,
     // stop/restart from the same checkpoint == the uninterrupted run:
     // q170's oracle verbatim (exactly-once state continuation)
     "q175_stream_ckpt_recovery" ->
