@@ -274,16 +274,24 @@ object Jq {
       * start of any pipe expression (so `(def f: …; expr)` scopes
       * naturally); visibility is forward-global per program, and
       * redefinition (incl. shadowing a builtin) takes the latest —
-      * jq's lexical-from-here-on scope, minus nested shadow restore.
-      * Boundaries (typed errors): RECURSIVE defs can't unfold into a
-      * static per-row plan, and def bodies are expressions — a bare
-      * row-generator body (`def f: .xs[];`) hits the standing
-      * generators-only-in-top-level-stages error. */
+      * jq's lexical-from-here-on scope, minus nested shadow restore
+      * (a self-reference inside a redefinition resolves to the
+      * PREVIOUS def, jq's behavior). SELF-recursive defs unfold inline
+      * up to a depth cap ([[RecDefDepthCap]], cumulative node budget
+      * for multi-self-call bodies) — exact for recursions that
+      * terminate within it; past it the call compiles to an
+      * error-channel throw, the recurse/until posture. Boundary
+      * (typed error): a bare row-generator body (`def f: .xs[];`)
+      * hits the standing generators-only-in-top-level-stages error. */
     private val defs =
       scala.collection.mutable.Map[String, (List[String], Expr)]()
     private val defStack = scala.collection.mutable.Set[String]()
+    // arity of the def(s) currently being parsed, so a SELF-call site
+    // inside the body knows how many arguments to consume
+    private val defSig = scala.collection.mutable.Map[String, List[String]]()
     private var paramScope: Set[String] = Set.empty
     private[blobl] def defParamMarker(n: String): String = "$__defp_" + n
+    private def selfMarker(n: String): String = "__jq_self__" + n
 
     private def parseDef(): Unit = {
       ws()
@@ -307,41 +315,151 @@ object Jq {
       val savedScope = paramScope
       paramScope = paramScope ++ params.map(_.stripPrefix("$"))
       defStack += name
+      defSig(name) = params.toList
       val body =
         try parsePipe()
         finally {
           inTop = savedTop; genLocked = savedLock
-          paramScope = savedScope; defStack -= name
+          paramScope = savedScope; defStack -= name; defSig -= name
         }
       eat(';')
       defs(name) = (params.toList, body)
     }
 
-    /** Inline a user def at its call site: parse `(a1; a2)` argument
-      * expressions (in the CALLER's scope) and substitute them for the
-      * body's parameter placeholders. */
-    private def callDef(name: String): Expr = {
-      val (params, body) = defs(name)
-      val args: List[Expr] =
-        if (params.isEmpty) Nil
-        else {
-          eat('(')
-          val savedLock = genLocked; genLocked = true
-          val as = scala.collection.mutable.ListBuffer(parsePipe())
-          ws()
-          while (peek == ';') { i += 1; as += parsePipe(); ws() }
-          eat(')')
-          genLocked = savedLock
-          require(as.length == params.length,
-            s"jq: $name expects ${params.length} argument(s), got ${as.length}")
-          as.toList
-        }
-      val m = params.zip(args).flatMap { case (p, a) =>
+    /** Depth cap for SELF-recursive defs: the body unfolds inline this
+      * many times (each level is exact macro expansion); a call still
+      * live past the cap compiles to an error-channel throw — the same
+      * bounded posture as recurse/until/while. The node budget stops a
+      * multi-self-call body (fib-shaped, 2^depth nodes) from exploding
+      * the plan before the depth cap is reached. */
+    private val RecDefDepthCap = 16
+    private val RecDefNodeBudget = 60000
+
+    private def countNodes(e: Expr): Int = e match {
+      case Field(b, _) => 1 + countNodes(b)
+      case IndexOp(b, ix) => 1 + countNodes(b) + countNodes(ix)
+      case MethodCall(t, _, as) => 1 + countNodes(t) + as.map(countNodes).sum
+      case FnCall(_, as) => 1 + as.map(countNodes).sum
+      case BinOp(_, l, r) => 1 + countNodes(l) + countNodes(r)
+      case Not(x) => 1 + countNodes(x)
+      case Neg(x) => 1 + countNodes(x)
+      case IfExpr(bs, oe) => 1 + bs.map { case (c, b) =>
+        countNodes(c) + countNodes(b) }.sum + oe.map(countNodes).getOrElse(0)
+      case MatchExpr(t, cs) => 1 + countNodes(t) + cs.map { case (p, v) =>
+        p.map(countNodes).getOrElse(0) + countNodes(v) }.sum
+      case Lambda(_, b) => 1 + countNodes(b)
+      case LitArray(xs) => 1 + xs.map(countNodes).sum
+      case LitObject(fs) => 1 + fs.map { case (k, v) =>
+        countNodes(k) + countNodes(v) }.sum
+      case SetPath(_, v) => 1 + countNodes(v)
+      case _ => 1
+    }
+
+    /** Replace every self-call marker `FnCall(selfMarker(name), args)`
+      * with `f(args)` — one level only (no recursion into the
+      * replacement; `expand` drives the levels). */
+    private def rewriteSelf(e: Expr, name: String,
+        f: List[Expr] => Expr): Expr = e match {
+      case FnCall(n, as) if n == selfMarker(name) => f(as)
+      case Field(b, fn) => Field(rewriteSelf(b, name, f), fn)
+      case IndexOp(b, ix) =>
+        IndexOp(rewriteSelf(b, name, f), rewriteSelf(ix, name, f))
+      case MethodCall(t, n, as) =>
+        MethodCall(rewriteSelf(t, name, f), n, as.map {
+          case Lambda(p, b) => Lambda(p, rewriteSelf(b, name, f))
+          case a => rewriteSelf(a, name, f)
+        })
+      case FnCall(n, as) => FnCall(n, as.map(rewriteSelf(_, name, f)))
+      case BinOp(o, l, r) =>
+        BinOp(o, rewriteSelf(l, name, f), rewriteSelf(r, name, f))
+      case Not(x) => Not(rewriteSelf(x, name, f))
+      case Neg(x) => Neg(rewriteSelf(x, name, f))
+      case IfExpr(bs, oe) =>
+        IfExpr(bs.map { case (c, b) =>
+          (rewriteSelf(c, name, f), rewriteSelf(b, name, f)) },
+          oe.map(rewriteSelf(_, name, f)))
+      case MatchExpr(t, cs) =>
+        MatchExpr(rewriteSelf(t, name, f),
+          cs.map { case (p, v) =>
+            (p.map(rewriteSelf(_, name, f)), rewriteSelf(v, name, f)) })
+      case Lambda(p, b) => Lambda(p, rewriteSelf(b, name, f))
+      case LitArray(xs) => LitArray(xs.map(rewriteSelf(_, name, f)))
+      case LitObject(fs) => LitObject(fs.map { case (k, v) =>
+        (rewriteSelf(k, name, f), rewriteSelf(v, name, f)) })
+      case SetPath(p, v) => SetPath(p, rewriteSelf(v, name, f))
+      case other => other
+    }
+
+    private def defParamMap(name: String, params: List[String],
+        args: List[Expr]): Map[String, Expr] = {
+      require(args.length == params.length,
+        s"jq: $name expects ${params.length} argument(s), got ${args.length}")
+      params.zip(args).flatMap { case (p, a) =>
         if (p.startsWith("$"))
           List(p -> a, defParamMarker(p.stripPrefix("$")) -> a)
         else List(defParamMarker(p) -> a)
       }.toMap
-      if (m.isEmpty) body else substVars(body, m)
+    }
+
+    /** Unfold a (possibly self-recursive) def body BREADTH-FIRST: every
+      * surviving self-call expands one level per pass, so the depth cap
+      * and node budget cut the tree at a UNIFORM depth (a depth-first
+      * walk with a global budget would let the first branch starve a
+      * shallow sibling — fib's `(. - 2 | fib)` at depth 1 must not
+      * become the throw while `(. - 1 | …)` unfolds to the cap). Calls
+      * still live past the cut compile to an error-channel throw —
+      * catchable, the recurse/until posture. */
+    private def expandDef(name: String, params: List[String], body: Expr,
+        args: List[Expr]): Expr = {
+      val bodySize = countNodes(body)
+      var selfPerBody = 0
+      rewriteSelf(body, name, as => {
+        selfPerBody += 1; FnCall(selfMarker(name), as)
+      })
+      var tree: Expr = FnCall(selfMarker(name), args)
+      var markers = 1
+      var level = 0
+      var total = 0
+      while (markers > 0 && level < RecDefDepthCap &&
+          total.toLong + markers.toLong * bodySize <= RecDefNodeBudget) {
+        tree = rewriteSelf(tree, name, as => {
+          val m = defParamMap(name, params, as)
+          if (m.isEmpty) body else substVars(body, m)
+        })
+        total += markers * bodySize
+        markers *= selfPerBody
+        level += 1
+      }
+      if (markers > 0)
+        tree = rewriteSelf(tree, name, _ => FnCall("throw", List(LitString(
+          s"jq: def $name recursion exceeds the inline depth cap " +
+            s"($RecDefDepthCap levels / $RecDefNodeBudget nodes) — " +
+            "rewrite on reduce/until/recurse"))))
+      tree
+    }
+
+    /** Inline a user def at its call site: parse `(a1; a2)` argument
+      * expressions (in the CALLER's scope) and substitute them for the
+      * body's parameter placeholders. */
+    private def parseDefArgs(name: String, params: List[String]): List[Expr] =
+      if (params.isEmpty) Nil
+      else {
+        eat('(')
+        val savedLock = genLocked; genLocked = true
+        val as = scala.collection.mutable.ListBuffer(parsePipe())
+        ws()
+        while (peek == ';') { i += 1; as += parsePipe(); ws() }
+        eat(')')
+        genLocked = savedLock
+        require(as.length == params.length,
+          s"jq: $name expects ${params.length} argument(s), got ${as.length}")
+        as.toList
+      }
+
+    private def callDef(name: String): Expr = {
+      val (params, body) = defs(name)
+      val args = parseDefArgs(name, params)
+      expandDef(name, params, body, args)
     }
 
     /** `$x`, `[$a, $b, …]`, or `{key: $x, …}` after `as`. */
@@ -815,9 +933,12 @@ object Jq {
             case n if paramScope.contains(n) => VarRef(defParamMarker(n))
             case n if defs.contains(n) => callDef(n)
             case n if defStack.contains(n) =>
-              throw new IllegalArgumentException(
-                s"jq: recursive def '$n' cannot unfold into a static plan " +
-                  "(use reduce/until/recurse with a depth cap)")
+              // SELF-recursive call: emit a marker carrying the parsed
+              // argument ASTs; the outer callDef unfolds it inline up
+              // to the depth cap (exact for terminating recursions
+              // within it; past it, the error channel — the recurse
+              // posture, closing the r8 typed-error boundary)
+              FnCall(selfMarker(n), parseDefArgs(n, defSig(n)))
             case _ => builtin(name)
           }
         case c => throw new IllegalArgumentException(s"jq: unexpected '$c' at $i in '$s'")

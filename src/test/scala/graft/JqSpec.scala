@@ -873,11 +873,9 @@ class JqSpec extends AnyFunSuite {
     assert(run("(def three: 3; three) + .n", """{"n":1}""") == "4")
     // defs shadow builtins, params shadow defs
     assert(run("def length: 42; .s | length", """{"s":"abc"}""") == "42")
-    // recursion is a typed error, not a hang
-    val err = intercept[IllegalArgumentException] {
-      run("def f: f; .n | f", """{"n":1}""")
-    }
-    assert(err.getMessage.contains("recursive def"))
+    // non-terminating recursion bottoms out on the error channel (the
+    // bounded-unfold posture), not a hang or a parse error
+    assert(run("""(def f: f; .n | f)? // "rec"""", """{"n":1}""") == "rec")
   }
 
   test("$__loc__, delpaths, pick") {
@@ -966,6 +964,32 @@ class JqSpec extends AnyFunSuite {
       """{"xss":[[1,2],[3,4],[5]]}""") == "4")
     assert(run("[.xss | combinations]", """{"xss":[[1,2],[],[5]]}""")
       == "[]")
+  }
+
+  test("def: bounded self-recursion unfolds inline (r9 boundary closed)") {
+    // classic factorial — terminates within the 16-level cap
+    assert(run(
+      "def fact: if . <= 1 then 1 else . * (. - 1 | fact) end; .n | fact",
+      """{"n":5}""") == "120")
+    // with a filter parameter and an accumulator-style $ param
+    assert(run(
+      """def rep($s; n): if n <= 0 then "" else $s + rep($s; n - 1) end;
+        |rep(.w; 3)""".stripMargin,
+      """{"w":"ab"}""") == "ababab")
+    // fib-shaped (two self-calls): node budget keeps the plan sane
+    // (the cap-throw branch widens the static type to double — value
+    // exact, int-ness lost at the cut, like jq's float contagion)
+    assert(run(
+      "def fib: if . < 2 then . else (. - 1 | fib) + (. - 2 | fib) end; .n | fib",
+      """{"n":9}""") == "34.0")
+    // past the cap: error channel, catchable like the recurse cap
+    assert(run(
+      """(def down: if . <= 0 then 0 else . - 1 | down end;
+        |.n | down)? // "deep"""".stripMargin,
+      """{"n":100}""") == "deep")
+    // a self-reference inside a REDEFINITION resolves to the previous
+    // def (jq scoping), not recursion
+    assert(run("def f: 10; def f: f + 1; f", """{"n":1}""") == "11")
   }
 
   test("math tail r9: gamma family, frexp/modf, two-arg libm, fma") {
