@@ -120,6 +120,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === List((1L, "in"), (2L, "before")))
   }
 
+  test("state eviction MEASURED: windowed-agg state stays flat as batches accumulate") {
+    // The 100 TB streaming claim, instrumented: drive 24 micro-batches
+    // whose event time advances 1 h each, and read the state-store row
+    // count from StreamingQueryProgress.stateOperators. With 1 h windows
+    // and a 30 min watermark delay, only ~2-3 windows are ever open —
+    // state must NOT grow with the number of batches (input grows 24x).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = ms.toDF().toDF("v", "ts")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("evict1")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 24).foreach { b =>
+      ms.addData((0L until 50L).map(i =>
+        (i, new java.sql.Timestamp(t0 + b * 3600000L + i * 1000L))): _*)
+      q.processAllAvailable()
+    }
+    val states = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal).filter(_ > 0)
+    q.stop()
+    assert(states.nonEmpty)
+    // 1,200 input rows -> never more than a handful of open windows
+    assert(states.max <= 4,
+      s"state grew to ${states.max} rows — watermark eviction broken")
+    // and the emitted (closed) windows cover all but the open tail
+    val emitted = spark.sql("SELECT sum(n) FROM evict1").head().getLong(0)
+    assert(emitted >= 50L * 22)
+  }
+
+  test("state eviction MEASURED: interval-join state is horizon-bounded, not corpus-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lms = MemoryStream[(Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = Streaming.intervalJoin(
+      lms.toDF().toDF("k", "lts"), rms.toDF().toDF("k", "rts", "tag"),
+      "k", "lts", "rts", "1 minute", "1 minute", "10 minutes")
+      .select(col("l.k"), col("tag"))
+    val q = joined.writeStream.format("memory").queryName("evict2")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 20 batches, both sides advancing 30 min each — far past the
+    // ±10 min join range, so old rows must leave the state store
+    (0 until 20).foreach { b =>
+      val base = t0 + b * 1800000L
+      lms.addData((0L until 10L).map(i =>
+        (i, new java.sql.Timestamp(base + i * 1000L))): _*)
+      rms.addData((0L until 10L).map(i =>
+        (i, new java.sql.Timestamp(base + i * 1000L), s"b$b")): _*)
+      q.processAllAvailable()
+    }
+    val states = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal).filter(_ > 0)
+    q.stop()
+    assert(states.nonEmpty)
+    // 400 rows fed; the watermark horizon (range + delay ≈ one batch
+    // step) keeps at most ~2 batches of both sides resident
+    assert(states.max <= 60,
+      s"join state grew to ${states.max} rows — range eviction broken")
+  }
+
   test("throttleByKey: per-key quota persists across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
