@@ -196,6 +196,44 @@ object Streaming {
       }.toDF("key", "payload")
   }
 
+  /** Streaming dedupe backed by a TTL'd key cache — the reference's
+    * `dedupe` processor over a `memory` cache resource with `ttl`
+    * (`lib/processor/dedupe.go` + `lib/cache/memory.go:48,92`): the
+    * first row per key passes, repeats drop while the key is cached,
+    * and the key RE-ADMITS once its TTL lapses. That is
+    * PROCESSING-time expiry — the reference compacts on wall-clock age
+    * — which `dropDuplicatesWithinWatermark` (event-time) cannot
+    * express; this rides Spark 4's `transformWithState` with a
+    * per-key last-seen timestamp checked against the batch's
+    * processing time — LAZY expiry, which is precisely the reference's
+    * contract ("after this period an item will be eligible for removal
+    * during the next compaction", memory.go:48 — reads honor the TTL
+    * immediately, physical removal is deferred). TimeMode.None is
+    * deliberate: under TimeMode.ProcessingTime the operator schedules
+    * continuous TTL-sweep micro-batches and Trigger.AvailableNow never
+    * terminates (measured: 1,000+ empty batches). The trade: expired
+    * keys occupy state until overwritten, like the reference's cache
+    * between compactions — one row per distinct key, not per stream
+    * row. Requires the RocksDB state-store provider (the TWS operator
+    * rejects the HDFS-backed one); callers set
+    * `spark.sql.streaming.stateStore.providerClass`. Rows ride as JSON
+    * payloads like [[throttleByKey]]; output (key, payload). */
+  def dedupeByKeyTtl(df: DataFrame, keyExpr: String,
+      ttl: java.time.Duration): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+      graft.blobl.Mapping.envelopeExpr(df, keyExpr)
+        .cast(StringType).as("key"),
+      to_json(struct(col("*"))).as("payload")).as[(String, String)]
+    keyed.groupByKey(_._1)
+      .transformWithState(
+        new TtlDedupeProcessor(ttl.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("key", "payload")
+  }
+
   /** Stateful named counters (the `cache` incrby / `count()` function
     * semantics) via mapGroupsWithState: running count per key across
     * micro-batches. */
@@ -211,6 +249,40 @@ object Streaming {
           state.update(n)
           (key, n)
       }.toDF("key", "count")
+  }
+}
+
+/** The TTL'd seen-key state behind [[Streaming.dedupeByKeyTtl]]: one
+  * last-seen-at timestamp `ValueState` per key, checked lazily against
+  * the batch's processing time (the reference's eligible-at-compaction
+  * contract; see the TimeMode.None rationale on dedupeByKeyTtl). */
+final class TtlDedupeProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, String), (String, String)] {
+  @transient private var seenAt:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    seenAt = getHandle.getValueState[Long]("seenAt",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, String)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(String, String)] = {
+    val now = timerValues.getCurrentProcessingTimeInMs()
+    if (seenAt.exists() && now - seenAt.get() < ttlMs) {
+      rows.foreach(_ => ()) // drain: repeats drop while the key is live
+      Iterator.empty
+    } else {
+      seenAt.update(now)
+      // within one batch the remaining duplicates drop too (the
+      // reference caches the key before the next part is checked)
+      rows.take(1)
+    }
   }
 }
 

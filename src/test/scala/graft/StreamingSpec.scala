@@ -189,6 +189,50 @@ class StreamingSpec extends AnyFunSuite {
       s"join state grew to ${states.max} rows — range eviction broken")
   }
 
+  test("dedupeByKeyTtl: TTL'd key cache via transformWithState (RocksDB state)") {
+    // the reference's dedupe-over-a-memory-cache-with-ttl semantics:
+    // first occurrence passes, repeats drop while cached, the key
+    // RE-ADMITS after the TTL — processing-time expiry, which the
+    // event-time dropDuplicatesWithinWatermark cannot express
+    // AvailableNow runs per phase (a TWS query under ProcessingTime
+    // mode triggers back-to-back micro-batches for timer/TTL sweeps,
+    // so processAllAvailable never quiesces); the parquet sink + shared
+    // checkpoint accumulate across the restarts, like the gate queries
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("ttldedupe_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ttldedupe_ckpt").toString
+    val ms = MemoryStream[(String, Long)]
+    val env = graft.model.Envelope.wrapUnordered(ms.toDF().toDF("k", "v"))
+    // the TTL must outlive the ~5 s AvailableNow restart gap, or the
+    // key legitimately re-admits in phase 2
+    val out = Streaming.dedupeByKeyTtl(env, "this.k",
+      java.time.Duration.ofSeconds(25))
+    def runOnce(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ms.addData(("a", 1L), ("b", 2L), ("a", 3L)) // a dupe within the batch
+    runOnce()
+    ms.addData(("a", 4L), ("c", 5L)) // a still cached; c fresh
+    runOnce()
+    Thread.sleep(26000) // let the 25 s TTL lapse on the wall clock
+    ms.addData(("a", 6L)) // re-admitted after expiry
+    runOnce()
+    val keys = ss.read.parquet(sink).select("key").collect()
+      .map(_.getString(0)).toList.sorted
+    assert(keys == List("a", "a", "b", "c"),
+      s"expected a,b,c then re-admitted a — got $keys")
+  }
+
   test("throttleByKey: per-key quota persists across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
