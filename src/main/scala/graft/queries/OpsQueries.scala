@@ -264,6 +264,43 @@ object OpsQueries {
     s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q166's dedupe executed through Spark 4's transformWithState —
+    * [[graft.streaming.Streaming.dedupeByKeyTtl]], the reference's
+    * dedupe-over-a-TTL'd-memory-cache, on the RocksDB state store.
+    * The 1 h TTL exceeds the run's wall clock, so every key stays
+    * cached and the converged answer is exactly first-occurrence
+    * dedupe = DISTINCT(user_id, event_type) — the q166/q13 oracle —
+    * while the TWS operator, RocksDB provider, and lazy-expiry state
+    * run for real across 4 micro-batches. Only key columns emit, so
+    * which duplicate survives is invisible to the hash. */
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val src = stagedEventsSrc(s, dir)
+    val sink = Files.createTempDirectory("graft_q182_sink").toString
+    val ckpt = Files.createTempDirectory("graft_q182_ckpt").toString
+    withStateParts(s) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = ss.readStream.schema(ss.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val out = graft.streaming.Streaming.dedupeByKeyTtl(
+        Envelope.wrapUnordered(stream),
+        """this.user_id.string() + ":" + this.event_type""",
+        java.time.Duration.ofHours(1))
+      val q = out.select(
+          get_json_object(col("payload"), "$.doc.user_id")
+            .cast(LongType).as("user_id"),
+          get_json_object(col("payload"), "$.doc.event_type")
+            .as("event_type"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sink).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** The q33 tumbling-window aggregation executed as a STREAM — the
     * stateful half of the duality claim: a streaming groupBy(window)
     * over the same 4-file source, complete-mode via foreachBatch (each
@@ -768,6 +805,7 @@ object OpsQueries {
     "q175_stream_ckpt_recovery" -> (q175 _),
     "q179_stream_full_outer" -> (q179 _),
     "q181_stream_session" -> (q181 _),
+    "q182_stream_ttl_dedupe" -> (q182 _),
     "q159_cached_dedupe" -> (q159 _),
     "q14_hash_sample" -> (q14 _),
     "q15_split_archive" -> (q15 _),
@@ -821,6 +859,11 @@ object OpsQueries {
     // identical semantics to q13 — the gate's point is that the
     // STREAMING execution converges to the same answer
     "q166_stream_dedupe" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    // q166 through transformWithState + RocksDB (TTL > run wall clock
+    // -> first-occurrence dedupe); same converged answer
+    "q182_stream_ttl_dedupe" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     // identical semantics to q33 — streaming windowed-agg convergence
