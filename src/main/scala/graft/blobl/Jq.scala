@@ -1160,6 +1160,15 @@ object Jq {
         case "ltrimstr" => MethodCall(This, "trim_prefix", List(arg()))
         case "rtrimstr" => MethodCall(This, "trim_suffix", List(arg()))
         case "trim" => MethodCall(This, "trim", Nil) // jq 1.8 whitespace trim
+        case "ltrim" => // jq 1.8: leading-whitespace trim
+          MethodCall(This, "re_replace", List(LitString("^\\s+"), LitString("")))
+        case "rtrim" => // jq 1.8: trailing-whitespace trim
+          MethodCall(This, "re_replace", List(LitString("\\s+$"), LitString("")))
+        case "trimstr" =>
+          // jq 1.7.1: strip the literal string from BOTH ends
+          val t0 = arg()
+          MethodCall(MethodCall(This, "trim_prefix", List(t0)),
+            "trim_suffix", List(t0))
         case "startswith" => MethodCall(This, "has_prefix", List(arg()))
         case "endswith" => MethodCall(This, "has_suffix", List(arg()))
         case "contains" => MethodCall(This, "contains", List(arg()))

@@ -352,4 +352,48 @@ class FuzzSpec extends AnyFunSuite {
     val deepPath = "root = this" + (".a" * 3000)
     assert(compiles(deepPath))
   }
+
+  test("jq self-recursive defs match a reference on random affine recursions (r9)") {
+    // def f: if . >= L then . else . * a + b | f end — the bounded
+    // BFS unfolding cross-checked against direct Scala iteration, with
+    // random (a, b, L, v0); depths past the 16-level cap must land on
+    // the error channel, never a wrong value. Also a randomized
+    // two-param variant (value + filter params through recursion).
+    lazy val spark = Sessions.builder("4").getOrCreate()
+    import org.apache.spark.sql.functions._
+    import graft.model.Envelope
+    import graft.blobl.JqProc
+    val rnd = new scala.util.Random(161803)
+    def runJq(q: String, v: Long): String = {
+      import spark.implicits._
+      val df = spark.read.json(spark.createDataset(scala.Seq(s"""{"v":$v}""")))
+      val out = JqProc(q)(Envelope.wrapUnordered(df))
+      val r = out.select(col(Envelope.Doc).cast("string"),
+        col(Envelope.Error)).head()
+      if (!r.isNullAt(1)) "ERR" else r.getString(0)
+    }
+    (1 to 20).foreach { _ =>
+      val a = 2 + rnd.nextInt(3) // 2..4
+      val b = rnd.nextInt(5)
+      val lim = 10 + rnd.nextInt(100000)
+      val v0 = 1 + rnd.nextInt(20)
+      val ref = {
+        var x = v0.toLong
+        var depth = 0
+        while (x < lim && depth <= 16) { x = a * x + b; depth += 1 }
+        if (depth > 16) "ERR" else x.toString
+      }
+      assert(runJq(
+        s"def f: if . >= $lim then . else . * $a + $b | f end; .v | f",
+        v0) == ref, s"selfrec a=$a b=$b lim=$lim v0=$v0")
+      // countdown with a $-value param and a filter param: sum of
+      // g(v0), g(v0-1), …, g(1) where g(x) = x * a
+      val n0 = 1 + rnd.nextInt(14)
+      val sumRef = (1 to n0).map(_.toLong * a).sum.toString
+      assert(runJq(
+        s"def s(g; $$n): if $$n <= 0 then 0 else ($$n | g) + s(g; $$n - 1) end; " +
+          s"s(. * $a; $n0)", n0) == sumRef,
+        s"paramrec a=$a n0=$n0")
+    }
+  }
 }

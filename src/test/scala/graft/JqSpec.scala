@@ -1017,6 +1017,13 @@ class JqSpec extends AnyFunSuite {
     assert(run(".n | pow10", """{"n":3}""") == "1000.0")
   }
 
+  test("ltrim/rtrim/trimstr (jq 1.7.1/1.8 string tail)") {
+    assert(run(".s | ltrim", """{"s":"  hi  "}""") == "hi  ")
+    assert(run(".s | rtrim", """{"s":"  hi  "}""") == "  hi")
+    assert(run(""".s | trimstr("ab")""", """{"s":"abxyzab"}""") == "xyz")
+    assert(run(""".s | trimstr("ab")""", """{"s":"xyz"}""") == "xyz")
+  }
+
   test("nth, localtime/strflocaltime, stderr, input_line_number") {
     assert(run(".xs | nth(1)", """{"xs":[10,20,30]}""") == "20")
     assert(run("nth(2; .xs[] | . * 10)", """{"xs":[1,2,3]}""") == "30")
