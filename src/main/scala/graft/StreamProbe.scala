@@ -108,14 +108,20 @@ object StreamProbe {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
+    // recentProgress retains only the last ~100 entries, so peak state
+    // is a lower bound past ~100 batches (state is monotone-bounded
+    // here, so the tail window still witnesses the plateau); the batch
+    // COUNT must come from the last batchId, not the retained length
     val progs = q.recentProgress.toSeq
     val states = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
     val maxState =
       if (states.isEmpty) 0L else states.map(_.numRowsTotal).max
     val dropped =
       if (states.isEmpty) 0L else states.map(_.numRowsDroppedByWatermark).sum
+    val batches = Option(q.lastProgress).map(_.batchId + 1)
+      .getOrElse(progs.length.toLong)
     val rowsOut = s.read.parquet(sink).count()
-    val r = Result(op, mult, rowsIn, wall, rowsOut, progs.length.toLong,
+    val r = Result(op, mult, rowsIn, wall, rowsOut, batches,
       maxState, dropped)
     println(f"STREAMSCALE ${r.op} mult=${r.mult} rows=${r.rowsIn} " +
       f"t=${r.wallSec}%.2f out=${r.rowsOut} batches=${r.batches} " +

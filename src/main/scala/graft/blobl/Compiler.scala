@@ -709,6 +709,15 @@ object Compiler {
         val m = compile(arg(0), ctx)
         TC(lit(null), None, TC.mergeErr(m.err,
           Some(coalesce(m.col.cast(StringType), lit("error")))))
+      case other if other.startsWith("__jq_self__") =>
+        // a jq self-recursion marker that escaped its unfolding — only
+        // reachable by calling a NESTED def (whose stored body captured
+        // an outer def's marker) outside that outer def's own
+        // expansion; without this guard the zero-arity catch-all below
+        // would silently compile it as a field access
+        throw CompileError(
+          s"jq: recursive reference '${other.stripPrefix("__jq_self__")}' " +
+            "used outside the def it recurses into")
       case other if args.isEmpty =>
         // v3 naked-path shorthand: `root.a = doc.b` ≡ `this.doc.b` (lambda
         // params and let-vars were already resolved above)

@@ -990,6 +990,12 @@ class JqSpec extends AnyFunSuite {
     // a self-reference inside a REDEFINITION resolves to the previous
     // def (jq scoping), not recursion
     assert(run("def f: 10; def f: f + 1; f", """{"n":1}""") == "11")
+    // a nested def capturing an outer recursive marker, called OUTSIDE
+    // the outer def's expansion: typed error, not a silent field access
+    val leak = intercept[Exception] {
+      run("def a: def b: a; 1; b", """{"n":1}""")
+    }
+    assert(leak.getMessage.contains("recursive reference"))
   }
 
   test("math tail r9: gamma family, frexp/modf, two-arg libm, fma") {

@@ -81,6 +81,7 @@ class StreamScaleSpec extends AnyFunSuite {
   test("both stateful families are present at every mult") {
     val byOp = points.groupBy(_.op)
     assert(byOp.keySet == Set("session_agg", "interval_join"))
-    byOp.values.foreach(ps => assert(ps.map(_.mult).toSet == Set(1, 4, 16)))
+    byOp.values.foreach(ps =>
+      assert(Set(1, 4, 16).subsetOf(ps.map(_.mult).toSet)))
   }
 }
