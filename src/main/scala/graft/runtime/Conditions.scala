@@ -64,6 +64,21 @@ object Conditions {
         val n = toMap(conf).get("arg").map(_.toString.toLong).getOrElse(100L)
         s"(((batch_index() + 1) % ${n}L) != 0)"
       case "processor_failed" => wrap("errored()", target)
+      case "bounds_check" =>
+        // lib/condition/bounds_check.go: part byte-size within bounds.
+        // min_parts/max_parts are batch-count bounds — in the per-row
+        // model batch sizing belongs to the batch policy, and the
+        // reference defaults (1..100) are the no-op; the part-size
+        // bounds compile exactly.
+        val cm = toMap(conf)
+        val maxSz = cm.get("max_part_size").map(_.toString.toLong)
+          .getOrElse(1073741824L)
+        val minSz = cm.get("min_part_size").map(_.toString.toLong)
+          .getOrElse(1L)
+        // raw content when present, else the re-serialized doc (bytes of
+        // "the part" after upstream processors, like the reference)
+        val sz = "content().string().or(this.string()).length()"
+        s"($sz >= $minSz && $sz <= $maxSz)"
       case "json_schema" =>
         // lib/condition/jsonschema.go: boolean = does the doc validate
         // against the schema (inline `schema` or `schema_path` file)

@@ -295,10 +295,29 @@ object Config {
           .getOrElse(scala.Seq(str(conf, "path")))
         val codec = conf.get("codec").map(_.toString).getOrElse("lines")
         s => paths.map(p => Sources.file(s, p, codec)).reduce(_.unionByName(_))
-      case "generate" =>
+      case "generate" | "bloblang" =>
+        // `bloblang` is the deprecated v3 spelling of generate —
+        // lib/input/generate.go registers BOTH constructors on the same
+        // reader (Constructors[TypeBloblang] wraps newBloblang too)
         val mapping = str(conf, "mapping")
         val count = conf.get("count").map(_.toString.toLong).getOrElse(100L)
         s => Sources.generate(s, mapping, count)
+      case "csv" =>
+        // lib/input/csv.go (RFC 4180 structured records): paths (globs),
+        // parse_header_row, delimiter — Spark's native CSV scan through
+        // the same codec machinery as `file`
+        val paths = conf.get("paths").map(asList(_).map(_.toString))
+          .getOrElse(scala.Seq(str(conf, "path")))
+        val header =
+          conf.get("parse_header_row").forall(_.toString.toBoolean)
+        val delim = optStr(conf, "delimiter", ",")
+        s => paths.map(p => Sources.file(s, p, s"csv:$delim",
+          header = header)).reduce(_.unionByName(_))
+      case "subprocess" =>
+        // lib/input/subprocess.go: run a command, consume stdout lines
+        val cmd = str(conf, "name") +: conf.get("args")
+          .map(asList(_).map(_.toString)).getOrElse(Nil)
+        s => Sources.subprocess(s, cmd)
       case "broker" =>
         val inputs = asList(conf("inputs")).map(i => compileInput(asMap(i)))
         s => Sources.broker(inputs.map(_(s)))
@@ -361,11 +380,13 @@ object Config {
       case "resource" =>
         val name = m(kind).toString
         s => InputResources(name)(s)
-      case "socket" =>
-        // address "host:port" (lib/input/socket.go); stream: true →
-        // Spark's native socket streaming source
+      case "socket" | "tcp" =>
+        // address "host:port" (lib/input/socket.go; `tcp` is the
+        // deprecated v3 spelling, lib/input/tcp.go — same line-reader
+        // connect semantics); stream: true → Spark's native socket
+        // streaming source
         val addr = str(conf, "address").split(":", 2)
-        require(addr.length == 2, "socket input: address must be host:port")
+        require(addr.length == 2, s"$kind input: address must be host:port")
         val (host, port) = (addr(0), addr(1).toInt)
         val stream = conf.get("stream").exists(_.toString.toBoolean)
         s => if (stream) Sources.socketStream(s, host, port)
@@ -502,6 +523,22 @@ object Config {
       case "split" => B.Split(
         conf.get("size").map(_.toString.toLong).getOrElse(1L),
         conf.get("byte_size").map(_.toString.toLong).getOrElse(0L))
+      case "batch" =>
+        // DEPRECATED v3 re-batcher (lib/processor/batch.go): count /
+        // byte_size / condition — the same policy shape the output-level
+        // `batching:` compiles to (period is a trigger-cadence knob)
+        val count = conf.get("count").map(_.toString.toLong).getOrElse(0L)
+        val bytes = conf.get("byte_size").map(_.toString.toLong).getOrElse(0L)
+        val check = conf.get("condition").map(condString)
+        if (check.isDefined) B.SplitOnCheck(check.get)
+        else if (bytes > 0) B.Split(1L, bytes)
+        else B.Split(math.max(count, 1L))
+      case "json" =>
+        // DEPRECATED v3 json operator processor (lib/processor/json.go) —
+        // most operators translate onto the Bloblang mapping compiler;
+        // explode/flatten/clean run typed schema surgery (ops/JsonOps)
+        JsonProc(str(conf, "operator"),
+          optStr(conf, "path", ""), conf.get("value"))
       case "merge_json" => B.MergeJson()
       case "sleep" => SleepProc(str(conf, "duration"))
       // throttle (lib/processor/throttle.go): per-message pacing by
@@ -771,6 +808,21 @@ object Config {
           conf.get("max_retries").map(_.toString.toInt).getOrElse(3))
       case "resource" =>
         Sinks.OutputResources(m(kind).toString)
+      case "dynamic" =>
+        // lib/output/dynamic.go: REST-managed named output set — fan
+        // out to whatever is registered at write time (control plane
+        // CRUD), the output twin of the dynamic input
+        Sinks.DynamicSink(optStr(conf, "prefix", ""))
+      case "sync_response" =>
+        // lib/output/sync_response.go: the payload returns to the input
+        // origin via the roundtrip store; inputs with no sync mechanism
+        // drop it without penalty
+        Sinks.SyncResponseSink()
+      case "http_server" =>
+        // lib/output/http_server.go: GET `path` pops one message,
+        // GET `stream_path` drains (reference defaults)
+        Sinks.HttpServeSink(optStr(conf, "path", "/get"),
+          optStr(conf, "stream_path", "/get/stream"))
       case "fallback" | "try" =>
         Sinks.FallbackSink(asList(m(kind)).map(o => compileOutput(asMap(o))))
       case "reject" | "drop_on_error" =>
@@ -834,17 +886,20 @@ object Config {
           "nats" | "nats_stream" | "nats_jetstream" | "mqtt" | "amqp_0_9" |
           "amqp" | "amqp_1" | "nsq" | "pulsar" | "redis_streams" |
           "redis_pubsub" | "redis_hash" | "zmq4" | "nanomsg" |
-          "scalability_protocols" | "aws_dynamodb" | "aws_sns" |
-          "aws_kinesis_firehose" | "kinesis_firehose" | "azure_queue_storage" |
-          "azure_table_storage" | "table_storage" | "cassandra" |
-          "elasticsearch") =>
-        // deprecated spellings (lib/output/constructor.go:170,190,215):
-        // blob_storage/table_storage/kinesis_firehose alias the azure_/aws_
-        // forms — normalized before dispatch
+          "scalability_protocols" | "aws_dynamodb" | "dynamodb" | "aws_sns" |
+          "sns" | "aws_kinesis_firehose" | "kinesis_firehose" |
+          "azure_queue_storage" | "azure_table_storage" | "table_storage" |
+          "cassandra" | "elasticsearch") =>
+        // deprecated spellings (lib/output/constructor.go:170,190,215 +
+        // the sns/dynamodb short names registered by aws_sns.go /
+        // aws_dynamodb.go): aliases normalize to the azure_/aws_ forms
+        // before dispatch
         Sinks.BrokerSink(graft.sources.Brokers.output(
           k match {
             case "kinesis_firehose" => "aws_kinesis_firehose"
             case "table_storage"    => "azure_table_storage"
+            case "sns"              => "aws_sns"
+            case "dynamodb"         => "aws_dynamodb"
             case other              => other
           }, conf))
       case "drop_on" =>

@@ -381,6 +381,84 @@ object Sinks {
       throw new IllegalArgumentException(s"unknown output resource $name"))
   }
 
+  /** `dynamic` output (`lib/output/dynamic.go`): a broker whose members
+    * are identified by unique labels and CRUD'd at runtime via the
+    * control plane — the output-side twin of the input DynamicInputs
+    * registry. A write fans out to every member registered at write
+    * time. */
+  object DynamicOutputs {
+    private val sinks = scala.collection.concurrent.TrieMap[String, Sink]()
+    def set(name: String, sink: Sink): Unit = sinks.put(name, sink)
+    def remove(name: String): Boolean = sinks.remove(name).isDefined
+    def list: scala.Seq[String] = sinks.keys.toSeq.sorted
+    def members(prefix: String): scala.Seq[Sink] = sinks.toSeq.sortBy(_._1)
+      .collect { case (n, s) if prefix.isEmpty || n.startsWith(prefix) => s }
+  }
+  final case class DynamicSink(prefix: String = "") extends Sink {
+    def write(df: DataFrame): Unit = {
+      val ms = DynamicOutputs.members(prefix)
+      require(ms.nonEmpty, "dynamic output: no members registered")
+      ms.foreach(_.write(df))
+    }
+  }
+
+  /** `sync_response` output (`lib/output/sync_response.go` wraps
+    * roundtrip.Writer over `lib/message/roundtrip/result_store.go`):
+    * the final payload returns to the message's input origin; inputs
+    * with no sync mechanism drop it "without penalty". Payloads land in
+    * the bounded in-memory roundtrip store the control plane's push
+    * endpoint consults — a control-plane surface, so the driver-side
+    * collect is semantically required (and capped). */
+  object RoundtripStore {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val Cap = 10000
+    def put(s: String): Unit = { q.add(s); while (q.size > Cap) q.poll() }
+    def drain(): scala.Seq[String] =
+      Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
+  }
+  final case class SyncResponseSink() extends Sink {
+    def write(df: DataFrame): Unit =
+      df.select(graft.model.Envelope.contentOrDoc(df)
+          .cast(org.apache.spark.sql.types.StringType))
+        .collect().foreach(r => RoundtripStore.put(r.getString(0)))
+  }
+
+  /** `http_server` output (`lib/output/http_server.go`): clients consume
+    * messages from registered GET endpoints — `path` pops one message
+    * per request (410 when the stream is exhausted, per the reference),
+    * `stream_path` drains what is queued. Rows stage in a bounded
+    * per-path queue the control plane serves; the driver-side collect
+    * is the serving surface itself. */
+  object HttpServe {
+    private val queues = scala.collection.concurrent.TrieMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+    private val Cap = 100000
+    def register(path: String): Unit =
+      queues.putIfAbsent(path,
+        new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    def has(path: String): Boolean = queues.contains(path)
+    def put(path: String, s: String): Unit = queues.get(path).foreach { q =>
+      q.add(s); while (q.size > Cap) q.poll()
+    }
+    def pop(path: String): Option[String] =
+      queues.get(path).flatMap(q => Option(q.poll()))
+    def drain(path: String): scala.Seq[String] = queues.get(path)
+      .map(q => Iterator.continually(q.poll()).takeWhile(_ != null).toSeq)
+      .getOrElse(Nil)
+  }
+  final case class HttpServeSink(path: String, streamPath: String)
+      extends Sink {
+    HttpServe.register(path)
+    HttpServe.register(streamPath)
+    def write(df: DataFrame): Unit =
+      df.select(graft.model.Envelope.contentOrDoc(df)
+          .cast(org.apache.spark.sql.types.StringType))
+        .collect().foreach { r =>
+          HttpServe.put(path, r.getString(0))
+          HttpServe.put(streamPath, r.getString(0))
+        }
+  }
+
   /** `fallback`/`try` output (`lib/output/try.go`): dead-letter chain —
     * try each sink in order until one succeeds. */
   final case class FallbackSink(sinks: scala.Seq[Sink]) extends Sink {

@@ -239,6 +239,25 @@ object Sources {
       map(lit("source"), lit("stdin")))
   }
 
+  /** `subprocess` input (`lib/input/subprocess.go`): execute a command
+    * and consume its stdout as line messages (codec `lines`, the only
+    * registered option). The driver runs the process — a single pipe is
+    * inherently serial, like [[stdin]]/[[socket]]; `restart_on_exit`
+    * is a daemon-lifecycle knob with no meaning on a bounded read. */
+  def subprocess(spark: SparkSession, cmd: scala.Seq[String]): DataFrame = {
+    import spark.implicits._
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val p = pb.start()
+    val lines = try {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        p.getInputStream, "UTF-8"))
+      Iterator.continually(r.readLine()).takeWhile(_ != null).toSeq
+    } finally p.waitFor()
+    linesEnvelope(lines.toDF("value"),
+      map(lit("source"), lit(cmd.mkString(" "))))
+  }
+
   /** `socket` input (`lib/input/socket.go`), batch form: connect, read
     * lines until EOF, envelope them. The driver performs the read — a
     * single TCP stream is inherently serial; the distributed path for
