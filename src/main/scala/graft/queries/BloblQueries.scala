@@ -337,7 +337,39 @@ object BloblQueries {
       .orderBy(col("id"))
   }
 
+  /** q183: the deprecated v3 `json` operator processor end-to-end under
+    * an oracle — set / copy / split / fold_string_array /
+    * fold_number_array / append / delete chained over documents, each
+    * compiling onto the Bloblang mapping path (ops/JsonOps). DuckDB
+    * replays with string/list functions. */
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("nchars"),
+      col("lang"),
+      col("text"))
+    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val out = scala.Seq[graft.ops.Processor](
+      graft.ops.JsonProc("set", "tag", Some("ok")),
+      graft.ops.JsonProc("copy", "lang", Some("lang2")),
+      graft.ops.JsonProc("split", "text", Some(" ")),
+      graft.ops.JsonProc("append", "text", Some("EOT")),
+      graft.ops.JsonProc("fold_string_array", "text", Some("|")),
+      graft.ops.JsonProc("set", "pair", Some(java.util.List.of(3, 4))),
+      graft.ops.JsonProc("fold_number_array", "pair", None),
+      graft.ops.JsonProc("delete", "nchars"))
+      .foldLeft(env)((d, p) => p(d))
+    out.select(
+        col("doc.doc_id").cast(LongType).as("doc_id"),
+        col("doc.tag").as("tag"),
+        col("doc.lang2").as("lang2"),
+        col("doc.text").as("joined"),
+        col("doc.pair").cast(LongType).as("pair"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_json_proc" -> (q183 _),
     "q180_jq_mathtail" -> (q180 _),
     "q178_jq_deftail" -> (q178 _),
     "q177_jq_wrap" -> (q177 _),
@@ -351,6 +383,14 @@ object BloblQueries {
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q183_json_proc" ->
+      """SELECT doc_id,
+        | 'ok' AS tag,
+        | lang AS lang2,
+        | array_to_string(list_append(string_split(text, ' '), 'EOT'), '|')
+        |   AS joined,
+        | CAST(7 AS BIGINT) AS pair
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q180_jq_mathtail" ->
       """WITH b AS (SELECT doc_id, length(text) AS nchars, text
         |FROM documents)
