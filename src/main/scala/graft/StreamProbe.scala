@@ -49,6 +49,9 @@ object StreamProbe {
     val src = new java.io.File(base, s"events_x$mult")
     if (new java.io.File(src, "_READY").exists()) return src.toString
     val tmp = new java.io.File(base, s"events_x$mult.tmp")
+    // a crashed prior staging leaves partial files whose names collide
+    // with this run's Files.move — start from a clean tmp
+    if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     tmp.mkdirs()
     val ev = spark.read.parquet(s"$dir/events.parquet")
     // 30-day corpus → shift copy i by i * 31 days; quarter each copy

@@ -411,23 +411,28 @@ object Jq {
       * catchable, the recurse/until posture. */
     private def expandDef(name: String, params: List[String], body: Expr,
         args: List[Expr]): Expr = {
-      val bodySize = countNodes(body)
+      def bind(as: List[Expr]): Expr = {
+        val m = defParamMap(name, params, as)
+        if (m.isEmpty) body else substVars(body, m)
+      }
       var selfPerBody = 0
       rewriteSelf(body, name, as => {
         selfPerBody += 1; FnCall(selfMarker(name), as)
       })
+      // NON-recursive defs keep plain inlining — no cap, no budget (a
+      // large composed body must not start throwing a recursion error)
+      if (selfPerBody == 0) return bind(args)
       var tree: Expr = FnCall(selfMarker(name), args)
       var markers = 1
       var level = 0
-      var total = 0
+      // the budget is checked against the MEASURED tree (substituted
+      // arguments grow it too — f([$x,$x,$x]) triples per level while
+      // the body size stays flat), re-counted after every level
       while (markers > 0 && level < RecDefDepthCap &&
-          total.toLong + markers.toLong * bodySize <= RecDefNodeBudget) {
-        tree = rewriteSelf(tree, name, as => {
-          val m = defParamMap(name, params, as)
-          if (m.isEmpty) body else substVars(body, m)
-        })
-        total += markers * bodySize
-        markers *= selfPerBody
+          countNodes(tree) <= RecDefNodeBudget) {
+        var n = 0
+        tree = rewriteSelf(tree, name, as => { n += 1; bind(as) })
+        markers = n * selfPerBody
         level += 1
       }
       if (markers > 0)

@@ -75,9 +75,11 @@ object Conditions {
           .getOrElse(1073741824L)
         val minSz = cm.get("min_part_size").map(_.toString.toLong)
           .getOrElse(1L)
-        // raw content when present, else the re-serialized doc (bytes of
-        // "the part" after upstream processors, like the reference)
-        val sz = "content().string().or(this.string()).length()"
+        // raw content when present, else the re-serialized doc — BYTES
+        // (length() on binary is octet_length), matching the
+        // reference's len(part bytes); string().length() would count
+        // characters and under-measure multi-byte UTF-8
+        val sz = "content().or(this.string().bytes()).length()"
         s"($sz >= $minSz && $sz <= $maxSz)"
       case "json_schema" =>
         // lib/condition/jsonschema.go: boolean = does the doc validate

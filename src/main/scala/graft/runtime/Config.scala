@@ -526,10 +526,21 @@ object Config {
       case "batch" =>
         // DEPRECATED v3 re-batcher (lib/processor/batch.go): count /
         // byte_size / condition — the same policy shape the output-level
-        // `batching:` compiles to (period is a trigger-cadence knob)
+        // `batching:` compiles to (period is a trigger-cadence knob).
+        // The reference ORs every configured trigger; OR-batching needs
+        // a segmented scan (the accumulator resets at whichever trigger
+        // fired — see Split's byte_size note), so multiple knobs take a
+        // DOCUMENTED precedence here (condition > byte_size > count)
+        // and setting more than one is rejected loudly instead of
+        // silently diverging.
         val count = conf.get("count").map(_.toString.toLong).getOrElse(0L)
         val bytes = conf.get("byte_size").map(_.toString.toLong).getOrElse(0L)
         val check = conf.get("condition").map(condString)
+        require(scala.Seq(check.isDefined, bytes > 0, count > 0)
+          .count(identity) <= 1,
+          "batch processor: count/byte_size/condition are OR-triggers in " +
+            "the reference; this engine batches on ONE — configure a single" +
+            " trigger")
         if (check.isDefined) B.SplitOnCheck(check.get)
         else if (bytes > 0) B.Split(1L, bytes)
         else B.Split(math.max(count, 1L))

@@ -397,6 +397,10 @@ object Sinks {
   final case class DynamicSink(prefix: String = "") extends Sink {
     def write(df: DataFrame): Unit = {
       val ms = DynamicOutputs.members(prefix)
+      // the reference's writer BLOCKS until a member registers
+      // (lib/output/dynamic.go); a batch write cannot wait, so the
+      // adapted contract is an explicit error — loud beats silently
+      // dropping the batch
       require(ms.nonEmpty, "dynamic output: no members registered")
       ms.foreach(_.write(df))
     }
@@ -410,11 +414,16 @@ object Sinks {
     * endpoint consults — a control-plane surface, so the driver-side
     * collect is semantically required (and capped). */
   object RoundtripStore {
-    private val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    private val Cap = 10000
-    def put(s: String): Unit = { q.add(s); while (q.size > Cap) q.poll() }
-    def drain(): scala.Seq[String] =
-      Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
+    // LinkedBlockingQueue so the eviction check is O(1) — CLQ.size()
+    // walks the list, and a put-per-row write would go quadratic
+    private val q = new java.util.concurrent.LinkedBlockingQueue[String](10000)
+    def put(s: String): Unit = { while (!q.offer(s)) q.poll() }
+    def drain(): scala.Seq[String] = {
+      val out = new java.util.ArrayList[String]()
+      q.drainTo(out)
+      import scala.jdk.CollectionConverters._
+      out.asScala.toSeq
+    }
   }
   final case class SyncResponseSink() extends Sink {
     def write(df: DataFrame): Unit =
@@ -430,33 +439,38 @@ object Sinks {
     * per-path queue the control plane serves; the driver-side collect
     * is the serving surface itself. */
   object HttpServe {
+    // one queue SHARED by every alias of a sink (the reference's path
+    // and stream_path consume from one channel — each message is
+    // served exactly once, to whichever endpoint grabs it); bounded
+    // LinkedBlockingQueue so eviction is O(1)
     private val queues = scala.collection.concurrent.TrieMap[
-      String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
-    private val Cap = 100000
-    def register(path: String): Unit =
-      queues.putIfAbsent(path,
-        new java.util.concurrent.ConcurrentLinkedQueue[String]())
+      String, java.util.concurrent.LinkedBlockingQueue[String]]()
+    def register(paths: scala.Seq[String]): Unit = {
+      val q = paths.flatMap(queues.get).headOption.getOrElse(
+        new java.util.concurrent.LinkedBlockingQueue[String](100000))
+      paths.foreach(p => queues.putIfAbsent(p, q))
+    }
     def has(path: String): Boolean = queues.contains(path)
     def put(path: String, s: String): Unit = queues.get(path).foreach { q =>
-      q.add(s); while (q.size > Cap) q.poll()
+      while (!q.offer(s)) q.poll()
     }
     def pop(path: String): Option[String] =
       queues.get(path).flatMap(q => Option(q.poll()))
     def drain(path: String): scala.Seq[String] = queues.get(path)
-      .map(q => Iterator.continually(q.poll()).takeWhile(_ != null).toSeq)
-      .getOrElse(Nil)
+      .map { q =>
+        val out = new java.util.ArrayList[String]()
+        q.drainTo(out)
+        import scala.jdk.CollectionConverters._
+        out.asScala.toSeq
+      }.getOrElse(Nil)
   }
   final case class HttpServeSink(path: String, streamPath: String)
       extends Sink {
-    HttpServe.register(path)
-    HttpServe.register(streamPath)
+    HttpServe.register(scala.Seq(path, streamPath))
     def write(df: DataFrame): Unit =
       df.select(graft.model.Envelope.contentOrDoc(df)
           .cast(org.apache.spark.sql.types.StringType))
-        .collect().foreach { r =>
-          HttpServe.put(path, r.getString(0))
-          HttpServe.put(streamPath, r.getString(0))
-        }
+        .collect().foreach(r => HttpServe.put(path, r.getString(0)))
   }
 
   /** `fallback`/`try` output (`lib/output/try.go`): dead-letter chain —

@@ -247,7 +247,9 @@ object Sources {
   def subprocess(spark: SparkSession, cmd: scala.Seq[String]): DataFrame = {
     import spark.implicits._
     val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
+    // stderr must not backpressure the child: an undrained stderr pipe
+    // fills at ~64 KB and deadlocks a chatty command mid-stdout
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val p = pb.start()
     val lines = try {
       val r = new java.io.BufferedReader(new java.io.InputStreamReader(
