@@ -240,19 +240,26 @@ object Config {
       new graft.ops.CacheOps.MultilevelCache(
         asList(cm("multilevel")).map(l =>
           graft.ops.CacheOps.Caches(l.toString)))
-    else if (cm.contains("s3") || cm.contains("dynamodb") ||
+    else if (cm.contains("s3") || cm.contains("aws_s3") ||
+        cm.contains("dynamodb") || cm.contains("aws_dynamodb") ||
         cm.contains("mongodb")) {
-      // remaining external backends (`lib/cache/constructor.go:82-92`):
+      // remaining external backends (`lib/cache/constructor.go:82-92`;
+      // the registry carries BOTH aws_-prefixed and short spellings —
+      // normalize so neither silently degrades to the in-heap default):
       // the same external-KV contract, namespaced per backend+target so
       // distinct configs never share state; transport resolves to the
       // in-process fake in this image (no egress)
-      val (kind, tgt) =
-        if (cm.contains("s3")) ("s3", asMap(cm("s3"))
-          .get("bucket").map(_.toString).getOrElse("default"))
-        else if (cm.contains("dynamodb")) ("dynamodb", asMap(cm("dynamodb"))
-          .get("table").map(_.toString).getOrElse("default"))
-        else ("mongodb", asMap(cm("mongodb"))
-          .get("collection").map(_.toString).getOrElse("default"))
+      def sub(keys: String*): Option[Map[String, Any]] =
+        keys.collectFirst { case k if cm.contains(k) => asMap(cm(k)) }
+      val (kind, tgt) = sub("s3", "aws_s3") match {
+        case Some(c) => ("s3", c.get("bucket").map(_.toString).getOrElse("default"))
+        case None => sub("dynamodb", "aws_dynamodb") match {
+          case Some(c) =>
+            ("dynamodb", c.get("table").map(_.toString).getOrElse("default"))
+          case None => ("mongodb", asMap(cm("mongodb"))
+            .get("collection").map(_.toString).getOrElse("default"))
+        }
+      }
       new graft.ops.RedisCache(graft.ops.FakeRedisFactory(s"$kind:$tgt"))
     } else
       // memory | ristretto; `ttl` seconds per the reference memory cache

@@ -241,6 +241,32 @@ class CacheSpec extends AnyFunSuite {
     assert(Caches("tiered").isInstanceOf[MultilevelCache])
   }
 
+  test("aws_-prefixed cache kinds hit the external-KV backend, not the in-heap default") {
+    // lib/cache/constructor.go registers BOTH aws_s3 and s3 (likewise
+    // dynamodb) — the aws_ spellings used to fall through to the
+    // in-heap memory map; the backend+target namespacing means two
+    // resources on the same bucket must SHARE state
+    graft.runtime.Config.load(
+      """cache_resources:
+        |  - label: c_aws
+        |    aws_s3:
+        |      bucket: parity-bkt
+        |  - label: c_short
+        |    s3:
+        |      bucket: parity-bkt
+        |input:
+        |  generate: { count: 1, mapping: "root.i = this.i" }
+        |output:
+        |  drop: {}
+        |""".stripMargin)
+    import spark.implicits._
+    Caches("c_aws").upsert(
+      scala.Seq(("shared-key", "v1")).toDF("key", "value"))
+    val got = Caches("c_short").snapshot(spark)
+      .where(col("key") === "shared-key").collect()
+    assert(got.length == 1 && got.head.getString(1) == "v1")
+  }
+
   test("YAML cache_resources + cache/awk/log processors compile") {
     val spec = graft.runtime.Config.load(
       """cache_resources:
