@@ -365,6 +365,22 @@ final class ControlPlane(spark: SparkSession,
         if (!started.contains(id))
           respond(ex, 404, """{"error":"stream not found"}""")
         else respond(ex, 200, registry.stats(id).getOrElse("{}"))
+      case ("GET", _) if graft.sinks.Sinks.HttpServe.has(path) =>
+        // `http_server` OUTPUT endpoints (lib/output/http_server.go):
+        // GET `path` serves ONE queued message; GET `stream_path`
+        // drains everything queued, newline-joined (the continuous-
+        // stream shape, adapted to request/response). The reference
+        // blocks an empty `path` GET until a message arrives — a
+        // single-threaded control plane can't park a request, so empty
+        // answers 204 No Content instead.
+        if (graft.sinks.Sinks.HttpServe.isStream(path)) {
+          val msgs = graft.sinks.Sinks.HttpServe.drain(path)
+          if (msgs.isEmpty) respond(ex, 204, "")
+          else respond(ex, 200, msgs.mkString("", "\n", "\n"), "text/plain")
+        } else graft.sinks.Sinks.HttpServe.pop(path) match {
+          case Some(m) => respond(ex, 200, m, "application/octet-stream")
+          case None => respond(ex, 204, "")
+        }
       case _ => respond(ex, 404, """{"error":"not found"}""")
     }
   } catch {

@@ -445,11 +445,15 @@ object Sinks {
     // LinkedBlockingQueue so eviction is O(1)
     private val queues = scala.collection.concurrent.TrieMap[
       String, java.util.concurrent.LinkedBlockingQueue[String]]()
+    private val streamPaths =
+      scala.collection.concurrent.TrieMap[String, Unit]()
     def register(paths: scala.Seq[String]): Unit = {
       val q = paths.flatMap(queues.get).headOption.getOrElse(
         new java.util.concurrent.LinkedBlockingQueue[String](100000))
       paths.foreach(p => queues.putIfAbsent(p, q))
     }
+    def markStream(path: String): Unit = streamPaths.put(path, ())
+    def isStream(path: String): Boolean = streamPaths.contains(path)
     def has(path: String): Boolean = queues.contains(path)
     def put(path: String, s: String): Unit = queues.get(path).foreach { q =>
       while (!q.offer(s)) q.poll()
@@ -467,6 +471,7 @@ object Sinks {
   final case class HttpServeSink(path: String, streamPath: String)
       extends Sink {
     HttpServe.register(scala.Seq(path, streamPath))
+    HttpServe.markStream(streamPath)
     def write(df: DataFrame): Unit =
       df.select(graft.model.Envelope.contentOrDoc(df)
           .cast(org.apache.spark.sql.types.StringType))

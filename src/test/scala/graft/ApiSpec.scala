@@ -290,4 +290,23 @@ class ApiSpec extends AnyFunSuite {
       assert(http("POST", s"$base/streams/push1/nope", "x")._1 == 404)
     } finally api.stop()
   }
+
+  test("http_server OUTPUT: GET path pops one message, stream_path drains, empty is 204") {
+    import spark.implicits._
+    val api = new ControlPlane(spark).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      val env = graft.model.Envelope.wrapUnordered(
+        scala.Seq("alpha", "beta").toDF("m"))
+      graft.sinks.Sinks.HttpServeSink("/served", "/served/all").write(env)
+      // one message per GET, shared queue with the stream path
+      val (c1, b1) = http("GET", s"$base/served")
+      assert(c1 == 200 && (b1.contains("alpha") || b1.contains("beta")))
+      val (c2, b2) = http("GET", s"$base/served/all")
+      assert(c2 == 200 && b2.nonEmpty && b2 != b1)
+      // exhausted → 204 (the reference blocks; a control plane can't)
+      assert(http("GET", s"$base/served")._1 == 204)
+      assert(http("GET", s"$base/served/all")._1 == 204)
+    } finally api.stop()
+  }
 }
