@@ -184,6 +184,11 @@ object Compiler {
       case (Some(x), Some(y)) if x == y => Some(x)
       case (Some(x: NumericType), Some(y: NumericType)) =>
         if (x == DoubleType || y == DoubleType) Some(DoubleType) else Some(LongType)
+      // a null VALUE (LitNull, throw's value channel) adapts to any
+      // branch/operand type — without this, a cap-throw branch in a jq
+      // recursion unfolding widens int results to double
+      case (Some(NullType), y) => y
+      case (x, Some(NullType)) => x
       case _ => None
     }
 
@@ -272,12 +277,14 @@ object Compiler {
         segs match {
           case Nil => vc.col
           case PField(n) :: rest =>
-            if (rest.isEmpty) cur.withField(n, vc.col)
+            // withField PARSES its name argument — quote odd segments
+            val nq = graft.model.Envelope.fieldRef(n)
+            if (rest.isEmpty) cur.withField(nq, vc.col)
             else {
               val childT = tpe.collect {
                 case s: StructType if s.fieldNames.contains(n) => s(n).dataType
               }
-              cur.withField(n, upd(cur.getField(n), childT, rest))
+              cur.withField(nq, upd(cur.getField(n), childT, rest))
             }
           case PIndex(ix) :: rest =>
             // existing positions only (jq extends short arrays with nulls
@@ -544,7 +551,13 @@ object Compiler {
       else if (r.isVariant && !l.isVariant && l.tpe.exists(_ != NullType))
         (l, TC(try_variant_get(r.col, "$", l.tpe.get.sql), l.tpe, r.err))
       else (l, r)
+    // arithmetic over two null VALUES (e.g. two cap-throw branches of a
+    // jq recursion unfolding): the result is null anyway, but Spark
+    // coerces Add(null,null) to DOUBLE, which would poison every
+    // enclosing when-chain's type — emit a typed null instead
+    val bothNull = la.tpe.contains(NullType) && ra.tpe.contains(NullType)
     op match {
+      case "+" | "-" | "*" | "%" if bothNull => TC(lit(null), Some(NullType))
       case "+" =>
         if (la.isString || ra.isString) TC(concat(la.col, ra.col), Some(StringType))
         else if (la.isArray && ra.isArray) TC(concat(la.col, ra.col), la.tpe)
@@ -707,7 +720,10 @@ object Compiler {
         // `or` consume it and uncaught flows flag `_error`. Assignment-
         // root throw keeps its dedicated Mapping handling.
         val m = compile(arg(0), ctx)
-        TC(lit(null), None, TC.mergeErr(m.err,
+        // NullType (not None): unify treats the null value as adapting to
+        // the surrounding branch/operand type, so e.g. a recursion cap cut
+        // doesn't widen an int-typed unfolding to double
+        TC(lit(null), Some(NullType), TC.mergeErr(m.err,
           Some(coalesce(m.col.cast(StringType), lit("error")))))
       case other if other.startsWith("__jq_self__") =>
         // a jq self-recursion marker that escaped its unfolding — only
@@ -1051,7 +1067,10 @@ object Compiler {
           w => concat(upper(substring(w, 1, 1)), w.substr(lit(2), length(w)))), " "),
           Some(StringType))
       case "trim" =>
-        if (args.isEmpty) TC(trim(t.col), Some(StringType))
+        // no-arg trim is the reference's strings.TrimSpace — Unicode
+        // whitespace (tabs, newlines, NBSP…), not Spark trim's ' ' only
+        if (args.isEmpty) TC(regexp_replace(t.col,
+          lit("(?U)(^\\s+|\\s+$)"), lit("")), Some(StringType))
         else TC(trim(t.col, litStr(0)), Some(StringType))
       case "trim_prefix" => TC(when(t.col.startsWith(litStr(0)),
         t.col.substr(lit(litStr(0).length + 1), length(t.col))).otherwise(t.col), Some(StringType))

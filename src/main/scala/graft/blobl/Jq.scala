@@ -1165,10 +1165,11 @@ object Jq {
         case "ltrimstr" => MethodCall(This, "trim_prefix", List(arg()))
         case "rtrimstr" => MethodCall(This, "trim_suffix", List(arg()))
         case "trim" => MethodCall(This, "trim", Nil) // jq 1.8 whitespace trim
-        case "ltrim" => // jq 1.8: leading-whitespace trim
-          MethodCall(This, "re_replace", List(LitString("^\\s+"), LitString("")))
+        case "ltrim" => // jq 1.8: leading-whitespace trim — (?U) makes
+          // \s Unicode-aware (jq trims NBSP/ideographic space too)
+          MethodCall(This, "re_replace", List(LitString("(?U)^\\s+"), LitString("")))
         case "rtrim" => // jq 1.8: trailing-whitespace trim
-          MethodCall(This, "re_replace", List(LitString("\\s+$"), LitString("")))
+          MethodCall(This, "re_replace", List(LitString("(?U)\\s+$"), LitString("")))
         case "trimstr" =>
           // jq 1.7.1: strip the literal string from BOTH ends
           val t0 = arg()

@@ -270,13 +270,14 @@ object Mapping {
           var c = b.col
           var tpe: Option[StructType] = b.tpe.collect { case s: StructType => s }
           deletedFields.foreach { f =>
-            c = c.dropFields(f)
+            // withField/dropFields PARSE their name — quote odd segments
+            c = c.dropFields(graft.model.Envelope.fieldPath(f.split('.').toSeq))
             tpe = tpe.map(s => StructType(s.fields.filterNot(_.name == f.split('.').head)))
           }
           children.foreach { case (name, n) =>
             n.materialize() match {
               case Some(v) =>
-                c = c.withField(name, v.col)
+                c = c.withField(graft.model.Envelope.fieldRef(name), v.col)
                 tpe = tpe.map { s =>
                   val f = StructField(name, v.tpe.getOrElse(NullType))
                   if (s.fieldNames.contains(name))
@@ -284,7 +285,7 @@ object Mapping {
                   else StructType(s.fields :+ f)
                 }
               case None =>
-                c = c.dropFields(name)
+                c = c.dropFields(graft.model.Envelope.fieldRef(name))
                 tpe = tpe.map(s => StructType(s.fields.filterNot(_.name == name)))
             }
           }

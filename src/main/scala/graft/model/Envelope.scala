@@ -37,6 +37,20 @@ object Envelope {
   val envelopeCols: scala.Seq[String] =
     scala.Seq(Content, Doc, Meta, Error, BatchId, Seq)
 
+  /** Backtick-quote a struct field name for the Column APIs that PARSE
+    * their name argument (`withField`/`dropFields`) — a name holding a
+    * space/quote would be a parse error, and one holding a dot would
+    * silently become a nesting step. */
+  def fieldRef(name: String): String =
+    if (name.nonEmpty && name.head.isUnicodeIdentifierStart &&
+        name.forall(c => c.isUnicodeIdentifierPart || c == '_'))
+      name
+    else "`" + name.replace("`", "``") + "`"
+
+  /** A dotted nested-field path with each segment quoted as needed. */
+  def fieldPath(segs: scala.Seq[String]): String =
+    segs.map(fieldRef).mkString(".")
+
   /** Wrap a plain DataFrame (one row per record) into the envelope.
     *
     * `orderBy` supplies a deterministic within-batch order (the reference's

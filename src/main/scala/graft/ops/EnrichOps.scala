@@ -25,7 +25,7 @@ object EnrichOps {
       val joined = df.withColumn("_lk", key)
         .join(d, col("_lk") === d(dimKey), "left")
       val newDoc = fields.foldLeft(col(Doc)) { case (acc, (dimCol, dest)) =>
-        acc.withField(dest, d(dimCol))
+        acc.withField(graft.model.Envelope.fieldPath(dest.split('.').toSeq), d(dimCol))
       }
       joined.select(col(Content), newDoc.as(Doc), col(Meta), col(Error), col(BatchId), col(Seq))
     }

@@ -82,7 +82,7 @@ object FlowOps {
       val newDoc = resultPaths.foldLeft(col(Doc)) { case (acc, (childField, destPath)) =>
         val v = if (childField.isEmpty) childTC.col
           else graft.blobl.Compiler.accessField(childTC, childField).col
-        acc.withField(destPath, v)
+        acc.withField(graft.model.Envelope.fieldPath(destPath.split('.').toSeq), v)
       }
       df.select(col(Content), newDoc.as(Doc), col(Meta), col(Error), col(BatchId), col(Seq))
     }
@@ -99,7 +99,7 @@ object FlowOps {
       val newDoc = resultPaths.foldLeft(col(Doc)) { case (acc, (childField, destPath)) =>
         val v = if (childField.isEmpty) col("_child")
           else col("_child").getField(childField)
-        acc.withField(destPath, v)
+        acc.withField(graft.model.Envelope.fieldPath(destPath.split('.').toSeq), v)
       }
       joined.select(
         col(Content), newDoc.as(Doc), col(Meta), col(Error), col(BatchId), col(Seq))

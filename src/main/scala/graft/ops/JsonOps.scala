@@ -34,10 +34,13 @@ final case class JsonProc(operator: String, path: String = "",
     value: Option[Any] = None) extends Processor {
 
   private def segs = path.split('.').toList.filter(_.nonEmpty)
+  // the path re-rendered with non-identifier segments quoted, so a
+  // segment holding spaces/quotes can't break the generated mapping
+  private def sPath = JsonProc.safePath(segs)
 
   private def litOf(v: Any): String = v match {
     case null => "null"
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case s: String => JsonProc.quote(s)
     case m: java.util.Map[_, _] =>
       import scala.jdk.CollectionConverters._
       m.asScala.map { case (k, x) => litOf(k.toString) + ":" + litOf(x) }
@@ -63,29 +66,31 @@ final case class JsonProc(operator: String, path: String = "",
   def apply(df: DataFrame): DataFrame = operator match {
     case "set" =>
       if (segs.isEmpty) mapping(s"root = ${litOf(value.orNull)}")(df)
-      else mapping(s"root = this\nroot.$path = ${litOf(value.orNull)}")(df)
+      else mapping(s"root = this\nroot.$sPath = ${litOf(value.orNull)}")(df)
     case "delete" =>
       if (segs.isEmpty) mapping("root = null")(df)
-      else mapping(s"root = this\nroot.$path = deleted()")(df)
+      else mapping(s"root = this\nroot.$sPath = deleted()")(df)
     case "select" =>
-      mapping(if (segs.isEmpty) "root = this" else s"root = this.$path")(df)
+      mapping(if (segs.isEmpty) "root = this" else s"root = this.$sPath")(df)
     case "copy" =>
-      val dest = strValue("destination path")
-      mapping(s"root = this\nroot.$dest = this.$path")(df)
+      val dest = JsonProc.safePath(strValue("destination path")
+        .split('.').toList.filter(_.nonEmpty))
+      mapping(s"root = this\nroot.$dest = this.$sPath")(df)
     case "move" =>
-      val dest = strValue("destination path")
-      mapping(s"root = this\nroot.$dest = this.$path\n" +
-        s"root.$path = deleted()")(df)
+      val dest = JsonProc.safePath(strValue("destination path")
+        .split('.').toList.filter(_.nonEmpty))
+      mapping(s"root = this\nroot.$dest = this.$sPath\n" +
+        s"root.$sPath = deleted()")(df)
     case "split" =>
       val delim = strValue("delimiter")
-      mapping(s"root = this\nroot.$path = this.$path.split(${litOf(delim)})")(df)
+      mapping(s"root = this\nroot.$sPath = this.$sPath.split(${litOf(delim)})")(df)
     case "fold_number_array" =>
-      mapping(s"root = this\nroot.$path = this.$path.sum()")(df)
+      mapping(s"root = this\nroot.$sPath = this.$sPath.sum()")(df)
     case "fold_string_array" =>
       val delim = value match { case Some(s: String) => s; case _ => "" }
-      mapping(s"root = this\nroot.$path = this.$path.join(${litOf(delim)})")(df)
+      mapping(s"root = this\nroot.$sPath = this.$sPath.join(${litOf(delim)})")(df)
     case "flatten_array" =>
-      mapping(s"root = this\nroot.$path = this.$path.flatten()")(df)
+      mapping(s"root = this\nroot.$sPath = this.$sPath.flatten()")(df)
     case "append" =>
       // json.go newAppendOperator: value-as-array extends an array
       // target, a present scalar/null target prepends as the first
@@ -103,15 +108,15 @@ final case class JsonProc(operator: String, path: String = "",
       }).mkString(", ")
       val rhs = docType(df) match {
         case s: StructType => fieldTypeOpt(s, segs) match {
-          case Some(_: ArrayType) => s"this.$path.append($elems)"
-          case Some(_) => s"[this.$path].append($elems)"
+          case Some(_: ArrayType) => s"this.$sPath.append($elems)"
+          case Some(_) => s"[this.$sPath].append($elems)"
           case None => s"[$elems]"
         }
-        case _ => s"if this.$path.type() == \"array\" " +
-          s"{ this.$path.append($elems) } else if this.$path.type() == " +
-          s"\"null\" { [$elems] } else { [this.$path].append($elems) }"
+        case _ => s"if this.$sPath.type() == \"array\" " +
+          s"{ this.$sPath.append($elems) } else if this.$sPath.type() == " +
+          s"\"null\" { [$elems] } else { [this.$sPath].append($elems) }"
       }
-      mapping(s"root = this\nroot.$path = $rhs")(df)
+      mapping(s"root = this\nroot.$sPath = $rhs")(df)
     case "explode" => explodeOp(df)
     case "flatten" => flattenOp(df)
     case "clean" => cleanOp(df)
@@ -149,7 +154,7 @@ final case class JsonProc(operator: String, path: String = "",
   private def explodeOp(df: DataFrame): DataFrame = {
     require(segs.nonEmpty, "json explode: operator requires a target path")
     val doc = col(Envelope.Doc)
-    val nested = segs.mkString(".")
+    val nested = Envelope.fieldPath(segs)
     val out = fieldType(docType(df), segs) match {
       case _: ArrayType =>
         transform(getPath(doc), x => doc.withField(nested, x))
@@ -194,7 +199,7 @@ final case class JsonProc(operator: String, path: String = "",
         StructField("key", StringType),
         StructField("value", VariantType)))))): _*)))
     df.withColumn(Envelope.Doc,
-      if (segs.isEmpty) flat else doc.withField(segs.mkString("."), flat))
+      if (segs.isEmpty) flat else doc.withField(Envelope.fieldPath(segs), flat))
   }
 
   /** Empty strings/arrays/objects null out recursively (bottom-up), and
@@ -203,7 +208,7 @@ final case class JsonProc(operator: String, path: String = "",
     def clean(c: Column, dt: DataType): Column = dt match {
       case s: StructType =>
         val cleaned = s.fields.foldLeft(c) { (acc, f) =>
-          acc.withField(f.name, clean(acc.getField(f.name), f.dataType))
+          acc.withField(Envelope.fieldRef(f.name), clean(acc.getField(f.name), f.dataType))
         }
         // an object whose every field is null is itself empty
         when(s.fields.map(f => cleaned.getField(f.name).isNull)
@@ -224,6 +229,36 @@ final case class JsonProc(operator: String, path: String = "",
     val cleaned = clean(getPath(doc), dt)
     df.withColumn(Envelope.Doc,
       if (segs.isEmpty) cleaned
-      else doc.withField(segs.mkString("."), cleaned))
+      else doc.withField(Envelope.fieldPath(segs), cleaned))
   }
+}
+
+object JsonProc {
+  /** Bloblang/JSON string-literal quoting: escapes backslash, quote and
+    * every control character (newlines, tabs, \u00XX) so an interpolated
+    * value can never break — or change the meaning of — the generated
+    * mapping text. */
+  def quote(s: String): String = {
+    val sb = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  // plain identifiers stay raw; all-digit segments stay raw too (they
+  // parse as array-index steps, which quoting would turn into field gets)
+  private val PlainSeg =
+    java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
+  /** A dotted path re-rendered for mapping text with non-identifier
+    * segments quoted (`a."weird key".b`) — the parser accepts string
+    * tokens as path segments. */
+  def safePath(segs: List[String]): String =
+    segs.map(s => if (PlainSeg.matcher(s).matches()) s else quote(s)).mkString(".")
 }

@@ -251,7 +251,26 @@ final class ControlPlane(spark: SparkSession,
     "/streams/{id}/stats" -> "Structured metrics for one stream.",
     "/resources/{type}/{id}" -> ("POST: create or replace a named " +
       "resource: cache, input, output, processor or rate_limit."),
-    "/inputs" -> "Dynamic-input CRUD (list; POST/DELETE /inputs/{id}).")
+    "/inputs" -> "Dynamic-input CRUD (list; POST/DELETE /inputs/{id}).",
+    "/outputs" -> ("Dynamic-output CRUD: GET lists ids with uptimes; " +
+      "POST/GET/DELETE /outputs/{id} (optionally under the configured " +
+      "prefix, `{prefix}/outputs/...`)."))
+
+  /** Matches dynamic-output CRUD paths: `/outputs[/{id}]`, optionally
+    * under one prefix segment (`/{prefix}/outputs[/{id}]` — the
+    * reference registers the endpoints under the output's `prefix`).
+    * Reserved root segments never act as a prefix. */
+  private object DynOutPath {
+    private val reserved =
+      Set("streams", "inputs", "resources", "debug", "outputs")
+    def unapply(segs: List[String]): Option[Option[String]] = segs match {
+      case List("outputs") => Some(None)
+      case List("outputs", id) => Some(Some(id))
+      case List(p, "outputs") if !reserved(p) => Some(None)
+      case List(p, "outputs", id) if !reserved(p) => Some(Some(id))
+      case _ => None
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
@@ -356,6 +375,30 @@ final class ControlPlane(spark: SparkSession,
         if (Config.DynamicInputs.remove(id))
           respond(ex, 200, """{"status":"removed"}""")
         else respond(ex, 404, """{"error":"input not found"}""")
+      // dynamic-output CRUD (lib/output/dynamic.go REST surface): the
+      // registered YAML fragment becomes a fan_out member of the
+      // `dynamic` output. The reference registers these under the
+      // output's `prefix` — a single leading segment before /outputs
+      // is accepted as that prefix.
+      case ("POST", DynOutPath(Some(id))) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        graft.sinks.Sinks.DynamicOutputs.set(id, Config.loadOutput(body), body)
+        respond(ex, 200, """{"status":"registered"}""")
+      case ("GET", DynOutPath(None)) =>
+        // GET /outputs: a JSON map of output id -> uptime (reference doc:
+        // "a JSON map of output identifiers with their current uptimes")
+        respond(ex, 200, graft.sinks.Sinks.DynamicOutputs.uptimes
+          .map { case (n, ms) => s"${jsonStr(n)}:${jsonStr(s"${ms / 1000.0}s")}" }
+          .mkString("{", ",", "}"))
+      case ("GET", DynOutPath(Some(id))) =>
+        graft.sinks.Sinks.DynamicOutputs.conf(id) match {
+          case Some(c) => respond(ex, 200, c, "application/yaml")
+          case None => respond(ex, 404, """{"error":"output not found"}""")
+        }
+      case ("DELETE", DynOutPath(Some(id))) =>
+        if (graft.sinks.Sinks.DynamicOutputs.remove(id))
+          respond(ex, 200, """{"status":"removed"}""")
+        else respond(ex, 404, """{"error":"output not found"}""")
       case ("DELETE", List("streams", id)) =>
         val (existed, wasStreaming) = stopStream(id)
         if (existed)

@@ -68,6 +68,14 @@ object Config {
     }
   }
 
+  /** Compile a standalone output YAML fragment — the dynamic-output
+    * CRUD body (`POST /outputs/{id}`): either a bare `kind: {...}` map
+    * or one wrapped under `output:`. */
+  def loadOutput(yaml: String): Sink = {
+    val root = asMap(safeYaml.load[Any](yaml))
+    compileOutput(root.get("output").map(asMap).getOrElse(root))
+  }
+
   def load(yaml: String): StreamSpec = {
     val interpolated = "\\$\\{(\\w+)(?::([^}]*))?\\}".r.replaceAllIn(yaml, m =>
       scala.util.matching.Regex.quoteReplacement(
@@ -410,9 +418,13 @@ object Config {
              else graft.sources.Kafka.readStream(s, c)
       case "dynamic" =>
         // dynamic (lib/input/dynamic.go): REST-managed named input set —
-        // union whatever is registered at plan time (control plane CRUD)
-        val prefix = optStr(conf, "prefix", "")
-        s => DynamicInputs.union(s, prefix)
+        // union whatever is registered at plan time. The static `inputs`
+        // map registers members at load time; `prefix` namespaces the
+        // CRUD endpoints (like the output twin, it never filters members)
+        conf.get("inputs").map(asMap).getOrElse(Map.empty).foreach {
+          case (id, in) => DynamicInputs.set(id.toString, compileInput(asMap(in)))
+        }
+        s => DynamicInputs.union(s)
       case "spark_format" =>
         val format = str(conf, "format")
         val opts = conf.get("options").map(asMap).getOrElse(Map.empty)
@@ -827,9 +839,14 @@ object Config {
       case "resource" =>
         Sinks.OutputResources(m(kind).toString)
       case "dynamic" =>
-        // lib/output/dynamic.go: REST-managed named output set — fan
-        // out to whatever is registered at write time (control plane
-        // CRUD), the output twin of the dynamic input
+        // lib/output/dynamic.go: REST-managed named output set (always
+        // fan_out). The config's static `outputs` map creates members at
+        // load time; the control plane CRUDs more at /outputs/{id}.
+        // `prefix` namespaces those endpoints (it is NOT a member filter).
+        conf.get("outputs").map(asMap).getOrElse(Map.empty).foreach {
+          case (id, o) =>
+            Sinks.DynamicOutputs.set(id.toString, compileOutput(asMap(o)))
+        }
         Sinks.DynamicSink(optStr(conf, "prefix", ""))
       case "sync_response" =>
         // lib/output/sync_response.go: the payload returns to the input
@@ -1034,10 +1051,8 @@ object Config {
       inputs.put(name, in)
     def remove(name: String): Boolean = inputs.remove(name).isDefined
     def list: scala.Seq[String] = inputs.keys.toSeq.sorted
-    def union(s: SparkSession, prefix: String): DataFrame = {
-      val members = inputs.toSeq.sortBy(_._1)
-        .filter { case (n, _) => prefix.isEmpty || n.startsWith(prefix) }
-        .map(_._2(s))
+    def union(s: SparkSession): DataFrame = {
+      val members = inputs.toSeq.sortBy(_._1).map(_._2(s))
       require(members.nonEmpty, "dynamic input: no members registered")
       members.reduce(_.unionByName(_))
     }

@@ -387,16 +387,28 @@ object Sinks {
     * registry. A write fans out to every member registered at write
     * time. */
   object DynamicOutputs {
-    private val sinks = scala.collection.concurrent.TrieMap[String, Sink]()
-    def set(name: String, sink: Sink): Unit = sinks.put(name, sink)
+    // member sink + its registration config (GET /outputs/{id} echoes
+    // it back) + registration time (GET /outputs reports uptimes, the
+    // reference's dynamic_fan_out uptime map)
+    private val sinks = scala.collection.concurrent.TrieMap[
+      String, (Sink, String, Long)]()
+    def set(name: String, sink: Sink, conf: String = ""): Unit =
+      sinks.put(name, (sink, conf, System.currentTimeMillis()))
     def remove(name: String): Boolean = sinks.remove(name).isDefined
     def list: scala.Seq[String] = sinks.keys.toSeq.sorted
-    def members(prefix: String): scala.Seq[Sink] = sinks.toSeq.sortBy(_._1)
-      .collect { case (n, s) if prefix.isEmpty || n.startsWith(prefix) => s }
+    def conf(name: String): Option[String] = sinks.get(name).map(_._2)
+    def uptimes: scala.Seq[(String, Long)] = sinks.toSeq.sortBy(_._1)
+      .map { case (n, (_, _, t)) => (n, System.currentTimeMillis() - t) }
+    def members: scala.Seq[Sink] = sinks.toSeq.sortBy(_._1).map(_._2._1)
   }
+  /** `dynamic` output (`lib/output/dynamic.go`): the pattern is always
+    * fan_out — every write goes to EVERY registered member. Members come
+    * from the config's static `outputs` map (compiled at load time) plus
+    * control-plane CRUD at `[prefix]/outputs/{id}`. `prefix` only
+    * namespaces those endpoints; it never filters members. */
   final case class DynamicSink(prefix: String = "") extends Sink {
     def write(df: DataFrame): Unit = {
-      val ms = DynamicOutputs.members(prefix)
+      val ms = DynamicOutputs.members
       // the reference's writer BLOCKS until a member registers
       // (lib/output/dynamic.go); a batch write cannot wait, so the
       // adapted contract is an explicit error — loud beats silently
@@ -426,10 +438,13 @@ object Sinks {
     }
   }
   final case class SyncResponseSink() extends Sink {
+    // toLocalIterator, not collect: the driver holds one partition at a
+    // time, so a huge batch can't OOM it on its way into the bounded
+    // queue (which itself only retains the newest 10k)
     def write(df: DataFrame): Unit =
       df.select(graft.model.Envelope.contentOrDoc(df)
           .cast(org.apache.spark.sql.types.StringType))
-        .collect().foreach(r => RoundtripStore.put(r.getString(0)))
+        .toLocalIterator().forEachRemaining(r => RoundtripStore.put(r.getString(0)))
   }
 
   /** `http_server` output (`lib/output/http_server.go`): clients consume
@@ -472,10 +487,12 @@ object Sinks {
       extends Sink {
     HttpServe.register(scala.Seq(path, streamPath))
     HttpServe.markStream(streamPath)
+    // toLocalIterator: bounded driver memory on the way into the queue
+    // (see SyncResponseSink) — eviction semantics (keep newest) intact
     def write(df: DataFrame): Unit =
       df.select(graft.model.Envelope.contentOrDoc(df)
           .cast(org.apache.spark.sql.types.StringType))
-        .collect().foreach(r => HttpServe.put(path, r.getString(0)))
+        .toLocalIterator().forEachRemaining(r => HttpServe.put(path, r.getString(0)))
   }
 
   /** `fallback`/`try` output (`lib/output/try.go`): dead-letter chain —

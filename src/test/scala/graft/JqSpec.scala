@@ -976,12 +976,11 @@ class JqSpec extends AnyFunSuite {
       """def rep($s; n): if n <= 0 then "" else $s + rep($s; n - 1) end;
         |rep(.w; 3)""".stripMargin,
       """{"w":"ab"}""") == "ababab")
-    // fib-shaped (two self-calls): node budget keeps the plan sane
-    // (the cap-throw branch widens the static type to double — value
-    // exact, int-ness lost at the cut, like jq's float contagion)
+    // fib-shaped (two self-calls): node budget keeps the plan sane; the
+    // cap-throw branch is a typed null, so int-ness survives the cut
     assert(run(
       "def fib: if . < 2 then . else (. - 1 | fib) + (. - 2 | fib) end; .n | fib",
-      """{"n":9}""") == "34.0")
+      """{"n":9}""") == "34")
     // past the cap: error channel, catchable like the recurse cap
     assert(run(
       """(def down: if . <= 0 then 0 else . - 1 | down end;
@@ -1026,6 +1025,9 @@ class JqSpec extends AnyFunSuite {
   test("ltrim/rtrim/trimstr (jq 1.7.1/1.8 string tail)") {
     assert(run(".s | ltrim", """{"s":"  hi  "}""") == "hi  ")
     assert(run(".s | rtrim", """{"s":"  hi  "}""") == "  hi")
+    // jq trims UNICODE whitespace (strings.TrimSpace) — NBSP/ideographic
+    assert(run(".s | ltrim", "{\"s\":\" 　hi\"}") == "hi")
+    assert(run(".s | rtrim", "{\"s\":\"hi 　\"}") == "hi")
     assert(run(""".s | trimstr("ab")""", """{"s":"abxyzab"}""") == "xyz")
     assert(run(""".s | trimstr("ab")""", """{"s":"xyz"}""") == "xyz")
   }

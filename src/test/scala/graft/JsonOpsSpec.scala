@@ -47,6 +47,17 @@ class JsonOpsSpec extends AnyFunSuite {
       == """{"c":2,"d":7}""")
   }
 
+  test("set: control characters in values and odd path segments survive") {
+    // newline/tab/quote/raw-control value: litOf must emit a valid
+    // mapping and the value must round-trip exactly
+    assert(run(JsonProc("set", "a", Some("l1\nl2\t\"q\"\u0001")), """{"a":"x"}""")
+      == "{\"a\":\"l1\\nl2\\t\\\"q\\\"\\u0001\"}")
+    // a path segment that is not a plain identifier quotes, not breaks
+    assert(run(JsonProc("set", "a b", Some(3)), """{"a b":1,"c":2}""")
+      == """{"a b":3,"c":2}""")
+    assert(run(JsonProc("select", "a b"), """{"a b":9}""") == "9")
+  }
+
   test("split / fold_number_array / fold_string_array / flatten_array") {
     assert(run(JsonProc("split", "s", Some(",")), """{"s":"a,b,c"}""")
       == """{"s":["a","b","c"]}""")

@@ -265,6 +265,55 @@ class ServerIoSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic output: static `outputs` map + REST CRUD fan_out") {
+    val api = new graft.runtime.ControlPlane(spark).start()
+    val base = s"http://localhost:${api.boundPort}"
+    def http(method: String, url: String, body: String = null): (Int, String) = {
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      if (body != null) { conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8")) }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+      conn.disconnect(); (code, text)
+    }
+    try {
+      // the static `outputs` map (lib/output/dynamic.go Config.Outputs)
+      // compiles and registers members at LOAD time
+      val spec = Config.load(
+        """input:
+          |  generate:
+          |    count: 3
+          |    mapping: 'root.v = 7'
+          |output:
+          |  dynamic:
+          |    outputs:
+          |      stat_a:
+          |        inproc: dynout_a
+          |""".stripMargin)
+      assert(Sinks.DynamicOutputs.list.contains("stat_a"))
+      // CRUD a second member; a write must fan out to BOTH
+      assert(http("POST", s"$base/outputs/crud_b", "inproc: dynout_b")._1 == 200)
+      assert(http("GET", s"$base/outputs")._2.contains("crud_b"))
+      assert(http("GET", s"$base/outputs/crud_b")._2.contains("dynout_b"))
+      val staged = spec.pipeline.foldLeft(spec.input(spark))((d, p) => p(d))
+      spec.output.write(staged)
+      assert(Sinks.Inproc.get("dynout_a").count() == 3)
+      assert(Sinks.Inproc.get("dynout_b").count() == 3)
+      assert(http("DELETE", s"$base/outputs/crud_b")._1 == 200)
+      assert(http("GET", s"$base/outputs/crud_b")._1 == 404)
+      // prefixed endpoint spelling reaches the same registry
+      assert(http("POST", s"$base/myprefix/outputs/crud_c", "inproc: dynout_c")._1 == 200)
+      assert(Sinks.DynamicOutputs.list.contains("crud_c"))
+    } finally {
+      Sinks.DynamicOutputs.list.foreach(Sinks.DynamicOutputs.remove)
+      Sinks.Inproc.clear()
+      api.stop()
+    }
+  }
+
   test("websocket output lints; kafka_balanced aliases kafka") {
     val s1 = Config.load(
       "input:\n  generate:\n    count: 1\n    mapping: 'root.x = 1'\noutput:\n  websocket:\n    url: ws://127.0.0.1:1/out\n")
