@@ -386,7 +386,10 @@ object ScaleProbe {
         coalesce(sum(when(floor(col("id_a") / 1000000L) =!=
           floor(col("id_b") / 1000000L), 1L).otherwise(0L)), lit(0L))
           .as("x"))
-      val row = aggDf.head()
+      // collect(), not head(): head() re-plans through limit(1) as a
+      // SEPARATE execution, so dumpPlanMetrics below would walk a plan
+      // whose metrics never populated (r10: silent empty ATTR dump)
+      val row = aggDf.collect()(0)
       val t = (System.nanoTime() - t0) / 1e9
       val (n, x) = (row.getLong(0), row.getLong(1))
       val (rd1, wr1, sp1, rt1, rc1, sd1) = metrics.drain()

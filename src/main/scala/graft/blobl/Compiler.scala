@@ -714,6 +714,16 @@ object Compiler {
         val c = ctx.countCol.getOrElse(throw CompileError("count() needs envelope context"))
         TC(c, Some(LongType))
       case "var" => ctx.vars.getOrElse(litStr(0), throw CompileError(s"unknown var ${litStr(0)}"))
+      case "__jq_as__" =>
+        // jq `E as $x | REST`: $x binds to E's value in ctx.vars and `.`
+        // is NOT rebound — the binding survives later pipe stages'
+        // this-rebinding (inline substitution did not)
+        val bound = compile(arg(0), ctx)
+        args(1) match {
+          case Lambda(p, body) =>
+            compile(body, ctx.withVar(p, bound)).orErr(bound.err)
+          case o => throw CompileError(s"__jq_as__: expected a lambda body, got $o")
+        }
       case "throw" =>
         // NESTED throw (inside a larger expression — jq `error(msg)`):
         // value is null, the message rides the error channel so `catch`/
@@ -1099,6 +1109,20 @@ object Compiler {
         case Some(_: ArrayType) | Some(_: MapType) => TC(size(t.col).cast(LongType), Some(LongType))
         case Some(s: StructType) => TC(lit(s.fields.length.toLong), Some(LongType))
         case Some(BinaryType) => TC(octet_length(t.col).cast(LongType), Some(LongType))
+        case Some(VariantType) =>
+          // dynamic jq dispatch: array → element count, object → key
+          // count, null → 0, number → |n| (truncated to the long the
+          // typed paths return), else string chars — without this a
+          // variant array measured its JSON text length
+          val arr = try_variant_get(t.col, "$", "array<variant>")
+          val obj = try_variant_get(t.col, "$", "map<string, variant>")
+          val num = try_variant_get(t.col, "$", "double")
+          TC(when(is_variant_null(t.col), lit(0L))
+            .when(arr.isNotNull, size(arr).cast(LongType))
+            .when(obj.isNotNull, size(obj).cast(LongType))
+            .when(num.isNotNull, abs(num).cast(LongType))
+            .otherwise(length(try_variant_get(t.col, "$", "string"))
+              .cast(LongType)), Some(LongType))
         case _ => TC(length(t.col).cast(LongType), Some(LongType))
       }
       case "format" =>
@@ -1846,6 +1870,35 @@ object Compiler {
             slice(array(parse_json(lit("0"))), lit(1), lit(0)),
             pathTypeFilter(kind)),
             Some(ArrayType(ArrayType(VariantType))))
+      case "jq_tostream" =>
+        // jq `tostream` (gojq builtin): runtime variant walk — closing
+        // events need each container's RUNTIME last key/index, which a
+        // static schema expansion can't know for arrays/maps
+        val vcol = if (t.isVariant) t.col
+          else asVariant(t.col, t.tpe.getOrElse(StringType))
+        TC(transform(graft.exprs.JqStreamExprs.tostream(vcol),
+          s => parse_json(s)), Some(ArrayType(VariantType)), t.err)
+      case "jq_fromstream" =>
+        // jq `fromstream(f)`: target is the collected event array; the
+        // overwhelmingly common single reconstruction comes back as the
+        // value itself, multiple outputs as their collected array
+        val ev = t.elemType match {
+          case Some(VariantType) | None => t.col
+          case Some(et) => transform(t.col, x => asVariant(x, et))
+        }
+        val outs = transform(graft.exprs.JqStreamExprs.fromstream(ev),
+          s => parse_json(s))
+        TC(when(size(outs) === 1, element_at(outs, 1))
+          .otherwise(parse_json(to_json(outs))), Some(VariantType), t.err)
+      case "jq_truncate_stream" =>
+        // jq `truncate_stream(f)` with `.` = depth at the call site
+        val ev = t.elemType match {
+          case Some(VariantType) | None => t.col
+          case Some(et) => transform(t.col, x => asVariant(x, et))
+        }
+        TC(transform(graft.exprs.JqStreamExprs.truncate(
+          c(0).col.cast(LongType), ev), s => parse_json(s)),
+          Some(ArrayType(VariantType)), t.err)
       case "index" => indexValue(t, c(0))
       case "keys" => t.tpe match {
         case Some(s: StructType) =>

@@ -195,16 +195,26 @@ object Jq {
       while (tryWord("def")) parseDef()
       val top = inTop && allowGen && !collectGen
       inTop = false
+      val genBefore = genBases.length
       var l = parseStage()
       ws()
       // `EXPR as PATTERN | REST` (gojq binding incl. destructuring):
-      // `.` is NOT rebound; the bound variables substitute inline into
-      // REST (pure expressions, so duplication is safe)
+      // `.` is NOT rebound. The binding compiles as a ctx-level var
+      // (__jq_as__): unlike inline substitution it survives REST's
+      // this-rebinding pipe stages (`.d as $dot | 1 | f($dot)` — the
+      // substituted `.d` used to resolve against the rebound 1).
+      // Expressions that registered a GENERATOR keep the substitution
+      // path — the marker machinery rewrites through the substituted
+      // tree.
       if (tryWord("as")) {
         val binds = parseBindPattern(l)
         ws(); eat('|')
         genLocked = true
-        return substVars(parsePipe(), binds)
+        val rest = parsePipe()
+        return if (genBases.length > genBefore) substVars(rest, binds)
+        else binds.foldLeft(rest) { case (body, (name, src)) =>
+          FnCall("__jq_as__", List(src, Lambda(name, body)))
+        }
       }
       while (peek == '|' && !s.startsWith("||", i)) {
         i += 1
@@ -863,9 +873,12 @@ object Jq {
             case MethodCall(_,
               "recurse_values" | "recurse_apply" | "iterate_while" |
               "json_paths" | "fold_scan" | "re_split" | "re_scan" |
-              "repeat_apply" | "jq_match" | "combinations", _) => true
+              "repeat_apply" | "jq_match" | "combinations" |
+              "jq_tostream" | "jq_truncate_stream", _) => true
             case FnCall("range", _) => true
             case MatchExpr(_, List((None, r))) => collectedGen(r)
+            // an `as`-binding is transparent: its body decides
+            case FnCall("__jq_as__", List(_, Lambda(_, b))) => collectedGen(b)
             case _ => false
           }
           items.toList match {
@@ -1460,6 +1473,20 @@ object Jq {
         case "leaf_paths" =>
           // leaf_paths ≡ paths(scalars) (jq manual definition)
           MethodCall(This, "json_paths", List(LitString("scalars")))
+        case "tostream" =>
+          // the streaming trio (gojq builtins via lib/processor/jq.go):
+          // [path, leaf] events + closing [path] markers, as a runtime
+          // variant walk (closing markers need RUNTIME container lengths)
+          MethodCall(This, "jq_tostream", Nil)
+        case "fromstream" =>
+          // fromstream(f): f yields the collected event array; one
+          // reconstruction returns the value itself (multiple: the
+          // collected array — the engine's generator convention)
+          MethodCall(arg(), "jq_fromstream", Nil)
+        case "truncate_stream" =>
+          // truncate_stream(f) with `.` = depth: drop the first depth
+          // path segments of every event; shorter events drop entirely
+          MethodCall(arg(), "jq_truncate_stream", List(This))
         case "getpath" =>
           // getpath(["a","b"]) with a literal path array → static access
           arg() match {

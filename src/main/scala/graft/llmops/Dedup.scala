@@ -260,8 +260,45 @@ object Dedup {
     val bandKey = (b: Int) => xxhash64(
       lit(b) +: (0 until rowsPerBand).map(r =>
         element_at(col("_sig"), b * rowsPerBand + r + 1)): _*)
-    val buckets = sig.select(col("id"), col("_sig").as("sig"),
+    // Exchange sizing, ONE gated scan for two decisions (r9 advisor
+    // discipline: small inputs and never-executed plans pay nothing).
+    // The sizing scan (avg text length × row count) is an EXTRA pass
+    // over the text column, paid at plan-construction time — gate it
+    // behind Catalyst's free size estimate: shingle-hash build rows
+    // are ≲ 8 B/char ≈ 8× the raw text, and parquet compresses text
+    // ≲ 4×, so when 32× the estimated input bytes can't reach the
+    // widening cap the scan would only confirm both sizes ≤
+    // defaultParts — skip it.
+    val defaultParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val capBytes = (64L << 20) * defaultParts.toLong
+    val estInput = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (hashParts, bucketParts) =
+      if (estInput * 32 < capBytes) (defaultParts, defaultParts)
+      else {
+        val avgLenRow = df.agg(avg(length(col(textCol))), count(lit(1))).head()
+        val avgLen = if (avgLenRow.isNullAt(0)) 0.0 else avgLenRow.getDouble(0)
+        val nDocs = avgLenRow.getLong(1)
+        // verify build side: sorted shingle hashes, ~8 B per text char
+        val buildBytes = (nDocs * (avgLen * 8 + 32)).toLong
+        // bucket exchange: bands rows per doc, each carrying the full
+        // numHashes-long signature (the prefilter's input) — the r9 256×
+        // attribution measured its window+SMJ sort spilling 16 GB at the
+        // default 32 partitions (290 MB compressed per task, ~0.7 GB in
+        // the sort); sizing the exchange from the EXACT row count keeps
+        // every per-task sort in memory
+        val bucketBytes = nDocs * bands.toLong * (numHashes * 8L + 56L)
+        (math.min(4096L, buildBytes / (64L << 20) + 1L).toInt,
+          math.min(4096L, bucketBytes / (64L << 20) + 1L).toInt)
+      }
+    val buckets0 = sig.select(col("id"), col("_sig").as("sig"),
       explode(array((0 until bands).map(bandKey): _*)).as("bucket"))
+    // pre-partition on the bucket key: the hot-bucket window AND the
+    // SMJ both cluster on it, so both reuse this single exchange
+    val buckets =
+      if (bucketParts > defaultParts)
+        buckets0.repartition(bucketParts, col("bucket"))
+      else buckets0
     // Stage 2 — HOT-BUCKET guard: on templated corpora (boilerplate-
     // heavy web text — and the probe corpus) a few corpus-common
     // shingles minimize several hash seeds for most documents, so some
@@ -341,27 +378,6 @@ object Dedup {
     // doc relation outgrows ~64 MB × default partitions the pair side is
     // pre-partitioned wider and the build side follows (jaccard's
     // measured-sizing discipline, applied to the build relation).
-    val defaultParts =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // The sizing scan (avg text length × row count) is an EXTRA pass
-    // over the text column, paid at plan-construction time — gate it
-    // behind Catalyst's free size estimate: shingle-hash build rows
-    // are ≲ 8 B/char ≈ 8× the raw text, and parquet compresses text
-    // ≲ 4×, so when 32× the estimated input bytes can't reach the
-    // widening cap the scan would only confirm hashParts ≤
-    // defaultParts — skip it (r9 advisor; small inputs and
-    // never-executed plans pay nothing).
-    val capBytes = (64L << 20) * defaultParts.toLong
-    val estInput = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val hashParts =
-      if (estInput * 32 < capBytes) defaultParts
-      else {
-        val avgLenRow = df.agg(avg(length(col(textCol))), count(lit(1))).head()
-        val avgLen = if (avgLenRow.isNullAt(0)) 0.0 else avgLenRow.getDouble(0)
-        val nDocs = avgLenRow.getLong(1)
-        val buildBytes = (nDocs * (avgLen * 8 + 32)).toLong
-        math.min(4096L, buildBytes / (64L << 20) + 1L).toInt
-      }
     def widen(pairs: DataFrame, key: String): DataFrame =
       if (hashParts > defaultParts) pairs.repartition(hashParts, col(key))
       else pairs
@@ -727,14 +743,65 @@ object Dedup {
     val fp = df.select(col(idCol).as("id"),
         explode(graft.exprs.WinnowExpr.column(col(textCol), k, w)).as("h"))
       .localCheckpoint()
-    val rare = fp.groupBy(col("h"))
+    // Exchange sizing from the fingerprint histogram, ONE cheap job over
+    // the checkpointed fp (r10: the 256× attribution measured the h-join
+    // stage — three SMJ sorts over the fp relation at the default 32
+    // partitions — spilling 10 GB accounting / 1.1 GB disk):
+    //  * total fp rows size the h exchange (every sort in the join stage
+    //    is fp-proportional);
+    //  * Σ_h df_h·(df_h−1)/2 over kept fingerprints is EXACT for the
+    //    id_a<id_b self-join output and sizes the pair aggregation
+    //    (near-unique pair keys barely combine map-side) — the same
+    //    discipline as the jaccard dedup exchange (r9).
+    val defaultParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val histRow = fp.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") <= maxDf, col("c")).otherwise(0L)).as("kept"),
+        sum(when(col("c") <= maxDf,
+          expr("c * (c - 1) div 2")).otherwise(0L)).as("p")).head()
+    val keptFp = if (histRow.isNullAt(0)) 0L else histRow.getLong(0)
+    val pairEst = if (histRow.isNullAt(1)) 0L else histRow.getLong(1)
+    // the h exchange's width is a BUILD-side constraint (the joins below
+    // are hash joins, nothing sorts): the df-capped kept-fp slice must
+    // fit a per-task hash map (~48 B/entry targets ~48 MB); the pair
+    // aggregation sizes from its exact pre-agg mass as usual
+    val joinParts = math.min(4096L, keptFp * 48L / (48L << 20) + 1L).toInt
+    val aggParts = math.min(4096L, pairEst * 48L / (96L << 20) + 1L).toInt
+    // ZERO-sort join tree (r10, from two rounds of 256× attribution):
+    //  * the old rare-join SMJ shape sorted the FULL 110M-row fp
+    //    relation twice (6.4 GB peak per sort, 10 GB spill at 32
+    //    partitions) to keep 0.2% of it;
+    //  * a count(*)-window df-cap (the minhash hot-bucket pattern)
+    //    still buffered the hot boilerplate-fingerprint GROUPS
+    //    (WindowExec holds each key group in memory — 8.6 GB spill).
+    // Instead: one sized h exchange of fp; the df-count aggregate rides
+    // it (complete mode, ~distinct-h rows of state); both the df-cap
+    // join and the pair self-join are SHUFFLE_HASH with the FILTERED
+    // (tiny, df≤maxDf) side as the per-partition build — nothing
+    // fp-proportional is ever sorted or buffered, and per-partition
+    // build size is bounded because joinParts scales with fp.
+    val fpW =
+      if (joinParts > defaultParts) fp.repartition(joinParts, col("h"))
+      else fp
+    val rare = fpW.groupBy(col("h"))
       .agg(count(lit(1)).as("_df")) // fingerprints are distinct per doc
       .filter(col("_df") <= maxDf)
       .select(col("h"))
-    val keyed = fp.join(rare, "h")
-    keyed.select(col("h"), col("id").as("id_a"))
-      .join(keyed.select(col("h"), col("id").as("id_b")), "h")
+    val keyed = fpW.join(rare.hint("SHUFFLE_HASH"), "h")
+    val pairs0 = keyed.select(col("h"), col("id").as("id_a"))
+      .join(keyed.select(col("h"), col("id").as("id_b"))
+        .hint("SHUFFLE_HASH"), "h")
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // near-unique pair keys barely combine map-side; when the measured
+    // pair mass outgrows the default aggregation width, pre-partition
+    // by the aggregation keys so the groupBy reuses a sized exchange
+    val pairs =
+      if (aggParts > defaultParts)
+        pairs0.repartition(aggParts, col("id_a"), col("id_b"))
+          .sortWithinPartitions(col("id_a"), col("id_b"))
+      else pairs0
+    pairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared")) // one row per (pair, fingerprint)
       .filter(col("shared") >= minShared)

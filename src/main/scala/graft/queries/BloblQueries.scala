@@ -142,6 +142,42 @@ object BloblQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q184: the jq streaming trio under an oracle — `tostream` events
+    * (leaf `[path, v]` + closing `[path]` markers, a RUNTIME variant
+    * walk: closing markers need runtime container lengths),
+    * `fromstream` reconstruction (roundtrip identity probed by reading
+    * `.m.n` back out), and `truncate_stream` at depth 1 (the depth-1
+    * `id` leaf truncates away; `m` and `w3` reconstruct separately).
+    * The oracle replays the counts as structure arithmetic from the
+    * word count, like q173. */
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.Envelope
+    val docs = t(s, dir, "documents")
+    val jsonCol = to_json(struct(
+      col("doc_id").as("id"),
+      slice(split(col("text"), " "), 1, 3).as("w3"),
+      struct(length(col("text")).as("n")).as("m")))
+    val env = docs.select(
+      jsonCol.cast(BinaryType).as(Envelope.Content),
+      try_parse_json(jsonCol).as(Envelope.Doc),
+      map().cast(MapType(StringType, StringType)).as(Envelope.Meta),
+      lit(null).cast(StringType).as(Envelope.Error),
+      lit(0L).as(Envelope.BatchId),
+      col("doc_id").as(Envelope.Seq))
+    val out = graft.blobl.JqProc(
+      """. as $d |
+        |{ne: ([$d | tostream] | length),
+        | rn: (fromstream($d | tostream) | .m.n),
+        | t0n: (fromstream(1 | truncate_stream($d | tostream)) | .[0].n),
+        | t1k: (fromstream(1 | truncate_stream($d | tostream)) | .[1] | length)}""".stripMargin)(env)
+    out.select(col(Envelope.Seq).as("doc_id"),
+        col("doc.ne").cast(LongType).as("ne"),
+        col("doc.rn").cast(LongType).as("rn"),
+        col("doc.t0n").cast(LongType).as("t0n"),
+        col("doc.t1k").cast(LongType).as("t1k"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q163: the expression error channel end-to-end — parse_timestamp
     * failures are catch-able errors (not silent nulls), uncaught ones
     * flag the message `_error` while the row keeps flowing. One third of
@@ -369,6 +405,7 @@ object BloblQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q184_jq_stream" -> (q184 _),
     "q183_json_proc" -> (q183 _),
     "q180_jq_mathtail" -> (q180 _),
     "q178_jq_deftail" -> (q178 _),
@@ -383,6 +420,16 @@ object BloblQueries {
     "q12_blobl_text" -> (q12 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q184_jq_stream" ->
+      """WITH d AS (SELECT doc_id,
+        |  least(3, len(string_split(text, ' '))) AS k,
+        |  length(text) AS n FROM documents)
+        |SELECT doc_id,
+        | CAST(k + 5 AS BIGINT) AS ne,
+        | CAST(n AS BIGINT) AS rn,
+        | CAST(n AS BIGINT) AS t0n,
+        | CAST(k AS BIGINT) AS t1k
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q183_json_proc" ->
       """SELECT doc_id,
         | 'ok' AS tag,

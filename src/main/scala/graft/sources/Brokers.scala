@@ -296,15 +296,25 @@ object Brokers {
       xxhash64(col(valueCol)).as(Envelope.Seq))
 
   /** Kinesis wire record (data, streamName, partitionKey,
-    * sequenceNumber, approximateArrivalTimestamp — the DSv2 kinesis
-    * connector schema). Shards map to Spark partitions; the sequence
-    * number is the within-shard order (128-bit decimal string — kept in
-    * meta verbatim, hashed for the seq long). */
-  def kinesisEnvelope(records: DataFrame): DataFrame =
+    * sequenceNumber, approximateArrivalTimestamp, shardId — the DSv2
+    * kinesis connector schema). The REFERENCE metadata contract
+    * (`lib/input/reader/kinesis.go:288-289`) is `kinesis_shard` +
+    * `kinesis_stream`; the connector's extra wire fields ride along
+    * under their conventional names. Shards map to Spark partitions;
+    * the sequence number is the within-shard order (128-bit decimal
+    * string — kept in meta verbatim, hashed for the seq long). */
+  def kinesisEnvelope(records: DataFrame): DataFrame = {
+    // shardId is present on the DSv2 connector schema; a relay that
+    // omits it still projects (reference default shard is "0")
+    val shard =
+      if (records.columns.contains("shardId"))
+        col("shardId").cast(StringType)
+      else lit("0")
     records.select(
       col("data").as(Envelope.Content),
       col("data").cast(StringType).as(Envelope.Doc),
       map(
+        lit("kinesis_shard"), shard,
         lit("kinesis_stream"), col("streamName"),
         lit("kinesis_partition_key"), col("partitionKey"),
         lit("kinesis_sequence_number"), col("sequenceNumber"),
@@ -314,6 +324,7 @@ object Brokers {
       lit(null).cast(StringType).as(Envelope.Error),
       spark_partition_id().cast(LongType).as(Envelope.BatchId),
       xxhash64(col("sequenceNumber")).as(Envelope.Seq))
+  }
 
   /** Pulsar wire record (`value`, `__key`, `__topic`, `__messageId`,
     * `__publishTime` — the pulsar-spark connector schema). */

@@ -121,19 +121,43 @@ class BrokersSpec extends AnyFunSuite {
     assert(out.output.isInstanceOf[graft.sinks.Sinks.BrokerSink])
   }
 
-  test("kinesis wire frame → envelope projection") {
+  test("kinesis wire frame → envelope projection (recorded fixture rows)") {
+    // recorded DSv2-connector-shaped wire rows: two shards of one
+    // stream, sequence numbers in real 128-bit-decimal form
     val wire = scala.Seq(
-      ("payload-a", "events", "pk1", "49590338271490256608559692538361571095921575989136588898",
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      ("payload-a", "events", "pk1",
+        "49590338271490256608559692538361571095921575989136588898",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "shardId-000000000000"),
+      ("payload-b", "events", "pk2",
+        "49590338271490256608559692538361571095921575989136588899",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "shardId-000000000001"))
       .toDF("data", "streamName", "partitionKey", "sequenceNumber",
-        "approximateArrivalTimestamp")
+        "approximateArrivalTimestamp", "shardId")
       .withColumn("data", col("data").cast(BinaryType))
     val env = Brokers.kinesisEnvelope(wire)
-    val r = env.select(col(Envelope.Content).cast(StringType),
+    // the REFERENCE metadata contract: kinesis_shard + kinesis_stream
+    // (lib/input/reader/kinesis.go:288-289) must both be present
+    val rows = env.select(col(Envelope.Content).cast(StringType),
+      element_at(col(Envelope.Meta), "kinesis_shard"),
+      element_at(col(Envelope.Meta), "kinesis_stream"),
       element_at(col(Envelope.Meta), "kinesis_partition_key"),
-      element_at(col(Envelope.Meta), "kinesis_stream")).head()
-    assert(r.getString(0) == "payload-a" && r.getString(1) == "pk1" &&
-      r.getString(2) == "events")
+      element_at(col(Envelope.Meta), "kinesis_sequence_number"))
+      .orderBy(col(Envelope.Content).cast(StringType)).collect()
+    assert(rows(0).getString(0) == "payload-a" &&
+      rows(0).getString(1) == "shardId-000000000000" &&
+      rows(0).getString(2) == "events" && rows(0).getString(3) == "pk1" &&
+      rows(0).getString(4).endsWith("898"))
+    assert(rows(1).getString(1) == "shardId-000000000001" &&
+      rows(1).getString(3) == "pk2")
+    // seq is the (hashed) within-shard sequence number: deterministic
+    // and distinct across records
+    val seqs = env.select(col(Envelope.Seq)).collect().map(_.getLong(0))
+    assert(seqs.distinct.length == 2)
+    // a relay without the shardId column still projects, defaulting to
+    // the reference's default shard "0" (kinesis.go:45)
+    val noShard = Brokers.kinesisEnvelope(wire.drop("shardId"))
+    assert(noShard.select(element_at(col(Envelope.Meta), "kinesis_shard"))
+      .head().getString(0) == "0")
   }
 
   test("pulsar wire frame → envelope projection") {

@@ -1022,6 +1022,63 @@ class JqSpec extends AnyFunSuite {
     assert(run(".n | pow10", """{"n":3}""") == "1000.0")
   }
 
+  test("tostream: [path,leaf] events + closing markers (gojq vectors)") {
+    // jq manual example: {"a":[1,2],"b":1}
+    assert(run("[.d | tostream]", """{"d":{"a":[1,2],"b":1}}""")
+      == """[[["a",0],1],[["a",1],2],[["a",1]],[["b"],1],[["b"]]]""")
+    // nested container closings, inner before outer (mixed-type array →
+    // the true-variant route; the static JSON reader would infer
+    // array<string> for [1,{"b":2}], a schema-inference artifact)
+    assert(run("""[.s | fromjson | tostream]""",
+      """{"s":"{\"a\":[1,{\"b\":2}]}"}""")
+      == """[[["a",0],1],[["a",1,"b"],2],[["a",1,"b"]],[["a",1]],[["a"]]]""")
+    // scalars and empty containers are leaves with the root (empty) path
+    assert(run("[.n | tostream]", """{"n":5}""") == "[[[],5]]")
+    assert(run("[.xs | tostream]", """{"xs":[]}""") == "[[[],[]]]")
+    // works on raw variant docs too (fromjson route)
+    assert(run("""[.s | fromjson | tostream]""",
+      """{"s":"{\"k\":[true,null]}"}""")
+      == """[[["k",0],true],[["k",1],null],[["k",1]],[["k"]]]""")
+  }
+
+  test("fromstream: reconstruction (roundtrip + manual vectors)") {
+    // roundtrip identity: fromstream(tostream) == .
+    assert(run(".d as $dot | fromstream($dot | tostream)",
+      """{"d":{"a":[1,2],"b":{"c":"x"}}}""")
+      == """{"a":[1,2],"b":{"c":"x"}}""")
+    // scalar roundtrip (2-event with empty path emits immediately)
+    assert(run(".n as $n | fromstream($n | tostream)", """{"n":7}""") == "7")
+    // jq manual: fromstream(1|truncate_stream(tostream)) extracts the
+    // sub-values one level down
+    assert(run(
+      ".d as $dot | fromstream(1 | truncate_stream($dot | tostream))",
+      """{"d":{"a":[2,3]}}""") == "[2,3]")
+    // a depth-1 LEAF's events truncate away entirely (path not longer
+    // than the depth — jq drops them, it does not emit the leaf)
+    assert(run(
+      ".d as $dot | fromstream(1 | truncate_stream($dot | tostream))",
+      """{"d":{"a":[2,3],"b":"x"}}""") == "[2,3]")
+    // multiple reconstructions come back collected (engine convention)
+    assert(run(
+      ".d as $dot | fromstream(1 | truncate_stream($dot | tostream))",
+      """{"d":{"a":[2,3],"b":{"c":"x"}}}""") == """[[2,3],{"c":"x"}]""")
+  }
+
+  test("truncate_stream: drops depth path segments, short events drop") {
+    // jq manual example: [1|truncate_stream([[0],1],[[1,0],2],[[1,0]],[[1]])]
+    // = [[[0],2],[[0]]] — the literal event stream arrives through a
+    // binding ($e), since inside `1 | ...` the input is the depth; the
+    // fromjson hop keeps the mixed-depth events variant-typed (the
+    // static JSON reader would stringify them)
+    assert(run(
+      "(.s | fromjson) as $e | [1 | truncate_stream($e[])]",
+      """{"s":"[[[0],1],[[1,0],2],[[1,0]],[[1]]]"}""")
+      == "[[[0],2],[[0]]]")
+    // depth 0 is identity on the event stream
+    assert(run("[.d as $dot | 0 | truncate_stream($dot | tostream)]",
+      """{"d":{"a":1}}""") == """[[["a"],1],[["a"]]]""")
+  }
+
   test("ltrim/rtrim/trimstr (jq 1.7.1/1.8 string tail)") {
     assert(run(".s | ltrim", """{"s":"  hi  "}""") == "hi  ")
     assert(run(".s | rtrim", """{"s":"  hi  "}""") == "  hi")
