@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   * mults and the shared box wobbles ±2×).
   *
   * Usage: sbt "runMain graft.StreamProbe [--out path] [mult ...]"
-  * (defaults: STREAMSCALE_r9.json, mults 1 4 16).
+  * (defaults: STREAMSCALE_r10.json, mults 1 4 16).
   */
 object StreamProbe {
   final case class Result(op: String, mult: Int, rowsIn: Long,
@@ -182,7 +182,7 @@ object StreamProbe {
     val (outPath, rest) = {
       val i = args.indexOf("--out")
       if (i >= 0) (args(i + 1), args.patch(i, Nil, 2).toSeq)
-      else ("STREAMSCALE_r9.json", args.toSeq)
+      else ("STREAMSCALE_r10.json", args.toSeq)
     }
     val mults =
       if (rest.nonEmpty) rest.map(_.toInt) else scala.Seq(1, 4, 16)

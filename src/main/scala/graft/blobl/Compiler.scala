@@ -233,11 +233,22 @@ object Compiler {
     case IfExpr(branches, orElse) =>
       val compiled = branches.map { case (c, v) => (compile(c, ctx), compile(v, ctx)) }
       val elseTC = orElse.map(compile(_, ctx))
-      val chain = compiled.tail.foldLeft(when(compiled.head._1.col, compiled.head._2.col)) {
-        case (acc, (c, v)) => acc.when(c.col, v.col)
+      // mixed variant/typed branch values unify to VARIANT (the jq
+      // dynamic posture — `if type == "number" then . + 1 else . end`
+      // over a variant node yields long THEN, variant ELSE)
+      val vals0 = compiled.map(_._2) ++ elseTC.toList
+      val tpe0 = vals0.map(_.tpe).reduceOption(unify).flatten
+      val toVariant = tpe0.isEmpty && vals0.exists(_.isVariant)
+      def adapt(v: TC): Column =
+        if (toVariant && !v.isVariant && !v.tpe.contains(NullType))
+          asVariant(v.col, v.tpe.getOrElse(StringType))
+        else v.col
+      val chain = compiled.tail.foldLeft(
+        when(compiled.head._1.col, adapt(compiled.head._2))) {
+        case (acc, (c, v)) => acc.when(c.col, adapt(v))
       }
-      val tpe = (compiled.map(_._2.tpe) ++ elseTC.map(_.tpe)).reduceOption(unify).flatten
-      TC(elseTC.map(e => chain.otherwise(e.col)).getOrElse(chain), tpe,
+      val tpe = if (toVariant) Some(VariantType) else tpe0
+      TC(elseTC.map(e => chain.otherwise(adapt(e))).getOrElse(chain), tpe,
         branchErr(compiled.map { case (c, v) => (c.err, c.col, v.err) },
           elseTC.flatMap(_.err)))
     case MatchExpr(target, cases) =>
@@ -253,13 +264,20 @@ object Compiler {
           val cond = if (pc.tpe.contains(BooleanType)) pc.col else (t.col <=> pc.col)
           (pc.err, cond, compile(v, inner))
       }
-      val chain = conds.tail.foldLeft(when(conds.head._2, conds.head._3.col)) {
-        case (acc, (_, c, v)) => acc.when(c, v.col)
+      // mixed variant/typed case values unify to VARIANT (see IfExpr)
+      val mTpe0 = conds.map(_._3.tpe).reduceOption(unify).flatten
+      val mToVariant = mTpe0.isEmpty && conds.exists(_._3.isVariant)
+      def mAdapt(v: TC): Column =
+        if (mToVariant && !v.isVariant && !v.tpe.contains(NullType))
+          asVariant(v.col, v.tpe.getOrElse(StringType))
+        else v.col
+      val chain = conds.tail.foldLeft(when(conds.head._2, mAdapt(conds.head._3))) {
+        case (acc, (_, c, v)) => acc.when(c, mAdapt(v))
       }
       // the target's error merges UNCONDITIONALLY — an errored value
       // routed through a match must still flag, even when no case
       // branch can error itself
-      TC(chain, conds.map(_._3.tpe).reduceOption(unify).flatten,
+      TC(chain, if (mToVariant) Some(VariantType) else mTpe0,
         TC.mergeErr(t.err,
           branchErr(conds.map { case (pe, c, v) => (pe, c, v.err) }, None)))
     case FnCall(name, args) => function(name, args, ctx)
@@ -1730,8 +1748,34 @@ object Compiler {
           compile(folded, ctx.withVar(wLam.param, x).withThis(x))
         }
         def walkNode(x: TC): TC = x.tpe match {
-          case Some(_: VariantType) => throw CompileError(
-            "walk: variant documents have no static schema to walk")
+          case Some(_: VariantType) =>
+            // TRUE runtime walk (r10, closing the r9 boundary): compile
+            // f ONCE over a BoundReference(0, variant) node, run the
+            // session analyzer so every function node supports
+            // interpreted eval, then evaluate it per node bottom-up
+            // inside VariantWalkApplyExpr. f must be node-pure (no
+            // outer column references) — a per-node closure cannot see
+            // the enclosing row.
+            import org.apache.spark.sql.GraftBridge
+            val bref = GraftBridge.column(
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                0, VariantType, nullable = true))
+            val node = TC(bref, Some(VariantType))
+            val fTC = compile(wLam.body,
+              ctx.withVar(wLam.param, node).withThis(node))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val analyzed = GraftBridge.analyzeExpressions(spark,
+              fTC.col.cast(VariantType) +: fTC.err.toSeq)
+            analyzed.foreach { e =>
+              if (e.references.nonEmpty) throw CompileError(
+                "walk: on a variant document f must be node-pure " +
+                  "(no references to outer columns or variables)")
+            }
+            val out = GraftBridge.column(graft.exprs.VariantWalkApplyExpr(
+              GraftBridge.expression(x.col), analyzed.head,
+              analyzed.lift(1)))
+            TC(out.getField("v"), Some(VariantType),
+              TC.mergeErr(x.err, Some(out.getField("e"))))
           case Some(st: StructType) =>
             val kids = st.fields.toList.map { f =>
               (f.name, walkNode(TC(x.col.getField(f.name), Some(f.dataType))))

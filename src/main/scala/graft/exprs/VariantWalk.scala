@@ -115,3 +115,90 @@ object VariantWalkExpr {
     org.apache.spark.sql.GraftBridge.column(VariantWalkExpr(
       org.apache.spark.sql.GraftBridge.expression(c), "paths", filter))
 }
+
+/** jq `walk(f)` over a VARIANT document: a true bottom-up runtime walk —
+  * the dynamic counterpart of the compiler's static-schema walk_apply.
+  * `f` arrives as a pair of ANALYZED Catalyst expressions (value + error
+  * channel) over one BoundReference(0, VariantType): the node flows in as
+  * a one-column row, f evaluates interpreted per node (the CodegenFallback
+  * posture — the same per-node cost class as the other variant walks),
+  * and containers rebuild from their walked children through compact JSON
+  * (the engine's standard container↔variant hop).
+  *
+  * Output: struct<v: variant, e: string> — an f error at ANY node nulls
+  * the value and surfaces the first error on `e` (the expression error
+  * channel contract). */
+case class VariantWalkApplyExpr(child: Expression, f: Expression,
+    fErr: Option[Expression])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("v", VariantType), StructField("e", StringType)))
+  override def nullable: Boolean = true
+
+  private final class WalkFError(val msg: String) extends RuntimeException(msg)
+
+  private def applyF(nodeJson: String): String = {
+    val v = org.apache.spark.types.variant.VariantBuilder.parseJson(nodeJson, false)
+    val row = InternalRow(new VariantVal(v.getValue, v.getMetadata))
+    fErr.foreach { ee =>
+      val e = ee.eval(row)
+      if (e != null) throw new WalkFError(e.toString)
+    }
+    f.eval(row) match {
+      case null => "null"
+      case vv: VariantVal =>
+        new Variant(vv.getValue, vv.getMetadata)
+          .toJson(java.time.ZoneOffset.UTC)
+      case other => throw new WalkFError(
+        s"walk: f returned a non-variant value $other")
+    }
+  }
+
+  private def walk(v: Variant): String = {
+    import VariantUtil.Type._
+    val rebuilt: String = v.getType match {
+      case OBJECT =>
+        val sb = new java.lang.StringBuilder("{")
+        val n = v.objectSize()
+        var i = 0
+        while (i < n) {
+          val fld = v.getFieldAtIndex(i)
+          if (i > 0) sb.append(',')
+          graft.exprs.JqStream.jsonEscape(fld.key, sb)
+          sb.append(':').append(walk(fld.value))
+          i += 1
+        }
+        sb.append('}').toString
+      case ARRAY =>
+        val sb = new java.lang.StringBuilder("[")
+        val n = v.arraySize()
+        var i = 0
+        while (i < n) {
+          if (i > 0) sb.append(',')
+          sb.append(walk(v.getElementAtIndex(i)))
+          i += 1
+        }
+        sb.append(']').toString
+      case _ => v.toJson(java.time.ZoneOffset.UTC)
+    }
+    applyF(rebuilt)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vv = input.asInstanceOf[VariantVal]
+    try {
+      val outJson = walk(new Variant(vv.getValue, vv.getMetadata))
+      val out = org.apache.spark.types.variant.VariantBuilder.parseJson(outJson, false)
+      InternalRow(new VariantVal(out.getValue, out.getMetadata), null)
+    } catch {
+      case e: WalkFError =>
+        InternalRow(null, org.apache.spark.unsafe.types.UTF8String.fromString(e.msg))
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VariantWalkApplyExpr = copy(child = newChild)
+}

@@ -1079,6 +1079,30 @@ class JqSpec extends AnyFunSuite {
       """{"d":{"a":1}}""") == """[[["a"],1],[["a"]]]""")
   }
 
+  test("walk(f) on a VARIANT document (true runtime walk, r10)") {
+    // bottom-up numeric transform through mixed nesting the static
+    // schema reader can't type (array of [number, object])
+    assert(run(
+      """.s | fromjson | walk(if type == "number" then . + 1 else . end)""",
+      """{"s":"{\"a\":[1,{\"b\":2}],\"c\":\"x\"}"}""")
+      == """{"a":[2,{"b":3}],"c":"x"}""")
+    // string transform at every depth
+    assert(run(
+      """.s | fromjson | walk(if type == "string" then ascii_upcase else . end)""",
+      """{"s":"{\"k\":[\"ab\",{\"d\":\"cd\"}]}"}""")
+      == """{"k":["AB",{"D1":"CD"}]}""".replace("D1", "d"))
+    // f sees REBUILT containers (bottom-up): [1,2] -> 2 first, so the
+    // rebuilt xs = [2,[3]] is itself 2-element and becomes 2
+    assert(run(
+      """.s | fromjson | walk(if type == "array" and length == 2 then length else . end)""",
+      """{"s":"{\"xs\":[[1,2],[3]],\"y\":0}"}""")
+      == """{"xs":2,"y":0}""")
+    // f errors surface on the error channel, catchable
+    assert(run(
+      """(.s | fromjson | walk(if type == "number" then error("no nums") else . end))? // "caught"""",
+      """{"s":"{\"n\":1}"}""") == "caught")
+  }
+
   test("ltrim/rtrim/trimstr (jq 1.7.1/1.8 string tail)") {
     assert(run(".s | ltrim", """{"s":"  hi  "}""") == "hi  ")
     assert(run(".s | rtrim", """{"s":"  hi  "}""") == "  hi")

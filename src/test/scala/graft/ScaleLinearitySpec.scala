@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Gates the committed scale-probe artifact (SCALE_r9.json, produced by
+/** Gates the committed scale-probe artifact (SCALE_r10.json, produced by
   * [[ScaleProbe]] on an idle box at sf0.1 × {1,4,16}): wall-clock per 4×
   * data step must stay within LINEAR_SLACK of linear for every probed
   * operator family, the fitted log-log wall-vs-mult slope must stay ≤
@@ -69,12 +69,12 @@ class ScaleLinearitySpec extends AnyFunSuite {
   }
 
   private lazy val points: Seq[P] = {
-    val f = new java.io.File("SCALE_r9.json")
-    assert(f.exists, "SCALE_r9.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
+    val f = new java.io.File("SCALE_r10.json")
+    assert(f.exists, "SCALE_r10.json missing — run `sbt \"runMain graft.ScaleProbe\"`")
     // the worst-growing families carry an extra 64× point (probed with
     // --ops so the full suite doesn't pay 64× corpus cost); merging it
     // here puts the deeper tail under the same step + slope gates
-    val f64 = new java.io.File("SCALE_r9_64x.json")
+    val f64 = new java.io.File("SCALE_r10_64x.json")
     readPoints(f) ++ (if (f64.exists) readPoints(f64) else Seq.empty)
   }
 
@@ -86,7 +86,7 @@ class ScaleLinearitySpec extends AnyFunSuite {
     val got = points.groupBy(_.op).map { case (op, ps) => op -> ps.map(_.mult).toSet }
     want.foreach { op =>
       assert(got.get(op).exists(ms => Set(1, 4, 16).subsetOf(ms)),
-        s"$op missing 1x/4x/16x points in SCALE_r9.json (got ${got.get(op)})")
+        s"$op missing 1x/4x/16x points in SCALE_r10.json (got ${got.get(op)})")
     }
   }
 

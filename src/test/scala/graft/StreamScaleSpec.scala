@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Gates the committed STREAMING scale artifact (STREAMSCALE_r9.json,
+/** Gates the committed STREAMING scale artifact (STREAMSCALE_r10.json,
   * produced by [[StreamProbe]]: the sf0.1 events corpus time-shifted to
   * 1×/4×/16× its length — per-hour density constant, stream LONGER,
   * the unbounded-stream deployment shape). The scale verdict signal is
@@ -37,8 +37,8 @@ class StreamScaleSpec extends AnyFunSuite {
   }
 
   private lazy val points = {
-    val f = new java.io.File("STREAMSCALE_r9.json")
-    assume(f.exists(), "STREAMSCALE_r9.json not present")
+    val f = new java.io.File("STREAMSCALE_r10.json")
+    assume(f.exists(), "STREAMSCALE_r10.json not present")
     readPoints(f)
   }
 
