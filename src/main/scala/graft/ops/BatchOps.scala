@@ -311,11 +311,89 @@ object BatchOps {
     * dynamic reference semantics: every scalar leaf becomes an array of
     * the non-null values across parts in seq order (the reference keeps a
     * lone value unwrapped — value-dependent types don't exist in a static
-    * schema, so a single value arrives as a 1-element array; divergence
-    * documented in COVERAGE.md). All pure aggregation: one shuffle by
-    * batch_id with partial aggregation, no driver loops. */
-  final case class MergeJson() extends Processor {
-    def apply(df: DataFrame): DataFrame = {
+    * schema, so a single value arrives as a 1-element array on THIS path).
+    * All pure aggregation: one shuffle by batch_id with partial
+    * aggregation, no driver loops.
+    *
+    * `exact = true` switches to the reference's EXACT dynamic semantics
+    * (`exprs/GabsMerge.scala` — gabs fold per batch: lone values stay
+    * unwrapped, non-object roots drop, sorted-key Go rendering), plus the
+    * full `parts` / `retain_parts` surface of `lib/processor/merge_json.go`:
+    * target parts merge into ONE part appended last (carrying the
+    * metadata of the first LISTED target part — `firstPartCopy`,
+    * merge_json.go), non-target parts pass through, `retain` keeps the
+    * originals too. Config-loaded pipelines (dynamic, reference-
+    * compatible) use exact; the static path stays the default for typed
+    * high-volume pipelines. One shuffle by batch_id either way (the
+    * windows and the groupBy share the partitioning). */
+  final case class MergeJson(parts: scala.Seq[Int] = Nil,
+      retain: Boolean = false, exact: Boolean = false) extends Processor {
+    def apply(df: DataFrame): DataFrame =
+      if (exact) applyExact(df) else applyStatic(df)
+
+    private def applyExact(df: DataFrame): DataFrame = {
+      val docT = df.schema(Doc).dataType
+      val jsonCol = docT match {
+        case NullType => col(Content).cast(StringType)
+        case StringType => coalesce(col(Doc), col(Content).cast(StringType))
+        case _ => coalesce(to_json(col(Doc)), col(Content).cast(StringType))
+      }
+      val w = Window.partitionBy(col(BatchId)).orderBy(col(Seq))
+      val wAll = Window.partitionBy(col(BatchId))
+      val annotated = df
+        .withColumn("_gj_idx", (row_number().over(w) - 1).cast(LongType))
+        .withColumn("_gj_cnt", count(lit(1)).over(wAll))
+        .withColumn("_gj_json", jsonCol)
+      // negative part indices resolve against the batch's part count
+      // (msg.Len() in the reference)
+      val target: Column =
+        if (parts.isEmpty) lit(true)
+        else parts.map(p =>
+          if (p >= 0) col("_gj_idx") === lit(p.toLong)
+          else col("_gj_idx") === col("_gj_cnt") + lit(p.toLong)).reduce(_ || _)
+      val firstIdx: Column =
+        if (parts.isEmpty) lit(0L)
+        else if (parts.head >= 0) lit(parts.head.toLong)
+        else col("_gj_cnt") + lit(parts.head.toLong)
+      val t = annotated
+        .withColumn("_gj_target", target)
+        .withColumn("_gj_first", firstIdx)
+
+      val mergedJson = graft.exprs.GabsMergeExpr.merged(
+        transform(
+          array_sort(collect_list(when(
+            col("_gj_target") && col("_gj_json").isNotNull,
+            struct(col(Seq).as("s"), col("_gj_json").as("v"))))),
+          x => x.getField("v")))
+      val merged = t.groupBy(col(BatchId)).agg(
+          mergedJson.as("_gj_merged"),
+          // exactly one row matches _gj_first (seq unique per batch);
+          // none when parts[0] is out of range -> empty metadata
+          max_by(when(col("_gj_idx") === col("_gj_first"), col(Meta)),
+            when(col("_gj_idx") === col("_gj_first"), 1).otherwise(0))
+            .as("_gj_meta0"),
+          max(col(Seq)).as("_gj_maxseq"))
+        .select(
+          col("_gj_merged").cast(BinaryType).as(Content),
+          parse_json(col("_gj_merged")).as(Doc),
+          coalesce(col("_gj_meta0"),
+            map().cast(MapType(StringType, StringType))).as(Meta),
+          lit(null).cast(StringType).as(Error),
+          col(BatchId),
+          (col("_gj_maxseq") + 1).as(Seq))
+
+      val kept = if (retain) t else t.filter(!col("_gj_target"))
+      // dynamic-doc output: every part's doc is a variant (raw bytes kept
+      // on content; a non-JSON part keeps doc null like the reference's
+      // lazily-failing part parse)
+      val keptRows = kept.select(
+        col(Content),
+        try_parse_json(col("_gj_json")).as(Doc),
+        col(Meta), col(Error), col(BatchId), col(Seq))
+      keptRows.unionByName(merged)
+    }
+
+    private def applyStatic(df: DataFrame): DataFrame = {
       val docType = df.schema(Doc).dataType
 
       // ordered non-null collect: array_sort on struct(seq, v) sorts by

@@ -717,6 +717,25 @@ object OpsQueries {
       .orderBy(col("batch_id"))
   }
 
+  /** q185: merge_json EXACT gabs-fold semantics (lib/processor/
+    * merge_json.go) — per-part single-key dynamic docs so batches
+    * exercise BOTH collision arrays (a type seen twice in a batch
+    * gathers ids in seq order) and lone values staying UNWRAPPED (the
+    * shape the static path can't express), rendered sorted-key like
+    * Go's json.Marshal. */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val env0 = Envelope.wrap(
+      t(s, dir, "events").select(col("event_id"), col("event_type")),
+      scala.Seq(col("event_id")), batchSize = 50)
+    val env = env0.withColumn(Envelope.Doc,
+      map(concat(lit("t_"), col("doc.event_type")), col("doc.event_id")))
+    val out = B.MergeJson(exact = true)(env)
+    out.select(
+        col(Envelope.BatchId).as("batch_id"),
+        col(Envelope.Content).cast(StringType).as("doc_json"))
+      .orderBy(col("batch_id"))
+  }
+
   /** sort_parts: reorder each 50-row batch by value descending. */
   def q42(s: SparkSession, dir: String): DataFrame = {
     val env = Envelope.wrap(
@@ -794,6 +813,7 @@ object OpsQueries {
     "q42_sort_parts" -> (q42 _),
     "q43_group_by_value" -> (q43 _),
     "q38_merge_json" -> (q38 _),
+    "q185_merge_exact" -> (q185 _),
     "q32_generate_agg" -> (q32 _),
     "q13_dedupe" -> (q13 _),
     "q166_stream_dedupe" -> (q166 _),
@@ -850,6 +870,25 @@ object OpsQueries {
         | string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS ids,
         | string_agg(event_type, ',' ORDER BY rn) AS types
         |FROM t GROUP BY 1 ORDER BY batch_id""".stripMargin,
+    // exact gabs-fold: one-collision keys gather into arrays in seq
+    // order, lone keys stay unwrapped, keys render sorted
+    "q185_merge_exact" ->
+      """WITH t AS (
+        | SELECT event_id, event_type,
+        |  row_number() OVER (ORDER BY event_id) - 1 AS rn
+        | FROM events),
+        |p AS (
+        | SELECT CAST(floor(rn/50.0) AS BIGINT) AS batch_id,
+        |  't_' || event_type AS k, CAST(event_id AS VARCHAR) AS v, rn
+        | FROM t),
+        |m AS (
+        | SELECT batch_id, k,
+        |  CASE WHEN count(*) = 1 THEN min(v)
+        |       ELSE '[' || string_agg(v, ',' ORDER BY rn) || ']' END AS mv
+        | FROM p GROUP BY batch_id, k)
+        |SELECT batch_id,
+        | '{' || string_agg('"' || k || '":' || mv, ',' ORDER BY k) || '}' AS doc_json
+        |FROM m GROUP BY batch_id ORDER BY batch_id""".stripMargin,
     "q32_generate_agg" ->
       """SELECT i % 7 AS bucket, CAST(sum(i*i) AS BIGINT) AS sum_sq, count(*) AS n
         |FROM range(1000) t(i) GROUP BY 1 ORDER BY bucket""".stripMargin,

@@ -569,7 +569,16 @@ object Config {
         // explode/flatten/clean run typed schema surgery (ops/JsonOps)
         JsonProc(str(conf, "operator"),
           optStr(conf, "path", ""), conf.get("value"))
-      case "merge_json" => B.MergeJson()
+      case "merge_json" =>
+        // config-loaded pipelines are dynamic -> the exact gabs-fold
+        // path (lib/processor/merge_json.go semantics incl. parts /
+        // retain_parts); the static-schema aggregate stays the
+        // programmatic default for typed pipelines
+        B.MergeJson(
+          parts = asList(conf.getOrElse("parts", new java.util.ArrayList[Any]()))
+            .map(_.toString.trim.toInt),
+          retain = conf.get("retain_parts").exists(_.toString.toBoolean),
+          exact = true)
       case "sleep" => SleepProc(str(conf, "duration"))
       // throttle (lib/processor/throttle.go): per-message pacing by
       // `period` — same per-row pause the sleep processor implements

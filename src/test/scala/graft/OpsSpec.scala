@@ -102,6 +102,91 @@ class OpsSpec extends AnyFunSuite {
     assert(doc.getSeq[Long](doc.fieldIndex("id")) == scala.Seq(1L, 2L))
   }
 
+  // ---- merge_json EXACT path (gabs fold, lib/processor/merge_json.go) ----
+
+  /** Dynamic envelope: one batch of raw JSON parts, variant docs, a
+    * per-part metadata marker. */
+  private def rawEnv(parts: String*) = {
+    import spark.implicits._
+    val df = parts.toSeq.zipWithIndex.toDF("c", "i")
+    df.select(
+      col("c").cast("binary").as(Envelope.Content),
+      try_parse_json(col("c")).as(Envelope.Doc),
+      map(lit("m"), concat(lit("v"), col("i"))).as(Envelope.Meta),
+      lit(null).cast("string").as(Envelope.Error),
+      lit(0L).as(Envelope.BatchId),
+      col("i").cast("long").as(Envelope.Seq))
+  }
+
+  private def partsOf(out: org.apache.spark.sql.DataFrame): List[(String, String)] =
+    out.orderBy(Envelope.Seq)
+      .select(col(Envelope.Content).cast("string"),
+        element_at(col(Envelope.Meta), "m"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+
+  test("merge_json exact: the reference's own vectors (merge_json_test.go)") {
+    // object fields union (sorted-key render), val collision -> array,
+    // existing array expands
+    val vectors = scala.Seq(
+      (("""{"baz":{"foo":1}}""", """{"baz":{"bar":5}}""")
+        -> """{"baz":{"bar":5,"foo":1}}"""),
+      (("""{"baz":{"foo":3}}""", """{"baz":{"foo":5}}""")
+        -> """{"baz":{"foo":[3,5]}}"""),
+      (("""{"baz":{"foo":[1,2,3]}}""", """{"baz":{"foo":5}}""")
+        -> """{"baz":{"foo":[1,2,3,5]}}"""))
+    vectors.foreach { case ((a, b), expect) =>
+      val got = partsOf(B.MergeJson(exact = true)(rawEnv(a, b)))
+      assert(got.map(_._1) == List(expect))
+    }
+  }
+
+  test("merge_json exact: lone value stays unwrapped; retain keeps originals") {
+    // TestMergeJSONRetention: {"foo":1}+{"foo":2} retain -> originals +
+    // merged; lone {"foo":1} -> merged STILL {"foo":1}, not [1]
+    val two = partsOf(B.MergeJson(retain = true, exact = true)(
+      rawEnv("""{"foo":1}""", """{"foo":2}""")))
+    assert(two.map(_._1) == List("""{"foo":1}""", """{"foo":2}""", """{"foo":[1,2]}"""))
+    val lone = partsOf(B.MergeJson(retain = true, exact = true)(
+      rawEnv("""{"foo":1}""")))
+    assert(lone.map(_._1) == List("""{"foo":1}""", """{"foo":1}"""))
+  }
+
+  test("merge_json exact: parts selection, passthrough order, metadata") {
+    // TestMergeJSONNoRetention: parts [0,-1] of three parts - the middle
+    // non-JSON part passes through FIRST, merged part appended with the
+    // metadata of the first listed target part (part 0)
+    val out = partsOf(B.MergeJson(parts = scala.Seq(0, -1), exact = true)(
+      rawEnv("""{"foo":1}""", "not related", """{"foo":2}""")))
+    assert(out == List(("not related", "v1"), ("""{"foo":[1,2]}""", "v0")))
+  }
+
+  test("merge_json exact: non-object roots drop; no parse -> skipped; empty -> {}") {
+    // gabs MergeFn only walks object roots (merge starts from gabs.New())
+    val got = partsOf(B.MergeJson(exact = true)(
+      rawEnv("5", """["a"]""", """{"k":1}""", "not json")))
+    assert(got.map(_._1) == List("""{"k":1}"""))
+    val empty = partsOf(B.MergeJson(exact = true)(rawEnv("7")))
+    assert(empty.map(_._1) == List("{}"))
+  }
+
+  test("gabs merge rendering: Go float form, HTML escapes, null collisions") {
+    import graft.exprs.GabsMerge
+    assert(GabsMerge.goDouble(1.0) == "1")
+    assert(GabsMerge.goDouble(2.5) == "2.5")
+    assert(GabsMerge.goDouble(-0.0) == "-0")
+    assert(GabsMerge.goDouble(1e-6) == "0.000001")
+    assert(GabsMerge.goDouble(1.5e-7) == "1.5e-7")
+    assert(GabsMerge.goDouble(1e21) == "1e+21")
+    assert(GabsMerge.goDouble(1.25e-12) == "1.25e-12")
+    assert(GabsMerge.mergeDocs(Iterator("""{"a":1.0,"s":"<&>"}"""))
+      == "{\"a\":1,\"s\":\"" + "\\u003c\\u0026\\u003e" + "\"}")
+    // gabs nil-collision rule: a null side yields to the other
+    assert(GabsMerge.mergeDocs(Iterator("""{"a":null}""", """{"a":3}"""))
+      == """{"a":3}""")
+    assert(GabsMerge.mergeDocs(Iterator("""{"a":3}""", """{"a":null}"""))
+      == """{"a":3}""")
+  }
+
   test("resource registry round trip") {
     F.Resources.register("up", BloblangProc("root = this\nroot.v = this.v + 1"))
     val out = F.Resource("up")(env("""{"id":1,"v":1}"""))
