@@ -1393,15 +1393,13 @@ object Compiler {
       case "quote" => TC(to_json(struct(t.col.as("q"))).substr(lit(6),
         length(to_json(struct(t.col.as("q")))) - 6), Some(StringType))
       case "unquote" =>
-        // strconv.Unquote (methods_strings.go:1492): JSON-string unescape
-        // via a from_json round trip; Go-only escapes (\xHH, \') are
-        // pre-normalized to their JSON forms (octal escapes unsupported)
-        val pre = regexp_replace(
-          regexp_replace(t.col, "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1"),
-          "\\\\'", "'")
-        TC(element_at(
-          from_json(concat(lit("["), pre, lit("]")), ArrayType(StringType)),
-          1), Some(StringType))
+        // strconv.Unquote (methods_strings.go:1492), exact: the full Go
+        // escape set incl. octal \NNN, single-/back-quote forms, and
+        // ErrSyntax on malformed input -> the expression error channel
+        // (exprs/GoUnquote.scala)
+        val uq = graft.exprs.GoUnquoteExpr.of(t.col.cast(StringType))
+        TC(uq, Some(StringType),
+          Some(when(t.col.isNotNull && uq.isNull, lit("invalid syntax"))))
       case "json_schema" =>
         // validate against a JSON schema subset; a validation failure is
         // an ERROR carrying the validator's message (reference

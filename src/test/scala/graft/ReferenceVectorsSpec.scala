@@ -421,6 +421,22 @@ class ReferenceVectorsSpec extends AnyFunSuite {
       nil, """{"r":"foo\nbar\nbaz"}""")
   }
 
+  test("unquote: full strconv.Unquote surface (octal, quote forms, ErrSyntax)") {
+    // exprs/GoUnquote.scala — octal \NNN (exactly three digits, <256)
+    check("""root.r = "\"A\\101B\"".unquote()""", nil, """{"r":"AAB"}""")
+    // \x hex byte + \u rune
+    check("""root.r = "\"\\x41\\u0042\"".unquote()""", nil, """{"r":"AB"}""")
+    // single-quote char literal: exactly one rune
+    check("""root.r = "'\\n'".unquote()""", nil, """{"r":"\n"}""")
+    // backquoted raw string: no escape expansion
+    check("""root.r = "`a\\nb`".unquote()""", nil, """{"r":"a\\nb"}""")
+    // malformed input is a catchable method error (strconv.ErrSyntax)
+    check("""root.r = "no quotes".unquote().catch("syntax")""",
+      nil, """{"r":"syntax"}""")
+    check("""root.r = "'ab'".unquote().catch("syntax")""",
+      nil, """{"r":"syntax"}""")
+  }
+
   test("map_each on arrays and objects (methods_test.go)") {
     check("""root.r = ["foo","bar"].map_each(v -> v.uppercase())""",
       nil, """{"r":["FOO","BAR"]}""")

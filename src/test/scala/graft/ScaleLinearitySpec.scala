@@ -75,7 +75,12 @@ class ScaleLinearitySpec extends AnyFunSuite {
     // --ops so the full suite doesn't pay 64× corpus cost); merging it
     // here puts the deeper tail under the same step + slope gates
     val f64 = new java.io.File("SCALE_r10_64x.json")
-    readPoints(f) ++ (if (f64.exists) readPoints(f64) else Seq.empty)
+    // the r10-attributed families carry a further 256× point (1.28M
+    // docs) pinning the exchange-sizing fixes at the scale where the
+    // spill lived
+    val f256 = new java.io.File("SCALE_r10_256x.json")
+    readPoints(f) ++ (if (f64.exists) readPoints(f64) else Seq.empty) ++
+      (if (f256.exists) readPoints(f256) else Seq.empty)
   }
 
   test("probe covers every scale-sensitive operator family at 1x/4x/16x") {
