@@ -305,12 +305,22 @@ object Compiler {
               cur.withField(nq, upd(cur.getField(n), childT, rest))
             }
           case PIndex(ix) :: rest =>
-            // existing positions only (jq extends short arrays with nulls
-            // — a value-dependent schema a static plan can't express)
             val elemT = tpe.collect { case ArrayType(e, _) => e }
+            // jq extends a SHORT array with nulls up to a positive target
+            // index (gojq setpath) — array length is data, not schema, so
+            // the static plan pads with typed nulls; negative indexes
+            // address existing positions (from the end) only. Residual:
+            // creating containers from a NULL intermediate stays null.
+            val elemNull = elemT.map(e => lit(null).cast(e)).getOrElse(lit(null))
+            val padded =
+              if (ix >= 0)
+                when(size(cur) >= lit(ix.toInt + 1), cur)
+                  .otherwise(concat(cur,
+                    array_repeat(elemNull, lit(ix.toInt + 1) - size(cur))))
+              else cur
             val j =
               if (ix >= 0) lit(ix.toInt) else size(cur) + lit(ix.toInt)
-            transform(cur, (x, k) =>
+            transform(padded, (x, k) =>
               when(k === j, upd(x, elemT, rest)).otherwise(x))
         }
       val updated = t.tpe

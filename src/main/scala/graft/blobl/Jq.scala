@@ -49,9 +49,11 @@ import Ast._
   * runtime. Path update-assignment is supported on ident paths with
   * literal array indexes: `.a.b |= f`, `.xs[0].price = v`, `.xs[-1] += x`
   * (with `.` = the current path value inside `|= f`; the arithmetic
-  * flavors' right side sees the root, as gojq). Index assignment updates
-  * EXISTING positions; jq's extend-with-nulls on out-of-range indexes is
-  * a value-dependent schema a static plan can't express.
+  * flavors' right side sees the root, as gojq). A positive index past
+  * the array's end extends it with typed nulls first (gojq setpath —
+  * array length is data, not schema); negative indexes address existing
+  * positions from the end. Residual: jq also CREATES containers when
+  * assigning through a null intermediate — a null stays null here.
   *
   * The row-producing generator `.xs[]` IS supported as the leading
   * pipe stage (`.xs[] | f`, `.xs[].a`): `JqProc` compiles the array

@@ -327,35 +327,67 @@ object Brokers {
   }
 
   /** Pulsar wire record (`value`, `__key`, `__topic`, `__messageId`,
-    * `__publishTime` — the pulsar-spark connector schema). */
-  def pulsarEnvelope(records: DataFrame): DataFrame =
+    * `__publishTime`, optionally `__messageProperties` — the
+    * pulsar-spark connector schema). The REFERENCE metadata contract
+    * (`internal/impl/pulsar/input.go:191-196`): `pulsar_key` is set
+    * ONLY when the message key is non-empty, `pulsar_topic` always,
+    * then every message property is injected — properties Set() later,
+    * so a property sharing a named key's name wins. */
+  def pulsarEnvelope(records: DataFrame): DataFrame = {
+    val emptyMap = map().cast(MapType(StringType, StringType))
+    val props =
+      if (records.columns.contains("__messageProperties"))
+        coalesce(col("__messageProperties"), emptyMap)
+      else if (records.columns.contains("__properties"))
+        coalesce(col("__properties"), emptyMap)
+      else emptyMap
+    val keyStr = col("__key").cast(StringType)
+    val base = map(
+      lit("pulsar_topic"), col("__topic"),
+      lit("pulsar_message_id"), hex(col("__messageId")),
+      lit("pulsar_publish_time_unix"),
+      unix_timestamp(col("__publishTime")).cast(StringType))
+    val named = when(keyStr.isNotNull && length(keyStr) > 0,
+        map_concat(base, map(lit("pulsar_key"), keyStr)))
+      .otherwise(base)
     records.select(
       col("value").cast(BinaryType).as(Envelope.Content),
       col("value").cast(StringType).as(Envelope.Doc),
-      map(
-        lit("pulsar_key"), coalesce(col("__key").cast(StringType), lit("")),
-        lit("pulsar_topic"), col("__topic"),
-        lit("pulsar_message_id"), hex(col("__messageId")),
-        lit("pulsar_publish_time_unix"),
-        unix_timestamp(col("__publishTime")).cast(StringType))
+      // later-Set wins: drop named keys the properties map also carries
+      map_concat(
+        map_filter(named, (k, _) => !map_contains_key(props, k)), props)
         .as(Envelope.Meta),
       lit(null).cast(StringType).as(Envelope.Error),
       spark_partition_id().cast(LongType).as(Envelope.BatchId),
       xxhash64(col("__messageId")).as(Envelope.Seq))
+  }
 
-  /** MQTT wire record (Bahir schema: id, topic, payload, timestamp). */
-  def mqttEnvelope(records: DataFrame): DataFrame =
+  /** MQTT wire record (Bahir schema: id, topic, payload, timestamp).
+    * Reference metadata contract (`lib/input/reader/mqtt.go:253-257`):
+    * mqtt_duplicate/mqtt_qos/mqtt_retained/mqtt_topic/mqtt_message_id.
+    * Bahir's wire schema carries only id/topic; duplicate/qos/retained
+    * project when a relay ADDS those columns (documented boundary
+    * otherwise — the flags exist on the paho client, not the wire). */
+  def mqttEnvelope(records: DataFrame): DataFrame = {
+    val flags = scala.Seq("duplicate" -> "mqtt_duplicate", "qos" -> "mqtt_qos",
+      "retained" -> "mqtt_retained").filter(f => records.columns.contains(f._1))
+    val base = map(
+      lit("mqtt_topic"), col("topic"),
+      lit("mqtt_message_id"), col("id").cast(StringType),
+      lit("mqtt_received_unix"),
+      unix_timestamp(col("timestamp")).cast(StringType))
+    val meta =
+      if (flags.isEmpty) base
+      else map_concat(base, map(flags.flatMap { case (c, k) =>
+        scala.Seq(lit(k), col(c).cast(StringType)) }: _*))
     records.select(
       col("payload").as(Envelope.Content),
       col("payload").cast(StringType).as(Envelope.Doc),
-      map(
-        lit("mqtt_topic"), col("topic"),
-        lit("mqtt_message_id"), col("id").cast(StringType),
-        lit("mqtt_received_unix"),
-        unix_timestamp(col("timestamp")).cast(StringType)).as(Envelope.Meta),
+      meta.as(Envelope.Meta),
       lit(null).cast(StringType).as(Envelope.Error),
       spark_partition_id().cast(LongType).as(Envelope.BatchId),
       col("id").cast(LongType).as(Envelope.Seq))
+  }
 
   /** Projection dispatch for a binding's wire records. */
   def envelope(kind: String, records: DataFrame): DataFrame = kind match {

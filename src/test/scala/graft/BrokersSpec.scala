@@ -174,6 +174,60 @@ class BrokersSpec extends AnyFunSuite {
       r.getString(2) == "persistent://t")
   }
 
+  test("pulsar envelope: reference metadata contract (input.go:191-196)") {
+    // pulsar_key is set ONLY for a non-empty message key; message
+    // properties are injected afterwards, so a property sharing a named
+    // key's name wins (part.Metadata().Set in Set order)
+    val wire = scala.Seq(
+      ("m1", "", "persistent://t", "id-1",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        Map("trace" -> "abc", "pulsar_topic" -> "overridden")),
+      ("m2", "k2", "persistent://t", "id-2",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+        Map.empty[String, String]))
+      .toDF("value", "__key", "__topic", "__messageId", "__publishTime",
+        "__messageProperties")
+      .withColumn("value", col("value").cast(BinaryType))
+      .withColumn("__messageId", col("__messageId").cast(BinaryType))
+    val rows = Brokers.pulsarEnvelope(wire)
+      .select(col(Envelope.Doc),
+        element_at(col(Envelope.Meta), "pulsar_key"),
+        element_at(col(Envelope.Meta), "pulsar_topic"),
+        element_at(col(Envelope.Meta), "trace"))
+      .orderBy(col(Envelope.Doc)).collect()
+    // empty key -> no pulsar_key entry; property overrides named key
+    assert(rows(0).isNullAt(1) && rows(0).getString(2) == "overridden" &&
+      rows(0).getString(3) == "abc")
+    // non-empty key -> present; no properties -> named keys untouched
+    assert(rows(1).getString(1) == "k2" &&
+      rows(1).getString(2) == "persistent://t" && rows(1).isNullAt(3))
+  }
+
+  test("mqtt envelope: reference flag keys project when the wire carries them") {
+    // mqtt.go:253-257 contract: duplicate/qos/retained/topic/message_id.
+    // Bahir's base schema carries only id/topic; a relay adding the paho
+    // flags gets them projected under the reference names.
+    val base = scala.Seq((1L, "t/1", "p1",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "topic", "payload", "timestamp")
+      .withColumn("payload", col("payload").cast(BinaryType))
+    val plain = Brokers.mqttEnvelope(base)
+    assert(plain.select(element_at(col(Envelope.Meta), "mqtt_topic"))
+      .head().getString(0) == "t/1")
+    assert(plain.select(element_at(col(Envelope.Meta), "mqtt_qos"))
+      .head().isNullAt(0))
+    val flagged = Brokers.mqttEnvelope(
+      base.withColumn("qos", lit(1)).withColumn("retained", lit(false))
+        .withColumn("duplicate", lit(false)))
+    val f = flagged.select(
+      element_at(col(Envelope.Meta), "mqtt_qos"),
+      element_at(col(Envelope.Meta), "mqtt_retained"),
+      element_at(col(Envelope.Meta), "mqtt_duplicate"),
+      element_at(col(Envelope.Meta), "mqtt_message_id")).head()
+    assert(f.getString(0) == "1" && f.getString(1) == "false" &&
+      f.getString(2) == "false" && f.getString(3) == "1")
+  }
+
   test("generic value frame → envelope (sqs/pubsub/nats relays)") {
     val env = Brokers.valueEnvelope(
       scala.Seq("m1", "m2").toDF("value"), "aws_sqs")

@@ -803,6 +803,18 @@ class JqSpec extends AnyFunSuite {
       == """{"items":[{"price":1},{"price":102}]}""")
   }
 
+  test("index assignment past the end extends with nulls (gojq setpath)") {
+    // jq: .[5] = v on a short array pads with nulls to index 5
+    assert(run(""".xs[4] = 9""", """{"xs":[1,2]}""")
+      == """{"xs":[1,2,null,null,9]}""")
+    // exactly one past the end: plain append shape
+    assert(run(""".xs[2] = 9""", """{"xs":[1,2]}""")
+      == """{"xs":[1,2,9]}""")
+    // in-range still updates in place
+    assert(run(""".xs[2] = 9""", """{"xs":[1,2,3,4]}""")
+      == """{"xs":[1,2,9,4]}""")
+  }
+
   test("capture errors on non-matching input (gojq) instead of fabricating empty groups") {
     // `//` coalesces on the capture ERROR; matching input is untouched
     assert(run(""".s | capture("(?<n>[0-9]+)") // {n: "none"} | .n""",
