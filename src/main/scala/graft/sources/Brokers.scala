@@ -389,6 +389,26 @@ object Brokers {
       col("id").cast(LongType).as(Envelope.Seq))
   }
 
+  /** Redis-streams wire record (spark-redis stream source schema: `_id`
+    * + one column per stream entry field). Reference contract
+    * (`lib/input/reader/redis_streams.go:292-313`): the payload is the
+    * `body` field (config `body_key`, default "body"); entries WITHOUT
+    * it are dropped; `redis_stream` carries the entry ID and every
+    * OTHER entry field lands in metadata under its own name. */
+  def redisStreamsEnvelope(records: DataFrame,
+      bodyKey: String = "body"): DataFrame = {
+    val fieldCols = records.columns.filterNot(c => c == "_id" || c == bodyKey)
+    val metaPairs = scala.Seq(lit("redis_stream"), col("_id")) ++
+      fieldCols.flatMap(c => scala.Seq(lit(c), col(c).cast(StringType)))
+    records.filter(col(bodyKey).isNotNull).select(
+      col(bodyKey).cast(BinaryType).as(Envelope.Content),
+      col(bodyKey).cast(StringType).as(Envelope.Doc),
+      map(metaPairs: _*).as(Envelope.Meta),
+      lit(null).cast(StringType).as(Envelope.Error),
+      spark_partition_id().cast(LongType).as(Envelope.BatchId),
+      xxhash64(col("_id")).as(Envelope.Seq))
+  }
+
   /** Projection dispatch for a binding's wire records. */
   def envelope(kind: String, records: DataFrame): DataFrame = kind match {
     case "aws_kinesis" | "kinesis" | "kinesis_balanced" =>
@@ -400,7 +420,7 @@ object Brokers {
         "zmq4" | "nanomsg" | "scalability_protocols" |
         "azure_queue_storage" =>
       valueEnvelope(records, kind)
-    case "redis_streams" => valueEnvelope(records, kind, "body")
+    case "redis_streams" => redisStreamsEnvelope(records)
     case o => throw new IllegalArgumentException(s"unknown broker kind $o")
   }
 

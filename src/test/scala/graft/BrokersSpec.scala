@@ -228,6 +228,27 @@ class BrokersSpec extends AnyFunSuite {
       f.getString(2) == "false" && f.getString(3) == "1")
   }
 
+  test("redis_streams envelope: body_key payload, entry fields → metadata") {
+    // redis_streams.go:292-313: payload from the `body` field (entries
+    // without it DROP), redis_stream = entry ID, other fields ride as
+    // metadata under their own names
+    val wire = scala.Seq(
+      ("1690000000000-0", "payload-1", "shop", "eu"),
+      ("1690000000000-1", null, "shop", "us"))
+      .toDF("_id", "body", "app", "region")
+    val env = Brokers.redisStreamsEnvelope(wire)
+    val rows = env.select(col(Envelope.Doc),
+      element_at(col(Envelope.Meta), "redis_stream"),
+      element_at(col(Envelope.Meta), "app"),
+      element_at(col(Envelope.Meta), "region")).collect()
+    assert(rows.length == 1) // the body-less entry dropped
+    assert(rows(0).getString(0) == "payload-1" &&
+      rows(0).getString(1) == "1690000000000-0" &&
+      rows(0).getString(2) == "shop" && rows(0).getString(3) == "eu")
+    assert(Brokers.envelope("redis_streams", wire).columns.toSeq ==
+      Envelope.envelopeCols)
+  }
+
   test("generic value frame → envelope (sqs/pubsub/nats relays)") {
     val env = Brokers.valueEnvelope(
       scala.Seq("m1", "m2").toDF("value"), "aws_sqs")
