@@ -291,6 +291,16 @@ object Compiler {
     case SetPath(path, v) =>
       val t = ctx.thisTC
       val vc = compile(v, ctx)
+      // jq setpath CREATES containers along a missing FIELD path (an
+      // absent key): the fully-constructed nested value — static
+      // construction, no runtime branch
+      def createFields(segs: List[PathSeg]): Column = segs match {
+        case Nil => vc.col
+        case PField(n) :: rest => struct(createFields(rest).as(n))
+        case PIndex(_) :: _ =>
+          throw CompileError(
+            "jq: cannot create an array through a missing field path")
+      }
       def upd(cur: Column, tpe: Option[DataType], segs: List[PathSeg]): Column =
         segs match {
           case Nil => vc.col
@@ -299,27 +309,51 @@ object Compiler {
             val nq = graft.model.Envelope.fieldRef(n)
             if (rest.isEmpty) cur.withField(nq, vc.col)
             else {
+              val childExists = tpe.exists {
+                case s: StructType => s.fieldNames.contains(n)
+                case _ => false
+              }
               val childT = tpe.collect {
                 case s: StructType if s.fieldNames.contains(n) => s(n).dataType
               }
-              cur.withField(nq, upd(cur.getField(n), childT, rest))
+              if (!childExists && tpe.exists(_.isInstanceOf[StructType]))
+                // absent field: jq creates the whole chain (setpath on a
+                // missing key) — static construction, no runtime branch
+                cur.withField(nq, createFields(rest))
+              else {
+                val raw = cur.getField(n)
+                // jq creates containers through a NULL intermediate — a
+                // null struct becomes a struct of nulls before the child
+                // set, so `.a.b = 1` works when `.a` is null
+                val base = childT match {
+                  case Some(st: StructType) =>
+                    coalesce(raw, struct(st.fields.toIndexedSeq.map(f =>
+                      lit(null).cast(f.dataType).as(f.name)): _*))
+                  case _ => raw
+                }
+                cur.withField(nq, upd(base, childT, rest))
+              }
             }
           case PIndex(ix) :: rest =>
             val elemT = tpe.collect { case ArrayType(e, _) => e }
             // jq extends a SHORT array with nulls up to a positive target
             // index (gojq setpath) — array length is data, not schema, so
-            // the static plan pads with typed nulls; negative indexes
-            // address existing positions (from the end) only. Residual:
-            // creating containers from a NULL intermediate stays null.
+            // the static plan pads with typed nulls (a NULL array counts
+            // as empty); negative indexes address existing positions only.
             val elemNull = elemT.map(e => lit(null).cast(e)).getOrElse(lit(null))
+            val based = elemT match {
+              case Some(e) if ix >= 0 =>
+                coalesce(cur, array().cast(ArrayType(e)))
+              case _ => cur
+            }
             val padded =
               if (ix >= 0)
-                when(size(cur) >= lit(ix.toInt + 1), cur)
-                  .otherwise(concat(cur,
-                    array_repeat(elemNull, lit(ix.toInt + 1) - size(cur))))
-              else cur
+                when(size(based) >= lit(ix.toInt + 1), based)
+                  .otherwise(concat(based,
+                    array_repeat(elemNull, lit(ix.toInt + 1) - size(based))))
+              else based
             val j =
-              if (ix >= 0) lit(ix.toInt) else size(cur) + lit(ix.toInt)
+              if (ix >= 0) lit(ix.toInt) else size(based) + lit(ix.toInt)
             transform(padded, (x, k) =>
               when(k === j, upd(x, elemT, rest)).otherwise(x))
         }
@@ -364,7 +398,16 @@ object Compiler {
         }
         case None if rest.isEmpty =>
           Some(StructType(s.fields :+ StructField(h, leaf)))
-        case None => None
+        case None =>
+          // absent field with a deeper path: the CREATED chain's type is
+          // fully known (nested single-field structs down to the leaf)
+          def chain(p: List[PathSeg]): Option[DataType] = p match {
+            case Nil => Some(leaf)
+            case PField(n) :: r =>
+              chain(r).map(u => StructType(scala.Seq(StructField(n, u))))
+            case PIndex(_) :: _ => None
+          }
+          chain(rest).map(u => StructType(s.fields :+ StructField(h, u)))
       }
       case _ => None
     }

@@ -52,8 +52,13 @@ import Ast._
   * flavors' right side sees the root, as gojq). A positive index past
   * the array's end extends it with typed nulls first (gojq setpath —
   * array length is data, not schema); negative indexes address existing
-  * positions from the end. Residual: jq also CREATES containers when
-  * assigning through a null intermediate — a null stays null here.
+  * positions from the end. Containers are CREATED along the path like
+  * jq setpath: an absent field grows the whole chain statically, a null
+  * struct/array intermediate becomes an object-of-nulls/empty array
+  * before the child set. Residual: an intermediate whose SCHEMA type is
+  * scalar is a typed compile error (jq would error at runtime on
+  * non-null values but create through null ones — a static schema can't
+  * split that).
   *
   * The row-producing generator `.xs[]` IS supported as the leading
   * pipe stage (`.xs[] | f`, `.xs[].a`): `JqProc` compiles the array

@@ -803,6 +803,22 @@ class JqSpec extends AnyFunSuite {
       == """{"items":[{"price":1},{"price":102}]}""")
   }
 
+  test("assignment creates containers through null/missing intermediates (gojq setpath)") {
+    // absent field with a deeper path: the whole chain is created
+    assert(run(""".p.q = 3""", """{"id":1}""") == """{"id":1,"p":{"q":3}}""")
+    // null struct intermediate: becomes an object around the set leaf
+    // (schema-known siblings stay null; to_json drops null fields)
+    val env = Envelope.wrapUnordered(
+      jdf("""{"a":{"c":5},"id":1}""", """{"a":null,"id":2}"""))
+    val out = graft.blobl.JqProc(""".a.b = 1""")(env)
+    val got = out.select(to_json(col(Envelope.Doc)).as("j"))
+      .orderBy(col("j")).collect().map(_.getString(0)).toList
+    // static path keeps schema field order (c before the appended b)
+    assert(got == List(
+      """{"a":{"b":1},"id":2}""",
+      """{"a":{"c":5,"b":1},"id":1}"""))
+  }
+
   test("index assignment past the end extends with nulls (gojq setpath)") {
     // jq: .[5] = v on a short array pads with nulls to index 5
     assert(run(""".xs[4] = 9""", """{"xs":[1,2]}""")
