@@ -159,7 +159,23 @@ object StreamProbe {
           "cu = pu AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR"))
           .select(col("cu"), col("cts"), col("pts"))
       }
-      scala.Seq(sess, join)
+      // q182's TTL key-cache dedupe (transformWithState + RocksDB): the
+      // third stateful family. State AND output both track the DISTINCT
+      // KEY population (users × event types, fixed as the stream grows)
+      // — the time-shifted copies add length, not keys, so this family's
+      // scale claim is FLAT outputs, not linear ones (gated per-op in
+      // StreamScaleSpec).
+      val ttl = runShape(spark, src, "ttl_dedupe", m, rowsIn) { (ss, st) =>
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        graft.streaming.Streaming.dedupeByKeyTtl(
+          graft.model.Envelope.wrapUnordered(st),
+          """this.user_id.string() + ":" + this.event_type""",
+          java.time.Duration.ofDays(365))
+          .select(col("key"))
+      }
+      scala.Seq(sess, join, ttl)
     }
   }
 
