@@ -36,6 +36,38 @@ object Bench {
       t
     }
 
+    // Plan FINGERPRINT per query (r11, VERDICT r10 #8): the medians/floor
+    // tripwires flag THAT a query got slower but not WHY — q101's ×2.2
+    // cross-round creep arrived with no signal naming its cause. The
+    // pre-AQE physical plan (node names + tree shape, expr-ids stripped
+    // by using nodeName only) is deterministic for fixed code+data, so
+    // hashing it gives a cross-round change detector: a wall regression
+    // WITH a fingerprint change names its own cause (the plan moved); one
+    // WITHOUT points at machine state. Counts ride along so the warning
+    // says what kind of node appeared.
+    final case class PlanFp(hash: String, nodes: Int, exchanges: Int,
+        sorts: Int, joins: Int) {
+      def json: String =
+        s"""{"hash":"$hash","nodes":$nodes,"exchanges":$exchanges,""" +
+          s""""sorts":$sorts,"joins":$joins}"""
+    }
+    def planFingerprint(df: org.apache.spark.sql.DataFrame): PlanFp = {
+      val sb = new StringBuilder
+      var nodes = 0; var ex = 0; var so = 0; var jo = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+        sb.append(d).append(':').append(p.nodeName).append('\n')
+        nodes += 1
+        val n = p.nodeName
+        if (n.contains("Exchange")) ex += 1
+        if (n.contains("Sort")) so += 1
+        if (n.contains("Join")) jo += 1
+        p.children.foreach(walk(_, d + 1))
+      }
+      walk(df.queryExecution.sparkPlan, 0)
+      PlanFp(f"${scala.util.hashing.MurmurHash3.stringHash(sb.toString)}%08x",
+        nodes, ex, so, jo)
+    }
+
     // optional args = query-name filter (dev loop); driver passes none
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
@@ -43,10 +75,18 @@ object Bench {
     // per-query 1-min load at measurement time: lets a reader attribute a
     // flagged query to a load spike without re-running the whole suite
     val qload = scala.collection.mutable.Map[String, Double]()
+    val fps = scala.collection.mutable.Map[String, PlanFp]()
     val measured = names.map { name =>
       try {
         qload(name) = loadNow
-        runOnce(name) // warmup
+        // build once outside time() for the fingerprint, then warm up on
+        // the built frame — warmup wall is discarded either way, and for
+        // the streaming gates (whose BUILDER runs the stream) this avoids
+        // one extra full stream execution per query
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        try fps(name) = planFingerprint(df) catch { case _: Throwable => () }
+        time(df.write.format("noop").mode("overwrite").save()) // warmup
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> median((1 to 3).map(_ => runOnce(name)))
       } catch { case _: Throwable => name -> -1.0 }
     }
@@ -91,6 +131,38 @@ object Bench {
     def isCreep(name: String, v: Double): Boolean =
       v >= 0.3 && floors.get(name).exists(f =>
         f >= 0.05 && v > f * 2.0 && v - f > 0.4)
+
+    // Fingerprint tripwire: compare against the persisted plans, name the
+    // structural diff, then merge+persist (plans are load-independent, so
+    // contended runs update them too; filtered dev runs merge, not clobber).
+    val planPath = java.nio.file.Paths.get(
+      s"BENCH_PLANS_${new java.io.File(sfDir).getName}.json")
+    val priorFps: Map[String, PlanFp] =
+      if (java.nio.file.Files.exists(planPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(planPath), "UTF-8")
+        ("\"([^\"]+)\":\\{\"hash\":\"([0-9a-f]+)\",\"nodes\":(\\d+)," +
+          "\"exchanges\":(\\d+),\"sorts\":(\\d+),\"joins\":(\\d+)\\}").r
+          .findAllMatchIn(txt).map(m => m.group(1) -> PlanFp(m.group(2),
+            m.group(3).toInt, m.group(4).toInt, m.group(5).toInt,
+            m.group(6).toInt)).toMap
+      } else Map.empty
+    fps.foreach { case (name, fp) =>
+      priorFps.get(name).filter(_.hash != fp.hash).foreach { p =>
+        System.err.println(
+          s"[bench] plan change: $name nodes ${p.nodes}->${fp.nodes} " +
+            s"exchanges ${p.exchanges}->${fp.exchanges} sorts ${p.sorts}->" +
+            s"${fp.sorts} joins ${p.joins}->${fp.joins} (hash ${p.hash}->" +
+            s"${fp.hash}; if this query also regressed, the plan moved — " +
+            "diff .explain against the prior round's code)")
+      }
+    }
+    locally {
+      val merged = priorFps ++ fps
+      val json = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v.json }
+        .mkString("{", ",\n ", "}")
+      java.nio.file.Files.write(planPath, (json + "\n").getBytes("UTF-8"))
+    }
 
     // Suspects re-run once AFTER the full sweep (minutes past the original
     // window, so transient co-scheduling decorrelates; the re-run load is
@@ -191,8 +263,18 @@ object Bench {
     // artifacts lying around untracked get committed here, best-effort, so
     // `git status` is clean at review time. Full-suite runs only; opt out
     // with SPARK_GRAFT_NO_AUTOCOMMIT=1.
-    if (args.isEmpty && !sys.env.get("SPARK_GRAFT_NO_AUTOCOMMIT").contains("1"))
+    if (args.isEmpty && !sys.env.get("SPARK_GRAFT_NO_AUTOCOMMIT").contains("1")) {
+      // BASELINE.md's side-by-side section is a pure function of the
+      // medians + oracle artifacts (VERDICT r10: a hand-typed mid-round
+      // snapshot survived into the published table) — regenerate it from
+      // the just-merged close-out state before committing, best-effort.
+      if (sfDir.endsWith("sf0.1")) try {
+        new ProcessBuilder("python3", "tools/baseline_sidebyside.py")
+          .inheritIO().start().waitFor()
+        ()
+      } catch { case _: Throwable => () }
       commitArtifacts()
+    }
     if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") &&
         (regressions.nonEmpty || failed.nonEmpty))
       sys.exit(1)

@@ -54,7 +54,8 @@ object ScaleProbe {
       shuffleBytes: Long = -1L, spillBytes: Long = -1L,
       shuffleRead: Long = -1L, shuffleWrite: Long = -1L,
       retriedTasks: Long = -1L, shuffleRecords: Long = -1L,
-      spillDisk: Long = -1L)
+      spillDisk: Long = -1L, taskTimeMs: Long = -1L,
+      cpuTimeMs: Long = -1L, gcTimeMs: Long = -1L, load: Double = -1.0)
 
   /** Task-level counters across jobs. READ and WRITE shuffle bytes are
     * tracked separately (r9): write bytes are what the plan PRODUCES
@@ -75,12 +76,25 @@ object ScaleProbe {
     private val spillDisk = new java.util.concurrent.atomic.AtomicLong
     private val retried = new java.util.concurrent.atomic.AtomicLong
     private val records = new java.util.concurrent.atomic.AtomicLong
+    private val runMs = new java.util.concurrent.atomic.AtomicLong
+    private val cpuMs = new java.util.concurrent.atomic.AtomicLong
+    private val gcMs = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        // TASK-TIME counters (r11, VERDICT r10 #1): wall-clock on a
+        // shared host wobbles ±2×, and byte counters can't see CPU
+        // growth — summed executorRunTime is the noise-immune WORK
+        // signal that splits "the plan computes more at this mult"
+        // (runTime super-linear) from "the box was busy" (runTime
+        // linear, wall inflated). cpu vs run separates compute from
+        // blocked-on-I/O/GC; gc names memory-pressure inflation.
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        gcMs.addAndGet(m.jvmGCTime)
         // memoryBytesSpilled is an ACCOUNTING metric — the estimated
         // in-memory size of data at the moment it spills, counted per
         // spill pass — so the legacy sum wildly overstates disk
@@ -102,12 +116,12 @@ object ScaleProbe {
         retried.incrementAndGet()
       ()
     }
-    def snapshot(): (Long, Long, Long, Long, Long, Long) =
+    def snapshot(): (Long, Long, Long, Long, Long, Long, Long, Long, Long) =
       (read.get, write.get, spill.get, retried.get, records.get,
-        spillDisk.get)
+        spillDisk.get, runMs.get, cpuMs.get, gcMs.get)
     /** Wait for the listener bus to finish delivering the just-ended
       * jobs' task events: poll until two consecutive reads agree. */
-    def drain(): (Long, Long, Long, Long, Long, Long) = {
+    def drain(): (Long, Long, Long, Long, Long, Long, Long, Long, Long) = {
       var prev = snapshot()
       var quiet = false
       val deadline = System.nanoTime() + 3000000000L
@@ -132,10 +146,30 @@ object ScaleProbe {
   private final class StageAttrListener
       extends org.apache.spark.scheduler.SparkListener {
     @volatile var tag: String = ""
+    // per-stage task RUN TIMES (r11, VERDICT r10 #1): byte attribution
+    // pinned minhash_pairs' 256× SPILL to its bucket exchange, but the
+    // remaining residual is WALL with exactly-linear bytes — only task
+    // time can attribute that. onTaskEnd buffers each task's runtime
+    // per stage; onStageCompleted prints sum/cpu/gc plus max-vs-median
+    // task (max ≫ p50 = one straggling partition, i.e. key skew or a
+    // hot bucket chain; max ≈ p50 with super-linear sum = the whole
+    // stage genuinely computes more per row at this mult).
+    private val durs = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      if (tag.nonEmpty && e.taskMetrics != null) {
+        durs.computeIfAbsent(e.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(e.taskMetrics.executorRunTime)
+        ()
+      }
+    }
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val q = durs.remove(si.stageId)
       if (tag.nonEmpty) {
-        val si = e.stageInfo
         val m = si.taskMetrics
         if (m != null) {
           val rd = m.shuffleReadMetrics.totalBytesRead
@@ -143,9 +177,19 @@ object ScaleProbe {
           val sp = m.memoryBytesSpilled + m.diskBytesSpilled
           val sd = m.diskBytesSpilled
           val rc = m.shuffleWriteMetrics.recordsWritten
-          if (rd > 0 || wr > 0 || sp > 0)
+          val run = m.executorRunTime
+          val cpu = m.executorCpuTime / 1000000L
+          val gc = m.jvmGCTime
+          val (mx, p50) =
+            if (q == null || q.isEmpty) (0L, 0L)
+            else {
+              val a = q.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+              (a.last, a(a.length / 2))
+            }
+          if (rd > 0 || wr > 0 || sp > 0 || run > 1000)
             println(s"ATTRSTAGE $tag stage=${si.stageId} tasks=${si.numTasks} " +
               s"read=$rd write=$wr spill=$sp spill_disk=$sd records=$rc " +
+              s"run_ms=$run cpu_ms=$cpu gc_ms=$gc task_max_ms=$mx task_p50_ms=$p50 " +
               s"name=${si.name.takeWhile(_ != '\n')}")
         }
       }
@@ -344,6 +388,15 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // 1-min load average at measurement time, recorded per row (r11):
+    // co-tenant contention on this shared host inflates wall AND cpu
+    // counters up to 4× on identical code (minhash adjudication — four
+    // 64× runs measured 11.3/14.5/23.3/47.9 s with byte-identical
+    // plans); a row with load ≫ the probe's own 32 tasks is untrusted
+    // for wall/task-time purposes, records/bytes stay exact.
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
     val stageAttr = new StageAttrListener
@@ -352,17 +405,19 @@ object ScaleProbe {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
     def probe(op: String, mult: Int, rowsIn: Long)(f: => Long): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (rd0, wr0, sp0, rt0, rc0, sd0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0, rc0, sd0, rn0, cp0, gc0) = metrics.drain()
       if (attr) stageAttr.tag = s"$op mult=$mult"
       val (t, n) = time(f)
-      val (rd1, wr1, sp1, rt1, rc1, sd1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1, rc1, sd1, rn1, cp1, gc1) = metrics.drain()
       if (attr) stageAttr.tag = ""
       val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
-        f"retried=${rt1 - rt0} records=${rc1 - rc0} spill_disk=${sd1 - sd0}")
+        f"retried=${rt1 - rt0} records=${rc1 - rc0} spill_disk=${sd1 - sd0} " +
+        f"run_ms=${rn1 - rn0} cpu_ms=${cp1 - cp0} gc_ms=${gc1 - gc0}")
       buf += Result(op, mult, rowsIn, t, n, -1L, rd + wr, sp1 - sp0,
-        rd, wr, rt1 - rt0, rc1 - rc0, sd1 - sd0)
+        rd, wr, rt1 - rt0, rc1 - rc0, sd1 - sd0,
+        rn1 - rn0, cp1 - cp0, gc1 - gc0, loadNow)
       // leaked localCheckpoint blocks from one family otherwise inflate
       // the NEXT family's wall via block-manager memory pressure (the
       // same effect Bench guards per-query); metrics are drained above,
@@ -378,7 +433,7 @@ object ScaleProbe {
     def probePairs(op: String, mult: Int, rowsIn: Long)
         (f: => DataFrame): Unit = {
       if (ops.nonEmpty && !ops(op)) return
-      val (rd0, wr0, sp0, rt0, rc0, sd0) = metrics.drain()
+      val (rd0, wr0, sp0, rt0, rc0, sd0, rn0, cp0, gc0) = metrics.drain()
       if (attr) stageAttr.tag = s"$op mult=$mult"
       val t0 = System.nanoTime()
       val aggDf = f.agg(
@@ -392,14 +447,16 @@ object ScaleProbe {
       val row = aggDf.collect()(0)
       val t = (System.nanoTime() - t0) / 1e9
       val (n, x) = (row.getLong(0), row.getLong(1))
-      val (rd1, wr1, sp1, rt1, rc1, sd1) = metrics.drain()
+      val (rd1, wr1, sp1, rt1, rc1, sd1, rn1, cp1, gc1) = metrics.drain()
       val (rd, wr) = (rd1 - rd0, wr1 - wr0)
       println(f"SCALE $op mult=$mult rows=$rowsIn t=$t%.2f s out=$n cross=$x " +
         f"shuffle=${rd + wr} spill=${sp1 - sp0} read=$rd write=$wr " +
-        f"retried=${rt1 - rt0} records=${rc1 - rc0} spill_disk=${sd1 - sd0}")
+        f"retried=${rt1 - rt0} records=${rc1 - rc0} spill_disk=${sd1 - sd0} " +
+        f"run_ms=${rn1 - rn0} cpu_ms=${cp1 - cp0} gc_ms=${gc1 - gc0}")
       if (attr) { stageAttr.tag = ""; dumpPlanMetrics(op, mult, aggDf) }
       buf += Result(op, mult, rowsIn, t, n, x, rd + wr, sp1 - sp0,
-        rd, wr, rt1 - rt0, rc1 - rc0, sd1 - sd0)
+        rd, wr, rt1 - rt0, rc1 - rc0, sd1 - sd0,
+        rn1 - rn0, cp1 - cp0, gc1 - gc0, loadNow)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
@@ -588,7 +645,12 @@ object ScaleProbe {
           s""","shuffle_bytes":${r.shuffleBytes},"spill_bytes":${r.spillBytes}""" +
           s""","shuffle_read":${r.shuffleRead},"shuffle_write":${r.shuffleWrite}""" +
           s""","retried_tasks":${r.retriedTasks},"shuffle_records":${r.shuffleRecords}""" +
-          (if (r.spillDisk >= 0) s""","spill_disk":${r.spillDisk}""" else "")
+          (if (r.spillDisk >= 0) s""","spill_disk":${r.spillDisk}""" else "") +
+          (if (r.taskTimeMs >= 0)
+            s""","task_time_ms":${r.taskTimeMs},"cpu_time_ms":${r.cpuTimeMs}""" +
+            s""","gc_time_ms":${r.gcTimeMs}""" +
+            f""","load":${r.load}%.1f"""
+           else "")
         else ""
       f"""{"op":"${r.op}","mult":${r.mult},"rows_in":${r.rowsIn},""" +
         f""""wall_s":${r.wallSec}%.3f,"rows_out":${r.rowsOut}$cross$bytes}"""

@@ -209,7 +209,14 @@ object Compiler {
     case LitArray(items) =>
       val cs = items.map(compile(_, ctx))
       val et = cs.map(_.tpe).reduceOption(unify).flatten
-      TC(array(cs.map(_.col): _*), Some(ArrayType(et.getOrElse(StringType))))
+      if (et.isEmpty && cs.nonEmpty && cs.map(_.tpe).distinct.sizeIs > 1)
+        // heterogeneous literal array (`[foo, 5]`): the dynamic engines
+        // keep per-element types — element-wise variant instead of the
+        // lowest-common-denominator string coercion array() would apply
+        TC(array(cs.map(c => asVariant(c.col, c.tpe.getOrElse(StringType))): _*),
+          Some(ArrayType(VariantType)))
+      else
+        TC(array(cs.map(_.col): _*), Some(ArrayType(et.getOrElse(StringType))))
     case LitObject(fields) =>
       val named = fields.map {
         case (LitString(k), v) => (k, compile(v, ctx))

@@ -79,6 +79,20 @@ object JmesPath {
         return MethodCall(MethodCall(base, "values", Nil),
           "map_each", List(Lambda("x", VarRef("x"))))
       }
+      if (peek == '{' || peek == '[') {
+        // multiselect as a dotted segment (spec: `foo.{a: a}` /
+        // `foo.[a, b]`): parse the multiselect with its field refs
+        // relative to `this`, then rebind `this` to the base (the same
+        // match-rebind shape the pipe uses); in projection context the
+        // rebind goes inside the per-element lambda
+        val sel = parsePrimary()
+        return base match {
+          case MethodCall(t, "map_each", List(Lambda(p, body))) =>
+            MethodCall(t, "map_each",
+              List(Lambda(p, MatchExpr(body, List((None, sel))))))
+          case _ => MatchExpr(base, List((None, sel)))
+        }
+      }
       val name =
         if (peek == '"') { // quoted identifier
           i += 1
@@ -110,9 +124,11 @@ object JmesPath {
         // filter: inside the lambda `this` is the element, so field refs
         // in the condition resolve against it directly. Filters CREATE a
         // projection (spec §filter-expressions): wrap in a map_each
-        // identity so trailing segments apply per element
+        // identity so trailing segments apply per element. The condition
+        // is a full boolean expression (spec: `[?a > `1` && b < `2`]`),
+        // so parse at the or-level, not just one comparison
         i += 1
-        val cond = parseCmp()
+        val cond = parseOr()
         eat(']')
         MethodCall(MethodCall(base, "filter", List(Lambda("it", cond))),
           "map_each", List(Lambda("x", VarRef("x"))))
@@ -139,8 +155,15 @@ object JmesPath {
             "map_each", List(Lambda("x", VarRef("x"))))
         } else {
           eat(']')
-          IndexOp(base, LitLong(lo.getOrElse(throw new IllegalArgumentException(
-            s"jmespath: expected index at $i in '$s'"))))
+          val idx = LitLong(lo.getOrElse(throw new IllegalArgumentException(
+            s"jmespath: expected index at $i in '$s'")))
+          base match {
+            // projection context: `nest[0:2][0]` indexes each element
+            // (spec: projections propagate through chained brackets)
+            case MethodCall(t, "map_each", List(Lambda(p, body))) =>
+              MethodCall(t, "map_each", List(Lambda(p, IndexOp(body, idx))))
+            case _ => IndexOp(base, idx)
+          }
         }
       }
     }
@@ -203,16 +226,30 @@ object JmesPath {
           }
           eat('}')
           LitObject(fields.toList)
-        case '[' => // multi-select list: [expr, expr]
-          i += 1
-          val items = scala.collection.mutable.ListBuffer[Expr]()
-          ws()
-          if (peek != ']') {
-            items += parsePipe()
-            while (tryEat(",")) items += parsePipe()
+        case '[' =>
+          // disambiguate a bracket-specifier on `@` — `[0]`, `[1:3]`,
+          // `[*]`, `[]` (legal as a standalone expression, e.g. after a
+          // pipe: `xs[*].name | [0]`) — from a multi-select list
+          // `[expr, expr]`. Raw numbers are not JMESPath expressions, so
+          // a digit/'-'/':'/'*'/']' right after '[' can only be a
+          // specifier.
+          val save = i
+          i += 1; ws()
+          val spec = peek == ']' || peek == '*' || peek == ':' ||
+            peek == '-' || peek.isDigit
+          i = save
+          if (spec) bracket(This)
+          else {
+            i += 1
+            val items = scala.collection.mutable.ListBuffer[Expr]()
+            ws()
+            if (peek != ']') {
+              items += parsePipe()
+              while (tryEat(",")) items += parsePipe()
+            }
+            eat(']')
+            LitArray(items.toList)
           }
-          eat(']')
-          LitArray(items.toList)
         case c if c.isLetter || c == '_' =>
           val name = ident()
           ws()
@@ -301,12 +338,98 @@ object JmesPath {
 
     def jsonLiteral(raw: String): Expr = {
       val t = raw.trim
-      if (t.startsWith("\"")) LitString(t.substring(1, t.length - 1))
-      else if (t == "true") LitBool(true)
-      else if (t == "false") LitBool(false)
-      else if (t == "null") LitNull
-      else if (t.contains('.')) LitDouble(t.toDouble)
-      else LitLong(t.toLong)
+      try new JsonP(t).parseDoc()
+      catch {
+        case _: IllegalArgumentException | _: NumberFormatException
+            if !t.startsWith("{") && !t.startsWith("[") &&
+              !t.startsWith("\"") =>
+          // elided-quotes literal (spec appendix / go-jmespath): a
+          // backtick literal that isn't valid JSON is a plain string —
+          // `foo` == `"foo"`
+          LitString(t)
+      }
+    }
+  }
+
+  /** Minimal JSON parser for backtick literals — full value grammar
+    * (objects/arrays/strings with escapes/numbers/booleans/null), since
+    * the spec allows any JSON inside backticks (`{"c": 3}` in merge()). */
+  private final class JsonP(s: String) {
+    var i = 0
+    private def peek: Char = if (i < s.length) s.charAt(i) else ' '
+    private def ws(): Unit =
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"jmespath literal: $msg at $i in '$s'")
+    def parseDoc(): Expr = {
+      val e = value(); ws()
+      if (i < s.length) fail("trailing input")
+      e
+    }
+    private def value(): Expr = { ws(); peek match {
+      case '{' =>
+        i += 1; ws()
+        val fields = scala.collection.mutable.ListBuffer[(Expr, Expr)]()
+        if (peek != '}') {
+          def member(): Unit = {
+            ws()
+            if (peek != '"') fail("expected key")
+            val k = str(); ws()
+            if (peek != ':') fail("expected ':'")
+            i += 1
+            fields += ((LitString(k), value()))
+          }
+          member()
+          while ({ ws(); peek == ',' }) { i += 1; member() }
+        }
+        ws(); if (peek != '}') fail("expected '}'"); i += 1
+        LitObject(fields.toList)
+      case '[' =>
+        i += 1; ws()
+        val items = scala.collection.mutable.ListBuffer[Expr]()
+        if (peek != ']') {
+          items += value()
+          while ({ ws(); peek == ',' }) { i += 1; items += value() }
+        }
+        ws(); if (peek != ']') fail("expected ']'"); i += 1
+        LitArray(items.toList)
+      case '"' => LitString(str())
+      case 't' if s.startsWith("true", i) => i += 4; LitBool(true)
+      case 'f' if s.startsWith("false", i) => i += 5; LitBool(false)
+      case 'n' if s.startsWith("null", i) => i += 4; LitNull
+      case c if c == '-' || c.isDigit =>
+        val st = i
+        if (peek == '-') i += 1
+        while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
+        val t = s.substring(st, i)
+        if (t.exists(c => c == '.' || c == 'e' || c == 'E')) LitDouble(t.toDouble)
+        else LitLong(t.toLong)
+      case _ => fail("unexpected character")
+    }}
+    private def str(): String = {
+      if (peek != '"') fail("expected string")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          i += 1
+          s.charAt(i) match {
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case '/' => sb.append('/'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r'); case 't' => sb.append('\t')
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case o => fail(s"bad escape \\$o")
+          }
+          i += 1
+        } else { sb.append(c); i += 1 }
+      }
+      if (peek != '"') fail("unterminated string")
+      i += 1
+      sb.toString
     }
   }
 }

@@ -106,12 +106,18 @@ object Envelope {
     * Streaming plans forbid monotonically_increasing_id, so there seq is a
     * content hash (stable pseudo-id; true order arrives per micro-batch). */
   def wrapUnordered(df: DataFrame): DataFrame = {
+    // backtick-quote source column names containing dots — col("a.b")
+    // otherwise parses as a path and the wrap fails analysis on any
+    // input whose flat column name contains a '.' (JMESPath compliance
+    // corpus: {"with.dot": 2})
+    val cols = df.columns.toIndexedSeq
+      .map(n => if (n.contains(".")) col(s"`$n`") else col(n))
     val seqCol =
-      if (df.isStreaming) xxhash64(df.columns.map(col).toIndexedSeq: _*)
+      if (df.isStreaming) xxhash64(cols: _*)
       else monotonically_increasing_id()
     df.select(
       lit(null).cast(BinaryType).as(Content),
-      struct(df.columns.map(col).toIndexedSeq: _*).as(Doc),
+      struct(cols: _*).as(Doc),
       map().cast(MapType(StringType, StringType)).as(Meta),
       lit(null).cast(StringType).as(Error),
       spark_partition_id().cast(LongType).as(BatchId),
