@@ -15,6 +15,42 @@ import graft.blobl.Mapping
 object BloblQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic output order established BELOW the heavy processor
+    * projection (r11, guide §7.2/§2.4): the old shape ended in
+    * `.select(heavy…).orderBy(derivedKey)`, so the final range exchange
+    * sat ABOVE the jq/mapping projection and its range-bound SAMPLING
+    * job re-evaluated the whole processor expression — QProf measured
+    * the full jq tree running twice per action (q178: two ~10 s-cpu
+    * jobs reading the same exchange). Sorting the envelope by `seq`
+    * (the wrap key's dense order — identical total order to the old
+    * pass-through sort key) BEFORE the processor keeps row order
+    * byte-identical while the sampling pass re-runs only the cheap
+    * envelope chain.
+    *
+    * repartitionByRange + sortWithinPartitions (NOT orderBy): a plain
+    * global sort's exchange is ENSURE_REQUIREMENTS, which AQE coalesces
+    * by BYTES — these envelopes are small, so the whole downstream
+    * CPU-dense processor collapsed onto ONE task (q178 measured 5.3 s
+    * serial vs ~0.4 s at 32 partitions). The explicit partition count
+    * (REPARTITION_BY_NUM, from spark.sql.shuffle.partitions, so it
+    * scales with the session) keeps the processor parallel; total order
+    * is unchanged (range partitions in partition-index order, sorted
+    * within). */
+  private def seqSorted(env: DataFrame): DataFrame = {
+    val parts =
+      env.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    env.repartitionByRange(parts, col(graft.model.Envelope.Seq))
+      .sortWithinPartitions(col(graft.model.Envelope.Seq))
+  }
+
+  /** [[seqSorted]] for plain (un-wrapped) inputs: total order on the given
+    * pass-through key columns, established below the mapping projection. */
+  private def keySorted(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val parts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+  }
+
   /** Projection + derived fields + deleted()-filter over lineitem. */
   def q10(s: SparkSession, dir: String): DataFrame = {
     val m = Mapping.compile(
@@ -24,8 +60,12 @@ object BloblQueries {
         |root.flag = this.l_returnflag.lowercase()
         |root.ship_month = this.l_shipdate.format_timestamp("2006-01")
         |root = if this.l_quantity < 10 { deleted() }""".stripMargin)
-    m.applyPlain(t(s, dir, "lineitem"))
-      .orderBy(col("orderkey"), col("linenumber"))
+    // sort on the pass-through raw keys BELOW the mapping projection —
+    // identical row order (orderkey/linenumber are l_orderkey/l_linenumber
+    // verbatim), and the range-sampling pass no longer re-runs the mapping
+    // (keySorted keeps the mapping parallel — see seqSorted)
+    m.applyPlain(keySorted(t(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_linenumber")))
   }
 
   /** Dynamic JSON (events.props) via parse_json → variant + match buckets. */
@@ -39,7 +79,7 @@ object BloblQueries {
         |  this < 15 => "mid"
         |  _ => "high"
         |}""".stripMargin)
-    m.applyPlain(t(s, dir, "events")).orderBy(col("event_id"))
+    m.applyPlain(keySorted(t(s, dir, "events"), col("event_id")))
   }
 
   /** Text-shaping methods over documents. */
@@ -50,7 +90,7 @@ object BloblQueries {
         |root.n_words = this.text.split(" ").length()
         |root.head = this.text.slice(0, 30)
         |root.tagged = this.source + ":" + this.lang""".stripMargin)
-    m.applyPlain(t(s, dir, "documents")).orderBy(col("doc_id"))
+    m.applyPlain(keySorted(t(s, dir, "documents"), col("doc_id")))
   }
 
   /** q161: the jq processor under an oracle — object construction,
@@ -64,7 +104,7 @@ object BloblQueries {
   def q161(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val env = seqSorted(graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id"))))
     val out = graft.blobl.JqProc(
       """{id: .doc_id,
         | n_words: (.words | length),
@@ -104,7 +144,6 @@ object BloblQueries {
         col("doc.sum_lens").cast(org.apache.spark.sql.types.LongType).as("sum_lens"),
         col("doc.up3").as("up3"),
         col("doc.any_an").cast(org.apache.spark.sql.types.BooleanType).as("any_an"))
-      .orderBy(col("doc_id"))
   }
 
   /** q173: the RUNTIME variant walk under an oracle — a per-row JSON
@@ -133,13 +172,12 @@ object BloblQueries {
       """{nv: ([..] | length),
         | np: ([paths] | length),
         | nnum: ([paths(numbers)] | length),
-        | nleaf: ([leaf_paths] | length)}""".stripMargin)(env)
+        | nleaf: ([leaf_paths] | length)}""".stripMargin)(seqSorted(env))
     out.select(col(Envelope.Seq).as("doc_id"),
         col("doc.nv").cast(LongType).as("nv"),
         col("doc.np").cast(LongType).as("np"),
         col("doc.nnum").cast(LongType).as("nnum"),
         col("doc.nleaf").cast(LongType).as("nleaf"))
-      .orderBy(col("doc_id"))
   }
 
   /** q184: the jq streaming trio under an oracle — `tostream` events
@@ -169,13 +207,12 @@ object BloblQueries {
         |{ne: ([$d | tostream] | length),
         | rn: (fromstream($d | tostream) | .m.n),
         | t0n: (fromstream(1 | truncate_stream($d | tostream)) | .[0].n),
-        | t1k: (fromstream(1 | truncate_stream($d | tostream)) | .[1] | length)}""".stripMargin)(env)
+        | t1k: (fromstream(1 | truncate_stream($d | tostream)) | .[1] | length)}""".stripMargin)(seqSorted(env))
     out.select(col(Envelope.Seq).as("doc_id"),
         col("doc.ne").cast(LongType).as("ne"),
         col("doc.rn").cast(LongType).as("rn"),
         col("doc.t0n").cast(LongType).as("t0n"),
         col("doc.t1k").cast(LongType).as("t1k"))
-      .orderBy(col("doc_id"))
   }
 
   /** q163: the expression error channel end-to-end — parse_timestamp
@@ -188,7 +225,7 @@ object BloblQueries {
     val docs = t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 3 === 0, "not-a-date")
         .otherwise("2024-01-15").as("d"))
-    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val env = seqSorted(graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id"))))
     val out = graft.ops.BloblangProc(
       """root.doc_id = this.doc_id
         |root.day = this.d.parse_timestamp("2006-01-02").format_timestamp("2006-01-02").catch("invalid")
@@ -197,7 +234,6 @@ object BloblQueries {
     out.select(col("doc.doc_id").as("doc_id"),
         col("doc.day").as("day"),
         col(graft.model.Envelope.Error).isNotNull.as("errored"))
-      .orderBy(col("doc_id"))
   }
 
   /** q169: the jmespath processor under an oracle — multiselect-hash,
@@ -209,7 +245,7 @@ object BloblQueries {
   def q169(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val env = seqSorted(graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id"))))
     val out = graft.blobl.JmesPathProc(
       """{doc_id: doc_id,
         | n_words: length(words),
@@ -229,7 +265,6 @@ object BloblQueries {
         col("doc.last_word").as("last_word"),
         col("doc.has_the").cast(org.apache.spark.sql.types.BooleanType).as("has_the"),
         col("doc.arr0").cast(org.apache.spark.sql.types.LongType).as("arr0"))
-      .orderBy(col("doc_id"))
   }
 
   /** q176: jq's row-generating forms under an oracle — a sibling ROOT
@@ -298,7 +333,7 @@ object BloblQueries {
       element_at(ws, 2).as("w2"),
       length(col("text")).as("nchars"),
       col("text"))
-    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val env = seqSorted(graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id"))))
     val out = graft.blobl.JqProc(
       """def norm: ascii_downcase;
         |{id: .doc_id,
@@ -326,7 +361,6 @@ object BloblQueries {
         col("doc.ab").cast(LongType).as("ab"),
         col("doc.pk").cast(LongType).as("pk"),
         col("doc.rep").cast(LongType).as("rep"))
-      .orderBy(col("id"))
   }
 
   /** q180: the jq C-math tail + nth under an oracle — gamma family
@@ -339,7 +373,7 @@ object BloblQueries {
       col("doc_id"),
       length(col("text")).as("nchars"),
       col("text"))
-    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val env = seqSorted(graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id"))))
     val out = graft.blobl.JqProc(
       """{id: .doc_id,
         | lg: (.nchars | lgamma),
@@ -370,7 +404,6 @@ object BloblQueries {
         round(col("doc.md"), 2).as("md"),
         col("doc.nt").as("nt"),
         col("doc.ng").as("ng"))
-      .orderBy(col("id"))
   }
 
   /** q183: the deprecated v3 `json` operator processor end-to-end under
@@ -384,7 +417,7 @@ object BloblQueries {
       length(col("text")).as("nchars"),
       col("lang"),
       col("text"))
-    val env = graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id")))
+    val env = seqSorted(graft.model.Envelope.wrap(docs, scala.Seq(col("doc_id"))))
     val out = scala.Seq[graft.ops.Processor](
       graft.ops.JsonProc("set", "tag", Some("ok")),
       graft.ops.JsonProc("copy", "lang", Some("lang2")),
@@ -401,7 +434,6 @@ object BloblQueries {
         col("doc.lang2").as("lang2"),
         col("doc.text").as("joined"),
         col("doc.pair").cast(LongType).as("pair"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
