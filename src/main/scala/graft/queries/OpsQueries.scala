@@ -239,15 +239,45 @@ object OpsQueries {
   private def withStateParts[A](s: SparkSession)(f: SparkSession => A): A = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // r11 (guide §6): Spark 4.1 writes a checksum COMPANION FILE per
+    // checkpoint file (ChecksumCheckpointFileManager) — for these
+    // per-run throwaway checkpoints that doubles the commit-path file
+    // count for an integrity feature aimed at long-lived production
+    // checkpoints on remote stores. Off by default here; a deployment
+    // that wants it back sets SPARK_GRAFT_CKPT_CHECKSUM=1 (the knob is
+    // per-checkpoint-session, so nothing outside the gates changes).
+    if (!sys.env.get("SPARK_GRAFT_CKPT_CHECKSUM").contains("1"))
+      s2.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     f(s2)
+  }
+
+  /** Per-run streaming scratch (checkpoint/sink/staged-restart-source)
+    * allocator. These directories live only for one gate execution —
+    * the state-store commit path fsyncs per micro-batch per partition,
+    * and on the disk-backed default tmpdir that wait dominated the
+    * streaming gates' wall (QProf q166: micro-batch tasks ~80% non-cpu
+    * wait). Scratch goes to the fastest writable local medium —
+    * /dev/shm when present (Linux tmpfs), else java.io.tmpdir —
+    * overridable via SPARK_GRAFT_STREAM_TMP (a cluster deployment
+    * points it at a durable checkpoint volume; recovery semantics are
+    * unchanged, q175 still restarts from the same checkpoint within
+    * the run). */
+  private def scratchDir(prefix: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_STREAM_TMP")
+      .orElse(Option("/dev/shm").filter(p => {
+        val f = new java.io.File(p); f.isDirectory && f.canWrite
+      }))
+      .getOrElse(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), prefix).toString
   }
 
   def q166(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     // sink + checkpoint stay fresh per run — that IS the streaming job
     val src = stagedEventsSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q166_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q166_ckpt").toString
+    val sink = scratchDir("graft_q166_sink")
+    val ckpt = scratchDir("graft_q166_ckpt")
     withStateParts(s) { ss =>
       val stream = ss.readStream.schema(ss.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -276,8 +306,8 @@ object OpsQueries {
   def q182(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q182_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q182_ckpt").toString
+    val sink = scratchDir("graft_q182_sink")
+    val ckpt = scratchDir("graft_q182_ckpt")
     withStateParts(s) { ss =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -311,8 +341,8 @@ object OpsQueries {
   def q167(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q167_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q167_ckpt").toString
+    val sink = scratchDir("graft_q167_sink")
+    val ckpt = scratchDir("graft_q167_ckpt")
     withStateParts(s) { ss =>
       val stream = ss.readStream.schema(ss.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -403,8 +433,8 @@ object OpsQueries {
   def q170(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsByTimeSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q170_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q170_ckpt").toString
+    val sink = scratchDir("graft_q170_sink")
+    val ckpt = scratchDir("graft_q170_ckpt")
     withStateParts(s) { ss =>
       val stream = ss.readStream.schema(ss.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -437,8 +467,8 @@ object OpsQueries {
   def q171(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q171_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q171_ckpt").toString
+    val sink = scratchDir("graft_q171_sink")
+    val ckpt = scratchDir("graft_q171_ckpt")
     withStateParts(s) { ss =>
       val stream = ss.readStream.schema(ss.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -469,8 +499,8 @@ object OpsQueries {
   def q172(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsByTimeSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q172_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q172_ckpt").toString
+    val sink = scratchDir("graft_q172_sink")
+    val ckpt = scratchDir("graft_q172_ckpt")
     val schema = s.read.parquet(src).schema
     // 2 files per trigger (vs 1 in the single-source gates): the join
     // still carries state ACROSS micro-batches — the chronological cut
@@ -521,8 +551,8 @@ object OpsQueries {
   def q174(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsByTimeSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q174_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q174_ckpt").toString
+    val sink = scratchDir("graft_q174_sink")
+    val ckpt = scratchDir("graft_q174_ckpt")
     val schema = s.read.parquet(src).schema
     withStateParts(s) { ss =>
       def stream() = ss.readStream.schema(schema)
@@ -571,8 +601,8 @@ object OpsQueries {
   def q179(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsByTimeSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q179_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q179_ckpt").toString
+    val sink = scratchDir("graft_q179_sink")
+    val ckpt = scratchDir("graft_q179_ckpt")
     val schema = s.read.parquet(src).schema
     withStateParts(s) { ss =>
       def stream() = ss.readStream.schema(schema)
@@ -626,9 +656,9 @@ object OpsQueries {
   def q175(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val full = stagedEventsByTimeSrc(s, dir)
-    val src = Files.createTempDirectory("graft_q175_src").toString
-    val sink = Files.createTempDirectory("graft_q175_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q175_ckpt").toString
+    val src = scratchDir("graft_q175_src")
+    val sink = scratchDir("graft_q175_sink")
+    val ckpt = scratchDir("graft_q175_ckpt")
     val parts = Option(new java.io.File(full).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -680,8 +710,8 @@ object OpsQueries {
   def q181(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val src = stagedEventsByTimeSrc(s, dir)
-    val sink = Files.createTempDirectory("graft_q181_sink").toString
-    val ckpt = Files.createTempDirectory("graft_q181_ckpt").toString
+    val sink = scratchDir("graft_q181_sink")
+    val ckpt = scratchDir("graft_q181_ckpt")
     withStateParts(s) { ss =>
       val stream = ss.readStream.schema(ss.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
