@@ -40,6 +40,15 @@ object Dedup {
   private val rotOffsets: IndexedSeq[Int] =
     IndexedSeq(0, 8, 16, 24) ++ (1 until 32).filterNot(Set(8, 16, 24))
 
+  /** Label the Spark jobs a blocking step submits (guide §1.5) — the
+    * multi-action operators here (jaccardJoinExact) are unreadable in
+    * job-level profiles without it. Thread-local, restored after. */
+  private def labeled[A](df: DataFrame, d: String)(f: => A): A = {
+    val sc = df.sparkSession.sparkContext
+    sc.setJobDescription(d)
+    try f finally sc.setJobDescription(null)
+  }
+
   private def rotOffset(seed: Int): Int = {
     require(seed < rotOffsets.length,
       s"md5 hex rotation supports at most ${rotOffsets.length} seeds; " +
@@ -938,6 +947,8 @@ object Dedup {
         array_distinct(TextStats.wordBigramsRaw(col("_t"))).as("grams"))
       .filter(size(col("grams")) > 0)
     val g = grams.select(col("id"), explode(col("grams")).as("gram"))
+    val defaultParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Dictionary-encode grams to df-ordered long ids (rarest = 0) — the
     // standard first move of the prefix-filter join literature: the
     // rarest-first total order becomes plain numeric order, candidate
@@ -949,14 +960,15 @@ object Dedup {
     // sampling and zipWithIndex each re-run their input lineage, and the
     // input here is the full bigram explode — checkpointing the
     // vocabulary-sized df table makes that one pass instead of three.
-    val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
-      .localCheckpoint()
+    val dfreq = labeled(df, "jaccard: dfreq ckpt")(
+      g.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+        .localCheckpoint())
     // Vocabulary count is a cheap read of the checkpoint; when the
     // dictionary fits an int (every local corpus, and any real one until
     // the bigram vocabulary passes 2^31) the gid arrays are stored and
     // shuffled at half width — the verify join's payload is the
     // dominant cost on near-duplicate-dense corpora.
-    val vocabN = dfreq.count()
+    val vocabN = labeled(df, "jaccard: vocabN")(dfreq.count())
     val gidCol =
       if (vocabN < Int.MaxValue.toLong) col("gid").cast(IntegerType)
       else col("gid")
@@ -966,7 +978,12 @@ object Dedup {
     // the (docs × set) relation once — it feeds the prefix stage and both
     // verify sides, and keeps the zipWithIndex dictionary from
     // recomputing per consumer.
-    val sets = g.join(dict.select(col("gram"), gidCol.as("gid")), "gram")
+    // explicit width again: the per-doc work below (collect_list sort,
+    // sort_array, the 256-bit bitmap HOF aggregate) is the cpu-dense
+    // part of this stage, and AQE's byte-based coalescing collapsed it
+    // onto ONE task (1.2-1.3 s serial per run at sf0.1)
+    val sets0 = g.join(dict.select(col("gram"), gidCol.as("gid")), "gram")
+      .repartition(defaultParts, col("id"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("gid"))).as("gids"))
       .withColumn("sz", size(col("gids")).cast(LongType))
@@ -978,7 +995,7 @@ object Dedup {
           |  (acc, g) -> zip_with(acc, sequence(0, 3),
           |    (a, i) -> a | if((pmod(g, 256) div 64) = i,
           |                    shiftleft(1L, int(pmod(g, 64))), 0L)))""".stripMargin))
-      .localCheckpoint(false)
+    val sets = labeled(df, "jaccard: sets ckpt")(sets0.localCheckpoint(false))
     // Probing prefix: first p = sz − ⌊t·sz⌋ + 1 rarest grams, with
     // positions for the PPJoin positional filter below.
     val prefix = sets.select(col("id"), col("sz"),
@@ -989,8 +1006,6 @@ object Dedup {
     // a match at 0-based positions (pa, pb) bounds the overlap by
     // min(sz_a−pa, sz_b−pb), and J ≥ t needs overlap ≥ t(sa+sb)/(1+t).
     val tBp = lit(thresholdBp.toLong)
-    val defaultParts =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // The PRE-dedup pair mass is computable BEFORE the join from the
     // prefix bucket histogram — Σ_g c_g·(c_g−1)/2 is an exact upper
     // bound on the id_a<id_b equi-join output (the size/positional
@@ -1003,14 +1018,25 @@ object Dedup {
     // Pre-partitioning by the dedup keys makes the aggregation reuse
     // the exchange (no second shuffle); ~48 B per in-flight hash entry
     // targets ~96 MB of aggregation state per task.
-    val pairEstRow = prefix.groupBy(col("gid"))
-      .agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).as("p")).head()
+    val pairEstRow = labeled(df, "jaccard: pairEst")(
+      prefix.groupBy(col("gid"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("p")).head())
     val pairEst = if (pairEstRow.isNullAt(0)) 0L else pairEstRow.getLong(0)
     val dedupParts = math.min(4096L,
       pairEst * 48L / (96L << 20) + 1L).toInt
-    val joinedPairs = prefix.toDF("id_a", "sz_a", "pos_a", "gid")
-      .join(prefix.toDF("id_b", "sz_b", "pos_b", "gid"), "gid")
+    // Explicit width on the self-join exchange: the prefix relation is
+    // bytes-tiny (ints) but the per-bucket pair ENUMERATION above it is
+    // the quadratic part of the operator — AQE's byte-based coalescing
+    // ran the whole enumeration on ONE task (labeled profile: 1.8 s
+    // serial at sf0.1). Width = max(session parallelism, the dedup
+    // sizing already derived from the exact pre-dedup pair mass), so
+    // the enumeration stays parallel locally and candidate-proportional
+    // at scale. Both join sides read the SAME exchange (ReusedExchange).
+    val prefixW = prefix
+      .repartition(math.max(defaultParts, dedupParts), col("gid"))
+    val joinedPairs = prefixW.toDF("id_a", "sz_a", "pos_a", "gid")
+      .join(prefixW.toDF("id_b", "sz_b", "pos_b", "gid"), "gid")
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") * tBp <= col("sz_b") * 10000L &&
         col("sz_b") * tBp <= col("sz_a") * 10000L &&
@@ -1021,12 +1047,12 @@ object Dedup {
       if (dedupParts > defaultParts)
         joinedPairs.repartition(dedupParts, col("id_a"), col("id_b"))
       else joinedPairs
-    val cand = joinedSized
+    val cand0 = joinedSized
       .dropDuplicates("id_a", "id_b")
       // materialized: the pair relation feeds the verify joins AND the
       // parallelism decision below; 16 bytes per pair, so even a 10⁸-
       // candidate relation checkpoints in ~GBs
-      .localCheckpoint(false)
+    val cand = labeled(df, "jaccard: cand ckpt")(cand0.localCheckpoint(false))
     // Adaptive verify parallelism: candidate mass is data-dependent (a
     // templated near-duplicate-dense corpus legitimately produces ~10³
     // candidates per true pair — all near-linear in corpus size, but
@@ -1037,7 +1063,7 @@ object Dedup {
     // of the checkpointed pair relation) and the mean set width,
     // targeting ~96 MB per partition; small inputs keep the default
     // plan untouched.
-    val candN = cand.count()
+    val candN = labeled(df, "jaccard: candN")(cand.count())
     // BITMAP PREFILTER (r9) — the r8 probe's stage-level byte
     // attribution showed the array-carrying verify exchange owned the
     // whole super-linear byte step AND all 44 GB of spill at 64×
@@ -1086,14 +1112,14 @@ object Dedup {
       else candBm0
     def notIn(x: String, y: String) = expr(
       s"aggregate(zip_with($x, $y, (x, y) -> bit_count(x & ~y)), 0, (s, v) -> s + v)")
-    val strong = candBm1.join(narrowB, "id_b")
+    val strong0 = candBm1.join(narrowB, "id_b")
       .filter(least(col("sz_a2") - notIn("bm_a", "bm_b"),
           col("sz_b2") - notIn("bm_b", "bm_a")) * (tBp + 10000L) >=
         tBp * (col("sz_a2") + col("sz_b2")))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(false)
-    val strongN = strong.count()
-    val avgRow = sets.agg(avg(col("sz"))).head()
+    val strong = labeled(df, "jaccard: strong ckpt")(strong0.localCheckpoint(false))
+    val strongN = labeled(df, "jaccard: strongN")(strong.count())
+    val avgRow = labeled(df, "jaccard: avgSz")(sets.agg(avg(col("sz"))).head())
     val avgSz = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
     val gidBytes = if (vocabN < Int.MaxValue.toLong) 4 else 8
     val bytesPerPair = 24L + (avgSz * gidBytes).toLong
