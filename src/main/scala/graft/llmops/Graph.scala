@@ -132,7 +132,12 @@ object Graph {
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    val it = e.filter(col("u") < col("v")).as[(Long, Long)].toLocalIterator()
+    // collect(), not toLocalIterator: the iterator fetches one partition
+    // per Spark JOB, so the tail of every CC call paid O(partitions)
+    // sequential job round-trips for a relation already bounded by
+    // localFinishThreshold (≤2M (Long, Long) rows ≈ 32 MB serialized —
+    // comfortably inside the driver and spark.driver.maxResultSize).
+    val it = e.filter(col("u") < col("v")).as[(Long, Long)].collect().iterator
     while (it.hasNext) {
       val (u, v) = it.next()
       parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)

@@ -315,18 +315,22 @@ object CurationQueries {
   def q132(s: SparkSession, dir: String): DataFrame = {
     // the pipeline's stages self-join the survivor set repeatedly —
     // materialize the filtered input once (what a real multi-stage
-    // curation job does between stages)
+    // curation job does between stages). The dedup KEYS (md5 + token-set
+    // fingerprint over the full text) ride in the checkpoint too: each
+    // semi-join consumes the key on BOTH sides, so computing them lazily
+    // re-ran both text kernels once per side per stage (QProf: five
+    // 2.5-9 s-cpu scan-side jobs per run); precomputed they cost one
+    // pass and a few bytes per row. Results identical — same keys.
     val kept = t(s, dir, "documents")
       .filter(size(split(col("text"), " ")).between(20, 5000))
+      .withColumn("_kmd5", md5(col("text")))
+      .withColumn("_kfp", graft.llmops.Dedup.fingerprint(col("text")))
       .localCheckpoint(false)
-    def dedup(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-      val keyed = df.withColumn("__k", key)
-      keyed.join(
-        keyed.groupBy(col("__k")).agg(min(col("doc_id")).as("doc_id")),
-        scala.Seq("__k", "doc_id"), "left_semi").drop("__k")
-    }
-    val d2 = dedup(dedup(kept, md5(col("text"))),
-      graft.llmops.Dedup.fingerprint(col("text")))
+    def dedup(df: DataFrame, key: String): DataFrame =
+      df.join(
+        df.groupBy(col(key)).agg(min(col("doc_id")).as("doc_id")),
+        scala.Seq(key, "doc_id"), "left_semi")
+    val d2 = dedup(dedup(kept, "_kmd5"), "_kfp").drop("_kmd5", "_kfp")
     graft.llmops.Training.temperatureWeights(d2, "source", "text")
       .orderBy(col("source"))
   }
