@@ -153,7 +153,14 @@ object OpsQueries {
 
   /** grok extraction over synthesized log lines. */
   def q24(s: SparkSession, dir: String): DataFrame = {
-    val env = Envelope.wrapUnordered(t(s, dir, "orders"))
+    // order established below the grok/mapping projections — okey is
+    // o_orderkey verbatim, so sorting the input gives the identical
+    // total order without the final range exchange whose sampling pass
+    // re-ran the regex extraction (see BloblQueries seqSorted)
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val env = Envelope.wrapUnordered(t(s, dir, "orders")
+        .repartitionByRange(parts, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")))
       .withColumn(Envelope.Content,
         format_string("ORDER %d %s %.2f",
           col("doc.o_orderkey"), col("doc.o_orderstatus"), col("doc.o_totalprice"))
@@ -164,7 +171,7 @@ object OpsQueries {
         """root.okey = this.okey.int()
           |root.status = this.status
           |root.price = this.price""".stripMargin)))(env)
-    Envelope.unwrap(out).orderBy(col("okey"))
+    Envelope.unwrap(out)
   }
 
   /** generate input (Bloblang-driven synthetic source) → aggregation. */
@@ -788,14 +795,20 @@ object OpsQueries {
 
   /** compress → decompress round trip over document text (gzip). */
   def q44(s: SparkSession, dir: String): DataFrame = {
-    val env = Envelope.wrapUnordered(t(s, dir, "documents"))
+    // order established below the codec projections (see BloblQueries
+    // seqSorted): the old top-level orderBy's sampling pass re-ran the
+    // whole gzip+gunzip chain once more per action. doc_id order is the
+    // total order either way; projections preserve row order.
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val env = Envelope.wrapUnordered(t(s, dir, "documents")
+        .repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
       .withColumn(Envelope.Content, col("doc.text").cast(BinaryType))
     val out = Pipeline(scala.Seq(
       CodecProcs.CompressProc("gzip"),
       CodecProcs.DecompressProc("gzip")))(env)
     out.select(col("doc.doc_id").as("doc_id"),
         col(Envelope.Content).cast(StringType).as("text"))
-      .orderBy(col("doc_id"))
   }
 
   /** awk (subprocess line-lockstep pipe): uppercase document text. */
