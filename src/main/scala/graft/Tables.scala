@@ -35,7 +35,21 @@ object Tables {
     * thousands of splits and this branch never fires. */
   private def parallelize(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.min(slots, 8)) df
+    // Split-count ESTIMATE instead of df.rdd.getNumPartitions (r11): the
+    // old probe built the full physical RDD once per table load — pure
+    // driver latency on every t() call, ~200+ loads per bench run.
+    // Catalyst's sizeInBytes for a parquet scan is the summed file
+    // length; Spark packs ~maxPartitionBytes (128 MB) splits charging
+    // ~openCostInBytes (4 MB) per file, so the scan runs on at least
+    // min(slots, 8) tasks whenever size + 4 MB·files clears
+    // 8·128 MB. The gate corpora are orders of magnitude below that
+    // (the branch fires, exactly as before); deploy-scale inputs are
+    // orders of magnitude above (it never fires) — the estimate only
+    // has to be right far from the boundary, where it is exact enough.
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits =
+      (est + BigInt(df.inputFiles.length) * (4L << 20)) / (128L << 20) + 1
+    if (estSplits >= math.min(slots, 8)) df
     else {
       val key = org.apache.spark.sql.functions.col(df.columns.head)
       // range-partition + within-partition sort: global row order stays

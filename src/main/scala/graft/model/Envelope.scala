@@ -92,12 +92,11 @@ object Envelope {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = df.repartitionByRange(parts, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(out, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-    }
-    spark.createDataFrame(indexed, schema)
+    // r11: index appended on the INTERNAL (UnsafeRow) representation —
+    // the old external-Row round trip (df.rdd → Row.fromSeq →
+    // createDataFrame's reflective re-encode) deserialized and re-encoded
+    // every column of every row just to attach one long
+    org.apache.spark.sql.graft.GraftSqlShims.zipWithIndexDF(sorted, out)
   }
 
   /** Cheap wrap for pipelines that don't need batch semantics: no shuffle,
