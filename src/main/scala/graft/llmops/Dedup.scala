@@ -1180,8 +1180,14 @@ object Dedup {
     * Output: (src_a, src_b, n_a, n_b, n_inter, jaccard_bp), src_a < src_b. */
   def sourceSimilarity(df: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
+    // materialized once: (src, fp) feeds the per-source counts AND both
+    // sides of the intersection join — lazily composed, the token-set
+    // fingerprint kernel ran twice more over the full corpus (QProf:
+    // two ~6 s-cpu scan jobs per action at sf0.1). The checkpoint is
+    // 16 B/doc — corpus-count-sized, not corpus-byte-sized.
     val fps = df.select(col(srcCol).as("src"),
       fingerprint(col(textCol)).as("fp")).distinct()
+      .localCheckpoint(false)
     val counts = fps.groupBy("src").agg(count(lit(1)).as("n"))
     val inter = fps.toDF("src_a", "fp")
       .join(fps.toDF("src_b", "fp2"), col("fp") === col("fp2"))
