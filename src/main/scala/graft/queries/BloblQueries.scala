@@ -44,12 +44,19 @@ object BloblQueries {
   }
 
   /** [[seqSorted]] for plain (un-wrapped) inputs: total order on the given
-    * pass-through key columns, established below the mapping projection. */
-  private def keySorted(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
-    val parts =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
-  }
+    * pass-through key columns, established below the mapping projection.
+    *
+    * Plain `orderBy`, unlike seqSorted's explicit repartition: these
+    * inputs come from [[graft.Tables.t]], whose small-input parallelize
+    * already range-partitions and sorts by the leading key — an explicit
+    * repartitionByRange DOUBLED the exchange (the bench plan tripwire
+    * flagged exchanges 1→2 on q10-q12). orderBy below the projection is
+    * satisfied by the existing partitioning locally (no new exchange, the
+    * redundant sort is eliminated) and stays a real global sort on big
+    * inputs where parallelize never fires — where the exchange is also
+    * big enough that AQE cannot coalesce the projection serial. */
+  private def keySorted(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.orderBy(keys: _*)
 
   /** Projection + derived fields + deleted()-filter over lineitem. */
   def q10(s: SparkSession, dir: String): DataFrame = {

@@ -157,10 +157,8 @@ object OpsQueries {
     // o_orderkey verbatim, so sorting the input gives the identical
     // total order without the final range exchange whose sampling pass
     // re-ran the regex extraction (see BloblQueries seqSorted)
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val env = Envelope.wrapUnordered(t(s, dir, "orders")
-        .repartitionByRange(parts, col("o_orderkey"))
-        .sortWithinPartitions(col("o_orderkey")))
+        .orderBy(col("o_orderkey")))
       .withColumn(Envelope.Content,
         format_string("ORDER %d %s %.2f",
           col("doc.o_orderkey"), col("doc.o_orderstatus"), col("doc.o_totalprice"))
@@ -799,10 +797,8 @@ object OpsQueries {
     // seqSorted): the old top-level orderBy's sampling pass re-ran the
     // whole gzip+gunzip chain once more per action. doc_id order is the
     // total order either way; projections preserve row order.
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val env = Envelope.wrapUnordered(t(s, dir, "documents")
-        .repartitionByRange(parts, col("doc_id"))
-        .sortWithinPartitions(col("doc_id")))
+        .orderBy(col("doc_id")))
       .withColumn(Envelope.Content, col("doc.text").cast(BinaryType))
     val out = Pipeline(scala.Seq(
       CodecProcs.CompressProc("gzip"),
