@@ -15,11 +15,20 @@ object Bench {
     // average in the protocol line so readers can discount the numbers,
     // and refuse to merge a contended run into the medians history the
     // tripwire compares against.
-    val cores = Runtime.getRuntime.availableProcessors
+    val hostCores = Runtime.getRuntime.availableProcessors
+    // "cores" in the protocol line must be the SESSION's parallelism
+    // (SPARK_GRAFT_CPUS drives local[N] + shuffle.partitions in Sessions),
+    // not the host's core count: the driver's scaling run sets CPUS=8 on a
+    // 32-core host and reads this field to confirm the env was honored
+    // (VERDICT r11 #2 — reporting availableProcessors false-trips its
+    // cpus-ignored heuristic).
+    val cores = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(32)
+    val defaultCores = cores == 32
     def loadNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage // -1 if unsupported
     val loadAtStart = loadNow
-    val contended = loadAtStart > cores
+    val contended = loadAtStart > hostCores
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -183,16 +192,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val resultLine =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","load":$loadAtStart%.2f,"cores":$cores,"contended":$contended}"""
-    println(resultLine)
-    // Also persist the protocol line to a file: the driver's log-tail capture
+    // Persist the protocol line to a file: the driver's log-tail capture
     // lost the stdout line in sbt noise two rounds running (BENCH_r03/r04
     // "parsed": null) — a file copy makes the bench total always recoverable.
     // Full-suite runs only, so a filtered dev loop never clobbers it with a
-    // partial total.
+    // partial total. Non-default core counts (the driver's scaling run) get
+    // their own file so the 32-core snapshot is never overwritten.
     if (args.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
-          s"BENCH_RESULT_${new java.io.File(sfDir).getName}.json"),
+          s"BENCH_RESULT_${new java.io.File(sfDir).getName}" +
+            (if (defaultCores) "" else s"_c$cores") + ".json"),
         (resultLine + "\n").getBytes("UTF-8"))
 
     // Flag >50% slowdowns that SURVIVED the re-run (would have caught the
@@ -225,7 +235,15 @@ object Bench {
     // baseline every time the driver benches on a busy box.
     if (contended)
       System.err.println(
-        f"[bench] load $loadAtStart%.1f > $cores cores at start: medians NOT merged (contended run; timings untrusted)")
+        f"[bench] load $loadAtStart%.1f > $hostCores cores at start: medians NOT merged (contended run; timings untrusted)")
+    else if (!defaultCores)
+      // The driver's low-core scaling run must not write its timings into
+      // the shared 32-core tripwire baselines: r11's c8 close-out min-merged
+      // faster 8-core times into BENCH_FLOORS and mixed core counts into the
+      // medians (VERDICT r11 #3) — every later 32-core run then false-flags.
+      System.err.println(
+        s"[bench] SPARK_GRAFT_CPUS=$cores != 32: medians/floors NOT merged " +
+          "(low-core scaling run; baselines are 32-core only)")
     else {
       // What merges into the history: normally the original median — but a
       // query whose re-run came in UNDER the regression threshold is a
@@ -275,6 +293,11 @@ object Bench {
       } catch { case _: Throwable => () }
       commitArtifacts()
     }
+    // The protocol line is printed LAST, after every tripwire warning and
+    // all close-out chatter: the driver captures a bounded log TAIL, and
+    // printing the JSON before the warnings pushed it out of that window
+    // four rounds running (BENCH_r08..r11 "parsed": null — VERDICT r11 #1).
+    println(resultLine)
     if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") &&
         (regressions.nonEmpty || failed.nonEmpty))
       sys.exit(1)
