@@ -1521,7 +1521,23 @@ object Jq {
           // body — its slice output is a LEVEL of many children, so the
           // inner generator-ness propagates outward
           if (collectGen && lastCollectedSawGen) collectSawGen = true
-          MethodCall(g, "slice", List(LitLong(0), n))
+          // limit(k; repeat(f)) cap pushdown (r12): the slice keeps only
+          // the first k outputs, so repeat's bounded expansion never
+          // needs to run past k — with the default cap 64 the fold ran
+          // 63 variant iterations (and O(cap²) accumulator copying) to
+          // keep 5 (q178's rep term). repeat's cap truncates SILENTLY by
+          // contract, so a lower cap ≥ k yields the identical first-k
+          // stream (an early null end shortens both forms the same way).
+          // recurse/until are NOT eligible: their caps ERROR when still
+          // live, so lowering one changes the error channel.
+          val g2 = (n, g) match {
+            case (LitLong(k),
+                MethodCall(recv, "repeat_apply", List(f, LitLong(cap))))
+                if k >= 1 && k < cap =>
+              MethodCall(recv, "repeat_apply", List(f, LitLong(k)))
+            case _ => g
+          }
+          MethodCall(g2, "slice", List(LitLong(0), n))
         case "gsub" | "sub" =>
           // sub(re; repl[; flags]) replaces the FIRST match, gsub (or the
           // `g` flag) every match; i/m/s/x flags prefix the pattern

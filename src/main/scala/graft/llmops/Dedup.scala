@@ -553,13 +553,16 @@ object Dedup {
     element_at(transform(array(arr), f), 1)
 
   /** Distinct word n-grams ("a b c ..." strings). Empty array below n
-    * tokens. */
+    * tokens.
+    *
+    * r12: ONE native pass ([[graft.exprs.WordNgramsExpr]]) — the previous
+    * composable form (split + transform/slice/array_join + array_distinct)
+    * allocated a sliced array and a joined string per position through
+    * interpreted HOF dispatch, the dominant per-row cost of
+    * q127_containment / q49_contamination / q90_substring_contamination.
+    * Bit-identical semantics pinned in TextNgramSpec. */
   def wordNgrams(text: Column, n: Int): Column =
-    bindArray(split(text, " "), toks =>
-      when(size(toks) < n, array().cast(ArrayType(StringType)))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))))
+    graft.exprs.WordNgramsExpr.column(text, n)
 
   /** Benchmark-contamination detection: which evaluation documents leak
     * into the training corpus (the train/test overlap scrub every serious
