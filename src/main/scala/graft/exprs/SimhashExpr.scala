@@ -24,31 +24,45 @@ case class SimhashExpr(child: Expression, bits: Int)
     java.security.MessageDigest.getInstance("MD5")
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    // identical tokenization to functions.split(text, " ") (-1 limit)
-    val toks = s.split(" ", -1)
+    // tokenization identical to functions.split(text, " ") (-1 limit:
+    // empty and trailing tokens kept); tokens are digested as UTF-8 BYTE
+    // SLICES of one array — r12: the old path allocated a String, its
+    // getBytes copy, and a '#'-concat String per token, and that
+    // allocation churn (not the md5 itself) was most of the kernel's
+    // non-cpu task time in the banded-join profiles. md5 inputs are
+    // byte-identical, so every simhash value is unchanged.
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val len = bytes.length
     val balance = new Array[Int](bits)
-    var t = 0
-    while (t < toks.length) {
-      digest.reset()
-      val d = digest.digest(toks(t).getBytes("UTF-8"))
-      val d2 =
-        if (bits > 32) {
-          digest.reset()
-          digest.digest((toks(t) + "#").getBytes("UTF-8"))
-        } else null
-      var b = 0
-      while (b < bits) {
-        // hex nibble b: high nibble of byte b/2 when b even, else low;
-        // bits ≥ 32 read the salted digest at nibble b-32
-        val (src, p) = if (b < 32) (d, b) else (d2, b - 32)
-        val nib =
-          if ((p & 1) == 0) (src(p >> 1) >> 4) & 0xf
-          else src(p >> 1) & 0xf
-        if ((nib & 1) == 1) balance(b) += 1 else balance(b) -= 1
-        b += 1
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        digest.reset()
+        digest.update(bytes, start, i - start)
+        val d = digest.digest()
+        val d2 =
+          if (bits > 32) {
+            digest.reset()
+            digest.update(bytes, start, i - start)
+            digest.update('#'.toByte)
+            digest.digest()
+          } else null
+        var b = 0
+        while (b < bits) {
+          // hex nibble b: high nibble of byte b/2 when b even, else low;
+          // bits ≥ 32 read the salted digest at nibble b-32
+          val (src, p) = if (b < 32) (d, b) else (d2, b - 32)
+          val nib =
+            if ((p & 1) == 0) (src(p >> 1) >> 4) & 0xf
+            else src(p >> 1) & 0xf
+          if ((nib & 1) == 1) balance(b) += 1 else balance(b) -= 1
+          b += 1
+        }
+        start = i + 1
       }
-      t += 1
+      i += 1
     }
     var out = 0L
     var b = 0

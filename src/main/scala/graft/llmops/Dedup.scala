@@ -178,7 +178,12 @@ object Dedup {
     require(bits % bands == 0, "simhashPairs: bands must divide bits")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sh = simhashTable(df, idCol, textCol, bits)
+    // materialized once (r12): both self-join sides derive from this
+    // relation, and lazily composed each side re-ran the full corpus
+    // simhash pass (per-token md5 — QProf q55/q98: the banded-join job
+    // read the text exchange twice with the kernel cpu doubled). 16 B/doc
+    // of block storage ends that at every scale — the q151/q132 trade.
+    val sh = simhashTable(df, idCol, textCol, bits).localCheckpoint(false)
     val banded = sh.select(col("id"), col("simhash"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("b"),

@@ -234,8 +234,14 @@ object Graph {
     // execution pool, a probe-configuration limit, not a plan one.)
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst")).localCheckpoint(false)
+    // nodes feeds the rank seed AND every sweep's dangling-node left join,
+    // so it appears iters+1 times in the final plan — lazily composed, the
+    // union+distinct re-ran per reference (r12 QProf on q129: two ~3.5 s
+    // task-time duplicate evaluations per action flagged by the dup-eval
+    // detector). One checkpoint (8 B/node) ends that; same trade as `e`.
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
     val withDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(false)
