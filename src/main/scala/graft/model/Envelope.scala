@@ -90,13 +90,16 @@ object Envelope {
     require(!df.isStreaming, "global sequence assignment requires a batch DataFrame")
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = df.repartitionByRange(parts, orderBy: _*)
-      .sortWithinPartitions(orderBy: _*)
     // r11: index appended on the INTERNAL (UnsafeRow) representation —
     // the old external-Row round trip (df.rdd → Row.fromSeq →
     // createDataFrame's reflective re-encode) deserialized and re-encoded
-    // every column of every row just to attach one long
-    org.apache.spark.sql.graft.GraftSqlShims.zipWithIndexDF(sorted, out)
+    // every column of every row just to attach one long.
+    // r12: the shim takes the RAW range shuffle and applies the within-
+    // partition sort itself, so the offset-count job no longer re-runs
+    // the sort (counts are sort-invariant) — one sort pass instead of
+    // two per wrapped-pipeline action, same one-RDD-instance guarantee.
+    org.apache.spark.sql.graft.GraftSqlShims.zipWithIndexSortedDF(
+      df.repartitionByRange(parts, orderBy: _*), orderBy, out)
   }
 
   /** Cheap wrap for pipelines that don't need batch semantics: no shuffle,
