@@ -377,9 +377,14 @@ object TextStats {
       k: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0 && k <= 100000, s"vocab head size must be in (0,100000], got $k")
     val spark = df.sparkSession
+    // materialized once (r12): counts feeds the scalar total AND the
+    // top-k head — lazily composed, the total's collect re-ran the full
+    // corpus explode+aggregate a second time per action. The relation is
+    // vocabulary-sized (aggregation output ≪ corpus at any scale).
     val counts = df
       .select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val total = counts.agg(sum(col("n"))).collect()(0).getLong(0)
     val head = counts.orderBy(col("n").desc, col("token")).limit(k).collect()
     var cum = 0L

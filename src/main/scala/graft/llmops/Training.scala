@@ -556,9 +556,16 @@ object Training {
     * Output: (source, tokens, weight, share_bp). */
   def temperatureWeights(df: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
+    // materialized once (r12): perSource feeds the scalar-total collect
+    // AND the output projection — lazily composed, the total's collect
+    // re-ran the ENTIRE upstream pipeline (q132's two chained semi-join
+    // dedups ran twice per action: QProf dup-eval showed all three stage
+    // exchanges written twice, ~20 s duplicated task time). The relation
+    // is source-cardinality rows — bytes, at any corpus size.
     val perSource = df.groupBy(col(srcCol).as("source"))
       .agg(sum(size(split(col(textCol), " ")).cast(LongType)).as("tokens"))
       .withColumn("weight", floor(sqrt(col("tokens"))).cast(LongType))
+      .localCheckpoint(false)
     val total = perSource.agg(sum(col("weight"))).collect()(0).getLong(0)
     perSource.select(col("source"), col("tokens"), col("weight"),
       expr(s"10000 * weight div ${total}L").as("share_bp"))
