@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codegen: a real `doGenCode` (kernel call on the codegen'd child value,
   * via a reference object) — no CodegenFallback, so no interpreted eval
   * and no INPUT_ROW dependency inside whole-stage codegen. */
-case class WordNgramsExpr(child: Expression, n: Int)
+case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
   require(n >= 1, s"WordNgramsExpr: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType)
@@ -49,13 +49,13 @@ case class WordNgramsExpr(child: Expression, n: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) WordNgramsExpr.empty
-    else WordNgramsExpr.eval(v.asInstanceOf[UTF8String], n)
+    else WordNgramsExpr.eval(v.asInstanceOf[UTF8String], n, distinct)
   }
 
   /** Instance entry points for generated code (reference-object calls —
     * instance dispatch avoids Janino's patchy support for Scala objects'
     * `$.MODULE$` static fields). */
-  def ngrams(s: UTF8String): ArrayData = WordNgramsExpr.eval(s, n)
+  def ngrams(s: UTF8String): ArrayData = WordNgramsExpr.eval(s, n, distinct)
   def emptyArray(): ArrayData = WordNgramsExpr.empty
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -75,16 +75,20 @@ case class WordNgramsExpr(child: Expression, n: Int)
 }
 
 object WordNgramsExpr {
-  def column(text: Column, n: Int): Column =
+  def column(text: Column, n: Int, distinct: Boolean = true): Column =
     org.apache.spark.sql.GraftBridge.column(
-      WordNgramsExpr(org.apache.spark.sql.GraftBridge.expression(text), n))
+      WordNgramsExpr(org.apache.spark.sql.GraftBridge.expression(text), n,
+        distinct))
 
   private val empty = new GenericArrayData(new Array[AnyRef](0))
 
   /** One pass: locate token starts (bytes after each 0x20), emit each
-    * n-gram as a zero-copy view into ONE private byte array, dedup with a
-    * hash set in first-occurrence order. */
-  def eval(s: UTF8String, n: Int): ArrayData = {
+    * n-gram as a zero-copy view into ONE private byte array; when
+    * `distinct`, dedup with a hash set in first-occurrence order
+    * (`distinct = false` is the raw with-multiplicity form — the
+    * `bigramsOfTokens`/`trigramsOfTokens` zip_with-slice-concat_ws chains
+    * it replaced produce the identical byte spans). */
+  def eval(s: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     // getBytes copies unless the string exactly spans its own array; the
     // views below alias `b`, so the (at most one) copy per row is what
     // makes them safe against UnsafeRow/ColumnVector buffer reuse
@@ -101,17 +105,26 @@ object WordNgramsExpr {
     starts(nTok) = len + 1 // sentinel: "start of one-past-last token"
     val m = nTok - n + 1
     val out = new Array[AnyRef](m)
-    val seen = new java.util.HashSet[UTF8String](Math.max(4, m * 2))
-    var cnt = 0
-    var t = 0
-    while (t < m) {
-      val st = starts(t)
-      val en = starts(t + n) - 1 // end of token t+n-1 (strip the space/sentinel)
-      val g = UTF8String.fromBytes(b, st, en - st)
-      if (seen.add(g)) { out(cnt) = g; cnt += 1 }
-      t += 1
+    if (distinct) {
+      val seen = new java.util.HashSet[UTF8String](Math.max(4, m * 2))
+      var cnt = 0
+      var t = 0
+      while (t < m) {
+        val st = starts(t)
+        val en = starts(t + n) - 1 // end of token t+n-1 (strip the space/sentinel)
+        val g = UTF8String.fromBytes(b, st, en - st)
+        if (seen.add(g)) { out(cnt) = g; cnt += 1 }
+        t += 1
+      }
+      new GenericArrayData(
+        if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
+    } else {
+      var t = 0
+      while (t < m) {
+        out(t) = UTF8String.fromBytes(b, starts(t), starts(t + n) - 1 - starts(t))
+        t += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(
-      if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
   }
 }

@@ -124,28 +124,17 @@ object TextStats {
     * re-evaluates the `toks` expression inside the lambda per element:
     * with toks = split(...) that's O(n²) per document — measured 6× on
     * q57 at sf0.1.) */
-  def bigramsOfTokens(toks: Column): Column =
-    when(size(toks) < 2, array().cast(ArrayType(StringType)))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-
-  /** Word bigrams with multiplicity ("a b" strings); empty below 2 tokens. */
-  def wordBigramsRaw(text: Column): Column = bigramsOfTokens(split(text, " "))
+  /** Word bigrams with multiplicity ("a b" strings); empty below 2 tokens.
+    * r12: the native one-pass kernel (identical byte spans to the
+    * zip_with-slice-concat_ws form — split-on-" "/join-with-" " round
+    * trips exactly; null text yields the empty array either way). */
+  def wordBigramsRaw(text: Column): Column =
+    graft.exprs.WordNgramsExpr.column(text, 2, distinct = false)
 
   /** Word trigrams with multiplicity ("a b c" strings); empty below 3
-    * tokens. Same shifted-slice zip_with shape as [[bigramsOfTokens]]
-    * (O(n) per document — no lambda-scope re-tokenize). */
-  def trigramsOfTokens(toks: Column): Column =
-    when(size(toks) < 3, array().cast(ArrayType(StringType)))
-      .otherwise(zip_with(
-        zip_with(
-          slice(toks, lit(1), size(toks) - 2),
-          slice(toks, lit(2), size(toks) - 2),
-          (a, b) => concat_ws(" ", a, b)),
-        slice(toks, lit(3), size(toks) - 2),
-        (ab, c) => concat_ws(" ", ab, c)))
+    * tokens. r12: native kernel, see [[wordBigramsRaw]]. */
+  def wordTrigramsRaw(text: Column): Column =
+    graft.exprs.WordNgramsExpr.column(text, 3, distinct = false)
 
   /** Trigram stupid-backoff resolution histogram — the integer-exact,
     * engine-portable core of an n-gram-LM perplexity filter (CCNet
@@ -167,16 +156,16 @@ object TextStats {
     * docs. */
   def backoffLevels(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("_tk"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("_t"))
     val tri = base.select(col("id"),
-        explode(trigramsOfTokens(col("_tk"))).as("g3"))
+        explode(wordTrigramsRaw(col("_t"))).as("g3"))
       .select(col("id"), col("g3"),
         substring_index(col("g3"), " ", -2).as("g2"),
         substring_index(col("g3"), " ", -1).as("g1"))
     val m3 = tri.groupBy(col("g3")).agg(count(lit(1)).as("c3"))
-    val m2 = base.select(explode(bigramsOfTokens(col("_tk"))).as("g2"))
+    val m2 = base.select(explode(wordBigramsRaw(col("_t"))).as("g2"))
       .groupBy(col("g2")).agg(count(lit(1)).as("c2"))
-    val m1 = base.select(explode(col("_tk")).as("g1"))
+    val m1 = base.select(explode(split(col("_t"), " ")).as("g1"))
       .groupBy(col("g1")).agg(count(lit(1)).as("c1"))
     val lvl = tri
       .join(m3, "g3").join(m2, "g2").join(m1, "g1")

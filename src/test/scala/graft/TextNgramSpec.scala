@@ -52,6 +52,39 @@ class TextNgramSpec extends AnyFunSuite {
     }
   }
 
+  test("raw (distinct=false) n-grams ≡ zip_with/slice/concat_ws form") {
+    // the bigram/trigram-with-multiplicity reference forms replaced in r12
+    def bigramsRef(text: Column): Column = {
+      val toks = split(text, " ")
+      when(size(toks) < 2, array().cast(ArrayType(StringType)))
+        .otherwise(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+    }
+    def trigramsRef(text: Column): Column = {
+      val toks = split(text, " ")
+      when(size(toks) < 3, array().cast(ArrayType(StringType)))
+        .otherwise(zip_with(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 2),
+            slice(toks, lit(2), size(toks) - 2),
+            (a, b) => concat_ws(" ", a, b)),
+          slice(toks, lit(3), size(toks) - 2),
+          (ab, c) => concat_ws(" ", ab, c)))
+    }
+    val df = cases.toDF("t")
+    val rows = df.select(col("t"),
+      graft.exprs.WordNgramsExpr.column(col("t"), 2, distinct = false).as("n2"),
+      bigramsRef(col("t")).as("r2"),
+      graft.exprs.WordNgramsExpr.column(col("t"), 3, distinct = false).as("n3"),
+      trigramsRef(col("t")).as("r3")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"bigram '${r.getString(0)}'")
+      assert(r.getSeq[String](3) == r.getSeq[String](4), s"trigram '${r.getString(0)}'")
+    }
+  }
+
   test("null text yields the empty array (composable-form parity)") {
     // the composable form never returns null: size(null) = -1 (legacy
     // sizeOfNull, non-ANSI session) takes the `size < n` empty branch
