@@ -178,12 +178,14 @@ object Dedup {
     require(bits % bands == 0, "simhashPairs: bands must divide bits")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    // materialized once (r12): both self-join sides derive from this
-    // relation, and lazily composed each side re-ran the full corpus
-    // simhash pass (per-token md5 — QProf q55/q98: the banded-join job
-    // read the text exchange twice with the kernel cpu doubled). 16 B/doc
-    // of block storage ends that at every scale — the q151/q132 trade.
-    val sh = simhashTable(df, idCol, textCol, bits).localCheckpoint(false)
+    // NOT materialized (r12, measured): a localCheckpoint here was tried
+    // to collapse the two self-join sides onto one simhash pass, and the
+    // isolated ScaleProbe read it as a pure LOSS once the byte-slice
+    // kernel landed — 64×: 7.11 s (r11 code) / 5.63 s (kernel, lazy) /
+    // 10.61 s (kernel + checkpoint): the banded exchange is written once
+    // and read by both sides either way, so the checkpoint bought no
+    // pass and added a blocking materialization barrier.
+    val sh = simhashTable(df, idCol, textCol, bits)
     val banded = sh.select(col("id"), col("simhash"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("b"),
@@ -946,13 +948,13 @@ object Dedup {
     // Repartition by id BEFORE the per-row n-gram work: a small input
     // (one parquet file → one task) would otherwise run the whole
     // tokenize serially; hash-by-id also pre-partitions for the sets
-    // groupBy below, so the shuffle is spent once, not wasted. Bigrams
-    // via the shifted-slice zip_with kernel — O(n) per row (the
-    // transform+element_at form re-tokenizes per element, O(n²)).
+    // groupBy below, so the shuffle is spent once, not wasted. Distinct
+    // bigrams via the native one-pass kernel (r12) — byte-span slices +
+    // in-pass dedup, so the separate array_distinct pass disappears.
     val grams = df.select(col(idCol).as("id"), col(textCol).as("_t"))
       .repartition(col("id"))
       .select(col("id"),
-        array_distinct(TextStats.wordBigramsRaw(col("_t"))).as("grams"))
+        graft.exprs.WordNgramsExpr.column(col("_t"), 2).as("grams"))
       .filter(size(col("grams")) > 0)
     val g = grams.select(col("id"), explode(col("grams")).as("gram"))
     val defaultParts =
